@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared engine query: a Spark-first implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL used
+  * by the driver's correctness gate. Column names/aliases MUST match between
+  * the two sides (the comparator sorts columns by name before hashing).
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Shared helpers for deterministic, dialect-portable query results.
+  *
+  * Determinism rules (SURVEY.md section 2B): every query ends in a total
+  * ORDER BY over a unique key; DOUBLE aggregates go through
+  * DECIMAL(18,4) so float association order cannot flip a hash; ROUND(...,4)
+  * then cast back to DOUBLE so both engines emit the identical value.
+  */
+object Q {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
+    * read it as a raw long (legacy conf) and truncate ns -> micros exactly
+    * (integer `div`, not double division: ~1.7e18 ns overflows a double
+    * mantissa). The DuckDB oracle mirrors with CAST(ts AS TIMESTAMP).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+  }
+
+  /** Oracle-side twin of [[events]]: a CTE body projecting the same columns. */
+  val EVENTS_SQL: String =
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+  val dec18: Column => Column = c => c.cast(DecimalType(18, 4))
+  val dec9: Column => Column = c => c.cast(DecimalType(9, 4))
+
+  /** ROUND(x, 4) cast to DOUBLE — the canonical deterministic numeric output. */
+  def r4(c: Column): Column = round(c, 4).cast(DoubleType)
+
+  /** SUM over DECIMAL(18,4) (exact), rounded, as DOUBLE. */
+  def sum4(c: Column): Column = r4(sum(dec18(c)))
+
+  /** AVG as exact decimal SUM cast to double, IEEE-divided by count, rounded.
+    * Identical bit pattern in both engines (decimal sum is exact; the double
+    * division and final round operate on identical inputs).
+    */
+  def avg4(c: Column): Column = r4(sum(dec18(c)).cast(DoubleType) / count(c))
+
+  /** Oracle twins of the helpers above. */
+  def SUM4(x: String): String =
+    s"CAST(ROUND(SUM(CAST($x AS DECIMAL(18,4))), 4) AS DOUBLE)"
+  def AVG4(x: String): String =
+    s"CAST(ROUND(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE) / COUNT($x), 4) AS DOUBLE)"
+
+  /** l_extendedprice * (1 - l_discount) as an exact DECIMAL(18,4), identical
+    * in both engines: cast operands to bounded decimals (product precision
+    * stays under 38 in both type systems), round half-up at scale 4.
+    */
+  def discPrice: Column =
+    round(dec18(col("l_extendedprice")) * (lit(1) - dec9(col("l_discount"))), 4)
+      .cast(DecimalType(18, 4))
+  val DISC_PRICE_SQL: String =
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(9,4))), 4) AS DECIMAL(18,4))"
+
+  def tsn(iso: String): Column = lit(iso).cast(TimestampNTZType)
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+import graft.Q._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`:
+  * exact + near dedup (MinHash-LSH, SimHash, n-gram Jaccard, embedding
+  * cosine), similarity search, text profiling, fingerprinting.
+  *
+  * Spark-first: everything below is built-in `functions._` (codegen'd
+  * higher-order array functions — no UDFs) except cosine similarity, which
+  * is a custom codegen Catalyst Expression (graft.functions.CosineSimilarity)
+  * because it is the 100TB-scale hot loop.
+  */
+object LlmOps {
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("toks", split(col("text"), " "))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q30 exact dedup: MD5 group, survivor = MIN(doc_id) -------------------
+    QueryDef("q30_dedup_exact",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val survivors = docs
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        survivors.join(docs, col("keep_id") === col("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("distinct_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH g AS (SELECT MD5(text) AS h, MIN(doc_id) AS keep_id
+             |          FROM documents GROUP BY MD5(text))
+             |SELECT lang, COUNT(*) AS distinct_docs
+             |FROM g JOIN documents ON keep_id = doc_id
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Q31 token frequency top-k -------------------------------------------
+    QueryDef("q31_token_topk",
+      (s, d) =>
+        docsWithTokens(s, d)
+          .select(explode(col("toks")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(20),
+      Some("""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+             |SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+             |ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
+
+    // Q32 brute-force cosine top-k (custom codegen Expression) -------------
+    QueryDef("q32_cosine_topk",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            r4(expr("cosine_sim(embedding, qe)")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      Some("""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+             |SELECT c.vec_id AS vec_id,
+             | CAST(ROUND(list_cosine_similarity(
+             |   CAST(c.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |FROM embeddings c, q WHERE c.vec_id <> 0
+             |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // Q34 word-3-gram Jaccard between adjacent doc ids ---------------------
+    QueryDef("q34_ngram_jaccard",
+      (s, d) => {
+        val sh = docsWithTokens(s, d).select(col("doc_id"),
+          array_distinct(transform(
+            sequence(lit(0), greatest(size(col("toks")) - 3, lit(-1))),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3)))).as("sh"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
+        a.join(b, col("doc_b") === col("doc_a") + 1)
+          .select(col("doc_a"), col("doc_b"),
+            r4(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+              nullif(size(array_union(col("sa"), col("sb"))), lit(0)).cast(DoubleType))
+              .as("jaccard"))
+          .orderBy("doc_a")
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |sh AS (SELECT doc_id,
+             |  list_distinct(list_transform(generate_series(1, len(w) - 2),
+             |    i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+             |  FROM dd)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             | CAST(ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |   / NULLIF(len(list_distinct(list_concat(a.s, b.s))), 0), 4) AS DOUBLE) AS jaccard
+             |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+             |ORDER BY doc_a""".stripMargin)),
+
+    // Q35 MinHash + LSH near-dup candidates --------------------------------
+    // K=12 portable minhashes h_j(doc) = lexicographic MIN over distinct
+    // tokens of md5(j || ':' || token); 3 bands x 4 rows; candidate pairs
+    // share a band; est_sim = fraction of equal minhashes.
+    QueryDef("q35_minhash_lsh",
+      (s, d) => {
+        val toks = docsWithTokens(s, d)
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+        val hj = toks
+          .select(col("doc_id"), col("token"), explode(sequence(lit(0), lit(11))).as("j"))
+          .groupBy("doc_id", "j")
+          .agg(min(md5(concat_ws(":", col("j"), col("token")))).as("h"))
+        val sig = hj.groupBy("doc_id")
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("h")))),
+            x => x.getField("h")).as("sigl"))
+        val bands = sig
+          .select(col("doc_id"), col("sigl"), explode(sequence(lit(0), lit(2))).as("b"))
+          .select(col("doc_id"), col("b"),
+            md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))).as("bv"))
+        val pairs = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bv") === col("y.bv")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val sa = sig.select(col("doc_id").as("doc_a"), col("sigl").as("siga"))
+        val sb = sig.select(col("doc_id").as("doc_b"), col("sigl").as("sigb"))
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            r4(aggregate(zip_with(col("siga"), col("sigb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).cast(DoubleType) / 12).as("est_sim"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
+             |             FROM documents),
+             |hj AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || token)) AS h
+             |       FROM toks CROSS JOIN (SELECT UNNEST(generate_series(0, 11)) AS j) js
+             |       GROUP BY doc_id, j),
+             |sig AS (SELECT doc_id, list(h ORDER BY j) AS sigl FROM hj GROUP BY doc_id),
+             |bands AS (SELECT doc_id, b,
+             |    md5(array_to_string(sigl[4*b+1:4*b+4], '|')) AS bv
+             |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS b) bs),
+             |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             |  FROM bands x JOIN bands y
+             |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+             |est AS (SELECT p.doc_a, p.doc_b,
+             |    SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS eq
+             |  FROM pairs p
+             |  JOIN hj ha ON ha.doc_id = p.doc_a
+             |  JOIN hj hb ON hb.doc_id = p.doc_b AND hb.j = ha.j
+             |  GROUP BY p.doc_a, p.doc_b)
+             |SELECT doc_a, doc_b,
+             |  CAST(ROUND(CAST(eq AS DOUBLE) / 12, 4) AS DOUBLE) AS est_sim
+             |FROM est ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Q36 SimHash near-dup (engine-side; no portable SQL oracle) -----------
+    // 32-bit simhash from token md5 prefixes; blocked by byte-bands so only
+    // hamming<=3-candidate pairs are compared (any 4-split shares a byte).
+    QueryDef("q36_simhash",
+      (s, d) => {
+        val toks = docsWithTokens(s, d)
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+          .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast(LongType))
+        val bits = toks
+          .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
+          .groupBy("doc_id", "bit")
+          .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("wt"))
+        val sh = bits.groupBy("doc_id")
+          .agg(sum(when(col("wt") > 0, expr("CAST(1 AS BIGINT) << bit"))
+            .otherwise(0L)).as("simhash"))
+        val banded = sh.select(col("doc_id"), col("simhash"),
+            explode(sequence(lit(0), lit(3))).as("byte_idx"))
+          .withColumn("byte_val", expr("(simhash >> (byte_idx * 8)) & 255"))
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.byte_idx") === col("y.byte_idx")
+              && col("x.byte_val") === col("y.byte_val")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+          .distinct()
+        cand
+          .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming").cast(IntegerType).as("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      None),
+
+    // Q37 embedding near-dup, blocked on label -----------------------------
+    QueryDef("q37_embedding_neardup",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings").select("vec_id", "label", "embedding")
+        e.as("a").join(e.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            r4(expr("cosine_sim(a.embedding, b.embedding)")).as("sim"))
+          .filter(col("sim") >= 0.95)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             | CAST(ROUND(list_cosine_similarity(
+             |   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE CAST(ROUND(list_cosine_similarity(
+             |   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) >= 0.95
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Q38 text profile: token stats, quality ratios, naive lang flag -------
+    QueryDef("q38_text_profile",
+      (s, d) => {
+        val stops = array(Seq("the", "a", "of", "and", "in", "to", "is").map(lit): _*)
+        docsWithTokens(s, d).select(
+          col("doc_id"),
+          size(col("toks")).cast(IntegerType).as("n_tokens"),
+          size(array_distinct(col("toks"))).cast(IntegerType).as("n_distinct"),
+          r4(aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)).cast(DoubleType)
+            / nullif(size(col("toks")), lit(0))).as("avg_token_len"),
+          r4(size(filter(col("toks"), x => array_contains(stops, x))).cast(DoubleType)
+            / nullif(size(col("toks")), lit(0))).as("stopword_ratio"),
+          r4(size(array_distinct(col("toks"))).cast(DoubleType)
+            / nullif(size(col("toks")), lit(0))).as("ttr"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |SELECT doc_id,
+             | CAST(len(w) AS INT) AS n_tokens,
+             | CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+             | CAST(ROUND(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             |   / NULLIF(len(w), 0), 4) AS DOUBLE) AS avg_token_len,
+             | CAST(ROUND(CAST(len(list_filter(w,
+             |     x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE)
+             |   / NULLIF(len(w), 0), 4) AS DOUBLE) AS stopword_ratio,
+             | CAST(ROUND(CAST(len(list_distinct(w)) AS DOUBLE)
+             |   / NULLIF(len(w), 0), 4) AS DOUBLE) AS ttr
+             |FROM dd ORDER BY doc_id""".stripMargin)),
+
+    // Q39 normalized token-set fingerprint dedup ---------------------------
+    QueryDef("q39_fingerprint",
+      (s, d) =>
+        docsWithTokens(s, d)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("fp"))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy("fp"),
+      Some("""WITH f AS (SELECT doc_id,
+             |   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |  FROM documents)
+             |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+             |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin)),
+
+    // Q40 token counting: whitespace + BPE-ish regex + chars ---------------
+    QueryDef("q40_token_stats",
+      (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast(IntegerType).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast(IntegerType)
+            .as("word_tokens"),
+          length(col("text")).cast(IntegerType).as("n_chars_calc"),
+          ceil(length(col("text")) / 4.0).cast(IntegerType).as("approx_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+             | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS word_tokens,
+             | CAST(LENGTH(text) AS INT) AS n_chars_calc,
+             | CAST(CEIL(LENGTH(text) / 4.0) AS INT) AS approx_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q41 ANN via random-hyperplane LSH buckets (engine-side; rows-only) ---
+    // Deterministic pseudo-random +-1 hyperplanes from a mixing formula, an
+    // 8-bit bucket per vector, then exact cosine re-rank inside the query
+    // vector's bucket. The scale path for Q32's brute force.
+    QueryDef("q41_ann_lsh",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        def sign(p: Int): Column => Column = x => x // placeholder; see bucketed
+        val planes = 0 until 8
+        val bucketed = e.withColumn("bucket",
+          planes.map { p =>
+            val proj = aggregate(
+              zip_with(col("embedding"),
+                sequence(lit(0), size(col("embedding")) - 1),
+                (v, i) => v.cast(DoubleType) *
+                  when(pmod(i * 2654435761L + lit(p) * 40503L, lit(97)) < 48, 1.0).otherwise(-1.0)),
+              lit(0.0), (acc, x) => acc + x)
+            when(proj > 0, lit(1 << p)).otherwise(lit(0))
+          }.reduce(_ + _))
+        val q = bucketed.filter(col("vec_id") === 0)
+          .select(col("bucket").as("qb"), col("embedding").as("qe"))
+        bucketed.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("qb"))
+          .select(col("vec_id"), r4(expr("cosine_sim(embedding, qe)")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      None),
+
+    // Q42 multimodal plumbing: opaque binary media + stubbed decode --------
+    QueryDef("q42_multimodal_features",
+      (s, d) => graft.operators.Multimodal.features(s, d),
+      None)
+  )
+}
