@@ -104,20 +104,33 @@ object LlmOps {
              |ORDER BY doc_a""".stripMargin)),
 
     // Q35 MinHash + LSH near-dup candidates --------------------------------
-    // K=12 portable minhashes h_j(doc) = lexicographic MIN over distinct
-    // tokens of md5(j || ':' || token); 3 bands x 4 rows; candidate pairs
-    // share a band; est_sim = fraction of equal minhashes.
+    // K=12 portable minhashes: each token is md5-hashed ONCE; hash family
+    // h_j = 16-char rotation j of the hex digest (substr(h||h, j+1, 16)),
+    // minhash_j(doc) = lexicographic MIN over distinct tokens; 3 bands x 4
+    // rows; candidate pairs share a band; est_sim = fraction of equal
+    // minhashes.
+    //
+    // Scale design: the whole signature is computed per-row with codegen'd
+    // higher-order array functions — zero shuffle until the band join. The
+    // naive formulation (explode tokens x 12 hashes -> groupBy doc) shuffles
+    // 12x the token count; at 100TB that shuffle IS the job, here it does
+    // not exist. One md5 per token (rotations are free) instead of 12 makes
+    // signature build CPU ~10x cheaper.
     QueryDef("q35_minhash_lsh",
       (s, d) => {
-        val toks = docsWithTokens(s, d)
-          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
-        val hj = toks
-          .select(col("doc_id"), col("token"), explode(sequence(lit(0), lit(11))).as("j"))
-          .groupBy("doc_id", "j")
-          .agg(min(md5(concat_ws(":", col("j"), col("token")))).as("h"))
-        val sig = hj.groupBy("doc_id")
-          .agg(transform(array_sort(collect_list(struct(col("j"), col("h")))),
-            x => x.getField("h")).as("sigl"))
+        val sig = docsWithTokens(s, d)
+          .select(col("doc_id"),
+            transform(array_distinct(col("toks")), tok => md5(tok)).as("hs"))
+          .select(col("doc_id"),
+            transform(sequence(lit(0), lit(11)),
+              j => array_min(transform(col("hs"),
+                h => concat(h, h).substr(j + 1, lit(16))))).as("sigl"))
+        // Candidate pairs stay NARROW (two longs) through the skew-prone
+        // band join + distinct; the 12-hash signatures are re-attached by
+        // doc_id joins afterwards. AQE picks broadcast for the sig side at
+        // small SF (~MBs) and a shuffle join at cluster scale — carrying the
+        // signature arrays through the quadratic pair blowup is what made
+        // the naive plan O(pairs x signature) instead of O(pairs).
         val bands = sig
           .select(col("doc_id"), col("sigl"), explode(sequence(lit(0), lit(2))).as("b"))
           .select(col("doc_id"), col("b"),
@@ -127,52 +140,55 @@ object LlmOps {
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val sa = sig.select(col("doc_id").as("doc_a"), col("sigl").as("siga"))
-        val sb = sig.select(col("doc_id").as("doc_b"), col("sigl").as("sigb"))
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        pairs
+          .join(sig.select(col("doc_id").as("doc_a"), col("sigl").as("siga")), "doc_a")
+          .join(sig.select(col("doc_id").as("doc_b"), col("sigl").as("sigb")), "doc_b")
           .select(col("doc_a"), col("doc_b"),
             r4(aggregate(zip_with(col("siga"), col("sigb"),
               (x, y) => when(x === y, 1).otherwise(0)),
               lit(0), (acc, v) => acc + v).cast(DoubleType) / 12).as("est_sim"))
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH toks AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS token
-             |             FROM documents),
-             |hj AS (SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || token)) AS h
-             |       FROM toks CROSS JOIN (SELECT UNNEST(generate_series(0, 11)) AS j) js
-             |       GROUP BY doc_id, j),
-             |sig AS (SELECT doc_id, list(h ORDER BY j) AS sigl FROM hj GROUP BY doc_id),
+      Some("""WITH hsrc AS (SELECT doc_id,
+             |    list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs
+             |  FROM documents),
+             |sig AS (SELECT doc_id,
+             |    list_transform(generate_series(0, 11), j ->
+             |      list_min(list_transform(hs, h -> substr(h || h, j + 1, 16)))) AS sigl
+             |  FROM hsrc),
              |bands AS (SELECT doc_id, b,
              |    md5(array_to_string(sigl[4*b+1:4*b+4], '|')) AS bv
              |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS b) bs),
              |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
              |  FROM bands x JOIN bands y
-             |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
-             |est AS (SELECT p.doc_a, p.doc_b,
-             |    SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) AS eq
-             |  FROM pairs p
-             |  JOIN hj ha ON ha.doc_id = p.doc_a
-             |  JOIN hj hb ON hb.doc_id = p.doc_b AND hb.j = ha.j
-             |  GROUP BY p.doc_a, p.doc_b)
-             |SELECT doc_a, doc_b,
-             |  CAST(ROUND(CAST(eq AS DOUBLE) / 12, 4) AS DOUBLE) AS est_sim
-             |FROM est ORDER BY doc_a, doc_b""".stripMargin)),
+             |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+             |SELECT p.doc_a, p.doc_b,
+             |  CAST(ROUND(CAST(list_sum(list_transform(generate_series(1, 12),
+             |      i -> CASE WHEN a.sigl[i] = b.sigl[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 12,
+             |    4) AS DOUBLE) AS est_sim
+             |FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+             |             JOIN sig b ON b.doc_id = p.doc_b
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Q36 SimHash near-dup (engine-side; no portable SQL oracle) -----------
     // 32-bit simhash from token md5 prefixes; blocked by byte-bands so only
     // hamming<=3-candidate pairs are compared (any 4-split shares a byte).
     QueryDef("q36_simhash",
       (s, d) => {
-        val toks = docsWithTokens(s, d)
-          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
-          .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast(LongType))
-        val bits = toks
-          .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
-          .groupBy("doc_id", "bit")
-          .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("wt"))
-        val sh = bits.groupBy("doc_id")
-          .agg(sum(when(col("wt") > 0, expr("CAST(1 AS BIGINT) << bit"))
-            .otherwise(0L)).as("simhash"))
+        // Per-row signature, no shuffle (same rationale as q35): hash each
+        // distinct token once, then 32 codegen'd array passes accumulate the
+        // per-bit +-1 weights into the simhash.
+        val simhash = (0 until 32).map { bit =>
+          val wt = aggregate(col("hs"), lit(0),
+            (acc, h) => acc +
+              when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+          when(wt > 0, lit(1L << bit)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val sh = docsWithTokens(s, d)
+          .select(col("doc_id"),
+            transform(array_distinct(col("toks")),
+              tok => conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)).as("hs"))
+          .select(col("doc_id"), simhash.as("simhash"))
         val banded = sh.select(col("doc_id"), col("simhash"),
             explode(sequence(lit(0), lit(3))).as("byte_idx"))
           .withColumn("byte_val", expr("(simhash >> (byte_idx * 8)) & 255"))
