@@ -11,12 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    queries_relational ++ queries_llm
-
-  private def queries_relational: Seq[QueryDef] = graft.queries.Relational.defs
-  private def queries_llm: Seq[QueryDef] =
-    try graft.queries.LlmOps.defs
-    catch { case _: LinkageError => Seq.empty }
+    graft.queries.Relational.defs ++ graft.queries.LlmOps.defs ++
+      graft.queries.ZarrPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,100 @@
+package graft.zeiss
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Job settings mirroring the reference's pydantic `ZeissJobSettings`
+  * (`models.py:23-76`) including every default:
+  * compressor blosc/zstd/clevel 3/byte-shuffle, chunk 128^3, scale 2^3,
+  * 4 pyramid levels. `compressJobSaveKwargs` is declared-but-dead in the
+  * reference (`models.py:57-61`, never read) and is intentionally omitted.
+  *
+  * Settings arrive as a JSON string, a JSON config file, or environment
+  * variables prefixed ZEISS_ (mirroring `zeiss_job.py:249-257`).
+  */
+final case class ZeissJobSettings(
+    inputSource: String,
+    outputDirectory: String,
+    s3Location: Option[String] = None,
+    numOfPartitions: Int = 1,
+    partitionToProcess: Int = 0,
+    compressorName: String = "blosc",
+    compressorCname: String = "zstd",
+    compressorClevel: Int = 3,
+    compressorShuffle: Boolean = true,
+    chunkSize: Seq[Int] = Seq(128, 128, 128),
+    scaleFactor: Seq[Int] = Seq(2, 2, 2),
+    downsampleLevels: Int = 4) {
+
+  require(numOfPartitions > 0, "num_of_partitions must be > 0")
+  require(partitionToProcess >= 0 && partitionToProcess < numOfPartitions,
+    "partition_to_process out of range")
+  require(chunkSize.size == 3 && chunkSize.forall(_ > 0), "chunk_size must be 3 positive ints")
+  require(scaleFactor.size == 3 && scaleFactor.forall(_ > 0), "scale_factor must be 3 positive ints")
+  require(downsampleLevels > 0, "downsample_levels must be > 0")
+
+  /** Unknown compressor name -> no compression, matching `_get_compressor`'s
+    * silent None fallback (`zeiss_job.py:91-103`). */
+  def compressionEnabled: Boolean = compressorName == "blosc"
+}
+
+object ZeissJobSettings {
+
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  /** Parse the reference's snake_case JSON settings document. */
+  def fromJson(json: String): ZeissJobSettings = {
+    val node = mapper.readTree(json)
+    def str(k: String): Option[String] = Option(node.get(k)).map(_.asText)
+    def int(k: String, dflt: Int): Int = Option(node.get(k)).map(_.asInt).getOrElse(dflt)
+    def ints(k: String, dflt: Seq[Int]): Seq[Int] =
+      Option(node.get(k)).map { n =>
+        (0 until n.size).map(i => n.get(i).asInt)
+      }.getOrElse(dflt)
+    val kwargs = Option(node.get("compressor_kwargs"))
+    ZeissJobSettings(
+      inputSource = str("input_source").getOrElse(
+        throw new IllegalArgumentException("input_source is required")),
+      outputDirectory = str("output_directory").getOrElse(
+        throw new IllegalArgumentException("output_directory is required")),
+      s3Location = str("s3_location").filter(_.nonEmpty),
+      numOfPartitions = int("num_of_partitions", 1),
+      partitionToProcess = int("partition_to_process", 0),
+      compressorName = str("compressor_name").getOrElse("blosc"),
+      compressorCname = kwargs.flatMap(k => Option(k.get("cname")).map(_.asText))
+        .getOrElse("zstd"),
+      compressorClevel = kwargs.flatMap(k => Option(k.get("clevel")).map(_.asInt))
+        .getOrElse(3),
+      compressorShuffle = kwargs.flatMap(k => Option(k.get("shuffle")).map(_.asInt != 0))
+        .getOrElse(true),
+      chunkSize = ints("chunk_size", Seq(128, 128, 128)),
+      scaleFactor = ints("scale_factor", Seq(2, 2, 2)),
+      downsampleLevels = int("downsample_levels", 4))
+  }
+
+  def fromConfigFile(path: String): ZeissJobSettings =
+    fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Env-var fallback (`zeiss_job.py:255-257`): ZEISS_INPUT_SOURCE etc. */
+  def fromEnv(env: Map[String, String] = sys.env): ZeissJobSettings = {
+    def get(k: String) = env.get(s"ZEISS_${k.toUpperCase}")
+    ZeissJobSettings(
+      inputSource = get("input_source").getOrElse(
+        throw new IllegalArgumentException("ZEISS_INPUT_SOURCE is required")),
+      outputDirectory = get("output_directory").getOrElse(
+        throw new IllegalArgumentException("ZEISS_OUTPUT_DIRECTORY is required")),
+      s3Location = get("s3_location"),
+      numOfPartitions = get("num_of_partitions").map(_.toInt).getOrElse(1),
+      partitionToProcess = get("partition_to_process").map(_.toInt).getOrElse(0),
+      downsampleLevels = get("downsample_levels").map(_.toInt).getOrElse(4))
+  }
+}
+
+/** The reference's `JobResponse` analogue (`zeiss_job.py:239-241`). */
+final case class JobResponse(statusCode: Int, message: String, data: Option[String] = None)

@@ -1,0 +1,130 @@
+package graft.zeiss
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Zarr v2 store read/write (SURVEY §2A ops 17-19): JSON sidecars
+  * (`.zgroup` / `.zarray` / `.zattrs`) plus one Blosc-compressed file per
+  * chunk named `t/c/z/y/x` (`dimension_separator="/"`, matching
+  * `compress/czi_to_zarr.py:545-553`).
+  *
+  * All paths go through the Hadoop FileSystem API so the same code writes
+  * `file://` locally and `s3a://` on a cluster — replacing the reference's
+  * `aws s3 sync` subprocess sink (`utils/utils.py:138-201`) with the S3A
+  * committer, per SURVEY §2A op 24.
+  *
+  * Chunk writes happen in `foreachPartition` on the executors; only the
+  * metadata sidecars are driver-side. Region-disjointness makes chunk writes
+  * lock-free (one file per chunk — the same property the reference exploits
+  * with `lock=False`, `zarr_writer.py:209`).
+  */
+object ZarrIO {
+
+  private def fs(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  def writeBytes(conf: Configuration, path: String, bytes: Array[Byte]): Unit = {
+    val p = new Path(path)
+    val f = fs(path, conf)
+    val out = f.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def readBytes(conf: Configuration, path: String): Array[Byte] = {
+    val p = new Path(path)
+    val f = fs(path, conf)
+    val in = f.open(p)
+    try {
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  def writeString(conf: Configuration, path: String, s: String): Unit =
+    writeBytes(conf, path, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** `.zarray` JSON for one pyramid level. */
+  def zarrayJson(grid: ChunkGrid, settings: ZeissJobSettings): String = {
+    val compressor =
+      if (settings.compressionEnabled)
+        s"""{"id":"blosc","cname":"${settings.compressorCname}","clevel":${settings.compressorClevel},"shuffle":${if (settings.compressorShuffle) 1 else 0},"blocksize":0}"""
+      else "null"
+    val shape = grid.shape.mkString("[", ",", "]")
+    val chunks = (Seq(1, 1) ++ grid.chunk).mkString("[", ",", "]")
+    s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"${grid.dtypeName}","compressor":$compressor,"fill_value":0,"order":"C","filters":null,"dimension_separator":"/"}"""
+  }
+
+  /** Writes one pyramid level: driver writes `.zarray`, executors write the
+    * chunk files. Returns the chunk count (action — this IS the level
+    * barrier's first half). */
+  def writeLevel(spark: SparkSession, ds: Dataset[ImageChunk], grid: ChunkGrid,
+      groupDir: String, level: Int, settings: ZeissJobSettings): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val levelDir = s"$groupDir/$level"
+    writeString(conf, s"$levelDir/.zarray", zarrayJson(grid, settings))
+    val sconf = new SerializableConfiguration(conf)
+    val itemSize = grid.dtype.itemSize
+    val (clevel, doShuffle, compress) =
+      (settings.compressorClevel, settings.compressorShuffle, settings.compressionEnabled)
+    val counter = spark.sparkContext.longAccumulator(s"zarr-chunks-l$level")
+    ds.foreachPartition { (it: Iterator[ImageChunk]) =>
+      val c = sconf.value
+      it.foreach { chunk =>
+        val payload =
+          if (compress) Blosc.compress(chunk.data, itemSize, clevel, doShuffle)
+          else chunk.data
+        writeBytes(c,
+          s"$levelDir/${chunk.t}/${chunk.c}/${chunk.zi}/${chunk.yi}/${chunk.xi}", payload)
+        counter.add(1)
+      }
+    }
+    counter.value
+  }
+
+  /** Reads one pyramid level back as a chunk table — the read half of the
+    * write-then-read-back level barrier (`czi_to_zarr.py:527-540`). The
+    * chunk coordinate list is tiny (grid metadata); voxel bytes are read
+    * and decompressed in parallel on the executors. */
+  def readLevel(spark: SparkSession, groupDir: String, level: Int)
+      : (ChunkGrid, Dataset[ImageChunk]) = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val levelDir = s"$groupDir/$level"
+    val grid = parseZarray(new String(readBytes(conf, s"$levelDir/.zarray"),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val coords = for {
+      t <- 0 until grid.nT; c <- 0 until grid.nC
+      zi <- 0 until grid.nz; yi <- 0 until grid.ny; xi <- 0 until grid.nx
+    } yield (t, c, zi, yi, xi)
+    val sconf = new SerializableConfiguration(conf)
+    val ds = spark.createDataset(coords)
+      .repartition(math.min(coords.size, spark.sparkContext.defaultParallelism * 2))
+      .map { case (t, c, zi, yi, xi) =>
+        val raw = readBytes(sconf.value, s"$levelDir/$t/$c/$zi/$yi/$xi")
+        val data = if (raw.length >= 2 && raw(0) == Blosc.FormatVersion)
+          Blosc.decompress(raw) else raw
+        ImageChunk(t, c, zi, yi, xi, data)
+      }
+    (grid, ds)
+  }
+
+  def parseZarray(json: String): ChunkGrid = {
+    val node = new ObjectMapper().readTree(json)
+    val shape = (0 until node.get("shape").size).map(i => node.get("shape").get(i).asLong)
+    val chunks = (0 until node.get("chunks").size).map(i => node.get("chunks").get(i).asInt)
+    ChunkGrid(shape, chunks.drop(2), node.get("dtype").asText)
+  }
+
+  /** Driver-side group metadata: `.zgroup` + OME-NGFF `.zattrs`
+    * (`write_ome_ngff_metadata`, `czi_to_zarr.py:222-295`). */
+  def writeGroupMeta(spark: SparkSession, groupDir: String, zattrsJson: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    writeString(conf, s"$groupDir/.zgroup", """{"zarr_format":2}""")
+    writeString(conf, s"$groupDir/.zattrs", zattrsJson)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions on the sf0.001 testdata: the scale properties
+  * SURVEY.md §4 promises (pushdown, pruning, broadcast) actually hold.
+  */
+class QueryPlanSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(TestSpark.spark, dir)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    // AQE wraps executed subtrees in leaf QueryStageExec nodes; traverse
+    // into them or the interesting operators are invisible.
+    val nested = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => Seq.empty
+    }
+    (p +: (p.children ++ nested).flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+  }
+
+  test("q01: filters are pushed to the parquet scan and columns pruned") {
+    val scans = collectAll(executedPlan("q01_scan_filter_project"))
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    assert(scan.dataFilters.nonEmpty, "expected pushed data filters")
+    val readCols = scan.schema.fieldNames.toSet
+    assert(readCols.subsetOf(Set(
+      "l_orderkey", "l_linenumber", "l_shipdate", "l_discount",
+      "l_quantity", "l_extendedprice")),
+      s"scan reads more than the query needs: $readCols")
+  }
+
+  test("q04: dimension tables broadcast (BroadcastHashJoin present)") {
+    val plan = executedPlan("q04_broadcast_join")
+    val broadcasts = collectAll(plan).collect { case b: BroadcastExchangeLike => b }
+    assert(broadcasts.nonEmpty, s"no broadcast exchange in:\n$plan")
+  }
+
+  test("q02: aggregate is partial (map-side combine) before the exchange") {
+    val plan = executedPlan("q02_agg_pricing_summary")
+    val aggs = collectAll(plan)
+      .collect { case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a }
+    // partial + final pair
+    assert(aggs.size >= 2, s"expected partial+final hash aggregate:\n$plan")
+  }
+
+  test("flagship entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(TestSpark.spark).count() > 0)
+  }
+}
