@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Q33: streaming watermarked tumbling windows == batch on closed windows;
+  * a row later than the watermark is provably dropped. */
+class EventStreamSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def withTempDir[A](f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    try f(dir.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  test("streaming closed windows equal the batch aggregation") {
+    val spark = TestSpark.spark
+    withTempDir { replay =>
+      EventStream.stageReplay(spark, sfDir, replay, nFiles = 4)
+      val streamed = EventStream.runToCompletion(spark, replay, "s1")
+      val batch = EventStream.batchHourlyCounts(spark, sfDir)
+
+      // append mode emits only watermark-closed windows; every emitted
+      // window must match batch exactly
+      val joined = streamed.as("s").join(batch.as("b"),
+        col("s.hour_start") === col("b.hour_start")
+          && col("s.event_type") === col("b.event_type"), "left")
+      val mismatches = joined.filter(
+        col("b.cnt").isNull || col("s.cnt") =!= col("b.cnt")
+          || abs(col("s.sum_value") - col("b.sum_value")) > 1e-6).count()
+      assert(mismatches == 0)
+
+      // emission lags the watermark by a micro-batch, so only windows
+      // closed by the second-to-last batch's horizon are guaranteed out —
+      // require meaningful coverage, exactness is covered above and the
+      // precise closure semantics in the late-row test below
+      val nStreamed = streamed.count()
+      assert(nStreamed > 0, "stream emitted nothing")
+      assert(nStreamed >= batch.count() / 3,
+        s"watermark never advanced: streamed=$nStreamed batch=${batch.count()}")
+    }
+  }
+
+  test("a late row beyond the watermark is dropped (two-run checkpointed stream)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    withTempDir { root =>
+      val staged = s"$root/staged"; new java.io.File(staged).mkdirs()
+      val ckpt = s"$root/ckpt"
+      val base = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
+      def ev(id: Long, hoursOffset: Double) =
+        (id, base.plusMinutes((hoursOffset * 60).toLong), 1L, "late_test", 1.0, "{}")
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+      def stageOne(rows: Seq[(Long, java.time.LocalDateTime, Long, String, Double, String)],
+          name: String): Unit = {
+        val tmp = s"$root/tmp_$name"
+        rows.toDF(cols: _*).coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$staged/$name.parquet"))
+      }
+
+      val sinkDir = s"$root/sink"
+
+      // run 1: on-time events up to +24.5h -> watermark after this run
+      // reaches 22.5h, but nothing is emitted yet (single batch, wm lags)
+      stageOne((0 until 50).map(i => ev(i, i * 0.5)), "part-0")
+      EventStream.runCheckpointed(spark, staged, sinkDir, ckpt)
+
+      // run 2: one straggler at +10h — 12.5h behind the checkpointed
+      // watermark; its window [10:00,11:00) closed long ago -> dropped
+      stageOne(Seq(ev(999, 10.0)), "part-1")
+      val out = EventStream.runCheckpointed(spark, staged, sinkDir, ckpt)
+
+      val lateWindow = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val emitted = out
+        .filter(col("hour_start") === lit(lateWindow)).collect()
+      // the 10:00 window holds on-time events i=20 (@10.0h) and i=21
+      // (@10.5h); the straggler must not have been added
+      assert(emitted.nonEmpty, "10:00 window was never emitted")
+      emitted.foreach { case Row(_, _, cnt: Long, _) =>
+        assert(cnt == 2L, s"straggler leaked into closed window: ${emitted.toSeq}")
+      }
+    }
+  }
+}
