@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistics operators rounding out SURVEY §2B's declared surface:
+  * exact percentiles (the pass the reference rejected as too costly at
+  * `czi_to_zarr.py:477-481` — affordable as a distributed aggregate),
+  * approximate distinct counting, the scalar UDF registration surface, and
+  * the typed weighted-percentile Aggregator.
+  */
+object Stats {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q44 exact interpolated percentiles (oracle: DuckDB quantile_cont) ----
+    QueryDef("q44_percentiles",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            r4(expr("percentile(l_quantity, 0.1)")).as("p10_qty"),
+            r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+            r4(expr("percentile(l_quantity, 0.95)")).as("p95_qty"),
+            r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | CAST(ROUND(quantile_cont(l_quantity, 0.1), 4) AS DOUBLE) AS p10_qty,
+             | CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50_qty,
+             | CAST(ROUND(quantile_cont(l_quantity, 0.95), 4) AS DOUBLE) AS p95_qty,
+             | CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Q12c approx distinct (HLL impls differ across engines -> rows-only;
+    // the spec asserts the estimate lands within 5% of exact) -------------
+    QueryDef("q12c_approx_distinct",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("approx_parts"), col("exact_parts"),
+            r4(abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)
+              / col("exact_parts")).as("rel_error")),
+      None),
+
+    // Q45 scalar UDF registration surface ---------------------------------
+    // A deterministic quality score via a REGISTERED Scala UDF; the oracle
+    // replicates the arithmetic in SQL. (Engine surface demo — the
+    // documented guidance stays "builtin functions first": every other
+    // query avoids UDFs.)
+    QueryDef("q45_udf_quality",
+      (s, d) => {
+        val score = udf((nChars: Long, nTokens: Int) =>
+          if (nTokens == 0) 0.0
+          else math.min(10.0, nChars.toDouble / nTokens) / 10.0)
+        s.udf.register("quality_score", score)
+        t(s, d, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .select(col("doc_id"),
+            r4(call_udf("quality_score", col("n_chars"), col("n_tokens")))
+              .as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             | CAST(ROUND(CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0
+             |   ELSE LEAST(10.0, CAST(n_chars AS DOUBLE)
+             |     / len(string_split(text, ' '))) / 10.0 END, 4) AS DOUBLE) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Q46 typed Aggregator: weighted percentile over event values ---------
+    // (engine-defined semantics -> rows-only; exactness proven in the spec)
+    QueryDef("q46_weighted_percentile",
+      (s, d) => {
+        import s.implicits._
+        val median = udaf(new graft.functions.WeightedPercentile(0.5))
+        s.udf.register("weighted_median", median)
+        events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("value").cast(DoubleType).as("v"),
+            lit(1.0).as("w"))
+          .groupBy("event_type")
+          .agg(expr("weighted_median(v, w)").as("median_value"))
+          .select(col("event_type"), r4(col("median_value")).as("median_value"))
+          .orderBy("event_type")
+      },
+      None))
+}
