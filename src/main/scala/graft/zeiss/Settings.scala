@@ -24,7 +24,13 @@ final case class ZeissJobSettings(
     compressorShuffle: Boolean = true,
     chunkSize: Seq[Int] = Seq(128, 128, 128),
     scaleFactor: Seq[Int] = Seq(2, 2, 2),
-    downsampleLevels: Int = 4) {
+    downsampleLevels: Int = 4,
+    /** op 25: delete the local stack after a successful S3 sync
+      * (`zeiss_job.py:196-200`); only meaningful with s3Location set. */
+    deleteAfterSync: Boolean = true,
+    /** op 26: upload `input/derivatives` (`zeiss_job.py:202-220`) — the
+      * reference's caller is commented out, so default OFF. */
+    uploadDerivatives: Boolean = false) {
 
   require(numOfPartitions > 0, "num_of_partitions must be > 0")
   require(partitionToProcess >= 0 && partitionToProcess < numOfPartitions,

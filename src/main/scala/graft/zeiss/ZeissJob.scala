@@ -113,18 +113,40 @@ object ZeissJob {
   /** `run_job` (`zeiss_job.py:222-241`). */
   def runJob(spark: SparkSession, settings: ZeissJobSettings): JobResponse = {
     val t0 = System.nanoTime()
+    if (settings.uploadDerivatives) uploadDerivativesFolder(spark, settings)
     val all = listStacks(spark, settings.inputSource)
     val mine = partitionList(all, settings.numOfPartitions)(settings.partitionToProcess)
-    mine.foreach(stack => writeStack(spark, settings, stack))
-    settings.s3Location.foreach { s3 =>
-      // replaced subprocess `aws s3 sync` (utils.py:138-168): the zarr
-      // writer already targets any Hadoop-supported scheme directly, so a
-      // distinct local->s3 sync pass only exists for parity and is a
-      // straight recursive copy when outputs were written locally.
-      syncDir(spark, settings.outputDirectory, s3)
+    mine.foreach { stack =>
+      writeStack(spark, settings, stack)
+      settings.s3Location.foreach { s3 =>
+        // replaced subprocess `aws s3 sync` (utils.py:138-168): the zarr
+        // writer already targets any Hadoop-supported scheme directly, so a
+        // distinct local->s3 sync pass only exists for parity and is a
+        // straight recursive copy when outputs were written locally.
+        val name = s"${renameStack(new Path(stack).getName)}.ome.zarr"
+        syncDir(spark, s"${settings.outputDirectory}/$name", s"$s3/$name")
+        if (settings.deleteAfterSync) {
+          // op 25: local cleanup after successful upload (zeiss_job.py:196-200)
+          val local = new Path(s"${settings.outputDirectory}/$name")
+          local.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(local, true)
+        }
+      }
     }
     val secs = (System.nanoTime() - t0) / 1e9
     JobResponse(200, f"Job finished in $secs%.2f sec. Stacks: ${mine.size}")
+  }
+
+  /** op 26 — `_upload_derivatives_folder` (`zeiss_job.py:202-220`): raises
+    * when the folder is missing, uploads only when s3Location is set. */
+  def uploadDerivativesFolder(spark: SparkSession, settings: ZeissJobSettings): Unit = {
+    val derivatives = new Path(settings.inputSource, "derivatives")
+    val fs = derivatives.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(derivatives))
+      throw new java.io.FileNotFoundException(s"$derivatives does not exist.")
+    settings.s3Location.foreach { s3 =>
+      syncDir(spark, derivatives.toString, s"$s3/derivatives")
+    }
   }
 
   /** Recursive copy between Hadoop filesystems (local->s3a parity path). */
