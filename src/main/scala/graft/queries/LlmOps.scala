@@ -126,11 +126,19 @@ object LlmOps {
               j => array_min(transform(col("hs"),
                 h => concat(h, h).substr(j + 1, lit(16))))).as("sigl"))
         // Candidate pairs stay NARROW (two longs) through the skew-prone
-        // band join + distinct; the 12-hash signatures are re-attached by
-        // doc_id joins afterwards. AQE picks broadcast for the sig side at
-        // small SF (~MBs) and a shuffle join at cluster scale — carrying the
+        // band join; the 12-hash signatures are re-attached by doc_id joins
+        // afterwards. AQE picks broadcast for the sig side at small SF
+        // (~MBs) and a shuffle join at cluster scale — carrying the
         // signature arrays through the quadratic pair blowup is what made
         // the naive plan O(pairs x signature) instead of O(pairs).
+        //
+        // Dedup across bands via distinct on the NARROW pair. (Measured
+        // alternatives at sf0.1, hot bucket = half the corpus: emitting
+        // each pair from only its first matching band — residual predicate
+        // on carried band arrays — ran 1.6x slower despite saving this
+        // exchange, and salting the self-join ran 4x slower; the distinct
+        // doubles as the rebalancing exchange that spreads the hot
+        // bucket's quadratic output across cores.)
         val bands = sig
           .select(col("doc_id"), col("sigl"), explode(sequence(lit(0), lit(2))).as("b"))
           .select(col("doc_id"), col("b"),
@@ -192,13 +200,22 @@ object LlmOps {
         val banded = sh.select(col("doc_id"), col("simhash"),
             explode(sequence(lit(0), lit(3))).as("byte_idx"))
           .withColumn("byte_val", expr("(simhash >> (byte_idx * 8)) & 255"))
+        // emit each pair only from its first matching byte-band (see q35) —
+        // earlier-byte inequality is computed from the carried simhashes,
+        // so no |pairs|-sized distinct is needed
+        def byteOf(c: Column, i: Int): Column =
+          shiftright(c, i * 8).bitwiseAND(lit(255L))
+        val firstMatch = (0 to 3).map { b =>
+          (col("x.byte_idx") === b) && (0 until b).map { i =>
+            byteOf(col("x.simhash"), i) =!= byteOf(col("y.simhash"), i)
+          }.foldLeft(lit(true))(_ && _)
+        }.reduce(_ || _)
         val cand = banded.as("x").join(banded.as("y"),
             col("x.byte_idx") === col("y.byte_idx")
               && col("x.byte_val") === col("y.byte_val")
-              && col("x.doc_id") < col("y.doc_id"))
+              && col("x.doc_id") < col("y.doc_id") && firstMatch)
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-          .distinct()
         cand
           .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
           .filter(col("hamming") <= 3)
