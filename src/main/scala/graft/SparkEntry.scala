@@ -12,8 +12,8 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     graft.queries.Relational.defs ++ graft.queries.LlmOps.defs ++
-      graft.queries.Stats.defs ++ graft.queries.ZarrPipeline.defs ++
-      graft.queries.StreamingDemo.defs
+      graft.queries.Stats.defs ++ graft.queries.TextSearch.defs ++
+      graft.queries.ZarrPipeline.defs ++ graft.queries.StreamingDemo.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

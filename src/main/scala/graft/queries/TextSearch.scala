@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+import graft.Q._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Language identification, the RANGE-interval window frame, and the IVF
+  * scale path for similarity search — the remaining declared operators of
+  * the LLM-pipeline surface.
+  */
+object TextSearch {
+
+  /** Marker function-word lists per language (the classic cheap lang-ID
+    * heuristic: count hits, argmax with a deterministic tie-break). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "我", "不"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q47 language ID: marker-word scoring, argmax, accuracy vs the label --
+    QueryDef("q47_lang_id",
+      (s, d) => {
+        val toks = t(s, d, "documents").withColumn("toks", split(col("text"), " "))
+        val scored = markers.foldLeft(toks) { case (df, (lang, words)) =>
+          val lits = array(words.map(lit): _*)
+          df.withColumn(s"hits_$lang",
+            size(filter(col("toks"), x => array_contains(lits, x))).cast(IntegerType))
+        }
+        // first-wins argmax over languages in alphabetical order
+        val pred = markers.map(_._1).foldRight(lit("und"): Column) { (lang, els) =>
+          when(markers.map(_._1).filter(_ < lang)
+            .map(o => col(s"hits_$lang") > col(s"hits_$o"))
+            .foldLeft(col(s"hits_$lang") > 0)(_ && _), lit(lang)).otherwise(els)
+        }
+        scored
+          .withColumn("pred_lang", pred)
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some {
+        val hits = markers.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(string_split(text, ' '), x -> list_contains($lst, x))) AS hits_$lang"
+        }.mkString(",\n  ")
+        val langs = markers.map(_._1)
+        val pred = langs.map { lang =>
+          val cond = (s"hits_$lang > 0" +:
+            langs.filter(_ < lang).map(o => s"hits_$lang > hits_$o")).mkString(" AND ")
+          s"WHEN $cond THEN '$lang'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH h AS (SELECT lang, $hits FROM documents),
+           |p AS (SELECT lang, $pred AS pred_lang FROM h)
+           |SELECT lang, pred_lang, COUNT(*) AS n_docs FROM p
+           |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+      }),
+
+    // Q18b RANGE-interval frame (the declared engine-side variant; DuckDB
+    // agrees on frame semantics -> oracle-checked) ------------------------
+    QueryDef("q18b_range_interval_frame",
+      (s, d) =>
+        events(s, d)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .selectExpr("event_id", "user_id", "ts",
+            """CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+              |  PARTITION BY user_id ORDER BY ts
+              |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW),
+              |  4) AS DOUBLE) AS hr_sum""".stripMargin)
+          .orderBy("event_id"),
+      Some(s"""WITH e AS ($EVENTS_SQL)
+              |SELECT event_id, user_id, ts,
+              | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+              |   PARTITION BY user_id ORDER BY ts
+              |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+              |   4) AS DOUBLE) AS hr_sum
+              |FROM e ORDER BY event_id""".stripMargin)),
+
+    // Q48 IVF similarity search (scale path beside q41's LSH buckets) ------
+    // "Coarse quantizer": the first K vectors act as centroids (a
+    // deterministic stand-in for k-means training); every vector joins its
+    // nearest centroid (broadcast: K centroids are tiny by construction);
+    // the query searches only its own cell -> 1/K of the corpus scanned.
+    QueryDef("q48_ann_ivf",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val centroids = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+        val assigned = e.crossJoin(centroids)
+          .withColumn("sim_c", expr("cosine_sim(embedding, ce)"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+              .orderBy(col("sim_c").desc, col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("embedding"))
+        val qcell = assigned.filter(col("vec_id") === 0)
+          .select(col("cid").as("qcid"), col("embedding").as("qe"))
+        assigned.join(broadcast(qcell), col("cid") === col("qcid"))
+          .filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), r4(expr("cosine_sim(embedding, qe)")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(5)
+      },
+      None))
+}
