@@ -43,11 +43,7 @@ object Multimodal {
     */
   def features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").as("id"),
-        (col("doc_id") % 3).cast(StringType).as("kind"),
-        col("text").cast(BinaryType).as("media"))
-      .as[MediaRow]
+    val media = mediaTable(spark, dir)
     media.mapPartitions { it =>
       it.map { row =>
         val (w, h, mean, ent) = decodeStub(row.media)
@@ -57,5 +53,63 @@ object Multimodal {
           math.rint(mean * 10000) / 10000, math.rint(ent * 10000) / 10000, sha)
       }
     }.toDF().orderBy("id")
+  }
+
+  def mediaTable(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"),
+        (col("doc_id") % 3).cast(StringType).as("kind"),
+        col("text").cast(BinaryType).as("media"))
+      .as[MediaRow]
+  }
+
+  case class ResizedMedia(id: Long, kind: String,
+      width: Int, height: Int, out_width: Int, out_height: Int,
+      thumb: Array[Byte])
+
+  /** STUB resize: a real implementation would decode + bilinear-resample;
+    * the stub derives the fake decoded dims and emits a deterministic
+    * `out_w x out_h` byte grid sampled from the payload. The Spark-side
+    * contract is the real part: binary in, fixed-size binary out,
+    * partition-wise batches, payload column prunable. */
+  def resize(spark: SparkSession, dir: String, outW: Int, outH: Int): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions { it =>
+      it.map { row =>
+        val (w, h, _, _) = decodeStub(row.media)
+        val n = math.max(row.media.length, 1)
+        val thumb = Array.tabulate[Byte](outW * outH) { i =>
+          row.media((i.toLong * 2654435761L % n).toInt)
+        }
+        ResizedMedia(row.id, row.kind, w, h, outW, outH, thumb)
+      }
+    }.toDF()
+  }
+
+  case class FrameSample(id: Long, frame_idx: Int, t_offset_ms: Long,
+      frame: Array[Byte])
+
+  /** STUB frame sampler: treats the payload as a "video" of `nFrames`
+    * equal-length frames and emits every `stride`-th frame as its own row —
+    * the explode-shaped generator a video pipeline needs (one row per
+    * sampled frame, frame bytes in a prunable binary column). */
+  def sampleFrames(spark: SparkSession, dir: String, nFrames: Int = 16,
+      stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).flatMap { row =>
+      val n = row.media.length
+      if (n == 0) Iterator.empty
+      else {
+        val frameLen = math.max(n / nFrames, 1)
+        Iterator.range(0, nFrames, stride).map { f =>
+          val start = math.min(f * frameLen, n - 1)
+          val frame = java.util.Arrays.copyOfRange(row.media, start,
+            math.min(start + frameLen, n))
+          FrameSample(row.id, f, f * 40L, frame) // 25fps -> 40ms per frame
+        }
+      }
+    }.toDF()
   }
 }

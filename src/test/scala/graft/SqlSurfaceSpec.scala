@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql(...)` entry point: the engine's tables registered as
+  * views and queried in plain SQL must agree with the DataFrame twins —
+  * users of the reference switching over can keep writing SQL.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def registerViews(): Unit = {
+    val spark = TestSpark.spark
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    Q.events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  test("SQL text of representative queries equals the DataFrame results") {
+    val spark = TestSpark.spark
+    registerViews()
+    val cases = Seq(
+      "q03_join_revenue_by_region" ->
+        s"""SELECT r_name,
+           | CAST(ROUND(SUM(${Q.DISC_PRICE_SQL}), 4) AS DOUBLE) AS revenue
+           |FROM lineitem
+           | JOIN orders ON l_orderkey = o_orderkey
+           | JOIN customer ON o_custkey = c_custkey
+           | JOIN nation ON c_nationkey = n_nationkey
+           | JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      "q11_having" ->
+        s"""SELECT event_type, COUNT(*) AS cnt, ${Q.SUM4("value")} AS sum_value
+           |FROM events GROUP BY event_type HAVING COUNT(*) > 100
+           |ORDER BY event_type""".stripMargin,
+      "q16_topk_per_group" ->
+        """SELECT * FROM (
+          | SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+          |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+          |  RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+          |  DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk
+          | FROM customer) t
+          |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin)
+    cases.foreach { case (name, sql) =>
+      val viaSql = spark.sql(sql).collect().toSeq
+      val viaDf = SparkEntry.queries(name)(spark, dir).collect().toSeq
+      assert(viaSql == viaDf, s"$name: SQL text and DataFrame twin disagree")
+    }
+  }
+
+  test("custom functions are callable from SQL after registration") {
+    val spark = TestSpark.spark
+    graft.functions.GraftFunctions.register(spark)
+    registerViews()
+    val r = spark.sql(
+      """SELECT vec_id, ROUND(cosine_sim(embedding, embedding), 4) AS self_sim
+        |FROM embeddings ORDER BY vec_id LIMIT 3""".stripMargin).collect()
+    assert(r.forall(_.getDouble(1) == 1.0))
+  }
+}
