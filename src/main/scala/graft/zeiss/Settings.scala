@@ -30,7 +30,12 @@ final case class ZeissJobSettings(
     deleteAfterSync: Boolean = true,
     /** op 26: upload `input/derivatives` (`zeiss_job.py:202-220`) — the
       * reference's caller is commented out, so default OFF. */
-    uploadDerivatives: Boolean = false) {
+    uploadDerivatives: Boolean = false,
+    /** Concurrent stacks. The reference converts one stack at a time per
+      * node (1 writer thread, GIL-averse — `czi_to_zarr.py:458-459`); Spark
+      * jobs from several driver threads interleave on the same executors,
+      * keeping the cluster busy through each stack's small tail stages. */
+    stackParallelism: Int = 1) {
 
   require(numOfPartitions > 0, "num_of_partitions must be > 0")
   require(partitionToProcess >= 0 && partitionToProcess < numOfPartitions,

@@ -116,7 +116,7 @@ object ZeissJob {
     if (settings.uploadDerivatives) uploadDerivativesFolder(spark, settings)
     val all = listStacks(spark, settings.inputSource)
     val mine = partitionList(all, settings.numOfPartitions)(settings.partitionToProcess)
-    mine.foreach { stack =>
+    def processOne(stack: String): Unit = {
       writeStack(spark, settings, stack)
       settings.s3Location.foreach { s3 =>
         // replaced subprocess `aws s3 sync` (utils.py:138-168): the zarr
@@ -132,6 +132,20 @@ object ZeissJob {
             .delete(local, true)
         }
       }
+    }
+    if (settings.stackParallelism <= 1) mine.foreach(processOne)
+    else {
+      // concurrent per-stack Spark jobs from a bounded driver pool; the
+      // scheduler interleaves their stages across executors
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(settings.stackParallelism)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = mine.map(st => scala.concurrent.Future(processOne(st)))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     }
     val secs = (System.nanoTime() - t0) / 1e9
     JobResponse(200, f"Job finished in $secs%.2f sec. Stacks: ${mine.size}")

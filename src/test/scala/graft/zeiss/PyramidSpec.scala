@@ -144,6 +144,32 @@ class PyramidSpec extends AnyFunSuite {
     }
   }
 
+  test("stackParallelism > 1 produces identical outputs concurrently") {
+    val spark = TestSpark.spark
+    withTempDir { in =>
+      withTempDir { out =>
+        Seq("p(1).czi", "q(2).czi", "r(3).czi").foreach { n =>
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(in, n))
+        }
+        val settings = ZeissJobSettings(
+          inputSource = in, outputDirectory = out,
+          chunkSize = Seq(32, 32, 32), downsampleLevels = 2,
+          stackParallelism = 3)
+        val resp = ZeissJob.runJob(spark, settings)
+        assert(resp.statusCode == 200 && resp.message.contains("Stacks: 3"))
+        Seq("p_1", "q_2", "r_3").foreach { name =>
+          val (g0, l0) = ZarrIO.readLevel(spark, s"$out/$name.ome.zarr", 0)
+          // spot-check one voxel against the per-stack seed
+          val seed = ZeissJob.syntheticHeader(s"$in/$name.czi".replace(
+            s"$name.czi", name.replaceAll("_(\\d+)$", "($1).czi")))._3
+          val ch = l0.filter(c => c.zi == 0 && c.yi == 0 && c.xi == 0).head()
+          assert(g0.dtype.read(ch.data, 0) ==
+            ChunkTable.voxel(seed, 0, 0, 0, 0, 0, g0.dtype))
+        }
+      }
+    }
+  }
+
   test("partitionList deals round-robin (zeiss_job.py:33-44)") {
     val parts = ZeissJob.partitionList((0 until 75).toList, 5)
     assert(parts.size == 5)
