@@ -81,6 +81,50 @@ object TextSearch {
               |   4) AS DOUBLE) AS hr_sum
               |FROM e ORDER BY event_id""".stripMargin)),
 
+    // Q49 winnowing fingerprints (rolling hash) ----------------------------
+    // Token values v = ascii(first char)*31 + length; rolling hash over
+    // 4-token k-grams H_i = ((v_i*31+v_{i+1})*31+v_{i+2})*31+v_{i+3};
+    // winnowing keeps the MIN hash in each 4-gram window of hashes; the
+    // distinct selected hashes are the document's fingerprints. All pure
+    // arithmetic -> bit-identical across engines, zero shuffle per doc.
+    QueryDef("q49_winnowing",
+      (s, d) => {
+        val toks = t(s, d, "documents").withColumn("toks", split(col("text"), " "))
+        val vals = transform(col("toks"), tok => ascii(tok) * 31 + length(tok))
+        // NB: Spark sequence(0, -1) DESCENDS while DuckDB generate_series
+        // is empty — guard short docs explicitly on the Spark side
+        val hashes = when(size(col("toks")) < 4, expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("toks")) - 4),
+            i => ((element_at(vals, i + 1) * 31L + element_at(vals, i + 2)) * 31L
+              + element_at(vals, i + 3)) * 31L + element_at(vals, i + 4)))
+        val selected = when(size(col("hs")) < 4, expr("CAST(array() AS ARRAY<BIGINT>)"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("hs")) - 4),
+            i => array_min(slice(col("hs"), i + 1, lit(4)))))
+        toks
+          .withColumn("hs", hashes)
+          .select(col("doc_id"),
+            size(array_distinct(selected)).cast(IntegerType).as("n_fingerprints"),
+            size(col("hs")).cast(IntegerType).as("n_kgrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |v AS (SELECT doc_id, list_transform(toks, t -> ascii(t) * 31 + length(t)) AS vals,
+             |        len(toks) AS nt FROM tk),
+             |h AS (SELECT doc_id,
+             |        list_transform(generate_series(0, greatest(nt - 4, -1)), i ->
+             |          ((vals[i+1] * 31 + vals[i+2]) * 31 + vals[i+3]) * 31 + vals[i+4]) AS hs
+             |      FROM v),
+             |w AS (SELECT doc_id, hs,
+             |        list_transform(generate_series(0, greatest(len(hs) - 4, -1)), i ->
+             |          list_min(hs[i+1:i+4])) AS sel
+             |      FROM h)
+             |SELECT doc_id,
+             |  CAST(len(list_distinct(sel)) AS INT) AS n_fingerprints,
+             |  CAST(len(hs) AS INT) AS n_kgrams
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
     // Q48 IVF similarity search (scale path beside q41's LSH buckets) ------
     // "Coarse quantizer": the first K vectors act as centroids (a
     // deterministic stand-in for k-means training); every vector joins its
