@@ -97,14 +97,21 @@ object ZarrIO {
     val levelDir = s"$groupDir/$level"
     val grid = parseZarray(new String(readBytes(conf, s"$levelDir/.zarray"),
       java.nio.charset.StandardCharsets.UTF_8))
-    val coords = for {
-      t <- 0 until grid.nT; c <- 0 until grid.nC
-      zi <- 0 until grid.nz; yi <- 0 until grid.ny; xi <- 0 until grid.nx
-    } yield (t, c, zi, yi, xi)
     val sconf = new SerializableConfiguration(conf)
-    val ds = spark.createDataset(coords)
-      .repartition(math.min(coords.size, spark.sparkContext.defaultParallelism * 2))
-      .map { case (t, c, zi, yi, xi) =>
+    // chunk coordinates are derived from a range index on the executors —
+    // never materialized on the driver (a 100TB level is tens of millions
+    // of chunks; the driver holds only the grid geometry)
+    val g = grid
+    val (nc, nz, ny, nx) = (g.nC, g.nz, g.ny, g.nx)
+    val ds = spark.range(0, grid.numChunks, 1,
+        math.min(grid.numChunks, spark.sparkContext.defaultParallelism * 2).toInt)
+      .map { idx =>
+        var r = idx
+        val xi = (r % nx).toInt; r /= nx
+        val yi = (r % ny).toInt; r /= ny
+        val zi = (r % nz).toInt; r /= nz
+        val c = (r % nc).toInt; r /= nc
+        val t = r.toInt
         val raw = readBytes(sconf.value, s"$levelDir/$t/$c/$zi/$yi/$xi")
         val data = if (raw.length >= 2 && raw(0) == Blosc.FormatVersion)
           Blosc.decompress(raw) else raw
