@@ -90,19 +90,24 @@ object TextSearch {
     QueryDef("q49_winnowing",
       (s, d) => {
         val toks = t(s, d, "documents").withColumn("toks", split(col("text"), " "))
-        val vals = transform(col("toks"), tok => ascii(tok) * 31 + length(tok))
+        // `vals` MUST be a materialized column: referencing the transform
+        // expression inside element_at would inline (and recompute) the
+        // whole array per access — O(n^2) per document.
         // NB: Spark sequence(0, -1) DESCENDS while DuckDB generate_series
-        // is empty — guard short docs explicitly on the Spark side
+        // is empty — guard short docs explicitly on the Spark side.
         val hashes = when(size(col("toks")) < 4, expr("CAST(array() AS ARRAY<BIGINT>)"))
           .otherwise(transform(
             sequence(lit(0), size(col("toks")) - 4),
-            i => ((element_at(vals, i + 1) * 31L + element_at(vals, i + 2)) * 31L
-              + element_at(vals, i + 3)) * 31L + element_at(vals, i + 4)))
+            i => ((element_at(col("vals"), i + 1) * 31L
+              + element_at(col("vals"), i + 2)) * 31L
+              + element_at(col("vals"), i + 3)) * 31L
+              + element_at(col("vals"), i + 4)))
         val selected = when(size(col("hs")) < 4, expr("CAST(array() AS ARRAY<BIGINT>)"))
           .otherwise(transform(
             sequence(lit(0), size(col("hs")) - 4),
             i => array_min(slice(col("hs"), i + 1, lit(4)))))
         toks
+          .withColumn("vals", transform(col("toks"), tok => ascii(tok) * 31 + length(tok)))
           .withColumn("hs", hashes)
           .select(col("doc_id"),
             size(array_distinct(selected)).cast(IntegerType).as("n_fingerprints"),
