@@ -118,13 +118,20 @@ object LlmOps {
     // signature build CPU ~10x cheaper.
     QueryDef("q35_minhash_lsh",
       (s, d) => {
+        // Single fold over the token hashes: the 12 running minima update in
+        // one pass, so each token is md5'd exactly once per row. (The
+        // two-step transform/array_min form had a single-reference `hs`
+        // column that CollapseProject inlined into the 12-way outer
+        // transform — recomputing every md5 12x.) Init "g" > any hex char.
         val sig = docsWithTokens(s, d)
           .select(col("doc_id"),
-            transform(array_distinct(col("toks")), tok => md5(tok)).as("hs"))
-          .select(col("doc_id"),
-            transform(sequence(lit(0), lit(11)),
-              j => array_min(transform(col("hs"),
-                h => concat(h, h).substr(j + 1, lit(16))))).as("sigl"))
+            aggregate(
+              transform(array_distinct(col("toks")), tok => md5(tok)),
+              array_repeat(lit("g"), 12),
+              (acc, h) => zip_with(acc,
+                transform(sequence(lit(0), lit(11)),
+                  j => concat(h, h).substr(j + 1, lit(16))),
+                (a, r) => least(a, r))).as("sigl"))
         // Candidate pairs stay NARROW (two longs) through the skew-prone
         // band join; the 12-hash signatures are re-attached by doc_id joins
         // afterwards. AQE picks broadcast for the sig side at small SF
