@@ -25,6 +25,15 @@ object EventStream {
     Q.events(spark, sfDir)
       .repartitionByRange(nFiles, col("ts"))
       .write.mode("overwrite").parquet(replayDir)
+    // the file source replays in (mtime, path) order; parallel part-file
+    // writes land with arbitrary mtimes, so pin them to the range order for
+    // a deterministic replay (part-00000 = earliest ts range, first batch)
+    val parts = new java.io.File(replayDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
   }
 
   /** The streaming query: 1-hour tumbling counts + value sums per

@@ -32,7 +32,7 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
         if not files:
             results[name] = "MISSING-SPARK-OUTPUT"
             continue
@@ -62,8 +62,8 @@ def main(sf_dir, out_dir):
     print(f"== {n_ok}/{len(results)} oracle-checked queries match")
     # rows-only entries (no oracle): report row counts
     import os
-    for p in sorted(glob.glob(f"{out_dir}/*")):
-        name = os.path.basename(p)
+    for p in sorted(glob.glob(f"{out_dir}/*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
         if os.path.isdir(p) and name not in oracle:
             files = glob.glob(f"{p}/*.parquet")
             n = con.execute(f"SELECT COUNT(*) FROM read_parquet({files!r})").fetchone()[0] if files else -1
