@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Production wiring for graft's native functions: inject them at session
+  * build time via `SparkSessionExtensions`, so every session created with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *
+  * (or `spark.sql.extensions=graft.functions.GraftExtensions` in a
+  * cluster's spark-defaults) has `cosine_sim` / `dot_product` available in
+  * SQL and `expr(...)` without per-query registration. The per-session
+  * [[GraftFunctions.register]] remains for ad-hoc use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

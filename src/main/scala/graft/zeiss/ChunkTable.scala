@@ -66,6 +66,11 @@ object ChunkTable {
     * recomputed independently for verification.
     */
   def voxel(seed: Long, t: Long, c: Long, z: Long, y: Long, x: Long, dtype: Dtype): Double = {
+    // Smooth low-frequency field + 4 bits of hash noise: shaped like real
+    // light-sheet data (slowly varying intensity), so the Blosc
+    // byte-shuffle + zstd path is actually exercised (a pure-noise field
+    // is incompressible and only ever hits the memcpy fallback).
+    val base = (((z >> 3) * 31 + (y >> 3) * 17 + (x >> 3) * 11 + seed) & 0xfffL) << 4
     var h = seed * 0x9e3779b97f4a7c15L
     h ^= t * 0xc2b2ae3d27d4eb4fL; h = java.lang.Long.rotateLeft(h, 27)
     h ^= c * 0x165667b19e3779f9L; h = java.lang.Long.rotateLeft(h, 29)
@@ -73,7 +78,7 @@ object ChunkTable {
     h ^= y * 0x85ebca6b0db95151L; h = java.lang.Long.rotateLeft(h, 33)
     h ^= x * 0xc2b2ae35a32a9637L
     h *= 0xff51afd7ed558ccdL
-    val u = (h >>> 16) & 0xffffL // 16 bits of mixed entropy
+    val u = (base | ((h >>> 16) & 0xfL)) & 0xffffL
     dtype match {
       case Dtype.UInt8 => (u & 0xffL).toDouble
       case Dtype.UInt16 => u.toDouble
