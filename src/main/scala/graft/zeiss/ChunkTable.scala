@@ -116,21 +116,28 @@ object ChunkTable {
 
   /** Distributed synthetic stack source (SURVEY §2A op 5's stand-in): one
     * task per chunk-range, generated in place — no driver materialization.
+    * `keep` prunes on grid COORDS before any voxel is generated (the
+    * blocked writer's sub-range scans would otherwise pay full-array
+    * generation per block).
     */
-  def synthetic(spark: SparkSession, grid: ChunkGrid, seed: Long): Dataset[ImageChunk] = {
+  def synthetic(spark: SparkSession, grid: ChunkGrid, seed: Long,
+      keep: (Int, Int, Int, Int, Int) => Boolean = (_, _, _, _, _) => true)
+      : Dataset[ImageChunk] = {
     import spark.implicits._
     val g = grid
     val (nc, nz, ny, nx) = (g.nC, g.nz, g.ny, g.nx)
     spark.range(0, grid.numChunks, 1,
         math.min(grid.numChunks, spark.sparkContext.defaultParallelism * 2).toInt)
-      .map { idx =>
+      .flatMap { idx =>
         var r = idx
         val xi = (r % nx).toInt; r /= nx
         val yi = (r % ny).toInt; r /= ny
         val zi = (r % nz).toInt; r /= nz
         val c = (r % nc).toInt; r /= nc
         val t = r.toInt
-        syntheticChunk(g, seed, t, c, zi, yi, xi)
+        if (keep(t, c, zi, yi, xi))
+          Iterator.single(syntheticChunk(g, seed, t, c, zi, yi, xi))
+        else Iterator.empty
       }
   }
 

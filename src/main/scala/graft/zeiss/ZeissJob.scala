@@ -73,7 +73,8 @@ object ZeissJob {
     * counts. Mirrors `czi_stack_zarr_writer` (`czi_to_zarr.py:389-562`). */
   def writeStack(spark: SparkSession, settings: ZeissJobSettings,
       stackPath: String,
-      headerOverride: Option[(Seq[Long], Seq[Double], Long)] = None): Seq[Long] = {
+      headerOverride: Option[(Seq[Long], Seq[Double], Long)] = None,
+      blockTargetMb: Option[Long] = None): Seq[Long] = {
     val (shape, voxelSize, seed) = headerOverride.getOrElse(syntheticHeader(stackPath))
     val imageName = renameStack(new Path(stackPath).getName)
     val groupDir = s"${settings.outputDirectory}/$imageName.ome.zarr"
@@ -95,9 +96,31 @@ object ZeissJob {
         voxelSize, writeChunk, srcGrid.dtype))
 
     val counts = Seq.newBuilder[Long]
-    // level 0: synthetic source already on the write grid -> no shuffle
-    val source = ChunkTable.synthetic(spark, srcGrid, seed)
-    counts += ZarrIO.writeLevel(spark, source, srcGrid, groupDir, 0, settings)
+    // level 0: synthetic source already on the write grid -> no shuffle.
+    // For arrays far beyond cluster memory, blockTargetMb bounds in-flight
+    // state by looping grid-aligned super-blocks (op 19's BlockedArrayWriter,
+    // zarr_writer.py:188-213: "reduce the scheduling burden for massive
+    // (terabyte-scale) arrays") — each block is one bounded Spark job.
+    counts += (blockTargetMb match {
+      case Some(mb) =>
+        val block = Grid.blockShape(shape.drop(2), writeChunk,
+          srcGrid.dtype.itemSize, targetSizeMb = mb)
+        // block shape is a chunk multiple by construction (expand_chunks
+        // doubles the chunk), so each slice holds whole chunks
+        Grid.blockSlices(shape.drop(2), block).map { slice =>
+          val Seq((z0, zl), (y0, yl), (x0, xl)) = slice
+          val (cz, cy, cx) = (writeChunk(0), writeChunk(1), writeChunk(2))
+          val sub = ChunkTable.synthetic(spark, srcGrid, seed,
+            keep = (_, _, zi, yi, xi) =>
+              zi.toLong * cz >= z0 && zi.toLong * cz < z0 + zl &&
+                yi.toLong * cy >= y0 && yi.toLong * cy < y0 + yl &&
+                xi.toLong * cx >= x0 && xi.toLong * cx < x0 + xl)
+          ZarrIO.writeLevel(spark, sub, srcGrid, groupDir, 0, settings)
+        }.sum
+      case None =>
+        val source = ChunkTable.synthetic(spark, srcGrid, seed)
+        ZarrIO.writeLevel(spark, source, srcGrid, groupDir, 0, settings)
+    })
     // levels 1..n: read back previous level (lineage barrier), downsample
     var lvl = 1
     while (lvl < nLevels) {

@@ -144,6 +144,33 @@ class PyramidSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked level-0 execution (op 19) writes the identical pyramid") {
+    val spark = TestSpark.spark
+    withTempDir { outA =>
+      withTempDir { outB =>
+        val shape = Seq(1L, 1L, 40L, 32L, 24L)
+        val header = Some((shape, Seq(1.0, 1.0, 1.0), 77L))
+        def run(out: String, block: Option[Long]) = {
+          val st = ZeissJobSettings(inputSource = "/nonexistent",
+            outputDirectory = out, chunkSize = Seq(8, 8, 8), downsampleLevels = 2)
+          ZeissJob.writeStack(spark, st, "blk.czi", header, blockTargetMb = block)
+        }
+        // tiny block target -> many bounded sub-jobs; must equal one-shot
+        val cOne = run(outA, None)
+        val cBlk = run(outB, Some(1L)) // ~1 MB blocks over 8^3 u16 chunks
+        assert(cOne == cBlk, s"chunk counts differ: $cOne vs $cBlk")
+        for (lvl <- 0 until 2) {
+          val (ga, la) = ZarrIO.readLevel(spark, s"$outA/blk_0.ome.zarr", lvl)
+          val (gb, lb) = ZarrIO.readLevel(spark, s"$outB/blk_0.ome.zarr", lvl)
+          assert(ga == gb)
+          val a = la.collect().map(c => ((c.zi, c.yi, c.xi), c.data.toSeq)).toMap
+          val b = lb.collect().map(c => ((c.zi, c.yi, c.xi), c.data.toSeq)).toMap
+          assert(a == b, s"level $lvl bytes differ")
+        }
+      }
+    }
+  }
+
   test("stackParallelism > 1 produces identical outputs concurrently") {
     val spark = TestSpark.spark
     withTempDir { in =>
