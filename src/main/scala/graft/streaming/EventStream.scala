@@ -93,6 +93,39 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming ingest-dedup: exact-hash dedup at stream time with bounded
+    * state — dropDuplicatesWithinWatermark keys state by the content hash
+    * and expires it once the watermark passes, which is what makes
+    * continuous training-data ingestion dedup-able without unbounded
+    * memory. Returns the deduplicated stream run to completion. */
+  def dedupedEvents(spark: SparkSession, replayDir: String,
+      sinkTable: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .withColumn("content_hash",
+        md5(concat_ws("|", col("user_id"), col("event_type"), col("value"), col("props"))))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
   /** Batch twin of [[hourlyCounts]] for equivalence assertions. */
   def batchHourlyCounts(spark: SparkSession, sfDir: String): DataFrame =
     Q.events(spark, sfDir)

@@ -50,6 +50,26 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ingest-dedup removes in-watermark duplicates") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    withTempDir { replay =>
+      val base = java.time.LocalDateTime.parse("2024-03-01T00:00:00")
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      // 20 unique rows + 10 exact duplicates (same content, close in time)
+      val uniq = (0 until 20).map(i =>
+        (i.toLong, base.plusMinutes(i * 5), i.toLong % 4, "t", i * 1.0, "{}"))
+      val dups = (0 until 10).map(i =>
+        (100L + i, base.plusMinutes(i * 5 + 1), i.toLong % 4, "t", i * 1.0, "{}"))
+      (uniq ++ dups).toDF(cols: _*).coalesce(1).write.parquet(replay + "/staged")
+      val out = EventStream.dedupedEvents(spark, replay + "/staged", "dedup1")
+      // duplicates carry identical (user_id, event_type, value, props) ->
+      // one survivor per content hash
+      assert(out.count() == 20, s"expected 20 unique rows, got ${out.count()}")
+      assert(out.select("content_hash").distinct().count() == 20)
+    }
+  }
+
   test("a late row beyond the watermark is dropped (two-run checkpointed stream)") {
     val spark = TestSpark.spark
     import spark.implicits._
