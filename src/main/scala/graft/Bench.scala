@@ -20,6 +20,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // scale-ready shuffle sizing: start high, let AQE coalesce down —
+      // the same config that keeps a 1000-executor cluster busy
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -46,7 +50,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def bucket(p: String => Boolean) = results.collect { case (k, v) if p(k) => v }.sum
+    val breakdown =
+      s"""{"relational":${bucket(k => k < "q30" && k != "q12c_approx_distinct")},""" +
+        s""""llm_ops":${bucket(k => k >= "q30" && k < "q43" && k != "q33_streaming_tumbling")},""" +
+        s""""stats":${bucket(k => k >= "q44" || k == "q12c_approx_distinct")},""" +
+        s""""pipelines":${bucket(k => k == "q43_zarr_pyramid" || k == "q33_streaming_tumbling")}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"breakdown":$breakdown,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
