@@ -42,21 +42,28 @@ object Bench {
     Q.events(spark, sfDir).schema
     materialize("q20_topk")
 
+    // a failed query is reported as -1, never as a plausible duration —
+    // a regression must not read as a speedup
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try materialize(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { materialize(name); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        name -> -1.0
+      }
     }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    def bucket(p: String => Boolean) = results.collect { case (k, v) if p(k) => v }.sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def bucket(p: String => Boolean) =
+      results.collect { case (k, v) if p(k) && v >= 0 => v }.sum
     val breakdown =
       s"""{"relational":${bucket(k => k < "q30" && k != "q12c_approx_distinct")},""" +
         s""""llm_ops":${bucket(k => k >= "q30" && k < "q43" && k != "q33_streaming_tumbling")},""" +
         s""""stats":${bucket(k => k >= "q44" || k == "q12c_approx_distinct")},""" +
         s""""pipelines":${bucket(k => k == "q43_zarr_pyramid" || k == "q33_streaming_tumbling")}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"breakdown":$breakdown,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

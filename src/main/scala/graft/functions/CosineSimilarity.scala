@@ -1,10 +1,27 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+
+private[functions] object VectorTypeCheck {
+  /** Both inputs must be ARRAY<FLOAT>: getFloat on any other element type
+    * would silently reinterpret bytes (the inputTypes/AbstractDataType API
+    * is private[sql], so the check lives in checkInputDataTypes). */
+  def check(name: String, left: Expression, right: Expression): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires ARRAY<FLOAT> inputs, got ${bad.map(_.sql).mkString(", ")} " +
+        "(cast explicitly, e.g. CAST(col AS ARRAY<FLOAT>))")
+  }
+}
 
 /** Cosine similarity between two float vectors, computed in double precision
   * in index order (deterministic), as a native Catalyst expression with
@@ -20,6 +37,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.check(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -73,6 +92,8 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.check(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

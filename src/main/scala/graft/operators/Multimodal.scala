@@ -79,10 +79,12 @@ object Multimodal {
     mediaTable(spark, dir).mapPartitions { it =>
       it.map { row =>
         val (w, h, _, _) = decodeStub(row.media)
-        val n = math.max(row.media.length, 1)
-        val thumb = Array.tabulate[Byte](outW * outH) { i =>
-          row.media((i.toLong * 2654435761L % n).toInt)
-        }
+        val n = row.media.length
+        val thumb =
+          if (n == 0) new Array[Byte](outW * outH) // empty payload -> blank thumb
+          else Array.tabulate[Byte](outW * outH) { i =>
+            row.media((i.toLong * 2654435761L % n).toInt)
+          }
         ResizedMedia(row.id, row.kind, w, h, outW, outH, thumb)
       }
     }.toDF()

@@ -76,13 +76,18 @@ object LlmOps {
     // Q34 word-3-gram Jaccard between adjacent doc ids ---------------------
     QueryDef("q34_ngram_jaccard",
       (s, d) => {
+        // short docs guarded explicitly: Spark sequence(0,-1) DESCENDS
+        // (unlike DuckDB generate_series, which is empty) and would index
+        // toks at 0 -> runtime error
         val sh = docsWithTokens(s, d).select(col("doc_id"),
-          array_distinct(transform(
-            sequence(lit(0), greatest(size(col("toks")) - 3, lit(-1))),
-            i => concat_ws(" ",
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2),
-              element_at(col("toks"), i + 3)))).as("sh"))
+          array_distinct(
+            when(size(col("toks")) < 3, expr("CAST(array() AS ARRAY<STRING>)"))
+              .otherwise(transform(
+                sequence(lit(0), size(col("toks")) - 3),
+                i => concat_ws(" ",
+                  element_at(col("toks"), i + 1),
+                  element_at(col("toks"), i + 2),
+                  element_at(col("toks"), i + 3))))).as("sh"))
         val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
         val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
         a.join(b, col("doc_b") === col("doc_a") + 1)
@@ -323,7 +328,6 @@ object LlmOps {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
-        def sign(p: Int): Column => Column = x => x // placeholder; see bucketed
         val planes = 0 until 8
         val bucketed = e.withColumn("bucket",
           planes.map { p =>

@@ -32,10 +32,16 @@ object TextSearch {
           df.withColumn(s"hits_$lang",
             size(filter(col("toks"), x => array_contains(lits, x))).cast(IntegerType))
         }
-        // first-wins argmax over languages in alphabetical order
-        val pred = markers.map(_._1).foldRight(lit("und"): Column) { (lang, els) =>
-          when(markers.map(_._1).filter(_ < lang)
+        // true argmax, ties -> alphabetically first: lang wins when its
+        // hits are strictly above every earlier language AND at least every
+        // later one (and nonzero)
+        val langs = markers.map(_._1)
+        val pred = langs.foldRight(lit("und"): Column) { (lang, els) =>
+          val beatsEarlier = langs.filter(_ < lang)
             .map(o => col(s"hits_$lang") > col(s"hits_$o"))
+          val coversLater = langs.filter(_ > lang)
+            .map(o => col(s"hits_$lang") >= col(s"hits_$o"))
+          when((beatsEarlier ++ coversLater)
             .foldLeft(col(s"hits_$lang") > 0)(_ && _), lit(lang)).otherwise(els)
         }
         scored
@@ -52,7 +58,8 @@ object TextSearch {
         val langs = markers.map(_._1)
         val pred = langs.map { lang =>
           val cond = (s"hits_$lang > 0" +:
-            langs.filter(_ < lang).map(o => s"hits_$lang > hits_$o")).mkString(" AND ")
+            (langs.filter(_ < lang).map(o => s"hits_$lang > hits_$o") ++
+              langs.filter(_ > lang).map(o => s"hits_$lang >= hits_$o"))).mkString(" AND ")
           s"WHEN $cond THEN '$lang'"
         }.mkString("CASE ", " ", " ELSE 'und' END")
         s"""WITH h AS (SELECT lang, $hits FROM documents),

@@ -84,14 +84,26 @@ object Blosc {
       doShuffle: Boolean = true): Array[Byte] = {
     val filtered = if (doShuffle) shuffle(data, typeSize) else data
     val packed = Zstd.compress(filtered, clevel)
-    val useMemcpy = packed.length >= data.length
-    val payload = if (useMemcpy) data else packed
+    if (packed.length >= data.length) {
+      // c-blosc memcpy frame: header then the raw payload at offset 16
+      // (no bstarts), cbytes = nbytes + 16
+      val out = new Array[Byte](16 + data.length)
+      out(0) = FormatVersion
+      out(1) = 1
+      out(2) = (FlagMemcpy | (ZstdCodecId << 5)).toByte
+      out(3) = (typeSize & 0xff).toByte
+      putLE(out, 4, data.length)
+      putLE(out, 8, data.length)
+      putLE(out, 12, out.length)
+      System.arraycopy(data, 0, out, 16, data.length)
+      return out
+    }
+    val payload = packed
     val out = new Array[Byte](16 + 4 + 4 + payload.length)
     out(0) = FormatVersion
     out(1) = 1
-    val shuffleFlag = if (doShuffle && !useMemcpy) FlagShuffle else 0
-    val memcpyFlag = if (useMemcpy) FlagMemcpy else 0
-    out(2) = (shuffleFlag | memcpyFlag | (ZstdCodecId << 5)).toByte
+    val shuffleFlag = if (doShuffle) FlagShuffle else 0
+    out(2) = (shuffleFlag | (ZstdCodecId << 5)).toByte
     out(3) = (typeSize & 0xff).toByte
     putLE(out, 4, data.length)
     putLE(out, 8, data.length) // single block: blocksize = nbytes
@@ -109,7 +121,7 @@ object Blosc {
     val nbytes = getLE(frame, 4)
     if ((flags & FlagMemcpy) != 0) {
       val out = new Array[Byte](nbytes)
-      System.arraycopy(frame, 24, out, 0, nbytes)
+      System.arraycopy(frame, 16, out, 0, nbytes)
       return out
     }
     val blockStart = getLE(frame, 16)

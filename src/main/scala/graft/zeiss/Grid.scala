@@ -50,45 +50,52 @@ object Grid {
       itemSize: Int,
       mode: String = "cycle"): Seq[Int] = {
     require(chunks.size == dataShape.size, "rank mismatch")
+    require(chunks.forall(_ >= 1), "chunks must be >= 1 for all dimensions")
+    require(dataShape.forall(_ >= 1), "data_shape must be >= 1 for all dimensions")
     require(chunks.zip(dataShape).forall { case (c, d) => c <= d },
-      s"chunks $chunks exceed data shape $dataShape")
+      "chunks cannot be larger than data_shape in any dimension")
+    require(targetBytes > 0, "target_size must be > 0")
+    require(itemSize > 0, "itemsize must be > 0")
 
     def clamp(c: Seq[Long]): Seq[Int] =
       c.zip(dataShape).map { case (v, d) => math.min(v, d).toInt }
+    def pick(current: Seq[Int], prev: Seq[Int]): Seq[Int] =
+      if (closerToTarget(current, prev, targetBytes, itemSize)) current else prev
 
+    // Faithful port of the reference loop (zarr_writer.py:85-116): grow
+    // until the size reaches the target or every axis is clamped at the
+    // data bound, then return the closer of the last two candidates. A
+    // clamped axis does NOT stop the cycle — the next axes keep doubling.
     mode match {
       case "cycle" =>
-        var best = chunks
-        var current = chunks.map(_.toLong)
-        var axis = 0
-        var improving = true
-        var steps = 0
-        val maxSteps = 128 // worst case: each axis doubled to full extent
-        while (improving && steps < maxSteps) {
-          val next = current.zipWithIndex.map { case (v, i) =>
-            if (i == axis) v * 2 else v
+        val n = chunks.size
+        var current = chunks
+        var prev = current
+        var idx = 0
+        var done = false
+        while (!done && sizeBytes(current, itemSize) < targetBytes) {
+          prev = current
+          current = current.zipWithIndex.map { case (v, i) =>
+            if (i == idx % n) math.min(dataShape(i), v.toLong * 2).toInt else v
           }
-          val cand = clamp(next)
-          if (closerToTarget(cand, best, targetBytes, itemSize)) {
-            best = cand
-            current = next
-            axis = (axis + 1) % chunks.size
-          } else improving = false
-          steps += 1
+          idx += 1
+          if (current.zip(dataShape).forall { case (c, d) => c >= d }) done = true
         }
-        best
+        pick(current, prev)
       case "iso" =>
-        var best = chunks
+        var current = chunks
+        var prev = current
         var i = 2L
-        var improving = true
-        while (improving && i < 1024) {
-          val cand = clamp(chunks.map(_ * i))
-          if (closerToTarget(cand, best, targetBytes, itemSize)) { best = cand; i += 1 }
-          else improving = false
+        var done = false
+        while (!done && sizeBytes(current, itemSize) < targetBytes) {
+          prev = current
+          current = clamp(chunks.map(_ * i))
+          i += 1
+          if (current.zip(dataShape).forall { case (c, d) => c >= d }) done = true
         }
-        best
+        pick(current, prev)
       case other =>
-        throw new IllegalArgumentException(s"unknown expansion mode: $other")
+        throw new IllegalArgumentException(s"Invalid mode $other")
     }
   }
 

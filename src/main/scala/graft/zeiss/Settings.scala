@@ -61,13 +61,16 @@ object ZeissJobSettings {
   /** Parse the reference's snake_case JSON settings document. */
   def fromJson(json: String): ZeissJobSettings = {
     val node = mapper.readTree(json)
-    def str(k: String): Option[String] = Option(node.get(k)).map(_.asText)
-    def int(k: String, dflt: Int): Int = Option(node.get(k)).map(_.asInt).getOrElse(dflt)
+    // explicit JSON nulls (pydantic serializes unset Optionals as null)
+    // must behave like absent keys — NullNode.asText would yield "null"
+    def field(k: String) = Option(node.get(k)).filter(!_.isNull)
+    def str(k: String): Option[String] = field(k).map(_.asText)
+    def int(k: String, dflt: Int): Int = field(k).map(_.asInt).getOrElse(dflt)
     def ints(k: String, dflt: Seq[Int]): Seq[Int] =
-      Option(node.get(k)).map { n =>
+      field(k).map { n =>
         (0 until n.size).map(i => n.get(i).asInt)
       }.getOrElse(dflt)
-    val kwargs = Option(node.get("compressor_kwargs"))
+    val kwargs = field("compressor_kwargs")
     ZeissJobSettings(
       inputSource = str("input_source").getOrElse(
         throw new IllegalArgumentException("input_source is required")),

@@ -95,8 +95,16 @@ object ZarrIO {
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val levelDir = s"$groupDir/$level"
-    val grid = parseZarray(new String(readBytes(conf, s"$levelDir/.zarray"),
-      java.nio.charset.StandardCharsets.UTF_8))
+    val zarrayJson = new String(readBytes(conf, s"$levelDir/.zarray"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val grid = parseZarray(zarrayJson)
+    // the .zarray compressor field is authoritative — sniffing chunk bytes
+    // would misread raw voxel data whose first byte happens to be the
+    // blosc format version
+    val compressed = {
+      val c = new ObjectMapper().readTree(zarrayJson).get("compressor")
+      c != null && !c.isNull
+    }
     val sconf = new SerializableConfiguration(conf)
     // chunk coordinates are derived from a range index on the executors —
     // never materialized on the driver (a 100TB level is tens of millions
@@ -113,8 +121,7 @@ object ZarrIO {
         val c = (r % nc).toInt; r /= nc
         val t = r.toInt
         val raw = readBytes(sconf.value, s"$levelDir/$t/$c/$zi/$yi/$xi")
-        val data = if (raw.length >= 2 && raw(0) == Blosc.FormatVersion)
-          Blosc.decompress(raw) else raw
+        val data = if (compressed) Blosc.decompress(raw) else raw
         ImageChunk(t, c, zi, yi, xi, data)
       }
     (grid, ds)

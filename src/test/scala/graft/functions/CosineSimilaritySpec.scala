@@ -36,6 +36,15 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(orth.contains(0.0))
   }
 
+  test("non-float arrays are rejected at analysis time, not reinterpreted") {
+    val spark = TestSpark.spark
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D, 2.0D))").collect()
+    }
+    assert(e.getMessage.contains("ARRAY<FLOAT>"))
+  }
+
   test("zero-norm vector yields NULL (not NaN)") {
     val Seq(z) = sims(Seq((Seq(0f, 0f), Seq(1f, 2f))))
     assert(z.isEmpty)

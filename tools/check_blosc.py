@@ -18,8 +18,8 @@ def blosc_decode(frame: bytes) -> bytes:
     version, _, flags, typesize = frame[0], frame[1], frame[2], frame[3]
     nbytes, _blocksize, _cbytes = struct.unpack_from('<III', frame, 4)
     assert version == 2, f"unexpected blosc format version {version}"
-    if flags & 0x2:  # memcpy frame
-        return frame[24:24 + nbytes]
+    if flags & 0x2:  # memcpy frame: payload directly after the 16-B header
+        return frame[16:16 + nbytes]
     bstart = struct.unpack_from('<I', frame, 16)[0]
     blen = struct.unpack_from('<I', frame, bstart)[0]
     payload = frame[bstart + 4:bstart + 4 + blen]
