@@ -27,13 +27,20 @@ object EventStream {
       .write.mode("overwrite").parquet(replayDir)
     // the file source replays in (mtime, path) order; parallel part-file
     // writes land with arbitrary mtimes, so pin them to the range order for
-    // a deterministic replay (part-00000 = earliest ts range, first batch)
-    val parts = new java.io.File(replayDir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1700000000000L + i * 60000L)
-    }
+    // a deterministic replay (part-00000 = earliest ts range, first batch).
+    // Hadoop FS, not java.io.File — replayDir may be a URI / remote scheme.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(replayDir)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir)
+      .filter { st =>
+        st.isFile && st.getPath.getName.startsWith("part-") &&
+          st.getPath.getName.endsWith(".parquet")
+      }
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.foreach { case (st, i) =>
+        fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
+      }
   }
 
   /** The streaming query: 1-hour tumbling counts + value sums per
@@ -112,8 +119,10 @@ object EventStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(replayDir)
       .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      // to_json(struct(...)) keeps nulls distinguishable — concat_ws skips
+      // NULLs, which lets adjacent fields shift together and collide
       .withColumn("content_hash",
-        md5(concat_ws("|", col("user_id"), col("event_type"), col("value"), col("props"))))
+        md5(to_json(struct(col("user_id"), col("event_type"), col("value"), col("props")))))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("content_hash")
       .writeStream

@@ -84,7 +84,9 @@ object Blosc {
       doShuffle: Boolean = true): Array[Byte] = {
     val filtered = if (doShuffle) shuffle(data, typeSize) else data
     val packed = Zstd.compress(filtered, clevel)
-    if (packed.length >= data.length) {
+    // overhead-aware fallback: compressed frame = 24 B headers + payload,
+    // memcpy frame = 16 B + raw — take whichever is smaller overall
+    if (24 + packed.length >= 16 + data.length) {
       // c-blosc memcpy frame: header then the raw payload at offset 16
       // (no bstarts), cbytes = nbytes + 16
       val out = new Array[Byte](16 + data.length)
@@ -115,17 +117,27 @@ object Blosc {
   }
 
   def decompress(frame: Array[Byte]): Array[Byte] = {
-    require(frame.length >= 16, "truncated blosc frame")
+    // explicit bounds checks: a truncated or corrupt chunk file must fail
+    // with a diagnosable error, not a raw AIOOBE deep in an executor task
+    def corrupt(why: String) =
+      throw new java.io.IOException(s"corrupt blosc frame ($why; ${frame.length} B)")
+    if (frame.length < 16) corrupt("shorter than header")
     val flags = frame(2) & 0xff
     val typeSize = frame(3) & 0xff
     val nbytes = getLE(frame, 4)
+    if (nbytes < 0) corrupt(s"negative nbytes $nbytes")
     if ((flags & FlagMemcpy) != 0) {
+      if (frame.length < 16 + nbytes) corrupt(s"memcpy frame needs ${16 + nbytes} B")
       val out = new Array[Byte](nbytes)
       System.arraycopy(frame, 16, out, 0, nbytes)
       return out
     }
+    if (frame.length < 24) corrupt("compressed frame shorter than bstarts")
     val blockStart = getLE(frame, 16)
+    if (blockStart < 20 || blockStart + 4 > frame.length) corrupt(s"bad bstart $blockStart")
     val blockLen = getLE(frame, blockStart)
+    if (blockLen < 0 || blockStart + 4 + blockLen > frame.length)
+      corrupt(s"bad block length $blockLen")
     val packed = new Array[Byte](blockLen)
     System.arraycopy(frame, blockStart + 4, packed, 0, blockLen)
     val filtered = Zstd.decompress(packed, nbytes)

@@ -44,6 +44,11 @@ final case class ZeissJobSettings(
   require(scaleFactor.size == 3 && scaleFactor.forall(_ > 0), "scale_factor must be 3 positive ints")
   require(downsampleLevels > 0, "downsample_levels must be > 0")
 
+  // only the zstd cname is implemented; advertising an unimplemented codec
+  // in .zarray metadata would contradict the frames on disk
+  require(compressorName != "blosc" || compressorCname == "zstd",
+    s"unsupported blosc cname '$compressorCname' (only zstd is implemented)")
+
   /** Unknown compressor name -> no compression, matching `_get_compressor`'s
     * silent None fallback (`zeiss_job.py:91-103`). */
   def compressionEnabled: Boolean = compressorName == "blosc"
@@ -66,6 +71,8 @@ object ZeissJobSettings {
     def field(k: String) = Option(node.get(k)).filter(!_.isNull)
     def str(k: String): Option[String] = field(k).map(_.asText)
     def int(k: String, dflt: Int): Int = field(k).map(_.asInt).getOrElse(dflt)
+    def bool(k: String, dflt: Boolean): Boolean =
+      field(k).map(_.asBoolean).getOrElse(dflt)
     def ints(k: String, dflt: Seq[Int]): Seq[Int] =
       field(k).map { n =>
         (0 until n.size).map(i => n.get(i).asInt)
@@ -88,25 +95,39 @@ object ZeissJobSettings {
         .getOrElse(true),
       chunkSize = ints("chunk_size", Seq(128, 128, 128)),
       scaleFactor = ints("scale_factor", Seq(2, 2, 2)),
-      downsampleLevels = int("downsample_levels", 4))
+      downsampleLevels = int("downsample_levels", 4),
+      deleteAfterSync = bool("delete_after_sync", true),
+      uploadDerivatives = bool("upload_derivatives", false),
+      stackParallelism = int("stack_parallelism", 1))
   }
 
   def fromConfigFile(path: String): ZeissJobSettings =
     fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Env-var fallback (`zeiss_job.py:255-257`): ZEISS_INPUT_SOURCE etc. */
+  /** Env-var fallback (`zeiss_job.py:255-257`): ZEISS_INPUT_SOURCE etc.
+    * Every JSON-settable field has an env twin; lists are comma-separated. */
   def fromEnv(env: Map[String, String] = sys.env): ZeissJobSettings = {
     def get(k: String) = env.get(s"ZEISS_${k.toUpperCase}")
+    def ints(k: String, dflt: Seq[Int]) =
+      get(k).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(dflt)
     ZeissJobSettings(
       inputSource = get("input_source").getOrElse(
         throw new IllegalArgumentException("ZEISS_INPUT_SOURCE is required")),
       outputDirectory = get("output_directory").getOrElse(
         throw new IllegalArgumentException("ZEISS_OUTPUT_DIRECTORY is required")),
-      s3Location = get("s3_location"),
+      s3Location = get("s3_location").filter(_.nonEmpty),
       numOfPartitions = get("num_of_partitions").map(_.toInt).getOrElse(1),
       partitionToProcess = get("partition_to_process").map(_.toInt).getOrElse(0),
-      downsampleLevels = get("downsample_levels").map(_.toInt).getOrElse(4))
+      compressorName = get("compressor_name").getOrElse("blosc"),
+      compressorClevel = get("compressor_clevel").map(_.toInt).getOrElse(3),
+      compressorShuffle = get("compressor_shuffle").forall(_.toBoolean),
+      chunkSize = ints("chunk_size", Seq(128, 128, 128)),
+      scaleFactor = ints("scale_factor", Seq(2, 2, 2)),
+      downsampleLevels = get("downsample_levels").map(_.toInt).getOrElse(4),
+      deleteAfterSync = get("delete_after_sync").forall(_.toBoolean),
+      uploadDerivatives = get("upload_derivatives").exists(_.toBoolean),
+      stackParallelism = get("stack_parallelism").map(_.toInt).getOrElse(1))
   }
 }
 

@@ -84,11 +84,13 @@ object ZeissJob {
     }
     val srcGrid = ChunkGrid(shape, writeChunk, Dtype.UInt16.zarrName)
 
-    // levels actually producible: stop when a dim would vanish (reference
-    // computes <= n_lvls levels the same way)
+    // levels actually producible: stop once the shape no longer shrinks
+    // (every dim at 1 -> further levels would be identical 1-voxel copies;
+    // the reference's multiscale likewise yields <= n_lvls levels)
+    val factors = settings.scaleFactor.map(_.toLong)
     val nLevels = (0 until settings.downsampleLevels).takeWhile { lvl =>
-      Grid.levelShape(shape.drop(2), settings.scaleFactor.map(_.toLong), lvl)
-        .forall(_ >= 1)
+      lvl == 0 || Grid.levelShape(shape.drop(2), factors, lvl) !=
+        Grid.levelShape(shape.drop(2), factors, lvl - 1)
     }.size
 
     ZarrIO.writeGroupMeta(spark, groupDir,
@@ -159,15 +161,24 @@ object ZeissJob {
     if (settings.stackParallelism <= 1) mine.foreach(processOne)
     else {
       // concurrent per-stack Spark jobs from a bounded driver pool; the
-      // scheduler interleaves their stages across executors
+      // scheduler interleaves their stages across executors. Every stack
+      // runs to completion (or its own failure) before runJob returns —
+      // fail-fast would leave sibling writes in flight and their errors
+      // unreported — then the first failure propagates.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(settings.stackParallelism)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
-        val futures = mine.map(st => scala.concurrent.Future(processOne(st)))
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(futures),
+        val outcomes = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(mine.map(st =>
+            scala.concurrent.Future(scala.util.Try(processOne(st))))),
           scala.concurrent.duration.Duration.Inf)
+        outcomes.collect { case scala.util.Failure(e) => e } match {
+          case Seq() => ()
+          case first +: rest =>
+            rest.foreach(first.addSuppressed)
+            throw first
+        }
       } finally pool.shutdown()
     }
     val secs = (System.nanoTime() - t0) / 1e9
@@ -186,11 +197,15 @@ object ZeissJob {
     }
   }
 
-  /** Recursive copy between Hadoop filesystems (local->s3a parity path). */
+  /** Recursive copy between Hadoop filesystems (local->s3a parity path).
+    * Replace semantics: an existing destination is removed first —
+    * FileUtil.copy would otherwise NEST the source inside it on re-runs,
+    * leaving a corrupt store layout with stale top-level sidecars. */
   def syncDir(spark: SparkSession, from: String, to: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcFs = new Path(from).getFileSystem(conf)
     val dstFs = new Path(to).getFileSystem(conf)
+    if (dstFs.exists(new Path(to))) dstFs.delete(new Path(to), true)
     org.apache.hadoop.fs.FileUtil.copy(
       srcFs, new Path(from), dstFs, new Path(to), false, true, conf)
   }

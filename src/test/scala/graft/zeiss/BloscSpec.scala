@@ -54,6 +54,16 @@ class BloscSpec extends AnyFunSuite {
     assert(Blosc.decompress(frame).toSeq == data.toSeq)
   }
 
+  test("truncated/corrupt frames fail with a diagnosable IOException") {
+    val good = Blosc.compress(Array.tabulate[Byte](512)(i => (i % 7).toByte), 2)
+    intercept[java.io.IOException](Blosc.decompress(good.take(10)))
+    intercept[java.io.IOException](Blosc.decompress(good.take(20)))
+    val badStart = good.clone()
+    badStart(16) = 0x7f.toByte // bstart way past the frame
+    badStart(17) = 0x7f.toByte
+    intercept[java.io.IOException](Blosc.decompress(badStart))
+  }
+
   test("higher clevel never corrupts (levels 1..9)") {
     val data = Array.tabulate[Byte](2048)(i => (i % 97).toByte)
     for (lvl <- 1 to 9)

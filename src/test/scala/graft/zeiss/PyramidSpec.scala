@@ -197,6 +197,38 @@ class PyramidSpec extends AnyFunSuite {
     }
   }
 
+  test("level loop stops once the shape stops shrinking (<= n_lvls levels)") {
+    val spark = TestSpark.spark
+    withTempDir { out =>
+      val settings = ZeissJobSettings(inputSource = "/nonexistent",
+        outputDirectory = out, chunkSize = Seq(8, 8, 8), downsampleLevels = 6)
+      val counts = ZeissJob.writeStack(spark, settings, "tiny.czi",
+        headerOverride = Some((Seq(1L, 1L, 4L, 4L, 4L), Seq(1, 1, 1), 2L)))
+      // 4 -> 2 -> 1, then 1 -> 1 stops the loop: exactly 3 levels
+      assert(counts.size == 3, s"wrote ${counts.size} levels")
+    }
+  }
+
+  test("re-running a synced job replaces the remote store (no nesting)") {
+    val spark = TestSpark.spark
+    withTempDir { in =>
+      withTempDir { out =>
+        withTempDir { remote =>
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(in, "r.czi"))
+          val settings = ZeissJobSettings(inputSource = in, outputDirectory = out,
+            s3Location = Some(remote), chunkSize = Seq(32, 32, 32),
+            downsampleLevels = 1)
+          ZeissJob.runJob(spark, settings)
+          ZeissJob.runJob(spark, settings) // second run must replace, not nest
+          val store = new java.io.File(s"$remote/r_0.ome.zarr")
+          assert(store.isDirectory)
+          assert(!new java.io.File(store, "r_0.ome.zarr").exists,
+            "store nested inside itself on re-run")
+        }
+      }
+    }
+  }
+
   test("partitionList deals round-robin (zeiss_job.py:33-44)") {
     val parts = ZeissJob.partitionList((0 until 75).toList, 5)
     assert(parts.size == 5)

@@ -46,6 +46,21 @@ class SettingsSpec extends AnyFunSuite {
       ZeissJobSettings.fromJson("""{"output_directory": "/o"}"""))
   }
 
+  test("flags round-trip through JSON; explicit null == absent") {
+    val s = ZeissJobSettings.fromJson(
+      """{"input_source": "/i", "output_directory": "/o",
+        | "s3_location": null, "delete_after_sync": false,
+        | "upload_derivatives": true, "stack_parallelism": 3}""".stripMargin)
+    assert(s.s3Location.isEmpty) // null must not become Some("null")
+    assert(!s.deleteAfterSync && s.uploadDerivatives && s.stackParallelism == 3)
+  }
+
+  test("unimplemented blosc cname is rejected, non-blosc ignores cname") {
+    intercept[IllegalArgumentException](
+      ZeissJobSettings("/i", "/o", compressorCname = "lz4"))
+    ZeissJobSettings("/i", "/o", compressorName = "none", compressorCname = "lz4")
+  }
+
   test("env-var fallback (zeiss_job.py:255-257)") {
     val s = ZeissJobSettings.fromEnv(Map(
       "ZEISS_INPUT_SOURCE" -> "/e/in", "ZEISS_OUTPUT_DIRECTORY" -> "/e/out",
