@@ -47,7 +47,9 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       try { materialize(name); name -> (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // fatal errors (OOM, linkage) must abort — timings from a
+        // corrupted JVM are worse than no timings
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0
       }
@@ -56,13 +58,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    def bucket(p: String => Boolean) =
-      results.collect { case (k, v) if p(k) && v >= 0 => v }.sum
-    val breakdown =
-      s"""{"relational":${bucket(k => k < "q30" && k != "q12c_approx_distinct")},""" +
-        s""""llm_ops":${bucket(k => k >= "q30" && k < "q43" && k != "q33_streaming_tumbling")},""" +
-        s""""stats":${bucket(k => k >= "q44" || k == "q12c_approx_distinct")},""" +
-        s""""pipelines":${bucket(k => k == "q43_zarr_pyramid" || k == "q33_streaming_tumbling")}}"""
+    // buckets by module membership, not name ranges
+    def names(defs: Seq[graft.QueryDef]) = defs.map(_.name).toSet
+    val cat: Map[String, Set[String]] = Map(
+      "relational" -> names(graft.queries.Relational.defs),
+      "llm_ops" -> (names(graft.queries.LlmOps.defs) ++
+        names(graft.queries.TextSearch.defs)),
+      "stats" -> names(graft.queries.Stats.defs),
+      "pipelines" -> (names(graft.queries.ZarrPipeline.defs) ++
+        names(graft.queries.StreamingDemo.defs)))
+    def bucket(members: Set[String]) =
+      results.collect { case (k, v) if members(k) && v >= 0 => v }.sum
+    val breakdown = cat.toSeq.sortBy(_._1)
+      .map { case (name, members) => s""""$name":${bucket(members)}""" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -28,7 +28,9 @@ object Verify {
         // by pandas/pyarrow/duckdb directory readers)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name.parquet")
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
+          // fatal errors propagate — dumps written after an OOM would feed
+          // the correctness gate garbage from a corrupted JVM
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

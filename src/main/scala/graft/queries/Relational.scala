@@ -481,7 +481,9 @@ object Relational {
           r4(sqrt(col("l_extendedprice"))).as("sqrt_price"),
           r4(log(col("l_extendedprice"))).as("ln_price"),
           r4(log10(col("l_extendedprice"))).as("log10_price"),
-          (col("l_quantity").cast(IntegerType) % 7).cast(IntegerType).as("mod_qty"))
+          // FLOOR pins the double->int semantics: Spark CAST truncates but
+          // DuckDB CAST rounds half-to-even — divergent on non-integral qty
+          (floor(col("l_quantity")).cast(IntegerType) % 7).cast(IntegerType).as("mod_qty"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber,
              | CAST(ABS(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS abs_qty,
@@ -492,7 +494,7 @@ object Relational {
              | CAST(ROUND(SQRT(l_extendedprice), 4) AS DOUBLE) AS sqrt_price,
              | CAST(ROUND(LN(l_extendedprice), 4) AS DOUBLE) AS ln_price,
              | CAST(ROUND(LOG10(l_extendedprice), 4) AS DOUBLE) AS log10_price,
-             | CAST(CAST(l_quantity AS INT) % 7 AS INT) AS mod_qty
+             | CAST(CAST(FLOOR(l_quantity) AS INT) % 7 AS INT) AS mod_qty
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // Q25 array functions --------------------------------------------------
@@ -523,7 +525,7 @@ object Relational {
       Some("""SELECT event_type, COUNT(k) AS cnt_k,
              | CAST(ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS DOUBLE) AS avg_k
              |FROM (SELECT event_type,
-             |   CAST(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1) AS INT) AS k
+             |   CAST(NULLIF(REGEXP_EXTRACT(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS k
              |  FROM events) t
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

@@ -21,14 +21,24 @@ object StreamingDemo {
         val sinkTable = s"q33_sink_${System.nanoTime()}"
         val streamed =
           graft.streaming.EventStream.runToCompletion(s, replay, sinkTable)
+        // the replay copy is only needed while the stream runs
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(root))
         val batch = graft.streaming.EventStream.batchHourlyCounts(s, d)
+        // LEFT join from the streamed side + cnt AND sum comparison: a
+        // missing batch twin or a value mismatch shows as matches_batch =
+        // false instead of silently vanishing from an inner join
         streamed.as("s").join(batch.as("b"),
             col("s.hour_start") === col("b.hour_start")
-              && col("s.event_type") === col("b.event_type"), "inner")
+              && col("s.event_type") === col("b.event_type"), "left")
           .select(col("s.hour_start").as("hour_start"),
             col("s.event_type").as("event_type"),
             col("s.cnt").as("cnt"),
-            (col("s.cnt") === col("b.cnt")).as("matches_batch"))
+            (col("b.cnt").isNotNull && col("s.cnt") === col("b.cnt")
+              && abs(col("s.sum_value") - col("b.sum_value")) < lit(1e-6))
+              .as("matches_batch"))
           .orderBy("hour_start", "event_type")
       },
       None))

@@ -36,6 +36,12 @@ object ZarrPipeline {
           }.reduce(_ + _)
           (lvl, counts(lvl), grid.shape.mkString("x"), checksum)
         }
+        // summary rows are fully materialized locals — the store can go
+        // before the DataFrame is even built (no temp-dir leak per run)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(out))
         rows.toDF("level", "n_chunks", "shape", "voxel_sum")
           .withColumn("voxel_sum", round(col("voxel_sum"), 0))
           .orderBy("level")

@@ -50,6 +50,11 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(z.isEmpty)
   }
 
+  test("dimension mismatch yields NULL, not a prefix cosine") {
+    val Seq(m) = sims(Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))))
+    assert(m.isEmpty)
+  }
+
   test("interpreted eval agrees with codegen path") {
     // eval() via a literal-bound expression, bypassing codegen
     import org.apache.spark.sql.catalyst.expressions.Literal
