@@ -234,7 +234,32 @@ object LlmOps {
           .select(col("doc_a"), col("doc_b"), col("hamming").cast(IntegerType).as("hamming"))
           .orderBy("doc_a", "doc_b")
       },
-      None),
+      // hex->int via positional char arithmetic and bit ops via integer
+      // division make the whole simhash portable to DuckDB
+      Some("""WITH hsrc AS (SELECT doc_id,
+             |    list_transform(list_distinct(string_split(text, ' ')), t ->
+             |      CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |        (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+             |          * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT)) AS hs
+             |  FROM documents),
+             |sh AS (SELECT doc_id,
+             |    CAST(list_sum(list_transform(generate_series(0, 31), b ->
+             |      CASE WHEN list_sum(list_transform(hs, h ->
+             |        CASE WHEN CAST(h // CAST(2 ** b AS BIGINT) AS BIGINT) % 2 = 1
+             |          THEN 1 ELSE -1 END)) > 0
+             |      THEN CAST(2 ** b AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+             |  FROM hsrc),
+             |banded AS (SELECT doc_id, simhash, b AS byte_idx,
+             |    CAST(simhash // CAST(2 ** (8 * b) AS BIGINT) AS BIGINT) % 256 AS byte_val
+             |  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) bs),
+             |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             |    x.simhash AS ha, y.simhash AS hb
+             |  FROM banded x JOIN banded y
+             |    ON x.byte_idx = y.byte_idx AND x.byte_val = y.byte_val
+             |      AND x.doc_id < y.doc_id)
+             |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+             |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Q37 embedding near-dup, blocked on label -----------------------------
     QueryDef("q37_embedding_neardup",
