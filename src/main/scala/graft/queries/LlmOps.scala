@@ -372,7 +372,23 @@ object LlmOps {
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
-      None),
+      // the hyperplane signs are pure integer arithmetic -> portable
+      Some("""WITH b AS (SELECT vec_id, embedding,
+             |    CAST(list_sum(list_transform(generate_series(0, 7), p ->
+             |      CASE WHEN list_sum(list_transform(
+             |          generate_series(0, len(embedding) - 1), i ->
+             |        CAST(embedding[i + 1] AS DOUBLE) *
+             |          (CASE WHEN (i * 2654435761 + p * 40503) % 97 < 48
+             |           THEN 1.0 ELSE -1.0 END))) > 0
+             |      THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+             |  FROM embeddings),
+             |q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0)
+             |SELECT v.vec_id,
+             |  CAST(ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+             |    CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |FROM b v JOIN q ON v.bucket = q.qb
+             |WHERE v.vec_id <> 0
+             |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
     // Q42 multimodal plumbing: opaque binary media + stubbed decode --------
     QueryDef("q42_multimodal_features",

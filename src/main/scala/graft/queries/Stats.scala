@@ -71,7 +71,8 @@ object Stats {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Q46 typed Aggregator: weighted percentile over event values ---------
-    // (engine-defined semantics -> rows-only; exactness proven in the spec)
+    // oracle: the same "smallest v whose cumulative weight reaches
+    // p * total" rule as explicit window SQL
     QueryDef("q46_weighted_percentile",
       (s, d) => {
         import s.implicits._
@@ -86,5 +87,16 @@ object Stats {
           .select(col("event_type"), r4(col("median_value")).as("median_value"))
           .orderBy("event_type")
       },
-      None))
+      Some(s"""WITH e AS (${graft.Q.EVENTS_SQL}),
+              |x AS (SELECT event_type, CAST(value AS DOUBLE) AS v, 1.0 AS w
+              |      FROM e WHERE value IS NOT NULL),
+              |o AS (SELECT event_type, v,
+              |    SUM(w) OVER (PARTITION BY event_type ORDER BY v
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              |    SUM(w) OVER (PARTITION BY event_type) AS total
+              |  FROM x)
+              |SELECT event_type,
+              |  CAST(ROUND(MIN(CASE WHEN cum >= 0.5 * total THEN v END), 4)
+              |    AS DOUBLE) AS median_value
+              |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

@@ -148,8 +148,10 @@ object TextSearch {
         val e = t(s, d, "embeddings")
         val centroids = broadcast(e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+        // assignment orders by ROUNDED similarity so the argmax is stable
+        // against cross-engine double-accumulation ULP drift
         val assigned = e.crossJoin(centroids)
-          .withColumn("sim_c", expr("cosine_sim(embedding, ce)"))
+          .withColumn("sim_c", round(expr("cosine_sim(embedding, ce)"), 4))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
               .orderBy(col("sim_c").desc, col("cid"))))
@@ -163,5 +165,18 @@ object TextSearch {
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
-      None))
+      Some("""WITH assigned AS (
+             |  SELECT e.vec_id, c.vec_id AS cid, e.embedding,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |        CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rn
+             |  FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 8),
+             |cells AS (SELECT vec_id, cid, embedding FROM assigned WHERE rn = 1),
+             |qcell AS (SELECT cid AS qcid, embedding AS qe FROM cells WHERE vec_id = 0)
+             |SELECT v.vec_id,
+             |  CAST(ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+             |    CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |FROM cells v JOIN qcell q ON v.cid = q.qcid
+             |WHERE v.vec_id <> 0
+             |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)))
 }
