@@ -144,13 +144,18 @@ object LlmOps {
         // signature arrays through the quadratic pair blowup is what made
         // the naive plan O(pairs x signature) instead of O(pairs).
         //
-        // Dedup across bands via distinct on the NARROW pair. (Measured
-        // alternatives at sf0.1, hot bucket = half the corpus: emitting
-        // each pair from only its first matching band — residual predicate
-        // on carried band arrays — ran 1.6x slower despite saving this
-        // exchange, and salting the self-join ran 4x slower; the distinct
-        // doubles as the rebalancing exchange that spreads the hot
-        // bucket's quadratic output across cores.)
+        // Dedup across bands via distinct on the NARROW pair, then re-attach
+        // signatures by key join for est_sim. Every alternative measured
+        // A/B at sf0.1 (hot bucket = half the corpus) loses:
+        //  - est_sim inside the band-join projection + groupBy.first dedup
+        //    (fewest exchanges on paper): 2.5x slower — the per-RAW-pair
+        //    zip_with allocation on ~12M pre-dedup pairs dwarfs the two
+        //    exchanges it saves;
+        //  - first-matching-band residual dedup: 1.6x slower;
+        //  - salting the self-join: 4x slower.
+        // The distinct doubles as the rebalancing exchange that spreads
+        // the hot bucket's quadratic output across cores; the sig joins
+        // auto-broadcast at small SF and become shuffle joins at scale.
         val bands = sig
           .select(col("doc_id"), col("sigl"), explode(sequence(lit(0), lit(2))).as("b"))
           .select(col("doc_id"), col("b"),
