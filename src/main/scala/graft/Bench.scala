@@ -48,19 +48,24 @@ object Bench {
     // the standard steady-state measure on a shared box (transient load
     // spikes showed 10x swings on single runs) and amortizes the one-time
     // codegen compile out of the throughput number.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2))
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val times = (1 to runs).map { _ =>
+      var failed = false
+      val times = Seq.newBuilder[Double]
+      var r = 0
+      while (r < runs && !failed) { // no point re-running a failed query
         val t0 = System.nanoTime()
-        try { materialize(name); (System.nanoTime() - t0) / 1e9 }
+        try { materialize(name); times += (System.nanoTime() - t0) / 1e9 }
         catch { case scala.util.control.NonFatal(e) =>
           // fatal errors (OOM, linkage) must abort — timings from a
           // corrupted JVM are worse than no timings
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
+          failed = true
         }
+        r += 1
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      name -> (if (failed) -1.0 else times.result().min)
     }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
