@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-lake output layout: hive-partitioned parquet writes with
+  * partition pruning on read — how a 100TB training corpus is laid out so
+  * per-language / per-source jobs touch only their slice.
+  */
+class LakeLayoutSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withTempDir[A](f: String => A): A = {
+    val d = java.nio.file.Files.createTempDirectory("graft-lake").toFile
+    try f(d.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(d)
+    }
+  }
+
+  test("partitionBy(lang) writes hive layout; reads prune to one partition") {
+    val spark = TestSpark.spark
+    withTempDir { out =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.write.partitionBy("lang").mode("overwrite").parquet(s"$out/docs")
+
+      // hive directory layout on disk
+      val partDirs = new java.io.File(s"$out/docs").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(partDirs.forall(_.startsWith("lang=")))
+      assert(partDirs.size >= 3)
+
+      // a lang filter becomes a PartitionFilter: only that directory is read
+      val en = spark.read.parquet(s"$out/docs").filter(col("lang") === "en")
+      en.collect()
+      val scan = en.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      assert(scan.partitionFilters.nonEmpty, "lang filter not pushed to partitions")
+      val enCount = en.count()
+      val directCount = docs.filter(col("lang") === "en").count()
+      assert(enCount == directCount && enCount > 0)
+
+      // round-trip fidelity: full read-back equals the source
+      val back = spark.read.parquet(s"$out/docs")
+      assert(back.count() == docs.count())
+      assert(back.select(sum(col("n_chars"))).collect().head.getLong(0) ==
+        docs.select(sum(col("n_chars"))).collect().head.getLong(0))
+    }
+  }
+
+  test("sortWithinPartitions gives run-length-friendly parquet ordering") {
+    val spark = TestSpark.spark
+    withTempDir { out =>
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(2, col("l_returnflag"))
+        .sortWithinPartitions("l_returnflag", "l_orderkey")
+        .write.mode("overwrite").parquet(s"$out/li")
+      val back = spark.read.parquet(s"$out/li")
+      assert(back.count() ==
+        spark.read.parquet(s"$dir/lineitem.parquet").count())
+    }
+  }
+}
