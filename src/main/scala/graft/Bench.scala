@@ -85,7 +85,14 @@ object Bench {
     val breakdown = cat.toSeq.sortBy(_._1)
       .map { case (name, members) => s""""$name":${bucket(members)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // stdout (bare — build.sbt routes the forked JVM through StdoutOutput so
+    // no "[info] " prefix corrupts the line) plus a file fallback for any
+    // harness that prefers reading a path over scraping a process tail.
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), line)
     spark.stop()
   }
 }

@@ -51,9 +51,43 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // CORRECTNESS_r01 keyed every result by its on-disk directory name
+    // (`<name>.parquet`) and recorded err=no_oracle for all 53 queries, so
+    // the driver's SQL lookup most plausibly uses that full filename as the
+    // key. Emit BOTH key spellings — bare query name and `<name>.parquet` —
+    // so either lookup convention finds the SQL.
+    val dualKeyed = SparkEntry.oracleSql.toSeq.flatMap { case (k, v) =>
+      Seq(k -> v, s"$k.parquet" -> v)
+    }
+    val json = dualKeyed
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-describing manifest: one entry per dumped query naming its
+    // parquet path and oracle SQL (null ⇒ rows-only by design), so the
+    // compare harness never has to guess the layout.
+    val manifest = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val sql = SparkEntry.oracleSql.get(name).map(q).getOrElse("null")
+      s"""${q(name)}: {"parquet": ${q(s"$name.parquet")}, "oracle_sql": $sql}"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/MANIFEST.json"), manifest)
+    Files.writeString(Paths.get(s"$outDir/README.md"),
+      """# Verify dump contract
+        |
+        |- `<name>.parquet/` — one directory per `SparkEntry.queries` entry,
+        |  a single-part parquet of the Spark result (readable by any
+        |  parquet directory reader: duckdb `read_parquet('<dir>/*.parquet')`,
+        |  pyarrow, pandas).
+        |- `oracle_sql.json` — query name → ANSI SQL runnable by DuckDB over
+        |  the sf dir's parquet tables (views named region, nation, customer,
+        |  supplier, part, orders, lineitem, events, documents, embeddings).
+        |  Keys appear in BOTH spellings: `<name>` and `<name>.parquet`.
+        |- `MANIFEST.json` — name → {parquet, oracle_sql}; `oracle_sql: null`
+        |  marks a rows-only query (streaming / HLL / stub-decode / zarr
+        |  sink) whose correctness is proven by a named ScalaTest spec
+        |  instead of the DuckDB oracle.
+        |- Column names match between Spark result and oracle SQL; sort
+        |  columns by name before hashing values (order-insensitive rows).
+        |""".stripMargin)
     spark.stop()
   }
 }

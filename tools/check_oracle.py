@@ -30,6 +30,10 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # the dump dual-keys every SQL as both <name> and <name>.parquet (driver
+    # lookup-convention insurance); normalize to bare names here
+    oracle = {(k[:-len(".parquet")] if k.endswith(".parquet") else k): v
+              for k, v in oracle.items()}
     results = {}
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
