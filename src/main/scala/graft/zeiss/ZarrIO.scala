@@ -59,6 +59,57 @@ object ZarrIO {
     s"""{"zarr_format":2,"shape":$shape,"chunks":$chunks,"dtype":"${grid.dtypeName}","compressor":$compressor,"fill_value":0,"order":"C","filters":null,"dimension_separator":"/"}"""
   }
 
+  /** Pads a (possibly edge-truncated) C-order payload of extent
+    * (ez,ey,ex) to the full chunk shape (cz,cy,cx), zero-filled. Zarr v2
+    * requires every stored chunk to decode to exactly
+    * prod(chunks)*itemsize bytes — zarr-python writes edge chunks
+    * full-size, padded with fill_value (0 in our `.zarray`), so any
+    * standard reader (zarr-python/tensorstore/neuroglancer) can consume
+    * the store. Zero bytes ARE fill_value 0 for every supported dtype
+    * (two's-complement ints and IEEE floats). */
+  private[zeiss] def padToFullChunk(data: Array[Byte],
+      ez: Int, ey: Int, ex: Int, cz: Int, cy: Int, cx: Int,
+      itemSize: Int): Array[Byte] =
+    if (ez == cz && ey == cy && ex == cx) data
+    else {
+      val out = new Array[Byte](cz * cy * cx * itemSize)
+      val rowBytes = ex * itemSize
+      var z = 0
+      while (z < ez) {
+        var y = 0
+        while (y < ey) {
+          System.arraycopy(data, (z * ey + y) * rowBytes,
+            out, ((z * cy + y) * cx) * itemSize, rowBytes)
+          y += 1
+        }
+        z += 1
+      }
+      out
+    }
+
+  /** Inverse of [[padToFullChunk]]: slices the (ez,ey,ex) live region out
+    * of a full-size stored chunk, restoring the engine's truncated
+    * in-memory edge-chunk representation. */
+  private[zeiss] def sliceFromFullChunk(data: Array[Byte],
+      ez: Int, ey: Int, ex: Int, cz: Int, cy: Int, cx: Int,
+      itemSize: Int): Array[Byte] =
+    if (ez == cz && ey == cy && ex == cx) data
+    else {
+      val out = new Array[Byte](ez * ey * ex * itemSize)
+      val rowBytes = ex * itemSize
+      var z = 0
+      while (z < ez) {
+        var y = 0
+        while (y < ey) {
+          System.arraycopy(data, ((z * cy + y) * cx) * itemSize,
+            out, (z * ey + y) * rowBytes, rowBytes)
+          y += 1
+        }
+        z += 1
+      }
+      out
+    }
+
   /** Writes one pyramid level: driver writes `.zarray`, executors write the
     * chunk files. Returns the chunk count (action — this IS the level
     * barrier's first half). */
@@ -71,13 +122,17 @@ object ZarrIO {
     val itemSize = grid.dtype.itemSize
     val (clevel, doShuffle, compress) =
       (settings.compressorClevel, settings.compressorShuffle, settings.compressionEnabled)
+    val g = grid
     val counter = spark.sparkContext.longAccumulator(s"zarr-chunks-l$level")
     ds.foreachPartition { (it: Iterator[ImageChunk]) =>
       val c = sconf.value
+      val Seq(cz, cy, cx) = g.chunk
       it.foreach { chunk =>
+        val (ez, ey, ex) = g.extent(chunk.zi, chunk.yi, chunk.xi)
+        val full = padToFullChunk(chunk.data, ez, ey, ex, cz, cy, cx, itemSize)
         val payload =
-          if (compress) Blosc.compress(chunk.data, itemSize, clevel, doShuffle)
-          else chunk.data
+          if (compress) Blosc.compress(full, itemSize, clevel, doShuffle)
+          else full
         writeBytes(c,
           s"$levelDir/${chunk.t}/${chunk.c}/${chunk.zi}/${chunk.yi}/${chunk.xi}", payload)
         counter.add(1)
@@ -111,6 +166,7 @@ object ZarrIO {
     // of chunks; the driver holds only the grid geometry)
     val g = grid
     val (nc, nz, ny, nx) = (g.nC, g.nz, g.ny, g.nx)
+    val itemSize = g.dtype.itemSize
     val ds = spark.range(0, grid.numChunks, 1,
         math.min(grid.numChunks, spark.sparkContext.defaultParallelism * 2).toInt)
       .map { idx =>
@@ -121,8 +177,13 @@ object ZarrIO {
         val c = (r % nc).toInt; r /= nc
         val t = r.toInt
         val raw = readBytes(sconf.value, s"$levelDir/$t/$c/$zi/$yi/$xi")
-        val data = if (compressed) Blosc.decompress(raw) else raw
-        ImageChunk(t, c, zi, yi, xi, data)
+        val full = if (compressed) Blosc.decompress(raw) else raw
+        // stored chunks are always full-size (zarr v2); restore the
+        // engine's truncated edge-chunk working representation
+        val Seq(cz, cy, cx) = g.chunk
+        val (ez, ey, ex) = g.extent(zi, yi, xi)
+        ImageChunk(t, c, zi, yi, xi,
+          sliceFromFullChunk(full, ez, ey, ex, cz, cy, cx, itemSize))
       }
     (grid, ds)
   }

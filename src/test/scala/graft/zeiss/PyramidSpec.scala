@@ -229,6 +229,51 @@ class PyramidSpec extends AnyFunSuite {
     }
   }
 
+  test("stored edge chunks are full-size, zero-padded (zarr v2 format)") {
+    val spark = TestSpark.spark
+    withTempDir { out =>
+      val settings = ZeissJobSettings(
+        inputSource = "/nonexistent", outputDirectory = out,
+        chunkSize = Seq(16, 16, 16), downsampleLevels = 1)
+      val shape = Seq(1L, 1L, 34L, 24L, 18L) // every axis chunk-ragged
+      ZeissJob.writeStack(spark, settings, "edge.czi",
+        headerOverride = Some((shape, Seq(1.0, 1.0, 1.0), 9L)))
+      val conf = spark.sparkContext.hadoopConfiguration
+      val lvl = s"$out/edge_0.ome.zarr/0"
+      val grid = ZarrIO.parseZarray(new String(
+        ZarrIO.readBytes(conf, s"$lvl/.zarray"), "UTF-8"))
+      val fullBytes = 16 * 16 * 16 * grid.dtype.itemSize
+      // every stored chunk — interior AND edge — must decode to exactly
+      // prod(chunks)*itemsize bytes, the invariant standard zarr readers
+      // (zarr-python, tensorstore, neuroglancer) rely on
+      for (zi <- 0 until grid.nz; yi <- 0 until grid.ny; xi <- 0 until grid.nx) {
+        val raw = ZarrIO.readBytes(conf, s"$lvl/0/0/$zi/$yi/$xi")
+        val dec = Blosc.decompress(raw)
+        assert(dec.length == fullBytes, s"chunk ($zi,$yi,$xi): ${dec.length}")
+        // padding region beyond the live extent is fill_value = 0
+        val (ez, ey, ex) = grid.extent(zi, yi, xi)
+        var i = 0
+        while (i < fullBytes / grid.dtype.itemSize) {
+          val x = i % 16; val y = (i / 16) % 16; val z = i / 256
+          if (z >= ez || y >= ey || x >= ex)
+            assert(grid.dtype.read(dec, i) == 0.0, s"pad at ($zi,$yi,$xi)#$i")
+          i += 1
+        }
+      }
+      // read-back still returns the truncated working representation
+      val (g0, l0) = ZarrIO.readLevel(spark, s"$out/edge_0.ome.zarr", 0)
+      val corner = l0.filter(c => c.zi == 2 && c.yi == 1 && c.xi == 1).head()
+      assert(corner.data.length == 2 * 8 * 2 * g0.dtype.itemSize) // 34%16=2, 24%16=8, 18%16=2
+      val (ez, ey, ex) = g0.extent(2, 1, 1)
+      var i = 0
+      for (z <- 0 until ez; y <- 0 until ey; x <- 0 until ex) {
+        assert(g0.dtype.read(corner.data, i) ==
+          ChunkTable.voxel(9L, 0, 0, 32 + z, 16 + y, 16 + x, g0.dtype))
+        i += 1
+      }
+    }
+  }
+
   test("partitionList deals round-robin (zeiss_job.py:33-44)") {
     val parts = ZeissJob.partitionList((0 until 75).toList, 5)
     assert(parts.size == 5)
