@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, QueryDef}
 import graft.Q._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,6 +20,85 @@ object LlmOps {
 
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").withColumn("toks", split(col("text"), " "))
+
+  /** Q35 bucket-size cap: an LSH band bucket with k members naively emits
+    * k(k-1)/2 candidate pairs — unbounded on a hot bucket (a near-dup
+    * cluster that is half the corpus makes the band join quadratic in the
+    * corpus). Buckets with more than this many members instead emit
+    * anchor→member star edges (the bucket's MIN(doc_id) paired with every
+    * other member): k-1 pairs that preserve exactly the dedup connectivity
+    * the candidates exist for (union-find over star edges yields the same
+    * clusters as over all pairs). Total pair output is then bounded by
+    * `bands × max(CAP, 2)/2` pairs per input row at ANY scale.
+    */
+  val LshBucketCap = 64
+
+  /** Per-row 12-hash MinHash signature (see q35 notes): one md5 per distinct
+    * token, hash family = 16-char rotations of the digest, single
+    * `aggregate` fold so each token is hashed exactly once. Zero shuffle.
+    */
+  private def minhashSig(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .select(col("doc_id"),
+        aggregate(
+          transform(array_distinct(col("toks")), tok => md5(tok)),
+          array_repeat(lit("g"), 12),
+          (acc, h) => zip_with(acc,
+            transform(sequence(lit(0), lit(11)),
+              j => concat(h, h).substr(j + 1, lit(16))),
+            (a, r) => least(a, r))).as("sigl"))
+
+  /** 3 bands x 4 rows over the minhash signature: (doc_id, b, bv). */
+  private def minhashBands(sig: DataFrame): DataFrame =
+    sig
+      .select(col("doc_id"), col("sigl"), explode(sequence(lit(0), lit(2))).as("b"))
+      .select(col("doc_id"), col("b"),
+        md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))).as("bv"))
+
+  /** Q37 label-block cap: labels with more members than this stop doing
+    * exact all-pairs cosine (O(k²) per block — quadratic on a dominant
+    * label) and instead require hyperplane-bucket equality in addition to
+    * the label, i.e. the join key becomes (label, bucket). Standard LSH
+    * recall trade, declared in the oracle SQL too, so both engines agree.
+    */
+  val EmbedBlockCap = 128
+
+  /** 8 deterministic pseudo-random ±1 hyperplanes → 8-bit bucket (shared by
+    * q41 ANN and q37's oversized-label path). Signs come from a pure integer
+    * mixing formula so the DuckDB twin is exact.
+    */
+  private[queries] def hyperplaneBucket(emb: Column): Column =
+    (0 until 8).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (v, i) => v.cast(DoubleType) *
+            when(pmod(i * 2654435761L + lit(p) * 40503L, lit(97)) < 48, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Oracle twin of [[hyperplaneBucket]] over a column named `embedding`. */
+  private val HYPERPLANE_BUCKET_SQL: String =
+    """CAST(list_sum(list_transform(generate_series(0, 7), p ->
+      |      CASE WHEN list_sum(list_transform(
+      |          generate_series(0, len(embedding) - 1), i ->
+      |        CAST(embedding[i + 1] AS DOUBLE) *
+      |          (CASE WHEN (i * 2654435761 + p * 40503) % 97 < 48
+      |           THEN 1.0 ELSE -1.0 END))) > 0
+      |      THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** Oracle-side twin of [[minhashSig]]+[[minhashBands]] as DuckDB CTEs. */
+  private val MINHASH_BANDS_SQL: String =
+    """hsrc AS (SELECT doc_id,
+      |    list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs
+      |  FROM documents),
+      |sig AS (SELECT doc_id,
+      |    list_transform(generate_series(0, 11), j ->
+      |      list_min(list_transform(hs, h -> substr(h || h, j + 1, 16)))) AS sigl
+      |  FROM hsrc),
+      |bands AS (SELECT doc_id, b,
+      |    md5(array_to_string(sigl[4*b+1:4*b+4], '|')) AS bv
+      |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS b) bs)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -123,48 +203,40 @@ object LlmOps {
     // signature build CPU ~10x cheaper.
     QueryDef("q35_minhash_lsh",
       (s, d) => {
-        // Single fold over the token hashes: the 12 running minima update in
-        // one pass, so each token is md5'd exactly once per row. (The
-        // two-step transform/array_min form had a single-reference `hs`
-        // column that CollapseProject inlined into the 12-way outer
-        // transform — recomputing every md5 12x.) Init "g" > any hex char.
-        val sig = docsWithTokens(s, d)
-          .select(col("doc_id"),
-            aggregate(
-              transform(array_distinct(col("toks")), tok => md5(tok)),
-              array_repeat(lit("g"), 12),
-              (acc, h) => zip_with(acc,
-                transform(sequence(lit(0), lit(11)),
-                  j => concat(h, h).substr(j + 1, lit(16))),
-                (a, r) => least(a, r))).as("sigl"))
-        // Candidate pairs stay NARROW (two longs) through the skew-prone
-        // band join; the 12-hash signatures are re-attached by doc_id joins
-        // afterwards. AQE picks broadcast for the sig side at small SF
-        // (~MBs) and a shuffle join at cluster scale — carrying the
-        // signature arrays through the quadratic pair blowup is what made
-        // the naive plan O(pairs x signature) instead of O(pairs).
+        // Signature build: single fold over the token hashes — the 12
+        // running minima update in one pass, so each token is md5'd exactly
+        // once per row, zero shuffle. Init "g" > any hex char.
+        val sig = minhashSig(s, d)
+        // Pair generation is BOUNDED (new in r3): a window over (b, bv)
+        // sizes every bucket in one shuffle of the narrow band rows.
+        // Buckets <= LshBucketCap join all-pairs (exact candidates, at most
+        // CAP(CAP-1)/2 pairs each); oversized buckets — the hot-bucket
+        // blowup that made this query quadratic and 33% of the r2 bench —
+        // emit anchor(min doc_id)→member star edges: k-1 pairs with
+        // identical union-find connectivity. Dropped-pair counts are
+        // observable via q35b_lsh_bucket_stats.
         //
-        // Dedup across bands via distinct on the NARROW pair, then re-attach
-        // signatures by key join for est_sim. Every alternative measured
-        // A/B at sf0.1 (hot bucket = half the corpus) loses:
-        //  - est_sim inside the band-join projection + groupBy.first dedup
-        //    (fewest exchanges on paper): 2.5x slower — the per-RAW-pair
-        //    zip_with allocation on ~12M pre-dedup pairs dwarfs the two
-        //    exchanges it saves;
-        //  - first-matching-band residual dedup: 1.6x slower;
-        //  - salting the self-join: 4x slower.
-        // The distinct doubles as the rebalancing exchange that spreads
-        // the hot bucket's quadratic output across cores; the sig joins
-        // auto-broadcast at small SF and become shuffle joins at scale.
-        val bands = sig
-          .select(col("doc_id"), col("sigl"), explode(sequence(lit(0), lit(2))).as("b"))
-          .select(col("doc_id"), col("b"),
-            md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))).as("bv"))
-        val pairs = bands.as("x").join(bands.as("y"),
+        // Candidate pairs stay NARROW (two longs) through the join; the
+        // 12-hash signatures are re-attached by doc_id joins afterwards
+        // (broadcast at small SF, shuffle joins at scale) — carrying the
+        // signature arrays through the pair stream is what made the naive
+        // plan O(pairs x signature) instead of O(pairs). The distinct
+        // doubles as the rebalancing exchange; the two branches reuse the
+        // window exchange (ReusedExchange) so sizing costs one shuffle.
+        val w = Window.partitionBy(col("b"), col("bv"))
+        val sized = minhashBands(sig)
+          .withColumn("bkt_n", count(lit(1)).over(w))
+          .withColumn("anchor", min(col("doc_id")).over(w))
+        val small = sized.filter(col("bkt_n") <= LshBucketCap)
+          .select(col("doc_id"), col("b"), col("bv"))
+        val smallPairs = small.as("x").join(small.as("y"),
             col("x.b") === col("y.b") && col("x.bv") === col("y.bv")
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
+        val starPairs = sized
+          .filter(col("bkt_n") > LshBucketCap && col("doc_id") =!= col("anchor"))
+          .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+        val pairs = smallPairs.union(starPairs).distinct()
         pairs
           .join(sig.select(col("doc_id").as("doc_a"), col("sigl").as("siga")), "doc_a")
           .join(sig.select(col("doc_id").as("doc_b"), col("sigl").as("sigb")), "doc_b")
@@ -174,19 +246,19 @@ object LlmOps {
               lit(0), (acc, v) => acc + v).cast(DoubleType) / 12).as("est_sim"))
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH hsrc AS (SELECT doc_id,
-             |    list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs
-             |  FROM documents),
-             |sig AS (SELECT doc_id,
-             |    list_transform(generate_series(0, 11), j ->
-             |      list_min(list_transform(hs, h -> substr(h || h, j + 1, 16)))) AS sigl
-             |  FROM hsrc),
-             |bands AS (SELECT doc_id, b,
-             |    md5(array_to_string(sigl[4*b+1:4*b+4], '|')) AS bv
-             |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS b) bs),
-             |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-             |  FROM bands x JOIN bands y
-             |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      Some(s"""WITH $MINHASH_BANDS_SQL,
+             |sized AS (SELECT doc_id, b, bv,
+             |    COUNT(*) OVER (PARTITION BY b, bv) AS bkt_n,
+             |    MIN(doc_id) OVER (PARTITION BY b, bv) AS anchor
+             |  FROM bands),
+             |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+             |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+             |    FROM sized x JOIN sized y
+             |      ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+             |    WHERE x.bkt_n <= $LshBucketCap AND y.bkt_n <= $LshBucketCap
+             |    UNION ALL
+             |    SELECT anchor AS doc_a, doc_id AS doc_b
+             |    FROM sized WHERE bkt_n > $LshBucketCap AND doc_id <> anchor) u)
              |SELECT p.doc_a, p.doc_b,
              |  CAST(ROUND(CAST(list_sum(list_transform(generate_series(1, 12),
              |      i -> CASE WHEN a.sigl[i] = b.sigl[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 12,
@@ -194,6 +266,36 @@ object LlmOps {
              |FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
              |             JOIN sig b ON b.doc_id = p.doc_b
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Q35b LSH bucket-size stats: makes the q35 cap observable — per band,
+    // how many buckets, the largest, how many exceeded LshBucketCap, and
+    // exactly how many all-pairs candidates the star-edge rewrite dropped
+    // (k(k-1)/2 - (k-1) per oversized bucket). At 100TB this is the query an
+    // operator runs to validate the cap before a dedup campaign.
+    QueryDef("q35b_lsh_bucket_stats",
+      (s, d) => {
+        val buckets = minhashBands(minhashSig(s, d))
+          .groupBy(col("b"), col("bv"))
+          .agg(count(lit(1)).as("k"))
+        buckets.groupBy(col("b").cast(IntegerType).as("band"))
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            max(col("k")).as("max_bucket"),
+            sum(when(col("k") > LshBucketCap, 1L).otherwise(0L)).as("oversized_buckets"),
+            sum(when(col("k") > LshBucketCap,
+              expr("k * (k - 1) div 2 - (k - 1)")).otherwise(0L)).as("dropped_pairs"))
+          .orderBy("band")
+      },
+      Some(s"""WITH $MINHASH_BANDS_SQL,
+             |buckets AS (SELECT b, bv, COUNT(*) AS k FROM bands GROUP BY b, bv)
+             |SELECT CAST(b AS INT) AS band,
+             |  COUNT(*) AS n_buckets,
+             |  CAST(MAX(k) AS BIGINT) AS max_bucket,
+             |  CAST(SUM(CASE WHEN k > $LshBucketCap THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS oversized_buckets,
+             |  CAST(SUM(CASE WHEN k > $LshBucketCap THEN k * (k - 1) // 2 - (k - 1)
+             |    ELSE 0 END) AS BIGINT) AS dropped_pairs
+             |FROM buckets GROUP BY b ORDER BY band""".stripMargin)),
 
     // Q36 SimHash near-dup (engine-side; no portable SQL oracle) -----------
     // 32-bit simhash from token md5 prefixes; blocked by byte-bands so only
@@ -267,24 +369,54 @@ object LlmOps {
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Q37 embedding near-dup, blocked on label -----------------------------
+    // Scale path (new in r3): a window count sizes every label block; blocks
+    // <= EmbedBlockCap keep the exact all-pairs cosine, oversized blocks
+    // compose the label with q41's 8-hyperplane bucket so the join key is
+    // (label, bucket) — a dominant label at 100TB no longer goes quadratic.
     QueryDef("q37_embedding_neardup",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val e = t(s, d, "embeddings").select("vec_id", "label", "embedding")
-        e.as("a").join(e.as("b"),
-            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            r4(expr("cosine_sim(a.embedding, b.embedding)")).as("sim"))
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
+          .withColumn("bucket", hyperplaneBucket(col("embedding")))
+        val small = e.filter(col("n") <= EmbedBlockCap)
+        val big = e.filter(col("n") > EmbedBlockCap)
+        val proj = (j: DataFrame) => j.select(
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+        val cand = proj(small.as("a").join(small.as("b"),
+            col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id")))
+          .unionByName(proj(big.as("a").join(big.as("b"),
+            col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket")
+              && col("a.vec_id") < col("b.vec_id"))))
+        cand
+          .select(col("vec_a"), col("vec_b"),
+            r4(expr("cosine_sim(ea, eb)")).as("sim"))
           .filter(col("sim") >= 0.95)
           .orderBy("vec_a", "vec_b")
       },
-      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding,
+             |    COUNT(*) OVER (PARTITION BY label) AS n,
+             |    $HYPERPLANE_BUCKET_SQL AS bucket
+             |  FROM embeddings),
+             |cand AS (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    a.embedding AS ea, b.embedding AS eb
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             |  WHERE a.n <= $EmbedBlockCap
+             |  UNION ALL
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    a.embedding AS ea, b.embedding AS eb
+             |  FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+             |    AND a.vec_id < b.vec_id
+             |  WHERE a.n > $EmbedBlockCap)
+             |SELECT vec_a, vec_b,
              | CAST(ROUND(list_cosine_similarity(
-             |   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim
-             |FROM embeddings a JOIN embeddings b
-             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |   CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |FROM cand
              |WHERE CAST(ROUND(list_cosine_similarity(
-             |   CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) >= 0.95
+             |   CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])), 4) AS DOUBLE) >= 0.95
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
     // Q38 text profile: token stats, quality ratios, naive lang flag -------
@@ -357,18 +489,8 @@ object LlmOps {
     QueryDef("q41_ann_lsh",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val e = t(s, d, "embeddings")
-        val planes = 0 until 8
-        val bucketed = e.withColumn("bucket",
-          planes.map { p =>
-            val proj = aggregate(
-              zip_with(col("embedding"),
-                sequence(lit(0), size(col("embedding")) - 1),
-                (v, i) => v.cast(DoubleType) *
-                  when(pmod(i * 2654435761L + lit(p) * 40503L, lit(97)) < 48, 1.0).otherwise(-1.0)),
-              lit(0.0), (acc, x) => acc + x)
-            when(proj > 0, lit(1 << p)).otherwise(lit(0))
-          }.reduce(_ + _))
+        val bucketed = t(s, d, "embeddings")
+          .withColumn("bucket", hyperplaneBucket(col("embedding")))
         val q = bucketed.filter(col("vec_id") === 0)
           .select(col("bucket").as("qb"), col("embedding").as("qe"))
         bucketed.filter(col("vec_id") =!= 0)
