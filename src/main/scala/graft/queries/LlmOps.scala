@@ -21,15 +21,24 @@ object LlmOps {
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").withColumn("toks", split(col("text"), " "))
 
-  /** Q35 bucket-size cap: an LSH band bucket with k members naively emits
-    * k(k-1)/2 candidate pairs — unbounded on a hot bucket (a near-dup
+  /** Q35/Q36 bucket-size cap: an LSH band bucket with k members naively
+    * emits k(k-1)/2 candidate pairs — unbounded on a hot bucket (a near-dup
     * cluster that is half the corpus makes the band join quadratic in the
     * corpus). Buckets with more than this many members instead emit
     * anchor→member star edges (the bucket's MIN(doc_id) paired with every
-    * other member): k-1 pairs that preserve exactly the dedup connectivity
-    * the candidates exist for (union-find over star edges yields the same
-    * clusters as over all pairs). Total pair output is then bounded by
+    * other member): k-1 pairs. Total pair output is then bounded by
     * `bands × max(CAP, 2)/2` pairs per input row at ANY scale.
+    *
+    * Recall caveat: star edges preserve bucket connectivity only for
+    * UNthresholded clustering (union-find over raw candidates yields the
+    * same components as all-pairs). A consumer that filters pairs by
+    * est_sim/hamming before clustering — the standard near-dup pipeline —
+    * loses member↔member edges inside oversized buckets: in a bucket
+    * {a, b, c} where b≈c but neither resembles anchor a, only the low-sim
+    * (a,b),(a,c) edges are emitted and the high-sim (b,c) is dropped.
+    * Oversized buckets are observable (with exact drop counts) via
+    * q35b_lsh_bucket_stats; raise the cap or add bands where that recall
+    * loss matters.
     */
   val LshBucketCap = 64
 
@@ -207,34 +216,44 @@ object LlmOps {
         // running minima update in one pass, so each token is md5'd exactly
         // once per row, zero shuffle. Init "g" > any hex char.
         val sig = minhashSig(s, d)
-        // Pair generation is BOUNDED (new in r3): a window over (b, bv)
-        // sizes every bucket in one shuffle of the narrow band rows.
+        // Pair generation is BOUNDED (r3; sizing reworked in r4): buckets
+        // are sized by a partial-aggregatable groupBy — a window over
+        // (b, bv) would route an entire hot bucket into ONE window-partition
+        // task that must buffer k rows (half the corpus in the adversarial
+        // case); the groupBy map-side-combines so no task ever holds a
+        // bucket. Only the OVERSIZED keys (a set bounded by
+        // n_rows/LshBucketCap, tiny in practice) come back, and the band
+        // rows re-acquire their bucket class by a left join on (b, bv) —
+        // AQE broadcasts it when small, falls back to a shuffle join when an
+        // adversarial corpus makes it big.
+        //
         // Buckets <= LshBucketCap join all-pairs (exact candidates, at most
         // CAP(CAP-1)/2 pairs each); oversized buckets — the hot-bucket
         // blowup that made this query quadratic and 33% of the r2 bench —
-        // emit anchor(min doc_id)→member star edges: k-1 pairs with
-        // identical union-find connectivity. Dropped-pair counts are
-        // observable via q35b_lsh_bucket_stats.
+        // emit anchor(min doc_id)→member star edges: k-1 pairs (see the
+        // LshBucketCap scaladoc for the recall trade). Dropped-pair counts
+        // are observable via q35b_lsh_bucket_stats.
         //
         // Candidate pairs stay NARROW (two longs) through the join; the
         // 12-hash signatures are re-attached by doc_id joins afterwards
         // (broadcast at small SF, shuffle joins at scale) — carrying the
         // signature arrays through the pair stream is what made the naive
         // plan O(pairs x signature) instead of O(pairs). The distinct
-        // doubles as the rebalancing exchange; the two branches reuse the
-        // window exchange (ReusedExchange) so sizing costs one shuffle.
-        val w = Window.partitionBy(col("b"), col("bv"))
-        val sized = minhashBands(sig)
-          .withColumn("bkt_n", count(lit(1)).over(w))
-          .withColumn("anchor", min(col("doc_id")).over(w))
-        val small = sized.filter(col("bkt_n") <= LshBucketCap)
+        // doubles as the rebalancing exchange.
+        val bands = minhashBands(sig)
+        val oversized = bands.groupBy(col("b"), col("bv"))
+          .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("anchor"))
+          .filter(col("bkt_n") > LshBucketCap)
+          .select(col("b"), col("bv"), col("anchor"))
+        val sized = bands.join(oversized, Seq("b", "bv"), "left")
+        val small = sized.filter(col("anchor").isNull)
           .select(col("doc_id"), col("b"), col("bv"))
         val smallPairs = small.as("x").join(small.as("y"),
             col("x.b") === col("y.b") && col("x.bv") === col("y.bv")
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         val starPairs = sized
-          .filter(col("bkt_n") > LshBucketCap && col("doc_id") =!= col("anchor"))
+          .filter(col("anchor").isNotNull && col("doc_id") =!= col("anchor"))
           .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
         val pairs = smallPairs.union(starPairs).distinct()
         pairs
@@ -282,8 +301,14 @@ object LlmOps {
             count(lit(1)).as("n_buckets"),
             max(col("k")).as("max_bucket"),
             sum(when(col("k") > LshBucketCap, 1L).otherwise(0L)).as("oversized_buckets"),
+            // k(k-1)/2 - (k-1) dividing BEFORE multiplying (parity branch):
+            // k*(k-1) on BIGINT silently wraps in non-ANSI Spark beyond
+            // k~4.3e9 while DuckDB raises — the parity form is exact and
+            // overflow-free in both dialects at any realistic bucket size
             sum(when(col("k") > LshBucketCap,
-              expr("k * (k - 1) div 2 - (k - 1)")).otherwise(0L)).as("dropped_pairs"))
+              expr("""CASE WHEN k % 2 = 0 THEN (k div 2) * (k - 1) - (k - 1)
+                     |     ELSE k * ((k - 1) div 2) - (k - 1) END""".stripMargin))
+              .otherwise(0L)).as("dropped_pairs"))
           .orderBy("band")
       },
       Some(s"""WITH $MINHASH_BANDS_SQL,
@@ -293,13 +318,27 @@ object LlmOps {
              |  CAST(MAX(k) AS BIGINT) AS max_bucket,
              |  CAST(SUM(CASE WHEN k > $LshBucketCap THEN 1 ELSE 0 END) AS BIGINT)
              |    AS oversized_buckets,
-             |  CAST(SUM(CASE WHEN k > $LshBucketCap THEN k * (k - 1) // 2 - (k - 1)
+             |  CAST(SUM(CASE WHEN k > $LshBucketCap THEN
+             |    CASE WHEN k % 2 = 0 THEN (k // 2) * (k - 1) - (k - 1)
+             |         ELSE k * ((k - 1) // 2) - (k - 1) END
              |    ELSE 0 END) AS BIGINT) AS dropped_pairs
              |FROM buckets GROUP BY b ORDER BY band""".stripMargin)),
 
-    // Q36 SimHash near-dup (engine-side; no portable SQL oracle) -----------
+    // Q36 SimHash near-dup -------------------------------------------------
     // 32-bit simhash from token md5 prefixes; blocked by byte-bands so only
     // hamming<=3-candidate pairs are compared (any 4-split shares a byte).
+    //
+    // Scale design (r4): the q35 star-edge cap applied verbatim to the
+    // byte-band blocking. The key space here is only 4 bands x 256 values =
+    // 1024 buckets, so WITHOUT a cap every bucket holds ~n/256 docs at
+    // corpus scale and the self-join is quadratic — the exact disease q35
+    // cured in r3. Buckets <= LshBucketCap join all-pairs; oversized buckets
+    // emit anchor(min doc_id)→member star edges (bounded k-1 pairs; recall
+    // caveat in the LshBucketCap scaladoc). Candidate pairs stay narrow (two
+    // longs) through the distinct; simhashes are re-attached by key join
+    // for the hamming filter. Bucket sizing is the same partial-aggregatable
+    // groupBy + oversized-keys left join as q35 — no window, no single-task
+    // hot-bucket buffer.
     QueryDef("q36_simhash",
       (s, d) => {
         // Per-row signature, no shuffle (same rationale as q35): hash each
@@ -316,26 +355,29 @@ object LlmOps {
             transform(array_distinct(col("toks")),
               tok => conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)).as("hs"))
           .select(col("doc_id"), simhash.as("simhash"))
-        val banded = sh.select(col("doc_id"), col("simhash"),
-            explode(sequence(lit(0), lit(3))).as("byte_idx"))
-          .withColumn("byte_val", expr("(simhash >> (byte_idx * 8)) & 255"))
-        // emit each pair only from its first matching byte-band (see q35) —
-        // earlier-byte inequality is computed from the carried simhashes,
-        // so no |pairs|-sized distinct is needed
-        def byteOf(c: Column, i: Int): Column =
-          shiftright(c, i * 8).bitwiseAND(lit(255L))
-        val firstMatch = (0 to 3).map { b =>
-          (col("x.byte_idx") === b) && (0 until b).map { i =>
-            byteOf(col("x.simhash"), i) =!= byteOf(col("y.simhash"), i)
-          }.foldLeft(lit(true))(_ && _)
-        }.reduce(_ || _)
-        val cand = banded.as("x").join(banded.as("y"),
+        val banded = sh.select(col("doc_id"),
+            explode(sequence(lit(0), lit(3))).as("byte_idx"),
+            col("simhash"))
+          .select(col("doc_id"), col("byte_idx"),
+            expr("(simhash >> (byte_idx * 8)) & 255").as("byte_val"))
+        val oversized = banded.groupBy(col("byte_idx"), col("byte_val"))
+          .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("anchor"))
+          .filter(col("bkt_n") > LshBucketCap)
+          .select(col("byte_idx"), col("byte_val"), col("anchor"))
+        val sized = banded.join(oversized, Seq("byte_idx", "byte_val"), "left")
+        val small = sized.filter(col("anchor").isNull)
+          .select(col("doc_id"), col("byte_idx"), col("byte_val"))
+        val smallPairs = small.as("x").join(small.as("y"),
             col("x.byte_idx") === col("y.byte_idx")
               && col("x.byte_val") === col("y.byte_val")
-              && col("x.doc_id") < col("y.doc_id") && firstMatch)
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-        cand
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        val starPairs = sized
+          .filter(col("anchor").isNotNull && col("doc_id") =!= col("anchor"))
+          .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+        smallPairs.union(starPairs).distinct()
+          .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
           .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
           .filter(col("hamming") <= 3)
           .select(col("doc_a"), col("doc_b"), col("hamming").cast(IntegerType).as("hamming"))
@@ -343,7 +385,7 @@ object LlmOps {
       },
       // hex->int via positional char arithmetic and bit ops via integer
       // division make the whole simhash portable to DuckDB
-      Some("""WITH hsrc AS (SELECT doc_id,
+      Some(s"""WITH hsrc AS (SELECT doc_id,
              |    list_transform(list_distinct(string_split(text, ' ')), t ->
              |      CAST(list_sum(list_transform(generate_series(1, 8), i ->
              |        (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
@@ -356,16 +398,29 @@ object LlmOps {
              |          THEN 1 ELSE -1 END)) > 0
              |      THEN CAST(2 ** b AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
              |  FROM hsrc),
-             |banded AS (SELECT doc_id, simhash, b AS byte_idx,
+             |banded AS (SELECT doc_id, b AS byte_idx,
              |    CAST(simhash // CAST(2 ** (8 * b) AS BIGINT) AS BIGINT) % 256 AS byte_val
              |  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) bs),
-             |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-             |    x.simhash AS ha, y.simhash AS hb
-             |  FROM banded x JOIN banded y
-             |    ON x.byte_idx = y.byte_idx AND x.byte_val = y.byte_val
-             |      AND x.doc_id < y.doc_id)
-             |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-             |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+             |osz AS (SELECT byte_idx, byte_val, MIN(doc_id) AS anchor
+             |  FROM banded GROUP BY byte_idx, byte_val
+             |  HAVING COUNT(*) > $LshBucketCap),
+             |sized AS (SELECT n.doc_id, n.byte_idx, n.byte_val, o.anchor
+             |  FROM banded n LEFT JOIN osz o
+             |    ON n.byte_idx = o.byte_idx AND n.byte_val = o.byte_val),
+             |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+             |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+             |    FROM sized x JOIN sized y
+             |      ON x.byte_idx = y.byte_idx AND x.byte_val = y.byte_val
+             |        AND x.doc_id < y.doc_id
+             |    WHERE x.anchor IS NULL AND y.anchor IS NULL
+             |    UNION ALL
+             |    SELECT anchor AS doc_a, doc_id AS doc_b
+             |    FROM sized WHERE anchor IS NOT NULL AND doc_id <> anchor) u)
+             |SELECT p.doc_a, p.doc_b,
+             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+             |FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+             |             JOIN sh b ON b.doc_id = p.doc_b
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Q37 embedding near-dup, blocked on label -----------------------------

@@ -93,6 +93,32 @@ class LshScaleSpec extends AnyFunSuite {
 
   private def LshBucketCapForTest: Int = graft.queries.LlmOps.LshBucketCap
 
+  test("q36: a 3000-doc duplicate cluster emits k-1 star edges, not k^2 pairs") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tempDir("graft-simhash-hot")
+    val n = 3000
+    // identical docs -> identical simhash -> every byte-band bucket holds
+    // the whole cluster: the pre-cap plan emitted 4 * C(3000,2) ~ 18M join
+    // rows; the star-edge rewrite emits exactly k-1 pairs anchored at 0
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val docs =
+      (0L until n.toLong).map(i => (i, dup, "en", "synth", dup.length.toLong)) ++
+        (0 until 5).map(i =>
+          (n.toLong + i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i",
+            "en", "synth", 40L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry.queries("q36_simhash")(sp, dir).collect()
+    val cluster = rows.filter(_.getAs[Long]("doc_a") == 0L)
+    assert(cluster.length == n - 1, s"expected ${n - 1} star edges, got ${cluster.length}")
+    assert(cluster.forall(_.getAs[Int]("hamming") == 0))
+    // non-anchor cluster members must NOT pair with each other (that is the
+    // bound); any extra rows could only come from the 5 unique docs
+    assert(rows.length <= (n - 1) + 5 * 4 / 2, s"unbounded pairs: ${rows.length}")
+  }
+
   test("q37: oversized label joins on (label, bucket); small label stays exact") {
     val sp = spark
     import sp.implicits._
