@@ -72,29 +72,66 @@ object LlmOps {
     */
   val EmbedBlockCap = 128
 
-  /** 8 deterministic pseudo-random ±1 hyperplanes → 8-bit bucket (shared by
-    * q41 ANN and q37's oversized-label path). Signs come from a pure integer
-    * mixing formula so the DuckDB twin is exact.
+  /** Hyperplane count for q37's oversized-label blocking: within one label
+    * block the composed key (label, bucket) only has to break up a dominant
+    * label, so a coarse 2^8 split suffices (and keeps recall high — finer
+    * buckets drop more same-label near-dup pairs).
     */
-  private[queries] def hyperplaneBucket(emb: Column): Column =
-    (0 until 8).map { p =>
-      val proj = aggregate(
+  val EmbedBucketBits = 8
+
+  /** Hyperplane count for q41's ANN buckets. Production sizing is
+    * nBits ≈ log2(corpus / target_bucket): 2^16 buckets keep the exact
+    * re-rank set ~n/65536 (a few thousand vectors per bucket even at 100TB's
+    * billions of embeddings; raise toward 20-24 there). The recall cost of
+    * finer buckets is paid back by multi-probe (below) instead of by
+    * scanning n/256 of the corpus per query, which is what the old
+    * hard-coded 8 planes did.
+    */
+  val AnnBits = 16
+
+  /** Multi-probe width for q41: the query probes every sign-flip subset of
+    * its `AnnProbePlanes` lowest-|projection| hyperplanes — the planes the
+    * query is closest to, i.e. where a true neighbor most plausibly landed
+    * on the other side — so 2^AnnProbePlanes buckets are searched in one
+    * hash-equality join instead of one.
+    */
+  val AnnProbePlanes = 3
+
+  /** Per-plane signed projections of `emb` onto `nBits` deterministic
+    * pseudo-random ±1 hyperplanes, as an ARRAY<DOUBLE>. Signs come from a
+    * pure integer mixing formula so the DuckDB twin is exact.
+    */
+  private[queries] def hyperplaneProjs(emb: Column, nBits: Int): Column =
+    array((0 until nBits).map { p =>
+      aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
           (v, i) => v.cast(DoubleType) *
             when(pmod(i * 2654435761L + lit(p) * 40503L, lit(97)) < 48, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }: _*)
+
+  /** Sign bits of a [[hyperplaneProjs]] array packed into a BIGINT bucket. */
+  private[queries] def bucketFromProjs(projs: Column, nBits: Int): Column =
+    (0 until nBits).map { p =>
+      when(element_at(projs, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** nBits-hyperplane LSH bucket (shared by q41 ANN and q37's
+    * oversized-label path). */
+  private[queries] def hyperplaneBucket(emb: Column, nBits: Int): Column =
+    bucketFromProjs(hyperplaneProjs(emb, nBits), nBits)
+
   /** Oracle twin of [[hyperplaneBucket]] over a column named `embedding`. */
-  private val HYPERPLANE_BUCKET_SQL: String =
-    """CAST(list_sum(list_transform(generate_series(0, 7), p ->
+  private def hyperplaneBucketSql(nBits: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, ${nBits - 1}), p ->
       |      CASE WHEN list_sum(list_transform(
       |          generate_series(0, len(embedding) - 1), i ->
       |        CAST(embedding[i + 1] AS DOUBLE) *
       |          (CASE WHEN (i * 2654435761 + p * 40503) % 97 < 48
       |           THEN 1.0 ELSE -1.0 END))) > 0
       |      THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private val HYPERPLANE_BUCKET_SQL: String = hyperplaneBucketSql(EmbedBucketBits)
 
   /** Oracle-side twin of [[minhashSig]]+[[minhashBands]] as DuckDB CTEs. */
   private val MINHASH_BANDS_SQL: String =
@@ -426,15 +463,18 @@ object LlmOps {
     // Q37 embedding near-dup, blocked on label -----------------------------
     // Scale path (new in r3): a window count sizes every label block; blocks
     // <= EmbedBlockCap keep the exact all-pairs cosine, oversized blocks
-    // compose the label with q41's 8-hyperplane bucket so the join key is
-    // (label, bucket) — a dominant label at 100TB no longer goes quadratic.
+    // compose the label with an EmbedBucketBits-hyperplane bucket so the
+    // join key is (label, bucket) — a dominant label at 100TB no longer goes
+    // quadratic. (The label count fits a window here: labels are a bounded
+    // categorical domain, so a "hot" window partition is the whole corpus
+    // only if one label is — which is exactly what the bucket split fixes.)
     QueryDef("q37_embedding_neardup",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"))
           .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
-          .withColumn("bucket", hyperplaneBucket(col("embedding")))
+          .withColumn("bucket", hyperplaneBucket(col("embedding"), EmbedBucketBits))
         val small = e.filter(col("n") <= EmbedBlockCap)
         val big = e.filter(col("n") > EmbedBlockCap)
         val proj = (j: DataFrame) => j.select(
@@ -537,38 +577,77 @@ object LlmOps {
              | CAST(CEIL(LENGTH(text) / 4.0) AS INT) AS approx_bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Q41 ANN via random-hyperplane LSH buckets (engine-side; rows-only) ---
-    // Deterministic pseudo-random +-1 hyperplanes from a mixing formula, an
-    // 8-bit bucket per vector, then exact cosine re-rank inside the query
-    // vector's bucket. The scale path for Q32's brute force.
+    // Q41 ANN via random-hyperplane LSH buckets + multi-probe --------------
+    // AnnBits deterministic +-1 hyperplanes (2^16 buckets; see the AnnBits
+    // scaladoc for production sizing toward 20-24 bits), then exact cosine
+    // re-rank over the probed buckets. Multi-probe (r4): the query searches
+    // its own bucket plus every sign-flip subset of its AnnProbePlanes
+    // lowest-|projection| planes — 2^AnnProbePlanes buckets per query, still
+    // one hash-equality join, instead of the old 8-bit design whose re-rank
+    // set was n/256 of the corpus forever. The probe set is computed on the
+    // (broadcast) query side only; the corpus is hashed once.
     QueryDef("q41_ann_lsh",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        val nb = AnnBits
+        val nProbe = 1 << AnnProbePlanes
         val bucketed = t(s, d, "embeddings")
-          .withColumn("bucket", hyperplaneBucket(col("embedding")))
-        val q = bucketed.filter(col("vec_id") === 0)
-          .select(col("bucket").as("qb"), col("embedding").as("qe"))
+          .withColumn("bucket", hyperplaneBucket(col("embedding"), nb))
+        // lowest-|projection| plane indices, rank-ordered: sort (|proj|, p)
+        // structs lexicographically — deterministic, identical in DuckDB
+        val ranked = array_sort(transform(sequence(lit(0), lit(nb - 1)),
+          p => struct(abs(element_at(col("projs"), p + 1)).as("a"), p.as("i"))))
+        val probeMask = (1 to AnnProbePlanes).map { j =>
+          when(expr(s"(m div ${1 << (j - 1)}) % 2") === 1,
+            expr(s"shiftleft(CAST(1 AS BIGINT), element_at(flips, $j))"))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        val probes = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .withColumn("projs", hyperplaneProjs(col("embedding"), nb))
+          .withColumn("qb", bucketFromProjs(col("projs"), nb))
+          .withColumn("flips",
+            slice(transform(ranked, x => x.getField("i")), 1, AnnProbePlanes))
+          .select(col("embedding").as("qe"), col("qb"), col("flips"),
+            explode(sequence(lit(0), lit(nProbe - 1))).as("m"))
+          // flips are distinct planes, so adding the selected powers of two
+          // equals XOR-ing them in; 2^AnnProbePlanes distinct probe values
+          .select(col("qe"), col("qb").bitwiseXOR(probeMask).as("probe"))
         bucketed.filter(col("vec_id") =!= 0)
-          .join(broadcast(q), col("bucket") === col("qb"))
+          .join(broadcast(probes), col("bucket") === col("probe"))
           .select(col("vec_id"), r4(expr("cosine_sim(embedding, qe)")).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
-      // the hyperplane signs are pure integer arithmetic -> portable
-      Some("""WITH b AS (SELECT vec_id, embedding,
-             |    CAST(list_sum(list_transform(generate_series(0, 7), p ->
-             |      CASE WHEN list_sum(list_transform(
-             |          generate_series(0, len(embedding) - 1), i ->
+      // the hyperplane signs are pure integer arithmetic -> portable; the
+      // probe-subset expansion is the same m-bit-decode in both dialects
+      Some(s"""WITH pr AS (SELECT vec_id, embedding,
+             |    list_transform(generate_series(0, ${AnnBits - 1}), p ->
+             |      list_sum(list_transform(generate_series(0, len(embedding) - 1), i ->
              |        CAST(embedding[i + 1] AS DOUBLE) *
-             |          (CASE WHEN (i * 2654435761 + p * 40503) % 97 < 48
-             |           THEN 1.0 ELSE -1.0 END))) > 0
-             |      THEN CAST(2 ** p AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+             |        (CASE WHEN (i * 2654435761 + p * 40503) % 97 < 48
+             |         THEN 1.0 ELSE -1.0 END)))) AS projs
              |  FROM embeddings),
-             |q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0)
+             |b AS (SELECT vec_id, embedding, projs,
+             |    CAST(list_sum(list_transform(generate_series(0, ${AnnBits - 1}), p ->
+             |      CASE WHEN projs[p + 1] > 0 THEN CAST(2 ** p AS BIGINT)
+             |        ELSE 0 END)) AS BIGINT) AS bucket
+             |  FROM pr),
+             |q AS (SELECT embedding AS qe, bucket AS qb,
+             |    list_transform(list_sort(list_transform(
+             |        generate_series(0, ${AnnBits - 1}), p ->
+             |      [abs(projs[p + 1]), CAST(p AS DOUBLE)])), x ->
+             |      CAST(x[2] AS INT))[1:$AnnProbePlanes] AS flips
+             |  FROM b WHERE vec_id = 0),
+             |probes AS (SELECT qe, xor(qb,
+             |    CAST(list_sum(list_transform(generate_series(1, $AnnProbePlanes), j ->
+             |      CASE WHEN (m // CAST(2 ** (j - 1) AS BIGINT)) % 2 = 1
+             |        THEN CAST(2 ** flips[j] AS BIGINT) ELSE 0 END)) AS BIGINT)) AS probe
+             |  FROM q CROSS JOIN (SELECT UNNEST(generate_series(0,
+             |    ${(1 << AnnProbePlanes) - 1})) AS m) ms)
              |SELECT v.vec_id,
              |  CAST(ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
-             |    CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS sim
-             |FROM b v JOIN q ON v.bucket = q.qb
+             |    CAST(p.qe AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |FROM b v JOIN probes p ON v.bucket = p.probe
              |WHERE v.vec_id <> 0
              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
