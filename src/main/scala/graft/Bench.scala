@@ -44,12 +44,13 @@ object Bench {
 
     // a failed query is reported as -1, never as a plausible duration —
     // a regression must not read as a speedup. Each query is timed over
-    // BENCH_RUNS runs (default 2) and the minimum reported: min-of-N is
+    // BENCH_RUNS runs (default 3) and the minimum reported: min-of-N is
     // the standard steady-state measure on a shared box (transient load
-    // spikes showed 10x swings on single runs) and amortizes the one-time
-    // codegen compile out of the throughput number.
+    // spikes showed 10x swings on single runs; the r3 bench recorded 4-12x
+    // phantom regressions on untouched queries at min-of-2) and amortizes
+    // the one-time codegen compile out of the throughput number.
     val runs = math.max(1,
-      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       var failed = false
       val times = Seq.newBuilder[Double]
