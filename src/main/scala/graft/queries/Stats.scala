@@ -33,6 +33,34 @@ object Stats {
              | CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // Q44b approx percentile — the scale twin of Q44's exact pass ----------
+    // `percentile` buffers every value of a group in one aggregation buffer
+    // (exact, but a 100TB group OOMs it); `percentile_approx` is Spark's
+    // bounded GK quantile sketch — partial-aggregatable, fixed memory, the
+    // one to reach for beyond bounded-cardinality groups. Crossover rule of
+    // thumb: exact while rows-per-group x 8 bytes fits an executor's
+    // aggregation buffer comfortably (~10^7 values), approx beyond. Sketch
+    // internals differ across engines -> rows-only; PercentileApproxSpec
+    // bounds the relative error against the exact pass.
+    QueryDef("q44b_percentiles_approx",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            r4(expr("percentile(l_quantity, 0.5)")).as("p50_exact"),
+            r4(expr("percentile_approx(l_quantity, 0.5, 10000)")).as("p50_approx"),
+            r4(expr("percentile(l_extendedprice, 0.95)")).as("p95_exact"),
+            r4(expr("percentile_approx(l_extendedprice, 0.95, 10000)")).as("p95_approx"))
+          .select(col("l_returnflag"),
+            col("p50_exact"), col("p50_approx"),
+            r4(abs(col("p50_approx") - col("p50_exact")) / col("p50_exact"))
+              .as("p50_rel_err"),
+            col("p95_exact"), col("p95_approx"),
+            r4(abs(col("p95_approx") - col("p95_exact")) / col("p95_exact"))
+              .as("p95_rel_err"))
+          .orderBy("l_returnflag"),
+      None),
+
     // Q12c approx distinct (HLL impls differ across engines -> rows-only;
     // the spec asserts the estimate lands within 5% of exact) -------------
     QueryDef("q12c_approx_distinct",

@@ -12,6 +12,16 @@ import org.apache.spark.sql.types._
   */
 object TextSearch {
 
+  /** Q48 coarse-quantizer cell count. Deterministic stand-in for k-means
+    * training: the first `IvfCells` vectors act as centroids. Production
+    * sizing is ~sqrt(n) cells (FAISS convention: n/cell ~ sqrt(n), so both
+    * the centroid scan and the in-cell re-rank stay ~sqrt(n) per query);
+    * the centroid table stays broadcast-able far beyond that (even 10^5
+    * cells x 64 floats is ~25 MB). Shared with the oracle SQL so both
+    * engines partition identically.
+    */
+  val IvfCells = 8
+
   /** Marker function-word lists per language (the classic cheap lang-ID
     * heuristic: count hits, argmax with a deterministic tie-break). */
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -138,15 +148,16 @@ object TextSearch {
              |FROM w ORDER BY doc_id""".stripMargin)),
 
     // Q48 IVF similarity search (scale path beside q41's LSH buckets) ------
-    // "Coarse quantizer": the first K vectors act as centroids (a
-    // deterministic stand-in for k-means training); every vector joins its
-    // nearest centroid (broadcast: K centroids are tiny by construction);
-    // the query searches only its own cell -> 1/K of the corpus scanned.
+    // "Coarse quantizer": the first IvfCells vectors act as centroids (see
+    // the IvfCells scaladoc for production sqrt(n) sizing); every vector
+    // joins its nearest centroid (broadcast: the centroid table is tiny by
+    // construction); the query searches only its own cell -> 1/IvfCells of
+    // the corpus scanned.
     QueryDef("q48_ann_ivf",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
-        val centroids = broadcast(e.filter(col("vec_id") < 8)
+        val centroids = broadcast(e.filter(col("vec_id") < IvfCells)
           .select(col("vec_id").as("cid"), col("embedding").as("ce")))
         // assignment orders by ROUNDED similarity so the argmax is stable
         // against cross-engine double-accumulation ULP drift
@@ -165,12 +176,13 @@ object TextSearch {
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
-      Some("""WITH assigned AS (
+      Some(s"""WITH assigned AS (
              |  SELECT e.vec_id, c.vec_id AS cid, e.embedding,
              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
              |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
              |        CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rn
-             |  FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 8),
+             |  FROM embeddings e CROSS JOIN embeddings c
+             |  WHERE c.vec_id < $IvfCells),
              |cells AS (SELECT vec_id, cid, embedding FROM assigned WHERE rn = 1),
              |qcell AS (SELECT cid AS qcid, embedding AS qe FROM cells WHERE vec_id = 0)
              |SELECT v.vec_id,
