@@ -20,15 +20,52 @@ class WeightedPercentileSpec extends AnyFunSuite {
     val agg = new WeightedPercentile(0.9)
     val xs = (1 to 100).map(i => (i.toDouble, 1.0))
     val (l, r) = xs.splitAt(37)
-    val a = l.foldLeft(agg.zero)(agg.reduce)
-    val b = r.foldLeft(agg.zero)(agg.reduce)
-    assert(agg.finish(agg.merge(a, b)) == agg.finish(agg.merge(b, a)))
-    assert(agg.finish(agg.merge(a, b)) == 90.0)
+    // merge mutates its left buffer in place (that is the r4 fix: no
+    // per-row immutable-map churn) — build fresh partials per merge
+    def partial(s: Seq[(Double, Double)]) = s.foldLeft(agg.zero)(agg.reduce)
+    val ab = agg.finish(agg.merge(partial(l), partial(r)))
+    val ba = agg.finish(agg.merge(partial(r), partial(l)))
+    assert(ab == ba)
+    assert(ab == 90.0)
   }
 
   test("empty input yields NaN; p bounds validated") {
-    assert(new WeightedPercentile(0.5).finish(Map.empty).isNaN)
+    assert(new WeightedPercentile(0.5).finish(agg0.zero).isNaN)
     intercept[IllegalArgumentException](new WeightedPercentile(1.5))
+  }
+  private def agg0 = new WeightedPercentile(0.5)
+
+  test("buffer stays bounded on high-cardinality input, answer stays close") {
+    val cap = 256
+    val agg = new WeightedPercentile(0.5, maxBuckets = cap)
+    // 100k distinct values: the exact map would hold all of them; the
+    // bounded buffer must never exceed the 2*cap compression threshold
+    val n = 100000
+    var buf = agg.zero
+    (1 to n).foreach { i =>
+      buf = agg.reduce(buf, (i.toDouble, 1.0))
+      assert(buf.size <= 2 * cap + 1, s"buffer grew to ${buf.size}")
+    }
+    val got = agg.finish(buf)
+    // the equi-depth rebuild bounds any percentile's rank error by about
+    // half a bucket weight = total/(2*cap), stable across compression
+    // cycles: ~0.2% of rank at this adversarial cap=256, exact at the
+    // 8192 default until 16384 distinct values
+    assert(math.abs(got - n / 2.0) / (n / 2.0) < 0.01, s"median drifted: $got")
+    // merging two compressed partials stays bounded too
+    var other = agg.zero
+    (n + 1 to 2 * n).foreach { i => other = agg.reduce(other, (i.toDouble, 1.0)) }
+    val merged = agg.merge(buf, other)
+    assert(merged.size <= 2 * cap + 1)
+    val m2 = agg.finish(merged)
+    assert(math.abs(m2 - n) / n < 0.01, s"merged median drifted: $m2")
+  }
+
+  test("exact below the compression threshold") {
+    val agg = new WeightedPercentile(0.5, maxBuckets = 256)
+    val buf = (1 to 512).map(i => (i.toDouble, 1.0)).foldLeft(agg.zero)(agg.reduce)
+    assert(buf.size == 512) // never compressed: 512 <= 2 * 256
+    assert(agg.finish(buf) == 256.0)
   }
 
   test("distributed aggregation matches local computation") {
