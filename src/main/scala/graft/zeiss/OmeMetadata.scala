@@ -117,7 +117,11 @@ object OmeMetadata {
       scaleFactor: Seq[Int],
       voxelSize: Seq[Double],
       chunks: Seq[Int],
-      dtype: Dtype): String = {
+      dtype: Dtype,
+      /** omero.window (start, end): defaults to the reference's hard-coded
+        * display range (`czi_to_zarr.py:477-481`); the optional
+        * [[DisplayRange]] stats pass supplies live percentiles instead. */
+      displayRange: Option[(Double, Double)] = None): String = {
     val (transforms, _) =
       computeScales(nLevels, scaleFactor, voxelSize, chunks, dataShape)
     val datasets = (0 until nLevels).map { lvl =>
@@ -128,11 +132,13 @@ object OmeMetadata {
       "datasets" -> datasets,
       "name" -> imageName,
       "version" -> "0.4") ++ pyramidMetadata)
-    // channel window from dtype bounds + the reference's hard-coded display
-    // range (0.0, 550.0) (`czi_to_zarr.py:461-481`)
+    // channel window from dtype bounds + the display range: the reference's
+    // hard-coded (0.0, 550.0) (`czi_to_zarr.py:461-481`) unless the
+    // optional percentile pass computed a live one
     val omero = buildOme(dataShape, imageName,
       channelMinmax = Some(Seq.fill(dataShape(1).toInt)((dtype.minValue, dtype.maxValue))),
-      channelStartend = Some(Seq.fill(dataShape(1).toInt)((0.0, 550.0))))
+      channelStartend = Some(Seq.fill(dataShape(1).toInt)(
+        displayRange.getOrElse((0.0, 550.0)))))
     toJson(Map("multiscales" -> multiscales, "omero" -> omero))
   }
 }

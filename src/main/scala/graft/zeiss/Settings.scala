@@ -35,7 +35,14 @@ final case class ZeissJobSettings(
       * node (1 writer thread, GIL-averse — `czi_to_zarr.py:458-459`); Spark
       * jobs from several driver threads interleave on the same executors,
       * keeping the cluster busy through each stack's small tail stages. */
-    stackParallelism: Int = 1) {
+    stackParallelism: Int = 1,
+    /** Optional display-range stats pass (SURVEY §2A op 15): compute the
+      * omero.window start/end as the (0.1%, 95%) voxel percentiles instead
+      * of the reference's hard-coded (0.0, 550.0). Default OFF for parity —
+      * the reference explicitly cost-rejected `da.percentile`
+      * (`czi_to_zarr.py:477-481`); our histogram pass makes it affordable
+      * (see [[DisplayRange]]). */
+    computeDisplayRange: Boolean = false) {
 
   require(numOfPartitions > 0, "num_of_partitions must be > 0")
   require(partitionToProcess >= 0 && partitionToProcess < numOfPartitions,
@@ -98,7 +105,8 @@ object ZeissJobSettings {
       downsampleLevels = int("downsample_levels", 4),
       deleteAfterSync = bool("delete_after_sync", true),
       uploadDerivatives = bool("upload_derivatives", false),
-      stackParallelism = int("stack_parallelism", 1))
+      stackParallelism = int("stack_parallelism", 1),
+      computeDisplayRange = bool("compute_display_range", false))
   }
 
   def fromConfigFile(path: String): ZeissJobSettings =
@@ -127,7 +135,8 @@ object ZeissJobSettings {
       downsampleLevels = get("downsample_levels").map(_.toInt).getOrElse(4),
       deleteAfterSync = get("delete_after_sync").forall(_.toBoolean),
       uploadDerivatives = get("upload_derivatives").exists(_.toBoolean),
-      stackParallelism = get("stack_parallelism").map(_.toInt).getOrElse(1))
+      stackParallelism = get("stack_parallelism").map(_.toInt).getOrElse(1),
+      computeDisplayRange = get("compute_display_range").exists(_.toBoolean))
   }
 }
 

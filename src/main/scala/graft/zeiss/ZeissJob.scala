@@ -93,9 +93,19 @@ object ZeissJob {
         Grid.levelShape(shape.drop(2), factors, lvl - 1)
     }.size
 
+    // optional op-15 stats pass: one extra scan of the (lazily regenerated)
+    // source computes exact percentile display ranges before any write —
+    // the same stats-before-data ordering the reference's rejected
+    // `da.percentile` call sat in (`czi_to_zarr.py:461-481`)
+    val displayRange: Option[(Double, Double)] =
+      if (settings.computeDisplayRange)
+        Some(DisplayRange.window(spark,
+          ChunkTable.synthetic(spark, srcGrid, seed), srcGrid.dtype))
+      else None
+
     ZarrIO.writeGroupMeta(spark, groupDir,
       OmeMetadata.zattrs(imageName, shape, nLevels, settings.scaleFactor,
-        voxelSize, writeChunk, srcGrid.dtype))
+        voxelSize, writeChunk, srcGrid.dtype, displayRange))
 
     val counts = Seq.newBuilder[Long]
     // level 0: synthetic source already on the write grid -> no shuffle.

@@ -274,6 +274,39 @@ class PyramidSpec extends AnyFunSuite {
     }
   }
 
+  test("computeDisplayRange writes percentile omero.window (op 15 stats pass)") {
+    val spark = TestSpark.spark
+    withTempDir { out =>
+      val shape = Seq(1L, 1L, 24L, 20L, 16L)
+      val header = Some((shape, Seq(1.0, 1.0, 1.0), 55L))
+      val base = ZeissJobSettings(inputSource = "/nonexistent",
+        outputDirectory = out, chunkSize = Seq(16, 16, 16), downsampleLevels = 1)
+      ZeissJob.writeStack(spark, base.copy(computeDisplayRange = true),
+        "dr.czi", headerOverride = header)
+      // local twin: exact lower-interpolation percentiles over every voxel
+      val dt = Dtype.UInt16
+      val vals = (for (z <- 0L until 24L; y <- 0L until 20L; x <- 0L until 16L)
+        yield ChunkTable.voxel(55L, 0, 0, z, y, x, dt)).sorted
+      def pct(p: Double): Double = {
+        val target = p * vals.size
+        var cum = 0
+        vals.find { _ => cum += 1; cum >= target }.get
+      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      def window(name: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(
+          ZarrIO.readBytes(conf, s"$out/$name.ome.zarr/.zattrs"), "UTF-8"))
+        .get("omero").get("channels").get(0).get("window")
+      val w = window("dr_0")
+      assert(w.get("start").asDouble == pct(DisplayRange.LowFraction))
+      assert(w.get("end").asDouble == pct(DisplayRange.HighFraction))
+      // default OFF keeps reference parity: hard-coded (0.0, 550.0)
+      ZeissJob.writeStack(spark, base, "plain.czi", headerOverride = header)
+      val p = window("plain_0")
+      assert(p.get("start").asDouble == 0.0 && p.get("end").asDouble == 550.0)
+    }
+  }
+
   test("partitionList deals round-robin (zeiss_job.py:33-44)") {
     val parts = ZeissJob.partitionList((0 until 75).toList, 5)
     assert(parts.size == 5)
