@@ -70,19 +70,35 @@ object ZeissJob {
   }
 
   /** Convert one stack to an OME-Zarr pyramid. Returns per-level chunk
-    * counts. Mirrors `czi_stack_zarr_writer` (`czi_to_zarr.py:389-562`). */
+    * counts. Mirrors `czi_stack_zarr_writer` (`czi_to_zarr.py:389-562`).
+    *
+    * Source seam (op 5): a stack that parses as a real uncompressed CZI is
+    * read through [[CziReader]]/[[CziSource]] (shape + dtype from the
+    * subblock directory, the header read of `zeiss_job.py:145-153`); any
+    * other file — including the empty fixtures the reference's own tests
+    * use — falls back to the deterministic synthetic source. Voxel size for
+    * real CZIs defaults to 1 µm (it lives in the XML metadata segment the
+    * minimal reader does not parse). */
   def writeStack(spark: SparkSession, settings: ZeissJobSettings,
       stackPath: String,
       headerOverride: Option[(Seq[Long], Seq[Double], Long)] = None,
       blockTargetMb: Option[Long] = None): Seq[Long] = {
-    val (shape, voxelSize, seed) = headerOverride.getOrElse(syntheticHeader(stackPath))
+    val czi: Option[CziReader.CziInfo] =
+      if (headerOverride.isDefined) None
+      else CziReader.tryOpen(spark.sparkContext.hadoopConfiguration, stackPath)
+    val (shape, voxelSize, seed) = headerOverride.getOrElse(
+      czi.map(i => (i.shape, Seq(1.0, 1.0, 1.0), 0L))
+        .getOrElse(syntheticHeader(stackPath)))
     val imageName = renameStack(new Path(stackPath).getName)
     val groupDir = s"${settings.outputDirectory}/$imageName.ome.zarr"
 
     val writeChunk = settings.chunkSize.zipWithIndex.map { case (c, i) =>
       math.min(c.toLong, shape(2 + i)).toInt
     }
-    val srcGrid = ChunkGrid(shape, writeChunk, Dtype.UInt16.zarrName)
+    val srcGrid = ChunkGrid(shape, writeChunk,
+      czi.map(_.dtype.zarrName).getOrElse(Dtype.UInt16.zarrName))
+    def level0Source() = czi.map(i => CziSource.chunkTable(spark, i, srcGrid))
+      .getOrElse(ChunkTable.synthetic(spark, srcGrid, seed))
 
     // levels actually producible: stop once the shape no longer shrinks
     // (every dim at 1 -> further levels would be identical 1-voxel copies;
@@ -99,8 +115,7 @@ object ZeissJob {
     // `da.percentile` call sat in (`czi_to_zarr.py:461-481`)
     val displayRange: Option[(Double, Double)] =
       if (settings.computeDisplayRange)
-        Some(DisplayRange.window(spark,
-          ChunkTable.synthetic(spark, srcGrid, seed), srcGrid.dtype))
+        Some(DisplayRange.window(spark, level0Source(), srcGrid.dtype))
       else None
 
     ZarrIO.writeGroupMeta(spark, groupDir,
@@ -114,7 +129,9 @@ object ZeissJob {
     // zarr_writer.py:188-213: "reduce the scheduling burden for massive
     // (terabyte-scale) arrays") — each block is one bounded Spark job.
     counts += (blockTargetMb match {
-      case Some(mb) =>
+      // the grid-pruned blocked loop is a synthetic-source capability
+      // (`keep` prunes before generation); a real CZI writes in one job
+      case Some(mb) if czi.isEmpty =>
         val block = Grid.blockShape(shape.drop(2), writeChunk,
           srcGrid.dtype.itemSize, targetSizeMb = mb)
         // block shape is a chunk multiple by construction (expand_chunks
@@ -129,9 +146,8 @@ object ZeissJob {
                 xi.toLong * cx >= x0 && xi.toLong * cx < x0 + xl)
           ZarrIO.writeLevel(spark, sub, srcGrid, groupDir, 0, settings)
         }.sum
-      case None =>
-        val source = ChunkTable.synthetic(spark, srcGrid, seed)
-        ZarrIO.writeLevel(spark, source, srcGrid, groupDir, 0, settings)
+      case _ =>
+        ZarrIO.writeLevel(spark, level0Source(), srcGrid, groupDir, 0, settings)
     })
     // levels 1..n: read back previous level (lineage barrier), downsample
     var lvl = 1

@@ -1,0 +1,147 @@
+package graft.zeiss
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decodes generated spec-conformant ZISRAW fixtures through the real
+  * source seam: directory parse, origin normalization, mosaic-tile
+  * reassembly onto the write grid, and the writeStack end-to-end path
+  * (real CZI -> OME-Zarr, voxel-exact). Raw byte-offset assertions pin the
+  * on-disk layout to the public spec so the fixture writer and the reader
+  * cannot drift together unnoticed.
+  */
+class CziReaderSpec extends AnyFunSuite {
+
+  private def tempCzi(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("stack.czi").toString
+
+  private def conf = TestSpark.spark.sparkContext.hadoopConfiguration
+
+  /** 1x1x4x32x48 uint16: per Z plane, two Y-mosaic tiles; dimension starts
+    * offset (Z+10, Y+200, X+100) to exercise origin normalization. */
+  private def writeMosaicFixture(path: String, seed: Long): Unit = {
+    val dt = Dtype.UInt16
+    val blocks = for (z <- 0 until 4; ty <- 0 until 2) yield CziFixture.Block(
+      dims = Seq(
+        CziReader.DimEntry("X", 100, 48, 48),
+        CziReader.DimEntry("Y", 200 + ty * 16, 16, 16),
+        CziReader.DimEntry("Z", 10 + z, 1, 1),
+        CziReader.DimEntry("C", 0, 1, 1),
+        CziReader.DimEntry("T", 0, 1, 1)),
+      data = CziFixture.voxelBox(dt, seed, 0, 0, z, ty * 16L, 0, 1, 16, 48),
+      pixelType = CziReader.PixelGray16)
+    CziFixture.write(path, blocks)
+  }
+
+  test("raw layout: segment ids and directory position match the spec") {
+    val path = tempCzi("graft-czi-raw")
+    writeMosaicFixture(path, seed = 9L)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(new String(bytes, 0, 10, "US-ASCII") == "ZISRAWFILE")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dirPos = bb.getLong(32 + 52) // directory position at data offset 52
+    assert(new String(bytes, dirPos.toInt, 15, "US-ASCII") == "ZISRAWDIRECTORY")
+    assert(bb.getInt(dirPos.toInt + 32) == 8) // entry count
+    assert(new String(bytes, 32 + 512, 14, "US-ASCII") == "ZISRAWSUBBLOCK")
+  }
+
+  test("tryOpen parses shape, dtype and origin from the directory") {
+    val path = tempCzi("graft-czi-open")
+    writeMosaicFixture(path, seed = 9L)
+    val info = CziReader.tryOpen(conf, path).get
+    assert(info.shape == Seq(1L, 1L, 4L, 32L, 48L))
+    assert(info.origin == Seq(0, 0, 10, 200, 100))
+    assert(info.dtype == Dtype.UInt16)
+    assert(info.entries.size == 8)
+  }
+
+  test("chunkTable reassembles mosaic tiles voxel-exactly on the write grid") {
+    val spark = TestSpark.spark
+    val path = tempCzi("graft-czi-table")
+    writeMosaicFixture(path, seed = 9L)
+    val info = CziReader.tryOpen(conf, path).get
+    // chunk (2,16,16): every chunk spans 2 subblock Z planes; X chunks 3
+    val grid = ChunkGrid(info.shape, Seq(2, 16, 16), info.dtype.zarrName)
+    val chunks = CziSource.chunkTable(spark, info, grid).collect()
+    assert(chunks.length == 2 * 2 * 3)
+    chunks.foreach { ch =>
+      val (ez, ey, ex) = grid.extent(ch.zi, ch.yi, ch.xi)
+      var i = 0
+      for (z <- 0 until ez; y <- 0 until ey; x <- 0 until ex) {
+        val want = ChunkTable.voxel(9L, 0, 0,
+          ch.zi * 2L + z, ch.yi * 16L + y, ch.xi * 16L + x, grid.dtype)
+        assert(grid.dtype.read(ch.data, i) == want,
+          s"chunk (${ch.zi},${ch.yi},${ch.xi}) voxel ($z,$y,$x)")
+        i += 1
+      }
+    }
+  }
+
+  test("writeStack converts a real CZI end-to-end (voxel-exact OME-Zarr)") {
+    val spark = TestSpark.spark
+    val path = tempCzi("graft-czi-e2e")
+    writeMosaicFixture(path, seed = 9L)
+    val out = java.nio.file.Files.createTempDirectory("graft-czi-out").toString
+    val settings = ZeissJobSettings(inputSource = "/nonexistent",
+      outputDirectory = out, chunkSize = Seq(16, 16, 16), downsampleLevels = 2)
+    val counts = ZeissJob.writeStack(spark, settings, path)
+    assert(counts.size == 2)
+    val (g0, l0) = ZarrIO.readLevel(spark, s"$out/stack_0.ome.zarr", 0)
+    assert(g0.shape == Seq(1L, 1L, 4L, 32L, 48L))
+    assert(g0.dtype == Dtype.UInt16)
+    l0.collect().foreach { ch =>
+      val (ez, ey, ex) = g0.extent(ch.zi, ch.yi, ch.xi)
+      var i = 0
+      for (z <- 0 until ez; y <- 0 until ey; x <- 0 until ex) {
+        assert(g0.dtype.read(ch.data, i) == ChunkTable.voxel(9L, 0, 0,
+          ch.zi * 16L + z, ch.yi * 16L + y, ch.xi * 16L + x, g0.dtype))
+        i += 1
+      }
+    }
+  }
+
+  test("multi-channel Gray8 stack: per-(c,z) subblocks") {
+    val spark = TestSpark.spark
+    val path = tempCzi("graft-czi-gray8")
+    val dt = Dtype.UInt8
+    val blocks = for (c <- 0 until 2; z <- 0 until 2) yield CziFixture.Block(
+      dims = Seq(
+        CziReader.DimEntry("X", 0, 8, 8),
+        CziReader.DimEntry("Y", 0, 8, 8),
+        CziReader.DimEntry("Z", z, 1, 1),
+        CziReader.DimEntry("C", c, 1, 1)),
+      data = CziFixture.voxelBox(dt, 3L, 0, c, z, 0, 0, 1, 8, 8),
+      pixelType = CziReader.PixelGray8)
+    CziFixture.write(path, blocks)
+    val info = CziReader.tryOpen(conf, path).get
+    assert(info.shape == Seq(1L, 2L, 2L, 8L, 8L) && info.dtype == Dtype.UInt8)
+    val grid = ChunkGrid(info.shape, Seq(2, 8, 8), info.dtype.zarrName)
+    val chunks = CziSource.chunkTable(spark, info, grid).collect()
+    assert(chunks.length == 2) // one 2-plane Z chunk per channel
+    chunks.foreach { ch =>
+      var i = 0
+      for (z <- 0 until 2; y <- 0 until 8; x <- 0 until 8) {
+        assert(grid.dtype.read(ch.data, i) ==
+          ChunkTable.voxel(3L, 0, ch.c, z, y, x, grid.dtype), s"c=${ch.c} ($z,$y,$x)")
+        i += 1
+      }
+    }
+  }
+
+  test("unsupported or non-CZI files fall back to None (synthetic seam)") {
+    val empty = tempCzi("graft-czi-empty")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(empty))
+    assert(CziReader.tryOpen(conf, empty).isEmpty)
+    val garbage = tempCzi("graft-czi-garbage")
+    java.nio.file.Files.write(java.nio.file.Paths.get(garbage),
+      Array.fill[Byte](1024)(42))
+    assert(CziReader.tryOpen(conf, garbage).isEmpty)
+    // compressed subblocks are declared out of scope -> None
+    val compressed = tempCzi("graft-czi-zstd")
+    CziFixture.write(compressed, Seq(CziFixture.Block(
+      dims = Seq(CziReader.DimEntry("X", 0, 4, 4), CziReader.DimEntry("Y", 0, 4, 4)),
+      data = new Array[Byte](32), pixelType = CziReader.PixelGray16,
+      compression = 6)))
+    assert(CziReader.tryOpen(conf, compressed).isEmpty)
+  }
+}
