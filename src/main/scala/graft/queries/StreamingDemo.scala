@@ -53,5 +53,29 @@ object StreamingDemo {
               .as("matches_batch"))
           .orderBy("hour_start", "event_type")
       },
+      None),
+
+    // Q50: streaming sessionization via flatMapGroupsWithState — the
+    // custom-state surface (bounded open-session state per user, event-time
+    // timeouts). No SQL oracle (DuckDB has no streaming); every emitted
+    // session is asserted against batch q29's gaps-and-islands twin in
+    // EventStreamSpec; here the emitted sessions are re-joined to the batch
+    // twin so the driver's rows-only check sees the match flags.
+    QueryDef("q50_streaming_sessions",
+      (s, d) => {
+        val replay = replayDirFor(s, d)
+        val sinkTable = s"q50_sink_${System.nanoTime()}"
+        val streamed = graft.streaming.EventStream.sessionized(s, replay, sinkTable)
+        val batch = graft.streaming.EventStream.batchSessions(s, d)
+        streamed.as("s").join(batch.as("b"),
+            col("s.user_id") === col("b.user_id")
+              && col("s.session_start") === col("b.session_start"), "left")
+          .select(col("s.user_id").as("user_id"),
+            col("s.session_start").as("session_start"),
+            col("s.n_events").as("n_events"),
+            (col("b.n_events").isNotNull
+              && col("s.n_events") === col("b.n_events")).as("matches_batch"))
+          .orderBy("user_id", "session_start")
+      },
       None))
 }

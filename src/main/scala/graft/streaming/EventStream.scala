@@ -141,4 +141,112 @@ object EventStream {
       .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  /** An in-flight session of one user: event-time interval (MICROsecond
+    * epochs — event timestamps carry microseconds, and millisecond
+    * truncation would break exact equality with the batch twin) + count. */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** A session emitted once the watermark passed its close. */
+  final case class ClosedSession(
+      user_id: Long, session_start: java.time.Instant, n_events: Long)
+
+  /** Streaming sessionization with CUSTOM state — the
+    * `flatMapGroupsWithState` surface of the declared inventory, for the
+    * session logic `session_window` cannot express (out-of-order interval
+    * merging, per-session payloads, custom close conditions). Per user,
+    * events within `gapMinutes` of a session's interval extend (or bridge)
+    * it; a session closes — and is emitted exactly once, append-mode — when
+    * the event-time watermark passes its last event + gap.
+    *
+    * Scale contract: state per user is the list of still-OPEN sessions
+    * (out-of-order arrivals inside the watermark can briefly hold several),
+    * expired by an EventTimeTimeout, so state is bounded by watermark ×
+    * event rate per user no matter how long the stream runs — the same
+    * bounded-state guarantee as the windowed aggregation, but with
+    * user-defined state. Verified against batch q29's gaps-and-islands twin
+    * in EventStreamSpec.
+    */
+  def sessionized(spark: SparkSession, replayDir: String, sinkTable: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60000000L
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.time.Instant)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.time.Instant)],
+         state: org.apache.spark.sql.streaming.GroupState[List[OpenSession]]) =>
+          var sessions = state.getOption.getOrElse(Nil)
+          rows.foreach { case (_, ts) =>
+            val t = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+            // interval merge: the event extends every session it touches
+            // (and bridges them into one if it lands between two). STRICT
+            // bounds: a gap of exactly `gapMinutes` starts a new session,
+            // matching batch q29's `ts >= prev_ts + INTERVAL 30 MINUTE`
+            val (touch, rest) = sessions.partition(s =>
+              t > s.start - gapUs && t < s.last + gapUs)
+            val merged = touch.foldLeft(OpenSession(t, t, 1L)) { (acc, s) =>
+              OpenSession(math.min(acc.start, s.start),
+                math.max(acc.last, s.last), acc.n + s.n)
+            }
+            sessions = merged :: rest
+          }
+          val horizonUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = sessions.partition(_.last + gapUs <= horizonUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // timeout API is millis; round UP so the timeout never fires
+            // before the session is actually closeable
+            state.setTimeoutTimestamp((open.map(_.last).min + gapUs) / 1000L + 1L)
+          }
+          closed.sortBy(_.start).iterator.map(s =>
+            ClosedSession(user, java.time.Instant.ofEpochSecond(
+              s.start / 1000000L, (s.start % 1000000L) * 1000L), s.n))
+      }
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
+  /** Batch twin of [[sessionized]]: q29's gaps-and-islands sessions keyed
+    * (user_id, session_start, n_events). */
+  def batchSessions(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Q.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(ord))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull
+          || col("ts") >= col("prev_ts") + expr(s"INTERVAL '$gapMinutes' MINUTE"), 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+  }
 }

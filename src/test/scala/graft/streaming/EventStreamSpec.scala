@@ -50,6 +50,32 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState sessions match the batch gaps-and-islands twin") {
+    val spark = TestSpark.spark
+    withTempDir { replay =>
+      EventStream.stageReplay(spark, sfDir, replay, nFiles = 4)
+      val streamed = EventStream.sessionized(spark, replay, "sess1")
+      val batch = EventStream.batchSessions(spark, sfDir)
+      // append mode: every emitted session must exactly equal a batch
+      // session (same user, same start, same event count) — the custom
+      // interval-merge state must not split, merge or miscount any session
+      // it closes
+      val mismatches = streamed.as("s").join(batch.as("b"),
+          col("s.user_id") === col("b.user_id")
+            && col("s.session_start") === col("b.session_start"), "left")
+        .filter(col("b.n_events").isNull
+          || col("s.n_events") =!= col("b.n_events")).count()
+      assert(mismatches == 0)
+      // no session may be emitted twice
+      val n = streamed.count()
+      assert(n == streamed.select("user_id", "session_start").distinct().count())
+      // the watermark must have closed a meaningful share of sessions
+      assert(n > 0, "stream emitted no sessions")
+      assert(n >= batch.count() / 3,
+        s"watermark never advanced: streamed=$n batch=${batch.count()}")
+    }
+  }
+
   test("streaming ingest-dedup removes in-watermark duplicates") {
     val spark = TestSpark.spark
     import spark.implicits._
