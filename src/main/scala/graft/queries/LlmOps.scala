@@ -371,11 +371,14 @@ object LlmOps {
     // corpus scale and the self-join is quadratic — the exact disease q35
     // cured in r3. Buckets <= LshBucketCap join all-pairs; oversized buckets
     // emit anchor(min doc_id)→member star edges (bounded k-1 pairs; recall
-    // caveat in the LshBucketCap scaladoc). Candidate pairs stay narrow (two
-    // longs) through the distinct; simhashes are re-attached by key join
-    // for the hamming filter. Bucket sizing is the same partial-aggregatable
-    // groupBy + oversized-keys left join as q35 — no window, no single-task
-    // hot-bucket buffer.
+    // caveat in the LshBucketCap scaladoc). Unlike q35 — whose signature is
+    // a ~200-byte array that must be re-attached by key join after the
+    // distinct — a simhash is ONE long, so pairs carry both hashes through
+    // the distinct (16 extra bytes/row) and no re-attach join or signature
+    // recompute exists at all. Bucket sizing is the same
+    // partial-aggregatable groupBy + oversized-keys left join as q35 (the
+    // aggregate also carries the anchor's simhash via min_by) — no window,
+    // no single-task hot-bucket buffer.
     QueryDef("q36_simhash",
       (s, d) => {
         // Per-row signature, no shuffle (same rationale as q35): hash each
@@ -395,26 +398,27 @@ object LlmOps {
         val banded = sh.select(col("doc_id"),
             explode(sequence(lit(0), lit(3))).as("byte_idx"),
             col("simhash"))
-          .select(col("doc_id"), col("byte_idx"),
+          .select(col("doc_id"), col("simhash"), col("byte_idx"),
             expr("(simhash >> (byte_idx * 8)) & 255").as("byte_val"))
         val oversized = banded.groupBy(col("byte_idx"), col("byte_val"))
-          .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("anchor"))
+          .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("anchor"),
+            min_by(col("simhash"), col("doc_id")).as("anchor_sh"))
           .filter(col("bkt_n") > LshBucketCap)
-          .select(col("byte_idx"), col("byte_val"), col("anchor"))
+          .select(col("byte_idx"), col("byte_val"), col("anchor"), col("anchor_sh"))
         val sized = banded.join(oversized, Seq("byte_idx", "byte_val"), "left")
         val small = sized.filter(col("anchor").isNull)
-          .select(col("doc_id"), col("byte_idx"), col("byte_val"))
+          .select(col("doc_id"), col("simhash"), col("byte_idx"), col("byte_val"))
         val smallPairs = small.as("x").join(small.as("y"),
             col("x.byte_idx") === col("y.byte_idx")
               && col("x.byte_val") === col("y.byte_val")
               && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("ha"), col("y.simhash").as("hb"))
         val starPairs = sized
           .filter(col("anchor").isNotNull && col("doc_id") =!= col("anchor"))
-          .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+          .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"),
+            col("anchor_sh").as("ha"), col("simhash").as("hb"))
         smallPairs.union(starPairs).distinct()
-          .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
           .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
           .filter(col("hamming") <= 3)
           .select(col("doc_a"), col("doc_b"), col("hamming").cast(IntegerType).as("hamming"))
@@ -435,29 +439,32 @@ object LlmOps {
              |          THEN 1 ELSE -1 END)) > 0
              |      THEN CAST(2 ** b AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
              |  FROM hsrc),
-             |banded AS (SELECT doc_id, b AS byte_idx,
+             |banded AS (SELECT doc_id, simhash, b AS byte_idx,
              |    CAST(simhash // CAST(2 ** (8 * b) AS BIGINT) AS BIGINT) % 256 AS byte_val
              |  FROM sh CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b) bs),
-             |osz AS (SELECT byte_idx, byte_val, MIN(doc_id) AS anchor
+             |osz AS (SELECT byte_idx, byte_val, MIN(doc_id) AS anchor,
+             |    arg_min(simhash, doc_id) AS anchor_sh
              |  FROM banded GROUP BY byte_idx, byte_val
              |  HAVING COUNT(*) > $LshBucketCap),
-             |sized AS (SELECT n.doc_id, n.byte_idx, n.byte_val, o.anchor
+             |sized AS (SELECT n.doc_id, n.simhash, n.byte_idx, n.byte_val,
+             |    o.anchor, o.anchor_sh
              |  FROM banded n LEFT JOIN osz o
              |    ON n.byte_idx = o.byte_idx AND n.byte_val = o.byte_val),
-             |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
-             |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+             |pairs AS (SELECT DISTINCT doc_a, doc_b, ha, hb FROM (
+             |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             |      x.simhash AS ha, y.simhash AS hb
              |    FROM sized x JOIN sized y
              |      ON x.byte_idx = y.byte_idx AND x.byte_val = y.byte_val
              |        AND x.doc_id < y.doc_id
              |    WHERE x.anchor IS NULL AND y.anchor IS NULL
              |    UNION ALL
-             |    SELECT anchor AS doc_a, doc_id AS doc_b
+             |    SELECT anchor AS doc_a, doc_id AS doc_b,
+             |      anchor_sh AS ha, simhash AS hb
              |    FROM sized WHERE anchor IS NOT NULL AND doc_id <> anchor) u)
-             |SELECT p.doc_a, p.doc_b,
-             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-             |FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
-             |             JOIN sh b ON b.doc_id = p.doc_b
-             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+             |SELECT doc_a, doc_b,
+             |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+             |FROM pairs
+             |WHERE bit_count(xor(ha, hb)) <= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Q37 embedding near-dup, blocked on label -----------------------------
