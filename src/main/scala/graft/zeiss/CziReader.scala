@@ -28,12 +28,13 @@ import org.apache.hadoop.fs.Path
   *    part starts at offset max(256, 16 + entry size), then metadata XML,
   *    then the pixel payload (then attachments).
   *
-  * Scope (documented non-goals beyond this): uncompressed Gray8/Gray16
-  * subblocks — real Zeiss light-sheet acquisitions are uint16 and often
-  * uncompressed. JPEG-XR / zstd-compressed subblocks, mosaics with
-  * overlapping tiles, and the XML metadata segment (voxel size lives there)
-  * are not parsed; files this reader cannot handle make `tryOpen` return
-  * None and the caller falls back to the synthetic source at the same seam
+  * Scope (documented non-goals beyond this): uncompressed and
+  * zstd0-compressed Gray8/Gray16 subblocks — real Zeiss light-sheet
+  * acquisitions are uint16. JPEG-XR and zstd1 subblocks (the latter's 1-3
+  * byte header carries a hi-lo-packing flag), mosaics with overlapping
+  * tiles, and the XML metadata segment (voxel size lives there) are not
+  * parsed; files this reader cannot handle make `tryOpen` return None and
+  * the caller falls back to the synthetic source at the same seam
   * (ZeissJob.writeStack) — matching the reference's own tests, which never
   * decode a real CZI either (`tests/test_zeiss_job.py:30-32`).
   */
@@ -68,6 +69,13 @@ object CziReader {
   val PixelGray8 = 0
   val PixelGray16 = 1
   val CompressionNone = 0
+  /** ZISRAW "zstd0": the payload is one raw zstd frame (no extra header —
+    * unlike zstd1/=6, whose 1-3 byte header with the hi-lo-packing flag is
+    * out of scope here). Decompressed size is known from the entry's
+    * dimension extents. */
+  val CompressionZstd0 = 5
+
+  private val Supported = Set(CompressionNone, CompressionZstd0)
 
   private def pixelDtype(pixelType: Int): Option[Dtype] = pixelType match {
     case PixelGray8 => Some(Dtype.UInt8)
@@ -143,7 +151,7 @@ object CziReader {
         case Seq(pt) => pixelDtype(pt).getOrElse(return None)
         case _ => return None // mixed pixel types unsupported
       }
-      if (entries.exists(_.compression != CompressionNone)) return None
+      if (entries.exists(e => !Supported(e.compression))) return None
       // each subblock must be a single (T, C) plane stack — CziSource walks
       // its payload as one dense ZYX box per (t, c)
       if (entries.exists(e => e.size("T") != 1 || e.size("C") != 1)) return None
@@ -156,8 +164,8 @@ object CziReader {
       case scala.util.control.NonFatal(_) => None // not a parseable CZI
     }
 
-  /** Reads one subblock's raw pixel payload (little-endian C-order over the
-    * entry's dimension extents, X fastest). */
+  /** Reads one subblock's pixel payload, decoded to raw little-endian
+    * C-order bytes over the entry's dimension extents (X fastest). */
   def payload(conf: Configuration, path: String, e: SubblockEntry): Array[Byte] = {
     val (id, _, data) = segmentHeader(conf, path, e.filePosition)
     require(id == "ZISRAWSUBBLOCK", s"expected subblock segment, got '$id'")
@@ -166,6 +174,16 @@ object CziReader {
     val dataSize = fixed.getLong(8)
     val entrySize = 32 + 20 * e.dims.size
     val dataOff = math.max(256, 16 + entrySize) + metadataSize
-    readAt(conf, path, data + dataOff, dataSize.toInt)
+    val stored = readAt(conf, path, data + dataOff, dataSize.toInt)
+    e.compression match {
+      case CompressionNone => stored
+      case CompressionZstd0 =>
+        val rawSize = e.dims.map(_.size.toLong).product *
+          pixelDtype(e.pixelType).map(_.itemSize).getOrElse(
+            throw new IllegalArgumentException(s"pixel type ${e.pixelType}"))
+        com.github.luben.zstd.Zstd.decompress(stored, rawSize.toInt)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported compression $other")
+    }
   }
 }

@@ -128,6 +128,51 @@ class CziReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("zstd0-compressed subblocks decode through zstd-jni") {
+    val spark = TestSpark.spark
+    val path = tempCzi("graft-czi-zstd0")
+    val dt = Dtype.UInt16
+    val blocks = (0 until 4).map { z =>
+      val raw = CziFixture.voxelBox(dt, 21L, 0, 0, z, 0, 0, 1, 16, 24)
+      CziFixture.Block(
+        dims = Seq(
+          CziReader.DimEntry("X", 0, 24, 24),
+          CziReader.DimEntry("Y", 0, 16, 16),
+          CziReader.DimEntry("Z", z, 1, 1)),
+        data = com.github.luben.zstd.Zstd.compress(raw, 3),
+        pixelType = CziReader.PixelGray16,
+        compression = CziReader.CompressionZstd0)
+    }
+    CziFixture.write(path, blocks)
+    val info = CziReader.tryOpen(conf, path).get
+    assert(info.shape == Seq(1L, 1L, 4L, 16L, 24L))
+    val grid = ChunkGrid(info.shape, Seq(4, 16, 24), info.dtype.zarrName)
+    val ch = CziSource.chunkTable(spark, info, grid).collect().head
+    var i = 0
+    for (z <- 0 until 4; y <- 0 until 16; x <- 0 until 24) {
+      assert(grid.dtype.read(ch.data, i) == ChunkTable.voxel(21L, 0, 0, z, y, x, grid.dtype))
+      i += 1
+    }
+  }
+
+  test("runJob globs a real CZI next to empty fixtures and converts both") {
+    val spark = TestSpark.spark
+    val in = java.nio.file.Files.createTempDirectory("graft-czi-job-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-czi-job-out").toString
+    writeMosaicFixture(s"$in/real(5).czi", seed = 9L)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(in, "empty.czi"))
+    val settings = ZeissJobSettings(inputSource = in, outputDirectory = out,
+      chunkSize = Seq(16, 16, 16), downsampleLevels = 1)
+    val resp = ZeissJob.runJob(spark, settings)
+    assert(resp.statusCode == 200 && resp.message.contains("Stacks: 2"))
+    // the real CZI decodes; its shape comes from the subblock directory
+    val (gReal, _) = ZarrIO.readLevel(spark, s"$out/real_5.ome.zarr", 0)
+    assert(gReal.shape == Seq(1L, 1L, 4L, 32L, 48L))
+    // the empty file falls back to the synthetic header's default shape
+    val (gSynth, _) = ZarrIO.readLevel(spark, s"$out/empty_0.ome.zarr", 0)
+    assert(gSynth.shape == Seq(1L, 1L, 64L, 96L, 128L))
+  }
+
   test("unsupported or non-CZI files fall back to None (synthetic seam)") {
     val empty = tempCzi("graft-czi-empty")
     java.nio.file.Files.createFile(java.nio.file.Paths.get(empty))
