@@ -22,6 +22,14 @@ object TextSearch {
     */
   val IvfCells = 8
 
+  /** Q48 probe width (FAISS nprobe): the query searches its `IvfProbes`
+    * nearest cells instead of only its own — the standard IVF recall knob
+    * for vectors that land near a cell boundary. Corpus vectors stay
+    * assigned to exactly one cell, so probing N cells scans N/IvfCells of
+    * the corpus and produces no duplicate candidates.
+    */
+  val IvfProbes = 2
+
   /** Marker function-word lists per language (the classic cheap lang-ID
     * heuristic: count hits, argmax with a deterministic tie-break). */
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -161,16 +169,18 @@ object TextSearch {
           .select(col("vec_id").as("cid"), col("embedding").as("ce")))
         // assignment orders by ROUNDED similarity so the argmax is stable
         // against cross-engine double-accumulation ULP drift
-        val assigned = e.crossJoin(centroids)
+        val ranked = e.crossJoin(centroids)
           .withColumn("sim_c", round(expr("cosine_sim(embedding, ce)"), 4))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
               .orderBy(col("sim_c").desc, col("cid"))))
-          .filter(col("rn") === 1)
+        val cells = ranked.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("embedding"))
-        val qcell = assigned.filter(col("vec_id") === 0)
+        // nprobe: the query side expands to its IvfProbes nearest cells;
+        // the (tiny) probe list broadcasts, the corpus is scanned once
+        val qprobe = ranked.filter(col("vec_id") === 0 && col("rn") <= IvfProbes)
           .select(col("cid").as("qcid"), col("embedding").as("qe"))
-        assigned.join(broadcast(qcell), col("cid") === col("qcid"))
+        cells.join(broadcast(qprobe), col("cid") === col("qcid"))
           .filter(col("vec_id") =!= 0)
           .select(col("vec_id"), r4(expr("cosine_sim(embedding, qe)")).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
@@ -184,7 +194,8 @@ object TextSearch {
              |  FROM embeddings e CROSS JOIN embeddings c
              |  WHERE c.vec_id < $IvfCells),
              |cells AS (SELECT vec_id, cid, embedding FROM assigned WHERE rn = 1),
-             |qcell AS (SELECT cid AS qcid, embedding AS qe FROM cells WHERE vec_id = 0)
+             |qcell AS (SELECT cid AS qcid, embedding AS qe FROM assigned
+             |          WHERE vec_id = 0 AND rn <= $IvfProbes)
              |SELECT v.vec_id,
              |  CAST(ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
              |    CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS sim
