@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque BINARY + typed metadata,
   * decode/feature-extract as a partition-wise batch transform.
   *
-  * The actual image/audio codecs are not available in this environment, so
-  * `decodeStub` is a clearly-marked deterministic fake; everything Spark-side
-  * (schema, binary payload handling, partitioning, per-partition batch shape)
-  * is real. At 100TB the binary payloads ride in their own column so column
-  * pruning keeps metadata-only queries from ever reading the bytes.
+  * Decode is REAL for netpbm images (P5/P6 — a public, lib-free binary
+  * format; one third of the media table carries genuine PGM payloads so the
+  * real path is exercised end-to-end); formats that need absent codec
+  * libraries (JPEG, audio, video) go through `decodeStub`, a clearly-marked
+  * deterministic fake. Everything Spark-side (schema, binary payload
+  * handling, partitioning, per-partition batch shape) is real either way.
+  * At 100TB the binary payloads ride in their own column so column pruning
+  * keeps metadata-only queries from ever reading the bytes.
   */
 object Multimodal {
 
@@ -19,12 +22,64 @@ object Multimodal {
   case class MediaFeatures(
       id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int,
-      mean_byte: Double, entropy_bits: Double, sha: String)
+      mean_byte: Double, entropy_bits: Double, sha: String,
+      decoder: String)
 
-  /** STUB decoder: stands in for a real image/audio decode (libs absent).
-    * Deterministic: derives fake dimensions + real byte statistics.
+  /** Minimal REAL netpbm codec (public format: binary PGM "P5" grayscale /
+    * PPM "P6" rgb, maxval <= 255). No external libraries needed, so unlike
+    * the stub below this is a genuine decode: header parse (whitespace +
+    * `#` comments), dimension extraction, raw sample plane. */
+  object Pnm {
+    /** Packs raw bytes into a zero-padded P5 grayscale image, `rowWidth`
+      * pixels wide. */
+    def encodeGray(pixels: Array[Byte], rowWidth: Int = 64): Array[Byte] = {
+      val n = math.max(pixels.length, 1)
+      val w = math.min(n, rowWidth)
+      val h = (n + w - 1) / w
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++
+        java.util.Arrays.copyOf(pixels, w * h)
+    }
+
+    /** (width, height, channels, samples) for a binary P5/P6 payload. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (bytes.length < 2 || bytes(0) != 'P' ||
+        (bytes(1) != '5' && bytes(1) != '6')) return None
+      val channels = if (bytes(1) == '5') 1 else 3
+      var i = 2
+      def nextInt(): Int = {
+        while (i < bytes.length &&
+          (bytes(i).toChar.isWhitespace || bytes(i) == '#')) {
+          if (bytes(i) == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
+          else i += 1
+        }
+        var v = -1
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = math.max(v, 0) * 10 + (bytes(i) - '0'); i += 1
+        }
+        v
+      }
+      val (w, h, maxv) = (nextInt(), nextInt(), nextInt())
+      if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+      i += 1 // exactly one whitespace byte separates maxval from samples
+      val need = w.toLong * h * channels
+      if (i + need > bytes.length) return None
+      Some((w, h, channels, java.util.Arrays.copyOfRange(bytes, i, i + need.toInt)))
+    }
+  }
+
+  /** STUB decoder: stands in for image/audio decodes whose codec libraries
+    * are absent in this environment. Deterministic: derives fake dimensions
+    * + real byte statistics.
     */
   private def decodeStub(bytes: Array[Byte]): (Int, Int, Double, Double) = {
+    val n = bytes.length.max(1)
+    val (mean, entropy) = byteStats(bytes)
+    val width = 16 + (n % 640)   // fake "decoded" dimensions
+    val height = 16 + ((n / 7) % 480)
+    (width, height, mean, entropy)
+  }
+
+  private def byteStats(bytes: Array[Byte]): (Double, Double) = {
     val n = bytes.length.max(1)
     val hist = new Array[Long](256)
     var sum = 0L
@@ -33,9 +88,7 @@ object Multimodal {
     hist.foreach { c =>
       if (c > 0) { val p = c.toDouble / n; entropy -= p * math.log(p) / math.log(2) }
     }
-    val width = 16 + (n % 640)   // fake "decoded" dimensions
-    val height = 16 + ((n / 7) % 480)
-    (width, height, sum.toDouble / n, entropy)
+    (sum.toDouble / n, entropy)
   }
 
   /** Builds a media table from documents (text bytes stand in for payloads)
@@ -46,15 +99,26 @@ object Multimodal {
     val media = mediaTable(spark, dir)
     media.mapPartitions { it =>
       it.map { row =>
-        val (w, h, mean, ent) = decodeStub(row.media)
+        val (w, h, mean, ent, decoder) = Pnm.decode(row.media) match {
+          case Some((pw, ph, _, samples)) =>
+            val (m, e) = byteStats(samples)
+            (pw, ph, m, e, "pnm")
+          case None =>
+            val (sw, sh, m, e) = decodeStub(row.media)
+            (sw, sh, m, e, "stub")
+        }
         val sha = java.security.MessageDigest.getInstance("SHA-256")
           .digest(row.media).take(8).map("%02x".format(_)).mkString
         MediaFeatures(row.id, row.kind, row.media.length, w, h,
-          math.rint(mean * 10000) / 10000, math.rint(ent * 10000) / 10000, sha)
+          math.rint(mean * 10000) / 10000, math.rint(ent * 10000) / 10000, sha,
+          decoder)
       }
     }.toDF().orderBy("id")
   }
 
+  /** Media table from documents: text bytes stand in for payloads; kind-1
+    * rows are wrapped as genuine P5 grayscale images so the REAL decode
+    * path runs end-to-end, kinds 0/2 stay opaque (stub-decoded). */
   def mediaTable(spark: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[MediaRow] = {
     import spark.implicits._
@@ -63,28 +127,46 @@ object Multimodal {
         (col("doc_id") % 3).cast(StringType).as("kind"),
         col("text").cast(BinaryType).as("media"))
       .as[MediaRow]
+      .map(r => if (r.kind == "1") r.copy(media = Pnm.encodeGray(r.media)) else r)
   }
 
   case class ResizedMedia(id: Long, kind: String,
       width: Int, height: Int, out_width: Int, out_height: Int,
       thumb: Array[Byte])
 
-  /** STUB resize: a real implementation would decode + bilinear-resample;
-    * the stub derives the fake decoded dims and emits a deterministic
-    * `out_w x out_h` byte grid sampled from the payload. The Spark-side
-    * contract is the real part: binary in, fixed-size binary out,
-    * partition-wise batches, payload column prunable. */
+  /** Resize: REAL nearest-neighbor grayscale resample for netpbm payloads
+    * (P6 rgb averaged to gray first); payloads needing absent codecs fall
+    * back to a deterministic sampled byte grid. Either way the Spark-side
+    * contract holds: binary in, fixed-size binary out, partition-wise
+    * batches, payload column prunable. */
   def resize(spark: SparkSession, dir: String, outW: Int, outH: Int): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions { it =>
       it.map { row =>
-        val (w, h, _, _) = decodeStub(row.media)
-        val n = row.media.length
-        val thumb =
-          if (n == 0) new Array[Byte](outW * outH) // empty payload -> blank thumb
-          else Array.tabulate[Byte](outW * outH) { i =>
-            row.media((i.toLong * 2654435761L % n).toInt)
-          }
+        val (w, h, thumb) = Pnm.decode(row.media) match {
+          case Some((pw, ph, ch, samples)) =>
+            val gray =
+              if (ch == 1) samples
+              else Array.tabulate[Byte](pw * ph) { i =>
+                (((samples(3 * i) & 0xff) + (samples(3 * i + 1) & 0xff) +
+                  (samples(3 * i + 2) & 0xff)) / 3).toByte
+              }
+            val t = Array.tabulate[Byte](outW * outH) { i =>
+              val (ox, oy) = (i % outW, i / outW)
+              gray(math.min(oy.toLong * ph / outH, ph - 1).toInt * pw +
+                math.min(ox.toLong * pw / outW, pw - 1).toInt)
+            }
+            (pw, ph, t)
+          case None =>
+            val (sw, sh, _, _) = decodeStub(row.media)
+            val n = row.media.length
+            val t =
+              if (n == 0) new Array[Byte](outW * outH) // empty -> blank thumb
+              else Array.tabulate[Byte](outW * outH) { i =>
+                row.media((i.toLong * 2654435761L % n).toInt)
+              }
+            (sw, sh, t)
+        }
         ResizedMedia(row.id, row.kind, w, h, outW, outH, thumb)
       }
     }.toDF()

@@ -23,6 +23,56 @@ class MultimodalSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("kind-1 rows decode through the REAL netpbm path") {
+    val spark = TestSpark.spark
+    val df = Multimodal.features(spark, dir)
+    val byDecoder = df.groupBy("decoder").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // kinds 0/2 are opaque payloads (stub); kind 1 is genuine P5
+    assert(byDecoder.keySet == Set("pnm", "stub"))
+    assert(byDecoder("pnm") > 0)
+    val r = df.filter(col("id") === 1).collect().head // kind 1
+    assert(r.getAs[String]("decoder") == "pnm")
+    assert(r.getAs[Int]("width") == 64) // encodeGray row width
+  }
+
+  test("Pnm codec: encode/decode round-trip, comments, truncation rejected") {
+    val pixels = Array.tabulate[Byte](130)(i => (i * 7).toByte)
+    val img = Multimodal.Pnm.encodeGray(pixels, rowWidth = 64)
+    val Some((w, h, ch, samples)) = Multimodal.Pnm.decode(img)
+    assert((w, h, ch) == (64, 3, 1)) // 130 bytes -> 64x3 zero-padded
+    assert(samples.take(130).toSeq == pixels.toSeq)
+    assert(samples.drop(130).forall(_ == 0))
+    // header comments are skipped per the spec
+    val commented = "P5\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)
+    assert(Multimodal.Pnm.decode(commented).contains((2, 2, 1, Array[Byte](1, 2, 3, 4)))
+      || Multimodal.Pnm.decode(commented).exists(_._4.toSeq == Seq[Byte](1, 2, 3, 4)))
+    // truncated sample plane -> None, not garbage
+    assert(Multimodal.Pnm.decode(img.dropRight(10)).isEmpty)
+    // P6 rgb decodes with 3 channels
+    val rgb = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40, 50, 60)
+    assert(Multimodal.Pnm.decode(rgb).exists { case (w2, h2, c2, s2) =>
+      w2 == 2 && h2 == 1 && c2 == 3 && s2.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60)
+    })
+  }
+
+  test("resize resamples real netpbm images by nearest neighbor") {
+    val spark = TestSpark.spark
+    val df = Multimodal.resize(spark, dir, 8, 6)
+    val r = df.filter(col("id") === 1).collect().head // kind 1 -> real path
+    val media = Multimodal.mediaTable(spark, dir)
+      .filter(_.id == 1L).collect().head.media
+    val Some((pw, ph, _, gray)) = Multimodal.Pnm.decode(media)
+    assert(r.getAs[Int]("width") == pw && r.getAs[Int]("height") == ph)
+    val thumb = r.getAs[Array[Byte]]("thumb")
+    for (oy <- 0 until 6; ox <- 0 until 8) {
+      val want = gray(math.min(oy.toLong * ph / 6, ph - 1).toInt * pw +
+        math.min(ox.toLong * pw / 8, pw - 1).toInt)
+      assert(thumb(oy * 8 + ox) == want, s"thumb ($ox,$oy)")
+    }
+  }
+
   test("resize emits fixed-size thumbs; payload column is prunable") {
     val spark = TestSpark.spark
     val df = Multimodal.resize(spark, dir, 8, 6)
