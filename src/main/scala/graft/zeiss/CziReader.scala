@@ -155,6 +155,11 @@ object CziReader {
       // each subblock must be a single (T, C) plane stack — CziSource walks
       // its payload as one dense ZYX box per (t, c)
       if (entries.exists(e => e.size("T") != 1 || e.size("C") != 1)) return None
+      // size sanity: extents positive and bounded so a corrupt directory
+      // cannot drive giant task-side allocations in `payload`
+      if (entries.exists(e => e.dims.exists(d => d.size <= 0 || d.size > (1 << 24))))
+        return None
+      if (entries.exists(_.filePosition <= 0)) return None
       val origin = DimOrder.map(d => entries.map(_.start(d)).min)
       val shape = DimOrder.zip(origin).map { case (d, o) =>
         entries.map(e => e.start(d) + e.size(d)).max.toLong - o
@@ -174,13 +179,22 @@ object CziReader {
     val dataSize = fixed.getLong(8)
     val entrySize = 32 + 20 * e.dims.size
     val dataOff = math.max(256, 16 + entrySize) + metadataSize
+    val rawSize = e.dims.map(_.size.toLong).product *
+      pixelDtype(e.pixelType).map(_.itemSize).getOrElse(
+        throw new IllegalArgumentException(s"pixel type ${e.pixelType}"))
+    require(rawSize > 0 && rawSize <= Int.MaxValue - 8,
+      s"implausible subblock extent ($rawSize raw bytes)")
+    require(dataSize > 0 && dataSize <= Int.MaxValue - 8,
+      s"implausible dataSize $dataSize")
     val stored = readAt(conf, path, data + dataOff, dataSize.toInt)
     e.compression match {
-      case CompressionNone => stored
+      case CompressionNone =>
+        // a corrupt dataSize must fail loudly, not hand the grid a
+        // wrong-sized voxel box
+        require(stored.length == rawSize,
+          s"uncompressed payload ${stored.length} bytes, extents say $rawSize")
+        stored
       case CompressionZstd0 =>
-        val rawSize = e.dims.map(_.size.toLong).product *
-          pixelDtype(e.pixelType).map(_.itemSize).getOrElse(
-            throw new IllegalArgumentException(s"pixel type ${e.pixelType}"))
         com.github.luben.zstd.Zstd.decompress(stored, rawSize.toInt)
       case other =>
         throw new IllegalArgumentException(s"unsupported compression $other")

@@ -173,6 +173,18 @@ class CziReaderSpec extends AnyFunSuite {
     assert(gSynth.shape == Seq(1L, 1L, 64L, 96L, 128L))
   }
 
+  test("corrupt payload size fails loudly instead of yielding garbage voxels") {
+    val path = tempCzi("graft-czi-corrupt")
+    // dims claim 4x4 Gray16 (32 raw bytes) but the stored payload is 20
+    CziFixture.write(path, Seq(CziFixture.Block(
+      dims = Seq(CziReader.DimEntry("X", 0, 4, 4), CziReader.DimEntry("Y", 0, 4, 4)),
+      data = new Array[Byte](20), pixelType = CziReader.PixelGray16)))
+    val info = CziReader.tryOpen(conf, path).get // directory itself is valid
+    val e = intercept[IllegalArgumentException](
+      CziReader.payload(conf, path, info.entries.head))
+    assert(e.getMessage.contains("extents say 32"))
+  }
+
   test("unsupported or non-CZI files fall back to None (synthetic seam)") {
     val empty = tempCzi("graft-czi-empty")
     java.nio.file.Files.createFile(java.nio.file.Paths.get(empty))
