@@ -54,10 +54,17 @@ class LshScaleSpec extends AnyFunSuite {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val rows = SparkEntry.queries("q35_minhash_lsh")(sp, dir).collect()
+    val df = SparkEntry.queries("q35_minhash_lsh")(sp, dir)
+    val rows = df.collect()
     // the old all-pairs join emits n(n-1)/2 = 4,498,500 pairs here; the
     // star-edge rewrite emits exactly k-1 anchored to MIN(doc_id)=0
     assert(rows.length == n - 1, s"expected ${n - 1} star edges, got ${rows.length}")
+    // bucket sizing must stay a partial-aggregatable groupBy: a window
+    // would route this whole hot bucket through ONE task's buffer (the r3
+    // plan this spec pins against regression)
+    assert(!collectAll(finalized(df)).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "q35 must not size buckets through a window")
     assert(rows.forall(_.getAs[Long]("doc_a") == 0L))
     assert(rows.forall(_.getAs[Double]("est_sim") == 1.0))
     // the global bound the cap guarantees at any scale
@@ -110,7 +117,11 @@ class LshScaleSpec extends AnyFunSuite {
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val rows = SparkEntry.queries("q36_simhash")(sp, dir).collect()
+    val df = SparkEntry.queries("q36_simhash")(sp, dir)
+    val rows = df.collect()
+    assert(!collectAll(finalized(df)).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "q36 must not size buckets through a window")
     val cluster = rows.filter(_.getAs[Long]("doc_a") == 0L)
     assert(cluster.length == n - 1, s"expected ${n - 1} star edges, got ${cluster.length}")
     assert(cluster.forall(_.getAs[Int]("hamming") == 0))
