@@ -42,7 +42,13 @@ final case class ZeissJobSettings(
       * the reference explicitly cost-rejected `da.percentile`
       * (`czi_to_zarr.py:477-481`); our histogram pass makes it affordable
       * (see [[DisplayRange]]). */
-    computeDisplayRange: Boolean = false) {
+    computeDisplayRange: Boolean = false,
+    /** When a file has the ZISRAWFILE magic but the reader cannot decode it
+      * (JPEG-XR, overlapping mosaic, corrupt), fall back to the synthetic
+      * source instead of failing. Default OFF: writing fabricated voxels
+      * under a real stack's name is a data-integrity hazard; opt in only
+      * for rigs that knowingly exercise the synthetic path. */
+    syntheticFallbackForUnsupported: Boolean = false) {
 
   require(numOfPartitions > 0, "num_of_partitions must be > 0")
   require(partitionToProcess >= 0 && partitionToProcess < numOfPartitions,
@@ -106,7 +112,9 @@ object ZeissJobSettings {
       deleteAfterSync = bool("delete_after_sync", true),
       uploadDerivatives = bool("upload_derivatives", false),
       stackParallelism = int("stack_parallelism", 1),
-      computeDisplayRange = bool("compute_display_range", false))
+      computeDisplayRange = bool("compute_display_range", false),
+      syntheticFallbackForUnsupported =
+        bool("synthetic_fallback_for_unsupported", false))
   }
 
   def fromConfigFile(path: String): ZeissJobSettings =
@@ -136,9 +144,20 @@ object ZeissJobSettings {
       deleteAfterSync = get("delete_after_sync").forall(_.toBoolean),
       uploadDerivatives = get("upload_derivatives").exists(_.toBoolean),
       stackParallelism = get("stack_parallelism").map(_.toInt).getOrElse(1),
-      computeDisplayRange = get("compute_display_range").exists(_.toBoolean))
+      computeDisplayRange = get("compute_display_range").exists(_.toBoolean),
+      syntheticFallbackForUnsupported =
+        get("synthetic_fallback_for_unsupported").exists(_.toBoolean))
   }
 }
+
+/** A file with the ZISRAWFILE magic that [[CziReader]] cannot decode.
+  * Thrown (rather than silently substituting synthetic voxels) unless
+  * `synthetic_fallback_for_unsupported` is set. */
+final class UnsupportedCziException(path: String, reason: String)
+  extends RuntimeException(
+    s"$path is a real CZI this reader cannot decode ($reason); refusing to " +
+      "write synthetic voxels in its place — set " +
+      "synthetic_fallback_for_unsupported=true to override")
 
 /** The reference's `JobResponse` analogue (`zeiss_job.py:239-241`). */
 final case class JobResponse(statusCode: Int, message: String, data: Option[String] = None)

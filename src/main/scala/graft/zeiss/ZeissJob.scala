@@ -72,22 +72,35 @@ object ZeissJob {
   /** Convert one stack to an OME-Zarr pyramid. Returns per-level chunk
     * counts. Mirrors `czi_stack_zarr_writer` (`czi_to_zarr.py:389-562`).
     *
-    * Source seam (op 5): a stack that parses as a real uncompressed CZI is
+    * Source seam (op 5): a stack that parses as a real supported CZI is
     * read through [[CziReader]]/[[CziSource]] (shape + dtype from the
-    * subblock directory, the header read of `zeiss_job.py:145-153`); any
-    * other file — including the empty fixtures the reference's own tests
-    * use — falls back to the deterministic synthetic source. Voxel size for
-    * real CZIs defaults to 1 µm (it lives in the XML metadata segment the
-    * minimal reader does not parse). */
+    * subblock directory, voxel size from the metadata segment's Scaling
+    * distances — the header read of `zeiss_job.py:145-153`). A file
+    * without the ZISRAWFILE magic — including the empty fixtures the
+    * reference's own tests use — falls back to the deterministic synthetic
+    * source. A REAL CZI the reader cannot decode (JPEG-XR, overlapping
+    * mosaic, corrupt) fails loudly: silently substituting synthetic voxels
+    * under the real stack's name would be a data-integrity hazard. The
+    * old fallback survives behind `syntheticFallbackForUnsupported`. */
   def writeStack(spark: SparkSession, settings: ZeissJobSettings,
       stackPath: String,
       headerOverride: Option[(Seq[Long], Seq[Double], Long)] = None,
       blockTargetMb: Option[Long] = None): Seq[Long] = {
     val czi: Option[CziReader.CziInfo] =
       if (headerOverride.isDefined) None
-      else CziReader.tryOpen(spark.sparkContext.hadoopConfiguration, stackPath)
+      else CziReader.open(spark.sparkContext.hadoopConfiguration, stackPath) match {
+        case CziReader.Opened(info) => Some(info)
+        case CziReader.NotCzi => None
+        case CziReader.Unsupported(reason) =>
+          if (settings.syntheticFallbackForUnsupported) {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"$stackPath is an unsupported CZI ($reason); writing SYNTHETIC " +
+                "voxels because synthetic_fallback_for_unsupported=true")
+            None
+          } else throw new UnsupportedCziException(stackPath, reason)
+      }
     val (shape, voxelSize, seed) = headerOverride.getOrElse(
-      czi.map(i => (i.shape, Seq(1.0, 1.0, 1.0), 0L))
+      czi.map(i => (i.shape, i.voxelSizeZyx.getOrElse(Seq(1.0, 1.0, 1.0)), 0L))
         .getOrElse(syntheticHeader(stackPath)))
     val imageName = renameStack(new Path(stackPath).getName)
     val groupDir = s"${settings.outputDirectory}/$imageName.ome.zarr"

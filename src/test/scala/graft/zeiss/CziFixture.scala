@@ -42,11 +42,15 @@ object CziFixture {
     buf.array()
   }
 
-  /** Writes the container; returns the subblock file positions. */
-  def write(path: String, blocks: Seq[Block]): Seq[Long] = {
+  /** Writes the container; returns the subblock file positions. An
+    * optional document XML (voxel scaling etc.) lands in a trailing
+    * ZISRAWMETADATA segment whose position goes to file-header data
+    * offset 60 — the field [[CziReader.open]] reads the Scaling from. */
+  def write(path: String, blocks: Seq[Block],
+      metadataXml: Option[String] = None): Seq[Long] = {
     val fhTotal = 32 + 512
     // per-subblock: fixed(16) + entry, padded to 256, + payload (no
-    // metadata XML, no attachments)
+    // per-subblock metadata XML, no attachments)
     val sbUsed = blocks.map { b =>
       math.max(256, 16 + 32 + 20 * b.dims.size) + b.data.length
     }
@@ -54,7 +58,10 @@ object CziFixture {
     val sbPos = sbTotal.scanLeft(fhTotal.toLong)(_ + _)
     val dirPos = sbPos.last
     val dirUsed = 128 + blocks.zip(sbPos).map { case (b, _) => 32 + 20 * b.dims.size }.sum
-    val total = dirPos.toInt + 32 + align32(dirUsed)
+    val xmlBytes = metadataXml.map(_.getBytes("UTF-8"))
+    val metaPos = dirPos.toInt + 32 + align32(dirUsed)
+    val metaUsed = xmlBytes.map(256 + _.length).getOrElse(0)
+    val total = metaPos + xmlBytes.map(_ => 32 + align32(metaUsed)).getOrElse(0)
 
     val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     def segmentHeader(pos: Int, id: String, alloc: Int, used: Int): Unit = {
@@ -69,6 +76,10 @@ object CziFixture {
     out.putInt(1).putInt(0).putInt(0).putInt(0) // major, minor, reserved x2
     out.position(32 + 52)
     out.putLong(dirPos) // SubBlockDirectoryPosition at data offset 52
+    xmlBytes.foreach { _ =>
+      out.position(32 + 60)
+      out.putLong(metaPos.toLong) // MetadataPosition at data offset 60
+    }
 
     blocks.zipWithIndex.foreach { case (b, i) =>
       val pos = sbPos(i).toInt
@@ -89,9 +100,34 @@ object CziFixture {
     out.position(dirPos.toInt + 32 + 128)
     blocks.zipWithIndex.foreach { case (b, i) => out.put(entryBytes(b, sbPos(i))) }
 
+    xmlBytes.foreach { xml =>
+      segmentHeader(metaPos, "ZISRAWMETADATA", align32(metaUsed), metaUsed)
+      out.position(metaPos + 32)
+      out.putInt(xml.length) // xmlSize
+      out.putInt(0) // attachmentSize
+      out.position(metaPos + 32 + 256) // 248 reserved bytes then the XML
+      out.put(xml)
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
     sbPos.init
   }
+
+  /** A minimal ZISRAW metadata document carrying Z/Y/X scaling distances
+    * (meters), shaped like real Zeiss output. */
+  def scalingXml(zMeters: Double, yMeters: Double, xMeters: Double): String =
+    s"""<?xml version="1.0"?>
+       |<ImageDocument>
+       | <Metadata>
+       |  <Scaling>
+       |   <Items>
+       |    <Distance Id="X"><Value>$xMeters</Value><DefaultUnitFormat>µm</DefaultUnitFormat></Distance>
+       |    <Distance Id="Y"><Value>$yMeters</Value><DefaultUnitFormat>µm</DefaultUnitFormat></Distance>
+       |    <Distance Id="Z"><Value>$zMeters</Value><DefaultUnitFormat>µm</DefaultUnitFormat></Distance>
+       |   </Items>
+       |  </Scaling>
+       | </Metadata>
+       |</ImageDocument>""".stripMargin
 
   /** A dense TCZYX box of [[ChunkTable.voxel]] values as subblock bytes. */
   def voxelBox(dt: Dtype, seed: Long, t: Long, c: Long,

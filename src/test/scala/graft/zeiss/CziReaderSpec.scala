@@ -19,7 +19,8 @@ class CziReaderSpec extends AnyFunSuite {
 
   /** 1x1x4x32x48 uint16: per Z plane, two Y-mosaic tiles; dimension starts
     * offset (Z+10, Y+200, X+100) to exercise origin normalization. */
-  private def writeMosaicFixture(path: String, seed: Long): Unit = {
+  private def writeMosaicFixture(path: String, seed: Long,
+      metadataXml: Option[String] = None): Unit = {
     val dt = Dtype.UInt16
     val blocks = for (z <- 0 until 4; ty <- 0 until 2) yield CziFixture.Block(
       dims = Seq(
@@ -30,7 +31,7 @@ class CziReaderSpec extends AnyFunSuite {
         CziReader.DimEntry("T", 0, 1, 1)),
       data = CziFixture.voxelBox(dt, seed, 0, 0, z, ty * 16L, 0, 1, 16, 48),
       pixelType = CziReader.PixelGray16)
-    CziFixture.write(path, blocks)
+    CziFixture.write(path, blocks, metadataXml)
   }
 
   test("raw layout: segment ids and directory position match the spec") {
@@ -185,20 +186,167 @@ class CziReaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("extents say 32"))
   }
 
-  test("unsupported or non-CZI files fall back to None (synthetic seam)") {
+  test("non-CZI files classify as NotCzi (synthetic seam)") {
     val empty = tempCzi("graft-czi-empty")
     java.nio.file.Files.createFile(java.nio.file.Paths.get(empty))
-    assert(CziReader.tryOpen(conf, empty).isEmpty)
+    assert(CziReader.open(conf, empty) == CziReader.NotCzi)
     val garbage = tempCzi("graft-czi-garbage")
     java.nio.file.Files.write(java.nio.file.Paths.get(garbage),
       Array.fill[Byte](1024)(42))
+    assert(CziReader.open(conf, garbage) == CziReader.NotCzi)
     assert(CziReader.tryOpen(conf, garbage).isEmpty)
-    // compressed subblocks are declared out of scope -> None
-    val compressed = tempCzi("graft-czi-zstd")
-    CziFixture.write(compressed, Seq(CziFixture.Block(
+  }
+
+  test("a real CZI with an unsupported codec classifies as Unsupported") {
+    // compression 4 = JPEG-XR: a legitimate ZISRAW container the minimal
+    // reader cannot decode -- must NOT look like "not a CZI"
+    val path = tempCzi("graft-czi-jxr")
+    CziFixture.write(path, Seq(CziFixture.Block(
       dims = Seq(CziReader.DimEntry("X", 0, 4, 4), CziReader.DimEntry("Y", 0, 4, 4)),
       data = new Array[Byte](32), pixelType = CziReader.PixelGray16,
-      compression = 6)))
-    assert(CziReader.tryOpen(conf, compressed).isEmpty)
+      compression = 4)))
+    CziReader.open(conf, path) match {
+      case CziReader.Unsupported(reason) => assert(reason.contains("JPEG-XR"))
+      case other => fail(s"expected Unsupported, got $other")
+    }
+    assert(CziReader.tryOpen(conf, path).isEmpty)
+  }
+
+  test("writeStack fails loudly on an unsupported real CZI; flag restores fallback") {
+    val spark = TestSpark.spark
+    val in = java.nio.file.Files.createTempDirectory("graft-czi-loud-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-czi-loud-out").toString
+    val path = s"$in/real.czi"
+    CziFixture.write(path, Seq(CziFixture.Block(
+      dims = Seq(CziReader.DimEntry("X", 0, 4, 4), CziReader.DimEntry("Y", 0, 4, 4)),
+      data = new Array[Byte](32), pixelType = CziReader.PixelGray16,
+      compression = 4)))
+    val settings = ZeissJobSettings(inputSource = in, outputDirectory = out,
+      chunkSize = Seq(16, 16, 16), downsampleLevels = 1)
+    val e = intercept[UnsupportedCziException](
+      ZeissJob.writeStack(spark, settings, path))
+    assert(e.getMessage.contains("refusing"))
+    // opting in restores the old synthetic-fallback behavior
+    val counts = ZeissJob.writeStack(spark,
+      settings.copy(syntheticFallbackForUnsupported = true), path)
+    assert(counts.nonEmpty)
+    val (g, _) = ZarrIO.readLevel(spark, s"$out/real_0.ome.zarr", 0)
+    assert(g.shape == Seq(1L, 1L, 64L, 96L, 128L)) // synthetic default shape
+  }
+
+  test("voxel size parses from the ZISRAWMETADATA scaling XML (micrometers)") {
+    val path = tempCzi("graft-czi-scale")
+    writeMosaicFixture(path, seed = 9L,
+      metadataXml = Some(CziFixture.scalingXml(2.0e-6, 0.5e-6, 0.75e-6)))
+    val info = CziReader.tryOpen(conf, path).get
+    assert(info.voxelSizeZyx.isDefined)
+    val Seq(vz, vy, vx) = info.voxelSizeZyx.get
+    assert(math.abs(vz - 2.0) < 1e-9 && math.abs(vy - 0.5) < 1e-9 &&
+      math.abs(vx - 0.75) < 1e-9)
+    // absent metadata -> None -> writeStack's 1 um default
+    val bare = tempCzi("graft-czi-noscale")
+    writeMosaicFixture(bare, seed = 9L)
+    assert(CziReader.tryOpen(conf, bare).get.voxelSizeZyx.isEmpty)
+  }
+
+  test("writeStack feeds the CZI voxel size into the OME scale transforms") {
+    val spark = TestSpark.spark
+    val path = tempCzi("graft-czi-scale-e2e")
+    writeMosaicFixture(path, seed = 9L,
+      metadataXml = Some(CziFixture.scalingXml(2.0e-6, 0.5e-6, 0.75e-6)))
+    val out = java.nio.file.Files.createTempDirectory("graft-czi-scale-out").toString
+    val settings = ZeissJobSettings(inputSource = "/nonexistent",
+      outputDirectory = out, chunkSize = Seq(16, 16, 16), downsampleLevels = 2)
+    ZeissJob.writeStack(spark, settings, path)
+    val zattrs = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/stack_0.ome.zarr/.zattrs")), "UTF-8")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(zattrs)
+    val datasets = root.get("multiscales").get(0).get("datasets")
+    def scaleOf(lvl: Int): Seq[Double] = {
+      val s = datasets.get(lvl).get("coordinateTransformations").get(0).get("scale")
+      (0 until s.size).map(i => s.get(i).asDouble)
+    }
+    assert(scaleOf(0) == Seq(1.0, 1.0, 2.0, 0.5, 0.75))
+    assert(scaleOf(1) == Seq(1.0, 1.0, 4.0, 1.0, 1.5)) // x2 per level
+  }
+
+  test("zstd1 subblocks decode, with and without hi-lo byte packing") {
+    val spark = TestSpark.spark
+    val dt = Dtype.UInt16
+    val raw = CziFixture.voxelBox(dt, 33L, 0, 0, 0, 0, 0, 2, 8, 12)
+    def block(payload: Array[Byte]) = CziFixture.Block(
+      dims = Seq(
+        CziReader.DimEntry("X", 0, 12, 12),
+        CziReader.DimEntry("Y", 0, 8, 8),
+        CziReader.DimEntry("Z", 0, 2, 2)),
+      data = payload, pixelType = CziReader.PixelGray16,
+      compression = CziReader.CompressionZstd1)
+    def verify(path: String): Unit = {
+      val info = CziReader.tryOpen(conf, path).get
+      assert(info.shape == Seq(1L, 1L, 2L, 8L, 12L))
+      val grid = ChunkGrid(info.shape, Seq(2, 8, 12), info.dtype.zarrName)
+      val ch = CziSource.chunkTable(spark, info, grid).collect().head
+      var i = 0
+      for (z <- 0 until 2; y <- 0 until 8; x <- 0 until 12) {
+        assert(grid.dtype.read(ch.data, i) ==
+          ChunkTable.voxel(33L, 0, 0, z, y, x, grid.dtype), s"($z,$y,$x)")
+        i += 1
+      }
+    }
+    // size-1 header: [0x01] ++ zstd(raw)
+    val plain = tempCzi("graft-czi-zstd1")
+    CziFixture.write(plain, Seq(block(
+      Array[Byte](1) ++ com.github.luben.zstd.Zstd.compress(raw, 3))))
+    verify(plain)
+    // size-3 header with the hi-lo bit: low-byte plane then high-byte plane
+    val n = raw.length / 2
+    val packed = new Array[Byte](raw.length)
+    (0 until n).foreach { i =>
+      packed(i) = raw(2 * i)
+      packed(n + i) = raw(2 * i + 1)
+    }
+    val hilo = tempCzi("graft-czi-zstd1-hilo")
+    CziFixture.write(hilo, Seq(block(
+      Array[Byte](3, 1, 1) ++ com.github.luben.zstd.Zstd.compress(packed, 3))))
+    verify(hilo)
+  }
+
+  test("overlapping or non-covering mosaics classify as Unsupported") {
+    val dt = Dtype.UInt16
+    def tile(y0: Int, ey: Int) = CziFixture.Block(
+      dims = Seq(
+        CziReader.DimEntry("X", 0, 8, 8),
+        CziReader.DimEntry("Y", y0, ey, ey),
+        CziReader.DimEntry("Z", 0, 1, 1)),
+      data = CziFixture.voxelBox(dt, 5L, 0, 0, 0, y0, 0, 1, ey, 8),
+      pixelType = CziReader.PixelGray16)
+    // tiles [0,10) and [8,16): 2-row overlap -- nondeterministic reassembly
+    val overlapping = tempCzi("graft-czi-overlap")
+    CziFixture.write(overlapping, Seq(tile(0, 10), tile(8, 8)))
+    CziReader.open(conf, overlapping) match {
+      case CziReader.Unsupported(reason) => assert(reason.contains("overlap"))
+      case other => fail(s"expected Unsupported, got $other")
+    }
+    // tiles [0,4) and [12,16): gap -- silently zero-filled before this check
+    val gapped = tempCzi("graft-czi-gap")
+    CziFixture.write(gapped, Seq(tile(0, 4), tile(12, 4)))
+    CziReader.open(conf, gapped) match {
+      case CziReader.Unsupported(reason) => assert(reason.contains("cover"))
+      case other => fail(s"expected Unsupported, got $other")
+    }
+  }
+
+  test("corrupt zstd frame fails loudly (truncated decode detected)") {
+    val path = tempCzi("graft-czi-zstd-trunc")
+    // frame decodes to 8 bytes but the extents demand 32
+    val shortFrame = com.github.luben.zstd.Zstd.compress(new Array[Byte](8), 3)
+    CziFixture.write(path, Seq(CziFixture.Block(
+      dims = Seq(CziReader.DimEntry("X", 0, 4, 4), CziReader.DimEntry("Y", 0, 4, 4)),
+      data = shortFrame, pixelType = CziReader.PixelGray16,
+      compression = CziReader.CompressionZstd0)))
+    val info = CziReader.tryOpen(conf, path).get
+    val e = intercept[Exception](CziReader.payload(conf, path, info.entries.head))
+    assert(e.getMessage.contains("extents say 32") ||
+      e.getMessage.toLowerCase.contains("zstd"))
   }
 }
