@@ -41,6 +41,10 @@ object Bench {
     }
     Q.events(spark, sfDir).schema
     materialize("q20_topk")
+    // streaming replay rig staged here, NOT lazily inside the first q33/q50
+    // run: a single-run harness would otherwise bill ~10s of staging to the
+    // query (min-of-N only hides it when N > 1)
+    graft.queries.StreamingDemo.ensureStaged(spark, sfDir)
 
     // a failed query is reported as -1, never as a plausible duration —
     // a regression must not read as a speedup. Each query is timed over

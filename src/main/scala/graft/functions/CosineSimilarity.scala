@@ -141,11 +141,23 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Session registration for graft's native SQL functions. Idempotent. */
 object GraftFunctions {
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a literal INT plane count, got ${other.sql}")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_projs",
+      exprs => HyperplaneProjections(exprs(0), litInt(exprs(1), "hyperplane_projs")),
+      "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_bucket",
+      exprs => HyperplaneBucket(exprs(0), litInt(exprs(1), "hyperplane_bucket")),
+      "built-in")
   }
 }

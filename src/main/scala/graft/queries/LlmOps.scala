@@ -97,29 +97,22 @@ object LlmOps {
     */
   val AnnProbePlanes = 3
 
-  /** Per-plane signed projections of `emb` onto `nBits` deterministic
-    * pseudo-random ±1 hyperplanes, as an ARRAY<DOUBLE>. Signs come from a
-    * pure integer mixing formula so the DuckDB twin is exact.
+  /** Signed projections onto `nBits` deterministic pseudo-random ±1
+    * hyperplanes, and their packed sign-bit bucket, live in the codegen
+    * expressions `hyperplane_projs` / `hyperplane_bucket`
+    * ([[graft.functions.Hyperplane]]): ONE pass over the embedding for all
+    * planes — the r3/r4 Column-function version folded the array once per
+    * plane, nBits sequential traversals in the 100TB hot loop. Signs come
+    * from a pure integer mixing formula so the DuckDB twin is exact.
     */
-  private[queries] def hyperplaneProjs(emb: Column, nBits: Int): Column =
-    array((0 until nBits).map { p =>
-      aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (v, i) => v.cast(DoubleType) *
-            when(pmod(i * 2654435761L + lit(p) * 40503L, lit(97)) < 48, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
 
-  /** Sign bits of a [[hyperplaneProjs]] array packed into a BIGINT bucket. */
+  /** Sign bits of a `hyperplane_projs` array packed into a BIGINT bucket
+    * (query-side use, where the projection array is also needed for
+    * multi-probe plane ranking; corpus rows use `hyperplane_bucket`). */
   private[queries] def bucketFromProjs(projs: Column, nBits: Int): Column =
     (0 until nBits).map { p =>
       when(element_at(projs, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-
-  /** nBits-hyperplane LSH bucket (shared by q41 ANN and q37's
-    * oversized-label path). */
-  private[queries] def hyperplaneBucket(emb: Column, nBits: Int): Column =
-    bucketFromProjs(hyperplaneProjs(emb, nBits), nBits)
 
   /** Oracle twin of [[hyperplaneBucket]] over a column named `embedding`. */
   private def hyperplaneBucketSql(nBits: Int): String =
@@ -475,15 +468,19 @@ object LlmOps {
     // quadratic. (The label count fits a window here: labels are a bounded
     // categorical domain, so a "hot" window partition is the whole corpus
     // only if one label is — which is exactly what the bucket split fixes.)
+    // The bucket is computed on the oversized branch ONLY (r5): hashing
+    // every row paid nBits of per-row work that the common all-small case
+    // never used.
     QueryDef("q37_embedding_neardup",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"))
           .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"))))
-          .withColumn("bucket", hyperplaneBucket(col("embedding"), EmbedBucketBits))
         val small = e.filter(col("n") <= EmbedBlockCap)
         val big = e.filter(col("n") > EmbedBlockCap)
+          .withColumn("bucket",
+            expr(s"hyperplane_bucket(embedding, $EmbedBucketBits)"))
         val proj = (j: DataFrame) => j.select(
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.embedding").as("ea"), col("b.embedding").as("eb"))
@@ -499,20 +496,21 @@ object LlmOps {
           .orderBy("vec_a", "vec_b")
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding,
-             |    COUNT(*) OVER (PARTITION BY label) AS n,
-             |    $HYPERPLANE_BUCKET_SQL AS bucket
+             |    COUNT(*) OVER (PARTITION BY label) AS n
              |  FROM embeddings),
+             |big AS (SELECT vec_id, label, embedding,
+             |    $HYPERPLANE_BUCKET_SQL AS bucket
+             |  FROM e WHERE n > $EmbedBlockCap),
              |cand AS (
              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              |    a.embedding AS ea, b.embedding AS eb
              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-             |  WHERE a.n <= $EmbedBlockCap
+             |  WHERE a.n <= $EmbedBlockCap AND b.n <= $EmbedBlockCap
              |  UNION ALL
              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              |    a.embedding AS ea, b.embedding AS eb
-             |  FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
-             |    AND a.vec_id < b.vec_id
-             |  WHERE a.n > $EmbedBlockCap)
+             |  FROM big a JOIN big b ON a.label = b.label AND a.bucket = b.bucket
+             |    AND a.vec_id < b.vec_id)
              |SELECT vec_a, vec_b,
              | CAST(ROUND(list_cosine_similarity(
              |   CAST(ea AS DOUBLE[]), CAST(eb AS DOUBLE[])), 4) AS DOUBLE) AS sim
@@ -598,8 +596,10 @@ object LlmOps {
         graft.functions.GraftFunctions.register(s)
         val nb = AnnBits
         val nProbe = 1 << AnnProbePlanes
+        // corpus hashing is the scan-dominant cost: one codegen pass
+        // computes all nb projections + the packed bucket per row
         val bucketed = t(s, d, "embeddings")
-          .withColumn("bucket", hyperplaneBucket(col("embedding"), nb))
+          .withColumn("bucket", expr(s"hyperplane_bucket(embedding, $nb)"))
         // lowest-|projection| plane indices, rank-ordered: sort (|proj|, p)
         // structs lexicographically — deterministic, identical in DuckDB
         val ranked = array_sort(transform(sequence(lit(0), lit(nb - 1)),
@@ -610,7 +610,7 @@ object LlmOps {
             .otherwise(lit(0L))
         }.reduce(_ + _)
         val probes = t(s, d, "embeddings").filter(col("vec_id") === 0)
-          .withColumn("projs", hyperplaneProjs(col("embedding"), nb))
+          .withColumn("projs", expr(s"hyperplane_projs(embedding, $nb)"))
           .withColumn("qb", bucketFromProjs(col("projs"), nb))
           .withColumn("flips",
             slice(transform(ranked, x => x.getField("i")), 1, AnnProbePlanes))

@@ -31,6 +31,15 @@ object StreamingDemo {
       replay
     })
 
+  /** Eagerly stages the replay rig (idempotent). Bench calls this from its
+    * warmup so even a single-run harness times only the stream — lazy
+    * staging inside the first q33/q50 invocation billed ~10 s of rig to
+    * whichever ran first. */
+  def ensureStaged(s: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    replayDirFor(s, sfDir)
+    ()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_streaming_tumbling",
       (s, d) => {

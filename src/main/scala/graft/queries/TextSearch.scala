@@ -156,29 +156,42 @@ object TextSearch {
              |FROM w ORDER BY doc_id""".stripMargin)),
 
     // Q48 IVF similarity search (scale path beside q41's LSH buckets) ------
-    // "Coarse quantizer": the first IvfCells vectors act as centroids (see
-    // the IvfCells scaladoc for production sqrt(n) sizing); every vector
-    // joins its nearest centroid (broadcast: the centroid table is tiny by
-    // construction); the query searches only its own cell -> 1/IvfCells of
-    // the corpus scanned.
+    // Coarse quantizer trained with one deterministic Lloyd step (r5): the
+    // first IvfCells vectors seed the cells, every vector is assigned to
+    // its nearest seed, each cell's refined centroid is the element-wise
+    // mean of its members (rounded to 6 decimals — absorbs partial-agg
+    // sum-order ULP drift — and narrowed to float like a stored centroid),
+    // then the final assignment runs against the refined centroids. The
+    // centroid table stays broadcast-able (see the IvfCells scaladoc); the
+    // query searches its IvfProbes nearest refined cells -> IvfProbes /
+    // IvfCells of the corpus scanned.
     QueryDef("q48_ann_ivf",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val e = t(s, d, "embeddings")
-        val centroids = broadcast(e.filter(col("vec_id") < IvfCells)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
         // assignment orders by ROUNDED similarity so the argmax is stable
         // against cross-engine double-accumulation ULP drift
-        val ranked = e.crossJoin(centroids)
+        def nearest(cents: DataFrame): DataFrame = e.crossJoin(cents)
           .withColumn("sim_c", round(expr("cosine_sim(embedding, ce)"), 4))
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
               .orderBy(col("sim_c").desc, col("cid"))))
-        val cells = ranked.filter(col("rn") === 1)
+        val seeds = broadcast(e.filter(col("vec_id") < IvfCells)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+        val seedCells = nearest(seeds).filter(col("rn") === 1)
+          .select(col("cid"), col("embedding"))
+        val refined = broadcast(seedCells
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
+          .groupBy("cid").agg(
+            transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+              x => x.getField("cv").cast(FloatType)).as("ce")))
+        val assigned = nearest(refined)
+        val cells = assigned.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("embedding"))
         // nprobe: the query side expands to its IvfProbes nearest cells;
         // the (tiny) probe list broadcasts, the corpus is scanned once
-        val qprobe = ranked.filter(col("vec_id") === 0 && col("rn") <= IvfProbes)
+        val qprobe = assigned.filter(col("vec_id") === 0 && col("rn") <= IvfProbes)
           .select(col("cid").as("qcid"), col("embedding").as("qe"))
         cells.join(broadcast(qprobe), col("cid") === col("qcid"))
           .filter(col("vec_id") =!= 0)
@@ -186,13 +199,28 @@ object TextSearch {
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
-      Some(s"""WITH assigned AS (
-             |  SELECT e.vec_id, c.vec_id AS cid, e.embedding,
+      Some(s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce
+             |    FROM embeddings WHERE vec_id < $IvfCells),
+             |a0 AS (SELECT vec_id, cid, embedding FROM (
+             |    SELECT e.vec_id, s.cid, e.embedding,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |          CAST(s.ce AS DOUBLE[])), 4) DESC, s.cid) AS rn
+             |    FROM embeddings e CROSS JOIN seeds s) x WHERE rn = 1),
+             |pieces AS (SELECT cid,
+             |    unnest(generate_series(1, len(embedding))) AS pos,
+             |    unnest(CAST(embedding AS DOUBLE[])) AS v
+             |  FROM a0),
+             |means AS (SELECT cid, pos, ROUND(AVG(v), 6) AS cv
+             |  FROM pieces GROUP BY cid, pos),
+             |refined AS (SELECT cid, CAST(list(cv ORDER BY pos) AS FLOAT[]) AS ce
+             |  FROM means GROUP BY cid),
+             |assigned AS (
+             |  SELECT e.vec_id, r.cid, e.embedding,
              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
              |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             |        CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rn
-             |  FROM embeddings e CROSS JOIN embeddings c
-             |  WHERE c.vec_id < $IvfCells),
+             |        CAST(r.ce AS DOUBLE[])), 4) DESC, r.cid) AS rn
+             |  FROM embeddings e CROSS JOIN refined r),
              |cells AS (SELECT vec_id, cid, embedding FROM assigned WHERE rn = 1),
              |qcell AS (SELECT cid AS qcid, embedding AS qe FROM assigned
              |          WHERE vec_id = 0 AND rn <= $IvfProbes)
