@@ -118,16 +118,24 @@ object Multimodal {
 
   /** Media table from documents: text bytes stand in for payloads; kind-1
     * rows are wrapped as genuine P5 grayscale images so the REAL decode
-    * path runs end-to-end, kinds 0/2 stay opaque (stub-decoded). */
+    * path runs end-to-end, kinds 0/2 stay opaque (stub-decoded).
+    *
+    * The wrap is a Column expression (a UDF confined to the `media`
+    * column), NOT a typed `.map`: a Dataset map would force whole-row
+    * deserialization for every downstream query, and Catalyst could no
+    * longer prune the payload out of metadata-only plans — the pruning
+    * contract this object's scaladoc promises (spec-asserted against the
+    * scan's ReadSchema). */
   def mediaTable(spark: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[MediaRow] = {
     import spark.implicits._
+    val wrapP5 = udf((bytes: Array[Byte]) => Pnm.encodeGray(bytes))
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("id"),
         (col("doc_id") % 3).cast(StringType).as("kind"),
-        col("text").cast(BinaryType).as("media"))
+        when(col("doc_id") % 3 === 1, wrapP5(col("text").cast(BinaryType)))
+          .otherwise(col("text").cast(BinaryType)).as("media"))
       .as[MediaRow]
-      .map(r => if (r.kind == "1") r.copy(media = Pnm.encodeGray(r.media)) else r)
   }
 
   case class ResizedMedia(id: Long, kind: String,

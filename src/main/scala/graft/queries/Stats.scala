@@ -101,6 +101,18 @@ object Stats {
     // Q46 typed Aggregator: weighted percentile over event values ---------
     // oracle: the same "smallest v whose cumulative weight reaches
     // p * total" rule as explicit window SQL
+    //
+    // EXACTNESS PRECONDITION for the hash-match oracle: the aggregator's
+    // buffer stays exact up to 2*8192 distinct values per partial buffer
+    // and compresses to equi-depth centroids beyond (WeightedPercentile
+    // scaladoc has the error analysis) — past that crossover the result is
+    // approximate (centroid values need not be data values) and this
+    // oracle would have to become rows-only with a tolerance spec, like
+    // q44b. The events table holds <10k distinct values per event_type
+    // TOTAL at sf0.1 (so even a single-partition partial buffer stays
+    // under the 16384 crossover with ~1.6x headroom; compression behavior
+    // beyond it is spec-pinned in WeightedPercentileSpec), so the exact
+    // path is what ships here.
     QueryDef("q46_weighted_percentile",
       (s, d) => {
         import s.implicits._

@@ -84,6 +84,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.length == 3 && meta.head.length == 3)
   }
 
+  test("mediaTable keeps the payload column prunable (plan-level)") {
+    val spark = TestSpark.spark
+    // metadata-only query: the parquet scan must not read `text` at all —
+    // this is the plan property the P5 wrap would break if it were a typed
+    // .map (whole-row deserialization) instead of a Column expression
+    val meta = Multimodal.mediaTable(spark, dir).select("id", "kind")
+    val plan = meta.queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("doc_id"), s"no parquet scan found in:\n$plan")
+    assert(!readSchema.contains("text"),
+      s"metadata-only query still reads the payload: $readSchema")
+    assert(meta.limit(3).collect().length == 3)
+  }
+
   test("sampleFrames explodes every stride-th frame with time offsets") {
     val spark = TestSpark.spark
     val df = Multimodal.sampleFrames(spark, dir, nFrames = 16, stride = 4)
