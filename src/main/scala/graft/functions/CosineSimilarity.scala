@@ -159,5 +159,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hyperplane_bucket",
       exprs => HyperplaneBucket(exprs(0), litInt(exprs(1), "hyperplane_bucket")),
       "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinhashSignature(exprs(0), litInt(exprs(1), "minhash_sig")),
+      "built-in")
+    reg.createOrReplaceTempFunction("simhash32",
+      exprs => Simhash32(exprs(0)), "built-in")
   }
 }

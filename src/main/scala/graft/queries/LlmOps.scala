@@ -43,19 +43,20 @@ object LlmOps {
   val LshBucketCap = 64
 
   /** Per-row 12-hash MinHash signature (see q35 notes): one md5 per distinct
-    * token, hash family = 16-char rotations of the digest, single
-    * `aggregate` fold so each token is hashed exactly once. Zero shuffle.
+    * token, hash family = 16-char rotations of the digest. Zero shuffle.
+    * r5: the `minhash_sig` codegen expression
+    * ([[graft.functions.TextSketch]]) computes all 12 minima in one pass
+    * with no intermediate rotation strings — the Column-composed fold
+    * (array_distinct -> md5 -> 12 substr windows -> zip_with least per
+    * token) allocated ~13 strings per token on the corpus-scan hot path.
+    * Arithmetic is declared bit-identical (TextSketchSpec pins it against
+    * the old fold and the oracle's list_transform twin).
     */
-  private def minhashSig(s: SparkSession, d: String): DataFrame =
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     docsWithTokens(s, d)
-      .select(col("doc_id"),
-        aggregate(
-          transform(array_distinct(col("toks")), tok => md5(tok)),
-          array_repeat(lit("g"), 12),
-          (acc, h) => zip_with(acc,
-            transform(sequence(lit(0), lit(11)),
-              j => concat(h, h).substr(j + 1, lit(16))),
-            (a, r) => least(a, r))).as("sigl"))
+      .select(col("doc_id"), expr("minhash_sig(toks, 12)").as("sigl"))
+  }
 
   /** 3 bands x 4 rows over the minhash signature: (doc_id, b, bv). */
   private def minhashBands(sig: DataFrame): DataFrame =
@@ -374,20 +375,14 @@ object LlmOps {
     // no single-task hot-bucket buffer.
     QueryDef("q36_simhash",
       (s, d) => {
-        // Per-row signature, no shuffle (same rationale as q35): hash each
-        // distinct token once, then 32 codegen'd array passes accumulate the
-        // per-bit +-1 weights into the simhash.
-        val simhash = (0 until 32).map { bit =>
-          val wt = aggregate(col("hs"), lit(0),
-            (acc, h) => acc +
-              when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
-          when(wt > 0, lit(1L << bit)).otherwise(lit(0L))
-        }.reduce(_ + _)
+        // Per-row signature, no shuffle (same rationale as q35): each
+        // distinct token md5'd once, all 32 bit-counts accumulated in one
+        // codegen pass (r5 `simhash32` expression; the 32 sequential
+        // bit-fold passes it replaced are pinned bit-identical in
+        // TextSketchSpec).
+        graft.functions.GraftFunctions.register(s)
         val sh = docsWithTokens(s, d)
-          .select(col("doc_id"),
-            transform(array_distinct(col("toks")),
-              tok => conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)).as("hs"))
-          .select(col("doc_id"), simhash.as("simhash"))
+          .select(col("doc_id"), expr("simhash32(toks)").as("simhash"))
         val banded = sh.select(col("doc_id"),
             explode(sequence(lit(0), lit(3))).as("byte_idx"),
             col("simhash"))
