@@ -65,6 +65,29 @@ object LlmOps {
       .select(col("doc_id"), col("b"),
         md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))).as("bv"))
 
+  /** The bounded LSH candidate-pair stream shared by q35 (est_sim attach)
+    * and q51 (connected components): band join with the partial-aggregatable
+    * bucket sizing and the star-edge cap — see the q35 scaladoc for the
+    * full scale rationale. Narrow (doc_a, doc_b) distinct pairs. */
+  private def minhashCandidatePairs(sig: DataFrame): DataFrame = {
+    val bands = minhashBands(sig)
+    val oversized = bands.groupBy(col("b"), col("bv"))
+      .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("anchor"))
+      .filter(col("bkt_n") > LshBucketCap)
+      .select(col("b"), col("bv"), col("anchor"))
+    val sized = bands.join(oversized, Seq("b", "bv"), "left")
+    val small = sized.filter(col("anchor").isNull)
+      .select(col("doc_id"), col("b"), col("bv"))
+    val smallPairs = small.as("x").join(small.as("y"),
+        col("x.b") === col("y.b") && col("x.bv") === col("y.bv")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val starPairs = sized
+      .filter(col("anchor").isNotNull && col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+    smallPairs.union(starPairs).distinct()
+  }
+
   /** Q37 label-block cap: labels with more members than this stop doing
     * exact all-pairs cosine (O(k²) per block — quadratic on a dominant
     * label) and instead require hyperplane-bucket equality in addition to
@@ -139,6 +162,22 @@ object LlmOps {
       |bands AS (SELECT doc_id, b,
       |    md5(array_to_string(sigl[4*b+1:4*b+4], '|')) AS bv
       |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS b) bs)""".stripMargin
+
+  /** Oracle twin of [[minhashCandidatePairs]] (CTEs `sized` + `pairs`),
+    * appended after [[MINHASH_BANDS_SQL]]. */
+  private val MINHASH_PAIRS_SQL: String =
+    s"""sized AS (SELECT doc_id, b, bv,
+      |    COUNT(*) OVER (PARTITION BY b, bv) AS bkt_n,
+      |    MIN(doc_id) OVER (PARTITION BY b, bv) AS anchor
+      |  FROM bands),
+      |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+      |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |    FROM sized x JOIN sized y
+      |      ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+      |    WHERE x.bkt_n <= $LshBucketCap AND y.bkt_n <= $LshBucketCap
+      |    UNION ALL
+      |    SELECT anchor AS doc_a, doc_id AS doc_b
+      |    FROM sized WHERE bkt_n > $LshBucketCap AND doc_id <> anchor) u)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -271,22 +310,7 @@ object LlmOps {
         // signature arrays through the pair stream is what made the naive
         // plan O(pairs x signature) instead of O(pairs). The distinct
         // doubles as the rebalancing exchange.
-        val bands = minhashBands(sig)
-        val oversized = bands.groupBy(col("b"), col("bv"))
-          .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("anchor"))
-          .filter(col("bkt_n") > LshBucketCap)
-          .select(col("b"), col("bv"), col("anchor"))
-        val sized = bands.join(oversized, Seq("b", "bv"), "left")
-        val small = sized.filter(col("anchor").isNull)
-          .select(col("doc_id"), col("b"), col("bv"))
-        val smallPairs = small.as("x").join(small.as("y"),
-            col("x.b") === col("y.b") && col("x.bv") === col("y.bv")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        val starPairs = sized
-          .filter(col("anchor").isNotNull && col("doc_id") =!= col("anchor"))
-          .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
-        val pairs = smallPairs.union(starPairs).distinct()
+        val pairs = minhashCandidatePairs(sig)
         pairs
           .join(sig.select(col("doc_id").as("doc_a"), col("sigl").as("siga")), "doc_a")
           .join(sig.select(col("doc_id").as("doc_b"), col("sigl").as("sigb")), "doc_b")
@@ -297,18 +321,7 @@ object LlmOps {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $MINHASH_BANDS_SQL,
-             |sized AS (SELECT doc_id, b, bv,
-             |    COUNT(*) OVER (PARTITION BY b, bv) AS bkt_n,
-             |    MIN(doc_id) OVER (PARTITION BY b, bv) AS anchor
-             |  FROM bands),
-             |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
-             |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-             |    FROM sized x JOIN sized y
-             |      ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
-             |    WHERE x.bkt_n <= $LshBucketCap AND y.bkt_n <= $LshBucketCap
-             |    UNION ALL
-             |    SELECT anchor AS doc_a, doc_id AS doc_b
-             |    FROM sized WHERE bkt_n > $LshBucketCap AND doc_id <> anchor) u)
+             |$MINHASH_PAIRS_SQL
              |SELECT p.doc_a, p.doc_b,
              |  CAST(ROUND(CAST(list_sum(list_transform(generate_series(1, 12),
              |      i -> CASE WHEN a.sigl[i] = b.sigl[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 12,
@@ -656,6 +669,137 @@ object LlmOps {
     // Q42 multimodal plumbing: opaque binary media + stubbed decode --------
     QueryDef("q42_multimodal_features",
       (s, d) => graft.operators.Multimodal.features(s, d),
-      None)
+      None),
+
+    // Q51 near-dup connected components (r5) -------------------------------
+    // The step every dedup campaign ends with: candidate pairs -> connected
+    // components -> canonical doc (MIN id) per component. Components are
+    // computed over the UNthresholded q35 candidate stream — exactly the
+    // case where the star-edge cap provably preserves connectivity (see the
+    // LshBucketCap scaladoc).
+    //
+    // Spark-first shape: iterative min-label propagation. Each round every
+    // doc takes the minimum label among itself and its neighbors (one join
+    // + one partial-aggregatable groupBy — no windows, no driver-side
+    // graph); localCheckpoint() truncates lineage per round (SURVEY §2A
+    // op 21's barrier pattern applied to iteration); rounds ~ the graph
+    // diameter, which the star-edge rewrite keeps small (anchors make hot
+    // clusters depth-2). The fixpoint test compares the monotonically
+    // decreasing label sum as DECIMAL(38,0) — exact at any corpus size.
+    // The DuckDB oracle computes the same fixpoint as a recursive-CTE
+    // transitive closure (fine at oracle SF; the iterative form is the one
+    // that scales).
+    QueryDef("q51_neardup_components",
+      (s, d) => {
+        val pairs = minhashCandidatePairs(minhashSig(s, d))
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint() // materialized once; every round re-reads it
+        var labels = t(s, d, "documents")
+          .select(col("doc_id"), col("doc_id").as("comp"))
+          .localCheckpoint()
+        def labelSum(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head()
+            .getDecimal(0)
+        var before = labelSum(labels)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 50) {
+          val nbr = edges.join(labels, col("src") === col("doc_id"))
+            .select(col("dst").as("doc_id"), col("comp"))
+          labels = labels.union(nbr)
+            .groupBy("doc_id").agg(min("comp").as("comp"))
+            .localCheckpoint()
+          val after = labelSum(labels)
+          converged = after.compareTo(before) == 0
+          before = after
+          rounds += 1
+        }
+        require(converged, s"label propagation did not converge in $rounds rounds")
+        labels
+          .select(col("doc_id"), col("comp"),
+            (col("doc_id") === col("comp")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $MINHASH_BANDS_SQL,
+             |$MINHASH_PAIRS_SQL,
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+             |reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |comp AS (SELECT src AS doc_id, MIN(dst) AS mincomp
+             |         FROM reach GROUP BY src)
+             |SELECT d.doc_id AS doc_id,
+             |  LEAST(d.doc_id, COALESCE(c.mincomp, d.doc_id)) AS comp,
+             |  d.doc_id = LEAST(d.doc_id, COALESCE(c.mincomp, d.doc_id))
+             |    AS is_canonical
+             |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Q52 bigram-LM quality score (r5) -------------------------------------
+    // CCNet/Gopher-style corpus-LM scoring: train bigram counts on the
+    // corpus itself, score every document by its total bigram
+    // log-likelihood sum ln P(w_i | w_{i-1}) with P = c(w1,w2) /
+    // c_prefix(w1) (n_bigrams rides along, so the mean is derivable).
+    // Self-scoring means every scored bigram exists in the counts (no
+    // smoothing term), and low per-bigram scores flag outlier text. Scale
+    // shape: the count tables are one partial-aggregatable groupBy each;
+    // scoring joins them back by key (broadcast at small SF, shuffle join
+    // at corpus scale); per-position log terms route through DECIMAL(18,4)
+    // before the sum so partial-aggregation order cannot flip the hash
+    // (Q.sum4's rule; ln portability itself is proven by q24's oracle).
+    // The SUM — not the mean — is the output contract: dividing the
+    // 1e-4-quantized sum by small n lands exactly on round-half knife
+    // edges often enough to flip hashes between engines (observed at
+    // sf0.01: sum -33.8315 / 10 = -3.38315).
+    QueryDef("q52_bigram_lm_score",
+      (s, d) => {
+        // bigram stream as (doc_id, w1, w2) — two-column keys, no string
+        // concat/split round-trip (the oracle keys on w1||chr(1)||w2, which
+        // only has to produce the same COUNTS). Built with slice+arrays_zip
+        // — one-pass array ops, NO per-element lambda: the explode makes
+        // Catalyst infer a size(...)>0 filter and push it into the scan
+        // with the array expression INLINED; a transform lambda there
+        // re-evaluates split(text) per element (O(tokens^2) per row, 3x —
+        // measured 6.4s at sf0.1 for a 266k-bigram corpus), while the
+        // sliced zip inlines as O(tokens).
+        val bg = docsWithTokens(s, d)
+          .withColumn("h", slice(col("toks"), lit(1), size(col("toks")) - 1))
+          .withColumn("t2", slice(col("toks"), lit(2), size(col("toks")) - 1))
+          .select(col("doc_id"), explode(arrays_zip(col("h"), col("t2"))).as("z"))
+          .select(col("doc_id"), col("z.h").as("w1"), col("z.t2").as("w2"))
+        // the prefix count is the bigram counts re-aggregated (sum over
+        // w2) — no second scan of the per-position stream; the ratio table
+        // is per-DISTINCT-bigram and joins the stream exactly once
+        val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+        val prefixCounts = bgCounts.groupBy("w1").agg(sum("c_bg").as("c_w1"))
+        val ratio = bgCounts.join(prefixCounts, "w1")
+        bg
+          .join(ratio, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).cast(IntegerType).as("n_bigrams"),
+            sum4(log(col("c_bg").cast(DoubleType)
+              / col("c_w1").cast(DoubleType))).as("sum_logp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, UNNEST(list_transform(
+             |    generate_series(1, greatest(len(w) - 1, 0)),
+             |    i -> w[i] || chr(1) || w[i+1])) AS bg
+             |  FROM tk),
+             |bc AS (SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg),
+             |pc AS (SELECT split_part(bg, chr(1), 1) AS w1, COUNT(*) AS c_w1
+             |       FROM bg GROUP BY 1)
+             |SELECT b.doc_id,
+             |  CAST(COUNT(*) AS INT) AS n_bigrams,
+             |  CAST(ROUND(SUM(CAST(ln(CAST(c.c_bg AS DOUBLE)
+             |      / p.c_w1) AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_logp
+             |FROM bg b
+             |JOIN bc c ON b.bg = c.bg
+             |JOIN pc p ON split_part(b.bg, chr(1), 1) = p.w1
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
   )
 }
