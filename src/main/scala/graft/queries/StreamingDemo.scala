@@ -31,12 +31,24 @@ object StreamingDemo {
       replay
     })
 
-  /** Eagerly stages the replay rig (idempotent). Bench calls this from its
-    * warmup so even a single-run harness times only the stream — lazy
-    * staging inside the first q33/q50 invocation billed ~10 s of rig to
+  private val stagedDocReplay =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def docReplayDirFor(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    stagedDocReplay.computeIfAbsent(sfDir, _ => {
+      val replay =
+        s"${java.nio.file.Files.createTempDirectory("graft-q53")}/replay"
+      graft.streaming.DocStream.stageDocReplay(s, sfDir, replay, nFiles = 4)
+      replay
+    })
+
+  /** Eagerly stages the replay rigs (idempotent). Bench calls this from its
+    * warmup so even a single-run harness times only the streams — lazy
+    * staging inside the first q33/q50/q53 invocation billed ~10 s of rig to
     * whichever ran first. */
   def ensureStaged(s: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
     replayDirFor(s, sfDir)
+    docReplayDirFor(s, sfDir)
     ()
   }
 
@@ -85,6 +97,30 @@ object StreamingDemo {
             (col("b.n_events").isNotNull
               && col("s.n_events") === col("b.n_events")).as("matches_batch"))
           .orderBy("user_id", "session_start")
+      },
+      None),
+
+    // Q53: streaming NEAR-dup ingest (r5) — MinHash band buckets resolved
+    // to anchors through bounded per-bucket flatMapGroupsWithState state
+    // with event-time expiry (see DocStream). No SQL oracle (DuckDB has no
+    // streaming); every emitted anchor is asserted equal to the batch
+    // bucket-anchor twin in DocStreamSpec (plus the expiry path); here the
+    // assignments re-join the batch twin so the driver's rows-only check
+    // sees per-row match flags.
+    QueryDef("q53_streaming_neardup",
+      (s, d) => {
+        val replay = docReplayDirFor(s, d)
+        val sinkTable = s"q53_sink_${System.nanoTime()}"
+        val streamed = graft.streaming.DocStream.bandAnchors(s, replay, sinkTable)
+        val batch = graft.streaming.DocStream.batchBandAnchors(s, d)
+        streamed.as("s").join(batch.as("b"),
+            col("s.doc_id") === col("b.doc_id") && col("s.band") === col("b.band"),
+            "left")
+          .select(col("s.doc_id").as("doc_id"), col("s.band").as("band"),
+            col("s.anchor_doc").as("anchor_doc"),
+            (col("b.anchor_doc").isNotNull
+              && col("s.anchor_doc") === col("b.anchor_doc")).as("matches_batch"))
+          .orderBy("doc_id", "band")
       },
       None))
 }

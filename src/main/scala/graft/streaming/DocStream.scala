@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming NEAR-dup ingest (r5) — the LSH twin of the exact-hash
+  * `dropDuplicatesWithinWatermark` ingest in [[EventStream.dedupedEvents]]:
+  * documents arrive as a stream, each computes its 12-hash MinHash
+  * signature (the `minhash_sig` codegen expression — stateless projection,
+  * so the batch hot-loop work is identical at stream time) and its 3 LSH
+  * band buckets; custom `flatMapGroupsWithState` state keyed by BUCKET
+  * VALUE assigns every (doc, band) the bucket's ANCHOR — the first document
+  * that ever hit the bucket. A doc whose anchors are all itself is novel;
+  * any earlier anchor marks it a near-dup candidate against that anchor
+  * (same recall contract as batch q35's candidate pairs).
+  *
+  * Scale contract: state is one (anchor, last-seen) record per DISTINCT
+  * bucket seen within the dedup horizon; an event-time timeout expires
+  * buckets unseen for `horizonMinutes`, so state is bounded by bucket
+  * arrival rate x horizon no matter how long the stream runs — the
+  * standard trade of stream-time dedup (dedup against the recent past,
+  * not all history). Verified against the batch bucket-anchor twin in
+  * DocStreamSpec, including the expiry path.
+  */
+object DocStream {
+
+  /** Per-bucket state: the anchor doc + the latest event-time seen
+    * (microsecond epoch), which drives the expiry timeout. */
+  final case class BucketState(anchor: Long, lastUs: Long)
+
+  /** One emitted assignment: this doc's band bucket resolved to `anchor_doc`
+    * (== doc_id when the doc opened the bucket). */
+  final case class BandAssign(doc_id: Long, band: Int, anchor_doc: Long)
+
+  /** Stages documents as an id-ordered replay: N parquet files partitioned
+    * by doc_id range with pinned mtimes (the file source replays in
+    * (mtime, path) order), plus a synthetic ingest timestamp of one second
+    * per doc id — deterministic arrival order == id order, so the streamed
+    * anchors are reproducible and equal to the batch twin's MIN(doc_id). */
+  def stageDocReplay(spark: SparkSession, sfDir: String, replayDir: String,
+      nFiles: Int = 4): Unit = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        expr("timestamp_micros(1700000000000000 + doc_id * 1000000)").as("ts"))
+      .repartitionByRange(nFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(replayDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(replayDir)
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir)
+      .filter { st =>
+        st.isFile && st.getPath.getName.startsWith("part-") &&
+          st.getPath.getName.endsWith(".parquet")
+      }
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.foreach { case (st, i) =>
+        fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
+      }
+  }
+
+  /** The streaming query run to completion: every arriving doc's 3 band
+    * buckets resolve to their anchors through bounded per-bucket state. */
+  def bandAnchors(spark: SparkSession, replayDir: String, sinkTable: String,
+      horizonMinutes: Int = 120): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.functions.GraftFunctions.register(spark)
+    val horizonUs = horizonMinutes * 60000000L
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType)))
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      // identical signature + banding arithmetic to batch q35 (stateless
+      // projections — streaming changes nothing about the hot loop)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sigl", expr("minhash_sig(toks, 12)"))
+      .select(col("doc_id"), col("ts"), col("sigl"),
+        explode(sequence(lit(0), lit(2))).as("b"))
+      .select(col("doc_id"), col("ts"), col("b"),
+        md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))).as("bv"))
+      .as[(Long, java.time.Instant, Int, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[BucketState, BandAssign](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(Long, java.time.Instant, Int, String)],
+         state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // bucket unseen for the whole horizon: forget its anchor (the
+            // next hit re-opens it) — THE state bound
+            state.remove()
+            Iterator.empty
+          } else {
+            // within a micro-batch the group iterator is unordered; sort by
+            // doc id so the in-batch anchor choice is deterministic (and,
+            // with id-ordered replay, equal to the batch twin's MIN)
+            val sorted = rows.toArray.sortBy(_._1)
+            var st = state.getOption
+            // the framework only fires timeouts for groups with NO data in
+            // the batch; a bucket that went stale and THEN received data is
+            // delivered here with its old state — enforce the horizon
+            // ourselves so expiry semantics don't depend on arrival timing
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            if (st.exists(_.lastUs + horizonUs < wmUs)) st = None
+            val out = sorted.map { case (doc, ts, b, _) =>
+              val us = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+              val anchor = st.map(_.anchor).getOrElse(doc)
+              st = Some(BucketState(anchor,
+                math.max(st.map(_.lastUs).getOrElse(0L), us)))
+              BandAssign(doc, b, anchor)
+            }
+            state.update(st.get)
+            // expire once event time passes last-seen + horizon (timeout
+            // API is millis; round up so expiry is never early)
+            state.setTimeoutTimestamp((st.get.lastUs + horizonUs) / 1000L + 1L)
+            out.iterator
+          }
+      }
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
+  /** Batch twin of [[bandAnchors]] with an infinite horizon: every band
+    * bucket's anchor is the corpus-wide MIN(doc_id). */
+  def batchBandAnchors(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bands = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sigl", expr("minhash_sig(toks, 12)"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("b"),
+        col("sigl"))
+      .select(col("doc_id"), col("b"),
+        md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))).as("bv"))
+    val anchors = bands.groupBy("b", "bv")
+      .agg(min(col("doc_id")).as("anchor_doc"))
+    bands.join(anchors, Seq("b", "bv"))
+      .select(col("doc_id"), col("b").as("band"), col("anchor_doc"))
+  }
+}
