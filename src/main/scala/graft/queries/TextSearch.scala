@@ -229,5 +229,72 @@ object TextSearch {
              |    CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS sim
              |FROM cells v JOIN qcell q ON v.cid = q.qcid
              |WHERE v.vec_id <> 0
-             |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)))
+             |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // Q54 int8 embedding quantization (r5) ---------------------------------
+    // The 4x storage/bandwidth compressor of a 100TB embedding store:
+    // per-dimension [lo, hi] ranges trained on the corpus (one
+    // posexplode + groupBy — partial-aggregatable, dim-sized output),
+    // broadcast back, each vector quantized to 8-bit levels and
+    // reconstructed; output = per-vector reconstruction quality (cosine
+    // vs the original + max absolute error). Quantization uses
+    // floor(x + 0.5), not ROUND: floor is exact on doubles in both
+    // engines, while ROUND's half-way behavior is the one knife edge a
+    // mid-cell value can actually hit.
+    QueryDef("q54_embedding_quantization",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+        val stats = e
+          .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("pos")
+          .agg(min(col("v").cast(DoubleType)).as("lo"),
+            max(col("v").cast(DoubleType)).as("hi"))
+        val params = broadcast(stats.groupBy().agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+            x => x.getField("lo")).as("los"),
+          transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+            x => x.getField("hi")).as("his")))
+        val recon = transform(sequence(lit(0), size(col("embedding")) - 1), i => {
+          val v = element_at(col("embedding"), i + 1).cast(DoubleType)
+          val lo = element_at(col("los"), i + 1)
+          val hi = element_at(col("his"), i + 1)
+          when(hi === lo, lo).otherwise(
+            lo + floor(least(greatest((v - lo) / (hi - lo), lit(0.0)), lit(1.0))
+              * 255 + 0.5) / 255 * (hi - lo))
+        })
+        e.crossJoin(params)
+          .withColumn("recon", recon)
+          .select(col("vec_id"),
+            r4(expr("cosine_sim(embedding, CAST(recon AS ARRAY<FLOAT>))"))
+              .as("cos_recon"),
+            r4(array_max(zip_with(col("embedding"), col("recon"),
+              (v, r) => abs(v.cast(DoubleType) - r)))).as("max_abs_err"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH pieces AS (SELECT
+             |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+             |    unnest(generate_series(1, len(embedding))) AS pos
+             |  FROM embeddings),
+             |st AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi
+             |       FROM pieces GROUP BY pos),
+             |params AS (SELECT list(lo ORDER BY pos) AS los,
+             |                  list(hi ORDER BY pos) AS his FROM st),
+             |r AS (SELECT vec_id, embedding,
+             |    list_transform(generate_series(1, len(embedding)), i ->
+             |      CASE WHEN his[i] = los[i] THEN los[i]
+             |      ELSE los[i] + floor(LEAST(GREATEST(
+             |          (CAST(embedding[i] AS DOUBLE) - los[i])
+             |            / (his[i] - los[i]), 0.0), 1.0) * 255 + 0.5)
+             |        / 255 * (his[i] - los[i]) END) AS recon
+             |  FROM embeddings CROSS JOIN params)
+             |SELECT vec_id,
+             |  CAST(ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |    CAST(CAST(recon AS FLOAT[]) AS DOUBLE[])), 4) AS DOUBLE)
+             |    AS cos_recon,
+             |  CAST(ROUND(list_max(list_transform(
+             |      generate_series(1, len(embedding)), i ->
+             |        abs(CAST(embedding[i] AS DOUBLE) - recon[i]))), 4)
+             |    AS DOUBLE) AS max_abs_err
+             |FROM r ORDER BY vec_id""".stripMargin)))
 }
