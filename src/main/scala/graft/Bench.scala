@@ -41,10 +41,17 @@ object Bench {
     }
     Q.events(spark, sfDir).schema
     materialize("q20_topk")
-    // streaming replay rig staged here, NOT lazily inside the first q33/q50
-    // run: a single-run harness would otherwise bill ~10s of staging to the
-    // query (min-of-N only hides it when N > 1)
-    graft.queries.StreamingDemo.ensureStaged(spark, sfDir)
+    // streaming replay rigs staged here, NOT lazily inside the first
+    // q33/q50/q53 run: a single-run harness would otherwise bill ~10s of
+    // staging to the query (min-of-N only hides it when N > 1). Guarded:
+    // a staging failure must degrade to the streaming queries reporting -1
+    // (they re-try staging lazily), not abort the whole bench
+    try graft.queries.StreamingDemo.ensureStaged(spark, sfDir)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] streaming staging failed in warmup " +
+          s"(streaming queries will retry lazily): $e")
+    }
 
     // a failed query is reported as -1, never as a plausible duration —
     // a regression must not read as a speedup. Each query is timed over

@@ -23,9 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - simhash32: per distinct token, the first 8 hex chars of md5 as a
   *    32-bit value; per bit, count +1/-1 over tokens; the simhash sets the
   *    bits whose count is strictly positive.
-  * Null tokens are skipped — matching `md5(NULL)`/`least(x, NULL)`
-  * semantics in the Column version. Duplicate tokens count once (both
-  * versions hash `array_distinct`/`list_distinct` tokens).
+  * Null tokens are SKIPPED in both sketches. For minhash_sig that matches
+  * the Column fold it replaced (`least(x, NULL)` ignores the null hash);
+  * for simhash32 it is a deliberate DIVERGENCE from the old fold, whose
+  * `when(...).otherwise(-1)` silently counted a null hash as -1 on every
+  * bit — an artifact, not a contract (token arrays come from `split`,
+  * which never yields null; the DuckDB oracle likewise never sees one).
+  * TextSketchSpec pins the skip semantics explicitly. Duplicate tokens
+  * count once (both versions hash `array_distinct`/`list_distinct`
+  * tokens).
   */
 object TextSketch {
 

@@ -52,18 +52,27 @@ object LlmOps {
     * Arithmetic is declared bit-identical (TextSketchSpec pins it against
     * the old fold and the oracle's list_transform twin).
     */
+  /** The 12-hash signature over a `toks` column — shared with the
+    * streaming near-dup ingest (DocStream), which must compute the SAME
+    * signature at stream time. Caller registers GraftFunctions. */
+  private[graft] def minhashSigCol: Column = expr("minhash_sig(toks, 12)")
+
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     docsWithTokens(s, d)
-      .select(col("doc_id"), expr("minhash_sig(toks, 12)").as("sigl"))
+      .select(col("doc_id"), minhashSigCol.as("sigl"))
   }
 
-  /** 3 bands x 4 rows over the minhash signature: (doc_id, b, bv). */
-  private def minhashBands(sig: DataFrame): DataFrame =
+  /** 3 bands x 4 rows over the minhash signature: adds (b, bv), drops
+    * `sigl`, and PRESERVES every other input column (the streaming caller
+    * carries its watermark timestamp through). Shared with DocStream so
+    * q35 and q53 cannot drift on the banding formula. */
+  private[graft] def minhashBands(sig: DataFrame): DataFrame =
     sig
-      .select(col("doc_id"), col("sigl"), explode(sequence(lit(0), lit(2))).as("b"))
-      .select(col("doc_id"), col("b"),
-        md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))).as("bv"))
+      .withColumn("b", explode(sequence(lit(0), lit(2))))
+      .withColumn("bv",
+        md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))))
+      .drop("sigl")
 
   /** The bounded LSH candidate-pair stream shared by q35 (est_sim attach)
     * and q51 (connected components): band join with the partial-aggregatable
@@ -138,7 +147,8 @@ object LlmOps {
       when(element_at(projs, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Oracle twin of [[hyperplaneBucket]] over a column named `embedding`. */
+  /** Oracle twin of the `hyperplane_bucket` expression
+    * ([[graft.functions.Hyperplane]]) over a column named `embedding`. */
   private def hyperplaneBucketSql(nBits: Int): String =
     s"""CAST(list_sum(list_transform(generate_series(0, ${nBits - 1}), p ->
       |      CASE WHEN list_sum(list_transform(
@@ -705,11 +715,16 @@ object LlmOps {
         var converged = false
         var rounds = 0
         while (!converged && rounds < 50) {
+          val prev = labels
           val nbr = edges.join(labels, col("src") === col("doc_id"))
             .select(col("dst").as("doc_id"), col("comp"))
           labels = labels.union(nbr)
             .groupBy("doc_id").agg(min("comp").as("comp"))
-            .localCheckpoint()
+            .localCheckpoint() // eager: materialized here
+          // release the previous round's blocks NOW — at corpus scale,
+          // ~diameter retained generations would otherwise sit in executor
+          // storage until the async cleaner got to them
+          prev.unpersist()
           val after = labelSum(labels)
           converged = after.compareTo(before) == 0
           before = after

@@ -46,18 +46,7 @@ object DocStream {
       .repartitionByRange(nFiles, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(replayDir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(replayDir)
-    val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir)
-      .filter { st =>
-        st.isFile && st.getPath.getName.startsWith("part-") &&
-          st.getPath.getName.endsWith(".parquet")
-      }
-      .sortBy(_.getPath.getName)
-      .zipWithIndex.foreach { case (st, i) =>
-        fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
-      }
+    ReplayStage.pinReplayOrder(spark, replayDir)
   }
 
   /** The streaming query run to completion: every arriving doc's 3 band
@@ -72,25 +61,27 @@ object DocStream {
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType)))
-    val q = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(replayDir)
-      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      .withWatermark("ts", s"$horizonMinutes minutes")
-      // identical signature + banding arithmetic to batch q35 (stateless
-      // projections — streaming changes nothing about the hot loop)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sigl", expr("minhash_sig(toks, 12)"))
-      .select(col("doc_id"), col("ts"), col("sigl"),
-        explode(sequence(lit(0), lit(2))).as("b"))
-      .select(col("doc_id"), col("ts"), col("b"),
-        md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))).as("bv"))
+    val banded = graft.queries.LlmOps.minhashBands(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replayDir)
+        .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        .withWatermark("ts", s"$horizonMinutes minutes")
+        // THE q35 signature + banding helpers on the stream (stateless
+        // projections — streaming changes nothing about the hot loop);
+        // sharing them is what keeps q35 and q53 on one formula
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("sigl", graft.queries.LlmOps.minhashSigCol))
+    val q = banded
+      .select(col("doc_id"), col("ts"), col("b"), col("bv"))
       .as[(Long, java.time.Instant, Int, String)]
-      .groupByKey(_._4)
+      // keyed by (band, bucket value) — the batch twin's bucket identity;
+      // bv alone would merge equal band-values ACROSS bands
+      .groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState[BucketState, BandAssign](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: String, rows: Iterator[(Long, java.time.Instant, Int, String)],
+        (_: (Int, String), rows: Iterator[(Long, java.time.Instant, Int, String)],
          state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
           if (state.hasTimedOut) {
             // bucket unseen for the whole horizon: forget its anchor (the
@@ -134,16 +125,15 @@ object DocStream {
   }
 
   /** Batch twin of [[bandAnchors]] with an infinite horizon: every band
-    * bucket's anchor is the corpus-wide MIN(doc_id). */
+    * bucket's anchor is the corpus-wide MIN(doc_id). Uses the same shared
+    * signature/banding helpers as q35 and the stream. */
   def batchBandAnchors(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val bands = spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("sigl", expr("minhash_sig(toks, 12)"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("b"),
-        col("sigl"))
-      .select(col("doc_id"), col("b"),
-        md5(concat_ws("|", slice(col("sigl"), col("b") * 4 + 1, lit(4)))).as("bv"))
+    val bands = graft.queries.LlmOps.minhashBands(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("sigl", graft.queries.LlmOps.minhashSigCol)
+        .select(col("doc_id"), col("sigl")))
     val anchors = bands.groupBy("b", "bv")
       .agg(min(col("doc_id")).as("anchor_doc"))
     bands.join(anchors, Seq("b", "bv"))

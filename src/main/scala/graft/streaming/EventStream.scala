@@ -25,22 +25,8 @@ object EventStream {
     Q.events(spark, sfDir)
       .repartitionByRange(nFiles, col("ts"))
       .write.mode("overwrite").parquet(replayDir)
-    // the file source replays in (mtime, path) order; parallel part-file
-    // writes land with arbitrary mtimes, so pin them to the range order for
-    // a deterministic replay (part-00000 = earliest ts range, first batch).
-    // Hadoop FS, not java.io.File — replayDir may be a URI / remote scheme.
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(replayDir)
-    val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir)
-      .filter { st =>
-        st.isFile && st.getPath.getName.startsWith("part-") &&
-          st.getPath.getName.endsWith(".parquet")
-      }
-      .sortBy(_.getPath.getName)
-      .zipWithIndex.foreach { case (st, i) =>
-        fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
-      }
+    // part-00000 = earliest ts range, first batch (see ReplayStage)
+    ReplayStage.pinReplayOrder(spark, replayDir)
   }
 
   /** The streaming query: 1-hour tumbling counts + value sums per

@@ -218,17 +218,23 @@ object CziReader {
       f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
       f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(xml))
     }
-    val distances = doc.getElementsByTagName("Distance")
-    val byAxis = (0 until distances.getLength).flatMap { i =>
+    // scope the search to the FIRST Scaling element: real ZEN metadata
+    // carries other Distance elements (hardware/experiment sections) whose
+    // Id values would otherwise shadow the voxel size
+    val scalings = doc.getElementsByTagName("Scaling")
+    if (scalings.getLength == 0) return None
+    val distances = scalings.item(0).asInstanceOf[org.w3c.dom.Element]
+      .getElementsByTagName("Distance")
+    val byAxis = scala.collection.mutable.Map.empty[String, Double]
+    (0 until distances.getLength).foreach { i =>
       val el = distances.item(i).asInstanceOf[org.w3c.dom.Element]
       val axis = el.getAttribute("Id")
       val values = el.getElementsByTagName("Value")
-      if (values.getLength == 0) None
-      else {
+      if (values.getLength > 0 && !byAxis.contains(axis)) { // first wins
         val meters = values.item(0).getTextContent.trim.toDouble
-        if (meters > 0) Some(axis -> meters * 1e6) else None
+        if (meters > 0) byAxis(axis) = meters * 1e6
       }
-    }.toMap
+    }
     if (byAxis.isEmpty) None
     else Some(Seq("Z", "Y", "X").map(byAxis.getOrElse(_, 1.0)))
   }
@@ -237,12 +243,16 @@ object CziReader {
     * supported CZI, [[NotCzi]] for files without the ZISRAWFILE magic,
     * [[Unsupported]] (with a reason) for real CZIs beyond this reader. */
   def open(conf: Configuration, path: String): OpenResult = {
+    // NotCzi covers only files that provably AREN'T ZISRAW containers: too
+    // short for a header (EOF) or wrong magic. A transient storage error
+    // (IOException) must PROPAGATE — mapping it to NotCzi would send a real
+    // CZI down the synthetic seam, fabricating voxels on a flaky read.
     val magicOk =
       try {
         val (magic, _, _) = segmentHeader(conf, path, 0L)
         magic == "ZISRAWFILE"
       } catch {
-        case scala.util.control.NonFatal(_) => false // shorter than a header
+        case _: java.io.EOFException => false // shorter than a header
       }
     if (!magicOk) return NotCzi
     try {
@@ -292,6 +302,12 @@ object CziReader {
       }
       Opened(CziInfo(path, entries, dtype, shape, origin, vs))
     } catch {
+      // a TRUNCATED container (EOF mid-parse) is a corrupt real CZI ->
+      // Unsupported (loud); any other IO error is environmental and must
+      // propagate for retry instead of being blamed on the file
+      case e: java.io.EOFException =>
+        Unsupported(s"truncated container: ${Option(e.getMessage).getOrElse("EOF")}")
+      case e: java.io.IOException => throw e
       case scala.util.control.NonFatal(e) =>
         Unsupported(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }

@@ -71,16 +71,25 @@ class TextSketchSpec extends AnyFunSuite {
     }
   }
 
-  test("null tokens are skipped like md5(NULL)/least(x, NULL)") {
+  test("null tokens are skipped: minhash matches the fold, simhash skips") {
     import spark.implicits._
-    val df = Seq((1L, Seq(Some("a"), None, Some("b")))).toDF("doc_id", "toks")
+    // minhash: least(x, NULL) ignored the null hash -> identical semantics
+    val m = Seq((1L, Seq(Some("a"), None, Some("b")))).toDF("doc_id", "toks")
       .withColumn("fast", expr("minhash_sig(toks, 12)"))
       .withColumn("ref", referenceSig(col("toks")))
-      .withColumn("fs", expr("simhash32(toks)"))
-      .withColumn("rs", referenceSimhash(col("toks")))
       .collect().head
-    assert(df.getSeq[String](2) == df.getSeq[String](3))
-    assert(df.getLong(4) == df.getLong(5))
+    assert(m.getSeq[String](2) == m.getSeq[String](3))
+    // simhash: skip-null is the DECLARED semantics — equal to the sketch
+    // of the same array without the null. (The old Column fold counted a
+    // null hash as -1 per bit; with an ODD real-token count the two
+    // disagree, which is exactly why the contract is pinned here.)
+    val s3 = Seq(
+      (1L, Seq(Some("a"), None, Some("b"), Some("c"))),
+      (2L, Seq(Some("a"), Some("b"), Some("c"))))
+      .toDF("doc_id", "toks")
+      .withColumn("fs", expr("simhash32(toks)"))
+      .orderBy("doc_id").collect()
+    assert(s3(0).getLong(2) == s3(1).getLong(2))
   }
 
   test("null array yields null; wrong types are analysis errors") {

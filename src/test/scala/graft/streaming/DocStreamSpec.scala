@@ -71,15 +71,7 @@ class DocStreamSpec extends AnyFunSuite {
       .repartitionByRange(3, col("doc_id"))
       .write.parquet(replay)
     // pin mtimes so the three docs replay as three ordered micro-batches
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(replay)
-    val fs = p.getFileSystem(conf)
-    fs.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
-      .zipWithIndex.foreach { case (st, i) =>
-        fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
-      }
+    ReplayStage.pinReplayOrder(spark, replay)
     val out = DocStream.bandAnchors(spark, replay, "docstream_sink_c",
         horizonMinutes = 1)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
