@@ -20,8 +20,13 @@ import org.apache.spark.sql.streaming.Trigger
   * buckets unseen for `horizonMinutes`, so state is bounded by bucket
   * arrival rate x horizon no matter how long the stream runs — the
   * standard trade of stream-time dedup (dedup against the recent past,
-  * not all history). Verified against the batch bucket-anchor twin in
-  * DocStreamSpec, including the expiry path.
+  * not all history). One transient bound to size for: the handler buffers
+  * each bucket's rows WITHIN a micro-batch (for the deterministic in-batch
+  * anchor choice), so a hot bucket's per-batch footprint is its arrival
+  * count per trigger — throttle with maxFilesPerTrigger/maxBytesPerTrigger
+  * where a duplicate storm can land in one batch (the 10x hot-cluster run
+  * in BENCH_NOTES_r5.md exercises exactly this). Verified against the
+  * batch bucket-anchor twin in DocStreamSpec, including the expiry path.
   */
 object DocStream {
 
