@@ -753,6 +753,58 @@ object LlmOps {
              |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Q55 deterministic stratified sampling (r5) ---------------------------
+    // Corpus MIXING: down-sample each language stratum to a declared target
+    // rate with a salted-hash gate — pmod of the doc's md5 prefix against
+    // the rate — instead of rand(): the kept SET is a pure function of
+    // (salt, doc_id), so mixtures are reproducible across runs, engines
+    // and cluster layouts, and re-running with a larger rate keeps every
+    // previously kept doc (nested samples, the property curriculum
+    // schedules rely on). Zero shuffle until the per-stratum audit
+    // aggregate; the kept-id DECIMAL checksum pins the exact selected set,
+    // not just its size.
+    QueryDef("q55_stratified_sample",
+      (s, d) => {
+        val rates = Seq("de" -> 0.50, "en" -> 1.00, "es" -> 0.25,
+          "fr" -> 0.25, "zh" -> 0.10)
+        val rate = rates.foldRight(lit(0.10)) { case ((lang, r), els) =>
+          when(col("lang") === lang, lit(r)).otherwise(els)
+        }
+        val gate = pmod(
+          conv(substring(md5(concat(lit("mix1|"), col("doc_id"))), 1, 8), 16, 10)
+            .cast(LongType), lit(10000L))
+        t(s, d, "documents")
+          .withColumn("keep", gate < (rate * 10000).cast(LongType))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            r4(sum(when(col("keep"), 1L).otherwise(0L)).cast(DoubleType)
+              / count(lit(1))).as("achieved_rate"),
+            sum(when(col("keep"), col("doc_id")).otherwise(0L)
+              .cast(DecimalType(38, 0))).as("kept_id_checksum"))
+          .orderBy("lang")
+      },
+      Some("""WITH g AS (SELECT lang, doc_id,
+             |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |      (strpos('0123456789abcdef',
+             |         substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             |        * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT) % 10000 AS gate,
+             |    CASE lang WHEN 'de' THEN 0.50 WHEN 'en' THEN 1.00
+             |      WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.10
+             |      ELSE 0.10 END AS rate
+             |  FROM documents),
+             |k AS (SELECT lang, doc_id,
+             |    gate < CAST(rate * 10000 AS BIGINT) AS keep FROM g)
+             |SELECT lang,
+             |  COUNT(*) AS n_total,
+             |  SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+             |  CAST(ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 4) AS DOUBLE) AS achieved_rate,
+             |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END)
+             |    AS DECIMAL(38,0)) AS kept_id_checksum
+             |FROM k GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Q52 bigram-LM quality score (r5) -------------------------------------
     // CCNet/Gopher-style corpus-LM scoring: train bigram counts on the
     // corpus itself, score every document by its total bigram
