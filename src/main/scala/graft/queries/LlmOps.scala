@@ -723,8 +723,15 @@ object LlmOps {
             .localCheckpoint() // eager: materialized here
           // release the previous round's blocks NOW — at corpus scale,
           // ~diameter retained generations would otherwise sit in executor
-          // storage until the async cleaner got to them
-          prev.unpersist()
+          // storage until the async cleaner got to them. Dataset.unpersist
+          // is a NO-OP here (it only reaches CacheManager entries, and
+          // localCheckpoint persists its RDD directly), so unpersist the
+          // underlying checkpointed RDD off the analyzed plan. Safe:
+          // nothing references the old generation once the new one is
+          // materialized.
+          prev.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          }.foreach(_.unpersist(blocking = false))
           val after = labelSum(labels)
           converged = after.compareTo(before) == 0
           before = after

@@ -218,13 +218,19 @@ object CziReader {
       f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
       f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(xml))
     }
-    // scope the search to the FIRST Scaling element: real ZEN metadata
-    // carries other Distance elements (hardware/experiment sections) whose
-    // Id values would otherwise shadow the voxel size
+    // scope the search to the image Scaling block — the Scaling element
+    // that carries an Items child (real ZEN metadata nests the voxel size
+    // as Metadata/Scaling/Items/Distance; other sections can carry Scaling
+    // or Distance elements of their own, in either document order, whose
+    // Id values must not shadow the voxel size)
     val scalings = doc.getElementsByTagName("Scaling")
-    if (scalings.getLength == 0) return None
-    val distances = scalings.item(0).asInstanceOf[org.w3c.dom.Element]
-      .getElementsByTagName("Distance")
+    val imageScaling = (0 until scalings.getLength)
+      .map(scalings.item(_).asInstanceOf[org.w3c.dom.Element])
+      .find(_.getElementsByTagName("Items").getLength > 0)
+    val distances = imageScaling match {
+      case Some(sc) => sc.getElementsByTagName("Distance")
+      case None => return None
+    }
     val byAxis = scala.collection.mutable.Map.empty[String, Double]
     (0 until distances.getLength).foreach { i =>
       val el = distances.item(i).asInstanceOf[org.w3c.dom.Element]
@@ -295,9 +301,13 @@ object CziReader {
         entries.map(e => e.start(d) + e.size(d)).max.toLong - o
       }
       requireDisjointCover(entries, shape, origin)
-      // scaling is optional metadata: a parse failure there must not reject
-      // an otherwise-decodable stack
+      // scaling is optional metadata: a malformed XML document must not
+      // reject an otherwise-decodable stack — but IO errors (including a
+      // truncated segment) flow to the outer classification below instead
+      // of silently degrading to the 1 µm default, which would write wrong
+      // physical metadata on a flaky read
       val vs = try voxelSize(conf, path, metadataPosition) catch {
+        case e: java.io.IOException => throw e
         case scala.util.control.NonFatal(_) => None
       }
       Opened(CziInfo(path, entries, dtype, shape, origin, vs))

@@ -49,7 +49,8 @@ object SketchProps extends Properties("Sketch") {
   property("minhash_sig == declared rotation-min formula") =
     forAll(tokenLists, Gen.choose(1, 32)) { (toks, n) =>
       val got = TextSketch.minhashSig(arr(toks), n)
-      (0 until n).forall(j => got.getUTF8String(j).toString == refMinhash(toks, n)(j))
+      val want = refMinhash(toks, n)
+      (0 until n).forall(j => got.getUTF8String(j).toString == want(j))
     }
 
   property("simhash32 == declared per-bit majority formula") =
@@ -60,10 +61,11 @@ object SketchProps extends Properties("Sketch") {
   property("duplicate tokens never change either sketch") =
     forAll(tokenLists) { toks =>
       val doubled = toks ++ toks
+      val sigDoubled = TextSketch.minhashSig(arr(doubled), 12)
+      val sigPlain = TextSketch.minhashSig(arr(toks), 12)
       TextSketch.simhash32(arr(doubled)) == TextSketch.simhash32(arr(toks)) &&
         (0 until 12).forall(j =>
-          TextSketch.minhashSig(arr(doubled), 12).getUTF8String(j) ==
-            TextSketch.minhashSig(arr(toks), 12).getUTF8String(j))
+          sigDoubled.getUTF8String(j) == sigPlain.getUTF8String(j))
     }
 
   // -- hyperplane LSH -----------------------------------------------------
