@@ -738,6 +738,12 @@ object LlmOps {
           rounds += 1
         }
         require(converged, s"label propagation did not converge in $rounds rounds")
+        // the result derives from the FINAL labels generation only — the
+        // edge blocks can go now too (the final labels checkpoint must
+        // stay: the caller has not materialized the result yet)
+        edges.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(blocking = false))
         labels
           .select(col("doc_id"), col("comp"),
             (col("doc_id") === col("comp")).as("is_canonical"))
