@@ -818,6 +818,59 @@ object LlmOps {
              |    AS DECIMAL(38,0)) AS kept_id_checksum
              |FROM k GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Q56 benchmark decontamination (r5) -----------------------------------
+    // The eval-leakage check every training corpus needs: flag training
+    // documents sharing >= 2 distinct word-8-gram shingles with a held-out
+    // benchmark set (stand-in here: doc_id % 19 == 0). Shingles are built
+    // LAMBDA-FREE (8 slices + arrays_zip, the q52 lesson: a transform
+    // lambda inlined into Catalyst's inferred explode filter re-evaluates
+    // split per element). Scale shape: the benchmark side is tiny by
+    // construction (eval sets are thousands of docs, not billions), so its
+    // distinct shingle set BROADCASTS and the training corpus is one
+    // shuffle-free scan + one partial-agg groupBy per contaminated doc.
+    QueryDef("q56_decontamination",
+      (s, d) => {
+        val n = 8
+        def shingles(df: DataFrame): DataFrame = {
+          val len = greatest(size(col("toks")) - (n - 1), lit(0))
+          val sliced = (1 to n).foldLeft(df)((acc, k) =>
+            acc.withColumn(s"s$k", slice(col("toks"), lit(k), len)))
+          sliced
+            .select(col("doc_id"),
+              explode(arrays_zip((1 to n).map(k => col(s"s$k")): _*)).as("z"))
+            .select(col("doc_id"),
+              concat_ws(" ", (1 to n).map(k => col(s"z.s$k")): _*).as("sh"))
+            .dropDuplicates("doc_id", "sh")
+        }
+        val toks = docsWithTokens(s, d)
+        val bench = shingles(toks.filter(col("doc_id") % 19 === 0))
+          .select(col("doc_id").as("bench_doc"), col("sh"))
+        val train = shingles(toks.filter(col("doc_id") % 19 =!= 0))
+        train.join(broadcast(bench), "sh")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("sh")).as("n_shared_shingles"),
+            countDistinct(col("bench_doc")).as("n_bench_docs"))
+          .filter(col("n_shared_shingles") >= 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w,
+             |    unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
+             |  FROM tk),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    array_to_string(w[i:i+7], ' ') AS sh
+             |  FROM idx),
+             |bench AS (SELECT doc_id AS bench_doc, sh FROM sh
+             |          WHERE doc_id % 19 = 0),
+             |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 19 <> 0)
+             |SELECT t.doc_id,
+             |  COUNT(DISTINCT t.sh) AS n_shared_shingles,
+             |  COUNT(DISTINCT b.bench_doc) AS n_bench_docs
+             |FROM train t JOIN bench b ON t.sh = b.sh
+             |GROUP BY t.doc_id
+             |HAVING COUNT(DISTINCT t.sh) >= 2
+             |ORDER BY doc_id""".stripMargin)),
+
     // Q52 bigram-LM quality score (r5) -------------------------------------
     // CCNet/Gopher-style corpus-LM scoring: train bigram counts on the
     // corpus itself, score every document by its total bigram
