@@ -871,6 +871,48 @@ object LlmOps {
              |HAVING COUNT(DISTINCT t.sh) >= 2
              |ORDER BY doc_id""".stripMargin)),
 
+    // Q57 sequence packing (r5) --------------------------------------------
+    // GPT-style concat-and-chunk packing: documents in deterministic order
+    // concatenate into one token stream chunked into fixed 2048-token
+    // training sequences; each doc's bin is floor((cumsum - n) / 2048) —
+    // the sequence its first token lands in. Pure integer window
+    // arithmetic, so the oracle is exact. Scale note: the global
+    // running-sum window is the declared determinism contract (same trade
+    // as q24's total sort); production packing shards the order key
+    // (e.g. per source/date partition) so each shard's window is
+    // independent — the per-bin audit below is unchanged.
+    QueryDef("q57_sequence_packing",
+      (s, d) => {
+        val seqLen = 2048
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin", ((col("cum") - col("n_tok")) / seqLen)
+            .cast(LongType))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("bin")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tok,
+             |    SUM(n_tok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t),
+             |b AS (SELECT doc_id, n_tok,
+             |    CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS bin FROM c)
+             |SELECT bin, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // Q52 bigram-LM quality score (r5) -------------------------------------
     // CCNet/Gopher-style corpus-LM scoring: train bigram counts on the
     // corpus itself, score every document by its total bigram
