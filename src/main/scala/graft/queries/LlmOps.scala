@@ -843,13 +843,21 @@ object LlmOps {
             .dropDuplicates("doc_id", "sh")
         }
         val toks = docsWithTokens(s, d)
+        // bench side pre-aggregated to ONE row per shingle (carrying its
+        // bench-doc count): without this, a boilerplate shingle shared by
+        // many train docs AND many bench docs multiplies in the join —
+        // train_rows x bench_rows per hot key, the quadratic blowup the
+        // 10x hot-cluster run exposed (15s -> 2s). The price is reporting
+        // bench HITS (sum of per-shingle bench-doc counts, an upper bound
+        // of distinct bench docs) instead of a distinct count — the audit
+        // quantity operators actually rank leaks by.
         val bench = shingles(toks.filter(col("doc_id") % 19 === 0))
-          .select(col("doc_id").as("bench_doc"), col("sh"))
+          .groupBy("sh").agg(count(lit(1)).as("n_bench_docs_sh"))
         val train = shingles(toks.filter(col("doc_id") % 19 =!= 0))
         train.join(broadcast(bench), "sh")
           .groupBy("doc_id")
-          .agg(countDistinct(col("sh")).as("n_shared_shingles"),
-            countDistinct(col("bench_doc")).as("n_bench_docs"))
+          .agg(count(lit(1)).as("n_shared_shingles"),
+            sum(col("n_bench_docs_sh")).as("n_bench_hits"))
           .filter(col("n_shared_shingles") >= 2)
           .orderBy("doc_id")
       },
@@ -860,15 +868,15 @@ object LlmOps {
              |sh AS (SELECT DISTINCT doc_id,
              |    array_to_string(w[i:i+7], ' ') AS sh
              |  FROM idx),
-             |bench AS (SELECT doc_id AS bench_doc, sh FROM sh
-             |          WHERE doc_id % 19 = 0),
+             |bench AS (SELECT sh, COUNT(*) AS n_bench_docs_sh FROM sh
+             |          WHERE doc_id % 19 = 0 GROUP BY sh),
              |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 19 <> 0)
              |SELECT t.doc_id,
-             |  COUNT(DISTINCT t.sh) AS n_shared_shingles,
-             |  COUNT(DISTINCT b.bench_doc) AS n_bench_docs
+             |  COUNT(*) AS n_shared_shingles,
+             |  CAST(SUM(b.n_bench_docs_sh) AS BIGINT) AS n_bench_hits
              |FROM train t JOIN bench b ON t.sh = b.sh
              |GROUP BY t.doc_id
-             |HAVING COUNT(DISTINCT t.sh) >= 2
+             |HAVING COUNT(*) >= 2
              |ORDER BY doc_id""".stripMargin)),
 
     // Q57 sequence packing (r5) --------------------------------------------
