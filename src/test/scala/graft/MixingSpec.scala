@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the corpus-mixing operators that the oracle compare cannot
+  * see: q55's hash gate must produce NESTED samples (raising a stratum's
+  * rate keeps every previously kept doc — the property curriculum
+  * schedules depend on), and q57's packing bins must be contiguous and
+  * exactly account for the token stream.
+  */
+class MixingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def keptIds(rate: Double): Set[Long] = {
+    val gate = pmod(
+      conv(substring(md5(concat(lit("mix1|"), col("doc_id"))), 1, 8), 16, 10)
+        .cast(LongType), lit(10000L))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(gate < (rate * 10000).toLong)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("q55 gate: samples nest as the rate rises, and hit the rate closely") {
+    val r25 = keptIds(0.25)
+    val r50 = keptIds(0.50)
+    val all = keptIds(1.00)
+    assert(r25.subsetOf(r50) && r50.subsetOf(all))
+    assert(all.size == 500)
+    // salted md5 is uniform: 25% +- a few points at n=500
+    assert(math.abs(r25.size / 500.0 - 0.25) < 0.06, s"r25=${r25.size}")
+    assert(math.abs(r50.size / 500.0 - 0.50) < 0.06, s"r50=${r50.size}")
+  }
+
+  test("q57 bins are contiguous from 0 and account for every token") {
+    val rows = SparkEntry.queries("q57_sequence_packing")(spark, sfDir)
+      .collect()
+    val bins = rows.map(_.getLong(0))
+    assert(bins.head == 0L && bins.toSeq == (0L until bins.length).toSeq)
+    val totalTokens = rows.map(_.getLong(2)).sum
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(sum(size(split(col("text"), " ")).cast(LongType)))
+      .head().getLong(0)
+    assert(totalTokens == expected)
+    // every bin except possibly the last STARTS at its 2048 boundary:
+    // a doc beginning in bin k implies the stream reached k*2048 tokens
+    val lastDocs = rows.map(_.getLong(4))
+    assert(lastDocs.toSeq == lastDocs.toSeq.sorted) // id ranges don't interleave
+  }
+}
