@@ -921,6 +921,51 @@ object LlmOps {
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // Q58 repetition filter (r5) -------------------------------------------
+    // The Gopher-rules repetition check: per document, the fraction of
+    // word-3-gram occurrences taken by the single most frequent 3-gram —
+    // looping/boilerplate text scores high and gets flagged (> 0.2, the
+    // published duplicate-n-gram threshold family). Lambda-free 3-gram
+    // stream (slices + arrays_zip, the q52 lesson); both aggregations are
+    // partial-aggregatable groupBys whose keys INCLUDE doc_id, so there is
+    // no cross-document hot key at any corpus size.
+    QueryDef("q58_repetition_filter",
+      (s, d) => {
+        val len = greatest(size(col("toks")) - 2, lit(0))
+        val grams = docsWithTokens(s, d)
+          .withColumn("g1", slice(col("toks"), lit(1), len))
+          .withColumn("g2", slice(col("toks"), lit(2), len))
+          .withColumn("g3", slice(col("toks"), lit(3), len))
+          .select(col("doc_id"),
+            explode(arrays_zip(col("g1"), col("g2"), col("g3"))).as("z"))
+          .select(col("doc_id"),
+            concat_ws(" ", col("z.g1"), col("z.g2"), col("z.g3")).as("gram"))
+        grams
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n_grams"),
+            max(col("cnt")).as("top_gram_count"),
+            r4(max(col("cnt")).cast(DoubleType) / sum(col("cnt")))
+              .as("top_gram_ratio"))
+          .withColumn("flagged", col("top_gram_ratio") > 0.2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w,
+             |    unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+             |  FROM tk),
+             |g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+             |      FROM idx),
+             |c AS (SELECT doc_id, gram, COUNT(*) AS cnt
+             |      FROM g GROUP BY doc_id, gram)
+             |SELECT doc_id,
+             |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             |  CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+             |  CAST(ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS DOUBLE)
+             |    AS top_gram_ratio,
+             |  CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) > 0.2 AS flagged
+             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Q52 bigram-LM quality score (r5) -------------------------------------
     // CCNet/Gopher-style corpus-LM scoring: train bigram counts on the
     // corpus itself, score every document by its total bigram
