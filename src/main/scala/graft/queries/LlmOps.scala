@@ -57,6 +57,13 @@ object LlmOps {
     * signature at stream time. Caller registers GraftFunctions. */
   private[graft] def minhashSigCol: Column = expr("minhash_sig(toks, 12)")
 
+  /** q55's salted hash gate over `doc_id` (0..9999) — shared with
+    * MixingSpec so the nested-sample contract test pins the PRODUCTION
+    * gate, not a private copy that could drift. */
+  private[graft] def sampleGate: Column = pmod(
+    conv(substring(md5(concat(lit("mix1|"), col("doc_id"))), 1, 8), 16, 10)
+      .cast(LongType), lit(10000L))
+
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     docsWithTokens(s, d)
@@ -783,11 +790,8 @@ object LlmOps {
         val rate = rates.foldRight(lit(0.10)) { case ((lang, r), els) =>
           when(col("lang") === lang, lit(r)).otherwise(els)
         }
-        val gate = pmod(
-          conv(substring(md5(concat(lit("mix1|"), col("doc_id"))), 1, 8), 16, 10)
-            .cast(LongType), lit(10000L))
         t(s, d, "documents")
-          .withColumn("keep", gate < (rate * 10000).cast(LongType))
+          .withColumn("keep", sampleGate < (rate * 10000).cast(LongType))
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n_total"),
@@ -947,6 +951,10 @@ object LlmOps {
             max(col("cnt")).as("top_gram_count"),
             r4(max(col("cnt")).cast(DoubleType) / sum(col("cnt")))
               .as("top_gram_ratio"))
+          // flagged compares the ROUNDED ratio on BOTH engines (the oracle
+          // wraps the same comparison around its rounded alias): comparing
+          // rounded on one side and raw on the other flips the flag for
+          // ratios inside the (threshold, threshold + 0.00005) band
           .withColumn("flagged", col("top_gram_ratio") > 0.2)
           .orderBy("doc_id")
       },
@@ -958,13 +966,15 @@ object LlmOps {
              |      FROM idx),
              |c AS (SELECT doc_id, gram, COUNT(*) AS cnt
              |      FROM g GROUP BY doc_id, gram)
-             |SELECT doc_id,
-             |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
-             |  CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
-             |  CAST(ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS DOUBLE)
-             |    AS top_gram_ratio,
-             |  CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) > 0.2 AS flagged
-             |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+             |SELECT doc_id, n_grams, top_gram_count, top_gram_ratio,
+             |  top_gram_ratio > 0.2 AS flagged
+             |FROM (SELECT doc_id,
+             |    CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             |    CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+             |    CAST(ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS DOUBLE)
+             |      AS top_gram_ratio
+             |  FROM c GROUP BY doc_id) x
+             |ORDER BY doc_id""".stripMargin)),
 
     // Q52 bigram-LM quality score (r5) -------------------------------------
     // CCNet/Gopher-style corpus-LM scoring: train bigram counts on the

@@ -15,14 +15,10 @@ class MixingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def keptIds(rate: Double): Set[Long] = {
-    val gate = pmod(
-      conv(substring(md5(concat(lit("mix1|"), col("doc_id"))), 1, 8), 16, 10)
-        .cast(LongType), lit(10000L))
+  private def keptIds(rate: Double): Set[Long] =
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(gate < (rate * 10000).toLong)
+      .filter(graft.queries.LlmOps.sampleGate < (rate * 10000).toLong)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-  }
 
   test("q55 gate: samples nest as the rate rises, and hit the rate closely") {
     val r25 = keptIds(0.25)
@@ -45,8 +41,15 @@ class MixingSpec extends AnyFunSuite {
       .select(sum(size(split(col("text"), " ")).cast(LongType)))
       .head().getLong(0)
     assert(totalTokens == expected)
-    // every bin except possibly the last STARTS at its 2048 boundary:
-    // a doc beginning in bin k implies the stream reached k*2048 tokens
+    // boundary law: bin k's first doc starts at stream offset = the token
+    // prefix of all earlier bins, and that offset must land IN bin k —
+    // catches any off-by-one in the (cum - n) / seqLen assignment
+    var prefix = 0L
+    rows.foreach { r =>
+      assert(prefix / 2048 == r.getLong(0),
+        s"bin ${r.getLong(0)} starts at offset $prefix")
+      prefix += r.getLong(2)
+    }
     val lastDocs = rows.map(_.getLong(4))
     assert(lastDocs.toSeq == lastDocs.toSeq.sorted) // id ranges don't interleave
   }
