@@ -41,6 +41,24 @@ object Bench {
     }
     Q.events(spark, sfDir).schema
     materialize("q20_topk")
+    // Codegen-kernel warmup (r5 verdict item 3): run the sketch kernels
+    // (minhash_sig / simhash32 / hyperplane_bucket) over enough real rows
+    // that the JVM compiles their hot loops before any timed run — a
+    // single-run harness otherwise bills kernel JIT to whichever of
+    // q35/q36/q41 executes first (r5 recorded q35 at 6.6 s for a 1.7-2.4 s
+    // steady state). limit() bounds the warmup cost at any SF.
+    locally {
+      import org.apache.spark.sql.functions.{col, expr, split}
+      graft.functions.GraftFunctions.register(spark)
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(20000)
+        .withColumn("toks", split(col("text"), " "))
+        .select(expr("minhash_sig(toks, 12)").as("sig"),
+          expr("simhash32(toks)").as("sh"))
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20000)
+        .select(expr("hyperplane_bucket(embedding, 16)").as("b"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // streaming replay rigs staged here, NOT lazily inside the first
     // q33/q50/q53 run: a single-run harness would otherwise bill ~10s of
     // staging to the query (min-of-N only hides it when N > 1). Guarded:

@@ -64,6 +64,80 @@ object LlmOps {
     conv(substring(md5(concat(lit("mix1|"), col("doc_id"))), 1, 8), 16, 10)
       .cast(LongType), lit(10000L))
 
+  /** Releases a localCheckpoint'ed generation's blocks NOW — at corpus
+    * scale, retained generations would otherwise sit in executor storage
+    * until the async cleaner got to them. Dataset.unpersist is a NO-OP here
+    * (it only reaches CacheManager entries, and localCheckpoint persists
+    * its RDD directly), so unpersist the underlying checkpointed RDD off
+    * the analyzed plan. Only safe once nothing references the generation.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** q51's iterative connected components: min-label propagation with
+    * POINTER DOUBLING. Each round, every node adopts the minimum of (its
+    * label, its neighbors' labels) — then, in the doubling step, the label
+    * of that adopted label. Doubling makes label chains collapse
+    * geometrically: covered distance follows d -> 2(d+1), so convergence is
+    * O(log diameter) instead of O(diameter) — an adversarially CHAINED
+    * near-dup corpus (A~B~C~... with no shortcut edges, plausible on
+    * organic data) converges in ~log2(n) rounds where one-hop propagation
+    * needed n and hard-failed the 50-round bound past a 50-deep chain
+    * (r5 ADVICE). Star-anchored hot clusters (the q35 bucket cap's output
+    * shape) still converge in 2-3 rounds.
+    *
+    * Every round is a key join + partial-agg groupBy (no windows, no
+    * driver-side graph); localCheckpoint() truncates lineage per round
+    * (SURVEY §2A op 21's barrier pattern applied to iteration) and every
+    * generation except the returned one is released eagerly. Convergence
+    * = the monotonically decreasing label sum, compared as DECIMAL(38,0) —
+    * exact at any corpus size. `nodes` must expose `doc_id`; `edges` must
+    * expose (src, dst) and be cheap to re-read (checkpoint it). Returns
+    * the converged (doc_id, comp) labels — the caller owns that final
+    * checkpoint — and the round count.
+    */
+  private[graft] def propagateComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head()
+        .getDecimal(0)
+    var before = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val prev = labels
+      val nbr = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("comp"))
+      // half-step: min over self + neighbor labels. Checkpointed because
+      // the doubling step below reads it from THREE branches (left side,
+      // label lookup, union) — without the barrier the join+groupBy
+      // subtree would recompute per branch.
+      val half = labels.union(nbr)
+        .groupBy("doc_id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      // doubling step: adopt the label of my (just-updated) label
+      val ptr = half.join(
+          half.select(col("doc_id").as("l_doc"), col("comp").as("l_comp")),
+          col("comp") === col("l_doc"))
+        .select(col("doc_id"), col("l_comp").as("comp"))
+      labels = half.union(ptr)
+        .groupBy("doc_id").agg(min("comp").as("comp"))
+        .localCheckpoint() // eager: materialized here
+      releaseCheckpoint(prev)
+      releaseCheckpoint(half)
+      val after = labelSum(labels)
+      converged = after.compareTo(before) == 0
+      before = after
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    (labels, rounds)
+  }
+
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     docsWithTokens(s, d)
@@ -712,45 +786,12 @@ object LlmOps {
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
           .localCheckpoint() // materialized once; every round re-reads it
-        var labels = t(s, d, "documents")
-          .select(col("doc_id"), col("doc_id").as("comp"))
-          .localCheckpoint()
-        def labelSum(df: DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head()
-            .getDecimal(0)
-        var before = labelSum(labels)
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 50) {
-          val prev = labels
-          val nbr = edges.join(labels, col("src") === col("doc_id"))
-            .select(col("dst").as("doc_id"), col("comp"))
-          labels = labels.union(nbr)
-            .groupBy("doc_id").agg(min("comp").as("comp"))
-            .localCheckpoint() // eager: materialized here
-          // release the previous round's blocks NOW — at corpus scale,
-          // ~diameter retained generations would otherwise sit in executor
-          // storage until the async cleaner got to them. Dataset.unpersist
-          // is a NO-OP here (it only reaches CacheManager entries, and
-          // localCheckpoint persists its RDD directly), so unpersist the
-          // underlying checkpointed RDD off the analyzed plan. Safe:
-          // nothing references the old generation once the new one is
-          // materialized.
-          prev.queryExecution.analyzed.collect {
-            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-          }.foreach(_.unpersist(blocking = false))
-          val after = labelSum(labels)
-          converged = after.compareTo(before) == 0
-          before = after
-          rounds += 1
-        }
-        require(converged, s"label propagation did not converge in $rounds rounds")
+        val (labels, _) =
+          propagateComponents(t(s, d, "documents").select(col("doc_id")), edges)
         // the result derives from the FINAL labels generation only — the
         // edge blocks can go now too (the final labels checkpoint must
         // stay: the caller has not materialized the result yet)
-        edges.queryExecution.analyzed.collect {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-        }.foreach(_.unpersist(blocking = false))
+        releaseCheckpoint(edges)
         labels
           .select(col("doc_id"), col("comp"),
             (col("doc_id") === col("comp")).as("is_canonical"))
@@ -815,7 +856,7 @@ object LlmOps {
              |    gate < CAST(rate * 10000 AS BIGINT) AS keep FROM g)
              |SELECT lang,
              |  COUNT(*) AS n_total,
-             |  SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
              |    / COUNT(*), 4) AS DOUBLE) AS achieved_rate,
              |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END)
@@ -883,25 +924,52 @@ object LlmOps {
              |HAVING COUNT(*) >= 2
              |ORDER BY doc_id""".stripMargin)),
 
-    // Q57 sequence packing (r5) --------------------------------------------
+    // Q57 sequence packing (r5, distributed r6) ----------------------------
     // GPT-style concat-and-chunk packing: documents in deterministic order
     // concatenate into one token stream chunked into fixed 2048-token
     // training sequences; each doc's bin is floor((cumsum - n) / 2048) —
-    // the sequence its first token lands in. Pure integer window
-    // arithmetic, so the oracle is exact. Scale note: the global
-    // running-sum window is the declared determinism contract (same trade
-    // as q24's total sort); production packing shards the order key
-    // (e.g. per source/date partition) so each shard's window is
-    // independent — the per-bin audit below is unchanged.
+    // the sequence its first token lands in. Pure integer arithmetic, so
+    // the oracle is exact.
+    //
+    // Scale shape (r5 verdict item 2): the global running sum is a
+    // TWO-LEVEL PREFIX SUM, not a single-partition window. Level 1 shards
+    // the order key into ~sqrt(maxId) contiguous doc_id ranges (shard width
+    // sqrt(maxId), so shard COUNT is also ~sqrt(maxId) — both levels stay
+    // balanced at any corpus size) and computes each shard's local cumsum
+    // with an ordinary partitioned window — parallel across shards, each
+    // partition bounded by the shard width. Level 2 computes the exclusive
+    // running offset of the per-shard token totals: that window IS
+    // single-partition, but over the sqrt-sized totals table (an aggregate
+    // output, never the corpus — QueryPlanSpec pins this shape), and the
+    // offsets broadcast back onto the shards. cum = local_cum + offset,
+    // identical to the old global window bit-for-bit. The narrow
+    // (doc_id, n_tok) projection is localCheckpoint'ed because both levels
+    // read it — without the barrier each branch would re-tokenize the full
+    // text column, the actual 100 TB cost.
     QueryDef("q57_sequence_packing",
       (s, d) => {
         val seqLen = 2048
-        val w = Window.orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, d, "documents")
+        val docs = t(s, d, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast(LongType).as("n_tok"))
-          .withColumn("cum", sum(col("n_tok")).over(w))
+          .localCheckpoint()
+        val maxId = docs.agg(coalesce(max("doc_id"), lit(0L))).head().getLong(0)
+        val shardWidth =
+          math.max(1L, math.ceil(math.sqrt((maxId + 1).toDouble)).toLong)
+        val sharded = docs.withColumn("shard", expr(s"doc_id DIV $shardWidth"))
+        val localW = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsetW = Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = sharded.groupBy("shard")
+          .agg(sum(col("n_tok")).as("shard_tok"))
+          .withColumn("offset",
+            sum(col("shard_tok")).over(offsetW) - col("shard_tok"))
+          .select(col("shard"), col("offset"))
+        sharded
+          .withColumn("local_cum", sum(col("n_tok")).over(localW))
+          .join(broadcast(offsets), "shard")
+          .withColumn("cum", col("local_cum") + col("offset"))
           .withColumn("bin", ((col("cum") - col("n_tok")) / seqLen)
             .cast(LongType))
           .groupBy("bin")

@@ -26,4 +26,28 @@ class ComponentsSpec extends AnyFunSuite {
     assert(leaked.size <= 1,
       s"q51 left ${leaked.size} persistent RDDs behind: $leaked")
   }
+
+  test("pointer doubling: a 10k-node chain converges in <= 15 rounds") {
+    // the adversarial shape for one-hop min-label propagation: a pure
+    // chain 0-1-2-...-9999 (no shortcut edges) has diameter ~n, so without
+    // the doubling step convergence needs ~n rounds and the 50-round bound
+    // aborts. With doubling, covered distance follows d -> 2(d+1), so
+    // ceil(log2(n)) + 1 detection round ≈ 14 rounds here.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 10000L
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val fwd = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val (labels, rounds) =
+      graft.queries.LlmOps.propagateComponents(nodes, edges)
+    assert(rounds <= 15, s"chain of $n took $rounds rounds")
+    // one component, labeled by its minimum node
+    assert(labels.agg(max("comp")).head().getLong(0) == 0L)
+    assert(labels.count() == n)
+  }
 }

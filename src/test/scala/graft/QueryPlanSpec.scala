@@ -60,6 +60,37 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(aggs.size >= 2, s"expected partial+final hash aggregate:\n$plan")
   }
 
+  test("q57: no corpus-wide single-partition window (two-level prefix sum)") {
+    // r5 verdict item 2: the packing cumsum must not route the whole corpus
+    // through one window task. Required shape: (a) the corpus-level cumsum
+    // is a PARTITIONED window (per doc_id shard); (b) any window WITHOUT
+    // partition columns may only run over the per-shard totals — i.e. its
+    // input subtree contains an Aggregate, never a raw file scan.
+    val windows = collectAll(executedPlan("q57_sequence_packing"))
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected window operators in the q57 plan")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected a shard-partitioned window for the corpus-level cumsum")
+    // a scan reachable from the window WITHOUT passing through an
+    // aggregate means the window consumes corpus-sized input
+    def scanAboveAgg(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        false // everything below is pre-aggregated: bounded input
+      case _: FileSourceScanExec => true
+      case _: org.apache.spark.sql.execution.RDDScanExec => true // checkpoint
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scanAboveAgg(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scanAboveAgg(r.child)
+      case a: AdaptiveSparkPlanExec => scanAboveAgg(a.executedPlan)
+      case other => other.children.exists(scanAboveAgg)
+    }
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(!scanAboveAgg(w.child),
+        s"single-partition window runs over non-aggregated (corpus-sized) input:\n$w")
+    }
+  }
+
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }

@@ -53,6 +53,19 @@ def main(sf_dir, out_dir):
         elif len(s) != len(d):
             results[name] = f"ROWS: spark={len(s)} duck={len(d)}"
         else:
+            # dtype KINDS must agree before values are compared (r5 lesson:
+            # DuckDB's HUGEINT sum landed as float64 against Spark's int64 —
+            # every value identical, but the driver's rendering-sensitive
+            # hash sees "31.0" vs "31" and fails, while check_dtype=False
+            # hid it locally). Width differences within a kind (int32 vs
+            # int64) render identically and stay allowed.
+            kinds_s = [s.dtypes[c].kind for c in s.columns]
+            kinds_d = [d.dtypes[c].kind for c in d.columns]
+            if kinds_s != kinds_d:
+                results[name] = (
+                    f"DTYPE: spark={[str(t) for t in s.dtypes]} "
+                    f"duck={[str(t) for t in d.dtypes]}")
+                continue
             try:
                 import pandas.testing as pdt
                 pdt.assert_frame_equal(s, d, check_dtype=False,
