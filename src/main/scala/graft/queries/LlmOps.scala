@@ -762,6 +762,29 @@ object LlmOps {
       (s, d) => graft.operators.Multimodal.features(s, d),
       None),
 
+    // Q42b resize + frame-sample (rows-only, like q42: decode stubs make a
+    // SQL oracle meaningless; MultimodalSpec proves the pixel semantics).
+    // Deterministic per-doc summary of both operators: source/target dims
+    // and a thumb digest from resize, sampled-frame count and total frame
+    // bytes from the frame sampler. The thumb/frame payloads themselves
+    // stay out of the result — they ride prunable binary columns and this
+    // summary only forces the digests/lengths.
+    QueryDef("q42b_multimodal_resize",
+      (s, d) => {
+        val resized = graft.operators.Multimodal.resize(s, d, 16, 16)
+          .select(col("id"), col("kind"), col("width"), col("height"),
+            col("out_width"), col("out_height"),
+            substring(sha2(col("thumb"), 256), 1, 16).as("thumb_sha"))
+        val frames = graft.operators.Multimodal.sampleFrames(s, d)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(length(col("frame"))).as("frame_bytes"))
+        resized.join(frames, Seq("id"), "left")
+          .na.fill(0L, Seq("n_frames", "frame_bytes"))
+          .orderBy("id")
+      },
+      None),
+
     // Q51 near-dup connected components (r5) -------------------------------
     // The step every dedup campaign ends with: candidate pairs -> connected
     // components -> canonical doc (MIN id) per component. Components are

@@ -106,4 +106,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one.map(_.getAs[Long]("t_offset_ms")).toSeq == Seq(0L, 160L, 320L, 480L))
     assert(one.forall(_.getAs[Array[Byte]]("frame").nonEmpty))
   }
+
+  test("q42b query: one summary row per doc, deterministic digests") {
+    val spark = TestSpark.spark
+    val run = graft.SparkEntry.queries("q42b_multimodal_resize")
+    val df = run(spark, dir).cache()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(df.count() == n)
+    val r = df.filter(col("id") === 1).collect().head // kind-1: real pnm path
+    assert(r.getAs[Int]("out_width") == 16 && r.getAs[Int]("out_height") == 16)
+    assert(r.getAs[Int]("width") == 64) // encodeGray row width
+    assert(r.getAs[String]("thumb_sha").length == 16)
+    assert(r.getAs[Long]("n_frames") == 4) // 16 frames, stride 4
+    assert(r.getAs[Long]("frame_bytes") > 0)
+    // rerun -> identical rows (determinism: the driver's rows-only gate
+    // still rereads the dump, so flapping digests would look like churn)
+    val again = run(spark, dir).filter(col("id") === 1).collect().head
+    assert(again == r)
+    df.unpersist()
+  }
 }
