@@ -31,15 +31,22 @@ object StreamingDemo {
       replay
     })
 
+  /** (replayDir, horizonMinutes): the horizon is sized to the staged
+    * corpus span (DocStream.horizonMinutesFor) — a fixed 120-minute horizon
+    * starts expiring buckets mid-replay past ~7200 staged docs, silently
+    * flipping q53's matches_batch flags. Memoized with the dir so the count
+    * job runs once per sfDir. */
   private val stagedDocReplay =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
-  private def docReplayDirFor(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
+  private def docReplayDirFor(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): (String, Int) =
     stagedDocReplay.computeIfAbsent(sfDir, _ => {
       val replay =
         s"${java.nio.file.Files.createTempDirectory("graft-q53")}/replay"
       graft.streaming.DocStream.stageDocReplay(s, sfDir, replay, nFiles = 4)
-      replay
+      val nDocs = s.read.parquet(s"$sfDir/documents.parquet").count()
+      (replay, graft.streaming.DocStream.horizonMinutesFor(nDocs))
     })
 
   /** Eagerly stages the replay rigs (idempotent). Bench calls this from its
@@ -109,9 +116,10 @@ object StreamingDemo {
     // sees per-row match flags.
     QueryDef("q53_streaming_neardup",
       (s, d) => {
-        val replay = docReplayDirFor(s, d)
+        val (replay, horizon) = docReplayDirFor(s, d)
         val sinkTable = s"q53_sink_${System.nanoTime()}"
-        val streamed = graft.streaming.DocStream.bandAnchors(s, replay, sinkTable)
+        val streamed =
+          graft.streaming.DocStream.bandAnchors(s, replay, sinkTable, horizon)
         val batch = graft.streaming.DocStream.batchBandAnchors(s, d)
         streamed.as("s").join(batch.as("b"),
             col("s.doc_id") === col("b.doc_id") && col("s.band") === col("b.band"),

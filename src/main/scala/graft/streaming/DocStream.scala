@@ -40,24 +40,45 @@ object DocStream {
 
   /** Stages documents as an id-ordered replay: N parquet files partitioned
     * by doc_id range with pinned mtimes (the file source replays in
-    * (mtime, path) order), plus a synthetic ingest timestamp of one second
-    * per doc id — deterministic arrival order == id order, so the streamed
-    * anchors are reproducible and equal to the batch twin's MIN(doc_id). */
+    * (mtime, path) order), plus a synthetic ingest timestamp of
+    * `spacingSeconds` per doc id — deterministic arrival order == id order,
+    * so the streamed anchors are reproducible and equal to the batch twin's
+    * MIN(doc_id). */
   def stageDocReplay(spark: SparkSession, sfDir: String, replayDir: String,
-      nFiles: Int = 4): Unit = {
+      nFiles: Int = 4, spacingSeconds: Long = 1L): Unit = {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"),
-        expr("timestamp_micros(1700000000000000 + doc_id * 1000000)").as("ts"))
+        expr(s"timestamp_micros(1700000000000000 + doc_id * ${spacingSeconds}000000)")
+          .as("ts"))
       .repartitionByRange(nFiles, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(replayDir)
     ReplayStage.pinReplayOrder(spark, replayDir)
   }
 
+  /** Dedup horizon sized to the staged corpus: the synthetic replay spans
+    * `nDocs * spacingSeconds`, so a fixed horizon silently starts expiring
+    * buckets mid-replay once the corpus outgrows it (and the q53
+    * matches_batch flags would quietly go false — nothing crashes).
+    * Production streams pick the horizon from the dedup SLA; the replay rig
+    * must pick it from the data it stages. */
+  def horizonMinutesFor(nDocs: Long, spacingSeconds: Long = 1L): Int =
+    math.max(120L, nDocs * spacingSeconds / 60L + 10L).toInt
+
+  /** [[bandAnchors]] plus the per-micro-batch state-store row counts — the
+    * observable side of the bounded-state contract (one state row per
+    * distinct live bucket; expired buckets leave the store). */
+  final case class StreamRun(result: DataFrame, stateRowsPerBatch: Seq[Long])
+
   /** The streaming query run to completion: every arriving doc's 3 band
     * buckets resolve to their anchors through bounded per-bucket state. */
   def bandAnchors(spark: SparkSession, replayDir: String, sinkTable: String,
-      horizonMinutes: Int = 120): DataFrame = {
+      horizonMinutes: Int = 120): DataFrame =
+    bandAnchorsRun(spark, replayDir, sinkTable, horizonMinutes).result
+
+  /** [[bandAnchors]] returning the per-batch state-store row counts too. */
+  def bandAnchorsRun(spark: SparkSession, replayDir: String, sinkTable: String,
+      horizonMinutes: Int = 120): StreamRun = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     graft.functions.GraftFunctions.register(spark)
@@ -126,7 +147,13 @@ object DocStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkTable)
+    // recentProgress (default retention 100 updates) covers the replay's
+    // micro-batch count; numRowsTotal is the state store's live row count
+    // AFTER the batch's removals — the number the bounded-state claim is
+    // about
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+    StreamRun(spark.table(sinkTable), stateRows)
   }
 
   /** Batch twin of [[bandAnchors]] with an infinite horizon: every band
