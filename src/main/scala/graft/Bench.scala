@@ -58,6 +58,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20000)
         .select(expr("hyperplane_bucket(embedding, 16)").as("b"))
         .write.format("noop").mode("overwrite").save()
+      // ... and the q35 JOIN path (r6 verdict item 5): the kernel warmup
+      // above JITs the sketch expressions but q35's first run was still
+      // dominated by the band-join/distinct codegen stages (billed 6.6 s
+      // vs a 1.7-2.4 s steady state). One bounded candidate-pair pass
+      // compiles those stages before any timed run.
+      graft.queries.LlmOps.warmupCandidatePairs(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     }
     // streaming replay rigs staged here, NOT lazily inside the first
     // q33/q50/q53 run: a single-run harness would otherwise bill ~10s of

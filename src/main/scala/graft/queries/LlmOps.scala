@@ -144,6 +144,20 @@ object LlmOps {
       .select(col("doc_id"), minhashSigCol.as("sigl"))
   }
 
+  /** Bench warmup hook: the full q35 candidate-pair pipeline (banding,
+    * bucket sizing, band self-join, star rewrite, distinct) over a bounded
+    * sample. The kernel-only warmup JITs the sketch expressions but not the
+    * join/exchange/distinct codegen stages that dominate q35's first run —
+    * r6 billed q35 at 6.6 s against a 1.7-2.4 s steady state because of
+    * exactly that gap. limit() bounds the warmup cost at any SF. */
+  private[graft] def warmupCandidatePairs(s: SparkSession, d: String,
+      n: Int = 20000): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sig = docsWithTokens(s, d).limit(n)
+      .select(col("doc_id"), minhashSigCol.as("sigl"))
+    minhashCandidatePairs(sig)
+  }
+
   /** 3 bands x 4 rows over the minhash signature: adds (b, bv), drops
     * `sigl`, and PRESERVES every other input column (the streaming caller
     * carries its watermark timestamp through). Shared with DocStream so
