@@ -77,71 +77,133 @@ object LlmOps {
     }.foreach(_.unpersist(blocking = false))
 
   /** q51's iterative connected components: min-label propagation with
-    * POINTER DOUBLING. Each round, every node adopts the minimum of (its
-    * label, its neighbors' labels) — then, in the doubling step, the label
-    * of that adopted label. Doubling makes label chains collapse
-    * geometrically: covered distance follows d -> 2(d+1), so convergence is
-    * O(log diameter) instead of O(diameter) — an adversarially CHAINED
-    * near-dup corpus (A~B~C~... with no shortcut edges, plausible on
-    * organic data) converges in ~log2(n) rounds where one-hop propagation
-    * needed n and hard-failed the 50-round bound past a 50-deep chain
-    * (r5 ADVICE). Star-anchored hot clusters (the q35 bucket cap's output
-    * shape) still converge in 2-3 rounds.
+    * POINTER DOUBLING and DELTA ITERATION (frontier propagation, r6
+    * verdict item 7).
     *
-    * Every round is a key join + partial-agg groupBy (no windows, no
-    * driver-side graph); localCheckpoint() truncates lineage per round
-    * (SURVEY §2A op 21's barrier pattern applied to iteration) and every
-    * generation except the returned one is released eagerly. Convergence
-    * = the monotonically decreasing label sum, compared as DECIMAL(38,0) —
-    * exact at any corpus size. `nodes` must expose `doc_id`; `edges` must
-    * expose (src, dst) and be cheap to re-read (checkpoint it). Returns
-    * the converged (doc_id, comp) labels — the caller owns that final
-    * checkpoint — and the round count.
+    * Each round has two phases. One-hop: every node adopts the minimum of
+    * (its label, its neighbors' labels). Doubling: it then adopts the label
+    * of that just-updated label (comp-of-comp), so label chains collapse
+    * geometrically — covered distance follows d -> 2(d+1), convergence is
+    * O(log diameter) instead of O(diameter) on an adversarially CHAINED
+    * near-dup corpus (r5 ADVICE). Star-anchored hot clusters (the q35
+    * bucket cap's output shape) still converge in 2-3 rounds.
+    *
+    * Delta iteration bounds the per-round work by the FRONTIER — the rows
+    * whose label changed last round — instead of by the full graph:
+    * only edges leaving a changed node can carry new information (one-hop
+    * candidates are `edges JOIN frontier`, not `edges JOIN labels`), and
+    * the pointer lookups are probed by the frontier only. Once a region of
+    * the graph has converged it contributes ZERO probe rows to any join;
+    * the per-round shuffle shrinks with the frontier, which the chain test
+    * shows collapsing geometrically. The full tables only ever appear as
+    * pre-partitioned lookup sides (edges by `src` — q51 pre-partitions it
+    * — and labels by `doc_id` from its own update join), so neither
+    * re-shuffles per round. Correctness is the standard delta argument:
+    * every change enters the next frontier and is pushed to its neighbors,
+    * so an un-relaxed edge cannot survive to the empty-frontier fixpoint.
+    *
+    * All candidate streams read LAST round's materialized labels, so a
+    * round is ONE update join + ONE localCheckpoint + ONE frontier count —
+    * no mid-round barrier. (An earlier two-phase shape checkpointed an
+    * intermediate "half" generation per round; the extra job gave each
+    * round a fixed-cost floor that dominated wall time at bench SF.) The
+    * doubling lookup is CHAINED twice — frontier row -> its pointee's
+    * label v1 -> v1's label v2 — so covered distance triples per round
+    * (c -> 3c on a pure chain): ~log3 rounds, and the second hop reuses
+    * the same partitioned labels lookup for a frontier-sized probe.
+    *
+    * localCheckpoint() truncates lineage per round (SURVEY §2A op 21's
+    * barrier pattern applied to iteration) and every generation except the
+    * returned one is released eagerly. Convergence = empty frontier — an
+    * exact integer count, monotone-safe at any corpus size. `nodes` must
+    * expose `doc_id`; `edges` must expose (src, dst) and be cheap to
+    * re-read (checkpoint it). Returns the converged (doc_id, comp) labels
+    * — the caller owns that final checkpoint — the round count, and the
+    * per-round frontier sizes (the delta-volume observability the
+    * BENCH_NOTES scale runs record).
     */
   private[graft] def propagateComponents(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 50): (DataFrame, Int) = {
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head()
-        .getDecimal(0)
-    var before = labelSum(labels)
+      maxRounds: Int = 50): (DataFrame, Int, Seq[Long]) = {
+    // flat-stats checkpoints: the stock localCheckpoint carries the origin
+    // plan's Statistics onto its LogicalRDD, and per-round re-checkpointing
+    // COMPOUNDS those through every join's size product — by ~round 10 the
+    // optimizer is multiplying million-digit BigInts and the driver hangs
+    // in stats estimation (see GraftCheckpoint's scaladoc). Resetting to
+    // the flat leaf estimate each round keeps plan-time O(plan), which is
+    // what an iterative operator needs.
+    val ckpt = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFlatStats _
+    var labels = ckpt(nodes.select(col("doc_id"), col("doc_id").as("comp")))
+    // round-0 frontier: every node (its initial self-label is new)
+    var frontier = labels
+    val frontierSizes = Seq.newBuilder[Long]
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val prev = labels
-      val nbr = edges.join(labels, col("src") === col("doc_id"))
-        .select(col("dst").as("doc_id"), col("comp"))
-      // half-step: min over self + neighbor labels. Checkpointed because
-      // the doubling step below reads it from THREE branches (left side,
-      // label lookup, union) — without the barrier the join+groupBy
-      // subtree would recompute per branch.
-      val half = labels.union(nbr)
-        .groupBy("doc_id").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      // doubling step: adopt the label of my (just-updated) label
-      val ptr = half.join(
-          half.select(col("doc_id").as("l_doc"), col("comp").as("l_comp")),
-          col("comp") === col("l_doc"))
-        .select(col("doc_id"), col("l_comp").as("comp"))
-      labels = half.union(ptr)
-        .groupBy("doc_id").agg(min("comp").as("comp"))
-        .localCheckpoint() // eager: materialized here
-      releaseCheckpoint(prev)
-      releaseCheckpoint(half)
-      val after = labelSum(labels)
-      converged = after.compareTo(before) == 0
-      before = after
+      val prevLabels = labels
+      // one-hop candidates, frontier-sourced: labels that did NOT change
+      // last round were already pushed to their neighbors when they last
+      // did
+      val nbrCand = edges.join(frontier, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("comp").as("cand"))
+      // doubling candidates, frontier-probed: a changed row chases its
+      // pointer chain two hops through LAST round's labels (v1 = label of
+      // my label; v2 = label of v1). Probing only from the frontier stalls
+      // nothing (a converged region needs no lookups) and both hops are
+      // frontier-sized probes into the same doc_id-partitioned lookup.
+      val look1 = frontier
+        .select(col("doc_id").as("p_doc"), col("comp").as("k1"))
+        .join(labels.select(col("doc_id").as("l1"), col("comp").as("v1")),
+          col("k1") === col("l1"))
+        .select(col("p_doc"), col("v1"))
+      val look2 = look1
+        .join(labels.select(col("doc_id").as("l2"), col("comp").as("v2")),
+          col("v1") === col("l2"))
+        .select(col("p_doc"), col("v2"))
+      val cand = nbrCand
+        .union(look1.select(col("p_doc").as("doc_id"), col("v1").as("cand")))
+        .union(look2.select(col("p_doc").as("doc_id"), col("v2").as("cand")))
+        .groupBy("doc_id").agg(min("cand").as("cand"))
+      // cand is null for nodes nothing reached this round; carry the
+      // change flag instead of re-deriving it
+      labels = ckpt(labels.join(cand, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), col("cand")).as("comp"),
+          coalesce(col("cand") < col("comp"), lit(false)).as("chg"))
+      ) // eager: the round's ONLY materialization
+      frontier = labels.filter(col("chg")).select(col("doc_id"), col("comp"))
+      val nChanged = frontier.count()
+      frontierSizes += nChanged
+      releaseCheckpoint(prevLabels)
+      converged = nChanged == 0
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
-    (labels, rounds)
+    (labels.select(col("doc_id"), col("comp")), rounds, frontierSizes.result())
   }
 
   private def minhashSig(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     docsWithTokens(s, d)
       .select(col("doc_id"), minhashSigCol.as("sigl"))
+  }
+
+  /** Scale-rig observability hook (tools.ComponentsScale): q51's exact
+    * edge build + propagation on `d`, returning (rounds, per-round
+    * frontier sizes) — the delta-volume trace the BENCH_NOTES scale runs
+    * record. Not a query: results are discarded, the trace is the point. */
+  private[graft] def componentsScaleRun(s: SparkSession, d: String)
+      : (Int, Seq[Long]) = {
+    val pairs = minhashCandidatePairs(minhashSig(s, d))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val (labels, rounds, frontier) =
+      propagateComponents(t(s, d, "documents").select(col("doc_id")), edges)
+    releaseCheckpoint(edges)
+    releaseCheckpoint(labels)
+    (rounds, frontier)
   }
 
   /** Bench warmup hook: the full q35 candidate-pair pipeline (banding,
@@ -822,8 +884,13 @@ object LlmOps {
         val pairs = minhashCandidatePairs(minhashSig(s, d))
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          // pre-partitioned on the per-round join key: localCheckpoint
+          // preserves the partitioning, so every round's edges-vs-frontier
+          // join shuffles ONLY the frontier side (the delta volume), never
+          // the edge set
+          .repartition(col("src"))
           .localCheckpoint() // materialized once; every round re-reads it
-        val (labels, _) =
+        val (labels, _, _) =
           propagateComponents(t(s, d, "documents").select(col("doc_id")), edges)
         // the result derives from the FINAL labels generation only — the
         // edge blocks can go now too (the final labels checkpoint must

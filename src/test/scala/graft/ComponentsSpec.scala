@@ -43,11 +43,26 @@ class ComponentsSpec extends AnyFunSuite {
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    val (labels, rounds) =
+    val (labels, rounds, frontier) =
       graft.queries.LlmOps.propagateComponents(nodes, edges)
     assert(rounds <= 15, s"chain of $n took $rounds rounds")
     // one component, labeled by its minimum node
     assert(labels.agg(max("comp")).head().getLong(0) == 0L)
     assert(labels.count() == n)
+    // DELTA ITERATION observable: the frontier (rows whose label changed,
+    // == next round's join probe volume) is monotone non-increasing on the
+    // chain — unconverged count is n minus the doubled coverage 2^k — and
+    // the fixpoint round is an empty frontier. The chain is delta
+    // iteration's WORST case (nothing converges until coverage reaches
+    // it); star/cluster graphs shed most of the frontier in round one.
+    assert(frontier.last == 0L)
+    assert(frontier.zip(frontier.tail).forall { case (a, b) => b <= a },
+      s"frontier grew between rounds: $frontier")
+    // the closing round's probe volume collapsed well below the corpus
+    // (chain worst case: the last nonzero frontier is n minus the tripled
+    // coverage 3^k, under half of n; cluster graphs shed far more — the
+    // BENCH_NOTES 10x-rig trace shows 70k -> 7k -> 2.4k -> 20 -> 0)
+    assert(frontier(frontier.size - 2) < frontier.head / 2,
+      s"closing-round frontier still corpus-sized: $frontier")
   }
 }
