@@ -36,8 +36,12 @@ import org.apache.hadoop.fs.Path
   *
   * Scope (documented non-goals beyond this): uncompressed, zstd0 and zstd1
   * Gray8/Gray16 subblocks — real Zeiss light-sheet acquisitions are uint16.
-  * JPEG-XR subblocks need a codec library this build does not carry and are
-  * rejected. Mosaics are accepted only when their subblocks tile each
+  * JPEG-XR subblocks are FORMALLY out of scope (SURVEY §2A op 5, closed
+  * r7): the codec is a full ITU-T T.832 implementation and a partial
+  * decoder risks silently wrong voxels, so such files classify loudly as
+  * [[Unsupported]] (never [[NotCzi]], never synthetic data) — the contract
+  * CziReaderSpec pins. Workaround: re-export from Zen as zstd or
+  * uncompressed, both fully supported. Mosaics are accepted only when their subblocks tile each
   * (T, C) plane stack disjointly and completely — overlapping-tile
   * acquisitions (common with stage overlap before stitching) are rejected
   * rather than reassembled nondeterministically. [[open]] reports
