@@ -188,6 +188,28 @@ object LlmOps {
       .select(col("doc_id"), minhashSigCol.as("sigl"))
   }
 
+  /** The converged near-dup component labels (doc_id, comp) shared by q51
+    * and q59: q35's bounded candidate pairs become bidirectional edges
+    * (pre-partitioned on `src` so each propagation round shuffles only the
+    * frontier side), then frontier-bounded label propagation converges to
+    * MIN(doc_id) per connected component. The caller owns the returned
+    * checkpoint; the edge blocks are released here.
+    */
+  private def neardupLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashCandidatePairs(minhashSig(s, d))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint() // materialized once; every round re-reads it
+    val (labels, _, _) =
+      propagateComponents(t(s, d, "documents").select(col("doc_id")), edges)
+    // the result derives from the FINAL labels generation only — the edge
+    // blocks can go now (the final labels checkpoint must stay: the caller
+    // has not materialized the result yet)
+    releaseCheckpoint(edges)
+    labels
+  }
+
   /** Scale-rig observability hook (tools.ComponentsScale): q51's exact
     * edge build + propagation on `d`, returning (rounds, per-round
     * frontier sizes) — the delta-volume trace the BENCH_NOTES scale runs
@@ -861,41 +883,23 @@ object LlmOps {
       },
       None),
 
-    // Q51 near-dup connected components (r5) -------------------------------
+    // Q51 near-dup connected components (r5; delta iteration r7) -----------
     // The step every dedup campaign ends with: candidate pairs -> connected
     // components -> canonical doc (MIN id) per component. Components are
     // computed over the UNthresholded q35 candidate stream — exactly the
     // case where the star-edge cap provably preserves connectivity (see the
     // LshBucketCap scaladoc).
     //
-    // Spark-first shape: iterative min-label propagation. Each round every
-    // doc takes the minimum label among itself and its neighbors (one join
-    // + one partial-aggregatable groupBy — no windows, no driver-side
-    // graph); localCheckpoint() truncates lineage per round (SURVEY §2A
-    // op 21's barrier pattern applied to iteration); rounds ~ the graph
-    // diameter, which the star-edge rewrite keeps small (anchors make hot
-    // clusters depth-2). The fixpoint test compares the monotonically
-    // decreasing label sum as DECIMAL(38,0) — exact at any corpus size.
-    // The DuckDB oracle computes the same fixpoint as a recursive-CTE
-    // transitive closure (fine at oracle SF; the iterative form is the one
-    // that scales).
+    // Spark-first shape: frontier-bounded min-label propagation with
+    // chained pointer doubling — see propagateComponents' scaladoc for the
+    // full scale rationale (per-round probe volume shrinks with the
+    // unconverged frontier; rounds ~ log3(diameter), which the star-edge
+    // rewrite keeps tiny for hot clusters). The DuckDB oracle computes the
+    // same fixpoint as a recursive-CTE transitive closure (fine at oracle
+    // SF; the iterative form is the one that scales).
     QueryDef("q51_neardup_components",
       (s, d) => {
-        val pairs = minhashCandidatePairs(minhashSig(s, d))
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          // pre-partitioned on the per-round join key: localCheckpoint
-          // preserves the partitioning, so every round's edges-vs-frontier
-          // join shuffles ONLY the frontier side (the delta volume), never
-          // the edge set
-          .repartition(col("src"))
-          .localCheckpoint() // materialized once; every round re-reads it
-        val (labels, _, _) =
-          propagateComponents(t(s, d, "documents").select(col("doc_id")), edges)
-        // the result derives from the FINAL labels generation only — the
-        // edge blocks can go now too (the final labels checkpoint must
-        // stay: the caller has not materialized the result yet)
-        releaseCheckpoint(edges)
+        val labels = neardupLabels(s, d)
         labels
           .select(col("doc_id"), col("comp"),
             (col("doc_id") === col("comp")).as("is_canonical"))
@@ -1210,6 +1214,98 @@ object LlmOps {
              |FROM bg b
              |JOIN bc c ON b.bg = c.bg
              |JOIN pc p ON split_part(b.bg, chr(1), 1) = p.w1
-             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)),
+
+    // Q59 dedup RESOLUTION: best-quality canonical per component (r7) ------
+    // What a real dedup campaign keeps is not the minimum doc id but the
+    // BEST member of each near-dup cluster. Components come from the shared
+    // q51 labels; quality is the distinct-token count (integer, so the
+    // hash compare is drift-free); the argmax is the deterministic
+    // two-step — per-component MAX(score), then MIN(doc_id) among the tied
+    // best — because single-pass arg_max is tie-nondeterministic in both
+    // engines. Scale shape: labels (n rows) join the per-doc score on
+    // doc_id, two partial-aggregatable groupBys on comp, one (comp, score)
+    // join back — everything shuffles on component keys, nothing
+    // quadratic, no windows.
+    QueryDef("q59_dedup_resolution",
+      (s, d) => {
+        val labels = neardupLabels(s, d)
+        val scored = docsWithTokens(s, d).select(col("doc_id"),
+          size(array_distinct(col("toks"))).cast(IntegerType).as("score"))
+        val members = labels.join(scored, "doc_id")
+        val best = members.groupBy("comp").agg(
+          count(lit(1)).as("n_members"), max("score").as("best_score"))
+        val canon = members
+          .join(best.select(col("comp"), col("best_score").as("score")),
+            Seq("comp", "score"))
+          .groupBy("comp").agg(min("doc_id").as("canonical_doc"))
+        best.join(canon, "comp")
+          .select(col("comp"), col("n_members"), col("best_score"),
+            col("canonical_doc"))
+          .orderBy("comp")
+      },
+      Some(s"""WITH RECURSIVE $MINHASH_BANDS_SQL,
+             |$MINHASH_PAIRS_SQL,
+             |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+             |reach AS (
+             |  SELECT src, dst FROM edges
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+             |cmp AS (SELECT src AS doc_id, MIN(dst) AS mincomp
+             |        FROM reach GROUP BY src),
+             |m AS (SELECT d.doc_id,
+             |    LEAST(d.doc_id, COALESCE(c.mincomp, d.doc_id)) AS comp,
+             |    CAST(len(list_distinct(string_split(d.text, ' '))) AS INT)
+             |      AS score
+             |  FROM documents d LEFT JOIN cmp c ON c.doc_id = d.doc_id),
+             |b AS (SELECT comp, COUNT(*) AS n_members, MAX(score) AS best_score
+             |      FROM m GROUP BY comp),
+             |canon AS (SELECT m.comp, MIN(m.doc_id) AS canonical_doc
+             |          FROM m JOIN b ON m.comp = b.comp AND m.score = b.best_score
+             |          GROUP BY m.comp)
+             |SELECT b.comp AS comp, b.n_members AS n_members,
+             |  b.best_score AS best_score, canon.canonical_doc AS canonical_doc
+             |FROM b JOIN canon ON b.comp = canon.comp
+             |ORDER BY comp""".stripMargin)),
+
+    // Q60 deterministic training shuffle + sharding (r7) -------------------
+    // The last step before tokenized data hits the trainer: a reproducible
+    // global permutation and shard assignment. The shuffle key is the
+    // salted-md5 arithmetic q55's sampling gate established (pure function
+    // of (salt, doc_id) — re-runs, engines and cluster layouts agree);
+    // shard = key mod nShards balances by construction (md5 uniformity),
+    // so the per-shard position window is a PARTITIONED window over
+    // corpus/nShards rows — no global single-task ordering anywhere. The
+    // (key, doc_id) composite order makes positions total even under md5
+    // prefix collisions.
+    QueryDef("q60_shuffle_shard",
+      (s, d) => {
+        val nShards = 8
+        val key = conv(substring(
+            md5(concat(lit("shard1|"), col("doc_id"))), 1, 8), 16, 10)
+          .cast(LongType)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("shuffle_key"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), key.as("shuffle_key"))
+          .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong))
+            .cast(IntegerType))
+          .withColumn("pos", row_number().over(w).cast(LongType))
+          .select(col("doc_id"), col("shuffle_key"), col("shard"), col("pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |      (strpos('0123456789abcdef',
+             |         substr(md5('shard1|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             |        * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT) AS shuffle_key
+             |  FROM documents)
+             |SELECT doc_id, shuffle_key,
+             |  CAST(shuffle_key % 8 AS INT) AS shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+             |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+             |FROM k ORDER BY doc_id""".stripMargin))
   )
 }

@@ -65,4 +65,27 @@ class ComponentsSpec extends AnyFunSuite {
     assert(frontier(frontier.size - 2) < frontier.head / 2,
       s"closing-round frontier still corpus-sized: $frontier")
   }
+
+  test("q59: each canonical doc holds its component's max quality score") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val res = SparkEntry.queries("q59_dedup_resolution")(spark, dir).cache()
+    val comps = SparkEntry.queries("q51_neardup_components")(spark, dir)
+    // component sets agree between the two views of the same labels
+    assert(res.count() == comps.select("comp").distinct().count())
+    // n_members sums back to the corpus, and every canonical doc is a
+    // member of its own component carrying the component-best score
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(res.agg(sum("n_members")).head().getLong(0) == n)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("canonical_doc"),
+        size(array_distinct(split(col("text"), " "))).as("doc_score"))
+    val joined = res.join(toks, "canonical_doc")
+    assert(joined.filter(col("doc_score") =!= col("best_score")).count() == 0,
+      "a canonical doc does not carry its component's best score")
+    // near-dups exist at this SF: some component resolves away members
+    assert(res.filter(col("n_members") > 1).count() > 0)
+    res.unpersist()
+  }
 }

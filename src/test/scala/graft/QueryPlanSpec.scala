@@ -91,6 +91,18 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q60: every window is shard-partitioned (no global ordering task)") {
+    // the training-shuffle position counter must never route the corpus
+    // through one task: all windows partition on the shard key
+    val windows = collectAll(executedPlan("q60_shuffle_shard"))
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected a window operator in the q60 plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"q60 window is unpartitioned (global single-task ordering):\n$w")
+    }
+  }
+
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
