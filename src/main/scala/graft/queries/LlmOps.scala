@@ -1306,6 +1306,58 @@ object LlmOps {
              |  CAST(shuffle_key % 8 AS INT) AS shard,
              |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
              |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
-             |FROM k ORDER BY doc_id""".stripMargin))
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // Q61 dataset card: per-(source, lang) corpus audit (r7) ---------------
+    // The report every training-data pipeline emits before mixing: how
+    // much of each source survives, how duplicated it is, what its token
+    // economics look like. Exact-dup flags come from a corpus-wide md5
+    // group (shuffle on the content hash — the one global key; everything
+    // after is partial-aggregatable on (source, lang)). Per-doc ratios are
+    // rounded to 4 places BEFORE averaging so both engines aggregate
+    // identical inputs; the averages go through the exact-decimal-sum
+    // helpers like every other float aggregate in this file.
+    QueryDef("q61_dataset_card",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dupFlags = docs
+          .groupBy(md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("h_n"))
+        val perDoc = docs
+          .withColumn("h", md5(col("text")))
+          .join(dupFlags, "h")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("source"), col("lang"),
+            (col("h_n") > 1).as("is_dup"),
+            size(col("toks")).cast(LongType).as("n_toks"),
+            r4(size(array_distinct(col("toks"))).cast(DoubleType)
+              / nullif(size(col("toks")), lit(0))).as("ttr"))
+        perDoc.groupBy("source", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(col("n_toks")).as("total_tokens"),
+            avg4(col("n_toks")).as("avg_tokens"),
+            avg4(col("ttr")).as("avg_ttr"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH g AS (SELECT MD5(text) AS h, COUNT(*) AS h_n
+             |          FROM documents GROUP BY MD5(text)),
+             |p AS (SELECT d.source, d.lang,
+             |    g.h_n > 1 AS is_dup,
+             |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+             |    CAST(ROUND(CAST(len(list_distinct(string_split(d.text, ' ')))
+             |        AS DOUBLE)
+             |      / NULLIF(len(string_split(d.text, ' ')), 0), 4) AS DOUBLE)
+             |      AS ttr
+             |  FROM documents d JOIN g ON MD5(d.text) = g.h)
+             |SELECT source, lang,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup_docs,
+             |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+             |  ${Q.AVG4("n_toks")} AS avg_tokens,
+             |  ${Q.AVG4("ttr")} AS avg_ttr
+             |FROM p GROUP BY source, lang ORDER BY source, lang""".stripMargin))
   )
 }

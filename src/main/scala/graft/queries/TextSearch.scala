@@ -39,6 +39,63 @@ object TextSearch {
     "fr" -> Seq("le", "la", "de", "et", "est"),
     "zh" -> Seq("的", "是", "了", "我", "不"))
 
+  /** Q48/Q62 shared IVF assignment: every vector joined to its nearest
+    * coarse-quantizer cell (seed centroids = first IvfCells vectors, then
+    * one deterministic Lloyd refinement step), ranked by ROUNDED cosine so
+    * the argmax is stable against cross-engine double-accumulation ULP
+    * drift. Returns (vec_id, cid, embedding, rn): rn = 1 is the vector's
+    * home cell; rn <= k is its k nearest cells (the probe expansion). The
+    * centroid tables broadcast; the corpus is scanned, never self-joined.
+    */
+  private def ivfAssigned(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = t(s, d, "embeddings")
+    def nearest(cents: DataFrame): DataFrame = e.crossJoin(cents)
+      .withColumn("sim_c", round(expr("cosine_sim(embedding, ce)"), 4))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("sim_c").desc, col("cid"))))
+    val seeds = broadcast(e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val seedCells = nearest(seeds).filter(col("rn") === 1)
+      .select(col("cid"), col("embedding"))
+    val refined = broadcast(seedCells
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
+      .groupBy("cid").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv").cast(FloatType)).as("ce")))
+    nearest(refined)
+  }
+
+  /** Oracle twin of [[ivfAssigned]] (CTE chain ending in `assigned` and
+    * the home-cell view `cells`), shared by the q48 and q62 oracles. */
+  private val IVF_CELLS_SQL: String =
+    s"""seeds AS (SELECT vec_id AS cid, embedding AS ce
+      |    FROM embeddings WHERE vec_id < $IvfCells),
+      |a0 AS (SELECT vec_id, cid, embedding FROM (
+      |    SELECT e.vec_id, s.cid, e.embedding,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |          CAST(s.ce AS DOUBLE[])), 4) DESC, s.cid) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) x WHERE rn = 1),
+      |pieces AS (SELECT cid,
+      |    unnest(generate_series(1, len(embedding))) AS pos,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM a0),
+      |means AS (SELECT cid, pos, ROUND(AVG(v), 6) AS cv
+      |  FROM pieces GROUP BY cid, pos),
+      |refined AS (SELECT cid, CAST(list(cv ORDER BY pos) AS FLOAT[]) AS ce
+      |  FROM means GROUP BY cid),
+      |assigned AS (
+      |  SELECT e.vec_id, r.cid, e.embedding,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |        CAST(r.ce AS DOUBLE[])), 4) DESC, r.cid) AS rn
+      |  FROM embeddings e CROSS JOIN refined r),
+      |cells AS (SELECT vec_id, cid, embedding FROM assigned WHERE rn = 1)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q47 language ID: marker-word scoring, argmax, accuracy vs the label --
