@@ -30,6 +30,9 @@ object TextSearch {
     */
   val IvfProbes = 2
 
+  /** Q62 neighbors kept per vector in the k-NN graph. */
+  val KnnK = 3
+
   /** Marker function-word lists per language (the classic cheap lang-ID
     * heuristic: count hits, argmax with a deterministic tie-break). */
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -224,26 +227,7 @@ object TextSearch {
     // IvfCells of the corpus scanned.
     QueryDef("q48_ann_ivf",
       (s, d) => {
-        graft.functions.GraftFunctions.register(s)
-        val e = t(s, d, "embeddings")
-        // assignment orders by ROUNDED similarity so the argmax is stable
-        // against cross-engine double-accumulation ULP drift
-        def nearest(cents: DataFrame): DataFrame = e.crossJoin(cents)
-          .withColumn("sim_c", round(expr("cosine_sim(embedding, ce)"), 4))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-              .orderBy(col("sim_c").desc, col("cid"))))
-        val seeds = broadcast(e.filter(col("vec_id") < IvfCells)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-        val seedCells = nearest(seeds).filter(col("rn") === 1)
-          .select(col("cid"), col("embedding"))
-        val refined = broadcast(seedCells
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
-          .groupBy("cid").agg(
-            transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-              x => x.getField("cv").cast(FloatType)).as("ce")))
-        val assigned = nearest(refined)
+        val assigned = ivfAssigned(s, d)
         val cells = assigned.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("embedding"))
         // nprobe: the query side expands to its IvfProbes nearest cells;
@@ -256,29 +240,7 @@ object TextSearch {
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
-      Some(s"""WITH seeds AS (SELECT vec_id AS cid, embedding AS ce
-             |    FROM embeddings WHERE vec_id < $IvfCells),
-             |a0 AS (SELECT vec_id, cid, embedding FROM (
-             |    SELECT e.vec_id, s.cid, e.embedding,
-             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             |          CAST(s.ce AS DOUBLE[])), 4) DESC, s.cid) AS rn
-             |    FROM embeddings e CROSS JOIN seeds s) x WHERE rn = 1),
-             |pieces AS (SELECT cid,
-             |    unnest(generate_series(1, len(embedding))) AS pos,
-             |    unnest(CAST(embedding AS DOUBLE[])) AS v
-             |  FROM a0),
-             |means AS (SELECT cid, pos, ROUND(AVG(v), 6) AS cv
-             |  FROM pieces GROUP BY cid, pos),
-             |refined AS (SELECT cid, CAST(list(cv ORDER BY pos) AS FLOAT[]) AS ce
-             |  FROM means GROUP BY cid),
-             |assigned AS (
-             |  SELECT e.vec_id, r.cid, e.embedding,
-             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-             |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-             |        CAST(r.ce AS DOUBLE[])), 4) DESC, r.cid) AS rn
-             |  FROM embeddings e CROSS JOIN refined r),
-             |cells AS (SELECT vec_id, cid, embedding FROM assigned WHERE rn = 1),
+      Some(s"""WITH $IVF_CELLS_SQL,
              |qcell AS (SELECT cid AS qcid, embedding AS qe FROM assigned
              |          WHERE vec_id = 0 AND rn <= $IvfProbes)
              |SELECT v.vec_id,
@@ -287,6 +249,51 @@ object TextSearch {
              |FROM cells v JOIN qcell q ON v.cid = q.qcid
              |WHERE v.vec_id <> 0
              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
+
+    // Q62 k-NN graph over IVF cells (r7) -----------------------------------
+    // The batch counterpart of q48's single-query search, and the input of
+    // semantic-dedup / kNN-clustering pipelines (SemDeDup-style): EVERY
+    // vector finds its KnnK nearest neighbors, searched only inside its
+    // IvfProbes nearest cells. Per-query candidate count is IvfProbes *
+    // n/IvfCells (~2*sqrt(n) at production sqrt(n)-cell sizing), so the
+    // candidate join is O(n^1.5) not O(n^2), keyed on cell id — at sqrt(n)
+    // cells no key is hot. Top-k is a window partitioned BY QUERY VECTOR
+    // (bounded partitions), never a global sort; ties broken by neighbor id
+    // on ROUND(sim, 4) so the graph is engine-stable.
+    QueryDef("q62_knn_graph",
+      (s, d) => {
+        val assigned = ivfAssigned(s, d)
+        val cells = assigned.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("embedding"))
+        val probes = assigned.filter(col("rn") <= IvfProbes)
+          .select(col("vec_id").as("qid"), col("cid").as("qcid"),
+            col("embedding").as("qe"))
+        val cand = cells
+          .join(probes, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nn_id"),
+            r4(expr("cosine_sim(qe, embedding)")).as("sim"))
+        cand
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("sim").desc, col("nn_id"))))
+          .filter(col("rk") <= KnnK)
+          .select(col("qid"), col("rk"), col("nn_id"), col("sim"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH $IVF_CELLS_SQL,
+             |probes AS (SELECT vec_id AS qid, cid AS qcid, embedding AS qe
+             |           FROM assigned WHERE rn <= $IvfProbes),
+             |cand AS (SELECT p.qid, c.vec_id AS nn_id,
+             |    CAST(ROUND(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+             |      CAST(c.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |  FROM probes p JOIN cells c
+             |    ON c.cid = p.qcid AND c.vec_id <> p.qid),
+             |r AS (SELECT qid, nn_id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY sim DESC, nn_id) AS rk
+             |  FROM cand)
+             |SELECT qid, CAST(rk AS INT) AS rk, nn_id, sim
+             |FROM r WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin)),
 
     // Q54 int8 embedding quantization (r5) ---------------------------------
     // The 4x storage/bandwidth compressor of a 100TB embedding store:
