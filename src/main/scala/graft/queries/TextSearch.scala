@@ -72,6 +72,23 @@ object TextSearch {
     nearest(refined)
   }
 
+  /** The materialized IVF index: [[ivfAssigned]] kept to each vector's
+    * IvfProbes nearest cells and checkpointed. Both consumers (the rn = 1
+    * home-cell side and the rn <= IvfProbes probe side) scan this one
+    * materialization instead of re-running the quantizer pipeline per
+    * branch — Catalyst cannot share the subtree itself (the branches'
+    * rank filters push different WindowGroupLimits below the exchanges,
+    * so ReuseExchange never fires), and a real IVF index is built once
+    * and stored anyway. Materialized size is IvfProbes x corpus of
+    * (id, cid, embedding, rn) rows — the same order as the index a
+    * vector store persists.
+    */
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
+      ivfAssigned(s, d).filter(col("rn") <= IvfProbes)
+        .select(col("vec_id"), col("cid"), col("embedding"), col("rn")))
+
   /** Oracle twin of [[ivfAssigned]] (CTE chain ending in `assigned` and
     * the home-cell view `cells`), shared by the q48 and q62 oracles. */
   private val IVF_CELLS_SQL: String =
@@ -227,12 +244,12 @@ object TextSearch {
     // IvfCells of the corpus scanned.
     QueryDef("q48_ann_ivf",
       (s, d) => {
-        val assigned = ivfAssigned(s, d)
-        val cells = assigned.filter(col("rn") === 1)
+        val index = ivfIndex(s, d)
+        val cells = index.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("embedding"))
         // nprobe: the query side expands to its IvfProbes nearest cells;
         // the (tiny) probe list broadcasts, the corpus is scanned once
-        val qprobe = assigned.filter(col("vec_id") === 0 && col("rn") <= IvfProbes)
+        val qprobe = index.filter(col("vec_id") === 0)
           .select(col("cid").as("qcid"), col("embedding").as("qe"))
         cells.join(broadcast(qprobe), col("cid") === col("qcid"))
           .filter(col("vec_id") =!= 0)
@@ -262,10 +279,10 @@ object TextSearch {
     // on ROUND(sim, 4) so the graph is engine-stable.
     QueryDef("q62_knn_graph",
       (s, d) => {
-        val assigned = ivfAssigned(s, d)
-        val cells = assigned.filter(col("rn") === 1)
+        val index = ivfIndex(s, d)
+        val cells = index.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("embedding"))
-        val probes = assigned.filter(col("rn") <= IvfProbes)
+        val probes = index
           .select(col("vec_id").as("qid"), col("cid").as("qcid"),
             col("embedding").as("qe"))
         val cand = cells
