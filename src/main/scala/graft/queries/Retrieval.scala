@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+import graft.Q._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Retrieval / tokenizer-training side of the LLM-pipeline surface: BM25
+  * ranking, RAG chunking, temperature mixing weights, BPE pair counting.
+  *
+  * Determinism rules follow the repo conventions: integer arithmetic and
+  * md5 wherever possible; each floating term routed through DECIMAL(18,4)
+  * before any cross-row sum (the q52 pattern — absorbs ln/× ULP drift
+  * between engines); sqrt (IEEE-exact in both engines) preferred over pow.
+  */
+object Retrieval {
+
+  /** BM25 query terms: one rare discriminator ("dup", df≈5% of docs) and
+    * two common terms — exercises the idf spread on the synthetic vocab. */
+  val Bm25Terms: Seq[String] = Seq("dup", "join", "spark")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** RAG chunk geometry: 32-token chunks, stride 24 (8-token overlap). */
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  private def toks(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    t(s, d, "documents").withColumn("toks", split(col("text"), " "))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q63 BM25 scoring (Okapi, k1=1.2 b=0.75) ------------------------------
+    // The retrieval scorer of a RAG / data-curation stack. Corpus stats
+    // (N, avgdl, per-term df) are two tiny aggregates broadcast back —
+    // at 100 TB the only shuffle is the partial-agg of 1+|terms| counters;
+    // scoring is then a pure per-doc map. Each term's contribution
+    // idf*tf_norm goes through DECIMAL(18,4) before the (exact, decimal)
+    // cross-term sum, so ln()'s 1-ulp library drift cannot flip the hash.
+    QueryDef("q63_bm25",
+      (s, d) => {
+        val base = toks(s, d).withColumn("dl", size(col("toks")))
+        val withTf = Bm25Terms.foldLeft(base) { (df, t0) =>
+          df.withColumn(s"tf_$t0",
+            size(filter(col("toks"), x => x === t0)).cast(DoubleType))
+        }
+        val stats = broadcast(withTf.agg(
+          count(lit(1)).cast(DoubleType).as("n_docs"),
+          (sum(col("dl").cast(LongType)).cast(DoubleType)
+            / count(lit(1))).as("avgdl")))
+        val dfs = broadcast(withTf.agg(
+          Bm25Terms.map(t0 => sum(when(col(s"tf_$t0") > 0, 1L).otherwise(0L))
+            .cast(DoubleType).as(s"df_$t0")).head,
+          Bm25Terms.map(t0 => sum(when(col(s"tf_$t0") > 0, 1L).otherwise(0L))
+            .cast(DoubleType).as(s"df_$t0")).tail: _*))
+        val contrib: String => Column = t0 => dec18(
+          log(lit(1.0) + (col("n_docs") - col(s"df_$t0") + lit(0.5))
+            / (col(s"df_$t0") + lit(0.5)))
+            * (col(s"tf_$t0") * lit(Bm25K1 + 1.0)
+              / (col(s"tf_$t0") + lit(Bm25K1) * (lit(1.0 - Bm25B)
+                + lit(Bm25B) * col("dl").cast(DoubleType) / col("avgdl")))))
+        withTf.crossJoin(stats).crossJoin(dfs)
+          .withColumn("score",
+            r4(Bm25Terms.map(contrib).reduce(_ + _)))
+          .filter(col("score") > 0)
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        val tfDefs = Bm25Terms.map(t0 =>
+          s"CAST(len(list_filter(toks, x -> x = '$t0')) AS DOUBLE) AS tf_$t0")
+          .mkString(",\n  ")
+        val dfDefs = Bm25Terms.map(t0 =>
+          s"CAST(SUM(CASE WHEN tf_$t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t0")
+          .mkString(",\n  ")
+        val contribs = Bm25Terms.map(t0 =>
+          s"""CAST(ln(CAST(1.0 AS DOUBLE) + (n_docs - df_$t0 + CAST(0.5 AS DOUBLE))
+             |      / (df_$t0 + CAST(0.5 AS DOUBLE)))
+             |    * (tf_$t0 * CAST(${Bm25K1 + 1.0} AS DOUBLE)
+             |      / (tf_$t0 + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)
+             |        + CAST($Bm25B AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
+             |    AS DECIMAL(18,4))""".stripMargin)
+          .mkString("\n  + ")
+        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |dd AS (SELECT doc_id, len(toks) AS dl,
+           |  $tfDefs
+           |  FROM tk),
+           |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           |  CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM dd),
+           |df AS (SELECT
+           |  $dfDefs
+           |  FROM dd),
+           |sc AS (SELECT doc_id, CAST(ROUND(
+           |  $contribs, 4) AS DOUBLE) AS score
+           |  FROM dd CROSS JOIN st CROSS JOIN df)
+           |SELECT doc_id, score FROM sc WHERE score > 0
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      }),
+
+    // Q64 RAG chunking (overlapping token windows) -------------------------
+    // Splits every document into ChunkLen-token chunks at ChunkStride
+    // spacing (the standard retrieval-index prep). Pure per-doc explode —
+    // embarrassingly parallel, output ~nt/stride rows per doc. The chunk
+    // md5 pins the exact text reassembly (joins, slicing, 1-based offsets)
+    // across engines, not just the counts.
+    QueryDef("q64_rag_chunking",
+      (s, d) => {
+        val nChunks = expr(s"(nt - 1) div $ChunkStride") // starts: 0..nChunks
+        toks(s, d).withColumn("nt", size(col("toks")))
+          .withColumn("ci", explode(sequence(lit(0), nChunks)))
+          .withColumn("chunk",
+            slice(col("toks"), col("ci") * ChunkStride + 1, lit(ChunkLen)))
+          .select(col("doc_id"), col("ci").cast(IntegerType).as("chunk_idx"),
+            size(col("chunk")).cast(IntegerType).as("chunk_toks"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |    len(string_split(text, ' ')) AS nt FROM documents),
+             |c AS (SELECT doc_id, toks,
+             |    unnest(generate_series(0, (nt - 1) // $ChunkStride)) AS ci
+             |  FROM tk)
+             |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+             |  CAST(len(toks[ci * $ChunkStride + 1 : ci * $ChunkStride + $ChunkLen])
+             |    AS INT) AS chunk_toks,
+             |  MD5(array_to_string(
+             |    toks[ci * $ChunkStride + 1 : ci * $ChunkStride + $ChunkLen], ' '))
+             |    AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Q65 temperature mixing weights --------------------------------------
+    // Per-(source, lang) sampling weights w_i ∝ tokens_i^0.5 — the standard
+    // temperature-flattened mixture (alpha = 1/2 chosen because sqrt is
+    // correctly rounded in BOTH engines; pow() is not and its ULP drift
+    // would sit one ROUND knife-edge away from the hash). One partial-agg
+    // groupBy + a broadcast scalar total; sqrt values rounded to 4 BEFORE
+    // the (exact decimal) normalizing sum.
+    QueryDef("q65_mixing_weights",
+      (s, d) => {
+        val g = toks(s, d)
+          .groupBy("source", "lang")
+          .agg(sum(size(col("toks")).cast(LongType)).as("toks"))
+          .withColumn("sq", r4(sqrt(col("toks").cast(DoubleType))))
+        val tot = broadcast(g.agg(sum(dec18(col("sq"))).as("tot")))
+        g.crossJoin(tot)
+          .select(col("source"), col("lang"), col("toks"),
+            r4(col("sq") / col("tot").cast(DoubleType)).as("weight"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH g AS (SELECT source, lang,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+             |  FROM documents GROUP BY source, lang),
+             |sq AS (SELECT source, lang, toks,
+             |    CAST(ROUND(sqrt(CAST(toks AS DOUBLE)), 4) AS DOUBLE) AS sq
+             |  FROM g),
+             |tt AS (SELECT SUM(CAST(sq AS DECIMAL(18,4))) AS tot FROM sq)
+             |SELECT source, lang, toks,
+             |  CAST(ROUND(sq / CAST(tot AS DOUBLE), 4) AS DOUBLE) AS weight
+             |FROM sq CROSS JOIN tt ORDER BY source, lang""".stripMargin)),
+
+    // Q66 BPE pair counting (one merge round) ------------------------------
+    // The inner loop of tokenizer training: frequency of every adjacent
+    // character pair across the corpus. Scale-smart shape: aggregate to
+    // the VOCABULARY first (word -> count, the only corpus-sized shuffle),
+    // then expand each distinct word's pairs weighted by its count — the
+    // pair explode runs over vocab-sized data, not the corpus, which is
+    // the difference between 31 rows and 10^9 at 100 TB.
+    QueryDef("q66_bpe_pairs",
+      (s, d) => {
+        val words = toks(s, d)
+          .select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+        val pairs = when(length(col("w")) < 2,
+          expr("CAST(array() AS ARRAY<STRING>)"))
+          .otherwise(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))
+        words
+          .withColumn("pair", explode(pairs))
+          .groupBy("pair").agg(sum(col("wn")).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("pair"))
+          .limit(30)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |wc AS (SELECT w, COUNT(*) AS wn FROM w GROUP BY w),
+             |p AS (SELECT unnest(list_transform(
+             |      generate_series(1, length(w) - 1),
+             |      i -> substring(w, CAST(i AS INT), 2))) AS pair, wn
+             |  FROM wc WHERE length(w) >= 2)
+             |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_pairs
+             |FROM p GROUP BY pair
+             |ORDER BY n_pairs DESC, pair LIMIT 30""".stripMargin)))
+}
