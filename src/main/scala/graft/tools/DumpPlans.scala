@@ -61,7 +61,31 @@ object DumpPlans {
         |partition on shard, and the position counter is a PARTITIONED
         |window (per shard), so the global permutation never funnels
         |through one task. QueryPlanSpec asserts the executed plan has no
-        |unpartitioned WindowExec.""".stripMargin)
+        |unpartitioned WindowExec.""".stripMargin,
+    "q62_knn_graph" ->
+      """Both sides of the candidate join scan the SAME materialized IVF
+        |index (the `Scan ExistingRDD` leaves — one flat-stats checkpoint,
+        |built once; the quantizer pipeline appears nowhere in this plan
+        |because it ran at index build). Top-k per query vector is
+        |WindowGroupLimit Partial BEFORE the qid exchange: each map task
+        |keeps at most k rows per query, so the rank shuffle carries
+        |O(k x queries), not the O(n x nprobe x cell) candidate stream.
+        |The candidate join itself is keyed on cell id — at sqrt(n) cells
+        |no key is hot and neither side broadcasts.""".stripMargin,
+    "q63_bm25" ->
+      """Corpus statistics (N + avgdl, per-term df) are two partial-agg
+        |HashAggregates reduced to ONE ROW each and broadcast back —
+        |BroadcastNestedLoopJoin over a single-row build side is a free
+        |scalar attach, not a join. Scoring is then a pure per-doc Project
+        |over one scan, and the top-20 is TakeOrderedAndProject (per-task
+        |heaps + driver merge), never a global sort. Total shuffled bytes
+        |at 100 TB: two one-row aggregates.""".stripMargin,
+    "q66_bpe_pairs" ->
+      """Tokenizer-training shape: the corpus collapses to the VOCABULARY
+        |in the first partial-agg groupBy (the only corpus-sized exchange);
+        |the adjacent-pair explode and the second groupBy run over
+        |vocab-sized data weighted by word count. The pair expansion that
+        |would be 10^9 rows corpus-wide is 31 rows here.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
