@@ -113,7 +113,9 @@ object Bench {
     val cat: Map[String, Set[String]] = Map(
       "relational" -> names(graft.queries.Relational.defs),
       "llm_ops" -> (names(graft.queries.LlmOps.defs) ++
-        names(graft.queries.TextSearch.defs)),
+        names(graft.queries.TextSearch.defs) ++
+        names(graft.queries.Retrieval.defs) ++
+        names(graft.queries.Curation.defs)),
       "stats" -> names(graft.queries.Stats.defs),
       "pipelines" -> (names(graft.queries.ZarrPipeline.defs) ++
         names(graft.queries.StreamingDemo.defs)))

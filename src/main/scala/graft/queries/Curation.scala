@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.Q._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators (round 7): PII scrubbing, inverted-index
+  * construction, and exact-span duplication coverage — the remaining
+  * standard passes of an LLM training-data pipeline beside the dedup
+  * (q30/q34-q37/q51/q59), quality (q38/q45/q52/q58), sampling
+  * (q55/q60/q65) and retrieval (q63/q64) families.
+  *
+  * The synthetic `documents` text is clean word-salad, so the PII pass
+  * first STAMPS deterministic PII spans into a subset of docs (same
+  * arithmetic in both engines) and then detects/redacts them — the regex
+  * machinery is exercised against real matches instead of vacuous zeros.
+  */
+object Curation {
+
+  /** PII patterns, shared verbatim by Spark (Java regex) and the DuckDB
+    * oracle (RE2): both dialects agree on character classes, bounded
+    * quantifiers and `\b` word boundaries; nothing fancier is used.
+    */
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\+\d{1,2}-\d{3}-\d{4}"""
+  private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q67 PII detection + redaction ---------------------------------------
+    // Per-doc regex scrub: counts per PII class and the md5 of the
+    // redacted text (pins the exact replacement semantics across
+    // engines). Redaction order email -> phone -> ip is fixed on both
+    // sides. Pure per-row projection: no shuffle, no UDF — Spark's
+    // regexp_count/regexp_replace are codegen'd expressions, so the scrub
+    // runs at scan speed and scales linearly with the corpus; at 100 TB
+    // this is the canonical "embarrassingly parallel single pass".
+    QueryDef("q67_pii_scrub",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val raw = concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast(StringType),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" tel +1-555-"),
+              lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" host 10."), (col("doc_id") % 256).cast(StringType),
+              lit("."), ((col("doc_id") * 7) % 256).cast(StringType),
+              lit("."), ((col("doc_id") * 13) % 256).cast(StringType)))
+            .otherwise(lit("")))
+        docs.withColumn("raw", raw)
+          .select(
+            col("doc_id"),
+            regexp_count(col("raw"), lit(EmailRe)).cast(IntegerType)
+              .as("n_emails"),
+            regexp_count(col("raw"), lit(PhoneRe)).cast(IntegerType)
+              .as("n_phones"),
+            regexp_count(col("raw"), lit(Ipv4Re)).cast(IntegerType)
+              .as("n_ips"),
+            md5(regexp_replace(
+              regexp_replace(
+                regexp_replace(col("raw"), EmailRe, "[EMAIL]"),
+                PhoneRe, "[PHONE]"),
+              Ipv4Re, "[IP]")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH raw AS (SELECT doc_id, text
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+             |         || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' tel +1-555-'
+             |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.'
+             |         || CAST(doc_id % 256 AS VARCHAR) || '.'
+             |         || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+             |         || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS INT) AS n_phones,
+             |  CAST(len(regexp_extract_all(raw, '$Ipv4Re')) AS INT) AS n_ips,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '$EmailRe', '[EMAIL]', 'g'),
+             |    '$PhoneRe', '[PHONE]', 'g'),
+             |    '$Ipv4Re', '[IP]', 'g')) AS redacted_md5
+             |FROM raw ORDER BY doc_id""".stripMargin)),
+
+    // Q69 inverted index with doc-range posting blocks ---------------------
+    // The retrieval-side index build (q63 scores with corpus stats; this
+    // materializes the postings themselves). Two-level shape chosen for
+    // the 100 TB case: (1) term frequencies pre-aggregate per (doc, term)
+    // — the classic map-side combine, output bounded by corpus vocab x
+    // docs actually containing the term; (2) posting lists are blocked by
+    // FIXED DOC-ID RANGE (block = doc_id div 128), not by global rank —
+    // block assignment is pure per-row arithmetic, so there is NO
+    // per-term window and no hot-key single partition even for a stopword
+    // whose posting spans the whole corpus (the index shards by doc range
+    // exactly like a distributed search engine's document-partitioned
+    // index). md5 of the in-block doc list pins exact posting content.
+    QueryDef("q69_inverted_index",
+      (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        tf.withColumn("block_id", expr("doc_id div 128").cast(IntegerType))
+          .groupBy("term", "block_id")
+          .agg(
+            count(lit(1)).cast(IntegerType).as("n_docs"),
+            sum(col("tf")).as("cf_block"),
+            md5(concat_ws(",",
+              transform(array_sort(collect_list(col("doc_id"))),
+                _.cast(StringType)))).as("posting_md5"))
+          .orderBy("term", "block_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+             |  WHERE term <> '' GROUP BY doc_id, term)
+             |SELECT term, CAST(doc_id // 128 AS INT) AS block_id,
+             |  CAST(COUNT(*) AS INT) AS n_docs,
+             |  CAST(SUM(tf) AS BIGINT) AS cf_block,
+             |  md5(array_to_string(
+             |    list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')) AS posting_md5
+             |FROM tf GROUP BY term, block_id
+             |ORDER BY term, block_id""".stripMargin)),
+
+    // Q70 exact-span duplication coverage ----------------------------------
+    // The Lee-et-al-style substring-dedup audit, train-vs-train (q56 is
+    // the train-vs-benchmark twin): what fraction of each document's
+    // word-8-gram positions is covered by a span that also occurs in some
+    // OTHER document. Pipeline: per-doc span positions pre-aggregate to
+    // (doc, span, n_pos) — bounded by the doc's own length; the one
+    // corpus-sized shuffle is the span-frequency groupBy (partial-agg,
+    // keyed on span content — no single hot key unless the corpus IS the
+    // duplicate); docs then re-join the span table on the same key. At
+    // 100 TB the span table is the dedup index a suffix-array pipeline
+    // would shard by span hash — this is that exact layout.
+    QueryDef("q70_span_coverage",
+      (s, d) => {
+        val n = 8
+        val toks = t(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val len = greatest(size(col("toks")) - (n - 1), lit(0))
+        val sliced = (1 to n).foldLeft(toks)((acc, k) =>
+          acc.withColumn(s"s$k", slice(col("toks"), lit(k), len)))
+        val spans = sliced
+          .select(col("doc_id"),
+            explode(arrays_zip((1 to n).map(k => col(s"s$k")): _*)).as("z"))
+          .select(col("doc_id"),
+            concat_ws(" ", (1 to n).map(k => col(s"z.s$k")): _*).as("span"))
+          .groupBy("doc_id", "span").agg(count(lit(1)).as("n_pos"))
+        // span -> number of DISTINCT docs containing it (input is already
+        // one row per (doc, span), so a plain count is the distinct count)
+        val freq = spans.groupBy("span")
+          .agg(count(lit(1)).as("span_df"))
+        spans.join(freq, "span")
+          .groupBy("doc_id")
+          .agg(
+            sum(col("n_pos")).as("n_spans"),
+            sum(when(col("span_df") >= 2, col("n_pos")).otherwise(lit(0L)))
+              .as("n_dup_spans"))
+          .withColumn("dup_coverage",
+            r4(col("n_dup_spans").cast(DoubleType) / col("n_spans")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w,
+             |    unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
+             |  FROM tk),
+             |sp AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS span,
+             |    COUNT(*) AS n_pos
+             |  FROM idx GROUP BY doc_id, span),
+             |freq AS (SELECT span, COUNT(*) AS span_df FROM sp GROUP BY span)
+             |SELECT s.doc_id,
+             |  CAST(SUM(s.n_pos) AS BIGINT) AS n_spans,
+             |  CAST(SUM(CASE WHEN f.span_df >= 2 THEN s.n_pos ELSE 0 END)
+             |    AS BIGINT) AS n_dup_spans,
+             |  CAST(ROUND(CAST(SUM(CASE WHEN f.span_df >= 2 THEN s.n_pos
+             |      ELSE 0 END) AS DOUBLE) / SUM(s.n_pos), 4) AS DOUBLE)
+             |    AS dup_coverage
+             |FROM sp s JOIN freq f ON s.span = f.span
+             |GROUP BY s.doc_id
+             |ORDER BY doc_id""".stripMargin))
+  )
+}
