@@ -33,6 +33,15 @@ object TextSearch {
   /** Q62 neighbors kept per vector in the k-NN graph. */
   val KnnK = 3
 
+  /** Q68 SemDeDup cosine bar. Deliberately NOT q37's 0.95 near-identical
+    * bar: the synthetic embedding space tops out at cosine ~0.48/0.51/0.60
+    * (sf0.001/0.01/0.1 max pairwise), so 0.95 never fires and the drop
+    * path would ship untested. 0.40 sits inside the observed upper tail
+    * at every SF — the ε here is a tunable radius (SemDeDup prunes at
+    * moderate ε in practice), and the operator's contract is the ε-graph
+    * min-id rule, not a specific radius. */
+  val SemTau = 0.40
+
   /** Marker function-word lists per language (the classic cheap lang-ID
     * heuristic: count hits, argmax with a deterministic tie-break). */
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -311,6 +320,64 @@ object TextSearch {
              |  FROM cand)
              |SELECT qid, CAST(rk AS INT) AS rk, nn_id, sim
              |FROM r WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin)),
+
+    // Q68 semantic dedup over IVF cells (r7) -------------------------------
+    // SemDeDup: a vector is a semantic duplicate when some LOWER-ID vector
+    // within its probed cells sits at cosine >= SemTau (0.95, q37's
+    // near-dup bar); the kept set is the ε-graph min-id rule — every
+    // ε-ball keeps its smallest id, deterministically, with no iteration
+    // (q51/q59 do the transitive version for the candidate-pair graph;
+    // SemDeDup's published form is exactly this one-hop in-cluster drop).
+    // Candidate generation is q62's shape: home cells joined against each
+    // vector's IvfProbes probe list — O(n^1.5) at sqrt(n) cells, never
+    // all-pairs, keyed on cell id. A vector's home cell is unique, so
+    // each (neighbor, query) pair surfaces at most once — counts need no
+    // distinct. Output pins the full decision: per-vector cell, the count
+    // of ε-neighbors that outrank it, its canonical (min-id) neighbor,
+    // and the kept flag the downstream pipeline filters on.
+    QueryDef("q68_semdedup",
+      (s, d) => {
+        val index = ivfIndex(s, d)
+        val cells = index.filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("embedding"))
+        val probes = index
+          .select(col("vec_id").as("qid"), col("cid").as("qcid"),
+            col("embedding").as("qe"))
+        val close = cells
+          .join(probes, col("cid") === col("qcid") && col("vec_id") < col("qid"))
+          .select(col("qid"), col("vec_id").as("nn_id"),
+            r4(expr("cosine_sim(qe, embedding)")).as("sim"))
+          .filter(col("sim") >= SemTau)
+          .groupBy("qid")
+          .agg(count(lit(1)).cast(IntegerType).as("n_close"),
+            min(col("nn_id")).as("dup_of"))
+        cells.join(close, col("vec_id") === col("qid"), "left")
+          .select(col("vec_id"), col("cid"),
+            coalesce(col("n_close"), lit(0)).as("n_close"),
+            coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+            when(col("n_close").isNull, lit(1)).otherwise(lit(0))
+              .cast(IntegerType).as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $IVF_CELLS_SQL,
+             |probes AS (SELECT vec_id AS qid, cid AS qcid, embedding AS qe
+             |           FROM assigned WHERE rn <= $IvfProbes),
+             |close AS (SELECT qid,
+             |    CAST(COUNT(*) AS INT) AS n_close,
+             |    MIN(vec_id) AS dup_of
+             |  FROM (SELECT p.qid, c.vec_id,
+             |      CAST(ROUND(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+             |        CAST(c.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |    FROM probes p JOIN cells c
+             |      ON c.cid = p.qcid AND c.vec_id < p.qid) x
+             |  WHERE sim >= $SemTau
+             |  GROUP BY qid)
+             |SELECT v.vec_id, v.cid,
+             |  COALESCE(cl.n_close, 0) AS n_close,
+             |  COALESCE(cl.dup_of, -1) AS dup_of,
+             |  CAST(CASE WHEN cl.n_close IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+             |FROM cells v LEFT JOIN close cl ON v.vec_id = cl.qid
+             |ORDER BY v.vec_id""".stripMargin)),
 
     // Q54 int8 embedding quantization (r5) ---------------------------------
     // The 4x storage/bandwidth compressor of a 100TB embedding store:
