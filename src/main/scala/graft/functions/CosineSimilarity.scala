@@ -147,6 +147,13 @@ object GraftFunctions {
       s"$fn requires a literal INT plane count, got ${other.sql}")
   }
 
+  private def litString(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a literal STRING merge table, got ${other.sql}")
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
@@ -164,5 +171,9 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("simhash32",
       exprs => Simhash32(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("bpe_encode",
+      exprs => BpeEncode(exprs(0),
+        BpeCodec.parseMerges(litString(exprs(1), "bpe_encode"))),
+      "built-in")
   }
 }

@@ -26,6 +26,12 @@ object Retrieval {
   val ChunkLen = 32
   val ChunkStride = 24
 
+  /** Q71 merge-table size. Small on purpose: the synthetic vocabulary is
+    * ~31 words, so 20 merges already produce multi-char subwords without
+    * collapsing every word to a single token (which would make the
+    * encoding path trivially word-identity). */
+  val BpeMerges = 20
+
   private def toks(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     t(s, d, "documents").withColumn("toks", split(col("text"), " "))
 
@@ -190,5 +196,42 @@ object Retrieval {
              |  FROM wc WHERE length(w) >= 2)
              |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_pairs
              |FROM p GROUP BY pair
-             |ORDER BY n_pairs DESC, pair LIMIT 30""".stripMargin)))
+             |ORDER BY n_pairs DESC, pair LIMIT 30""".stripMargin)),
+
+    // Q71 BPE tokenizer: train + distributed encode (r7) -------------------
+    // Completes the tokenizer loop q66 opens. Phase 1 (training) reduces
+    // the corpus to its word->count vocabulary (the ONE corpus-sized
+    // shuffle, partial-agg) and collects THAT — vocab-sized data, the same
+    // driver-side boundary every production BPE trainer draws — then runs
+    // BpeMerges deterministic merge steps (ties -> lexicographically
+    // smallest pair). Phase 2 (encoding) is the 100 TB hot path: the
+    // trained table travels as a plan-time literal into the native codegen
+    // `bpe_encode` expression (graft.functions.BpeEncode) and every doc
+    // encodes at scan speed — per-doc arithmetic, no shuffle, no UDF
+    // boxing. Output pins the full encoding (subword stream md5) per doc.
+    // No SQL oracle: BPE training/encoding is iterative — correctness is
+    // pinned by BpeSpec (hand-computed Sennrich-style merge sequence,
+    // round-trip property, expression == driver-side encoder).
+    QueryDef("q71_bpe_encode",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val vocab = toks(s, d)
+          .select(explode(col("toks")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("wn"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (w, n) => (-n, w) }
+        val merges = graft.functions.BpeCodec.train(vocab.toSeq, BpeMerges)
+        val mergesLit = graft.functions.BpeCodec.formatMerges(merges)
+        toks(s, d)
+          .withColumn("sub", expr(s"bpe_encode(toks, '$mergesLit')"))
+          .select(col("doc_id"),
+            size(filter(col("toks"), w => w =!= "")).cast(IntegerType)
+              .as("n_words"),
+            size(col("sub")).cast(IntegerType).as("n_subwords"),
+            md5(concat_ws(" ", col("sub"))).as("subword_md5"))
+          .orderBy("doc_id")
+      },
+      None))
 }
