@@ -148,12 +148,19 @@ object Curation {
         val len = greatest(size(col("toks")) - (n - 1), lit(0))
         val sliced = (1 to n).foldLeft(toks)((acc, k) =>
           acc.withColumn(s"s$k", slice(col("toks"), lit(k), len)))
-        val spans = sliced
-          .select(col("doc_id"),
-            explode(arrays_zip((1 to n).map(k => col(s"s$k")): _*)).as("z"))
-          .select(col("doc_id"),
-            concat_ws(" ", (1 to n).map(k => col(s"z.s$k")): _*).as("span"))
-          .groupBy("doc_id", "span").agg(count(lit(1)).as("n_pos"))
+        // materialized ONCE (flat-stats checkpoint): both consumers — the
+        // span-frequency groupBy and the coverage join — scan this, instead
+        // of each re-deriving the corpus-sized shingle explode (Catalyst
+        // cannot reuse the subtree: column pruning makes the two branches'
+        // aggregates structurally different, so ReuseExchange never fires
+        // and the explode would run twice)
+        val spans = org.apache.spark.sql.execution.GraftCheckpoint
+          .localCheckpointFlatStats(sliced
+            .select(col("doc_id"),
+              explode(arrays_zip((1 to n).map(k => col(s"s$k")): _*)).as("z"))
+            .select(col("doc_id"),
+              concat_ws(" ", (1 to n).map(k => col(s"z.s$k")): _*).as("span"))
+            .groupBy("doc_id", "span").agg(count(lit(1)).as("n_pos")))
         // span -> number of DISTINCT docs containing it (input is already
         // one row per (doc, span), so a plain count is the distinct count)
         val freq = spans.groupBy("span")

@@ -85,7 +85,43 @@ object DumpPlans {
         |in the first partial-agg groupBy (the only corpus-sized exchange);
         |the adjacent-pair explode and the second groupBy run over
         |vocab-sized data weighted by word count. The pair expansion that
-        |would be 10^9 rows corpus-wide is 31 rows here.""".stripMargin)
+        |would be 10^9 rows corpus-wide is 31 rows here.""".stripMargin,
+    "q67_pii_scrub" ->
+      """Pure per-row scrub: one parquet scan and one Project holding the
+        |regexp_count/regexp_replace expressions inside WholeStageCodegen;
+        |the only exchange is the output sort's range partition. The 100 TB
+        |shape is scan-bandwidth-bound — redaction adds zero shuffle.""".stripMargin,
+    "q69_inverted_index" ->
+      """No window anywhere: block assignment is per-row arithmetic
+        |(doc_id div 128), so the index build is two partial-agg
+        |HashAggregates — (doc,term) tf with map-side combine, then
+        |(term,block) posting assembly. A stopword posting that spans the
+        |whole corpus spans many blocks, never one task — this is the
+        |document-partitioned sharding of a distributed search index.""".stripMargin,
+    "q70_span_coverage" ->
+      """Span positions pre-aggregate per (doc, span) and materialize ONCE
+        |(flat-stats checkpoint — both `Scan ExistingRDD` leaves): the
+        |span-frequency groupBy and the coverage join each scan the
+        |materialized rows instead of re-deriving the corpus-sized shingle
+        |explode, which would otherwise run twice (column pruning makes the
+        |branches structurally different, so ReuseExchange cannot fire).
+        |The one big exchange carries distinct spans per doc, not raw
+        |positions; partial aggregation bounds every hot span's
+        |contribution to one row per (doc, span).""".stripMargin,
+    "q68_semdedup" ->
+      """Same leaves as q62: both sides of the ε-candidate join scan the
+        |ONE materialized IVF index (flat-stats checkpoint built at index
+        |time). The join is keyed on cell id (sqrt(n) cells — no hot key),
+        |n_close partial-aggregates on qid before its exchange, and the
+        |kept flag attaches with a left join on vec_id. Nothing in the
+        |plan is all-pairs.""".stripMargin,
+    "q71_bpe_encode" ->
+      """Encoding is ONE Project over the scan: the trained merge table
+        |rides inside the bpe_encode expression's codegen references (the
+        |expression equivalent of a broadcast model), so subword expansion
+        |happens at scan speed with no shuffle before the output sort.
+        |Training ran as a separate vocab-sized aggregate job at plan
+        |build — it does not appear in this (encoding) plan.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
