@@ -26,6 +26,11 @@ object Curation {
   private val PhoneRe = """\+\d{1,2}-\d{3}-\d{4}"""
   private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
 
+  /** Q72 in-domain target slice and selection size. src0 is 5% of every
+    * SF's corpus (20 uniform sources) — a realistic target/raw ratio. */
+  val DsirTarget = "src0"
+  val DsirK = 100
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q67 PII detection + redaction ---------------------------------------
@@ -192,6 +197,80 @@ object Curation {
              |    AS dup_coverage
              |FROM sp s JOIN freq f ON s.span = f.span
              |GROUP BY s.doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q72 DSIR importance-based data selection ----------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every document by the log likelihood ratio of an in-domain target
+    // model over the raw-corpus model on hashed n-gram features, keep the
+    // top-scoring docs. Here features are word bigrams (q52's lambda-free
+    // slice+arrays_zip stream), the target is the src0 slice (the
+    // in-domain proxy), and both models are add-1-smoothed bigram
+    // frequencies. Shape at 100 TB: two feature-table groupBys (partial
+    // agg, vocab^2-bounded output), scalar totals attached as one-row
+    // broadcast aggregates (q63's pattern), ONE join of the per-position
+    // stream to the broadcast-able feature table, per-doc partial-agg sum,
+    // and TakeOrderedAndProject for the top-k — never a global sort.
+    // Determinism: each position's log-ratio routes through DECIMAL(18,4)
+    // before the exact cross-position sum (the q52 ln-ULP pattern).
+    // Docs with no bigram (single-token) carry no evidence and are not
+    // ranked — the inner join drops them, matching the oracle.
+    QueryDef("q72_dsir_selection",
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("h", slice(col("toks"), lit(1), size(col("toks")) - 1))
+          .withColumn("t2", slice(col("toks"), lit(2), size(col("toks")) - 1))
+          .select(col("doc_id"), col("source"),
+            explode(arrays_zip(col("h"), col("t2"))).as("z"))
+          .select(col("doc_id"), col("source"),
+            col("z.h").as("w1"), col("z.t2").as("w2"))
+        val allC = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_all"))
+        val tgtC = bg.filter(col("source") === DsirTarget)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_tgt"))
+        val feats = allC.join(tgtC, Seq("w1", "w2"), "left")
+          .withColumn("c_tgt", coalesce(col("c_tgt"), lit(0L)))
+        val totals = feats.agg(
+          sum(col("c_tgt")).as("t_total"),
+          sum(col("c_all")).as("r_total"),
+          count(lit(1)).as("v_feats"))
+        val scored = feats.crossJoin(broadcast(totals))
+          .withColumn("lr", dec18(
+            log((col("c_tgt") + 1).cast(DoubleType)
+              / (col("t_total") + col("v_feats")).cast(DoubleType))
+              - log((col("c_all") + 1).cast(DoubleType)
+                / (col("r_total") + col("v_feats")).cast(DoubleType))))
+          .select(col("w1"), col("w2"), col("lr"))
+        bg.join(scored, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast(IntegerType).as("n_features"),
+            r4(sum(col("lr"))).as("dsir_score"))
+          .orderBy(col("dsir_score").desc, col("doc_id"))
+          .limit(DsirK)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+             |    string_split(text, ' ') AS w FROM documents),
+             |bg AS (SELECT doc_id, source, UNNEST(list_transform(
+             |    generate_series(1, greatest(len(w) - 1, 0)),
+             |    i -> w[i] || chr(1) || w[i+1])) AS f
+             |  FROM tk),
+             |ac AS (SELECT f, COUNT(*) AS c_all FROM bg GROUP BY f),
+             |tc AS (SELECT f, COUNT(*) AS c_tgt FROM bg
+             |       WHERE source = '$DsirTarget' GROUP BY f),
+             |feats AS (SELECT ac.f, ac.c_all, COALESCE(tc.c_tgt, 0) AS c_tgt
+             |  FROM ac LEFT JOIN tc ON ac.f = tc.f),
+             |tot AS (SELECT SUM(c_tgt) AS t_total, SUM(c_all) AS r_total,
+             |    COUNT(*) AS v_feats FROM feats),
+             |lr AS (SELECT f, CAST(
+             |    ln(CAST(c_tgt + 1 AS DOUBLE) / (t_total + v_feats))
+             |    - ln(CAST(c_all + 1 AS DOUBLE) / (r_total + v_feats))
+             |    AS DECIMAL(18,4)) AS lr
+             |  FROM feats CROSS JOIN tot)
+             |SELECT b.doc_id,
+             |  CAST(COUNT(*) AS INT) AS n_features,
+             |  CAST(ROUND(SUM(l.lr), 4) AS DOUBLE) AS dsir_score
+             |FROM bg b JOIN lr l ON b.f = l.f
+             |GROUP BY b.doc_id
+             |ORDER BY dsir_score DESC, doc_id LIMIT $DsirK""".stripMargin))
   )
 }

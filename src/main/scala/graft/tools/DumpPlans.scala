@@ -115,6 +115,14 @@ object DumpPlans {
         |n_close partial-aggregates on qid before its exchange, and the
         |kept flag attaches with a left join on vec_id. Nothing in the
         |plan is all-pairs.""".stripMargin,
+    "q72_dsir_selection" ->
+      """DSIR selection shape: the feature table (two partial-agg groupBys
+        |plus one-row broadcast totals) joins the per-position bigram
+        |stream once; per-doc scores partial-aggregate before their
+        |exchange; the top-100 is TakeOrderedAndProject (per-task heaps +
+        |driver merge), never a global sort. The corpus is scanned for the
+        |stream and the counts — at 100 TB both are scan-parallel, and the
+        |only non-broadcast exchanges are keyed on bigram/doc_id.""".stripMargin,
     "q71_bpe_encode" ->
       """Encoding is ONE Project over the scan: the trained merge table
         |rides inside the bpe_encode expression's codegen references (the

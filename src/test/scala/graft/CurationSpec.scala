@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the curation family beyond engine parity (the
+  * DuckDB hash-match proves Spark == DuckDB, not that the operators do
+  * their jobs). sf0.001 corpus throughout.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q67: every stamped doc is detected, counts match the stamp arithmetic") {
+    val out = SparkEntry.queries("q67_pii_scrub")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the stamping injects exactly one span per matching class; the text
+      // itself contains none (clean word-salad corpus), so counts are exact
+      assert(r.getAs[Int]("n_emails") == (if (id % 3 == 0) 1 else 0), s"doc $id emails")
+      assert(r.getAs[Int]("n_phones") == (if (id % 5 == 0) 1 else 0), s"doc $id phones")
+      assert(r.getAs[Int]("n_ips") == (if (id % 7 == 0) 1 else 0), s"doc $id ips")
+    }
+  }
+
+  test("q70: coverage bounded; exact-duplicate docs reach coverage 1.0") {
+    val out = SparkEntry.queries("q70_span_coverage")(spark, dir)
+    val rows = out.collect()
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("dup_coverage"); c >= 0.0 && c <= 1.0
+    })
+    // docs sharing their full text (q30's exact-dup pairs) must be fully
+    // covered: every span of one occurs verbatim in the other
+    val sp = spark
+    val dupDocs = sp.read.parquet(s"$dir/documents.parquet")
+      .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    if (dupDocs.nonEmpty) {
+      val covered = rows.filter(r => dupDocs(r.getAs[Long]("doc_id")))
+        // only docs long enough to have spans appear in the q70 output
+        .map(r => r.getAs[Double]("dup_coverage"))
+      assert(covered.forall(_ == 1.0),
+        s"exact-dup docs not fully span-covered: ${covered.mkString(",")}")
+    }
+  }
+
+  test("q72: DSIR selects the entire target slice and enriches beyond base rate") {
+    val sp = spark
+    val sel = SparkEntry.queries("q72_dsir_selection")(sp, dir)
+      .select("doc_id")
+      .join(sp.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val targetDocs = sp.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === graft.queries.Curation.DsirTarget)
+      // docs with >= 2 tokens: single-token docs carry no bigram evidence
+      .filter(size(split(col("text"), " ")) >= 2)
+      .count()
+    // every rankable target doc outranks the bulk: full target recall
+    assert(sel.getOrElse(graft.queries.Curation.DsirTarget, 0L) == targetDocs,
+      s"target slice not fully selected: $sel vs $targetDocs")
+    // and the target is enriched far beyond its 5% base rate in the top-k
+    val total = sel.values.sum.toDouble
+    assert(sel(graft.queries.Curation.DsirTarget) / total > 0.15,
+      s"no enrichment: $sel")
+  }
+}
