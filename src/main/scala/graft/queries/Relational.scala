@@ -200,6 +200,48 @@ object Relational {
               | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
               |GROUP BY c.user_id ORDER BY user_id""".stripMargin)),
 
+    // Q73 binned range join — the NO-equi-key range join (r7) --------------
+    // q09 has user_id equality to hash on; drop it and Catalyst's only
+    // plan is BroadcastNestedLoopJoin, O(clicks x purchases) — the
+    // canonical scale killer. graft.operators.RangeJoin rewrites the
+    // inequality join through fixed-width time bins (interval side
+    // replicates to the <=2 hour-bins its 1h span touches, point side
+    // keys to its one bin, equi-join on bin + residual filter — exact, no
+    // dedup needed). RangeJoinSpec proves pair-set equality with the
+    // naive join and asserts the plan shapes (naive = BNLJ, binned = no
+    // BNLJ anywhere). The DuckDB oracle runs the naive form — engine
+    // parity across DIFFERENT algorithms pins the rewrite's correctness
+    // at corpus scale too.
+    QueryDef("q73_range_join_binned",
+      (s, d) => {
+        val e = events(s, d)
+        // NTZ -> epoch seconds: session TZ is UTC everywhere (Verify/
+        // Bench/tests), so the NTZ->TIMESTAMP hop is the identity and
+        // matches DuckDB's epoch(naive-timestamp) convention
+        val secs = expr("unix_seconds(CAST(ts AS TIMESTAMP))")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(secs.as("cts"))
+          .withColumn("chi", col("cts") + 3600L)
+        val purch = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_event"), secs.as("pts"))
+        graft.operators.RangeJoin
+          .binned(purch, clicks, col("pts"), col("cts"), col("chi"), 3600L)
+          .groupBy(expr("pts div 3600").as("hour_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("p_event")).as("n_purchases"))
+          .orderBy("hour_bucket")
+      },
+      Some(s"""WITH e AS ($EVENTS_SQL),
+              |c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS cts FROM e
+              |      WHERE event_type = 'click'),
+              |p AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS pts
+              |      FROM e WHERE event_type = 'purchase')
+              |SELECT pts // 3600 AS hour_bucket,
+              |  COUNT(*) AS n_pairs,
+              |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_purchases
+              |FROM p JOIN c ON pts > cts AND pts <= cts + 3600
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Q10 as-of join (windowed running-max formulation) -------------------
     QueryDef("q10_asof_join",
       (s, d) => {

@@ -115,6 +115,15 @@ object DumpPlans {
         |n_close partial-aggregates on qid before its exchange, and the
         |kept flag attaches with a left join on vec_id. Nothing in the
         |plan is all-pairs.""".stripMargin,
+    "q73_range_join_binned" ->
+      """The no-equi-key range join after the bin rewrite: a plain
+        |SortMergeJoin/ShuffledHashJoin keyed on the hour bin (plus the
+        |range residual in the join condition) where Catalyst's native
+        |plan for this predicate is BroadcastNestedLoopJoin — O(clicks x
+        |purchases) at 100 TB vs O(pairs-per-bin) here. The interval
+        |side's Generate (bin explode) has fan-out <= 2 for 1h spans on
+        |1h bins. RangeJoinSpec asserts the BNLJ-vs-none plan contrast
+        |and exact pair-set equality.""".stripMargin,
     "q72_dsir_selection" ->
       """DSIR selection shape: the feature table (two partial-agg groupBys
         |plus one-row broadcast totals) joins the per-position bigram
