@@ -233,5 +233,83 @@ object Retrieval {
             md5(concat_ws(" ", col("sub"))).as("subword_md5"))
           .orderBy("doc_id")
       },
-      None))
+      None),
+
+    // Q74 mixture draw: execute the temperature weights (r7) ---------------
+    // Closes the mixing loop: q65 computes per-(source,lang) temperature
+    // weights, q55 owns the deterministic salted-md5 gate — this operator
+    // composes them into the actual corpus draw. Budget = corpus/5 docs;
+    // stratum rate = min(1, budget * weight / stratum_docs), floored into
+    // the same 10^4 gate domain q55 uses (floor, not cast: Spark truncates
+    // double->long where DuckDB rounds — q55 dodged the knife edge with
+    // exact products, a general rate cannot). The SAME gate salt as q55
+    // is deliberate: every sampling operator draws nested subsets of one
+    // reproducible permutation, so mixture draws compose with stratified
+    // sampling instead of fighting it. Scale shape: weights/rates are a
+    // stratum-sized broadcast; the gate is per-row arithmetic; the audit
+    // partial-aggregates on (source, lang). Zero corpus shuffle before
+    // the audit.
+    QueryDef("q74_mixture_draw",
+      (s, d) => {
+        val docs = toks(s, d)
+        val g = docs.groupBy("source", "lang")
+          .agg(sum(size(col("toks")).cast(LongType)).as("tk"),
+            count(lit(1)).as("n_docs"))
+          .withColumn("sq", r4(sqrt(col("tk").cast(DoubleType))))
+        val tot = broadcast(g.agg(sum(dec18(col("sq"))).as("tot"),
+          sum(col("n_docs")).as("nn")))
+        val strata = g.crossJoin(tot)
+          .withColumn("weight", r4(col("sq") / col("tot").cast(DoubleType)))
+          .withColumn("target_rate", least(lit(1.0),
+            expr("nn div 5").cast(DoubleType) * col("weight")
+              / col("n_docs").cast(DoubleType)))
+          .withColumn("thr",
+            floor(col("target_rate") * 10000).cast(LongType))
+          .select(col("source"), col("lang"), col("weight"),
+            col("target_rate"), col("thr"))
+        docs.join(broadcast(strata), Seq("source", "lang"))
+          .withColumn("keep", LlmOps.sampleGate < col("thr"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("weight")).as("weight"),
+            r4(max(col("target_rate"))).as("target_rate"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("doc_id")).otherwise(0L)
+              .cast(DecimalType(38, 0))).as("kept_id_checksum"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH g AS (SELECT source, lang,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tk,
+             |    COUNT(*) AS n_docs
+             |  FROM documents GROUP BY source, lang),
+             |sq AS (SELECT source, lang, tk, n_docs,
+             |    CAST(ROUND(sqrt(CAST(tk AS DOUBLE)), 4) AS DOUBLE) AS sq
+             |  FROM g),
+             |tt AS (SELECT SUM(CAST(sq AS DECIMAL(18,4))) AS tot,
+             |    CAST(SUM(n_docs) AS BIGINT) AS nn FROM sq),
+             |w AS (SELECT source, lang, n_docs,
+             |    CAST(ROUND(sq / CAST(tot AS DOUBLE), 4) AS DOUBLE) AS weight,
+             |    LEAST(1.0, CAST(nn // 5 AS DOUBLE)
+             |      * CAST(ROUND(sq / CAST(tot AS DOUBLE), 4) AS DOUBLE)
+             |      / n_docs) AS target_rate
+             |  FROM sq CROSS JOIN tt),
+             |thr AS (SELECT source, lang, weight, target_rate,
+             |    CAST(floor(target_rate * 10000) AS BIGINT) AS thr FROM w),
+             |k AS (SELECT d.source, d.lang, d.doc_id, t.weight,
+             |    t.target_rate,
+             |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |      (strpos('0123456789abcdef',
+             |         substr(md5('mix1|' || CAST(d.doc_id AS VARCHAR)), i, 1)) - 1)
+             |        * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT) % 10000
+             |      < t.thr AS keep
+             |  FROM documents d JOIN thr t
+             |    ON d.source = t.source AND d.lang = t.lang)
+             |SELECT source, lang,
+             |  COUNT(*) AS n_docs,
+             |  MAX(weight) AS weight,
+             |  CAST(ROUND(MAX(target_rate), 4) AS DOUBLE) AS target_rate,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END)
+             |    AS DECIMAL(38,0)) AS kept_id_checksum
+             |FROM k GROUP BY source, lang ORDER BY source, lang""".stripMargin)))
 }
