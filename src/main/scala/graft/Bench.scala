@@ -111,11 +111,13 @@ object Bench {
     // buckets by module membership, not name ranges
     def names(defs: Seq[graft.QueryDef]) = defs.map(_.name).toSet
     val cat: Map[String, Set[String]] = Map(
-      "relational" -> names(graft.queries.Relational.defs),
+      "relational" -> (names(graft.queries.Relational.defs) ++
+        names(graft.queries.Profiling.defs)),
       "llm_ops" -> (names(graft.queries.LlmOps.defs) ++
         names(graft.queries.TextSearch.defs) ++
         names(graft.queries.Retrieval.defs) ++
-        names(graft.queries.Curation.defs)),
+        names(graft.queries.Curation.defs) ++
+        names(graft.queries.VectorStats.defs)),
       "stats" -> names(graft.queries.Stats.defs),
       "pipelines" -> (names(graft.queries.ZarrPipeline.defs) ++
         names(graft.queries.StreamingDemo.defs)))

@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.Relational.defs ++ graft.queries.LlmOps.defs ++
       graft.queries.Stats.defs ++ graft.queries.TextSearch.defs ++
       graft.queries.Retrieval.defs ++ graft.queries.Curation.defs ++
+      graft.queries.Profiling.defs ++ graft.queries.VectorStats.defs ++
       graft.queries.ZarrPipeline.defs ++ graft.queries.StreamingDemo.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.Q._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed vector statistics over the embeddings table (round 8):
+  * covariance matrix estimation, PCA via power iteration, and Lloyd
+  * k-means — the linear-algebra layer an embedding-curation pipeline needs
+  * beside ANN search (q41/q48/q62) and quantization (q54).
+  *
+  * Shared scale shape: every corpus-sized pass is a partial-aggregatable
+  * groupBy whose output is bounded by the embedding DIMENSION (64) or by
+  * d^2/k — never by the corpus. Driver-side work only ever touches those
+  * dimension-bounded aggregates (64, 64^2, or k*64 rows), the same
+  * collect-scalars-then-broadcast loop MLlib's own KMeans/PCA use.
+  * Determinism: every distributed double sum routes through
+  * DECIMAL(18,8) (exact, association-order-free), so repeated runs — and
+  * the DuckDB oracle — see bit-identical results.
+  */
+object VectorStats {
+
+  /** Embedding dimension of the testdata table (FIXTURES.md). */
+  val Dim = 64
+
+  /** q80 clusters and fixed Lloyd iterations. */
+  val KmeansK = 8
+  val KmeansIters = 4
+
+  /** Exact-sum element type. Precision 18 (not more) is deliberate: Spark's
+    * Decimal stays in its compact unscaled-Long representation up to
+    * precision 18 — beyond that every add goes through BigDecimal (~4x
+    * slower across the corpus-sized aggregations here). Headroom: unit-scale
+    * element products at scale 8 leave ~10 integer digits, so sums stay
+    * exact to ~10^10 vectors; past that, widen the scale 8 to 6 before
+    * widening precision. */
+  private val dec8 = DecimalType(18, 8)
+
+  /** embeddings as (vec_id, v: array<double>) — float32 payloads widened
+    * once so all downstream arithmetic is double in BOTH engines (DuckDB
+    * promotes list elements to double; float*float in Spark would round
+    * differently). */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+
+  /** Per-coordinate exact sums: (k 1-based, sx DECIMAL, n). 64-row output. */
+  private def coordSums(e: DataFrame): DataFrame =
+    e.select(posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).cast(IntegerType).as("k"))
+      .agg(sum(col("x").cast(dec8)).as("sx"), count(lit(1)).as("n"))
+
+  /** Per-(i,j) exact product sums over the UPPER TRIANGLE (j >= i,
+    * 1-based): (i, j, sxy, n) with d(d+1)/2 = 2080 groups. Shape: cross
+    * join each vector against a BROADCAST d(d+1)/2-row index-pair table
+    * and read v[i]*v[j] by element_at — inside one whole-stage-codegen
+    * span the "join" is just a loop over 2080 (i,j) ints per vector doing
+    * two primitive array reads and a multiply; no outer-product array is
+    * ever materialized. (Two slower shapes tried first: a
+    * flatten(transform(transform)) generator boxes d^2 Doubles per row
+    * (~6 s at sf0.1); a struct-per-cell triangle generator defeats codegen
+    * entirely (~20 s). This one: ~1 s.) The only shuffle carries the
+    * partial-agg groups — map-side combine reduces each partition to
+    * <= 2080 rows regardless of corpus size. */
+  private def productSums(e: DataFrame): DataFrame = {
+    val pairs = e.sparkSession.createDataFrame(
+      for { i <- 1 to Dim; j <- i to Dim } yield (i, j)).toDF("i", "j")
+    e.crossJoin(broadcast(pairs))
+      .groupBy("i", "j")
+      .agg(sum((element_at(col("v"), col("i"))
+        * element_at(col("v"), col("j"))).cast(dec8)).as("sxy"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Driver-side (n, mean, covariance) from the dimension-bounded
+    * aggregates above (64 + 4096 collected rows — driver-scalar, like
+    * q71's vocab-sized BPE trainer; the corpus itself is never collected). */
+  def covarianceMatrix(s: SparkSession, d: String)
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val e = vecs(s, d)
+    val ms = coordSums(e).collect()
+    val n = ms.head.getLong(2)
+    val mean = Array.ofDim[Double](Dim)
+    ms.foreach(r => mean(r.getInt(0) - 1) =
+      r.getDecimal(1).doubleValue() / n)
+    val cov = Array.ofDim[Double](Dim, Dim)
+    productSums(e).collect().foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
+      val c = r.getDecimal(2).doubleValue() / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c // upper triangle mirrored by symmetry
+    }
+    (n, mean, cov)
+  }
+
+  /** Power iteration for the top eigenpair of a symmetric d x d matrix.
+    * Deterministic: fixed uniform init (never orthogonal to the top
+    * eigenvector of a covariance matrix in practice — and the spec pins the
+    * Rayleigh quotient, not luck), fixed iteration count, sign normalized
+    * so the largest-|w| component is positive. */
+  def powerIteration(m: Array[Array[Double]], iters: Int = 500)
+      : (Array[Double], Double) = {
+    val d = m.length
+    var w = Array.fill(d)(1.0 / math.sqrt(d))
+    def mul(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      })
+    for (_ <- 1 to iters) {
+      val nw = mul(w)
+      val norm = math.sqrt(nw.map(x => x * x).sum)
+      w = nw.map(_ / norm)
+    }
+    val mw = mul(w)
+    val lambda = w.zip(mw).map { case (a, b) => a * b }.sum
+    val imax = w.indices.maxBy(i => math.abs(w(i)))
+    if (w(imax) < 0) w = w.map(-_)
+    (w, lambda)
+  }
+
+  /** One Lloyd run: returns the per-cluster summary frame plus the SSE
+    * trajectory (SSE under the centroids entering each iteration). The
+    * driver loop only ever moves k*d scalars (collect the k*64 centroid
+    * sums, broadcast them back as plan literals) — the corpus-sized work
+    * per iteration is one narrow assign+aggregate job, MLlib's exact
+    * shape. Plan depth stays constant across iterations (each rebuilds
+    * from the persisted base, literals swapped), so no checkpoint is
+    * needed. */
+  def kmeans(s: SparkSession, d: String, k: Int = KmeansK,
+      iters: Int = KmeansIters): (DataFrame, Seq[Double]) = {
+    val e = vecs(s, d).persist()
+    // deterministic init: the k smallest vec_ids (k driver rows)
+    var cents: Array[Array[Double]] = e.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    def assigned(c: Array[Array[Double]]): DataFrame = {
+      val centLit = array(c.map(cc => array(cc.map(lit): _*)): _*)
+      e.withColumn("dists", transform(centLit, cc =>
+          aggregate(zip_with(col("v"), cc, (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)))
+        .withColumn("cluster",
+          (expr("array_position(dists, array_min(dists))") - 1)
+            .cast(IntegerType))
+        .withColumn("d2", array_min(col("dists")))
+    }
+    val sseHistory = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val a = assigned(cents)
+      // one job per iteration: coordinate sums per cluster (k*64 rows) +
+      // the exact SSE ride along in the same aggregate
+      val upd = a.select(col("cluster"), col("d2"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("cluster", "p")
+        .agg(sum(col("x").cast(dec8)).as("sx"), count(lit(1)).as("n"),
+          sum(when(col("p") === 0, col("d2").cast(dec8))).as("sse_part"))
+        .collect()
+      sseHistory += upd.flatMap(r => Option(r.getDecimal(4)))
+        .map(_.doubleValue()).sum
+      val next = cents.map(_.clone())
+      upd.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        next(c)(p) = r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      cents = next
+    }
+    val finalA = assigned(cents)
+    val out = finalA.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        r4(sum(col("d2").cast(dec8))).as("sse"))
+      .orderBy("cluster")
+    (out, sseHistory.result())
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q76 covariance matrix (upper triangle) -------------------------------
+    // The gram-matrix pass PCA/whitening starts from. One generator pass
+    // builds each row's outer product locally; the only shuffle carries
+    // d^2-bounded partial aggregates (map-side combine does the real
+    // reduction), so the plan is corpus-scan + tiny exchange at ANY corpus
+    // size — the canonical "distributed covariance" shape. Exact decimal
+    // sums make the result association-order-free, which is what lets a
+    // DuckDB oracle hash-match a 32-way parallel Spark aggregation.
+    QueryDef("q76_embedding_covariance",
+      (s, d) => {
+        val e = vecs(s, d)
+        val prods = productSums(e)
+        val m = coordSums(e)
+        prods
+          .join(broadcast(m.select(col("k").as("i"), col("sx").as("sxi"))), "i")
+          .join(broadcast(m.select(col("k").as("j"), col("sx").as("sxj"))), "j")
+          .select(col("i"), col("j"),
+            r4(col("sxy").cast(DoubleType) / col("n")
+              - (col("sxi").cast(DoubleType) / col("n"))
+              * (col("sxj").cast(DoubleType) / col("n"))).as("cov"))
+          .orderBy("i", "j")
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |px AS (SELECT e.vec_id, t.k, e.v[t.k] AS x
+             |  FROM e, generate_series(1, $Dim) AS t(k)),
+             |m AS (SELECT k, SUM(CAST(x AS DECIMAL(18,8))) AS sx
+             |  FROM px GROUP BY k),
+             |pr AS (SELECT a.k AS i, b.k AS j,
+             |    SUM(CAST(a.x * b.x AS DECIMAL(18,8))) AS sxy, COUNT(*) AS n
+             |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND b.k >= a.k
+             |  GROUP BY a.k, b.k)
+             |SELECT CAST(pr.i AS INT) AS i, CAST(pr.j AS INT) AS j,
+             |  CAST(ROUND(CAST(sxy AS DOUBLE) / n
+             |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n),
+             |    4) AS DOUBLE) AS cov
+             |FROM pr JOIN m mi ON pr.i = mi.k JOIN m mj ON pr.j = mj.k
+             |ORDER BY i, j""".stripMargin)),
+
+    // Q77 PCA projection via power iteration -------------------------------
+    // Top principal component of the embedding cloud: covariance from the
+    // same dimension-bounded aggregates as q76, eigenvector by driver-side
+    // power iteration on the 64x64 matrix (dimension-sized, like q71's
+    // vocab-sized trainer), then ONE distributed projection pass with the
+    // centered weights baked in as plan literals (codegen'd zip_with +
+    // aggregate — no UDF, no second shuffle). No SQL oracle (DuckDB has no
+    // eigensolver); PcaSpec pins the math: Rayleigh quotient beats every
+    // coordinate axis variance, projection variance equals the eigenvalue,
+    // and repeated runs are bit-identical (exact decimal aggregates
+    // upstream make the whole pipeline deterministic).
+    QueryDef("q77_pca_projection",
+      (s, d) => {
+        val (_, mean, cov) = covarianceMatrix(s, d)
+        val (w, lambda) = powerIteration(cov)
+        val trace = (0 until Dim).map(i => cov(i)(i)).sum
+        val mLit = array(mean.map(lit): _*)
+        val wLit = array(w.map(lit): _*)
+        vecs(s, d).select(col("vec_id"),
+            r4(aggregate(
+              zip_with(zip_with(col("v"), mLit, (a, b) => a - b), wLit,
+                (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x)).as("pc1_score"))
+          .withColumn("eigenvalue", r4(lit(lambda)))
+          .withColumn("explained_ratio", r4(lit(lambda / trace)))
+          .orderBy("vec_id")
+      },
+      None),
+
+    // Q80 Lloyd k-means ----------------------------------------------------
+    // Full iterative clustering (q48's IVF trains exactly one Lloyd step;
+    // this is the general loop): k=8, 4 iterations, deterministic init
+    // (lowest vec_ids) and deterministic tie-break (array_position takes
+    // the FIRST minimum). No SQL oracle (iterative — not expressible as
+    // one DuckDB query); KMeansSpec pins monotone non-increasing SSE, the
+    // exact-partition invariants, and run-to-run determinism.
+    QueryDef("q80_kmeans",
+      (s, d) => kmeans(s, d)._1,
+      None)
+  )
+}
