@@ -138,7 +138,30 @@ object DumpPlans {
         |expression equivalent of a broadcast model), so subword expansion
         |happens at scan speed with no shuffle before the output sort.
         |Training ran as a separate vocab-sized aggregate job at plan
-        |build — it does not appear in this (encoding) plan.""".stripMargin)
+        |build — it does not appear in this (encoding) plan.""".stripMargin,
+    "q76_embedding_covariance" ->
+      """Gram-matrix shape: the vector scan cross-joins a BROADCAST
+        |d(d+1)/2-row index-pair table (BroadcastNestedLoopJoin with a
+        |2080-row build side — the degenerate "loop over constants" case,
+        |not a data-data cartesian) and the partial HashAggregate combines
+        |map-side to <= 2080 rows per task before the one exchange. The
+        |corpus is scanned once, vectors never shuffle, and exchange volume
+        |is O(d^2 * tasks) regardless of corpus size. The two broadcast
+        |mean-joins at the top are 64-row lookups.""".stripMargin,
+    "q78_histogram" ->
+      """Bucket assignment is per-row arithmetic fused into the scan
+        |Project; the partial+final HashAggregate reduces the corpus to
+        |O(buckets) rows; the single-partition window (share-of-total) runs
+        |AFTER aggregation over ~12 rows — the WindowExec warning the plan
+        |prints is about a 12-row exchange, not the corpus.""".stripMargin,
+    "q79_domain_cap" ->
+      """One rangepartition-free exchange on source, per-source window,
+        |rank filter pushed right above it: work parallelizes across
+        |sources and no corpus-global ordering exists anywhere. A
+        |mega-source would funnel its own partition through one task; the
+        |documented escape is a per-partition top-K aggregator (q16's
+        |TakeOrdered shape) — at K=20 the window form wins on simplicity
+        |until one domain IS the corpus.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
