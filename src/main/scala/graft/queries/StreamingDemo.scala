@@ -83,6 +83,33 @@ object StreamingDemo {
       },
       None),
 
+    // Q81: stream-static enrichment join — the remaining Structured
+    // Streaming topology beside windowed agg (q33), custom state
+    // (q50/q53) and stream dedup: facts enrich against a broadcast
+    // static dimension at ingest, stateless on the dim side. No SQL
+    // oracle (DuckDB has no streaming); EventStreamSpec asserts equality
+    // with the batch twin on closed windows; here the emitted windows
+    // re-join the batch twin so the driver's rows-only check sees the
+    // match flags.
+    QueryDef("q81_streaming_enrich",
+      (s, d) => {
+        val replay = replayDirFor(s, d)
+        val sinkTable = s"q81_sink_${System.nanoTime()}"
+        val streamed = graft.streaming.EventStream
+          .enrichedHourly(s, replay, d, sinkTable)
+        val batch = graft.streaming.EventStream.batchEnrichedHourly(s, d)
+        streamed.as("s").join(batch.as("b"),
+            col("s.hour_start") === col("b.hour_start")
+              && col("s.nation") === col("b.nation"), "left")
+          .select(col("s.hour_start").as("hour_start"),
+            col("s.nation").as("nation"), col("s.cnt").as("cnt"),
+            (col("b.cnt").isNotNull && col("s.cnt") === col("b.cnt")
+              && abs(col("s.sum_value") - col("b.sum_value")) < lit(1e-6))
+              .as("matches_batch"))
+          .orderBy("hour_start", "nation")
+      },
+      None),
+
     // Q50: streaming sessionization via flatMapGroupsWithState — the
     // custom-state surface (bounded open-session state per user, event-time
     // timeouts). No SQL oracle (DuckDB has no streaming); every emitted

@@ -121,6 +121,66 @@ object EventStream {
     spark.table(sinkTable)
   }
 
+  /** Stream-static enrichment join (q81): the event stream joins a STATIC
+    * dimension (user -> nation, customer x nation collapsed driver-side)
+    * and aggregates revenue-ish counts per (hour, nation) under the same
+    * 2-hour watermark as q33. The static side needs NO state store: Spark
+    * re-plans the dim into every micro-batch as an ordinary broadcast
+    * join, so an unbounded stream enriches against a dimension table with
+    * bounded memory — the canonical "enrich at ingest" topology (stream
+    * joins against reference data; only the windowed agg holds state).
+    * Events without a dimension row keep flowing as nation='unknown' (a
+    * left join — enrichment must never drop facts). */
+  def enrichedHourly(spark: SparkSession, replayDir: String, sfDir: String,
+      sinkTable: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(userNationDim(spark, sfDir)), Seq("user_id"), "left")
+      .withColumn("nation", coalesce(col("nation"), lit("unknown")))
+      .groupBy(window(col("ts"), "1 hour"), col("nation"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("nation"),
+        col("cnt"), col("sum_value"))
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
+  /** The static dimension of [[enrichedHourly]]: user_id -> nation name
+    * (customer keyed by c_custkey joined to nation — both broadcast-sized
+    * by design; at 100 TB the dim ships as ~KB to every executor while the
+    * stream never shuffles before its windowed agg). */
+  def userNationDim(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+
+  /** Batch twin of [[enrichedHourly]] for equivalence assertions. */
+  def batchEnrichedHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Q.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .join(broadcast(userNationDim(spark, sfDir)), Seq("user_id"), "left")
+      .withColumn("nation", coalesce(col("nation"), lit("unknown")))
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("nation"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
   /** Batch twin of [[hourlyCounts]] for equivalence assertions. */
   def batchHourlyCounts(spark: SparkSession, sfDir: String): DataFrame =
     Q.events(spark, sfDir)

@@ -50,6 +50,35 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static enrichment join matches the batch twin on closed windows") {
+    val spark = TestSpark.spark
+    withTempDir { replay =>
+      EventStream.stageReplay(spark, sfDir, replay, nFiles = 4)
+      val streamed = EventStream.enrichedHourly(spark, replay, sfDir, "s_enrich")
+      val batch = EventStream.batchEnrichedHourly(spark, sfDir)
+
+      // every emitted (hour, nation) row must match the batch join exactly
+      val joined = streamed.as("s").join(batch.as("b"),
+        col("s.hour_start") === col("b.hour_start")
+          && col("s.nation") === col("b.nation"), "left")
+      val mismatches = joined.filter(
+        col("b.cnt").isNull || col("s.cnt") =!= col("b.cnt")
+          || abs(col("s.sum_value") - col("b.sum_value")) > 1e-6).count()
+      assert(mismatches == 0)
+      assert(streamed.count() > 0, "stream emitted nothing")
+
+      // the left join must not drop facts: per closed hour, enriched
+      // counts (incl. 'unknown') re-sum to the plain per-hour counts
+      val perHour = streamed.groupBy("hour_start")
+        .agg(sum("cnt").as("cnt")).as("s")
+      val plain = EventStream.batchHourlyCounts(spark, sfDir)
+        .groupBy("hour_start").agg(sum("cnt").as("cnt")).as("b")
+      val lost = perHour.join(plain, Seq("hour_start"), "left")
+        .filter(col("s.cnt") =!= col("b.cnt")).count()
+      assert(lost == 0, "enrichment dropped or duplicated facts")
+    }
+  }
+
   test("flatMapGroupsWithState sessions match the batch gaps-and-islands twin") {
     val spark = TestSpark.spark
     withTempDir { replay =>
