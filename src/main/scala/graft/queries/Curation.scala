@@ -199,6 +199,61 @@ object Curation {
              |GROUP BY s.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // Q83 vocabulary KL-divergence drift audit ------------------------------
+    // Distribution-shift monitoring between a corpus slice and the rest
+    // (the check a curation pipeline runs when a new crawl lands, and the
+    // corpus-level dual of q72's per-document DSIR score): add-1-smoothed
+    // unigram distributions for src0 vs the remainder, per-token KL
+    // contribution p*ln(p/q), top-20 drivers reported in micro-nats
+    // (ROUND(4) on raw nats would flatten ~1e-3 contributions into ties).
+    // Shape at 100 TB: ONE corpus-sized shuffle (the token groupBy, with
+    // both slice counts partial-aggregated in the same pass), scalar
+    // totals as a one-row broadcast, TakeOrderedAndProject for the top-k
+    // — never a global sort. Ordering is on the ROUNDED value (+ token
+    // tie-break) so both engines rank identical doubles.
+    QueryDef("q83_vocab_kl",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val counts = toks.groupBy("token").agg(
+          count(lit(1)).as("c_all"),
+          sum(when(col("source") === DsirTarget, 1L).otherwise(0L))
+            .as("c_tgt"))
+          .withColumn("c_rest", col("c_all") - col("c_tgt"))
+        val totals = counts.agg(
+          sum(col("c_tgt")).as("t_total"),
+          sum(col("c_rest")).as("r_total"),
+          count(lit(1)).as("v"))
+        counts.crossJoin(broadcast(totals))
+          .withColumn("p", (col("c_tgt") + 1).cast(DoubleType)
+            / (col("t_total") + col("v")).cast(DoubleType))
+          .withColumn("q", (col("c_rest") + 1).cast(DoubleType)
+            / (col("r_total") + col("v")).cast(DoubleType))
+          .select(col("token"), col("c_tgt"), col("c_rest"),
+            r4(lit(1e6) * col("p") * log(col("p") / col("q")))
+              .as("kl_unats"))
+          .orderBy(col("kl_unats").desc, col("token"))
+          .limit(20)
+      },
+      Some(s"""WITH tok AS (SELECT source,
+             |    unnest(string_split(text, ' ')) AS token FROM documents),
+             |counts AS (SELECT token, COUNT(*) AS c_all,
+             |    CAST(SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS c_tgt
+             |  FROM tok WHERE token <> '' GROUP BY token),
+             |c2 AS (SELECT token, c_tgt, c_all - c_tgt AS c_rest FROM counts),
+             |tot AS (SELECT CAST(SUM(c_tgt) AS BIGINT) AS t_total,
+             |    CAST(SUM(c_rest) AS BIGINT) AS r_total,
+             |    COUNT(*) AS v FROM c2),
+             |sc AS (SELECT token, c_tgt, c_rest,
+             |    CAST(c_tgt + 1 AS DOUBLE) / (t_total + v) AS p,
+             |    CAST(c_rest + 1 AS DOUBLE) / (r_total + v) AS q
+             |  FROM c2 CROSS JOIN tot)
+             |SELECT token, c_tgt, c_rest,
+             |  CAST(ROUND(1e6 * p * ln(p / q), 4) AS DOUBLE) AS kl_unats
+             |FROM sc ORDER BY kl_unats DESC, token LIMIT 20""".stripMargin)),
+
     // Q72 DSIR importance-based data selection ----------------------------
     // Data Selection via Importance Resampling (Xie et al. 2023): score
     // every document by the log likelihood ratio of an in-domain target

@@ -2,15 +2,18 @@ package graft.queries
 
 import graft.QueryDef
 import graft.Q._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Corpus/table profiling + reshaping operators (round 8): PIVOT/UNPIVOT
-  * (the wide-long reshape pair every reporting layer needs), fixed-width
-  * histogram profiling (the data-distribution audit the reference skipped
-  * as too expensive at `czi_to_zarr.py:477-481` — affordable as a
-  * partial-agg pass), and the RefinedWeb-style per-source document cap
+/** Table profiling, reshaping and maintenance operators (round 8):
+  * PIVOT/UNPIVOT (the wide-long reshape pair every reporting layer needs),
+  * fixed-width histogram profiling (the data-distribution audit the
+  * reference skipped as too expensive at `czi_to_zarr.py:477-481` —
+  * affordable as a partial-agg pass), the SCD type-2 dimension merge
+  * (MERGE INTO semantics over vanilla Spark), the Deequ-style
+  * data-validation gate, and the RefinedWeb-style per-source document cap
   * (web-corpus curation: no single domain may dominate the training mix).
   */
 object Profiling {
@@ -105,6 +108,141 @@ object Profiling {
              |  CAST(ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 4) AS DOUBLE)
              |    AS share
              |FROM h ORDER BY bucket""".stripMargin)),
+
+    // Q82 SCD type-2 dimension merge ----------------------------------------
+    // MERGE INTO semantics over vanilla Spark (no table format required):
+    // a CDC batch against the customer dimension produces slowly-changing
+    // history — matched rows close their old version and open a new one,
+    // unmatched source rows insert, unmatched target rows pass through.
+    // The CDC batch (here: a deterministic synthetic one — %7 keys change
+    // segment, %11 keys arrive as brand-new customers) is BROADCAST to
+    // every branch, so the dimension itself never shuffles: at a 10^9-row
+    // dimension and a 10^5-row CDC batch the whole merge is three
+    // broadcast-(anti/semi)-joins and a union, one dimension scan per
+    // branch and zero exchanges. Lakehouse MERGE does the same in one
+    // pass; the declarative union form trades re-scan for zero
+    // format-specific machinery and keeps every branch codegen'd.
+    QueryDef("q82_scd2_merge",
+      (s, d) => {
+        val base = t(s, d, "customer")
+          .select(col("c_custkey").as("key"),
+            col("c_mktsegment").as("mktsegment"))
+        val changes = base.filter(col("key") % 7 === 0)
+          .select(col("key"), lit("PROMO").as("new_seg"))
+        val inserts = base.filter(col("key") % 11 === 0)
+          .select((col("key") + 1000000L).as("key"),
+            lit("NEWSEG").as("mktsegment"))
+        val v = (n: Int) => lit(n).cast(IntegerType).as("version")
+        val cur = (b: Boolean) => lit(b).as("is_current")
+        val unchanged = base.join(broadcast(changes), Seq("key"), "left_anti")
+          .select(col("key"), col("mktsegment"), v(1), cur(true))
+        val closed = base.join(broadcast(changes.select("key")), Seq("key"))
+          .select(col("key"), col("mktsegment"), v(1), cur(false))
+        val opened = base.join(broadcast(changes), Seq("key"))
+          .select(col("key"), col("new_seg").as("mktsegment"), v(2), cur(true))
+        val inserted = inserts.select(col("key"), col("mktsegment"), v(1), cur(true))
+        unchanged.unionAll(closed).unionAll(opened).unionAll(inserted)
+          .orderBy("key", "version", "is_current")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS key, c_mktsegment AS mktsegment
+             |    FROM customer),
+             |changes AS (SELECT key, 'PROMO' AS new_seg FROM base
+             |    WHERE key % 7 = 0)
+             |SELECT key, mktsegment, CAST(1 AS INT) AS version,
+             |    TRUE AS is_current
+             |  FROM base WHERE key NOT IN (SELECT key FROM changes)
+             |UNION ALL
+             |SELECT b.key, b.mktsegment, CAST(1 AS INT), FALSE
+             |  FROM base b JOIN changes c ON b.key = c.key
+             |UNION ALL
+             |SELECT b.key, c.new_seg, CAST(2 AS INT), TRUE
+             |  FROM base b JOIN changes c ON b.key = c.key
+             |UNION ALL
+             |SELECT key + 1000000, 'NEWSEG', CAST(1 AS INT), TRUE
+             |  FROM base WHERE key % 11 = 0
+             |ORDER BY key, version, is_current""".stripMargin)),
+
+    // Q84 data-validation gate (expectation suite) --------------------------
+    // The Deequ-style quality gate a pipeline runs before publishing a
+    // snapshot: each rule is one aggregate (or one broadcast anti-join for
+    // the FK rule) over the table, emitted as (rule, n_checked,
+    // n_violations, pass). Every branch partial-aggregates map-side — the
+    // gate costs one scan per table at any scale, and rules over the same
+    // table share the scan under one union when the reader caches. A
+    // violating snapshot fails loudly (pass = false rows) instead of
+    // poisoning downstream training data.
+    QueryDef("q84_validation_audit",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        def rule(name: String, df: org.apache.spark.sql.DataFrame,
+            bad: Column): org.apache.spark.sql.DataFrame =
+          df.agg(count(lit(1)).as("n_checked"),
+              sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+            .select(lit(name).as("rule"), col("n_checked"),
+              col("n_violations"), (col("n_violations") === 0).as("pass"))
+        val fkOrphans = li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        val fkRule = li.agg(count(lit(1)).as("n_checked"))
+          .crossJoin(fkOrphans)
+          .select(lit("lineitem_fk_orders").as("rule"), col("n_checked"),
+            col("n_violations"), (col("n_violations") === 0).as("pass"))
+        val dupRule = o.agg(count(lit(1)).as("n_checked"),
+            (count(lit(1)) - countDistinct(col("o_orderkey")))
+              .as("n_violations"))
+          .select(lit("orders_pk_unique").as("rule"), col("n_checked"),
+            col("n_violations"), (col("n_violations") === 0).as("pass"))
+        rule("lineitem_quantity_domain", li,
+            !(col("l_quantity") >= 1 && col("l_quantity") <= 50))
+          .unionAll(rule("lineitem_discount_domain", li,
+            !(col("l_discount") >= 0.0 && col("l_discount") <= 0.1)))
+          .unionAll(rule("lineitem_shipdate_not_null", li,
+            col("l_shipdate").isNull))
+          .unionAll(rule("orders_totalprice_positive", o,
+            !(col("o_totalprice") > 0)))
+          .unionAll(dupRule)
+          .unionAll(fkRule)
+          .orderBy("rule")
+      },
+      Some("""SELECT 'lineitem_quantity_domain' AS rule,
+             |    COUNT(*) AS n_checked,
+             |    CAST(SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             |    SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+             |      THEN 1 ELSE 0 END) = 0 AS pass
+             |  FROM lineitem
+             |UNION ALL
+             |SELECT 'lineitem_discount_domain', COUNT(*),
+             |    CAST(SUM(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1)
+             |      THEN 1 ELSE 0 END) AS BIGINT),
+             |    SUM(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1)
+             |      THEN 1 ELSE 0 END) = 0
+             |  FROM lineitem
+             |UNION ALL
+             |SELECT 'lineitem_shipdate_not_null', COUNT(*),
+             |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+             |  FROM lineitem
+             |UNION ALL
+             |SELECT 'orders_totalprice_positive', COUNT(*),
+             |    CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT),
+             |    SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) = 0
+             |  FROM orders
+             |UNION ALL
+             |SELECT 'orders_pk_unique', COUNT(*),
+             |    COUNT(*) - COUNT(DISTINCT o_orderkey),
+             |    COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+             |  FROM orders
+             |UNION ALL
+             |SELECT 'lineitem_fk_orders',
+             |    (SELECT COUNT(*) FROM lineitem),
+             |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+             |       ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+             |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+             |       ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+             |ORDER BY rule""".stripMargin)),
 
     // Q79 per-source document cap (RefinedWeb-style domain budget) ----------
     // Keep at most DomainCap docs per source, ranked by quality (here:
