@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   * d^2/k — never by the corpus. Driver-side work only ever touches those
   * dimension-bounded aggregates (64, 64^2, or k*64 rows), the same
   * collect-scalars-then-broadcast loop MLlib's own KMeans/PCA use.
-  * Determinism: every distributed double sum routes through
-  * DECIMAL(18,8) (exact, association-order-free), so repeated runs — and
-  * the DuckDB oracle — see bit-identical results.
+  * Determinism: every distributed double sum is made exact and
+  * association-order-free — the hot gram-matrix path via fixed-point LONG
+  * sums (scale-8 quantization, pure primitive codegen), the
+  * dimension-cheap paths via DECIMAL(18,8) — so repeated runs and the
+  * DuckDB oracle see bit-identical results.
   */
 object VectorStats {
 
@@ -52,25 +54,32 @@ object VectorStats {
       .groupBy((col("p") + 1).cast(IntegerType).as("k"))
       .agg(sum(col("x").cast(dec8)).as("sx"), count(lit(1)).as("n"))
 
-  /** Per-(i,j) exact product sums over the UPPER TRIANGLE (j >= i,
-    * 1-based): (i, j, sxy, n) with d(d+1)/2 = 2080 groups. Shape: cross
-    * join each vector against a BROADCAST d(d+1)/2-row index-pair table
-    * and read v[i]*v[j] by element_at — inside one whole-stage-codegen
-    * span the "join" is just a loop over 2080 (i,j) ints per vector doing
-    * two primitive array reads and a multiply; no outer-product array is
-    * ever materialized. (Two slower shapes tried first: a
+  /** Per-(i,j) product sums over the UPPER TRIANGLE (j >= i, 1-based):
+    * (i, j, sxy8, n) with d(d+1)/2 = 2080 groups, sxy8 a FIXED-POINT LONG
+    * at scale 8 (floor(xy*1e8 + 0.5) per element — q54's halfway-safe
+    * quantization): long sums are exact, association-order-free, and stay
+    * entirely in primitive codegen, where a DECIMAL(18,8) path pays a
+    * Decimal allocation per element (~5x wall: 5.2 s -> 0.9 s at sf0.1).
+    * Same overflow headroom as decimal 18,8 (~10^9 vectors at unit scale;
+    * widen the quantization scale past that). Shape: cross join each
+    * vector against a BROADCAST d(d+1)/2-row index-pair table and read
+    * v[i]*v[j] by element_at — inside one whole-stage-codegen span the
+    * "join" is just a loop over 2080 (i,j) ints per vector doing two
+    * primitive array reads and a multiply; no outer-product array is ever
+    * materialized. (Two slower shapes tried first: a
     * flatten(transform(transform)) generator boxes d^2 Doubles per row
-    * (~6 s at sf0.1); a struct-per-cell triangle generator defeats codegen
-    * entirely (~20 s). This one: ~1 s.) The only shuffle carries the
-    * partial-agg groups — map-side combine reduces each partition to
-    * <= 2080 rows regardless of corpus size. */
+    * (~6 s at sf0.1); a struct-per-cell triangle generator defeats
+    * codegen entirely (~20 s).) The only shuffle carries the partial-agg
+    * groups — map-side combine reduces each partition to <= 2080 rows
+    * regardless of corpus size. */
   private def productSums(e: DataFrame): DataFrame = {
     val pairs = e.sparkSession.createDataFrame(
       for { i <- 1 to Dim; j <- i to Dim } yield (i, j)).toDF("i", "j")
     e.crossJoin(broadcast(pairs))
       .groupBy("i", "j")
-      .agg(sum((element_at(col("v"), col("i"))
-        * element_at(col("v"), col("j"))).cast(dec8)).as("sxy"),
+      .agg(sum(floor((element_at(col("v"), col("i"))
+          * element_at(col("v"), col("j"))) * 1e8 + 0.5).cast(LongType))
+        .as("sxy8"),
         count(lit(1)).as("n"))
   }
 
@@ -88,7 +97,7 @@ object VectorStats {
     val cov = Array.ofDim[Double](Dim, Dim)
     productSums(e).collect().foreach { r =>
       val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
-      val c = r.getDecimal(2).doubleValue() / n - mean(i) * mean(j)
+      val c = r.getLong(2) / 1e8 / n - mean(i) * mean(j)
       cov(i)(j) = c; cov(j)(i) = c // upper triangle mirrored by symmetry
     }
     (n, mean, cov)
@@ -180,9 +189,9 @@ object VectorStats {
     // builds each row's outer product locally; the only shuffle carries
     // d^2-bounded partial aggregates (map-side combine does the real
     // reduction), so the plan is corpus-scan + tiny exchange at ANY corpus
-    // size — the canonical "distributed covariance" shape. Exact decimal
-    // sums make the result association-order-free, which is what lets a
-    // DuckDB oracle hash-match a 32-way parallel Spark aggregation.
+    // size — the canonical "distributed covariance" shape. Exact
+    // fixed-point sums make the result association-order-free, which is
+    // what lets a DuckDB oracle hash-match a 32-way parallel aggregation.
     QueryDef("q76_embedding_covariance",
       (s, d) => {
         val e = vecs(s, d)
@@ -192,7 +201,7 @@ object VectorStats {
           .join(broadcast(m.select(col("k").as("i"), col("sx").as("sxi"))), "i")
           .join(broadcast(m.select(col("k").as("j"), col("sx").as("sxj"))), "j")
           .select(col("i"), col("j"),
-            r4(col("sxy").cast(DoubleType) / col("n")
+            r4(col("sxy8").cast(DoubleType) / 1e8 / col("n")
               - (col("sxi").cast(DoubleType) / col("n"))
               * (col("sxj").cast(DoubleType) / col("n"))).as("cov"))
           .orderBy("i", "j")
@@ -205,11 +214,12 @@ object VectorStats {
              |m AS (SELECT k, SUM(CAST(x AS DECIMAL(18,8))) AS sx
              |  FROM px GROUP BY k),
              |pr AS (SELECT a.k AS i, b.k AS j,
-             |    SUM(CAST(a.x * b.x AS DECIMAL(18,8))) AS sxy, COUNT(*) AS n
+             |    SUM(CAST(FLOOR(a.x * b.x * 1e8 + 0.5) AS BIGINT)) AS sxy8,
+             |    COUNT(*) AS n
              |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND b.k >= a.k
              |  GROUP BY a.k, b.k)
              |SELECT CAST(pr.i AS INT) AS i, CAST(pr.j AS INT) AS j,
-             |  CAST(ROUND(CAST(sxy AS DOUBLE) / n
+             |  CAST(ROUND(CAST(sxy8 AS DOUBLE) / 1e8 / n
              |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n),
              |    4) AS DOUBLE) AS cov
              |FROM pr JOIN m mi ON pr.i = mi.k JOIN m mj ON pr.j = mj.k
