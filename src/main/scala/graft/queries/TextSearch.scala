@@ -125,6 +125,28 @@ object TextSearch {
       |  FROM embeddings e CROSS JOIN refined r),
       |cells AS (SELECT vec_id, cid, embedding FROM assigned WHERE rn = 1)""".stripMargin
 
+  /** q62's kNN graph body (unordered): per vector, its top-KnnK IVF
+    * neighbors as (qid, rk, nn_id, sim). Factored out so graph consumers
+    * (q85 PageRank) share the exact edge list the oracle checks. */
+  def knnGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val index = ivfIndex(s, d)
+    val cells = index.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val probes = index
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"),
+        col("embedding").as("qe"))
+    val cand = cells
+      .join(probes, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn_id"),
+        r4(expr("cosine_sim(qe, embedding)")).as("sim"))
+    cand
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("nn_id"))))
+      .filter(col("rk") <= KnnK)
+      .select(col("qid"), col("rk"), col("nn_id"), col("sim"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q47 language ID: marker-word scoring, argmax, accuracy vs the label --
@@ -287,25 +309,7 @@ object TextSearch {
     // (bounded partitions), never a global sort; ties broken by neighbor id
     // on ROUND(sim, 4) so the graph is engine-stable.
     QueryDef("q62_knn_graph",
-      (s, d) => {
-        val index = ivfIndex(s, d)
-        val cells = index.filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("embedding"))
-        val probes = index
-          .select(col("vec_id").as("qid"), col("cid").as("qcid"),
-            col("embedding").as("qe"))
-        val cand = cells
-          .join(probes, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nn_id"),
-            r4(expr("cosine_sim(qe, embedding)")).as("sim"))
-        cand
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("qid")
-              .orderBy(col("sim").desc, col("nn_id"))))
-          .filter(col("rk") <= KnnK)
-          .select(col("qid"), col("rk"), col("nn_id"), col("sim"))
-          .orderBy("qid", "rk")
-      },
+      (s, d) => knnGraph(s, d).orderBy("qid", "rk"),
       Some(s"""WITH $IVF_CELLS_SQL,
              |probes AS (SELECT vec_id AS qid, cid AS qcid, embedding AS qe
              |           FROM assigned WHERE rn <= $IvfProbes),

@@ -182,6 +182,57 @@ object VectorStats {
     (out, sseHistory.result())
   }
 
+  /** q85 damping factor and fixed iteration count. */
+  val PrDamping = 0.85
+  val PrIters = 8
+
+  /** Damped PageRank over a directed edge list (cols src, dst), nodes
+    * given explicitly so rank mass conserves across dangling/isolated
+    * vertices. Canonical distributed shape: the edge list (with out-degree
+    * attached once, flat-stats-checkpointed) is the large static side;
+    * each iteration is one src-keyed join + one dst-keyed partial-agg
+    * groupBy — at cluster scale both sides pre-partition on the join key
+    * and the shuffle carries contributions, never vector payloads. Rank
+    * frames are checkpointed per iteration (q51's pattern) so plan depth
+    * and Catalyst stats stay constant across iterations.
+    *
+    * Determinism: per-edge contributions and the dangling mass quantize to
+    * fixed-point longs at scale 12 (floor(x*1e12+0.5) — q76's mechanism,
+    * finer grid because ranks live at 1/N scale), so every iteration's
+    * ranks are exact, association-order-free doubles and repeated runs are
+    * bit-identical. */
+  def pagerank(nodes: DataFrame, edges: DataFrame,
+      iters: Int = PrIters, damping: Double = PrDamping): DataFrame = {
+    import org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats
+    val nN = nodes.count().toDouble
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = localCheckpointFlatStats(edges.join(outdeg, "src"))
+    val srcs = e.select("src").distinct()
+    var ranks = localCheckpointFlatStats(
+      nodes.withColumn("r", lit(1.0 / nN)))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          floor(col("r") / col("outdeg") * 1e12 + 0.5).as("c12"))
+        .groupBy("dst").agg(sum(col("c12")).as("s12"))
+      // dangling mass rides the SAME plan as a one-row broadcast scalar
+      // (not a per-iteration driver action): one Spark job per iteration
+      val dangling = ranks
+        .join(srcs, ranks("id") === srcs("src"), "left_anti")
+        .agg(coalesce(sum(floor(col("r") * 1e12 + 0.5)), lit(0L)).as("d12"))
+      ranks = localCheckpointFlatStats(
+        nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            (lit((1 - damping) / nN) + lit(damping)
+              * (coalesce(col("s12"), lit(0L)) / 1e12
+                + col("d12") / 1e12 / nN))
+              .as("r")))
+    }
+    ranks
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q76 covariance matrix (upper triangle) -------------------------------
@@ -263,6 +314,28 @@ object VectorStats {
     // exact-partition invariants, and run-to-run determinism.
     QueryDef("q80_kmeans",
       (s, d) => kmeans(s, d)._1,
+      None),
+
+    // Q85 PageRank over the kNN graph --------------------------------------
+    // Semantic centrality of the embedding corpus: damped PageRank over
+    // q62's IVF k-NN edge list (the SAME edges the q62 oracle
+    // hash-checks), 8 fixed iterations. General iterative dataflow beside
+    // q51's converging label propagation — fixed-point contributions make
+    // every iteration deterministic. No SQL oracle (iterative); the spec
+    // pins an exact driver-twin replay, mass conservation, and the
+    // uniform lower bound. Output scaled by N (mean 1.0) so ROUND(4)
+    // keeps resolution at any corpus size.
+    QueryDef("q85_pagerank",
+      (s, d) => {
+        val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
+        val edges = TextSearch.knnGraph(s, d)
+          .select(col("qid").as("src"), col("nn_id").as("dst"))
+        val n = nodes.count().toDouble
+        pagerank(nodes, edges)
+          .select(col("id").as("vec_id"), r4(col("r") * n).as("rank_x_n"))
+          .orderBy(col("rank_x_n").desc, col("vec_id"))
+          .limit(20)
+      },
       None)
   )
 }

@@ -103,6 +103,45 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q76: exactly one data exchange, and it carries only aggregates") {
+    // the gram-matrix promise: vectors never shuffle. Every shuffle
+    // exchange in the plan must sit ABOVE a partial aggregate (i.e. carry
+    // d^2-bounded combined rows), never raw vector rows.
+    val plan = executedPlan("q76_embedding_covariance")
+    val shuffles = collectAll(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.nonEmpty, "expected a shuffle for the (i,j) aggregate")
+    def hasAggBelow(p: SparkPlan): Boolean = collectAll(p).exists {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _ => false
+    }
+    val rangeOrAgg = shuffles.forall { s =>
+      // the final ORDER BY range exchange runs over 2080 aggregated rows;
+      // every hash exchange must be fed by a partial aggregate
+      hasAggBelow(s.child)
+    }
+    assert(rangeOrAgg,
+      s"a shuffle carries non-aggregated (vector-sized) rows:\n$plan")
+  }
+
+  test("q82: the dimension merge runs on broadcast joins only") {
+    // MERGE shape: the CDC batch broadcasts; the customer dimension must
+    // not hash-shuffle for any of the three join branches (the only
+    // allowed shuffle is the final ORDER BY range exchange)
+    val plan = executedPlan("q82_scd2_merge")
+    val joins = collectAll(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected join operators in the q82 plan")
+    joins.foreach {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => ()
+      case other => fail(s"dimension shuffled for a merge branch:\n$other")
+    }
+  }
+
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }

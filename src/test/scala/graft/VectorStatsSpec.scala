@@ -123,6 +123,53 @@ class VectorStatsSpec extends AnyFunSuite {
       s"cluster sizes diverge: spark $gotCounts vs driver $expCounts")
   }
 
+  test("q85: PageRank matches an exact driver-twin replay; mass conserves") {
+    val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val edges = graft.queries.TextSearch.knnGraph(spark, dir)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = nodes.length.toDouble
+    val d = graft.queries.VectorStats.PrDamping
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+
+    // driver replay of the EXACT fixed-point iteration (same quantization,
+    // same double expressions) — distributed and local must agree bitwise
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to graft.queries.VectorStats.PrIters) {
+      val c12 = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (src, dst) =>
+        c12(dst) += math.floor(r(src) / outdeg(src) * 1e12 + 0.5).toLong
+      }
+      val d12 = nodes.filterNot(outdeg.contains)
+        .map(id => math.floor(r(id) * 1e12 + 0.5).toLong).sum
+      val dm = d12 / 1e12
+      r = nodes.map(id => id ->
+        ((1 - d) / n + d * (c12(id) / 1e12 + dm / n))).toMap
+    }
+    val got = graft.queries.VectorStats.pagerank(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id")),
+        graft.queries.TextSearch.knnGraph(spark, dir)
+          .select(col("qid").as("src"), col("nn_id").as("dst")))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(got.keySet == r.keySet)
+    nodes.foreach { id =>
+      assert(got(id) == r(id),
+        s"rank($id): spark ${got(id)} != twin ${r(id)}")
+    }
+    // mass conservation (quantization loses <= n*1e-12 per iteration) and
+    // the uniform teleport lower bound
+    val mass = r.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass")
+    assert(r.values.forall(_ >= (1 - d) / n - 1e-12))
+
+    val top = SparkEntry.queries("q85_pagerank")(spark, dir).collect()
+    assert(top.length == 20)
+    assert(top.map(_.getDouble(1)).toSeq
+      == top.map(_.getDouble(1)).sorted.reverse.toSeq)
+  }
+
   test("q75/q75b: pivot and unpivot are exact inverses of the groupBy") {
     val direct = SparkEntry.queries("q75b_unpivot")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
