@@ -71,7 +71,7 @@ object LlmOps {
     * its RDD directly), so unpersist the underlying checkpointed RDD off
     * the analyzed plan. Only safe once nothing references the generation.
     */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

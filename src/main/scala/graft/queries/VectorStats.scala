@@ -175,10 +175,14 @@ object VectorStats {
       cents = next
     }
     val finalA = assigned(cents)
-    val out = finalA.groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"),
-        r4(sum(col("d2").cast(dec8))).as("sse"))
-      .orderBy("cluster")
+    // materialize the k-row summary, then drop the corpus cache — the
+    // returned frame must not re-read the (now unpersisted) base lazily
+    val out = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFlatStats(finalA.groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"),
+          r4(sum(col("d2").cast(dec8))).as("sse"))
+        .orderBy("cluster"))
+    e.unpersist(blocking = false)
     (out, sseHistory.result())
   }
 
@@ -210,6 +214,7 @@ object VectorStats {
     val srcs = e.select("src").distinct()
     var ranks = localCheckpointFlatStats(
       nodes.withColumn("r", lit(1.0 / nN)))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -221,6 +226,7 @@ object VectorStats {
       val dangling = ranks
         .join(srcs, ranks("id") === srcs("src"), "left_anti")
         .agg(coalesce(sum(floor(col("r") * 1e12 + 0.5)), lit(0L)).as("d12"))
+      prev = ranks
       ranks = localCheckpointFlatStats(
         nodes.join(contrib, nodes("id") === contrib("dst"), "left")
           .crossJoin(broadcast(dangling))
@@ -229,7 +235,15 @@ object VectorStats {
               * (coalesce(col("s12"), lit(0L)) / 1e12
                 + col("d12") / 1e12 / nN))
               .as("r")))
+      // the new generation is materialized (localCheckpoint is eager);
+      // the previous one's executor blocks are dead — release NOW rather
+      // than waiting on the async cleaner (q51's hygiene rule; at corpus
+      // scale `iters` retained rank generations is real storage)
+      LlmOps.releaseCheckpoint(prev)
     }
+    // the returned frame references only the final generation; the edge
+    // checkpoint served its last join in the loop above
+    LlmOps.releaseCheckpoint(e)
     ranks
   }
 
