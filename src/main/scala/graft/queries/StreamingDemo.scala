@@ -110,6 +110,39 @@ object StreamingDemo {
       },
       None),
 
+    // Q86: streaming keyed upsert via foreachBatch — the arbitrary-sink
+    // surface: each micro-batch full-outer-MERGEs its per-user aggregate
+    // into a versioned parquet state table (the CDC-ingest/lakehouse-MERGE
+    // topology; state outside the state store: restart-safe, queryable,
+    // unbounded keys). Merge arithmetic is associative and exact, so the
+    // final state must equal the one-shot batch aggregate regardless of
+    // micro-batch slicing — asserted per-row here (rows-only; DuckDB has
+    // no streaming) and in EventStreamSpec.
+    QueryDef("q86_streaming_upsert",
+      (s, d) => {
+        val replay = replayDirFor(s, d)
+        val stateDir =
+          s"${java.nio.file.Files.createTempDirectory("graft-q86")}/state"
+        val streamed = graft.streaming.EventStream
+          .upsertedState(s, replay, stateDir)
+        val batch = graft.streaming.EventStream.batchUserState(s, d)
+        val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+        streamed.as("s").join(batch.as("b"),
+            col("s.user_id") === col("b.user_id"), "full_outer")
+          .select(
+            coalesce(col("s.user_id"), col("b.user_id")).as("user_id"),
+            col("s.n_events").as("n_events"),
+            col("s.last_ts").as("last_ts"),
+            col("s.sum_value").cast(dec).as("sum_value"),
+            (col("s.n_events") === col("b.n_events")
+              && col("s.last_ts") === col("b.last_ts")
+              && (col("s.sum_value").cast(dec) === col("b.sum_value").cast(dec)
+                || (col("s.sum_value").isNull && col("b.sum_value").isNull)))
+              .as("matches_batch"))
+          .orderBy("user_id")
+      },
+      None),
+
     // Q50: streaming sessionization via flatMapGroupsWithState — the
     // custom-state surface (bounded open-session state per user, event-time
     // timeouts). No SQL oracle (DuckDB has no streaming); every emitted

@@ -172,6 +172,81 @@ object EventStream {
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
 
+  /** Streaming keyed upsert via foreachBatch (q86): the arbitrary-sink
+    * surface — each micro-batch MERGEs its per-user aggregate into a
+    * versioned state table (read current -> full-outer combine -> write
+    * next version), the CDC-ingest topology a lakehouse runs MERGE INTO
+    * for. State lives OUTSIDE the state store, so it survives restarts,
+    * is queryable mid-stream, and can be arbitrarily large (the state
+    * store bounds q50/q53-style state by watermark; a keyed current-state
+    * table grows with distinct keys instead — at 100 TB the merge is a
+    * key-partitioned join of a broadcast-able batch aggregate against the
+    * state table). Merge arithmetic is associative + exact (counts, max
+    * ts, DECIMAL sums), so the final state equals the batch aggregate
+    * over all events regardless of micro-batch slicing.
+    */
+  def upsertedState(spark: SparkSession, replayDir: String,
+      stateDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("sum_value"))
+    var version = 0
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = aggOf(batch)
+        val merged =
+          if (version == 0) delta
+          else {
+            val cur = spark.read.parquet(s"$stateDir/v$version")
+            cur.select(col("user_id"), col("n_events").as("c_n"),
+                col("last_ts").as("c_ts"), col("sum_value").as("c_sum"))
+              .join(delta, Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("c_n"), lit(0L))
+                  + coalesce(col("n_events"), lit(0L))).as("n_events"),
+                greatest(col("c_ts"), col("last_ts")).as("last_ts"),
+                (coalesce(col("c_sum"), lit(0).cast(
+                  org.apache.spark.sql.types.DecimalType(18, 4)))
+                  + coalesce(col("sum_value"), lit(0).cast(
+                    org.apache.spark.sql.types.DecimalType(18, 4))))
+                  .as("sum_value"))
+          }
+        version += 1
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$version")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateDir/v$version")
+  }
+
+  /** Batch twin of [[upsertedState]]: the same aggregate over all events
+    * at once. */
+  def batchUserState(spark: SparkSession, sfDir: String): DataFrame =
+    Q.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("sum_value"))
+
   /** Batch twin of [[enrichedHourly]] for equivalence assertions. */
   def batchEnrichedHourly(spark: SparkSession, sfDir: String): DataFrame =
     Q.events(spark, sfDir)

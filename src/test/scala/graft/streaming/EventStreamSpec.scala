@@ -79,6 +79,29 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch upsert state equals the one-shot batch aggregate") {
+    val spark = TestSpark.spark
+    withTempDir { dir =>
+      EventStream.stageReplay(spark, sfDir, s"$dir/replay", nFiles = 4)
+      val streamed = EventStream.upsertedState(
+        spark, s"$dir/replay", s"$dir/state")
+      val batch = EventStream.batchUserState(spark, sfDir)
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      // full outer + any-null-mismatch filter: a user missing from either
+      // side, or any field diverging, is a failure
+      val bad = streamed.as("s").join(batch.as("b"),
+          col("s.user_id") === col("b.user_id"), "full_outer")
+        .filter(col("s.user_id").isNull || col("b.user_id").isNull
+          || col("s.n_events") =!= col("b.n_events")
+          || col("s.last_ts") =!= col("b.last_ts")
+          || (col("s.sum_value").cast(dec) =!= col("b.sum_value").cast(dec)
+            && !(col("s.sum_value").isNull && col("b.sum_value").isNull)))
+        .count()
+      assert(bad == 0, s"$bad users diverge from the batch aggregate")
+      assert(streamed.count() == batch.count())
+    }
+  }
+
   test("flatMapGroupsWithState sessions match the batch gaps-and-islands twin") {
     val spark = TestSpark.spark
     withTempDir { replay =>
