@@ -636,6 +636,35 @@ object Relational {
               |      FROM sids GROUP BY user_id, session_id)
               |SELECT user_id, COUNT(*) AS n_sessions,
               | CAST(ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_session_events
-              |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin))
+              |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q87 LATERAL join (r8) -------------------------------------------------
+    // The correlated-subquery-in-FROM surface: per customer, its top-2
+    // orders by price — a correlated ORDER BY + LIMIT the optimizer must
+    // DECORRELATE (Catalyst rewrites the lateral into a ranked window
+    // join; DuckDB runs its own lateral decorrelation) rather than
+    // re-execute per outer row. Same result as q16's window form, but it
+    // exercises the planner path q16 does not: a per-outer-row subquery
+    // that would be O(customers x orders-scan) if executed naively is one
+    // shuffle after decorrelation — the difference between a plan that
+    // survives 100 TB and one that does not. Customers with no orders
+    // drop (inner lateral), keeping the output deterministic.
+    QueryDef("q87_lateral_topk",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("q87_customer")
+        t(s, d, "orders").createOrReplaceTempView("q87_orders")
+        s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+                |FROM q87_customer c,
+                |LATERAL (SELECT o_orderkey, o_totalprice FROM q87_orders o
+                |         WHERE o.o_custkey = c.c_custkey
+                |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             |         WHERE o.o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin))
   )
 }

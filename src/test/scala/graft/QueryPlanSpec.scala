@@ -142,6 +142,24 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q87: lateral subquery decorrelates (no per-row nested loop)") {
+    // the correlated ORDER BY+LIMIT must become a ranked window + join —
+    // a BroadcastNestedLoopJoin/CartesianProduct here means Catalyst fell
+    // back to executing the subquery per outer row: O(n*m) at scale
+    val all = collectAll(executedPlan("q87_lateral_topk"))
+    assert(!all.exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+      case _ => false
+    }, "lateral join executed as a nested loop")
+    // and the top-k is bounded BEFORE the shuffle (partial WindowGroupLimit)
+    assert(all.exists {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        w.mode == org.apache.spark.sql.execution.window.Partial
+      case _ => false
+    }, "expected a partial (map-side) WindowGroupLimit below the exchange")
+  }
+
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
