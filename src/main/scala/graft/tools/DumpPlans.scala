@@ -154,6 +154,14 @@ object DumpPlans {
         |O(buckets) rows; the single-partition window (share-of-total) runs
         |AFTER aggregation over ~12 rows — the WindowExec warning the plan
         |prints is about a 12-row exchange, not the corpus.""".stripMargin,
+    "q87_lateral_topk" ->
+      """Lateral decorrelation showcase: the correlated ORDER BY+LIMIT
+        |subquery becomes WindowGroupLimit(Partial) BELOW the exchange
+        |(each map task keeps at most 2 rows per customer before any
+        |shuffle), a Final group-limit + ranked window above it, then a
+        |broadcast join back to the outer side. Executing the subquery
+        |per outer row — the naive lateral plan — would be O(customers x
+        |orders); this plan is one bounded shuffle.""".stripMargin,
     "q79_domain_cap" ->
       """One rangepartition-free exchange on source, per-source window,
         |rank filter pushed right above it: work parallelizes across
