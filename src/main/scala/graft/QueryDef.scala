@@ -47,6 +47,23 @@ object Q {
   /** ROUND(x, 4) cast to DOUBLE — the canonical deterministic numeric output. */
   def r4(c: Column): Column = round(c, 4).cast(DoubleType)
 
+  /** floor(x*10^4+0.5)/10^4 — knife-edge-proof scale-4 rounding (q54's
+    * mechanism). ROUND(double, 4) can disagree across engines when the
+    * value sits at a decimal halfway point: Spark rounds the SHORTEST
+    * DECIMAL representation (BigDecimal.valueOf) half-up while DuckDB
+    * rounds the true binary value, so 0.53175 (binary ...749999) goes to
+    * .5318 in Spark and .5317 in DuckDB. This form is pure IEEE arithmetic
+    * on identical doubles — bit-identical in both engines at every input.
+    * Use it for any rounded DOUBLE DIVISION output (averages, rates);
+    * r4 stays fine for decimal-typed inputs, where both engines round the
+    * same exact value. */
+  def f4(c: Column): Column =
+    (floor(c * 10000 + lit(0.5)) / 10000.0).cast(DoubleType)
+
+  /** Oracle twin of [[f4]]. */
+  def F4(x: String): String =
+    s"CAST(FLOOR(($x) * 10000 + 0.5) / 10000.0 AS DOUBLE)"
+
   /** SUM over DECIMAL(18,4) (exact), rounded, as DOUBLE. */
   def sum4(c: Column): Column = r4(sum(dec18(c)))
 

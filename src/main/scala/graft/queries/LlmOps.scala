@@ -1338,7 +1338,11 @@ object LlmOps {
             sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
             sum(col("n_toks")).as("total_tokens"),
             avg4(col("n_toks")).as("avg_tokens"),
-            avg4(col("ttr")).as("avg_ttr"))
+            // f4, not r4: at sf0.001 the (src0, fr) stratum's mean ttr
+            // lands exactly on 0.53175 and ROUND's decimal-vs-binary
+            // halfway split flips the 4th decimal between engines
+            f4(sum(dec18(col("ttr"))).cast(DoubleType) / count(col("ttr")))
+              .as("avg_ttr"))
           .orderBy("source", "lang")
       },
       Some(s"""WITH g AS (SELECT MD5(text) AS h, COUNT(*) AS h_n
@@ -1357,7 +1361,7 @@ object LlmOps {
              |    AS n_dup_docs,
              |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
              |  ${Q.AVG4("n_toks")} AS avg_tokens,
-             |  ${Q.AVG4("ttr")} AS avg_ttr
+             |  ${Q.F4("CAST(SUM(CAST(ttr AS DECIMAL(18,4))) AS DOUBLE) / COUNT(ttr)")} AS avg_ttr
              |FROM p GROUP BY source, lang ORDER BY source, lang""".stripMargin))
   )
 }

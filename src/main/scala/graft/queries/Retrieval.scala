@@ -272,7 +272,10 @@ object Retrieval {
           .groupBy("source", "lang")
           .agg(count(lit(1)).as("n_docs"),
             max(col("weight")).as("weight"),
-            r4(max(col("target_rate"))).as("target_rate"),
+            // f4, not r4: at sf0.001 the (src3, en) stratum's rate lands
+            // exactly on 0.17375 — ROUND's decimal-vs-binary halfway
+            // split (see Q.f4 scaladoc)
+            f4(max(col("target_rate"))).as("target_rate"),
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
             sum(when(col("keep"), col("doc_id")).otherwise(0L)
               .cast(DecimalType(38, 0))).as("kept_id_checksum"))
@@ -307,7 +310,7 @@ object Retrieval {
              |SELECT source, lang,
              |  COUNT(*) AS n_docs,
              |  MAX(weight) AS weight,
-             |  CAST(ROUND(MAX(target_rate), 4) AS DOUBLE) AS target_rate,
+             |  CAST(FLOOR((MAX(target_rate)) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS target_rate,
              |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END)
              |    AS DECIMAL(38,0)) AS kept_id_checksum
