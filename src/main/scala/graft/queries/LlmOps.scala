@@ -60,8 +60,14 @@ object LlmOps {
   /** q55's salted hash gate over `doc_id` (0..9999) — shared with
     * MixingSpec so the nested-sample contract test pins the PRODUCTION
     * gate, not a private copy that could drift. */
-  private[graft] def sampleGate: Column = pmod(
-    conv(substring(md5(concat(lit("mix1|"), col("doc_id"))), 1, 8), 16, 10)
+  private[graft] def sampleGate: Column = saltedGate("mix1|")
+
+  /** The same gate under any salt: independent salts give INDEPENDENT
+    * reproducible draws (q88's split must not correlate with q55/q74's
+    * sampling — a doc's chance of landing in `val` cannot depend on
+    * whether the mixture draw kept it). */
+  private[graft] def saltedGate(salt: String): Column = pmod(
+    conv(substring(md5(concat(lit(salt), col("doc_id"))), 1, 8), 16, 10)
       .cast(LongType), lit(10000L))
 
   /** Releases a localCheckpoint'ed generation's blocks NOW — at corpus
@@ -1317,6 +1323,47 @@ object LlmOps {
     // rounded to 4 places BEFORE averaging so both engines aggregate
     // identical inputs; the averages go through the exact-decimal-sum
     // helpers like every other float aggregate in this file.
+    // Q88 deterministic train/val/test split (r8) --------------------------
+    // The split every training run starts from: 80/10/10 by the salted-md5
+    // gate under its OWN salt ("split1|" — independent of q55/q74's
+    // sampling draws, nested-subset property preserved within each salt).
+    // Membership is per-row arithmetic (no shuffle, no state, same
+    // assignment on any cluster at any scale); the audit pins per-split
+    // counts, an exact id checksum (the selected SET, not just its size)
+    // and shares. Disjoint + covering by construction: CASE on one gate.
+    QueryDef("q88_train_val_test",
+      (s, d) => {
+        val gate = saltedGate("split1|")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy()
+        t(s, d, "documents")
+          .withColumn("split",
+            when(gate < 8000, "train").when(gate < 9000, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast(DecimalType(38, 0)).as("id_checksum"))
+          // 3-row post-aggregation window (share of corpus), never the corpus
+          .withColumn("share",
+            f4(col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w)))
+          .orderBy("split")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |      (strpos('0123456789abcdef',
+             |         substr(md5('split1|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             |        * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT) % 10000 AS gate
+             |  FROM documents),
+             |a AS (SELECT CASE WHEN gate < 8000 THEN 'train'
+             |    WHEN gate < 9000 THEN 'val' ELSE 'test' END AS split, doc_id
+             |  FROM g),
+             |c AS (SELECT split, COUNT(*) AS n_docs,
+             |    CAST(SUM(doc_id) AS DECIMAL(38,0)) AS id_checksum
+             |  FROM a GROUP BY split)
+             |SELECT split, n_docs, id_checksum,
+             |  CAST(FLOOR((CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ())
+             |    * 10000 + 0.5) / 10000.0 AS DOUBLE) AS share
+             |FROM c ORDER BY split""".stripMargin)),
+
     QueryDef("q61_dataset_card",
       (s, d) => {
         val docs = t(s, d, "documents")
