@@ -638,6 +638,48 @@ object Relational {
               | CAST(ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS avg_session_events
               |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Q89 distribution window functions (r8) --------------------------------
+    // The remaining ranking-window surface beyond q16's rank trio:
+    // NTILE (equi-depth binning), PERCENT_RANK and CUME_DIST, all inside
+    // per-status partitions — ntile is inherently a total order over its
+    // partition, so the partition key (not an unpartitioned window) is
+    // what keeps it off the single-task path at scale; for corpus-global
+    // equi-depth bins the scale tool is approx-percentile cutpoints
+    // (q44b), not a global window. Deciles summarized per (status,
+    // decile) with exact bounds; (price, orderkey) total order makes the
+    // tile assignment deterministic.
+    QueryDef("q89_distribution_windows",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("decile", ntile(10).over(w))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy(col("o_orderstatus"), col("decile").cast(IntegerType).as("decile"))
+          .agg(count(lit(1)).as("n"),
+            r4(min(col("o_totalprice"))).as("lo_price"),
+            r4(max(col("o_totalprice"))).as("hi_price"),
+            f4(max(col("pr"))).as("max_pr"),
+            f4(max(col("cd"))).as("max_cd"))
+          .orderBy("o_orderstatus", "decile")
+      },
+      Some("""WITH r AS (SELECT o_orderstatus, o_totalprice,
+             |    NTILE(10) OVER w AS decile,
+             |    PERCENT_RANK() OVER w AS pr,
+             |    CUME_DIST() OVER w AS cd
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderstatus
+             |               ORDER BY o_totalprice, o_orderkey))
+             |SELECT o_orderstatus, CAST(decile AS INT) AS decile, COUNT(*) AS n,
+             |  CAST(ROUND(MIN(o_totalprice), 4) AS DOUBLE) AS lo_price,
+             |  CAST(ROUND(MAX(o_totalprice), 4) AS DOUBLE) AS hi_price,
+             |  CAST(FLOOR((MAX(pr)) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS max_pr,
+             |  CAST(FLOOR((MAX(cd)) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS max_cd
+             |FROM r GROUP BY o_orderstatus, decile
+             |ORDER BY o_orderstatus, decile""".stripMargin)),
+
     // Q87 LATERAL join (r8) -------------------------------------------------
     // The correlated-subquery-in-FROM surface: per customer, its top-2
     // orders by price — a correlated ORDER BY + LIMIT the optimizer must
