@@ -170,6 +170,22 @@ class VectorStatsSpec extends AnyFunSuite {
       == top.map(_.getDouble(1)).sorted.reverse.toSeq)
   }
 
+  test("q85: an edgeless graph keeps the uniform distribution") {
+    // degenerate case: every node dangling — all rank mass teleports each
+    // iteration and the stationary distribution must stay exactly uniform
+    // (a drift here would mean the dangling-mass redistribution loses or
+    // duplicates mass)
+    val sp = spark
+    import sp.implicits._
+    val nodes = sp.range(0, 50).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val ranks = graft.queries.VectorStats.pagerank(nodes, edges, iters = 3)
+      .collect().map(_.getDouble(1))
+    assert(ranks.length == 50)
+    assert(ranks.distinct.length == 1, s"uniformity broke: ${ranks.toSet}")
+    assert(math.abs(ranks.sum - 1.0) < 1e-6)
+  }
+
   test("q75/q75b: pivot and unpivot are exact inverses of the groupBy") {
     val direct = SparkEntry.queries("q75b_unpivot")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
