@@ -330,6 +330,56 @@ object VectorStats {
       (s, d) => kmeans(s, d)._1,
       None),
 
+    // Q90 robust outlier detection over embedding norms ---------------------
+    // Corrupt-embedding screening for curation: L2 norms -> median ->
+    // MAD -> robust z-score (0.6745*(x-med)/MAD), flag |rz| > 3.5 (the
+    // standard Iglewicz-Hoaglin cut). Determinism: the squared norm
+    // accumulates as fixed-point longs INSIDE one higher-order aggregate
+    // (per-row, zero shuffle — q76's mechanism), so every norm is the
+    // identical double in both engines; median/MAD are exact interpolated
+    // percentiles over identical inputs (q44's check), broadcast back as
+    // one-row scalars. Scale note: exact `percentile` buffers the group —
+    // fine to ~10^7 values (q44b scaladoc); past that swap in
+    // percentile_approx cutpoints, same plan shape.
+    QueryDef("q90_embedding_outliers",
+      (s, d) => {
+        val norms = t(s, d, "embeddings").select(col("vec_id"),
+          sqrt(aggregate(
+            transform(col("embedding"), x => {
+              val xd = x.cast(DoubleType)
+              floor(xd * xd * 1e8 + 0.5)
+            }),
+            lit(0L), (acc, x) => acc + x).cast(DoubleType) / 1e8)
+            .as("norm"))
+        val med = broadcast(norms.agg(
+          expr("percentile(norm, 0.5)").as("med")))
+        val withMed = norms.crossJoin(med)
+        val mad = broadcast(withMed.agg(
+          expr("percentile(abs(norm - med), 0.5)").as("mad")))
+        withMed.crossJoin(mad)
+          .withColumn("rz", lit(0.6745) * (col("norm") - col("med")) / col("mad"))
+          .select(col("vec_id"), f4(col("norm")).as("norm"),
+            f4(col("rz")).as("rz"),
+            (abs(col("rz")) > 3.5).as("is_outlier"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH n AS (SELECT vec_id,
+             |    sqrt(CAST(list_sum(list_transform(embedding, x ->
+             |      CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e8
+             |        + 0.5) AS BIGINT))) AS DOUBLE) / 1e8) AS norm
+             |  FROM embeddings),
+             |m AS (SELECT quantile_cont(norm, 0.5) AS med FROM n),
+             |a AS (SELECT quantile_cont(ABS(norm - med), 0.5) AS mad
+             |  FROM n CROSS JOIN m),
+             |z AS (SELECT vec_id, norm,
+             |    0.6745 * (norm - med) / mad AS rz
+             |  FROM n CROSS JOIN m CROSS JOIN a)
+             |SELECT vec_id,
+             |  CAST(FLOOR((norm) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS norm,
+             |  CAST(FLOOR((rz) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS rz,
+             |  ABS(rz) > 3.5 AS is_outlier
+             |FROM z ORDER BY vec_id""".stripMargin)),
+
     // Q85 PageRank over the kNN graph --------------------------------------
     // Semantic centrality of the embedding corpus: damped PageRank over
     // q62's IVF k-NN edge list (the SAME edges the q62 oracle
