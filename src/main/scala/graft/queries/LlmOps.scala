@@ -936,8 +936,13 @@ object LlmOps {
     // and cluster layouts, and re-running with a larger rate keeps every
     // previously kept doc (nested samples, the property curriculum
     // schedules rely on). Zero shuffle until the per-stratum audit
-    // aggregate; the kept-id DECIMAL checksum pins the exact selected set,
-    // not just its size.
+    // aggregate; the kept-id checksum pins the exact selected set, not just
+    // its size. The checksum is a plain BIGINT sum: DECIMAL(38,0) has more
+    // than one cross-engine rendering (it kept this row hash-red for three
+    // driver rounds on value-identical output), while BIGINT has exactly
+    // one. Id sums fit a long at any plausible SF (sum of n ids ~ n^2/2;
+    // overflow would need ~4e9 docs in ONE stratum, and both engines wrap
+    // identically past it).
     QueryDef("q55_stratified_sample",
       (s, d) => {
         val rates = Seq("de" -> 0.50, "en" -> 1.00, "es" -> 0.25,
@@ -953,8 +958,8 @@ object LlmOps {
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
             r4(sum(when(col("keep"), 1L).otherwise(0L)).cast(DoubleType)
               / count(lit(1))).as("achieved_rate"),
-            sum(when(col("keep"), col("doc_id")).otherwise(0L)
-              .cast(DecimalType(38, 0))).as("kept_id_checksum"))
+            sum(when(col("keep"), col("doc_id")).otherwise(0L))
+              .as("kept_id_checksum"))
           .orderBy("lang")
       },
       Some("""WITH g AS (SELECT lang, doc_id,
@@ -974,7 +979,7 @@ object LlmOps {
              |  CAST(ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
              |    / COUNT(*), 4) AS DOUBLE) AS achieved_rate,
              |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END)
-             |    AS DECIMAL(38,0)) AS kept_id_checksum
+             |    AS BIGINT) AS kept_id_checksum
              |FROM k GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Q56 benchmark decontamination (r5) -----------------------------------
@@ -1329,8 +1334,9 @@ object LlmOps {
     // sampling draws, nested-subset property preserved within each salt).
     // Membership is per-row arithmetic (no shuffle, no state, same
     // assignment on any cluster at any scale); the audit pins per-split
-    // counts, an exact id checksum (the selected SET, not just its size)
-    // and shares. Disjoint + covering by construction: CASE on one gate.
+    // counts, an exact id checksum (the selected SET, not just its size —
+    // BIGINT, the one-canonical-rendering type; see q55's scaladoc) and
+    // shares. Disjoint + covering by construction: CASE on one gate.
     QueryDef("q88_train_val_test",
       (s, d) => {
         val gate = saltedGate("split1|")
@@ -1341,7 +1347,7 @@ object LlmOps {
               .otherwise("test"))
           .groupBy("split")
           .agg(count(lit(1)).as("n_docs"),
-            sum(col("doc_id")).cast(DecimalType(38, 0)).as("id_checksum"))
+            sum(col("doc_id")).as("id_checksum"))
           // 3-row post-aggregation window (share of corpus), never the corpus
           .withColumn("share",
             f4(col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w)))
@@ -1357,7 +1363,7 @@ object LlmOps {
              |    WHEN gate < 9000 THEN 'val' ELSE 'test' END AS split, doc_id
              |  FROM g),
              |c AS (SELECT split, COUNT(*) AS n_docs,
-             |    CAST(SUM(doc_id) AS DECIMAL(38,0)) AS id_checksum
+             |    CAST(SUM(doc_id) AS BIGINT) AS id_checksum
              |  FROM a GROUP BY split)
              |SELECT split, n_docs, id_checksum,
              |  CAST(FLOOR((CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ())

@@ -129,8 +129,15 @@ object Profiling {
             col("c_mktsegment").as("mktsegment"))
         val changes = base.filter(col("key") % 7 === 0)
           .select(col("key"), lit("PROMO").as("new_seg"))
+        // insert keys offset by max(c_custkey) (a one-row broadcast), not a
+        // fixed 1e6: a fixed offset collides with real keys once the
+        // dimension passes ~1M rows (SF >= 7), and a collision ties the
+        // full (key, version, is_current) sort key, making row order
+        // engine-dependent
+        val mx = broadcast(base.agg(max(col("key")).as("mx")))
         val inserts = base.filter(col("key") % 11 === 0)
-          .select((col("key") + 1000000L).as("key"),
+          .crossJoin(mx)
+          .select((col("key") + col("mx")).as("key"),
             lit("NEWSEG").as("mktsegment"))
         val v = (n: Int) => lit(n).cast(IntegerType).as("version")
         val cur = (b: Boolean) => lit(b).as("is_current")
@@ -158,7 +165,8 @@ object Profiling {
              |SELECT b.key, c.new_seg, CAST(2 AS INT), TRUE
              |  FROM base b JOIN changes c ON b.key = c.key
              |UNION ALL
-             |SELECT key + 1000000, 'NEWSEG', CAST(1 AS INT), TRUE
+             |SELECT key + (SELECT MAX(key) FROM base), 'NEWSEG',
+             |    CAST(1 AS INT), TRUE
              |  FROM base WHERE key % 11 = 0
              |ORDER BY key, version, is_current""".stripMargin)),
 

@@ -32,6 +32,17 @@ object Retrieval {
     * encoding path trivially word-identity). */
   val BpeMerges = 20
 
+  /** Cap on the word->count vocabulary the BPE trainer pulls to the driver.
+    * Web-scale text has a heavy-tailed unicode word distribution — the
+    * distinct-"word" set grows to 10^8-10^9 at 100 TB, so an unbounded
+    * collect is a driver OOM. Production trainers bound the training
+    * vocabulary the same way (GPT-2's BPE trains on ~most-frequent words;
+    * tail hapaxes contribute ~nothing to pair counts). 2^18 words x ~30
+    * bytes is ~8 MB on the driver — safe — while at the test SFs the
+    * distinct-word count is far below the cap, so training is unchanged.
+    */
+  val BpeTrainVocabCap = 262144
+
   private def toks(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     t(s, d, "documents").withColumn("toks", split(col("text"), " "))
 
@@ -201,7 +212,8 @@ object Retrieval {
     // Q71 BPE tokenizer: train + distributed encode (r7) -------------------
     // Completes the tokenizer loop q66 opens. Phase 1 (training) reduces
     // the corpus to its word->count vocabulary (the ONE corpus-sized
-    // shuffle, partial-agg) and collects THAT — vocab-sized data, the same
+    // shuffle, partial-agg) and collects THAT — capped at BpeTrainVocabCap
+    // rows by a TakeOrdered top-V (see the cap's scaladoc), the same
     // driver-side boundary every production BPE trainer draws — then runs
     // BpeMerges deterministic merge steps (ties -> lexicographically
     // smallest pair). Phase 2 (encoding) is the 100 TB hot path: the
@@ -219,6 +231,11 @@ object Retrieval {
           .select(explode(col("toks")).as("w"))
           .filter(col("w") =!= "")
           .groupBy("w").agg(count(lit(1)).as("wn"))
+          // top-V cap (TakeOrderedAndProject: each partition ships at most
+          // V rows, the driver merges V) bounds the collect at any corpus
+          // size; deterministic tie-break on the word itself
+          .orderBy(col("wn").desc, col("w"))
+          .limit(BpeTrainVocabCap)
           .collect()
           .map(r => (r.getString(0), r.getLong(1)))
           .sortBy { case (w, n) => (-n, w) }
@@ -277,8 +294,10 @@ object Retrieval {
             // split (see Q.f4 scaladoc)
             f4(max(col("target_rate"))).as("target_rate"),
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-            sum(when(col("keep"), col("doc_id")).otherwise(0L)
-              .cast(DecimalType(38, 0))).as("kept_id_checksum"))
+            // plain BIGINT sum, not DECIMAL(38,0): one canonical rendering
+            // in every engine (see q55's scaladoc in LlmOps)
+            sum(when(col("keep"), col("doc_id")).otherwise(0L))
+              .as("kept_id_checksum"))
           .orderBy("source", "lang")
       },
       Some("""WITH g AS (SELECT source, lang,
@@ -313,6 +332,6 @@ object Retrieval {
              |  CAST(FLOOR((MAX(target_rate)) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS target_rate,
              |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END)
-             |    AS DECIMAL(38,0)) AS kept_id_checksum
+             |    AS BIGINT) AS kept_id_checksum
              |FROM k GROUP BY source, lang ORDER BY source, lang""".stripMargin)))
 }

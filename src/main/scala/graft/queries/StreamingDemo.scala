@@ -133,7 +133,12 @@ object StreamingDemo {
             coalesce(col("s.user_id"), col("b.user_id")).as("user_id"),
             col("s.n_events").as("n_events"),
             col("s.last_ts").as("last_ts"),
-            col("s.sum_value").cast(dec).as("sum_value"),
+            // exact decimal internally, DOUBLE in the OUTPUT schema:
+            // oracle-checkable outputs carry only types with one canonical
+            // cross-engine rendering (DECIMAL kept q55 driver-red for three
+            // rounds), and this rows-only query must stay promotable
+            col("s.sum_value").cast(dec)
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"),
             (col("s.n_events") === col("b.n_events")
               && col("s.last_ts") === col("b.last_ts")
               && (col("s.sum_value").cast(dec) === col("b.sum_value").cast(dec)

@@ -266,9 +266,13 @@ object VectorStats {
           .join(broadcast(m.select(col("k").as("i"), col("sx").as("sxi"))), "i")
           .join(broadcast(m.select(col("k").as("j"), col("sx").as("sxj"))), "j")
           .select(col("i"), col("j"),
-            r4(col("sxy8").cast(DoubleType) / 1e8 / col("n")
+            // + 0.0 normalizes IEEE negative zero: near-zero covariance
+            // cells round to -0.0 in DuckDB but 0.0 in Spark's
+            // BigDecimal-based ROUND; -0.0 + 0.0 = +0.0 in both engines
+            (r4(col("sxy8").cast(DoubleType) / 1e8 / col("n")
               - (col("sxi").cast(DoubleType) / col("n"))
-              * (col("sxj").cast(DoubleType) / col("n"))).as("cov"))
+              * (col("sxj").cast(DoubleType) / col("n"))) + lit(0.0))
+              .as("cov"))
           .orderBy("i", "j")
       },
       Some(s"""WITH e AS (SELECT vec_id,
@@ -286,7 +290,7 @@ object VectorStats {
              |SELECT CAST(pr.i AS INT) AS i, CAST(pr.j AS INT) AS j,
              |  CAST(ROUND(CAST(sxy8 AS DOUBLE) / 1e8 / n
              |    - (CAST(mi.sx AS DOUBLE) / n) * (CAST(mj.sx AS DOUBLE) / n),
-             |    4) AS DOUBLE) AS cov
+             |    4) AS DOUBLE) + 0.0 AS cov
              |FROM pr JOIN m mi ON pr.i = mi.k JOIN m mj ON pr.j = mj.k
              |ORDER BY i, j""".stripMargin)),
 
@@ -357,7 +361,13 @@ object VectorStats {
         val mad = broadcast(withMed.agg(
           expr("percentile(abs(norm - med), 0.5)").as("mad")))
         withMed.crossJoin(mad)
-          .withColumn("rz", lit(0.6745) * (col("norm") - col("med")) / col("mad"))
+          // degenerate guard: >=50% identical norms (e.g. L2-normalized
+          // embeddings) makes MAD = 0 and the z-score NaN/±Inf, which
+          // diverges between engines downstream of f4's floor; a zero
+          // spread means no robust outlier signal, so rz := 0
+          .withColumn("rz",
+            when(col("mad") === 0.0, lit(0.0))
+              .otherwise(lit(0.6745) * (col("norm") - col("med")) / col("mad")))
           .select(col("vec_id"), f4(col("norm")).as("norm"),
             f4(col("rz")).as("rz"),
             (abs(col("rz")) > 3.5).as("is_outlier"))
@@ -372,7 +382,8 @@ object VectorStats {
              |a AS (SELECT quantile_cont(ABS(norm - med), 0.5) AS mad
              |  FROM n CROSS JOIN m),
              |z AS (SELECT vec_id, norm,
-             |    0.6745 * (norm - med) / mad AS rz
+             |    CASE WHEN mad = 0 THEN 0.0
+             |      ELSE 0.6745 * (norm - med) / mad END AS rz
              |  FROM n CROSS JOIN m CROSS JOIN a)
              |SELECT vec_id,
              |  CAST(FLOOR((norm) * 10000 + 0.5) / 10000.0 AS DOUBLE) AS norm,
