@@ -44,7 +44,7 @@ object VectorStats {
     * once so all downstream arithmetic is double in BOTH engines (DuckDB
     * promotes list elements to double; float*float in Spark would round
     * differently). */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings").select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
 
@@ -138,6 +138,34 @@ object VectorStats {
     * shape. Plan depth stays constant across iterations (each rebuilds
     * from the persisted base, literals swapped), so no checkpoint is
     * needed. */
+  /** Cluster assignment for one centroid snapshot: the k centroids ride as
+    * PLAN LITERALS (the expression equivalent of a broadcast model), so
+    * assignment is a pure Project over the vector scan — no join, no
+    * shuffle. Exposed for plan assertions (QueryPlanSpec / DumpPlans). */
+  private[graft] def lloydAssign(e: DataFrame,
+      c: Array[Array[Double]]): DataFrame = {
+    val centLit = array(c.map(cc => array(cc.map(lit): _*)): _*)
+    e.withColumn("dists", transform(centLit, cc =>
+        aggregate(zip_with(col("v"), cc, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+      .withColumn("cluster",
+        (expr("array_position(dists, array_min(dists))") - 1)
+          .cast(IntegerType))
+      .withColumn("d2", array_min(col("dists")))
+  }
+
+  /** The one distributed job a Lloyd iteration runs: assignment fused into
+    * the per-(cluster, coordinate) partial-agg groupBy, output bounded by
+    * k*d rows + exact SSE riding the same aggregate. Exposed so the
+    * per-iteration plan (not just the final summary) can be asserted. */
+  private[graft] def lloydUpdate(e: DataFrame,
+      c: Array[Array[Double]]): DataFrame =
+    lloydAssign(e, c)
+      .select(col("cluster"), col("d2"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("cluster", "p")
+      .agg(sum(col("x").cast(dec8)).as("sx"), count(lit(1)).as("n"),
+        sum(when(col("p") === 0, col("d2").cast(dec8))).as("sse_part"))
+
   def kmeans(s: SparkSession, d: String, k: Int = KmeansK,
       iters: Int = KmeansIters): (DataFrame, Seq[Double]) = {
     val e = vecs(s, d).persist()
@@ -145,26 +173,11 @@ object VectorStats {
     var cents: Array[Array[Double]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toArray)
-    def assigned(c: Array[Array[Double]]): DataFrame = {
-      val centLit = array(c.map(cc => array(cc.map(lit): _*)): _*)
-      e.withColumn("dists", transform(centLit, cc =>
-          aggregate(zip_with(col("v"), cc, (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x)))
-        .withColumn("cluster",
-          (expr("array_position(dists, array_min(dists))") - 1)
-            .cast(IntegerType))
-        .withColumn("d2", array_min(col("dists")))
-    }
     val sseHistory = Seq.newBuilder[Double]
     for (_ <- 1 to iters) {
-      val a = assigned(cents)
       // one job per iteration: coordinate sums per cluster (k*64 rows) +
       // the exact SSE ride along in the same aggregate
-      val upd = a.select(col("cluster"), col("d2"), posexplode(col("v")).as(Seq("p", "x")))
-        .groupBy("cluster", "p")
-        .agg(sum(col("x").cast(dec8)).as("sx"), count(lit(1)).as("n"),
-          sum(when(col("p") === 0, col("d2").cast(dec8))).as("sse_part"))
-        .collect()
+      val upd = lloydUpdate(e, cents).collect()
       sseHistory += upd.flatMap(r => Option(r.getDecimal(4)))
         .map(_.doubleValue()).sum
       val next = cents.map(_.clone())
@@ -174,7 +187,7 @@ object VectorStats {
       }
       cents = next
     }
-    val finalA = assigned(cents)
+    val finalA = lloydAssign(e, cents)
     // materialize the k-row summary, then drop the corpus cache — the
     // returned frame must not re-read the (now unpersisted) base lazily
     val out = org.apache.spark.sql.execution.GraftCheckpoint
@@ -205,6 +218,34 @@ object VectorStats {
     * finer grid because ranks live at 1/N scale), so every iteration's
     * ranks are exact, association-order-free doubles and repeated runs are
     * bit-identical. */
+  /** One PageRank iteration as a single plan: src-keyed rank join ->
+    * per-edge fixed-point contributions -> dst-keyed partial-agg groupBy,
+    * with the dangling mass reduced to ONE ROW and broadcast into the same
+    * plan (the only intentional nested-loop join — a scalar attach, not a
+    * data-data cartesian). Exposed so the per-iteration plan (not just the
+    * final ranks frame) can be asserted by QueryPlanSpec / DumpPlans. */
+  private[graft] def pagerankStep(nodes: DataFrame, e: DataFrame,
+      srcs: DataFrame, ranks: DataFrame, nN: Double,
+      damping: Double): DataFrame = {
+    val contrib = e
+      .join(ranks.withColumnRenamed("id", "src"), "src")
+      .select(col("dst"),
+        floor(col("r") / col("outdeg") * 1e12 + 0.5).as("c12"))
+      .groupBy("dst").agg(sum(col("c12")).as("s12"))
+    // dangling mass rides the SAME plan as a one-row broadcast scalar
+    // (not a per-iteration driver action): one Spark job per iteration
+    val dangling = ranks
+      .join(srcs, ranks("id") === srcs("src"), "left_anti")
+      .agg(coalesce(sum(floor(col("r") * 1e12 + 0.5)), lit(0L)).as("d12"))
+    nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("id"),
+        (lit((1 - damping) / nN) + lit(damping)
+          * (coalesce(col("s12"), lit(0L)) / 1e12
+            + col("d12") / 1e12 / nN))
+          .as("r"))
+  }
+
   def pagerank(nodes: DataFrame, edges: DataFrame,
       iters: Int = PrIters, damping: Double = PrDamping): DataFrame = {
     import org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats
@@ -216,25 +257,9 @@ object VectorStats {
       nodes.withColumn("r", lit(1.0 / nN)))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"),
-          floor(col("r") / col("outdeg") * 1e12 + 0.5).as("c12"))
-        .groupBy("dst").agg(sum(col("c12")).as("s12"))
-      // dangling mass rides the SAME plan as a one-row broadcast scalar
-      // (not a per-iteration driver action): one Spark job per iteration
-      val dangling = ranks
-        .join(srcs, ranks("id") === srcs("src"), "left_anti")
-        .agg(coalesce(sum(floor(col("r") * 1e12 + 0.5)), lit(0L)).as("d12"))
       prev = ranks
       ranks = localCheckpointFlatStats(
-        nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-          .crossJoin(broadcast(dangling))
-          .select(col("id"),
-            (lit((1 - damping) / nN) + lit(damping)
-              * (coalesce(col("s12"), lit(0L)) / 1e12
-                + col("d12") / 1e12 / nN))
-              .as("r")))
+        pagerankStep(nodes, e, srcs, ranks, nN, damping))
       // the new generation is materialized (localCheckpoint is eager);
       // the previous one's executor blocks are dead — release NOW rather
       // than waiting on the async cleaner (q51's hygiene rule; at corpus

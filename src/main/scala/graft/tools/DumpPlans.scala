@@ -171,6 +171,52 @@ object DumpPlans {
         |TakeOrdered shape) — at K=20 the window form wins on simplicity
         |until one domain IS the corpus.""".stripMargin)
 
+  /** Frames that are not directly a `SparkEntry.queries` entry — the
+    * per-iteration jobs of the iterative queries, whose returned summary
+    * frame hides the shape that actually dominates runtime. */
+  private def customFrames(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[(String, String, org.apache.spark.sql.DataFrame)] = {
+    import graft.queries.{TextSearch, VectorStats}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats
+    val e = VectorStats.vecs(spark, sfDir)
+    val cents = e.filter(col("vec_id") < VectorStats.KmeansK)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val nodes = e.select(col("vec_id").as("id"))
+    val edges = TextSearch.knnGraph(spark, sfDir)
+      .select(col("qid").as("src"), col("nn_id").as("dst"))
+    val nN = nodes.count().toDouble
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ec = localCheckpointFlatStats(edges.join(outdeg, "src"))
+    val srcs = ec.select("src").distinct()
+    val ranks = localCheckpointFlatStats(nodes.withColumn("r", lit(1.0 / nN)))
+    Seq(
+      ("q80_kmeans (per-iteration update job)",
+        """The job each Lloyd iteration runs (the returned summary frame is
+          |a k-row checkpoint scan and hides this): centroids are baked in
+          |as plan LITERALS so assignment is a pure Project inside
+          |WholeStageCodegen over the persisted vector scan — no join
+          |anywhere — and the only exchange carries the (cluster, coord)
+          |partial aggregate, <= k*64 rows per map task regardless of
+          |corpus size. k*64 scalars come back to the driver per iteration;
+          |the corpus never does. QueryPlanSpec asserts no-join +
+          |agg-below-every-shuffle on this exact frame.""".stripMargin,
+        VectorStats.lloydUpdate(e, cents)),
+      ("q85_pagerank (per-iteration step)",
+        """One PageRank iteration as a single plan (the final ranks frame is
+          |a checkpoint scan): the src-keyed rank join feeds per-edge
+          |fixed-point contributions into a dst-keyed partial-agg groupBy,
+          |and the dangling mass reduces to ONE ROW (grouping-free
+          |aggregate) broadcast back in the same plan — the only
+          |nested-loop join, a scalar attach. Both iteration inputs are
+          |flat-stats checkpoints, so plan depth and stats stay constant
+          |across the 8 rounds. QueryPlanSpec asserts no-cartesian,
+          |one-row-build-side-only BNLJ, and agg-below-the-contribution-
+          |exchange on this exact frame.""".stripMargin,
+        VectorStats.pagerankStep(nodes, ec, srcs, ranks, nN,
+          VectorStats.PrDamping)))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -186,19 +232,24 @@ object DumpPlans {
     sb.append("AQE is enabled; plans below are the initial physical plans\n")
     sb.append("(AQE refines exchanges at runtime — see QueryPlanSpec and\n")
     sb.append("SkewJoinSpec for executed-plan assertions).\n")
-    annotated.foreach { case (name, note) =>
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      // strip identity hashcodes and plan ids so regeneration is
-      // diff-stable when the plan shape has not changed
-      val plan = df.queryExecution.explainString(
+    // strip identity hashcodes and plan ids so regeneration is
+    // diff-stable when the plan shape has not changed
+    def render(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
           org.apache.spark.sql.execution.SimpleMode)
         .replaceAll("@[0-9a-f]{6,}", "@...")
         .replaceAll("plan_id=\\d+", "plan_id=N")
-      sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
+    annotated.foreach { case (name, note) =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n## $name\n\n$note\n\n```\n${render(df)}```\n")
+    }
+    val custom = customFrames(spark, sfDir)
+    custom.foreach { case (name, note, df) =>
+      sb.append(s"\n## $name\n\n$note\n\n```\n${render(df)}```\n")
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS.md"), sb.toString)
-    println(s"[plans] wrote PLANS.md (${annotated.size} queries)")
+    println(s"[plans] wrote PLANS.md (${annotated.size + custom.size} queries)")
     spark.stop()
   }
 }

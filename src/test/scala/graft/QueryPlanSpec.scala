@@ -163,4 +163,93 @@ class QueryPlanSpec extends AnyFunSuite {
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
+
+  private def executedPlanOf(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("q80: the Lloyd iteration job is one partial-agg shuffle, no joins") {
+    // the per-iteration claim (VERDICT r7 #7): assignment is a pure
+    // Project (centroids are plan literals), the only exchange carries
+    // k*d-bounded partial aggregates, and vectors never join anything
+    import graft.queries.VectorStats
+    val e = VectorStats.vecs(TestSpark.spark, dir)
+    val cents = e.filter(org.apache.spark.sql.functions.col("vec_id") < VectorStats.KmeansK)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val all = collectAll(executedPlanOf(VectorStats.lloydUpdate(e, cents)))
+    assert(!all.exists {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+      case _ => false
+    }, "Lloyd iteration must not join — centroids ride as plan literals")
+    val shuffles = all.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    assert(shuffles.nonEmpty, "expected the (cluster, coord) aggregate exchange")
+    def hasAggBelow(p: SparkPlan): Boolean = collectAll(p).exists {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _ => false
+    }
+    shuffles.foreach { s =>
+      assert(hasAggBelow(s.child),
+        s"iteration shuffle carries non-aggregated (vector-sized) rows:\n$s")
+    }
+  }
+
+  test("q85: the PageRank iteration is keyed joins + a one-row broadcast") {
+    // per-iteration claim: contrib join keyed on src, partial-agg groupBy
+    // on dst before its exchange, dangling mass attached as a ONE-ROW
+    // broadcast (the only nested-loop join allowed), no cartesian product
+    import graft.queries.VectorStats
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats
+    val s = TestSpark.spark
+    val nodes = VectorStats.vecs(s, dir).select(col("vec_id").as("id"))
+    val edges = graft.queries.TextSearch.knnGraph(s, dir)
+      .select(col("qid").as("src"), col("nn_id").as("dst"))
+    val nN = nodes.count().toDouble
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = localCheckpointFlatStats(edges.join(outdeg, "src"))
+    val srcs = e.select("src").distinct()
+    val ranks = localCheckpointFlatStats(nodes.withColumn("r", lit(1.0 / nN)))
+    val step = VectorStats.pagerankStep(nodes, e, srcs, ranks, nN,
+      VectorStats.PrDamping)
+    val all = collectAll(executedPlanOf(step))
+    assert(!all.exists {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+      case _ => false
+    }, "PageRank iteration contains a cartesian product")
+    // every nested-loop join must be the dangling-mass scalar attach:
+    // its build side reduces to one row (an Aggregate with no grouping)
+    all.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.foreach { b =>
+      val build = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+      }
+      val buildAggs = collectAll(build).collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }
+      assert(buildAggs.nonEmpty && buildAggs.exists(_.groupingExpressions.isEmpty),
+        s"nested-loop join whose build side is not a one-row scalar:\n$b")
+    }
+    // the dst-keyed contribution exchange is fed by a partial aggregate
+    def hasAggBelow(p: SparkPlan): Boolean = collectAll(p).exists {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _ => false
+    }
+    val hashShuffles = all.collect {
+      case sh: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        if sh.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => sh
+    }
+    assert(hashShuffles.exists(sh => hasAggBelow(sh.child)),
+      "expected the dst-keyed partial-agg contribution exchange")
+    graft.queries.LlmOps.releaseCheckpoint(e)
+    graft.queries.LlmOps.releaseCheckpoint(ranks)
+  }
 }
