@@ -326,6 +326,61 @@ object Curation {
              |  CAST(ROUND(SUM(l.lr), 4) AS DOUBLE) AS dsir_score
              |FROM bg b JOIN lr l ON b.f = l.f
              |GROUP BY b.doc_id
-             |ORDER BY dsir_score DESC, doc_id LIMIT $DsirK""".stripMargin))
+             |ORDER BY dsir_score DESC, doc_id LIMIT $DsirK""".stripMargin)),
+
+    // Q91 model-based quality classifier -----------------------------------
+    // The "trained-classifier filter" stage of an LLM pipeline (fastText /
+    // logistic quality models): a linear model over per-doc features with
+    // the WEIGHTS AS PLAN LITERALS — the expression equivalent of a
+    // broadcast model, same pattern as q71's merge table and q80's
+    // centroids. Two determinism choices make it oracle-hashable:
+    // (a) the sigmoid is the ALGEBRAIC form 0.5*(1 + z/(1+|z|)) — pure
+    // +,-,*,/,abs, bit-identical across engines, where exp-based
+    // logistic drifts by libm ulps; (b) the linear term is written in
+    // the identical left-associated order on both sides (double + is not
+    // associative). Per-row arithmetic only — no shuffle before the
+    // output sort; the 100 TB shape is scan-bandwidth-bound like q67,
+    // and swapping in real trained weights changes literals, not shape.
+    QueryDef("q91_quality_classifier",
+      (s, d) => {
+        val stop = Seq("a", "the", "of", "to", "in", "is", "on", "and")
+        val base = t(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("ntoks", size(col("toks")).cast(DoubleType))
+          .withColumn("uniq",
+            size(array_distinct(col("toks"))).cast(DoubleType) / col("ntoks"))
+          .withColumn("stp",
+            size(filter(col("toks"), x => x.isin(stop: _*)))
+              .cast(DoubleType) / col("ntoks"))
+          .withColumn("mlen",
+            col("n_chars").cast(DoubleType) / col("ntoks"))
+        base
+          .withColumn("z",
+            lit(-0.5) + lit(0.02) * col("ntoks") + lit(2.0) * col("uniq")
+              + lit(3.0) * col("stp") - lit(0.35) * col("mlen"))
+          .select(col("doc_id"),
+            f4(lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z")))))
+              .as("quality"))
+          .withColumn("kept", col("quality") >= 0.55)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, n_chars,
+             |    string_split(text, ' ') AS toks FROM documents),
+             |f AS (SELECT doc_id,
+             |    CAST(len(toks) AS DOUBLE) AS ntoks,
+             |    CAST(len(list_distinct(toks)) AS DOUBLE)
+             |      / CAST(len(toks) AS DOUBLE) AS uniq,
+             |    CAST(len(list_filter(toks, x ->
+             |        x IN ('a','the','of','to','in','is','on','and')))
+             |      AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS stp,
+             |    CAST(n_chars AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mlen
+             |  FROM tk),
+             |z AS (SELECT doc_id,
+             |    ((((-0.5 + 0.02 * ntoks) + 2.0 * uniq) + 3.0 * stp)
+             |      - 0.35 * mlen) AS z FROM f),
+             |s AS (SELECT doc_id,
+             |    ${F4("0.5 * (1.0 + z / (1.0 + ABS(z)))")} AS quality FROM z)
+             |SELECT doc_id, quality, quality >= 0.55 AS kept
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
 }

@@ -333,5 +333,52 @@ object Retrieval {
              |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END)
              |    AS BIGINT) AS kept_id_checksum
-             |FROM k GROUP BY source, lang ORDER BY source, lang""".stripMargin)))
+             |FROM k GROUP BY source, lang ORDER BY source, lang""".stripMargin)),
+
+    // Q92 TF-IDF top terms per document ------------------------------------
+    // Per-document sparse feature extraction (the representation BM25
+    // scores against a query; this materializes it corpus-wide): tf from
+    // one (doc, term) partial-agg groupBy, df from a second vocab-sized
+    // groupBy over those DISTINCT (doc, term) rows (never re-scanning the
+    // corpus), N as a one-row broadcast. Each score routes through
+    // DECIMAL(18,4) before ranking (q63's ln-ulp absorption). Top-3 per
+    // doc is a doc-partitioned ranked window — WindowGroupLimit bounds
+    // each map task to 3 rows per doc before the exchange, so the rank
+    // shuffle carries O(3*docs), not the full (doc, term) matrix.
+    QueryDef("q92_tfidf_topterms",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = toks(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = broadcast(t(s, d, "documents").agg(count(lit(1)).as("n_docs")))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("s").desc, col("term"))
+        tf.join(dfc, "term").crossJoin(n)
+          .withColumn("s", dec18(col("tf").cast(DoubleType)
+            * log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"),
+            r4(col("s")).as("tfidf"), col("rk"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    string_split(text, ' ') AS toks FROM documents),
+             |ex AS (SELECT doc_id, UNNEST(toks) AS term FROM tk),
+             |tfc AS (SELECT doc_id, term, COUNT(*) AS tf
+             |  FROM ex GROUP BY doc_id, term),
+             |dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |sc AS (SELECT doc_id, term,
+             |    CAST(CAST(tf AS DOUBLE)
+             |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+             |      AS DECIMAL(18,4)) AS s
+             |  FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+             |rk AS (SELECT doc_id, term, s,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY s DESC, term) AS INT) AS rk FROM sc)
+             |SELECT doc_id, term, CAST(ROUND(s, 4) AS DOUBLE) AS tfidf, rk
+             |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)))
 }

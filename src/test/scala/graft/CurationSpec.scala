@@ -68,4 +68,42 @@ class CurationSpec extends AnyFunSuite {
     assert(sel(graft.queries.Curation.DsirTarget) / total > 0.15,
       s"no enrichment: $sel")
   }
+
+  test("q91: scores are calibrated probabilities and the filter is non-degenerate") {
+    val rows = SparkEntry.queries("q91_quality_classifier")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == docs, "one score per document")
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      // algebraic sigmoid range is (0, 1) strictly
+      assert(q > 0.0 && q < 1.0, s"score out of range: $q")
+      assert(r.getAs[Boolean]("kept") == (q >= 0.55), "kept flag != threshold")
+    }
+    val kept = rows.count(_.getAs[Boolean]("kept"))
+    // a filter that keeps everything or nothing is vacuous
+    assert(kept > 0 && kept < rows.length, s"degenerate filter: $kept/${rows.length}")
+  }
+
+  test("q91: the score is monotone in the stopword feature (weight sign)") {
+    // two synthetic docs differing ONLY in stopword density: the
+    // positive stop-ratio weight must rank the stopword-denser doc higher
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a of to in is on and alpha beta", "en", "srcX", 38L),
+      (2L, "alpha beta gamma delta epsi zeta eta theta iota kappa", "en", "srcX", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q91").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    try {
+      val out = SparkEntry.queries("q91_quality_classifier")(spark, tmp)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+      assert(out(1L) > out(2L),
+        s"stopword-dense doc should score higher: $out")
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
 }

@@ -63,4 +63,39 @@ class RetrievalSpec extends AnyFunSuite {
         s"doc $id tail not covered")
     }
   }
+
+  test("q92: top terms are ranked, in-document, and tf-idf-correct") {
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q92_tfidf_topterms")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val n = docs.size.toDouble
+    // driver-twin df over the same tokenization
+    val tokSets = docs.view.mapValues(_.split(" ").toSeq).toMap
+    val df = tokSets.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == docs.size, "every doc gets top terms")
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to sorted.length),
+        s"doc $id ranks not 1..k")
+      assert(sorted.length == math.min(3, tokSets(id).distinct.length))
+      // scores non-increasing in rank and every term occurs in the doc
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores increase along ranks")
+      sorted.foreach { r =>
+        val term = r.getAs[String]("term")
+        assert(tokSets(id).contains(term), s"doc $id term $term not in doc")
+        // exact tf-idf recomputation (same rounding chain)
+        val tf = tokSets(id).count(_ == term).toDouble
+        val want = BigDecimal(tf * math.log(n / df(term)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("tfidf") - want) < 1e-9,
+          s"doc $id term $term: got ${r.getAs[Double]("tfidf")} want $want")
+      }
+    }
+  }
 }
