@@ -707,6 +707,54 @@ object Relational {
              |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
              |         WHERE o.o_custkey = c.c_custkey
              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin))
+             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)),
+
+    // Q93 recursive CTE: hierarchical rollup ------------------------------
+    // The hierarchical-query class (org charts, BOM explosion, thread
+    // trees) via Spark 4's NATIVE `WITH RECURSIVE` (UnionLoopExec): a
+    // deterministic forest is derived over part (parent = p_partkey div 8,
+    // roots < 8), walked from the roots, and rolled up per depth. Each
+    // recursion level is one keyed join against the previous frontier —
+    // the same per-level dataflow q51 hand-builds; the engine's loop
+    // replaces the hand-rolled driver iteration for moderate-depth
+    // hierarchies (depth here is log_8(n): 6 levels at 10^9 parts,
+    // frontier-sized intermediate rows, never the closure). For
+    // million-round graph closures q51's delta iteration with
+    // checkpoints remains the scale path — this is the SQL-surface
+    // operator, not a replacement. DuckDB runs the identical ANSI text
+    // (modulo `div` vs `//`), so the oracle is cross-engine recursion
+    // parity, like q87's cross-planner lateral check.
+    QueryDef("q93_recursive_hierarchy",
+      (s, d) => {
+        t(s, d, "part").createOrReplaceTempView("q93_part")
+        s.sql("""WITH RECURSIVE h AS (
+                |  SELECT p_partkey, CAST(p_partkey AS BIGINT) AS root,
+                |         0 AS depth, CAST(p_retailprice AS DECIMAL(18,4)) AS price
+                |  FROM q93_part WHERE p_partkey < 8
+                |  UNION ALL
+                |  SELECT c.p_partkey, h.root, h.depth + 1,
+                |         CAST(c.p_retailprice AS DECIMAL(18,4))
+                |  FROM q93_part c JOIN h
+                |    ON c.p_partkey div 8 = h.p_partkey AND c.p_partkey >= 8
+                |)
+                |SELECT depth, COUNT(*) AS n_parts,
+                |  CAST(SUM(root) AS BIGINT) AS root_checksum,
+                |  CAST(ROUND(SUM(price), 4) AS DOUBLE) AS total_price
+                |FROM h GROUP BY depth ORDER BY depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE h AS (
+             |  SELECT p_partkey, CAST(p_partkey AS BIGINT) AS root,
+             |         0 AS depth, CAST(p_retailprice AS DECIMAL(18,4)) AS price
+             |  FROM part WHERE p_partkey < 8
+             |  UNION ALL
+             |  SELECT c.p_partkey, h.root, h.depth + 1,
+             |         CAST(c.p_retailprice AS DECIMAL(18,4))
+             |  FROM part c JOIN h
+             |    ON c.p_partkey // 8 = h.p_partkey AND c.p_partkey >= 8
+             |)
+             |SELECT depth, COUNT(*) AS n_parts,
+             |  CAST(SUM(root) AS BIGINT) AS root_checksum,
+             |  CAST(ROUND(SUM(price), 4) AS DOUBLE) AS total_price
+             |FROM h GROUP BY depth ORDER BY depth""".stripMargin))
   )
 }

@@ -60,4 +60,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |FROM embeddings ORDER BY vec_id LIMIT 3""".stripMargin).collect()
     assert(r.forall(_.getDouble(1) == 1.0))
   }
+
+  test("q93: recursive CTE rollup matches a driver-side tree walk") {
+    val spark = TestSpark.spark
+    val out = SparkEntry.queries("q93_recursive_hierarchy")(spark, dir)
+      .collect().map(r => r.getAs[Int]("depth") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("root_checksum"))).toMap
+    // driver twin: walk parent = p div 8 up to a root (< 8)
+    val keys = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey").collect().map(_.getLong(0))
+    val keySet = keys.toSet
+    def rootAndDepth(p: Long): Option[(Long, Int)] = {
+      var cur = p; var d = 0
+      while (cur >= 8) {
+        cur = cur / 8; d += 1
+        // a missing intermediate breaks the chain: the CTE never reaches p
+        if (!keySet.contains(cur)) return None
+      }
+      Some((cur, d))
+    }
+    val twin = keys.flatMap(rootAndDepth).groupBy(_._2)
+      .view.mapValues(g => (g.length.toLong, g.map(_._1).sum)).toMap
+    assert(out == twin, s"recursive rollup != driver walk:\n$out\nvs\n$twin")
+    // every level is the 8-ary frontier of the previous one (forest law)
+    assert(out.keys.toSeq.sorted == (0 until out.size),
+      "depths must be contiguous from 0")
+  }
 }
