@@ -381,6 +381,79 @@ object Curation {
              |s AS (SELECT doc_id,
              |    ${F4("0.5 * (1.0 + z / (1.0 + ABS(z)))")} AS quality FROM z)
              |SELECT doc_id, quality, quality >= 0.55 AS kept
-             |FROM s ORDER BY doc_id""".stripMargin))
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // Q94 C4-style line-level dedup ---------------------------------------
+    // The boilerplate-removal pass of C4/RefinedWeb/Dolma: any LINE whose
+    // corpus-wide frequency reaches 3 is dropped from every document, and
+    // the document is reconstructed from its surviving lines. The corpus
+    // has no newlines, so a "line" is a 10-word pseudo-line (same slicing
+    // idiom as q64), and — as with q67's PII stamps — deterministic
+    // boilerplate (a cookie banner, a newsletter plug; both exactly 10
+    // words so chunk boundaries stay aligned) is stamped into subsets of
+    // docs first, so the dedup pass has real duplicates to find.
+    //
+    // Scale shape (the 100 TB story): ONE content shuffle — the line-
+    // frequency groupBy on a 16-byte md5 key (identical to exact dedup's
+    // q30 shuffle) — then the duplicated-line set (df >= 3) is FILTERED
+    // FIRST and broadcast back; the corpus side is never reshuffled. At
+    // web scale the boilerplate set is tiny relative to the line set
+    // (that's what makes it boilerplate); if it ever outgrew the
+    // broadcast threshold the same plan degrades gracefully to a shuffle
+    // join on the already-narrow lh key by dropping the hint.
+    QueryDef("q94_line_dedup",
+      (s, d) => {
+        val lineA = "please accept all cookies to continue reading this site"
+        val lineB = "subscribe to our newsletter for daily updates and offers"
+        val lines = t(s, d, "documents")
+          .withColumn("stamped", concat(
+            when(col("doc_id") % 4 === 0, lit(lineA + " ")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(lineB + " ")).otherwise(lit("")),
+            col("text")))
+          .withColumn("words", split(col("stamped"), " "))
+          .withColumn("li",
+            explode(sequence(lit(0), expr("(size(words) - 1) div 10"))))
+          .withColumn("line",
+            concat_ws(" ", slice(col("words"), col("li") * 10 + 1, lit(10))))
+          .select(col("doc_id"), col("li"), md5(col("line")).as("lh"),
+            col("line"))
+        val dup = lines.groupBy("lh").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 3).select(col("lh"), lit(true).as("is_dup"))
+        lines.join(broadcast(dup), Seq("lh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+            expr("""md5(concat_ws(' ', transform(array_sort(
+                   |  collect_list(CASE WHEN is_dup IS NULL
+                   |               THEN struct(li, line) END)),
+                   |  x -> x.line)))""".stripMargin).as("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH st AS (SELECT doc_id,
+             |    (CASE WHEN doc_id % 4 = 0 THEN
+             |      'please accept all cookies to continue reading this site '
+             |      ELSE '' END) ||
+             |    (CASE WHEN doc_id % 7 = 0 THEN
+             |      'subscribe to our newsletter for daily updates and offers '
+             |      ELSE '' END) || text AS stamped
+             |  FROM documents),
+             |w AS (SELECT doc_id, string_split(stamped, ' ') AS words,
+             |    len(string_split(stamped, ' ')) AS nw FROM st),
+             |ix AS (SELECT doc_id, words,
+             |    unnest(generate_series(0, (nw - 1) // 10)) AS li FROM w),
+             |ln AS (SELECT doc_id, li,
+             |    array_to_string(words[li * 10 + 1 : li * 10 + 10], ' ')
+             |      AS line FROM ix),
+             |f AS (SELECT md5(line) AS lh, COUNT(*) AS df FROM ln GROUP BY 1),
+             |dup AS (SELECT lh FROM f WHERE df >= 3),
+             |j AS (SELECT ln.doc_id, ln.li, ln.line,
+             |    dup.lh IS NOT NULL AS is_dup
+             |  FROM ln LEFT JOIN dup ON md5(ln.line) = dup.lh)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dropped,
+             |  MD5(COALESCE(string_agg(CASE WHEN NOT is_dup THEN line END,
+             |    ' ' ORDER BY li), '')) AS kept_md5
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }
