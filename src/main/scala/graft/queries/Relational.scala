@@ -755,6 +755,64 @@ object Relational {
              |SELECT depth, COUNT(*) AS n_parts,
              |  CAST(SUM(root) AS BIGINT) AS root_checksum,
              |  CAST(ROUND(SUM(price), 4) AS DOUBLE) AS total_price
-             |FROM h GROUP BY depth ORDER BY depth""".stripMargin))
+             |FROM h GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    // Q95 VARIANT shredding (semi-structured ingestion) -------------------
+    // Spark 4's native VARIANT type over RAGGED JSON — the schema-on-read
+    // path for semi-structured ingestion. Odd orderkeys carry an
+    // `order.discount` field, even ones omit it entirely; `parse_json`
+    // shreds each document into the binary VARIANT encoding once at the
+    // scan, and typed `variant_get` paths pull fields out WITHOUT a
+    // fixed struct schema (the `from_json`-with-schema alternative
+    // can't express "field sometimes absent" this cheaply — absent paths
+    // are just NULL). At 100 TB this is the right ingestion shape:
+    // VARIANT decode + path extraction are per-row codegen'd expressions
+    // (no UDF, no regex over strings), and the downstream agg is an
+    // ordinary partial-agg groupBy on a 5-value key. The oracle computes
+    // the same answer straight from the base columns, making the check a
+    // JSON-roundtrip identity: construct → shred → extract must lose
+    // nothing. Net revenue uses the discPrice exact-decimal mechanism.
+    QueryDef("q95_variant_shred",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val meta = struct(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"))
+        val js = o.withColumn("js",
+          when(col("o_orderkey") % 2 === 1,
+            to_json(struct(
+              struct(col("o_orderkey").as("id"),
+                col("o_totalprice").as("price"),
+                ((col("o_orderkey") % 10).cast(DoubleType) / lit(100.0))
+                  .as("discount")).as("order"),
+              meta.as("meta"))))
+          .otherwise(to_json(struct(
+            struct(col("o_orderkey").as("id"),
+              col("o_totalprice").as("price")).as("order"),
+            meta.as("meta")))))
+        js.select(
+            expr("variant_get(parse_json(js), '$.meta.priority', 'string')")
+              .as("priority"),
+            expr("variant_get(parse_json(js), '$.order.price', 'double')")
+              .as("price"),
+            expr("try_variant_get(parse_json(js), '$.order.discount', 'double')")
+              .as("disc"))
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"),
+            count(col("disc")).as("n_disc"),
+            r4(sum(round(dec18(col("price")) *
+                (lit(1) - dec9(coalesce(col("disc"), lit(0.0)))), 4)
+              .cast(DecimalType(18, 4)))).as("net_revenue"))
+          .orderBy("priority")
+      },
+      Some("""SELECT o_orderpriority AS priority, COUNT(*) AS n,
+             |  CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+             |    AS n_disc,
+             |  CAST(ROUND(SUM(CAST(ROUND(
+             |      CAST(o_totalprice AS DECIMAL(18,4)) *
+             |      (1 - CAST(CASE WHEN o_orderkey % 2 = 1
+             |                THEN (o_orderkey % 10) / 100.0
+             |                ELSE 0.0 END AS DECIMAL(9,4))), 4)
+             |    AS DECIMAL(18,4))), 4) AS DOUBLE) AS net_revenue
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
