@@ -169,7 +169,37 @@ object DumpPlans {
         |mega-source would funnel its own partition through one task; the
         |documented escape is a per-partition top-K aggregator (q16's
         |TakeOrdered shape) — at K=20 the window form wins on simplicity
-        |until one domain IS the corpus.""".stripMargin)
+        |until one domain IS the corpus.""".stripMargin,
+    "q93_recursive_hierarchy" ->
+      """Native WITH RECURSIVE (Spark 4 UnionLoop): each recursion level is
+        |one keyed join of the next generation against the PREVIOUS
+        |FRONTIER only — intermediate row volume is frontier-sized, never
+        |the transitive closure, and depth is log_8(n) (6 levels at 1e9
+        |parts). The rollup above the loop is an ordinary partial+final
+        |aggregate on depth. For million-round graph closures q51's
+        |checkpointed delta iteration remains the scale path; this is the
+        |SQL-surface recursion operator.""".stripMargin,
+    "q94_line_dedup" ->
+      """C4-style boilerplate removal with ONE content shuffle: line
+        |frequency is a partial+final HashAggregate on the 16-byte md5 key
+        |(map-side combine — the shuffle carries one row per distinct line
+        |per task), the df>=3 duplicate set is filtered FIRST and only
+        |then broadcast, so the corpus side is never reshuffled for the
+        |join (BroadcastHashJoin LeftOuter, corpus side streams). Document
+        |reconstruction is a partial collect_list per doc_id — the only
+        |other exchange. Boilerplate sets are tiny by nature; if one ever
+        |outgrew the broadcast threshold the identical plan degrades to a
+        |shuffle join on the same narrow key by dropping the hint.""".stripMargin,
+    "q95_variant_shred" ->
+      """Semi-structured ingestion at scan speed: parse_json shreds each
+        |ragged document into the binary VARIANT encoding and the typed
+        |variant_get path extractions are codegen'd expressions inside ONE
+        |Project (whole-stage codegen's subexpression elimination evaluates
+        |parse_json once per row even though the plan text prints it per
+        |extraction). No UDF, no regex, no fixed struct schema; the only
+        |exchanges are the 5-row partial+final aggregate pair and the
+        |final sort. ReadSchema proves column pruning reaches the scan
+        |(4 of 9 order columns).""".stripMargin)
 
   /** Frames that are not directly a `SparkEntry.queries` entry — the
     * per-iteration jobs of the iterative queries, whose returned summary

@@ -252,4 +252,47 @@ class QueryPlanSpec extends AnyFunSuite {
     graft.queries.LlmOps.releaseCheckpoint(e)
     graft.queries.LlmOps.releaseCheckpoint(ranks)
   }
+
+  test("q93: recursion runs through the native UnionLoop operator") {
+    val all = collectAll(executedPlan("q93_recursive_hierarchy"))
+    assert(all.exists(_.getClass.getSimpleName.startsWith("UnionLoop")),
+      "expected Spark 4's UnionLoopExec for WITH RECURSIVE")
+  }
+
+  test("q94: dup-set joins broadcast; the corpus is never join-shuffled") {
+    val all = collectAll(executedPlan("q94_line_dedup"))
+    val bhj = all.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "expected the filtered dup set on a broadcast join")
+    assert(!all.exists {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _ => false
+    }, "corpus side must not be shuffled for the dup-mark join")
+    // line-frequency shuffle has map-side combine below it
+    val hashShuffles = all.collect {
+      case sh: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        if sh.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => sh
+    }
+    def hasAggBelow(p: SparkPlan): Boolean = collectAll(p).exists {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _ => false
+    }
+    assert(hashShuffles.nonEmpty && hashShuffles.forall(sh => hasAggBelow(sh.child)),
+      "every hash exchange must be fed by a partial aggregate")
+  }
+
+  test("q95: variant shred is join-free and prunes the orders scan") {
+    val all = collectAll(executedPlan("q95_variant_shred"))
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "variant ingestion must be a pure per-row pipeline")
+    val scans = all.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.head.schema.fieldNames.toSet == Set(
+      "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+      s"scan not pruned: ${scans.head.schema.fieldNames.toSet}")
+  }
 }
