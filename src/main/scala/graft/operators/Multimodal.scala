@@ -151,33 +151,97 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions { it =>
       it.map { row =>
-        val (w, h, thumb) = Pnm.decode(row.media) match {
-          case Some((pw, ph, ch, samples)) =>
-            val gray =
-              if (ch == 1) samples
-              else Array.tabulate[Byte](pw * ph) { i =>
-                (((samples(3 * i) & 0xff) + (samples(3 * i + 1) & 0xff) +
-                  (samples(3 * i + 2) & 0xff)) / 3).toByte
-              }
-            val t = Array.tabulate[Byte](outW * outH) { i =>
-              val (ox, oy) = (i % outW, i / outW)
-              gray(math.min(oy.toLong * ph / outH, ph - 1).toInt * pw +
-                math.min(ox.toLong * pw / outW, pw - 1).toInt)
-            }
-            (pw, ph, t)
-          case None =>
-            val (sw, sh, _, _) = decodeStub(row.media)
-            val n = row.media.length
-            val t =
-              if (n == 0) new Array[Byte](outW * outH) // empty -> blank thumb
-              else Array.tabulate[Byte](outW * outH) { i =>
-                row.media((i.toLong * 2654435761L % n).toInt)
-              }
-            (sw, sh, t)
-        }
+        val (w, h, thumb) = grayThumb(row.media, outW, outH)
         ResizedMedia(row.id, row.kind, w, h, outW, outH, thumb)
       }
     }.toDF()
+  }
+
+  /** (src width, src height, outW*outH gray thumb) — real nearest-neighbor
+    * resample for netpbm payloads (P6 rgb averaged to gray), deterministic
+    * sampled byte grid for absent-codec formats. Shared by [[resize]] and
+    * [[phashes]]. */
+  def grayThumb(media: Array[Byte], outW: Int, outH: Int)
+      : (Int, Int, Array[Byte]) =
+    Pnm.decode(media) match {
+      case Some((pw, ph, ch, samples)) =>
+        val gray =
+          if (ch == 1) samples
+          else Array.tabulate[Byte](pw * ph) { i =>
+            (((samples(3 * i) & 0xff) + (samples(3 * i + 1) & 0xff) +
+              (samples(3 * i + 2) & 0xff)) / 3).toByte
+          }
+        val t = Array.tabulate[Byte](outW * outH) { i =>
+          val (ox, oy) = (i % outW, i / outW)
+          gray(math.min(oy.toLong * ph / outH, ph - 1).toInt * pw +
+            math.min(ox.toLong * pw / outW, pw - 1).toInt)
+        }
+        (pw, ph, t)
+      case None =>
+        val (sw, sh, _, _) = decodeStub(media)
+        val n = media.length
+        val t =
+          if (n == 0) new Array[Byte](outW * outH) // empty -> blank thumb
+          else Array.tabulate[Byte](outW * outH) { i =>
+            media((i.toLong * 2654435761L % n).toInt)
+          }
+        (sw, sh, t)
+    }
+
+  /** 64-bit average-hash (aHash): bit i set iff thumb pixel i is above the
+    * thumb mean. Byte-identical images agree exactly; small pixel noise
+    * flips only the bits whose pixels sit near the mean, so image near-dup
+    * is hamming distance on a 64-bit key — q36's simhash banding machinery
+    * pointed at pixels instead of tokens. */
+  def perceptualHash(thumb: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < thumb.length) { sum += thumb(i) & 0xff; i += 1 }
+    val mean = if (thumb.length == 0) 0.0 else sum.toDouble / thumb.length
+    var h = 0L
+    i = 0
+    while (i < 64 && i < thumb.length) {
+      if ((thumb(i) & 0xff) > mean) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  case class PHashRow(id: Long, kind: String, phash: Long)
+
+  /** NoisyIdOffset separates stamped re-crawl copies from organic ids. */
+  val NoisyIdOffset = 1000000L
+
+  /** Per-image 64-bit perceptual hash over the real-decode slice (kind 1 =
+    * genuine P5 payloads). Every 10th image also emits a STAMPED "noisy
+    * re-crawl" copy (id + NoisyIdOffset, every 16th payload byte bumped —
+    * different sha256, near-identical pixels), so the near-dup pass has
+    * byte-distinct/pixel-close pairs to find: exactly the case exact-hash
+    * dedup (q30's sha) misses and pHash exists for.
+    *
+    * Scale shape: the stamp + decode + 8x8 resample + hash is one
+    * partition-wise pass over the media scan (no shuffle, no driver
+    * bytes); output is 9 bytes per image. */
+  def phashes(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[PHashRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("kind") === "1")
+      .as[MediaRow]
+      .flatMap { row =>
+        val base = row :: Nil
+        val rows =
+          if (row.id % 10 == 1) {
+            val noisy = row.media.clone()
+            var i = 16
+            while (i < noisy.length) { noisy(i) = (noisy(i) + 1).toByte; i += 16 }
+            MediaRow(row.id + NoisyIdOffset, row.kind, noisy) :: base
+          } else base
+        rows.map { r =>
+          val (_, _, thumb) = grayThumb(r.media, 8, 8)
+          PHashRow(r.id, r.kind, perceptualHash(thumb))
+        }
+      }
   }
 
   case class FrameSample(id: Long, frame_idx: Int, t_offset_ms: Long,

@@ -889,6 +889,40 @@ object LlmOps {
       },
       None),
 
+    // Q96 image near-dup via perceptual hash (r8) --------------------------
+    // The image-side twin of q36's simhash: byte-DISTINCT but pixel-CLOSE
+    // images (re-crawls, re-encodes — Multimodal.phashes stamps noisy
+    // copies so real pairs exist) collapse onto 64-bit aHashes within small
+    // hamming distance, which exact-sha dedup (q30/q42's sha256) cannot
+    // see. Blocking: 8 bands x 8 bits — by pigeonhole ANY pair with
+    // hamming <= 7 shares at least one untouched band, so recall at the
+    // <= 6 threshold is exact, never probabilistic (MultimodalSpec pins
+    // pair-set equality vs a brute-force rescan). Scale shape: decode +
+    // hash is one partition-wise scan pass; the self-join runs per
+    // (band_idx, band_value) bucket — never all-pairs; at corpus scale the
+    // band width grows with log n exactly as q36's scaladoc prescribes.
+    QueryDef("q96_image_phash_neardup",
+      (s, d) => {
+        val p = graft.operators.Multimodal.phashes(s, d).toDF()
+        val bands = p.select(col("id"), col("phash"),
+          explode(array((0 until 8).map(b =>
+            struct(lit(b).as("bi"),
+              shiftrightunsigned(col("phash"), b * 8)
+                .bitwiseAND(lit(0xFFL)).as("bv"))): _*)).as("band"))
+          .select(col("id"), col("phash"),
+            col("band.bi").as("bi"), col("band.bv").as("bv"))
+        bands.alias("a").join(bands.alias("b"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+              .as("hamming"))
+          .filter(col("hamming") <= 6)
+          .distinct()
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // Q51 near-dup connected components (r5; delta iteration r7) -----------
     // The step every dedup campaign ends with: candidate pairs -> connected
     // components -> canonical doc (MIN id) per component. Components are

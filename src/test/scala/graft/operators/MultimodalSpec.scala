@@ -125,4 +125,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again == r)
     df.unpersist()
   }
+
+  test("q96 phash near-dup: banded pairs == brute force, stamps recovered") {
+    val spark = TestSpark.spark
+    val hashes = Multimodal.phashes(spark, dir).collect()
+    // the blocking-recall law: 8 bands x 8 bits means any pair within
+    // hamming 7 shares an untouched band (pigeonhole), so the banded join
+    // must return EXACTLY the brute-force pair set at the <= 6 threshold
+    val brute = (for {
+      a <- hashes; b <- hashes if a.id < b.id
+      h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 6
+    } yield (a.id, b.id, h)).toSet
+    val pairs = graft.SparkEntry.queries("q96_image_phash_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == brute,
+      s"banded join != brute force: missing=${brute -- pairs} extra=${pairs -- brute}")
+    // stamped noisy re-crawl copies are byte-distinct (every 16th payload
+    // byte bumped -> different sha256) yet pixel-close: each must be
+    // recovered as a near-dup of its original — the case exact-sha dedup
+    // cannot see
+    val off = Multimodal.NoisyIdOffset
+    val stamped = hashes.map(_.id).filter(_ >= off).map(_ - off)
+    assert(stamped.nonEmpty)
+    stamped.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + off),
+        s"stamped re-crawl copy of $id not recovered")
+    }
+  }
 }
