@@ -61,6 +61,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.forall(_.getDouble(1) == 1.0))
   }
 
+  test("SQL scalar UDFs (CREATE FUNCTION ... RETURN) run over the views") {
+    // Spark 4's declarative SQL UDFs: the body is inlined into the plan as
+    // an ordinary expression tree (codegen'd, optimizer-visible) — the SQL
+    // twin of q45's registered Scala UDF, without leaving Catalyst.
+    val spark = TestSpark.spark
+    registerViews()
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+                |  p DOUBLE, d DOUBLE) RETURNS DOUBLE
+                |RETURN CAST(CAST(p AS DECIMAL(18,4)) *
+                |  (1 - CAST(d AS DECIMAL(9,4))) AS DOUBLE)""".stripMargin)
+    val viaUdf = spark.sql(
+      """SELECT CAST(ROUND(SUM(CAST(disc_price(l_extendedprice, l_discount)
+        |  AS DECIMAL(18,4))), 4) AS DOUBLE) AS rev
+        |FROM lineitem""".stripMargin).collect().head.getDouble(0)
+    val direct = spark.sql(
+      s"""SELECT CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+         |  (1 - CAST(l_discount AS DECIMAL(9,4))) AS DECIMAL(18,4))), 4)
+         |  AS DOUBLE) AS rev
+         |FROM lineitem""".stripMargin).collect().head.getDouble(0)
+    assert(viaUdf == direct && viaUdf > 0.0)
+  }
+
   test("q93: recursive CTE rollup matches a driver-side tree walk") {
     val spark = TestSpark.spark
     val out = SparkEntry.queries("q93_recursive_hierarchy")(spark, dir)
