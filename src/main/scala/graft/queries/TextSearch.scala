@@ -125,6 +125,25 @@ object TextSearch {
       |  FROM embeddings e CROSS JOIN refined r),
       |cells AS (SELECT vec_id, cid, embedding FROM assigned WHERE rn = 1)""".stripMargin
 
+  /** Oracle twin of [[knnGraph]] as a reusable CTE chain ending in `g` =
+    * (qid, rk, nn_id, sim); shared by the q62 and q97 oracles so the
+    * triplet check rides the exact edge list the graph check pins. */
+  private val KNN_GRAPH_CTES: String =
+    s"""$IVF_CELLS_SQL,
+       |probes AS (SELECT vec_id AS qid, cid AS qcid, embedding AS qe
+       |           FROM assigned WHERE rn <= $IvfProbes),
+       |cand AS (SELECT p.qid, c.vec_id AS nn_id,
+       |    CAST(ROUND(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim
+       |  FROM probes p JOIN cells c
+       |    ON c.cid = p.qcid AND c.vec_id <> p.qid),
+       |r AS (SELECT qid, nn_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nn_id) AS rk
+       |  FROM cand),
+       |g AS (SELECT qid, CAST(rk AS INT) AS rk, nn_id, sim
+       |  FROM r WHERE rk <= $KnnK)""".stripMargin
+
   /** q62's kNN graph body (unordered): per vector, its top-KnnK IVF
     * neighbors as (qid, rk, nn_id, sim). Factored out so graph consumers
     * (q85 PageRank) share the exact edge list the oracle checks. */
@@ -310,20 +329,44 @@ object TextSearch {
     // on ROUND(sim, 4) so the graph is engine-stable.
     QueryDef("q62_knn_graph",
       (s, d) => knnGraph(s, d).orderBy("qid", "rk"),
-      Some(s"""WITH $IVF_CELLS_SQL,
-             |probes AS (SELECT vec_id AS qid, cid AS qcid, embedding AS qe
-             |           FROM assigned WHERE rn <= $IvfProbes),
-             |cand AS (SELECT p.qid, c.vec_id AS nn_id,
-             |    CAST(ROUND(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
-             |      CAST(c.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim
-             |  FROM probes p JOIN cells c
-             |    ON c.cid = p.qcid AND c.vec_id <> p.qid),
-             |r AS (SELECT qid, nn_id, sim,
-             |    ROW_NUMBER() OVER (PARTITION BY qid
-             |      ORDER BY sim DESC, nn_id) AS rk
-             |  FROM cand)
-             |SELECT qid, CAST(rk AS INT) AS rk, nn_id, sim
-             |FROM r WHERE rk <= $KnnK ORDER BY qid, rk""".stripMargin)),
+      Some(s"""WITH $KNN_GRAPH_CTES
+             |SELECT qid, rk, nn_id, sim FROM g ORDER BY qid, rk""".stripMargin)),
+
+    // Q97 contrastive triplet mining (r8) ----------------------------------
+    // Hard-negative mining for contrastive embedding training (the
+    // DPR/SimCSE data-prep step): per anchor, positive = its nearest
+    // retrieved neighbor (rank 1), hard negative = the FARTHEST of its
+    // top-K retrieved candidates — semantically close enough to be
+    // informative, far enough down the ranking to be a negative; margin =
+    // pos_sim − neg_sim is the per-triplet difficulty the loss weights.
+    // Rides q62's oracle-checked O(n^1.5) cell-bounded candidate stream
+    // unchanged; the triplet selection itself is ONE partial-agg groupBy
+    // on the anchor id (min_by/max_by over rk — no second window, no
+    // extra shuffle beyond q62's). At 100 TB the kNN graph is the
+    // expensive artifact; triplets are a near-free derivation from it.
+    QueryDef("q97_contrastive_triplets",
+      (s, d) => {
+        val g = knnGraph(s, d)
+        g.groupBy("qid")
+          .agg(min_by(col("nn_id"), col("rk")).as("pos_id"),
+            min_by(col("sim"), col("rk")).as("pos_sim"),
+            max_by(col("nn_id"), col("rk")).as("neg_id"),
+            max_by(col("sim"), col("rk")).as("neg_sim"),
+            count(lit(1)).as("k"))
+          .filter(col("k") >= 2)
+          .select(col("qid"), col("pos_id"), col("pos_sim"),
+            col("neg_id"), col("neg_sim"),
+            f4(col("pos_sim") - col("neg_sim")).as("margin"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH $KNN_GRAPH_CTES
+             |SELECT qid, MIN_BY(nn_id, rk) AS pos_id,
+             |  MIN_BY(sim, rk) AS pos_sim,
+             |  MAX_BY(nn_id, rk) AS neg_id,
+             |  MAX_BY(sim, rk) AS neg_sim,
+             |  ${F4("MIN_BY(sim, rk) - MAX_BY(sim, rk)")} AS margin
+             |FROM g GROUP BY qid HAVING COUNT(*) >= 2
+             |ORDER BY qid""".stripMargin)),
 
     // Q68 semantic dedup over IVF cells (r7) -------------------------------
     // SemDeDup: a vector is a semantic duplicate when some LOWER-ID vector
