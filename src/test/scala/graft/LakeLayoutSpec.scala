@@ -65,4 +65,35 @@ class LakeLayoutSpec extends AnyFunSuite {
         spark.read.parquet(s"$dir/lineitem.parquet").count())
     }
   }
+
+  test("schema evolution: mergeSchema unions corpus generations") {
+    // a long-lived corpus accumulates columns (a new quality score, a new
+    // provenance field); readers must see the union schema with NULLs for
+    // rows written before the column existed — without rewriting 100 TB
+    val spark = TestSpark.spark
+    withTempDir { out =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.select("doc_id", "lang").where(col("doc_id") < 100)
+        .write.parquet(s"$out/gen=0")
+      docs.select("doc_id", "lang", "n_chars")
+        .where(col("doc_id") >= 100 && col("doc_id") < 200)
+        .write.parquet(s"$out/gen=1")
+      val merged = spark.read.option("mergeSchema", "true").parquet(out)
+      assert(merged.columns.toSet ==
+        Set("doc_id", "lang", "n_chars", "gen"))
+      assert(merged.count() == 200)
+      // old generation reads the new column as NULL, new one fully set
+      assert(merged.where(col("gen") === 0 &&
+        col("n_chars").isNotNull).count() == 0)
+      assert(merged.where(col("gen") === 1 &&
+        col("n_chars").isNull).count() == 0)
+      // pruning still works through the merged schema
+      val one = merged.where(col("gen") === 1)
+      val scans = one.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty && scans.forall(
+        _.partitionFilters.nonEmpty), "gen filter must prune partitions")
+    }
+  }
 }
