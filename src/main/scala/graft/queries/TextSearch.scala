@@ -12,23 +12,38 @@ import org.apache.spark.sql.types._
   */
 object TextSearch {
 
-  /** Q48 coarse-quantizer cell count. Deterministic stand-in for k-means
-    * training: the first `IvfCells` vectors act as centroids. Production
-    * sizing is ~sqrt(n) cells (FAISS convention: n/cell ~ sqrt(n), so both
-    * the centroid scan and the in-cell re-rank stay ~sqrt(n) per query);
-    * the centroid table stays broadcast-able far beyond that (even 10^5
-    * cells x 64 floats is ~25 MB). Shared with the oracle SQL so both
-    * engines partition identically.
+  /** Q48 coarse-quantizer cell-count floor. Deterministic stand-in for
+    * k-means training: the first [[ivfCells]] vectors act as centroids.
+    * Cell count SCALES WITH THE CORPUS as max(8, floor(sqrt(n))) — the
+    * FAISS convention (n/cell ~ sqrt(n), so both the centroid scan and
+    * the in-cell re-rank stay ~sqrt(n) per query and the candidate join
+    * is O(n^1.5), never O(n²)); with a fixed cell count the 10x corpus
+    * measured a quadratic blowup (BENCH_NOTES_r9). Both engines compute
+    * the same count from the same table — sqrt of an exact integer is
+    * correctly rounded in both, so floor agrees everywhere — and the
+    * centroid table stays broadcast-able far beyond any real sizing
+    * (10^5 cells x 64 floats is ~25 MB).
     */
-  val IvfCells = 8
+  val IvfCellsMin = 8
+
+  /** Corpus-adaptive cell count: max(IvfCellsMin, floor(sqrt(n))). */
+  def ivfCells(n: Long): Int =
+    math.max(IvfCellsMin, math.sqrt(n.toDouble).toInt)
 
   /** Q48 probe width (FAISS nprobe): the query searches its `IvfProbes`
     * nearest cells instead of only its own — the standard IVF recall knob
     * for vectors that land near a cell boundary. Corpus vectors stay
-    * assigned to exactly one cell, so probing N cells scans N/IvfCells of
-    * the corpus and produces no duplicate candidates.
+    * assigned to exactly one cell, so probing N of the sqrt(n) cells
+    * scans ~N*sqrt(n) vectors and produces no duplicate candidates.
+    * Doubled 2 → 4 when the cell count went sqrt(n)-adaptive: candidates
+    * stay O(probes · n^1.5), and on THIS synthetic space — random
+    * vectors, no cluster structure for the quantizer to exploit — top-1
+    * recall tracks the scanned fraction (KnnGraphSpec's measured law), so
+    * the probe constant is what keeps the small-SF recall bar meaningful.
+    * Real embedding corpora are clusterable; there the same probes buy
+    * far more recall than the scanned fraction suggests.
     */
-  val IvfProbes = 2
+  val IvfProbes = 4
 
   /** Q62 neighbors kept per vector in the k-NN graph. */
   val KnnK = 3
@@ -68,7 +83,9 @@ object TextSearch {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
           .orderBy(col("sim_c").desc, col("cid"))))
-    val seeds = broadcast(e.filter(col("vec_id") < IvfCells)
+    val cells = ivfCells(e.count()) // one footer-count job; the index is
+    // built once, so the sizing pass is free relative to the quantizer
+    val seeds = broadcast(e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce")))
     val seedCells = nearest(seeds).filter(col("rn") === 1)
       .select(col("cid"), col("embedding"))
@@ -102,7 +119,9 @@ object TextSearch {
     * the home-cell view `cells`), shared by the q48 and q62 oracles. */
   private val IVF_CELLS_SQL: String =
     s"""seeds AS (SELECT vec_id AS cid, embedding AS ce
-      |    FROM embeddings WHERE vec_id < $IvfCells),
+      |    FROM embeddings WHERE vec_id < (SELECT GREATEST($IvfCellsMin,
+      |      CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))
+      |      FROM embeddings)),
       |a0 AS (SELECT vec_id, cid, embedding FROM (
       |    SELECT e.vec_id, s.cid, e.embedding,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
@@ -284,12 +303,12 @@ object TextSearch {
 
     // Q48 IVF similarity search (scale path beside q41's LSH buckets) ------
     // Coarse quantizer trained with one deterministic Lloyd step (r5): the
-    // first IvfCells vectors seed the cells, every vector is assigned to
+    // first sqrt(n)-scaled ivfCells vectors seed the cells, every vector is assigned to
     // its nearest seed, each cell's refined centroid is the element-wise
     // mean of its members (rounded to 6 decimals — absorbs partial-agg
     // sum-order ULP drift — and narrowed to float like a stored centroid),
     // then the final assignment runs against the refined centroids. The
-    // centroid table stays broadcast-able (see the IvfCells scaladoc); the
+    // centroid table stays broadcast-able (see the IvfCellsMin scaladoc); the
     // query searches its IvfProbes nearest refined cells -> IvfProbes /
     // IvfCells of the corpus scanned.
     QueryDef("q48_ann_ivf",
