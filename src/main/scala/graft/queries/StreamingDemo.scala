@@ -172,6 +172,34 @@ object StreamingDemo {
       },
       None),
 
+    // Q98: stream-STREAM interval join — the remaining streaming join
+    // topology (q81 is stream-static): per-user click→purchase attribution
+    // with both sides unbounded, watermarked streams; the user equi-key +
+    // event-time interval is what bounds the two-sided join state. No SQL
+    // oracle (DuckDB has no streaming); EventStreamSpec asserts pair-set
+    // equality with the batch interval-join twin; here each emitted pair
+    // re-joins the twin so the driver's rows-only check sees match flags.
+    QueryDef("q98_stream_stream_join",
+      (s, d) => {
+        val replay = replayDirFor(s, d)
+        val sinkTable = s"q98_sink_${System.nanoTime()}"
+        val streamed = graft.streaming.EventStream
+          .attributedPairs(s, replay, sinkTable)
+        val batch = graft.streaming.EventStream.batchAttributedPairs(s, d)
+        streamed.as("s").join(batch.as("b"),
+            col("s.p_event") === col("b.p_event")
+              && col("s.c_event") === col("b.c_event"), "left")
+          .select(col("s.user_id").as("user_id"),
+            col("s.p_event").as("p_event"), col("s.c_event").as("c_event"),
+            col("s.p_ts").as("p_ts"),
+            (col("b.user_id").isNotNull
+              && col("s.c_ts") === col("b.c_ts")
+              && col("s.p_ts") === col("b.p_ts")
+              && col("s.p_value") === col("b.p_value")).as("matches_batch"))
+          .orderBy("p_event", "c_event")
+      },
+      None),
+
     // Q53: streaming NEAR-dup ingest (r5) — MinHash band buckets resolved
     // to anchors through bounded per-bucket flatMapGroupsWithState state
     // with event-time expiry (see DocStream). No SQL oracle (DuckDB has no

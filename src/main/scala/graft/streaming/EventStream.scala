@@ -236,6 +236,82 @@ object EventStream {
     spark.read.parquet(s"$stateDir/v$version")
   }
 
+  /** Stream-STREAM interval join (q98): the last Structured Streaming join
+    * topology beside stream-static enrich (q81) — per-user click→purchase
+    * attribution where BOTH sides are unbounded streams. Purchases join
+    * clicks on user equality plus an event-time interval
+    * (click < purchase <= click + 1h); both sides are watermarked, which is
+    * what lets Spark BOUND the join state: a buffered click can stop
+    * matching once the watermark passes `click_ts + 1h`, a buffered
+    * purchase once it passes `purchase_ts`, so state is watermark × rate
+    * per side no matter how long the streams run (without the time bound
+    * Spark rejects the query — unbounded two-sided state). Inner-join
+    * matches are emitted as soon as both rows have arrived; state cleanup,
+    * not emission, is what the watermark defers. The equi-key (user_id)
+    * keeps the join a hash-partitioned stream join at scale — the keyless
+    * variant of q73 is exactly the shape stream-stream joins refuse.
+    *
+    * Cross-attribution of the two sources happens at the SOURCE level: two
+    * independent readStreams over the same replay dir stand in for two
+    * Kafka topics; each gets its own watermark. */
+  def attributedPairs(spark: SparkSession, replayDir: String,
+      sinkTable: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    def src() = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+      .withWatermark("p_ts", "2 hours")
+    val q = purchases.join(clicks,
+        expr("p_user = c_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "inner")
+      .select(col("p_user").as("user_id"), col("p_event"), col("c_event"),
+        col("c_ts"), col("p_ts"), col("p_value"))
+      .writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
+  /** Batch twin of [[attributedPairs]]: the same per-user interval join over
+    * the whole events table at once. Every (purchase, click) match the
+    * stream emits must appear here and vice versa — inner stream-stream
+    * joins under complete replay lose nothing to the watermark (it only
+    * bounds state retention ahead of the data actually replayed). */
+  def batchAttributedPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Q.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+    purchases.join(clicks,
+        expr("p_user = c_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 1 HOUR"),
+        "inner")
+      .select(col("p_user").as("user_id"), col("p_event"), col("c_event"),
+        col("c_ts"), col("p_ts"), col("p_value"))
+  }
+
   /** Batch twin of [[upsertedState]]: the same aggregate over all events
     * at once. */
   def batchUserState(spark: SparkSession, sfDir: String): DataFrame =

@@ -79,6 +79,35 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join emits exactly the batch join's pair set") {
+    val spark = TestSpark.spark
+    withTempDir { replay =>
+      EventStream.stageReplay(spark, sfDir, replay, nFiles = 4)
+      val streamed = EventStream.attributedPairs(spark, replay, "s_ssj")
+      val batch = EventStream.batchAttributedPairs(spark, sfDir)
+
+      // inner stream-stream joins emit matches as rows arrive; the
+      // watermark bounds STATE, not emission, so under complete replay the
+      // pair set must equal the batch interval join exactly — both
+      // directions (no lost pairs, no phantom pairs), all payload columns
+      val key = Seq("p_event", "c_event")
+      val sOnly = streamed.select(key.map(col): _*)
+        .exceptAll(batch.select(key.map(col): _*)).count()
+      val bOnly = batch.select(key.map(col): _*)
+        .exceptAll(streamed.select(key.map(col): _*)).count()
+      assert(sOnly == 0, s"stream emitted $sOnly pairs the batch join lacks")
+      assert(bOnly == 0, s"stream lost $bOnly pairs the batch join has")
+
+      val full = Seq("user_id", "p_event", "c_event", "c_ts", "p_ts", "p_value")
+      assert(streamed.select(full.map(col): _*)
+        .exceptAll(batch.select(full.map(col): _*)).count() == 0,
+        "pair payloads differ between stream and batch")
+
+      // the rig must actually exercise the join (5 pairs at sf0.001)
+      assert(batch.count() > 0, "batch twin empty — rig stamps no pairs")
+    }
+  }
+
   test("foreachBatch upsert state equals the one-shot batch aggregate") {
     val spark = TestSpark.spark
     withTempDir { dir =>
