@@ -510,5 +510,42 @@ object TextSearch {
              |      generate_series(1, len(embedding)), i ->
              |        abs(CAST(embedding[i] AS DOUBLE) - recon[i]))), 4)
              |    AS DOUBLE) AS max_abs_err
-             |FROM r ORDER BY vec_id""".stripMargin)))
+             |FROM r ORDER BY vec_id""".stripMargin)),
+
+    // Q99: corpus heavy hitters via a bounded Misra-Gries sketch + exact
+    // rescue pass (functions/HeavyHitters.scala for the scale story). Pass
+    // 1 never shuffles the vocabulary: one sketch buffer per partition
+    // reaches the driver (<= 4096 counters each). Pass 2 counts ONLY the
+    // candidate tokens — the corpus-sized groupBy is gated by a broadcast
+    // semi-join, so its key space is <= capacity instead of the 10^8-key
+    // unicode tail. Output is EXACT and execution-order-deterministic even
+    // though the sketch isn't: every true heavy hitter clears the MG
+    // guarantee into the candidate set, and the exact counts discard the
+    // rest (HeavyHittersSpec pins the guarantee past the compression
+    // paths; the oracle is the naive full-vocab groupBy).
+    QueryDef("q99_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select(split(col("text"), " ").as("toks"))
+        val sketch = new graft.functions.HeavyHitterSketch(
+          graft.functions.HeavyHitterSketch.DefaultCapacity)
+        val candidates: Array[String] =
+          toks.as[Array[String]].select(sketch.toColumn).head()
+        val nTotal = toks.agg(sum(size(col("toks")))).head().getLong(0)
+        val thr = math.max(nTotal / 1000L, 5L)
+        val candDf = broadcast(candidates.toSeq.toDF("token"))
+        toks.select(explode(col("toks")).as("token"))
+          .join(candDf, Seq("token"), "left_semi")
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= thr)
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      Some("""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token
+             |              FROM documents),
+             |tot AS (SELECT COUNT(*) AS n FROM toks)
+             |SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+             |HAVING COUNT(*) >= GREATEST((SELECT n FROM tot) // 1000, 5)
+             |ORDER BY cnt DESC, token""".stripMargin)))
 }

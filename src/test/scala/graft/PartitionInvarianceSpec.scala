@@ -30,7 +30,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q94_line_dedup",
     "q95_variant_shred",
     "q96_image_phash_neardup",
-    "q97_contrastive_triplets")
+    "q97_contrastive_triplets",
+    // q99's sketch contents are execution-order-DEPENDENT by design; the
+    // exact rescue pass is what makes the OUTPUT invariant — the strongest
+    // instance of this contract in the suite
+    "q99_heavy_hitters")
 
   test("outputs are identical under a different shuffle partitioning") {
     val spark = TestSpark.spark
