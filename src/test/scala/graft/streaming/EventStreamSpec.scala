@@ -157,6 +157,49 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState sessions equal flatMapGroupsWithState and batch") {
+    val spark = TestSpark.spark
+    withTempDir { replay =>
+      EventStream.stageReplay(spark, sfDir, replay, nFiles = 4)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val before = spark.conf.getOption(providerKey)
+      // TWS requires the RocksDB provider (its scale contract: state
+      // off-heap with changelog checkpointing)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val tws = TwsSession.sessionized(spark, replay, "s_tws")
+        val fmgws = EventStream.sessionized(spark, replay, "s_fmgws_twin")
+        val batch = EventStream.batchSessions(spark, sfDir)
+
+        def keyed(df: org.apache.spark.sql.DataFrame) =
+          df.select("user_id", "session_start", "n_events").collect()
+            .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+            .sorted.toSeq
+
+        // the two arbitrary-state APIs must emit the IDENTICAL session set
+        // (same merge rule, same watermark feed, batch boundaries may
+        // differ but run-to-completion closure cannot)
+        assert(keyed(tws) == keyed(fmgws),
+          "transformWithState and flatMapGroupsWithState disagree")
+        assert(keyed(tws).nonEmpty, "TWS emitted nothing")
+
+        // and every emitted session must be a batch gaps-and-islands
+        // session (left-join containment, as in the FMGWS test)
+        val missing = tws.as("s").join(batch.as("b"),
+          col("s.user_id") === col("b.user_id")
+            && col("s.session_start") === col("b.session_start")
+            && col("s.n_events") === col("b.n_events"), "left_anti").count()
+        assert(missing == 0, s"$missing TWS sessions have no batch twin")
+      } finally {
+        before match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
+    }
+  }
+
   test("streaming ingest-dedup removes in-watermark duplicates") {
     val spark = TestSpark.spark
     import spark.implicits._
