@@ -199,7 +199,20 @@ object DumpPlans {
         |extraction). No UDF, no regex, no fixed struct schema; the only
         |exchanges are the 5-row partial+final aggregate pair and the
         |final sort. ReadSchema proves column pruning reaches the scan
-        |(4 of 9 order columns).""".stripMargin)
+        |(4 of 9 order columns).""".stripMargin,
+    "q99_heavy_hitters" ->
+      """The exact rescue pass after the Misra-Gries sketch (pass 1 is one
+        |buffer per partition to the driver — <= 4096 counters each, no
+        |vocabulary shuffle; it runs before this plan and supplies the
+        |candidate table). The gate is a BroadcastHashJoin LEFT SEMI: the
+        |exploded token stream is filtered against the <= capacity
+        |candidate set WITHOUT shuffling, so the groupBy count that
+        |follows partial-aggregates over a key space bounded by the
+        |candidate list instead of the 10^8-key unicode tail. The output
+        |is exact and execution-order-invariant — the only
+        |order-dependent object (the sketch contents) never reaches the
+        |output because every true heavy hitter is guaranteed into the
+        |candidate set and the exact counts discard the rest.""".stripMargin)
 
   /** Frames that are not directly a `SparkEntry.queries` entry — the
     * per-iteration jobs of the iterative queries, whose returned summary

@@ -284,6 +284,35 @@ class QueryPlanSpec extends AnyFunSuite {
       "every hash exchange must be fed by a partial aggregate")
   }
 
+  test("q99: exact rescue pass joins the candidate set broadcast") {
+    val all = collectAll(executedPlan("q99_heavy_hitters"))
+    // the candidate gate must be a broadcast semi-join (candidates are
+    // <= sketch capacity by construction), never a shuffled join of the
+    // exploded corpus against them
+    val bhj = all.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.exists(_.joinType.toString == "LeftSemi"),
+      "expected a broadcast LEFT SEMI gate on the candidate tokens")
+    assert(!all.exists {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _ => false
+    }, "the exploded corpus must not shuffle to meet the candidate set")
+    // the post-gate count groupBy partial-aggregates below its exchange
+    val hashShuffles = all.collect {
+      case sh: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+        if sh.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => sh
+    }
+    def hasAggBelow(p: SparkPlan): Boolean = collectAll(p).exists {
+      case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+      case _ => false
+    }
+    assert(hashShuffles.forall(sh => hasAggBelow(sh.child)),
+      "candidate-count exchange must be fed by a partial aggregate")
+  }
+
   test("q95: variant shred is join-free and prunes the orders scan") {
     val all = collectAll(executedPlan("q95_variant_shred"))
     assert(!all.exists(_.isInstanceOf[
