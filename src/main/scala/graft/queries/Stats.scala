@@ -74,6 +74,38 @@ object Stats {
               / col("exact_parts")).as("rel_error")),
       None),
 
+    // Q100 mergeable-sketch rollup (Datasketches HLL) ---------------------
+    // The lakehouse pre-aggregation pattern q12c's one-shot estimate
+    // can't express: per-slice HLL sketches are STORED once (here the
+    // per-source aggregate; in production a per-partition/day summary
+    // table), and any coarser rollup derives by UNIONING sketches —
+    // hll_union_agg never rescans the corpus. At 100 TB the corpus scan
+    // happens once per ingest; every subsequent distinct-count rollup
+    // (per source, global, any grouping-set over stored slices) is
+    // sketch-sized work (~2.5 KB per sketch at lgK=12, rel err ~1.6%).
+    // exact_distinct rides along as the audit column (the spec bounds
+    // the estimate within 5%); rows-only — sketch binary layouts and
+    // estimators differ across engines.
+    QueryDef("q100_hll_sketch_rollup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("source"), md5(col("text")).as("fp"))
+        val slices = docs.groupBy("source").agg(
+          expr("hll_sketch_agg(fp, 12)").as("sk"),
+          countDistinct(col("fp")).as("exact_distinct"))
+        val per = slices.select(col("source"),
+          expr("hll_sketch_estimate(sk)").as("est_distinct"),
+          col("exact_distinct"))
+        val global = slices.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
+          .crossJoin(broadcast(
+            docs.agg(countDistinct(col("fp")).as("exact_distinct"))))
+          .select(lit("__all__").as("source"), col("est_distinct"),
+            col("exact_distinct"))
+        per.unionByName(global).orderBy("source")
+      },
+      None),
+
     // Q45 scalar UDF registration surface ---------------------------------
     // A deterministic quality score via a REGISTERED Scala UDF; the oracle
     // replicates the arithmetic in SQL. (Engine surface demo — the
