@@ -168,15 +168,27 @@ object TextSearch {
     * (q85 PageRank) share the exact edge list the oracle checks. */
   def knnGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val index = ivfIndex(s, d)
-    val cells = index.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("embedding"))
+    // blocked candidate stream (r8): the flat shape — SMJ of 4n probe
+    // rows against n cell rows — materialized ~probes*(n/cells) JOIN
+    // OUTPUT rows each carrying TWO 64-float embeddings (the 10x corpus
+    // spent ~10 min/run just copying those wide rows). Grouping each
+    // cell's members into ONE row first makes the join 4n x sqrt(n)
+    // (tiny, broadcast while the index fits the threshold; the identical
+    // plan degrades to a cid shuffle of GROUPED rows beyond), and the
+    // explode + sim + narrow projection fuse into one codegen stage —
+    // wide embeddings never cross a stage boundary. Arithmetic is
+    // unchanged (same r4(cosine_sim) per pair), so the edge list and its
+    // oracle are untouched.
+    val cellMembers = broadcast(index.filter(col("rn") === 1)
+      .groupBy("cid")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members")))
     val probes = index
-      .select(col("vec_id").as("qid"), col("cid").as("qcid"),
-        col("embedding").as("qe"))
-    val cand = cells
-      .join(probes, col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nn_id"),
-        r4(expr("cosine_sim(qe, embedding)")).as("sim"))
+      .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe"))
+    val cand = probes.join(cellMembers, "cid")
+      .select(col("qid"), col("qe"), explode(col("members")).as("m"))
+      .select(col("qid"), col("m.vec_id").as("nn_id"),
+        r4(expr("cosine_sim(qe, m.embedding)")).as("sim"))
+      .filter(col("nn_id") =!= col("qid"))
     cand
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
@@ -406,13 +418,19 @@ object TextSearch {
         val index = ivfIndex(s, d)
         val cells = index.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("embedding"))
+        // blocked candidate stream, q62's r8 shape (11x at the 10x corpus):
+        // grouped cell members broadcast, explode + sim + narrow projection
+        // fused in one stage — wide rows never cross a boundary
+        val cellMembers = broadcast(cells
+          .groupBy("cid")
+          .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members")))
         val probes = index
-          .select(col("vec_id").as("qid"), col("cid").as("qcid"),
-            col("embedding").as("qe"))
-        val close = cells
-          .join(probes, col("cid") === col("qcid") && col("vec_id") < col("qid"))
-          .select(col("qid"), col("vec_id").as("nn_id"),
-            r4(expr("cosine_sim(qe, embedding)")).as("sim"))
+          .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe"))
+        val close = probes.join(cellMembers, "cid")
+          .select(col("qid"), col("qe"), explode(col("members")).as("m"))
+          .filter(col("m.vec_id") < col("qid"))
+          .select(col("qid"), col("m.vec_id").as("nn_id"),
+            r4(expr("cosine_sim(qe, m.embedding)")).as("sim"))
           .filter(col("sim") >= SemTau)
           .groupBy("qid")
           .agg(count(lit(1)).cast(IntegerType).as("n_close"),
