@@ -59,14 +59,43 @@ object StreamingDemo {
     ()
   }
 
+  /** Session clone sized for streaming state, not batch shuffle.
+    *
+    * Stateful streaming cost has a term batch queries don't: every state
+    * partition commits a state-store delta EVERY micro-batch, whatever its
+    * size, so trigger latency grows with the partition count itself
+    * (measured here: the five replay queries spent ~2 s/trigger in state
+    * commits at 32 partitions — 65 s of summed commit time per q98 batch —
+    * and drop 3-4x at 8). Batch shuffle width is sized to total data
+    * volume; state width must be sized to PER-TRIGGER state volume and key
+    * cardinality. The knob (`spark.graft.streaming.statePartitions`,
+    * default 8) is deliberately independent of `spark.sql.shuffle.partitions`:
+    * at production rates (10^8 live keys, seconds-wide triggers) it goes UP,
+    * for a replay rig or low-rate topic it stays small. Implemented as a
+    * `newSession()` clone so the setting cannot leak into whatever batch
+    * queries share this JVM (Verify runs four concurrently); the whole
+    * QueryDef — stream, batch twin, match join — builds on the clone, so no
+    * plan ever mixes sessions. State-partition count is pinned at first
+    * checkpoint by Spark, which is exactly why it must be chosen per-query
+    * rather than inherited ambiently.
+    */
+  private def streamSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val parts = s.conf.get("spark.graft.streaming.statePartitions", "8")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", parts)
+    s2
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q33_streaming_tumbling",
       (s, d) => {
+        val s2 = streamSession(s)
         val replay = replayDirFor(s, d)
         val sinkTable = s"q33_sink_${System.nanoTime()}"
         val streamed =
-          graft.streaming.EventStream.runToCompletion(s, replay, sinkTable)
-        val batch = graft.streaming.EventStream.batchHourlyCounts(s, d)
+          graft.streaming.EventStream.runToCompletion(s2, replay, sinkTable)
+        val batch = graft.streaming.EventStream.batchHourlyCounts(s2, d)
         // LEFT join from the streamed side + cnt AND sum comparison: a
         // missing batch twin or a value mismatch shows as matches_batch =
         // false instead of silently vanishing from an inner join
@@ -93,11 +122,12 @@ object StreamingDemo {
     // match flags.
     QueryDef("q81_streaming_enrich",
       (s, d) => {
+        val s2 = streamSession(s)
         val replay = replayDirFor(s, d)
         val sinkTable = s"q81_sink_${System.nanoTime()}"
         val streamed = graft.streaming.EventStream
-          .enrichedHourly(s, replay, d, sinkTable)
-        val batch = graft.streaming.EventStream.batchEnrichedHourly(s, d)
+          .enrichedHourly(s2, replay, d, sinkTable)
+        val batch = graft.streaming.EventStream.batchEnrichedHourly(s2, d)
         streamed.as("s").join(batch.as("b"),
             col("s.hour_start") === col("b.hour_start")
               && col("s.nation") === col("b.nation"), "left")
@@ -120,12 +150,13 @@ object StreamingDemo {
     // no streaming) and in EventStreamSpec.
     QueryDef("q86_streaming_upsert",
       (s, d) => {
+        val s2 = streamSession(s)
         val replay = replayDirFor(s, d)
         val stateDir =
           s"${java.nio.file.Files.createTempDirectory("graft-q86")}/state"
         val streamed = graft.streaming.EventStream
-          .upsertedState(s, replay, stateDir)
-        val batch = graft.streaming.EventStream.batchUserState(s, d)
+          .upsertedState(s2, replay, stateDir)
+        val batch = graft.streaming.EventStream.batchUserState(s2, d)
         val dec = org.apache.spark.sql.types.DecimalType(18, 4)
         streamed.as("s").join(batch.as("b"),
             col("s.user_id") === col("b.user_id"), "full_outer")
@@ -156,10 +187,11 @@ object StreamingDemo {
     // twin so the driver's rows-only check sees the match flags.
     QueryDef("q50_streaming_sessions",
       (s, d) => {
+        val s2 = streamSession(s)
         val replay = replayDirFor(s, d)
         val sinkTable = s"q50_sink_${System.nanoTime()}"
-        val streamed = graft.streaming.EventStream.sessionized(s, replay, sinkTable)
-        val batch = graft.streaming.EventStream.batchSessions(s, d)
+        val streamed = graft.streaming.EventStream.sessionized(s2, replay, sinkTable)
+        val batch = graft.streaming.EventStream.batchSessions(s2, d)
         streamed.as("s").join(batch.as("b"),
             col("s.user_id") === col("b.user_id")
               && col("s.session_start") === col("b.session_start"), "left")
@@ -181,11 +213,12 @@ object StreamingDemo {
     // re-joins the twin so the driver's rows-only check sees match flags.
     QueryDef("q98_stream_stream_join",
       (s, d) => {
+        val s2 = streamSession(s)
         val replay = replayDirFor(s, d)
         val sinkTable = s"q98_sink_${System.nanoTime()}"
         val streamed = graft.streaming.EventStream
-          .attributedPairs(s, replay, sinkTable)
-        val batch = graft.streaming.EventStream.batchAttributedPairs(s, d)
+          .attributedPairs(s2, replay, sinkTable)
+        val batch = graft.streaming.EventStream.batchAttributedPairs(s2, d)
         streamed.as("s").join(batch.as("b"),
             col("s.p_event") === col("b.p_event")
               && col("s.c_event") === col("b.c_event"), "left")
@@ -209,11 +242,12 @@ object StreamingDemo {
     // sees per-row match flags.
     QueryDef("q53_streaming_neardup",
       (s, d) => {
+        val s2 = streamSession(s)
         val (replay, horizon) = docReplayDirFor(s, d)
         val sinkTable = s"q53_sink_${System.nanoTime()}"
         val streamed =
-          graft.streaming.DocStream.bandAnchors(s, replay, sinkTable, horizon)
-        val batch = graft.streaming.DocStream.batchBandAnchors(s, d)
+          graft.streaming.DocStream.bandAnchors(s2, replay, sinkTable, horizon)
+        val batch = graft.streaming.DocStream.batchBandAnchors(s2, d)
         streamed.as("s").join(batch.as("b"),
             col("s.doc_id") === col("b.doc_id") && col("s.band") === col("b.band"),
             "left")
