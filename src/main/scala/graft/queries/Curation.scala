@@ -31,6 +31,60 @@ object Curation {
   val DsirTarget = "src0"
   val DsirK = 100
 
+  /** q94 dup-set broadcast gate: the hint is applied only while the
+    * MEASURED duplicated-line cardinality stays under this many rows
+    * (~64 B/row of md5-hex + flag -> default 2^21 rows ~ 128 MB build).
+    * Beyond it, the mark join ships un-hinted and shuffles on the narrow
+    * lh key. Session-overridable so CurationSpec can pin both regimes. */
+  val DupBroadcastMaxRows: Long = 1L << 21
+
+  private def dupBroadcastMaxRows(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("spark.graft.dedup.dupBroadcastMaxRows",
+      DupBroadcastMaxRows.toString).toLong
+
+  /** (rows, estBytes, broadcast) of the last dup set q94 built in this
+    * JVM — the operator's observability surface (r8 verdict: report,
+    * don't OOM, when a corpus's boilerplate set explodes). */
+  val lastDupSetStats =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long, Boolean)]
+
+  /** q94's pseudo-line stream (10-word lines, deterministic boilerplate
+    * stamped into subsets so the dedup pass has real duplicates). */
+  private[graft] def q94Lines(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val lineA = "please accept all cookies to continue reading this site"
+    val lineB = "subscribe to our newsletter for daily updates and offers"
+    t(s, d, "documents")
+      .withColumn("stamped", concat(
+        when(col("doc_id") % 4 === 0, lit(lineA + " ")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(lineB + " ")).otherwise(lit("")),
+        col("text")))
+      .withColumn("words", split(col("stamped"), " "))
+      .withColumn("li",
+        explode(sequence(lit(0), expr("(size(words) - 1) div 10"))))
+      .withColumn("line",
+        concat_ws(" ", slice(col("words"), col("li") * 10 + 1, lit(10))))
+      .select(col("doc_id"), col("li"), md5(col("line")).as("lh"),
+        col("line"))
+  }
+
+  /** The df >= 3 duplicated-line set, MATERIALIZED (checkpoint) so the
+    * one line-frequency shuffle is paid once and the gate's count job
+    * reads checkpointed blocks instead of recomputing the aggregate.
+    * Returns (dupSet, rows, estBytes) and records the measurement in
+    * [[lastDupSetStats]]. */
+  private[graft] def dupSetWithStats(s: org.apache.spark.sql.SparkSession,
+      d: String, lines: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long, Long) = {
+    val dup = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFlatStats(
+        lines.groupBy("lh").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 3).select(col("lh"), lit(true).as("is_dup")))
+    val rows = dup.count()
+    val estBytes = rows * 64L // 32-char md5 hex + flag + row overhead
+    (dup, rows, estBytes)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q67 PII detection + redaction ---------------------------------------
@@ -225,7 +279,7 @@ object Curation {
           sum(col("c_tgt")).as("t_total"),
           sum(col("c_rest")).as("r_total"),
           count(lit(1)).as("v"))
-        counts.crossJoin(broadcast(totals))
+        counts.crossJoin(graft.BroadcastBounds.bounded("scalar-agg")(totals))
           .withColumn("p", (col("c_tgt") + 1).cast(DoubleType)
             / (col("t_total") + col("v")).cast(DoubleType))
           .withColumn("q", (col("c_rest") + 1).cast(DoubleType)
@@ -289,7 +343,8 @@ object Curation {
           sum(col("c_tgt")).as("t_total"),
           sum(col("c_all")).as("r_total"),
           count(lit(1)).as("v_feats"))
-        val scored = feats.crossJoin(broadcast(totals))
+        val scored = feats.crossJoin(
+          graft.BroadcastBounds.bounded("scalar-agg")(totals))
           .withColumn("lr", dec18(
             log((col("c_tgt") + 1).cast(DoubleType)
               / (col("t_total") + col("v_feats")).cast(DoubleType))
@@ -395,31 +450,29 @@ object Curation {
     //
     // Scale shape (the 100 TB story): ONE content shuffle — the line-
     // frequency groupBy on a 16-byte md5 key (identical to exact dedup's
-    // q30 shuffle) — then the duplicated-line set (df >= 3) is FILTERED
-    // FIRST and broadcast back; the corpus side is never reshuffled. At
+    // q30 shuffle) — materialized once (checkpoint), then the duplicated-
+    // line set (df >= 3) is MEASURED and broadcast back only while its
+    // cardinality fits the gate; the corpus side is never reshuffled. At
     // web scale the boilerplate set is tiny relative to the line set
-    // (that's what makes it boilerplate); if it ever outgrew the
-    // broadcast threshold the same plan degrades gracefully to a shuffle
-    // join on the already-narrow lh key by dropping the hint.
+    // (that's what makes it boilerplate), but its cardinality is corpus-
+    // dependent and unbounded adversarially (r8 verdict), so the hint is
+    // applied off a MEASURED count, the measurement is reported (spec-
+    // pinned via dupSetWithStats; q94's own row count is the oracle-side
+    // audit), and past the cap the same plan degrades to a shuffle join
+    // on the already-narrow lh key by dropping the hint.
     QueryDef("q94_line_dedup",
       (s, d) => {
-        val lineA = "please accept all cookies to continue reading this site"
-        val lineB = "subscribe to our newsletter for daily updates and offers"
-        val lines = t(s, d, "documents")
-          .withColumn("stamped", concat(
-            when(col("doc_id") % 4 === 0, lit(lineA + " ")).otherwise(lit("")),
-            when(col("doc_id") % 7 === 0, lit(lineB + " ")).otherwise(lit("")),
-            col("text")))
-          .withColumn("words", split(col("stamped"), " "))
-          .withColumn("li",
-            explode(sequence(lit(0), expr("(size(words) - 1) div 10"))))
-          .withColumn("line",
-            concat_ws(" ", slice(col("words"), col("li") * 10 + 1, lit(10))))
-          .select(col("doc_id"), col("li"), md5(col("line")).as("lh"),
-            col("line"))
-        val dup = lines.groupBy("lh").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 3).select(col("lh"), lit(true).as("is_dup"))
-        lines.join(broadcast(dup), Seq("lh"), "left")
+        val lines = q94Lines(s, d)
+        val (dup, dupRows, estBytes) = dupSetWithStats(s, d, lines)
+        val useBroadcast = dupRows <= dupBroadcastMaxRows(s)
+        lastDupSetStats.set((dupRows, estBytes, useBroadcast))
+        if (!useBroadcast)
+          System.err.println(s"[graft] q94 dup set over broadcast gate " +
+            s"($dupRows rows ~ $estBytes B): falling back to lh-key shuffle")
+        val dupHinted =
+          if (useBroadcast) graft.BroadcastBounds.bounded("dup-set-gated")(dup)
+          else dup
+        lines.join(dupHinted, Seq("lh"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_lines"),
             sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),

@@ -414,7 +414,7 @@ object LlmOps {
         val e = t(s, d, "embeddings")
         val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
         e.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(q))
+          .crossJoin(graft.BroadcastBounds.bounded("single-query-probe")(q))
           .select(col("vec_id"),
             r4(expr("cosine_sim(embedding, qe)")).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
@@ -823,7 +823,8 @@ object LlmOps {
           // equals XOR-ing them in; 2^AnnProbePlanes distinct probe values
           .select(col("qe"), col("qb").bitwiseXOR(probeMask).as("probe"))
         bucketed.filter(col("vec_id") =!= 0)
-          .join(broadcast(probes), col("bucket") === col("probe"))
+          .join(graft.BroadcastBounds.bounded("single-query-probe")(probes),
+            col("bucket") === col("probe"))
           .select(col("vec_id"), r4(expr("cosine_sim(embedding, qe)")).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
@@ -1052,7 +1053,7 @@ object LlmOps {
         val bench = shingles(toks.filter(col("doc_id") % 19 === 0))
           .groupBy("sh").agg(count(lit(1)).as("n_bench_docs_sh"))
         val train = shingles(toks.filter(col("doc_id") % 19 =!= 0))
-        train.join(broadcast(bench), "sh")
+        train.join(graft.BroadcastBounds.bounded("bench-shingles")(bench), "sh")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared_shingles"),
             sum(col("n_bench_docs_sh")).as("n_bench_hits"))
@@ -1121,7 +1122,8 @@ object LlmOps {
           .select(col("shard"), col("offset"))
         sharded
           .withColumn("local_cum", sum(col("n_tok")).over(localW))
-          .join(broadcast(offsets), "shard")
+          .join(graft.BroadcastBounds.bounded("sqrt-shard-offsets")(offsets),
+            "shard")
           .withColumn("cum", col("local_cum") + col("offset"))
           .withColumn("bin", ((col("cum") - col("n_tok")) / seqLen)
             .cast(LongType))

@@ -134,18 +134,24 @@ object Profiling {
         // dimension passes ~1M rows (SF >= 7), and a collision ties the
         // full (key, version, is_current) sort key, making row order
         // engine-dependent
-        val mx = broadcast(base.agg(max(col("key")).as("mx")))
+        val mx = graft.BroadcastBounds.bounded("scalar-agg")(
+          base.agg(max(col("key")).as("mx")))
         val inserts = base.filter(col("key") % 11 === 0)
           .crossJoin(mx)
           .select((col("key") + col("mx")).as("key"),
             lit("NEWSEG").as("mktsegment"))
         val v = (n: Int) => lit(n).cast(IntegerType).as("version")
         val cur = (b: Boolean) => lit(b).as("is_current")
-        val unchanged = base.join(broadcast(changes), Seq("key"), "left_anti")
+        val unchanged = base.join(
+          graft.BroadcastBounds.bounded("cdc-batch")(changes),
+          Seq("key"), "left_anti")
           .select(col("key"), col("mktsegment"), v(1), cur(true))
-        val closed = base.join(broadcast(changes.select("key")), Seq("key"))
+        val closed = base.join(
+          graft.BroadcastBounds.bounded("cdc-batch")(changes.select("key")),
+          Seq("key"))
           .select(col("key"), col("mktsegment"), v(1), cur(false))
-        val opened = base.join(broadcast(changes), Seq("key"))
+        val opened = base.join(
+          graft.BroadcastBounds.bounded("cdc-batch")(changes), Seq("key"))
           .select(col("key"), col("new_seg").as("mktsegment"), v(2), cur(true))
         val inserted = inserts.select(col("key"), col("mktsegment"), v(1), cur(true))
         unchanged.unionAll(closed).unionAll(opened).unionAll(inserted)

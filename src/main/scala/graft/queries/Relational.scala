@@ -26,7 +26,8 @@ object Relational {
     val c = t(s, d, "customer").select("c_custkey", "c_nationkey")
     val n0 = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
     val r0 = t(s, d, "region").select("r_regionkey", "r_name")
-    val (n, r) = if (forceBroadcast) (broadcast(n0), broadcast(r0)) else (n0, r0)
+    val bb = graft.BroadcastBounds.bounded("enumerated-dim") _
+    val (n, r) = if (forceBroadcast) (bb(n0), bb(r0)) else (n0, r0)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))

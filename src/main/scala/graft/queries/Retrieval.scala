@@ -62,11 +62,11 @@ object Retrieval {
           df.withColumn(s"tf_$t0",
             size(filter(col("toks"), x => x === t0)).cast(DoubleType))
         }
-        val stats = broadcast(withTf.agg(
+        val stats = graft.BroadcastBounds.bounded("scalar-agg")(withTf.agg(
           count(lit(1)).cast(DoubleType).as("n_docs"),
           (sum(col("dl").cast(LongType)).cast(DoubleType)
             / count(lit(1))).as("avgdl")))
-        val dfs = broadcast(withTf.agg(
+        val dfs = graft.BroadcastBounds.bounded("scalar-agg")(withTf.agg(
           Bm25Terms.map(t0 => sum(when(col(s"tf_$t0") > 0, 1L).otherwise(0L))
             .cast(DoubleType).as(s"df_$t0")).head,
           Bm25Terms.map(t0 => sum(when(col(s"tf_$t0") > 0, 1L).otherwise(0L))
@@ -160,7 +160,8 @@ object Retrieval {
           .groupBy("source", "lang")
           .agg(sum(size(col("toks")).cast(LongType)).as("toks"))
           .withColumn("sq", r4(sqrt(col("toks").cast(DoubleType))))
-        val tot = broadcast(g.agg(sum(dec18(col("sq"))).as("tot")))
+        val tot = graft.BroadcastBounds.bounded("scalar-agg")(
+          g.agg(sum(dec18(col("sq"))).as("tot")))
         g.crossJoin(tot)
           .select(col("source"), col("lang"), col("toks"),
             r4(col("sq") / col("tot").cast(DoubleType)).as("weight"))
@@ -273,7 +274,8 @@ object Retrieval {
           .agg(sum(size(col("toks")).cast(LongType)).as("tk"),
             count(lit(1)).as("n_docs"))
           .withColumn("sq", r4(sqrt(col("tk").cast(DoubleType))))
-        val tot = broadcast(g.agg(sum(dec18(col("sq"))).as("tot"),
+        val tot = graft.BroadcastBounds.bounded("scalar-agg")(
+          g.agg(sum(dec18(col("sq"))).as("tot"),
           sum(col("n_docs")).as("nn")))
         val strata = g.crossJoin(tot)
           .withColumn("weight", r4(col("sq") / col("tot").cast(DoubleType)))
@@ -284,7 +286,8 @@ object Retrieval {
             floor(col("target_rate") * 10000).cast(LongType))
           .select(col("source"), col("lang"), col("weight"),
             col("target_rate"), col("thr"))
-        docs.join(broadcast(strata), Seq("source", "lang"))
+        docs.join(graft.BroadcastBounds.bounded("strata-table")(strata),
+            Seq("source", "lang"))
           .withColumn("keep", LlmOps.sampleGate < col("thr"))
           .groupBy("source", "lang")
           .agg(count(lit(1)).as("n_docs"),
@@ -352,7 +355,8 @@ object Retrieval {
           .select(col("doc_id"), explode(col("toks")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val n = broadcast(t(s, d, "documents").agg(count(lit(1)).as("n_docs")))
+        val n = graft.BroadcastBounds.bounded("scalar-agg")(
+          t(s, d, "documents").agg(count(lit(1)).as("n_docs")))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("s").desc, col("term"))
         tf.join(dfc, "term").crossJoin(n)

@@ -98,7 +98,7 @@ object Stats {
           col("exact_distinct"))
         val global = slices.agg(
           expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
-          .crossJoin(broadcast(
+          .crossJoin(graft.BroadcastBounds.bounded("scalar-agg")(
             docs.agg(countDistinct(col("fp")).as("exact_distinct"))))
           .select(lit("__all__").as("source"), col("est_distinct"),
             col("exact_distinct"))

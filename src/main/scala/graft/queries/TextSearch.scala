@@ -48,6 +48,32 @@ object TextSearch {
   /** Q62 neighbors kept per vector in the k-NN graph. */
   val KnnK = 3
 
+  /** Cap (estimated bytes) under which the grouped cell-members build side
+    * of q62/q68 carries an explicit broadcast hint. An explicit hint
+    * OVERRIDES spark.sql.autoBroadcastJoinThreshold — size-based planning
+    * never gets a vote — so an unconditional broadcast of the grouped
+    * corpus would be a hard failure at scale (8 GB broadcast-table limit,
+    * driver OOM), not a graceful degradation. Under the cap the hint buys
+    * the measured 11x (grouped embeddings never cross a stage boundary);
+    * over it the SAME plan ships un-hinted and the join shuffles GROUPED
+    * rows once on cid. 64 MB keeps the fast path through every tested rig
+    * (10x corpus = 50k vectors ~ 14 MB grouped) and trips well before any
+    * driver-threatening size; override per session via
+    * `spark.graft.ivf.membersBroadcastCap` (KnnGraphSpec forces 0 to pin
+    * the shuffle regime).
+    */
+  val MembersBroadcastCapBytes: Long = 64L << 20
+
+  private def membersCap(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("spark.graft.ivf.membersBroadcastCap",
+      MembersBroadcastCapBytes.toString).toLong
+
+  /** Estimated grouped cell-members size: one (id, embedding) struct per
+    * corpus vector — 8 B id + 4 B per float + ~24 B struct/array overhead.
+    * Deliberately an OVER-estimate (grouping adds no rows, drops rn/cid):
+    * the gate must fail closed, never broadcast-by-underestimate. */
+  def membersEstBytes(n: Long, dim: Int): Long = n * (32L + 4L * dim)
+
   /** Q68 SemDeDup cosine bar. Deliberately NOT q37's 0.95 near-identical
     * bar: the synthetic embedding space tops out at cosine ~0.48/0.51/0.60
     * (sf0.001/0.01/0.1 max pairwise), so 0.95 never fires and the drop
@@ -75,7 +101,7 @@ object TextSearch {
     * centroid tables broadcast; the corpus is scanned, never self-joined.
     */
   private def ivfAssigned(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String, cells: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = t(s, d, "embeddings")
     def nearest(cents: DataFrame): DataFrame = e.crossJoin(cents)
@@ -83,13 +109,12 @@ object TextSearch {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
           .orderBy(col("sim_c").desc, col("cid"))))
-    val cells = ivfCells(e.count()) // one footer-count job; the index is
-    // built once, so the sizing pass is free relative to the quantizer
-    val seeds = broadcast(e.filter(col("vec_id") < cells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val seeds = graft.BroadcastBounds.bounded("ivf-centroids")(
+      e.filter(col("vec_id") < cells)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
     val seedCells = nearest(seeds).filter(col("rn") === 1)
       .select(col("cid"), col("embedding"))
-    val refined = broadcast(seedCells
+    val refined = graft.BroadcastBounds.bounded("ivf-centroids")(seedCells
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
       .groupBy("cid").agg(
@@ -97,6 +122,11 @@ object TextSearch {
           x => x.getField("cv").cast(FloatType)).as("ce")))
     nearest(refined)
   }
+
+  /** The materialized IVF index plus the corpus stats its consumers size
+    * their plans with: `corpusRows` drives the sqrt(n) cell count AND the
+    * q62/q68 members-broadcast gate; `dim` completes the byte estimate. */
+  final case class IvfIndex(df: DataFrame, corpusRows: Long, dim: Int)
 
   /** The materialized IVF index: [[ivfAssigned]] kept to each vector's
     * IvfProbes nearest cells and checkpointed. Both consumers (the rn = 1
@@ -107,13 +137,43 @@ object TextSearch {
     * so ReuseExchange never fires), and a real IVF index is built once
     * and stored anyway. Materialized size is IvfProbes x corpus of
     * (id, cid, embedding, rn) rows — the same order as the index a
-    * vector store persists.
+    * vector store persists. The sizing jobs (a footer count + a one-row
+    * dim read) run once per index build, free relative to the quantizer.
     */
-  private def ivfIndex(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame =
-    org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
-      ivfAssigned(s, d).filter(col("rn") <= IvfProbes)
-        .select(col("vec_id"), col("cid"), col("embedding"), col("rn")))
+  private def ivfIndexed(s: org.apache.spark.sql.SparkSession,
+      d: String): IvfIndex = {
+    val e = t(s, d, "embeddings")
+    val n = e.count()
+    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+    val df =
+      org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
+        ivfAssigned(s, d, ivfCells(n)).filter(col("rn") <= IvfProbes)
+          .select(col("vec_id"), col("cid"), col("embedding"), col("rn")))
+    IvfIndex(df, n, dim)
+  }
+
+  /** Each cell's members grouped into ONE row (the r8 blocked-candidate
+    * shape: the flat SMJ materialized ~probes*(n/cells) join-output rows
+    * each carrying TWO 64-float embeddings — the 10x corpus spent ~10
+    * min/run copying those wide rows; grouped, the join is 4n x sqrt(n)
+    * and the explode + sim + narrow projection fuse into one codegen
+    * stage, so wide embeddings never cross a stage boundary). The
+    * broadcast hint is SIZE-GATED (r8 verdict: an unconditional hint
+    * overrode the threshold, forcing the whole corpus to the driver at
+    * any scale): under [[membersCap]] the grouped table broadcasts; over
+    * it the identical plan shuffles grouped rows once on cid. Both
+    * regimes return the same rows — KnnGraphSpec pins the plans and the
+    * equality.
+    */
+  private def cellMembersGrouped(s: org.apache.spark.sql.SparkSession,
+      idx: IvfIndex): DataFrame = {
+    val members = idx.df.filter(col("rn") === 1)
+      .groupBy("cid")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
+    if (membersEstBytes(idx.corpusRows, idx.dim) <= membersCap(s))
+      graft.BroadcastBounds.bounded("ivf-cell-members-gated")(members)
+    else members
+  }
 
   /** Oracle twin of [[ivfAssigned]] (CTE chain ending in `assigned` and
     * the home-cell view `cells`), shared by the q48 and q62 oracles. */
@@ -167,22 +227,13 @@ object TextSearch {
     * neighbors as (qid, rk, nn_id, sim). Factored out so graph consumers
     * (q85 PageRank) share the exact edge list the oracle checks. */
   def knnGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val index = ivfIndex(s, d)
-    // blocked candidate stream (r8): the flat shape — SMJ of 4n probe
-    // rows against n cell rows — materialized ~probes*(n/cells) JOIN
-    // OUTPUT rows each carrying TWO 64-float embeddings (the 10x corpus
-    // spent ~10 min/run just copying those wide rows). Grouping each
-    // cell's members into ONE row first makes the join 4n x sqrt(n)
-    // (tiny, broadcast while the index fits the threshold; the identical
-    // plan degrades to a cid shuffle of GROUPED rows beyond), and the
-    // explode + sim + narrow projection fuse into one codegen stage —
-    // wide embeddings never cross a stage boundary. Arithmetic is
-    // unchanged (same r4(cosine_sim) per pair), so the edge list and its
-    // oracle are untouched.
-    val cellMembers = broadcast(index.filter(col("rn") === 1)
-      .groupBy("cid")
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members")))
-    val probes = index
+    val index = ivfIndexed(s, d)
+    // blocked candidate stream via [[cellMembersGrouped]] (r8 shape, r9
+    // size-gated hint): broadcast under the cap, cid shuffle of GROUPED
+    // rows beyond. Arithmetic is unchanged (same r4(cosine_sim) per
+    // pair), so the edge list and its oracle are untouched by the regime.
+    val cellMembers = cellMembersGrouped(s, index)
+    val probes = index.df
       .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe"))
     val cand = probes.join(cellMembers, "cid")
       .select(col("qid"), col("qe"), explode(col("members")).as("m"))
@@ -325,14 +376,16 @@ object TextSearch {
     // IvfCells of the corpus scanned.
     QueryDef("q48_ann_ivf",
       (s, d) => {
-        val index = ivfIndex(s, d)
+        val index = ivfIndexed(s, d).df
         val cells = index.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("embedding"))
         // nprobe: the query side expands to its IvfProbes nearest cells;
         // the (tiny) probe list broadcasts, the corpus is scanned once
         val qprobe = index.filter(col("vec_id") === 0)
           .select(col("cid").as("qcid"), col("embedding").as("qe"))
-        cells.join(broadcast(qprobe), col("cid") === col("qcid"))
+        cells.join(
+            graft.BroadcastBounds.bounded("single-query-probe")(qprobe),
+            col("cid") === col("qcid"))
           .filter(col("vec_id") =!= 0)
           .select(col("vec_id"), r4(expr("cosine_sim(embedding, qe)")).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
@@ -415,16 +468,16 @@ object TextSearch {
     // and the kept flag the downstream pipeline filters on.
     QueryDef("q68_semdedup",
       (s, d) => {
-        val index = ivfIndex(s, d)
-        val cells = index.filter(col("rn") === 1)
+        val idx = ivfIndexed(s, d)
+        val cells = idx.df.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("embedding"))
-        // blocked candidate stream, q62's r8 shape (11x at the 10x corpus):
-        // grouped cell members broadcast, explode + sim + narrow projection
-        // fused in one stage — wide rows never cross a boundary
-        val cellMembers = broadcast(cells
-          .groupBy("cid")
-          .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members")))
-        val probes = index
+        // blocked candidate stream, q62's r8 shape (11x at the 10x
+        // corpus) behind the same r9 size gate: grouped cell members
+        // broadcast under the cap (explode + sim + narrow projection
+        // fused in one stage — wide rows never cross a boundary), cid
+        // shuffle of grouped rows beyond it
+        val cellMembers = cellMembersGrouped(s, idx)
+        val probes = idx.df
           .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe"))
         val close = probes.join(cellMembers, "cid")
           .select(col("qid"), col("qe"), explode(col("members")).as("m"))
@@ -482,7 +535,8 @@ object TextSearch {
           .groupBy("pos")
           .agg(min(col("v").cast(DoubleType)).as("lo"),
             max(col("v").cast(DoubleType)).as("hi"))
-        val params = broadcast(stats.groupBy().agg(
+        val params = graft.BroadcastBounds.bounded("dim-range-params")(
+          stats.groupBy().agg(
           transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
             x => x.getField("lo")).as("los"),
           transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
@@ -552,7 +606,18 @@ object TextSearch {
           toks.as[Array[String]].select(sketch.toColumn).head()
         val nTotal = toks.agg(sum(size(col("toks")))).head().getLong(0)
         val thr = math.max(nTotal / 1000L, 5L)
-        val candDf = broadcast(candidates.toSeq.toDF("token"))
+        // EXACTNESS coupling (r8 advice): Misra-Gries guarantees every
+        // token with true count > nTotal/(capacity+1) survives the sketch,
+        // so the rescue pass is exact only while thr clears that bound.
+        // Holds for all n at capacity 4096 / thr >= n/1000; fail loudly if
+        // either constant is ever changed independently.
+        require(thr > nTotal / (
+            graft.functions.HeavyHitterSketch.DefaultCapacity + 1L),
+          s"q99 threshold $thr does not clear the MG guarantee " +
+            s"${nTotal / (graft.functions.HeavyHitterSketch.DefaultCapacity + 1L)} " +
+            "— raise the threshold or the sketch capacity")
+        val candDf = graft.BroadcastBounds.bounded("mg-candidates")(
+          candidates.toSeq.toDF("token"))
         toks.select(explode(col("toks")).as("token"))
           .join(candDf, Seq("token"), "left_semi")
           .groupBy("token")

@@ -75,7 +75,7 @@ object VectorStats {
   private def productSums(e: DataFrame): DataFrame = {
     val pairs = e.sparkSession.createDataFrame(
       for { i <- 1 to Dim; j <- i to Dim } yield (i, j)).toDF("i", "j")
-    e.crossJoin(broadcast(pairs))
+    e.crossJoin(graft.BroadcastBounds.bounded("dim-pairs")(pairs))
       .groupBy("i", "j")
       .agg(sum(floor((element_at(col("v"), col("i"))
           * element_at(col("v"), col("j"))) * 1e8 + 0.5).cast(LongType))
@@ -238,7 +238,7 @@ object VectorStats {
       .join(srcs, ranks("id") === srcs("src"), "left_anti")
       .agg(coalesce(sum(floor(col("r") * 1e12 + 0.5)), lit(0L)).as("d12"))
     nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-      .crossJoin(broadcast(dangling))
+      .crossJoin(graft.BroadcastBounds.bounded("scalar-agg")(dangling))
       .select(col("id"),
         (lit((1 - damping) / nN) + lit(damping)
           * (coalesce(col("s12"), lit(0L)) / 1e12
@@ -288,8 +288,10 @@ object VectorStats {
         val prods = productSums(e)
         val m = coordSums(e)
         prods
-          .join(broadcast(m.select(col("k").as("i"), col("sx").as("sxi"))), "i")
-          .join(broadcast(m.select(col("k").as("j"), col("sx").as("sxj"))), "j")
+          .join(graft.BroadcastBounds.bounded("dim-means")(
+            m.select(col("k").as("i"), col("sx").as("sxi"))), "i")
+          .join(graft.BroadcastBounds.bounded("dim-means")(
+            m.select(col("k").as("j"), col("sx").as("sxj"))), "j")
           .select(col("i"), col("j"),
             // + 0.0 normalizes IEEE negative zero: near-zero covariance
             // cells round to -0.0 in DuckDB but 0.0 in Spark's
@@ -380,10 +382,10 @@ object VectorStats {
             }),
             lit(0L), (acc, x) => acc + x).cast(DoubleType) / 1e8)
             .as("norm"))
-        val med = broadcast(norms.agg(
+        val med = graft.BroadcastBounds.bounded("scalar-agg")(norms.agg(
           expr("percentile(norm, 0.5)").as("med")))
         val withMed = norms.crossJoin(med)
-        val mad = broadcast(withMed.agg(
+        val mad = graft.BroadcastBounds.bounded("scalar-agg")(withMed.agg(
           expr("percentile(abs(norm - med), 0.5)").as("mad")))
         withMed.crossJoin(mad)
           // degenerate guard: >=50% identical norms (e.g. L2-normalized
