@@ -71,10 +71,12 @@ object Curation {
   /** The df >= 3 duplicated-line set, MATERIALIZED (checkpoint) so the
     * one line-frequency shuffle is paid once and the gate's count job
     * reads checkpointed blocks instead of recomputing the aggregate.
-    * Returns (dupSet, rows, estBytes) and records the measurement in
-    * [[lastDupSetStats]]. */
-  private[graft] def dupSetWithStats(s: org.apache.spark.sql.SparkSession,
-      d: String, lines: org.apache.spark.sql.DataFrame)
+    * Returns (dupSet, rows, estBytes). NOTE: this runs the checkpoint +
+    * count JOBS eagerly — q94's gate needs the measured cardinality
+    * before it can choose a join strategy, so even plan-only consumers
+    * of q94 pay the dup aggregate once per call. That is the price of a
+    * measured (not estimated) gate on a corpus-dependent set. */
+  private[graft] def dupSetWithStats(lines: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Long, Long) = {
     val dup = org.apache.spark.sql.execution.GraftCheckpoint
       .localCheckpointFlatStats(
@@ -463,7 +465,7 @@ object Curation {
     QueryDef("q94_line_dedup",
       (s, d) => {
         val lines = q94Lines(s, d)
-        val (dup, dupRows, estBytes) = dupSetWithStats(s, d, lines)
+        val (dup, dupRows, estBytes) = dupSetWithStats(lines)
         val useBroadcast = dupRows <= dupBroadcastMaxRows(s)
         lastDupSetStats.set((dupRows, estBytes, useBroadcast))
         if (!useBroadcast)

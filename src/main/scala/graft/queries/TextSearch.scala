@@ -144,7 +144,11 @@ object TextSearch {
       d: String): IvfIndex = {
     val e = t(s, d, "embeddings")
     val n = e.count()
-    val dim = e.select(size(col("embedding")).as("d")).head().getInt(0)
+    // headOption: an empty embeddings table degrades to an empty index
+    // (dim only feeds the members-broadcast byte estimate), rather than
+    // throwing NoSuchElementException at index-build time.
+    val dim = e.select(size(col("embedding")).as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
     val df =
       org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
         ivfAssigned(s, d, ivfCells(n)).filter(col("rn") <= IvfProbes)

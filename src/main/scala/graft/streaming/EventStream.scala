@@ -125,10 +125,13 @@ object EventStream {
     * dimension (user -> nation, customer x nation collapsed driver-side)
     * and aggregates revenue-ish counts per (hour, nation) under the same
     * 2-hour watermark as q33. The static side needs NO state store: Spark
-    * re-plans the dim into every micro-batch as an ordinary broadcast
-    * join, so an unbounded stream enriches against a dimension table with
-    * bounded memory — the canonical "enrich at ingest" topology (stream
-    * joins against reference data; only the windowed agg holds state).
+    * re-plans the dim into every micro-batch, and the join carries NO
+    * explicit hint — size-based planning broadcasts the dim while it fits
+    * `autoBroadcastJoinThreshold` and degrades to a keyed shuffle beyond
+    * (the user dimension is customer-table-proportional, so a forced
+    * broadcast would be the r8 bug class; see BroadcastBounds). The
+    * canonical "enrich at ingest" topology (stream joins against
+    * reference data; only the windowed agg holds state).
     * Events without a dimension row keep flowing as nation='unknown' (a
     * left join — enrichment must never drop facts). */
   def enrichedHourly(spark: SparkSession, replayDir: String, sfDir: String,
@@ -146,7 +149,7 @@ object EventStream {
       .parquet(replayDir)
       .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       .withWatermark("ts", "2 hours")
-      .join(broadcast(userNationDim(spark, sfDir)), Seq("user_id"), "left")
+      .join(userNationDim(spark, sfDir), Seq("user_id"), "left")
       .withColumn("nation", coalesce(col("nation"), lit("unknown")))
       .groupBy(window(col("ts"), "1 hour"), col("nation"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
@@ -163,9 +166,11 @@ object EventStream {
   }
 
   /** The static dimension of [[enrichedHourly]]: user_id -> nation name
-    * (customer keyed by c_custkey joined to nation — both broadcast-sized
-    * by design; at 100 TB the dim ships as ~KB to every executor while the
-    * stream never shuffles before its windowed agg). */
+    * (customer keyed by c_custkey joined to nation). Customer grows with
+    * the corpus, so callers join it UN-hinted: while the projected dim
+    * fits the broadcast threshold it ships to every executor and the
+    * stream never shuffles before its windowed agg; past the threshold
+    * planning degrades to a keyed shuffle instead of a driver OOM. */
   def userNationDim(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/customer.parquet")
       .join(spark.read.parquet(s"$sfDir/nation.parquet"),
@@ -327,7 +332,7 @@ object EventStream {
   def batchEnrichedHourly(spark: SparkSession, sfDir: String): DataFrame =
     Q.events(spark, sfDir)
       .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      .join(broadcast(userNationDim(spark, sfDir)), Seq("user_id"), "left")
+      .join(userNationDim(spark, sfDir), Seq("user_id"), "left")
       .withColumn("nation", coalesce(col("nation"), lit("unknown")))
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("nation"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
