@@ -33,21 +33,35 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Warmup failures must never abort the bench: the r10 run died rc=1
+    // with no JSON line because an ingestion AnalysisException escaped the
+    // events schema touch here. A broken warmup only costs accuracy on the
+    // first timed run of the affected queries (which then report -1 on
+    // their own per-query guard), so degrade loudly and keep going.
+    def warm(what: String)(body: => Unit): Unit =
+      try body catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warmup '$what' failed " +
+            s"(affected queries will report -1): $e")
+      }
+
     // Warmup: touch every table (file listing + footer reads), JIT one
     // small aggregate job end-to-end.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").schema
+    warm("table schemas") {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").schema
+      }
     }
-    Q.events(spark, sfDir).schema
-    materialize("q20_topk")
+    warm("events ingestion")(Q.events(spark, sfDir).schema)
+    warm("q20 end-to-end")(materialize("q20_topk"))
     // Codegen-kernel warmup (r5 verdict item 3): run the sketch kernels
     // (minhash_sig / simhash32 / hyperplane_bucket) over enough real rows
     // that the JVM compiles their hot loops before any timed run — a
     // single-run harness otherwise bills kernel JIT to whichever of
     // q35/q36/q41 executes first (r5 recorded q35 at 6.6 s for a 1.7-2.4 s
     // steady state). limit() bounds the warmup cost at any SF.
-    locally {
+    warm("sketch kernels") {
       import org.apache.spark.sql.functions.{col, expr, split}
       graft.functions.GraftFunctions.register(spark)
       spark.read.parquet(s"$sfDir/documents.parquet").limit(20000)

@@ -26,15 +26,26 @@ object Q {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by default;
-    * read it as a raw long (legacy conf) and truncate ns -> micros exactly
-    * (integer `div`, not double division: ~1.7e18 ns overflows a double
-    * mantissa). The DuckDB oracle mirrors with CAST(ts AS TIMESTAMP).
+  /** Schema-adaptive events ingestion. The data generator has shipped
+    * events.ts as parquet TIMESTAMP(NANOS) (one generation) and as
+    * TIMESTAMP_MICROS/NTZ (the next); a reader hard-wired to either layout
+    * breaks when the upstream writer changes, so branch on the dataType the
+    * scan actually loads:
+    *   - LongType  => the legacy nanosAsLong conf was in effect and the file
+    *     is TIMESTAMP(NANOS); truncate ns -> micros exactly (integer `div`,
+    *     not double division: ~1.7e18 ns overflows a double mantissa).
+    *   - any timestamp type => already micro-precision; normalize to NTZ.
+    * The legacy conf stays set so BOTH generations load (it is a no-op on a
+    * micros column). The DuckDB oracle mirrors with CAST(ts AS TIMESTAMP).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType)
+      case _        => col("ts").cast(TimestampNTZType)
+    }
+    raw.withColumn("ts", ts)
   }
 
   /** Oracle-side twin of [[events]]: a CTE body projecting the same columns. */
