@@ -23,7 +23,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * The gated entries' runtime behavior (hint dropped beyond the cap, plan
   * flips to a keyed shuffle, rows unchanged) is pinned separately in
-  * QueryPlanSpec ("both regimes") and CurationSpec.
+  * KnnGraphSpec (ivf-cell-members-gated, q62/q68) and CurationSpec
+  * (dup-set-gated, q94).
   */
 class BroadcastBoundsSpec extends AnyFunSuite {
 

@@ -12,6 +12,70 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def hintedBounds(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.analyzed.collectWithSubqueries {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child match {
+          case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+            if sa.alias.startsWith(BroadcastBounds.Tag) =>
+            sa.alias.stripPrefix(BroadcastBounds.Tag)
+          case _ => "<unregistered>"
+        }
+    }.toSet
+
+  /** Both regimes of q94's MEASURED dup-set gate
+    * (`spark.graft.dedup.dupBroadcastMaxRows`): the default run measures
+    * the duplicated-line cardinality, records it in `lastDupSetStats`, and
+    * hints the broadcast; with the cap forced to 0 the same query reports
+    * broadcast=false, ships no `dup-set-gated` hint, and — with size-based
+    * planning disabled so the tiny spec-scale set cannot be silently
+    * re-broadcast by AQE — the mark join executes as a keyed shuffle on
+    * lh. Rows identical in both regimes. This is the test the registry
+    * rationale (`BroadcastBounds.registry("dup-set-gated")`) cites.
+    */
+  test("q94: over-cap regime drops the dup-set hint, shuffles, same rows") {
+    val hinted = SparkEntry.queries("q94_line_dedup")(spark, dir)
+    assert(hintedBounds(hinted).contains("dup-set-gated"),
+      "default regime should hint the measured dup set under the cap")
+    val (rowsU, bytesU, bcastU) = graft.queries.Curation.lastDupSetStats.get()
+    assert(bcastU, "default regime should record broadcast=true")
+    assert(rowsU > 0 && bytesU > 0, "the measured dup set must be non-empty")
+    val hintedRows = hinted.collect().toSeq
+
+    withConf(
+      "spark.graft.dedup.dupBroadcastMaxRows" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val shuffled = SparkEntry.queries("q94_line_dedup")(spark, dir)
+      assert(!hintedBounds(shuffled).contains("dup-set-gated"),
+        "over-cap regime must not hint the dup set")
+      val (rowsO, _, bcastO) = graft.queries.Curation.lastDupSetStats.get()
+      assert(!bcastO, "over-cap regime should record broadcast=false")
+      assert(rowsO == rowsU, "the measured cardinality is regime-independent")
+
+      val nodes = PlanWalk.collectAll(PlanWalk.executedPlanOf(shuffled))
+      val shuffleJoins = nodes.count {
+        case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+        case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+        case _ => false
+      }
+      assert(shuffleJoins >= 1,
+        "over-cap plan should contain a keyed shuffle join, found: " +
+          nodes.map(_.nodeName).distinct.sorted.mkString(", "))
+
+      assert(shuffled.collect().toSeq == hintedRows,
+        "q94 rows differ between broadcast and shuffle regimes")
+    }
+  }
+
   test("q67: every stamped doc is detected, counts match the stamp arithmetic") {
     val out = SparkEntry.queries("q67_pii_scrub")(spark, dir).collect()
     assert(out.nonEmpty)

@@ -20,6 +20,70 @@ class KnnGraphSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Registered-bound aliases hinted anywhere in df's ANALYZED plan. */
+  private def hintedBounds(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.analyzed.collectWithSubqueries {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        h.child match {
+          case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+            if sa.alias.startsWith(BroadcastBounds.Tag) =>
+            sa.alias.stripPrefix(BroadcastBounds.Tag)
+          case _ => "<unregistered>"
+        }
+    }.toSet
+
+  /** Both regimes of the r9 size gate on the grouped cell-members build
+    * side (`spark.graft.ivf.membersBroadcastCap`): under the cap the
+    * analyzed plan carries the `ivf-cell-members-gated` hint; with the cap
+    * forced to 0 the hint is GONE and — with size-based planning also
+    * disabled so AQE cannot quietly re-broadcast the tiny spec-scale
+    * table — the candidate join executes as a real keyed shuffle join.
+    * Rows must be identical in both regimes: the gate changes the physical
+    * strategy, never the graph. This is the test the registry rationale
+    * (`BroadcastBounds.registry("ivf-cell-members-gated")`) cites.
+    */
+  test("q62/q68: over-cap regime drops the members hint, shuffles, same rows") {
+    val sp = spark
+    val dir = "/root/testdata/sf0.001"
+
+    for (q <- Seq("q62_knn_graph", "q68_semdedup")) {
+      val hinted = SparkEntry.queries(q)(sp, dir)
+      assert(hintedBounds(hinted).contains("ivf-cell-members-gated"),
+        s"$q default regime should hint the grouped members under the cap")
+      val hintedRows = hinted.collect().toSeq
+
+      withConf(
+        "spark.graft.ivf.membersBroadcastCap" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val shuffled = SparkEntry.queries(q)(sp, dir)
+        assert(!hintedBounds(shuffled).contains("ivf-cell-members-gated"),
+          s"$q over-cap regime must not hint the corpus-proportional side")
+
+        val nodes = PlanWalk.collectAll(PlanWalk.executedPlanOf(shuffled))
+        val shuffleJoins = nodes.count {
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+          case _ => false
+        }
+        assert(shuffleJoins >= 1,
+          s"$q over-cap plan should contain a keyed shuffle join, " +
+            s"found node types: ${nodes.map(_.nodeName).distinct.sorted}")
+
+        assert(shuffled.collect().toSeq == hintedRows,
+          s"$q rows differ between broadcast and shuffle regimes")
+      }
+    }
+  }
+
   test("q62: IVF top-1 matches brute-force top-1 for most vectors") {
     val sp = spark
     val dir = "/root/testdata/sf0.001"
