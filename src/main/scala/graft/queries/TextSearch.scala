@@ -144,10 +144,13 @@ object TextSearch {
       d: String): IvfIndex = {
     val e = t(s, d, "embeddings")
     val n = e.count()
-    // headOption: an empty embeddings table degrades to an empty index
-    // (dim only feeds the members-broadcast byte estimate), rather than
-    // throwing NoSuchElementException at index-build time.
-    val dim = e.select(size(col("embedding")).as("d"))
+    // headOption + isNotNull: an empty table OR a leading NULL embedding
+    // degrades to dim 0 (dim only feeds the members-broadcast byte
+    // estimate; a corpus with no non-null embeddings groups to a
+    // correspondingly tiny members table), rather than throwing at
+    // index-build time.
+    val dim = e.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d"))
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
     val df =
       org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(

@@ -171,11 +171,27 @@ object EventStream {
     * fits the broadcast threshold it ships to every executor and the
     * stream never shuffles before its windowed agg; past the threshold
     * planning degrades to a keyed shuffle instead of a driver OOM. */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def userNationDim(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/customer.parquet")
-      .join(spark.read.parquet(s"$sfDir/nation.parquet"),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+    // persist + per-JVM memo: the stream side replans this join EVERY
+    // micro-batch (maxFilesPerTrigger=1 means N batches), so an un-cached
+    // dim is re-read from parquet and — once it outgrows the broadcast
+    // threshold — re-shuffled N times. Cached, the first batch materializes
+    // the projected dim once and every later batch reuses the in-memory
+    // blocks; materialization also gives the planner MEASURED InMemory
+    // stats instead of the over-estimating join-of-scans estimate, so the
+    // broadcast-vs-shuffle decision flips exactly at the true size. Still
+    // un-hinted (customer-proportional — the r8 bug class); MEMORY_AND_DISK
+    // so an executor-memory-sized dim spills instead of recomputing.
+    dimCache.computeIfAbsent(
+      s"${System.identityHashCode(spark.sparkContext)}:$sfDir", _ =>
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Streaming keyed upsert via foreachBatch (q86): the arbitrary-sink
     * surface — each micro-batch MERGEs its per-user aggregate into a

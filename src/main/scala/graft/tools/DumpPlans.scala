@@ -200,6 +200,34 @@ object DumpPlans {
         |exchanges are the 5-row partial+final aggregate pair and the
         |final sort. ReadSchema proves column pruning reaches the scan
         |(4 of 9 order columns).""".stripMargin,
+    "q96_image_phash_neardup" ->
+      """Multimodal near-dup at the q36 shape: pHash is ONE mapInPandas-free
+        |Project per image (decode + DCT inside the phash64 expression —
+        |binary payloads never shuffle), banding splits the 64-bit hash
+        |into 4 pigeonhole bands (any pair within hamming 3 shares an
+        |exact band — the recall proof is in MultimodalSpec), and the
+        |candidate self-join is keyed on (band, value) so only same-band
+        |images ever meet. The hamming re-check runs on the pair stream's
+        |two longs, not the images. At 100 TB the decode scan dominates
+        |and parallelizes per-file; the join never sees a binary
+        |column.""".stripMargin,
+    "q97_contrastive_triplets" ->
+      """Rides q62's materialized-index candidate stream unchanged (same
+        |Scan ExistingRDD leaves, same cell-keyed join, same partial
+        |WindowGroupLimit below the qid exchange); the triplet selection
+        |itself is ONE extra partial-agg groupBy on the anchor id
+        |(min_by/max_by over rk) — no second window, no self-join back.
+        |The kNN graph is the expensive artifact; triplets are a
+        |near-free derivation.""".stripMargin,
+    "q100_hll_sketch_rollup" ->
+      """Mergeable-sketch pre-aggregation: per-source HLL sketches build in
+        |one partial+final HashAggregate pair over the single corpus scan
+        |(the sketch IS the partial state — ~2.5 KB per slice at lgK=12),
+        |and the global rollup UNIONS the stored sketches
+        |(hll_union_agg over source-count rows) instead of rescanning.
+        |The exact_distinct audit column rides the same scan. At 100 TB
+        |every later rollup over stored slices is sketch-sized work; the
+        |corpus is scanned once per ingest.""".stripMargin,
     "q99_heavy_hitters" ->
       """The exact rescue pass after the Misra-Gries sketch (pass 1 is one
         |buffer per partition to the driver — <= 4096 counters each, no
@@ -215,10 +243,16 @@ object DumpPlans {
         |candidate set and the exact counts discard the rest.""".stripMargin)
 
   /** Frames that are not directly a `SparkEntry.queries` entry — the
-    * per-iteration jobs of the iterative queries, whose returned summary
-    * frame hides the shape that actually dominates runtime. */
+    * per-iteration jobs of the iterative queries (whose returned summary
+    * frame hides the shape that actually dominates runtime), the batch twin
+    * of the q98 stream-stream join (the streaming rig's plan only exists
+    * inside a running micro-batch), and the OVER-CAP regimes of the gated
+    * q62/q68 broadcasts. Frames are rendered EAGERLY (the `render` arg)
+    * because the gated entries flip on session conf that must be restored
+    * before the next frame plans. */
   private def customFrames(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Seq[(String, String, org.apache.spark.sql.DataFrame)] = {
+      sfDir: String, render: org.apache.spark.sql.DataFrame => String)
+      : Seq[(String, String, String)] = {
     import graft.queries.{TextSearch, VectorStats}
     import org.apache.spark.sql.functions.{col, count, lit}
     import org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats
@@ -233,6 +267,20 @@ object DumpPlans {
     val ec = localCheckpointFlatStats(edges.join(outdeg, "src"))
     val srcs = ec.select("src").distinct()
     val ranks = localCheckpointFlatStats(nodes.withColumn("r", lit(1.0 / nN)))
+    def overCap(build: => org.apache.spark.sql.DataFrame): String = {
+      val prevCap = spark.conf.getOption("spark.graft.ivf.membersBroadcastCap")
+      val prevThr = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.graft.ivf.membersBroadcastCap", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try render(build)
+      finally {
+        prevCap.fold(spark.conf.unset("spark.graft.ivf.membersBroadcastCap"))(
+          spark.conf.set("spark.graft.ivf.membersBroadcastCap", _))
+        prevThr.fold(
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      }
+    }
     Seq(
       ("q80_kmeans (per-iteration update job)",
         """The job each Lloyd iteration runs (the returned summary frame is
@@ -244,7 +292,7 @@ object DumpPlans {
           |corpus size. k*64 scalars come back to the driver per iteration;
           |the corpus never does. QueryPlanSpec asserts no-join +
           |agg-below-every-shuffle on this exact frame.""".stripMargin,
-        VectorStats.lloydUpdate(e, cents)),
+        render(VectorStats.lloydUpdate(e, cents))),
       ("q85_pagerank (per-iteration step)",
         """One PageRank iteration as a single plan (the final ranks frame is
           |a checkpoint scan): the src-keyed rank join feeds per-edge
@@ -256,8 +304,37 @@ object DumpPlans {
           |across the 8 rounds. QueryPlanSpec asserts no-cartesian,
           |one-row-build-side-only BNLJ, and agg-below-the-contribution-
           |exchange on this exact frame.""".stripMargin,
-        VectorStats.pagerankStep(nodes, ec, srcs, ranks, nN,
-          VectorStats.PrDamping)))
+        render(VectorStats.pagerankStep(nodes, ec, srcs, ranks, nN,
+          VectorStats.PrDamping))),
+      ("q98_stream_stream_join (batch twin of the streaming interval join)",
+        """The streaming rig's plan only exists inside a live micro-batch;
+          |this is its batch twin (StreamingTwinSpec proves pair-set
+          |equality). The per-user interval join is a plain equi-join on
+          |user_id with the time interval as a residual condition — NOT a
+          |BroadcastNestedLoopJoin — so both sides hash-partition on the
+          |join key and pairs form per-user. In the streaming form the
+          |same equi-key keeps the state store hash-partitioned, and the
+          |two-sided watermark bounds retained state to watermark x rate
+          |per side regardless of stream age.""".stripMargin,
+        render(graft.streaming.EventStream.batchAttributedPairs(
+          spark, sfDir))),
+      ("q62_knn_graph (over-cap shuffle regime)",
+        """The same q62 with `spark.graft.ivf.membersBroadcastCap=0` (and
+          |size-based planning off): the grouped cell-members hint is gone
+          |and the candidate join is a keyed SHUFFLE join on cid — grouped
+          |member rows cross the wire exactly once, no driver collect,
+          |no broadcast of a corpus-proportional table. This is the plan a
+          |100 TB corpus gets automatically when membersEstBytes outgrows
+          |the cap; KnnGraphSpec pins row equality between the
+          |regimes.""".stripMargin,
+        overCap(graft.queries.TextSearch.knnGraph(spark, sfDir))),
+      ("q68_semdedup (over-cap shuffle regime)",
+        """q68 under the same forced over-cap conf: the ε-candidate join
+          |degrades from broadcast to a cid-keyed shuffle of grouped
+          |members while the n_close partial aggregate and min-id attach
+          |are unchanged. Rows are regime-independent
+          |(KnnGraphSpec).""".stripMargin,
+        overCap(graft.SparkEntry.queries("q68_semdedup")(spark, sfDir))))
   }
 
   def main(args: Array[String]): Unit = {
@@ -286,9 +363,9 @@ object DumpPlans {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n$note\n\n```\n${render(df)}```\n")
     }
-    val custom = customFrames(spark, sfDir)
-    custom.foreach { case (name, note, df) =>
-      sb.append(s"\n## $name\n\n$note\n\n```\n${render(df)}```\n")
+    val custom = customFrames(spark, sfDir, render)
+    custom.foreach { case (name, note, plan) =>
+      sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS.md"), sb.toString)

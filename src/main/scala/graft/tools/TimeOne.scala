@@ -2,7 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: time one named query N times at a given sf dir. */
+/** Dev-only: time one named query N times at a given sf dir. Trailing
+  * `key=value` args become session conf (e.g.
+  * `spark.graft.ivf.membersBroadcastCap=0` to force the over-cap shuffle
+  * regime for a scaling rehearsal). */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -15,6 +18,11 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    args.drop(3).filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      println(s"[time] conf $k=$v")
+      spark.conf.set(k, v)
+    }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)

@@ -48,7 +48,7 @@ class SessionWindowSpec extends AnyFunSuite {
   test("approx_count_distinct lands within 5% of exact (q12c contract)") {
     val spark = TestSpark.spark
     val row = SparkEntry.queries("q12c_approx_distinct")(spark, dir).collect().head
-    assert(row.getAs[Double]("rel_error") <= 0.05,
-      s"approx distinct off by ${row.getAs[Double]("rel_error")}")
+    assert(row.getAs[Boolean]("within_tol"),
+      s"approx distinct out of 5% tolerance (exact=${row.getAs[Long]("exact_parts")})")
   }
 }
