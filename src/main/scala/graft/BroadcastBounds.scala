@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions.broadcast
   * `graft.queries` (BroadcastBoundsSpec walks the source tree and fails on
   * any raw `broadcast(` call), and every hint must cite a registered bound
   * explaining why the build side cannot grow with the corpus — or, for the
-  * two `gated` entries, why the hint is only applied under a measured /
-  * estimated size cap and which shuffle plan takes over beyond it.
+  * `gated` entry, why the hint is only applied under a measured size
+  * cap and which shuffle plan takes over beyond it.
   * [[bounded]] stamps the build side with a `graft_bcast_<name>` subquery
   * alias, so BroadcastBoundsSpec can also walk every ANALYZED plan and
   * prove each ResolvedHint in the query surface traces back to a
@@ -89,14 +89,10 @@ object BroadcastBounds {
       "sqrt(n) IVF cells x d floats: ~10^5 cells x 64 floats = ~25 MB at " +
         "10^10 vectors; the FAISS coarse-quantizer sizing (TextSearch." +
         "IvfCellsMin scaladoc)"),
-    "ivf-cell-members-gated" -> Bound(Gated,
-      "the grouped cell-members table is the FULL embedding corpus (one " +
-        "(id, embedding) struct per vector, grouped by cell) — corpus-" +
-        "proportional, so the hint is applied only while membersEstBytes" +
-        "(n, dim) <= spark.graft.ivf.membersBroadcastCap (default 64 MB); " +
-        "beyond the cap the identical plan ships un-hinted and the join " +
-        "shuffles GROUPED rows once on cid (KnnGraphSpec pins both " +
-        "regimes)"),
+    "ivf-cell-salts" -> Bound(Sublinear,
+      "one (cid, n_salts) row per IVF cell — sqrt(n) rows of two ints; " +
+        "the fan-out table that spreads a hot cell's probes across its " +
+        "ceil(size/MaxCellGroupMembers) salt keys"),
     "dup-set-gated" -> Bound(Gated,
       "the df>=3 duplicated-line set is corpus-dependent (tiny for real " +
         "boilerplate rates, unbounded adversarially), so q94 MEASURES its " +

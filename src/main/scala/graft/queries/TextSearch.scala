@@ -48,31 +48,20 @@ object TextSearch {
   /** Q62 neighbors kept per vector in the k-NN graph. */
   val KnnK = 3
 
-  /** Cap (estimated bytes) under which the grouped cell-members build side
-    * of q62/q68 carries an explicit broadcast hint. An explicit hint
-    * OVERRIDES spark.sql.autoBroadcastJoinThreshold — size-based planning
-    * never gets a vote — so an unconditional broadcast of the grouped
-    * corpus would be a hard failure at scale (8 GB broadcast-table limit,
-    * driver OOM), not a graceful degradation. Under the cap the hint buys
-    * the measured 11x (grouped embeddings never cross a stage boundary);
-    * over it the SAME plan ships un-hinted and the join shuffles GROUPED
-    * rows once on cid. 64 MB keeps the fast path through every tested rig
-    * (10x corpus = 50k vectors ~ 14 MB grouped) and trips well before any
-    * driver-threatening size; override per session via
-    * `spark.graft.ivf.membersBroadcastCap` (KnnGraphSpec forces 0 to pin
-    * the shuffle regime).
-    */
-  val MembersBroadcastCapBytes: Long = 64L << 20
-
-  private def membersCap(s: org.apache.spark.sql.SparkSession): Long =
-    s.conf.get("spark.graft.ivf.membersBroadcastCap",
-      MembersBroadcastCapBytes.toString).toLong
-
-  /** Estimated grouped cell-members size: one (id, embedding) struct per
-    * corpus vector — 8 B id + 4 B per float + ~24 B struct/array overhead.
-    * Deliberately an OVER-estimate (grouping adds no rows, drops rn/cid):
-    * the gate must fail closed, never broadcast-by-underestimate. */
-  def membersEstBytes(n: Long, dim: Int): Long = n * (32L + 4L * dim)
+  /** The grouped cell-members build side of q62/q68 carries NO explicit
+    * broadcast hint (r11). History: r8 hinted it unconditionally (driver
+    * OOM at scale — the hint overrides autoBroadcastJoinThreshold); r9
+    * size-gated the hint; r11 MEASURED the gate on a hot-cluster 10x rig
+    * and removed the hint entirely, because with salted cell groups
+    * (see [[MaxCellGroupMembers]]) the un-hinted plan won or tied every
+    * tested regime: 2.06 s vs 2.07 s at sf0.1, 35 s vs 98 s at the 10x
+    * hot-cluster rig (the (cid, salt) exchange redistributes a
+    * layout-clustered probe stream that the broadcast join's
+    * stream-side-partition-preserving shape cannot; BENCH_NOTES_r11).
+    * Size-based planning + AQE now own the choice: a genuinely tiny
+    * members table is runtime-broadcast from its MEASURED post-shuffle
+    * size, a corpus-sized one degrades to the keyed shuffle — the same
+    * graceful envelope the r10 verdict endorsed for userNationDim. */
 
   /** Q68 SemDeDup cosine bar. Deliberately NOT q37's 0.95 near-identical
     * bar: the synthetic embedding space tops out at cosine ~0.48/0.51/0.60
@@ -123,10 +112,9 @@ object TextSearch {
     nearest(refined)
   }
 
-  /** The materialized IVF index plus the corpus stats its consumers size
-    * their plans with: `corpusRows` drives the sqrt(n) cell count AND the
-    * q62/q68 members-broadcast gate; `dim` completes the byte estimate. */
-  final case class IvfIndex(df: DataFrame, corpusRows: Long, dim: Int)
+  /** The materialized IVF index plus the corpus row count its consumers
+    * size their plans with (`corpusRows` drives the sqrt(n) cell count). */
+  final case class IvfIndex(df: DataFrame, corpusRows: Long)
 
   /** The materialized IVF index: [[ivfAssigned]] kept to each vector's
     * IvfProbes nearest cells and checkpointed. Both consumers (the rn = 1
@@ -137,50 +125,87 @@ object TextSearch {
     * so ReuseExchange never fires), and a real IVF index is built once
     * and stored anyway. Materialized size is IvfProbes x corpus of
     * (id, cid, embedding, rn) rows — the same order as the index a
-    * vector store persists. The sizing jobs (a footer count + a one-row
-    * dim read) run once per index build, free relative to the quantizer.
+    * vector store persists. The sizing job (a parquet-footer count) runs
+    * once per index build, free relative to the quantizer.
     */
   private def ivfIndexed(s: org.apache.spark.sql.SparkSession,
       d: String): IvfIndex = {
     val e = t(s, d, "embeddings")
     val n = e.count()
-    // headOption + isNotNull: an empty table OR a leading NULL embedding
-    // degrades to dim 0 (dim only feeds the members-broadcast byte
-    // estimate; a corpus with no non-null embeddings groups to a
-    // correspondingly tiny members table), rather than throwing at
-    // index-build time.
-    val dim = e.filter(col("embedding").isNotNull)
-      .select(size(col("embedding")).as("d"))
-      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
     val df =
       org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
         ivfAssigned(s, d, ivfCells(n)).filter(col("rn") <= IvfProbes)
           .select(col("vec_id"), col("cid"), col("embedding"), col("rn")))
-    IvfIndex(df, n, dim)
+    IvfIndex(df, n)
   }
 
-  /** Each cell's members grouped into ONE row (the r8 blocked-candidate
-    * shape: the flat SMJ materialized ~probes*(n/cells) join-output rows
-    * each carrying TWO 64-float embeddings — the 10x corpus spent ~10
-    * min/run copying those wide rows; grouped, the join is 4n x sqrt(n)
-    * and the explode + sim + narrow projection fuse into one codegen
-    * stage, so wide embeddings never cross a stage boundary). The
-    * broadcast hint is SIZE-GATED (r8 verdict: an unconditional hint
-    * overrode the threshold, forcing the whole corpus to the driver at
-    * any scale): under [[membersCap]] the grouped table broadcasts; over
-    * it the identical plan shuffles grouped rows once on cid. Both
-    * regimes return the same rows — KnnGraphSpec pins the plans and the
-    * equality.
+  /** Members per grouped cell row cap (r11). Without it a hot cell — a
+    * near-dup cluster holding half the corpus — becomes ONE wide grouped
+    * row and ONE shuffle key: in the over-cap shuffle regime every probe
+    * of that cell hashes to the same partition, a single task computes
+    * all |cell|^2 pairs, and AQE's skew splitting cannot help (it splits
+    * partitions of many rows, not one mega-row). BENCH_NOTES_r11 measured
+    * 366 s vs 74 s at the 10x rig with a 20k-member hot cluster. Cells
+    * over the cap get ceil(size/cap) SALT keys: each member hashes into
+    * one salt, each probe fans out across its cell's salts (the per-cell
+    * salt table is sqrt(n) rows, broadcast) — pair volume is unchanged,
+    * but it spreads over size/cap shuffle keys/tasks and no grouped row
+    * carries more than cap embeddings (bounds broadcast units and
+    * per-task memory too). Standard IVF imbalance handling.
+    * Session-overridable via `spark.graft.ivf.maxCellGroupMembers`
+    * (smaller = more parallelism on hot cells, more probe fan-out).
+    * Default 1024: at the 10x hot-cluster rig (20k-member cell), 1024
+    * (20 salts) measured 35 s steady vs 130 s at 4096 (5 salts) in the
+    * shuffle regime — hot-cell parallelism dominates the extra fan-out
+    * (BENCH_NOTES_r11); uniform sqrt(n)-sized cells only exceed 1024
+    * beyond ~10^6 vectors, where the extra keys are pure win. */
+  val MaxCellGroupMembers = 1024
+
+  private def maxCellGroup(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("spark.graft.ivf.maxCellGroupMembers",
+      MaxCellGroupMembers.toString).toInt
+
+  /** Grouped members keyed (cid, salt) + the per-cell salt counts the
+    * probe side fans out with. */
+  final case class SaltedCells(members: DataFrame, saltCounts: DataFrame)
+
+  /** Each cell's members grouped into ≤[[MaxCellGroupMembers]]-wide rows
+    * (the r8 blocked-candidate shape: the flat SMJ materialized
+    * ~probes*(n/cells) join-output rows each carrying TWO 64-float
+    * embeddings — the 10x corpus spent ~10 min/run copying those wide
+    * rows; grouped, the join is salted-cell-keyed and the explode + sim +
+    * narrow projection fuse into one codegen stage, so wide embeddings
+    * never cross a stage boundary). UN-HINTED by design (see the class
+    * note above): size-based planning + AQE pick broadcast vs shuffle
+    * from the measured grouped size; KnnGraphSpec pins that the forced
+    * shuffle regime returns identical rows through a real keyed
+    * exchange.
     */
   private def cellMembersGrouped(s: org.apache.spark.sql.SparkSession,
-      idx: IvfIndex): DataFrame = {
-    val members = idx.df.filter(col("rn") === 1)
-      .groupBy("cid")
+      idx: IvfIndex): SaltedCells = {
+    val m0 = idx.df.filter(col("rn") === 1)
+    val saltCounts = m0.groupBy("cid")
+      .agg(ceil(count(lit(1)).cast(DoubleType) / maxCellGroup(s))
+        .cast(IntegerType).as("n_salts"))
+    val members = m0
+      .join(graft.BroadcastBounds.bounded("ivf-cell-salts")(saltCounts), "cid")
+      .withColumn("salt",
+        pmod(xxhash64(col("vec_id")), col("n_salts").cast(LongType))
+          .cast(IntegerType))
+      .groupBy("cid", "salt")
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
-    if (membersEstBytes(idx.corpusRows, idx.dim) <= membersCap(s))
-      graft.BroadcastBounds.bounded("ivf-cell-members-gated")(members)
-    else members
+    SaltedCells(members, saltCounts)
   }
+
+  /** The probe stream fanned out across each probed cell's salt keys
+    * (fan-out 1 for every cell under [[MaxCellGroupMembers]]; a member
+    * meets a probe exactly once since it carries exactly one salt). */
+  private def saltedProbes(probes: DataFrame, cells: SaltedCells): DataFrame =
+    probes
+      .join(graft.BroadcastBounds.bounded("ivf-cell-salts")(cells.saltCounts),
+        "cid")
+      .withColumn("salt", explode(sequence(lit(0), col("n_salts") - 1)))
+      .drop("n_salts")
 
   /** Oracle twin of [[ivfAssigned]] (CTE chain ending in `assigned` and
     * the home-cell view `cells`), shared by the q48 and q62 oracles. */
@@ -240,9 +265,10 @@ object TextSearch {
     // rows beyond. Arithmetic is unchanged (same r4(cosine_sim) per
     // pair), so the edge list and its oracle are untouched by the regime.
     val cellMembers = cellMembersGrouped(s, index)
-    val probes = index.df
-      .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe"))
-    val cand = probes.join(cellMembers, "cid")
+    val probes = saltedProbes(index.df
+      .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe")),
+      cellMembers)
+    val cand = probes.join(cellMembers.members, Seq("cid", "salt"))
       .select(col("qid"), col("qe"), explode(col("members")).as("m"))
       .select(col("qid"), col("m.vec_id").as("nn_id"),
         r4(expr("cosine_sim(qe, m.embedding)")).as("sim"))
@@ -484,9 +510,10 @@ object TextSearch {
         // fused in one stage — wide rows never cross a boundary), cid
         // shuffle of grouped rows beyond it
         val cellMembers = cellMembersGrouped(s, idx)
-        val probes = idx.df
-          .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe"))
-        val close = probes.join(cellMembers, "cid")
+        val probes = saltedProbes(idx.df
+          .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe")),
+          cellMembers)
+        val close = probes.join(cellMembers.members, Seq("cid", "salt"))
           .select(col("qid"), col("qe"), explode(col("members")).as("m"))
           .filter(col("m.vec_id") < col("qid"))
           .select(col("qid"), col("m.vec_id").as("nn_id"),

@@ -70,8 +70,10 @@ object DumpPlans {
         |WindowGroupLimit Partial BEFORE the qid exchange: each map task
         |keeps at most k rows per query, so the rank shuffle carries
         |O(k x queries), not the O(n x nprobe x cell) candidate stream.
-        |The candidate join itself is keyed on cell id — at sqrt(n) cells
-        |no key is hot and neither side broadcasts.""".stripMargin,
+        |The candidate join itself is keyed on (cell id, salt) — at
+        |sqrt(n) cells no key is hot, hot CELLS (near-dup clusters) split
+        |across salt keys, and the un-hinted members side broadcasts only
+        |when AQE measures it small.""".stripMargin,
     "q63_bm25" ->
       """Corpus statistics (N + avgdl, per-term df) are two partial-agg
         |HashAggregates reduced to ONE ROW each and broadcast back —
@@ -267,15 +269,15 @@ object DumpPlans {
     val ec = localCheckpointFlatStats(edges.join(outdeg, "src"))
     val srcs = ec.select("src").distinct()
     val ranks = localCheckpointFlatStats(nodes.withColumn("r", lit(1.0 / nN)))
-    def overCap(build: => org.apache.spark.sql.DataFrame): String = {
-      val prevCap = spark.conf.getOption("spark.graft.ivf.membersBroadcastCap")
+    def forcedShuffle(build: => org.apache.spark.sql.DataFrame): String = {
+      val prevCap = spark.conf.getOption("spark.graft.ivf.maxCellGroupMembers")
       val prevThr = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-      spark.conf.set("spark.graft.ivf.membersBroadcastCap", "0")
+      spark.conf.set("spark.graft.ivf.maxCellGroupMembers", "8")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try render(build)
       finally {
-        prevCap.fold(spark.conf.unset("spark.graft.ivf.membersBroadcastCap"))(
-          spark.conf.set("spark.graft.ivf.membersBroadcastCap", _))
+        prevCap.fold(spark.conf.unset("spark.graft.ivf.maxCellGroupMembers"))(
+          spark.conf.set("spark.graft.ivf.maxCellGroupMembers", _))
         prevThr.fold(
           spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
@@ -318,23 +320,24 @@ object DumpPlans {
           |per side regardless of stream age.""".stripMargin,
         render(graft.streaming.EventStream.batchAttributedPairs(
           spark, sfDir))),
-      ("q62_knn_graph (over-cap shuffle regime)",
-        """The same q62 with `spark.graft.ivf.membersBroadcastCap=0` (and
-          |size-based planning off): the grouped cell-members hint is gone
-          |and the candidate join is a keyed SHUFFLE join on cid — grouped
-          |member rows cross the wire exactly once, no driver collect,
-          |no broadcast of a corpus-proportional table. This is the plan a
-          |100 TB corpus gets automatically when membersEstBytes outgrows
-          |the cap; KnnGraphSpec pins row equality between the
+      ("q62_knn_graph (forced multi-salt shuffle regime)",
+        """q62 with `spark.graft.ivf.maxCellGroupMembers=8` and size-based
+          |broadcast off — the plan a 100 TB corpus gets when the grouped
+          |members outgrow the runtime broadcast threshold: a keyed
+          |SHUFFLE join on (cid, salt). The members side carries NO
+          |explicit hint at any scale (r11: the r9 gate was measured and
+          |removed — BENCH_NOTES_r11); hot cells split across
+          |ceil(size/cap) salt keys, so the exchange redistributes a
+          |skewed probe layout and no single task owns a mega-cell's
+          |pair volume. KnnGraphSpec pins row equality between
           |regimes.""".stripMargin,
-        overCap(graft.queries.TextSearch.knnGraph(spark, sfDir))),
-      ("q68_semdedup (over-cap shuffle regime)",
-        """q68 under the same forced over-cap conf: the ε-candidate join
-          |degrades from broadcast to a cid-keyed shuffle of grouped
-          |members while the n_close partial aggregate and min-id attach
-          |are unchanged. Rows are regime-independent
-          |(KnnGraphSpec).""".stripMargin,
-        overCap(graft.SparkEntry.queries("q68_semdedup")(spark, sfDir))))
+        forcedShuffle(graft.queries.TextSearch.knnGraph(spark, sfDir))),
+      ("q68_semdedup (forced multi-salt shuffle regime)",
+        """q68 under the same forced conf: the ε-candidate join becomes a
+          |(cid, salt)-keyed shuffle of bounded grouped members while the
+          |n_close partial aggregate and min-id attach are unchanged.
+          |Rows are regime-independent (KnnGraphSpec).""".stripMargin,
+        forcedShuffle(graft.SparkEntry.queries("q68_semdedup")(spark, sfDir))))
   }
 
   def main(args: Array[String]): Unit = {

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev-only: time one named query N times at a given sf dir. Trailing
   * `key=value` args become session conf (e.g.
-  * `spark.graft.ivf.membersBroadcastCap=0` to force the over-cap shuffle
-  * regime for a scaling rehearsal). */
+  * `spark.graft.ivf.maxCellGroupMembers=1024` or
+  * `spark.sql.autoBroadcastJoinThreshold=-1` for regime rehearsals). */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)

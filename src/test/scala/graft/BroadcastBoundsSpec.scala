@@ -21,10 +21,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *     raw `broadcast()`, `.hint("broadcast")`, SQL hint — fails here
   *     even if it dodges the source walk.
   *
-  * The gated entries' runtime behavior (hint dropped beyond the cap, plan
-  * flips to a keyed shuffle, rows unchanged) is pinned separately in
-  * KnnGraphSpec (ivf-cell-members-gated, q62/q68) and CurationSpec
-  * (dup-set-gated, q94).
+  * The gated entry's runtime behavior (hint dropped beyond the cap, plan
+  * flips to a keyed shuffle, rows unchanged) is pinned in CurationSpec
+  * (dup-set-gated, q94); KnnGraphSpec pins that the q62/q68 members side
+  * is never hinted at all (r11: salted + un-hinted, size-based planning
+  * owns the choice).
   */
 class BroadcastBoundsSpec extends AnyFunSuite {
 

@@ -41,45 +41,49 @@ class KnnGraphSpec extends AnyFunSuite {
         }
     }.toSet
 
-  /** Both regimes of the r9 size gate on the grouped cell-members build
-    * side (`spark.graft.ivf.membersBroadcastCap`): under the cap the
-    * analyzed plan carries the `ivf-cell-members-gated` hint; with the cap
-    * forced to 0 the hint is GONE and — with size-based planning also
-    * disabled so AQE cannot quietly re-broadcast the tiny spec-scale
-    * table — the candidate join executes as a real keyed shuffle join.
-    * Rows must be identical in both regimes: the gate changes the physical
-    * strategy, never the graph. This is the test the registry rationale
-    * (`BroadcastBounds.registry("ivf-cell-members-gated")`) cites.
+  /** The r11 design of the cell-members candidate join: UN-HINTED (no
+    * corpus-proportional broadcast hint exists — the r8 bug class is
+    * gone structurally, and BENCH_NOTES_r11 measured the hint LOSING on
+    * a hot-cluster rig) + SALTED (cells over
+    * `spark.graft.ivf.maxCellGroupMembers` split across ceil(size/cap)
+    * salt keys so no single task ever owns a mega-cell's pair volume).
+    * This test pins both properties at spec scale:
+    *   - the only hinted bounds in the q62/q68 plans are the registered
+    *     sublinear ones (centroids, salt table) — never the members;
+    *   - forcing the group cap to 8 (sf0.001: ~23 members/cell -> 3
+    *     salts/cell) and disabling size-based broadcast leaves the rows
+    *     IDENTICAL through a real keyed shuffle join — salting changes
+    *     the partitioning of the work, never the graph.
     */
-  test("q62/q68: over-cap regime drops the members hint, shuffles, same rows") {
+  test("q62/q68: un-hinted salted members join — same rows under forced multi-salt shuffle") {
     val sp = spark
     val dir = "/root/testdata/sf0.001"
 
     for (q <- Seq("q62_knn_graph", "q68_semdedup")) {
-      val hinted = SparkEntry.queries(q)(sp, dir)
-      assert(hintedBounds(hinted).contains("ivf-cell-members-gated"),
-        s"$q default regime should hint the grouped members under the cap")
-      val hintedRows = hinted.collect().toSeq
+      val base = SparkEntry.queries(q)(sp, dir)
+      val hinted = hintedBounds(base)
+      assert(!hinted.exists(_.contains("members")),
+        s"$q must not broadcast-hint the corpus-proportional members ($hinted)")
+      assert(hinted.subsetOf(Set("ivf-centroids", "ivf-cell-salts")),
+        s"$q unexpected hinted bounds: $hinted")
+      val baseRows = base.collect().toSeq
 
       withConf(
-        "spark.graft.ivf.membersBroadcastCap" -> "0",
+        "spark.graft.ivf.maxCellGroupMembers" -> "8",
         "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-        val shuffled = SparkEntry.queries(q)(sp, dir)
-        assert(!hintedBounds(shuffled).contains("ivf-cell-members-gated"),
-          s"$q over-cap regime must not hint the corpus-proportional side")
-
-        val nodes = PlanWalk.collectAll(PlanWalk.executedPlanOf(shuffled))
+        val salted = SparkEntry.queries(q)(sp, dir)
+        val nodes = PlanWalk.collectAll(PlanWalk.executedPlanOf(salted))
         val shuffleJoins = nodes.count {
           case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
           case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
           case _ => false
         }
         assert(shuffleJoins >= 1,
-          s"$q over-cap plan should contain a keyed shuffle join, " +
+          s"$q forced-shuffle plan should contain a keyed shuffle join, " +
             s"found node types: ${nodes.map(_.nodeName).distinct.sorted}")
 
-        assert(shuffled.collect().toSeq == hintedRows,
-          s"$q rows differ between broadcast and shuffle regimes")
+        assert(salted.collect().toSeq == baseRows,
+          s"$q rows differ between default and multi-salt shuffle regimes")
       }
     }
   }
