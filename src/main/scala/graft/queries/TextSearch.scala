@@ -166,8 +166,13 @@ object TextSearch {
       MaxCellGroupMembers.toString).toInt
 
   /** Grouped members keyed (cid, salt) + the per-cell salt counts the
-    * probe side fans out with. */
-  final case class SaltedCells(members: DataFrame, saltCounts: DataFrame)
+    * probe side fans out with. `saltCounts` is None when NO cell exceeds
+    * the group cap — the common uniform-corpus case — where both sides
+    * carry a constant salt key and the probe fan-out join/explode is
+    * skipped entirely (it measurably taxed the sf0.1 bench ~0.4 s/query
+    * for zero benefit). */
+  final case class SaltedCells(members: DataFrame,
+      saltCounts: Option[DataFrame])
 
   /** Each cell's members grouped into ≤[[MaxCellGroupMembers]]-wide rows
     * (the r8 blocked-candidate shape: the flat SMJ materialized
@@ -187,25 +192,44 @@ object TextSearch {
     val saltCounts = m0.groupBy("cid")
       .agg(ceil(count(lit(1)).cast(DoubleType) / maxCellGroup(s))
         .cast(IntegerType).as("n_salts"))
-    val members = m0
-      .join(graft.BroadcastBounds.bounded("ivf-cell-salts")(saltCounts), "cid")
-      .withColumn("salt",
-        pmod(xxhash64(col("vec_id")), col("n_salts").cast(LongType))
-          .cast(IntegerType))
-      .groupBy("cid", "salt")
-      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("members"))
-    SaltedCells(members, saltCounts)
+    // one sqrt(n)-row aggregate over the checkpointed index decides
+    // whether any cell needs salting at all (headOption: empty corpus ->
+    // no salting). Cheap relative to the index build, and it keeps the
+    // uniform-corpus plan free of the fan-out join below.
+    val anyHot = saltCounts.agg(max(col("n_salts")).as("m"))
+      .collect().headOption.exists(r => !r.isNullAt(0) && r.getInt(0) > 1)
+    if (!anyHot) {
+      val members = m0.groupBy("cid")
+        .agg(collect_list(struct(col("vec_id"), col("embedding")))
+          .as("members"))
+        .withColumn("salt", lit(0))
+      SaltedCells(members, None)
+    } else {
+      val members = m0
+        .join(graft.BroadcastBounds.bounded("ivf-cell-salts")(saltCounts),
+          "cid")
+        .withColumn("salt",
+          pmod(xxhash64(col("vec_id")), col("n_salts").cast(LongType))
+            .cast(IntegerType))
+        .groupBy("cid", "salt")
+        .agg(collect_list(struct(col("vec_id"), col("embedding")))
+          .as("members"))
+      SaltedCells(members, Some(saltCounts))
+    }
   }
 
   /** The probe stream fanned out across each probed cell's salt keys
-    * (fan-out 1 for every cell under [[MaxCellGroupMembers]]; a member
-    * meets a probe exactly once since it carries exactly one salt). */
+    * (fan-out 1 for every cell under [[MaxCellGroupMembers]] — and a
+    * constant-key no-op when no cell is hot; a member meets a probe
+    * exactly once since it carries exactly one salt). */
   private def saltedProbes(probes: DataFrame, cells: SaltedCells): DataFrame =
-    probes
-      .join(graft.BroadcastBounds.bounded("ivf-cell-salts")(cells.saltCounts),
-        "cid")
-      .withColumn("salt", explode(sequence(lit(0), col("n_salts") - 1)))
-      .drop("n_salts")
+    cells.saltCounts match {
+      case None => probes.withColumn("salt", lit(0))
+      case Some(sc) => probes
+        .join(graft.BroadcastBounds.bounded("ivf-cell-salts")(sc), "cid")
+        .withColumn("salt", explode(sequence(lit(0), col("n_salts") - 1)))
+        .drop("n_salts")
+    }
 
   /** Oracle twin of [[ivfAssigned]] (CTE chain ending in `assigned` and
     * the home-cell view `cells`), shared by the q48 and q62 oracles. */
