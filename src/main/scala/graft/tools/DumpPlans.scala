@@ -21,6 +21,23 @@ object DumpPlans {
       """Dimension sides build BroadcastExchanges; the fact table is never
         |shuffled for the joins. At cluster scale the same plan ships ~KB
         |dims to every executor instead of exchanging the TB fact table.""".stripMargin,
+    "q09_range_join" ->
+      """Per-user interval join: the user_id equality gives Catalyst a hash
+        |key, so the plan is a keyed join (broadcast at this SF, shuffle at
+        |scale) with the time interval as a RESIDUAL condition — never a
+        |BroadcastNestedLoopJoin. Pairs form per user; the pair count
+        |partial-aggregates on user before its exchange. The keyless
+        |variant of this query is exactly what q73's bin rewrite
+        |exists for.""".stripMargin,
+    "q10_asof_join" ->
+      """As-of join with NO join at all: one windowed running-max over a
+        |single scan (partition by user, order by (ts, kind, id), max of
+        |view-timestamps up to the current row) picks each purchase's
+        |latest preceding view. The oracle's correlated-subquery
+        |formulation is O(views x purchases) per user in a naive engine;
+        |this plan is one sort exchange on user_id and a linear window
+        |pass — per-user state in the window frame is ONE timestamp, so
+        |no user's history is ever held in memory.""".stripMargin,
     "q35_minhash_lsh" ->
       """The signature build is a single Project over the scan (no exchange
         |until the band self-join): the minhash_sig codegen expression
