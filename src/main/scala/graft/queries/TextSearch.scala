@@ -189,13 +189,17 @@ object TextSearch {
   private def cellMembersGrouped(s: org.apache.spark.sql.SparkSession,
       idx: IvfIndex): SaltedCells = {
     val m0 = idx.df.filter(col("rn") === 1)
-    val saltCounts = m0.groupBy("cid")
-      .agg(ceil(count(lit(1)).cast(DoubleType) / maxCellGroup(s))
-        .cast(IntegerType).as("n_salts"))
-    // one sqrt(n)-row aggregate over the checkpointed index decides
-    // whether any cell needs salting at all (headOption: empty corpus ->
-    // no salting). Cheap relative to the index build, and it keeps the
-    // uniform-corpus plan free of the fan-out join below.
+    // materialized ONCE (sqrt(n) rows from one pass over the checkpointed
+    // index): the hot-or-not probe below and BOTH fan-out joins reuse the
+    // tiny table instead of each re-running the corpus-sized aggregate.
+    val saltCounts =
+      org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
+        m0.groupBy("cid")
+          .agg(ceil(count(lit(1)).cast(DoubleType) / maxCellGroup(s))
+            .cast(IntegerType).as("n_salts")))
+    // decides whether any cell needs salting at all (headOption: empty
+    // corpus -> no salting), keeping the uniform-corpus plan free of the
+    // fan-out join below.
     val anyHot = saltCounts.agg(max(col("n_salts")).as("m"))
       .collect().headOption.exists(r => !r.isNullAt(0) && r.getInt(0) > 1)
     if (!anyHot) {
