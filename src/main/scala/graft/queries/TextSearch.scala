@@ -149,9 +149,11 @@ object TextSearch {
     * over the cap get ceil(size/cap) SALT keys: each member hashes into
     * one salt, each probe fans out across its cell's salts (the per-cell
     * salt table is sqrt(n) rows, broadcast) — pair volume is unchanged,
-    * but it spreads over size/cap shuffle keys/tasks and no grouped row
-    * carries more than cap embeddings (bounds broadcast units and
-    * per-task memory too). Standard IVF imbalance handling.
+    * but it spreads over size/cap shuffle keys/tasks, and grouped-row
+    * width lands near the cap IN EXPECTATION (hash assignment is
+    * binomial around size/n_salts, so individual groups run a few
+    * percent over — treat the cap as a sizing target, not a hard
+    * bound). Standard IVF imbalance handling.
     * Session-overridable via `spark.graft.ivf.maxCellGroupMembers`
     * (smaller = more parallelism on hot cells, more probe fan-out).
     * Default 1024: at the 10x hot-cluster rig (20k-member cell), 1024
@@ -174,7 +176,7 @@ object TextSearch {
   final case class SaltedCells(members: DataFrame,
       saltCounts: Option[DataFrame])
 
-  /** Each cell's members grouped into ≤[[MaxCellGroupMembers]]-wide rows
+  /** Each cell's members grouped into ~[[MaxCellGroupMembers]]-wide rows
     * (the r8 blocked-candidate shape: the flat SMJ materialized
     * ~probes*(n/cells) join-output rows each carrying TWO 64-float
     * embeddings — the 10x corpus spent ~10 min/run copying those wide
@@ -189,18 +191,16 @@ object TextSearch {
   private def cellMembersGrouped(s: org.apache.spark.sql.SparkSession,
       idx: IvfIndex): SaltedCells = {
     val m0 = idx.df.filter(col("rn") === 1)
-    // materialized ONCE (sqrt(n) rows from one pass over the checkpointed
-    // index): the hot-or-not probe below and BOTH fan-out joins reuse the
-    // tiny table instead of each re-running the corpus-sized aggregate.
-    val saltCounts =
-      org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
-        m0.groupBy("cid")
-          .agg(ceil(count(lit(1)).cast(DoubleType) / maxCellGroup(s))
-            .cast(IntegerType).as("n_salts")))
+    val saltCountsPlan = m0.groupBy("cid")
+      .agg(ceil(count(lit(1)).cast(DoubleType) / maxCellGroup(s))
+        .cast(IntegerType).as("n_salts"))
     // decides whether any cell needs salting at all (headOption: empty
     // corpus -> no salting), keeping the uniform-corpus plan free of the
-    // fan-out join below.
-    val anyHot = saltCounts.agg(max(col("n_salts")).as("m"))
+    // fan-out join below. A plain aggregate, NOT a checkpoint: in the
+    // common non-hot case nothing downstream reuses saltCounts, and an
+    // eager localCheckpoint here would leak its blocks until GC once per
+    // query construction.
+    val anyHot = saltCountsPlan.agg(max(col("n_salts")).as("m"))
       .collect().headOption.exists(r => !r.isNullAt(0) && r.getInt(0) > 1)
     if (!anyHot) {
       val members = m0.groupBy("cid")
@@ -209,6 +209,11 @@ object TextSearch {
         .withColumn("salt", lit(0))
       SaltedCells(members, None)
     } else {
+      // hot path: materialize the sqrt(n)-row table once so BOTH fan-out
+      // joins reuse it instead of re-running the corpus-sized aggregate
+      val saltCounts =
+        org.apache.spark.sql.execution.GraftCheckpoint
+          .localCheckpointFlatStats(saltCountsPlan)
       val members = m0
         .join(graft.BroadcastBounds.bounded("ivf-cell-salts")(saltCounts),
           "cid")

@@ -185,8 +185,12 @@ object EventStream {
     // broadcast-vs-shuffle decision flips exactly at the true size. Still
     // un-hinted (customer-proportional — the r8 bug class); MEMORY_AND_DISK
     // so an executor-memory-sized dim spills instead of recomputing.
+    // keyed by applicationId (unique per SparkContext incarnation, unlike
+    // an identity hash that a stop/recreate cycle can collide) + path;
+    // assumes dim files are immutable for the JVM's lifetime — the same
+    // assumption Spark's own FileIndex caching makes
     dimCache.computeIfAbsent(
-      s"${System.identityHashCode(spark.sparkContext)}:$sfDir", _ =>
+      s"${spark.sparkContext.applicationId}:$sfDir", _ =>
       spark.read.parquet(s"$sfDir/customer.parquet")
         .join(spark.read.parquet(s"$sfDir/nation.parquet"),
           col("c_nationkey") === col("n_nationkey"))

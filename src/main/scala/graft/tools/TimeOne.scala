@@ -10,7 +10,10 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
+    // arg 2 is reps only when it isn't a key=value conf pair, so confs can
+    // be passed without an explicit reps count
+    val reps =
+      if (args.length > 2 && !args(2).contains("=")) args(2).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -18,7 +21,7 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.drop(3).filter(_.contains("=")).foreach { kv =>
+    args.drop(2).filter(_.contains("=")).foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
       println(s"[time] conf $k=$v")
       spark.conf.set(k, v)

@@ -12,25 +12,9 @@ class CurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
-  private def hintedBounds(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.queryExecution.analyzed.collectWithSubqueries {
-      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
-        h.child match {
-          case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-            if sa.alias.startsWith(BroadcastBounds.Tag) =>
-            sa.alias.stripPrefix(BroadcastBounds.Tag)
-          case _ => "<unregistered>"
-        }
-    }.toSet
+  import SpecHelpers.hintedBounds
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit =
+    SpecHelpers.withConf(spark, pairs: _*)(body)
 
   /** Both regimes of q94's MEASURED dup-set gate
     * (`spark.graft.dedup.dupBroadcastMaxRows`): the default run measures

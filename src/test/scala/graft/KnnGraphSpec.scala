@@ -20,26 +20,9 @@ class KnnGraphSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
-  /** Registered-bound aliases hinted anywhere in df's ANALYZED plan. */
-  private def hintedBounds(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.queryExecution.analyzed.collectWithSubqueries {
-      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
-        h.child match {
-          case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-            if sa.alias.startsWith(BroadcastBounds.Tag) =>
-            sa.alias.stripPrefix(BroadcastBounds.Tag)
-          case _ => "<unregistered>"
-        }
-    }.toSet
+  import SpecHelpers.hintedBounds
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit =
+    SpecHelpers.withConf(spark, pairs: _*)(body)
 
   /** The r11 design of the cell-members candidate join: UN-HINTED (no
     * corpus-proportional broadcast hint exists — the r8 bug class is
