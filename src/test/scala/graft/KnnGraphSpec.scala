@@ -53,7 +53,11 @@ class KnnGraphSpec extends AnyFunSuite {
 
       withConf(
         "spark.graft.ivf.maxCellGroupMembers" -> "8",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        // prime partition count: the row equality below is also a
+        // partition-invariance check of the salted path (salt assignment
+        // is per-row hash arithmetic, never partition-dependent)
+        "spark.sql.shuffle.partitions" -> "7") {
         val salted = SparkEntry.queries(q)(sp, dir)
         val nodes = PlanWalk.collectAll(PlanWalk.executedPlanOf(salted))
         val shuffleJoins = nodes.count {
