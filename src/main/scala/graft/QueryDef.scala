@@ -42,8 +42,28 @@ object Q {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val ts = raw.schema("ts").dataType match {
-      case LongType => expr("timestamp_micros(ts div 1000)").cast(TimestampNTZType)
-      case _        => col("ts").cast(TimestampNTZType)
+      case LongType =>
+        // Sanity guard on the nanos assumption: a future generation
+        // shipping plain UNANNOTATED INT64 micros would also load as
+        // LongType here and be silently misread as nanos (1970-era
+        // timestamps, a confusing oracle-hash failure far from the
+        // cause). Nanos epochs of any plausible event time (2000..2100)
+        // sit in [9.46e17, 4.11e18]; a value outside fails loudly AT THE
+        // ROW with a named error. One long comparison per row inside
+        // whole-stage codegen — no extra scan, no extra job.
+        val lo = 946684800L * 1000000000L // 2000-01-01 as nanos
+        val hi = 4102444800L * 1000000000L // 2100-01-01 as nanos
+        when(col("ts").isNull || col("ts").between(lo, hi),
+            expr("timestamp_micros(ts div 1000)"))
+          .otherwise(raise_error(concat(
+            lit("graft: events.ts loaded as INT64 but value "),
+            col("ts").cast(StringType),
+            lit(" is not a plausible nanosecond epoch — is the file " +
+              "micros-as-long? (Q.events assumes INT64 ts = " +
+              "TIMESTAMP(NANOS) under the nanosAsLong legacy conf)")))
+            .cast(TimestampType))
+          .cast(TimestampNTZType)
+      case _ => col("ts").cast(TimestampNTZType)
     }
     raw.withColumn("ts", ts)
   }

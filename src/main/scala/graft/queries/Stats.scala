@@ -77,12 +77,18 @@ object Stats {
     // Q12c approx distinct — tolerance-checked oracle, same scheme as q44b:
     // HLL++ internals differ across engines, so the compared projection is
     // the exact distinct count (hash-checked) plus the 5% tolerance verdict
-    // (Spark's approx_count_distinct default rsd is 0.05) pinned TRUE.
+    // pinned TRUE. The estimator runs at rsd 0.015, NOT its 0.05 default:
+    // the pinned bound must sit well outside the estimator's standard
+    // error (0.05 tolerance at 0.05 rsd is a ~1-sigma bet that a testdata
+    // regeneration can plausibly lose — r11 advice), so the sketch is
+    // sized ~3.3 sigma inside the bound. Memory cost is the HLL++
+    // register file growing ~(0.05/0.015)^2 ≈ 11x to ~50 KB per buffer —
+    // still constant, still partial-aggregatable.
     QueryDef("q12c_approx_distinct",
       (s, d) =>
         t(s, d, "lineitem")
           .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_partkey"), 0.015).as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts"))
           .select(col("exact_parts"),
             (abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)

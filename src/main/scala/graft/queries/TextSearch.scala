@@ -89,10 +89,19 @@ object TextSearch {
     * home cell; rn <= k is its k nearest cells (the probe expansion). The
     * centroid tables broadcast; the corpus is scanned, never self-joined.
     */
+  /** The embeddings table with NULL vectors dropped — the one shape the
+    * quantizer cannot index (a NULL embedding has no cell, no cosine, and
+    * NULLs the seed-sampling dim probes; synthetic data never ships one,
+    * real corpora do — r11 advice). Dropping at the scan keeps the filter
+    * pushed into the parquet read for every IVF consumer. */
+  private def embNonNull(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    t(s, d, "embeddings").filter(col("embedding").isNotNull)
+
   private def ivfAssigned(s: org.apache.spark.sql.SparkSession,
       d: String, cells: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = t(s, d, "embeddings")
+    val e = embNonNull(s, d)
     def nearest(cents: DataFrame): DataFrame = e.crossJoin(cents)
       .withColumn("sim_c", round(expr("cosine_sim(embedding, ce)"), 4))
       .withColumn("rn", row_number().over(
@@ -130,7 +139,7 @@ object TextSearch {
     */
   private def ivfIndexed(s: org.apache.spark.sql.SparkSession,
       d: String): IvfIndex = {
-    val e = t(s, d, "embeddings")
+    val e = embNonNull(s, d)
     val n = e.count()
     val df =
       org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
@@ -293,10 +302,11 @@ object TextSearch {
     * (q85 PageRank) share the exact edge list the oracle checks. */
   def knnGraph(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val index = ivfIndexed(s, d)
-    // blocked candidate stream via [[cellMembersGrouped]] (r8 shape, r9
-    // size-gated hint): broadcast under the cap, cid shuffle of GROUPED
-    // rows beyond. Arithmetic is unchanged (same r4(cosine_sim) per
-    // pair), so the edge list and its oracle are untouched by the regime.
+    // blocked candidate stream via [[cellMembersGrouped]] (r8 grouped
+    // shape, r11 salted + UN-hinted: size-based planning + AQE own
+    // broadcast-vs-shuffle, hot cells split across (cid, salt) keys).
+    // Arithmetic is unchanged (same r4(cosine_sim) per pair), so the
+    // edge list and its oracle are untouched by the regime.
     val cellMembers = cellMembersGrouped(s, index)
     val probes = saltedProbes(index.df
       .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe")),
@@ -537,11 +547,12 @@ object TextSearch {
         val idx = ivfIndexed(s, d)
         val cells = idx.df.filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("embedding"))
-        // blocked candidate stream, q62's r8 shape (11x at the 10x
-        // corpus) behind the same r9 size gate: grouped cell members
-        // broadcast under the cap (explode + sim + narrow projection
-        // fused in one stage — wide rows never cross a boundary), cid
-        // shuffle of grouped rows beyond it
+        // blocked candidate stream, q62's r8 grouped shape (11x at the
+        // 10x corpus) under the r11 salted un-hinted regime: explode +
+        // sim + narrow projection fuse in one stage (wide rows never
+        // cross a boundary), hot cells split across (cid, salt) keys,
+        // and size-based planning + AQE pick broadcast vs shuffle from
+        // the measured grouped size
         val cellMembers = cellMembersGrouped(s, idx)
         val probes = saltedProbes(idx.df
           .select(col("vec_id").as("qid"), col("cid"), col("embedding").as("qe")),

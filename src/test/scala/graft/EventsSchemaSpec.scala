@@ -72,6 +72,28 @@ class EventsSchemaSpec extends AnyFunSuite {
       "2024-03-02 23:59:59.999999"))
   }
 
+  test("a micros-as-long generation fails loudly, not as 1970-era rows") {
+    // the third INT64 layout a generator could ship: plain unannotated
+    // micros. Under the nanos assumption those values would silently decode
+    // to 1970-era timestamps; Q.events' plausible-nanos-epoch guard must
+    // turn that into a named row-level error instead.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev-badlong").toString
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("event_id", "iso", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "unix_micros(to_timestamp(iso)) AS ts",
+        "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val err = intercept[Exception] {
+      Q.events(spark, dir).select("ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("not a plausible nanosecond epoch")),
+      s"expected the named ingestion guard, got: $err")
+  }
+
   test("Q.events reads the live testdata generation (whatever it currently is)") {
     val df = Q.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType == TimestampNTZType)

@@ -75,6 +75,32 @@ class KnnGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL embedding row cannot break or skew the IVF index build") {
+    // synthetic data never ships a NULL vector; real corpora do (failed
+    // embedding jobs). The quantizer must drop it at the scan — not NPE in
+    // a dim probe, not assign it a garbage cell — and every IVF result on
+    // the dirtied corpus must equal the clean-corpus result.
+    val sp = spark
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nullemb").toString
+    val e = sp.read.parquet(s"$dir/embeddings.parquet")
+    val nullRow = e.limit(1).select(
+      lit(999999L).as("vec_id"),
+      lit(null).cast(e.schema("embedding").dataType).as("embedding"),
+      col("label"))
+    e.unionByName(nullRow.select(e.columns.map(col).toIndexedSeq: _*))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val clean = SparkEntry.queries("q48_ann_ivf")(sp, dir).collect().toSeq
+    val dirty = SparkEntry.queries("q48_ann_ivf")(sp, tmp).collect().toSeq
+    assert(dirty == clean, "a NULL embedding changed the ANN result")
+
+    val g = SparkEntry.queries("q62_knn_graph")(sp, tmp)
+    assert(g.filter(col("qid") === 999999L || col("nn_id") === 999999L)
+      .count() == 0, "the NULL vector leaked into the k-NN graph")
+    assert(g.count() > 0)
+  }
+
   test("q62: IVF top-1 matches brute-force top-1 for most vectors") {
     val sp = spark
     val dir = "/root/testdata/sf0.001"
