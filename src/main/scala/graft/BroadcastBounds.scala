@@ -93,6 +93,14 @@ object BroadcastBounds {
       "one (cid, n_salts) row per IVF cell — sqrt(n) rows of two ints; " +
         "the fan-out table that spreads a hot cell's probes across its " +
         "ceil(size/MaxCellGroupMembers) salt keys"),
+    "user-dim-gated" -> Bound(Gated,
+      "the q81 enrichment dim (customer x nation projection) is customer-" +
+        "proportional, so EventStream.userNationDim materializes it once " +
+        "per stream (localCheckpoint — no per-micro-batch parquet " +
+        "re-scan), MEASURES its row count, and hints only while it is <= " +
+        "spark.graft.stream.dimBroadcastMaxRows (default 2^21 ~ 60 MB); " +
+        "beyond the cap the stream-static join degrades to a keyed " +
+        "shuffle on user_id (EventStreamSpec pins both plan regimes)"),
     "dup-set-gated" -> Bound(Gated,
       "the df>=3 duplicated-line set is corpus-dependent (tiny for real " +
         "boilerplate rates, unbounded adversarially), so q94 MEASURES its " +

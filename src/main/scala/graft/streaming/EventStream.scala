@@ -125,13 +125,14 @@ object EventStream {
     * dimension (user -> nation, customer x nation collapsed driver-side)
     * and aggregates revenue-ish counts per (hour, nation) under the same
     * 2-hour watermark as q33. The static side needs NO state store: Spark
-    * re-plans the dim into every micro-batch, and the join carries NO
-    * explicit hint — size-based planning broadcasts the dim while it fits
-    * `autoBroadcastJoinThreshold` and degrades to a keyed shuffle beyond
-    * (the user dimension is customer-table-proportional, so a forced
-    * broadcast would be the r8 bug class; see BroadcastBounds). The
-    * canonical "enrich at ingest" topology (stream joins against
-    * reference data; only the windowed agg holds state).
+    * re-plans the dim into every micro-batch, so [[userNationDim]]
+    * materializes it ONCE per stream (no per-batch parquet re-scan) and
+    * applies a MEASURED broadcast gate (hint under a counted row cap,
+    * keyed shuffle beyond — the dim is customer-table-proportional, so a
+    * hard-coded hint would be the r8 bug class; see
+    * BroadcastBounds.registry("user-dim-gated")). The canonical "enrich
+    * at ingest" topology (stream joins against reference data; only the
+    * windowed agg holds state).
     * Events without a dimension row keep flowing as nation='unknown' (a
     * left join — enrichment must never drop facts). */
   def enrichedHourly(spark: SparkSession, replayDir: String, sfDir: String,
@@ -162,40 +163,87 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastEnrichPlan.set(
+      org.apache.spark.sql.execution.streaming.runtime.GraftStreamPlan
+        .lastExecutedPlan(q))
     spark.table(sinkTable)
   }
 
-  /** The static dimension of [[enrichedHourly]]: user_id -> nation name
-    * (customer keyed by c_custkey joined to nation). Customer grows with
-    * the corpus, so callers join it UN-hinted: while the projected dim
-    * fits the broadcast threshold it ships to every executor and the
-    * stream never shuffles before its windowed agg; past the threshold
-    * planning degrades to a keyed shuffle instead of a driver OOM. */
-  private val dimCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Executed plan of q81's final micro-batch — spec observability (the
+    * streaming execution is unreachable from the returned sink table;
+    * EventStreamSpec's dim-regime test plan-walks this instead). Every
+    * micro-batch re-plans the same dataflow, so the last batch's plan IS
+    * the repeated per-batch shape. */
+  val lastEnrichPlan =
+    new java.util.concurrent.atomic.AtomicReference[
+      Option[org.apache.spark.sql.execution.SparkPlan]](None)
 
-  def userNationDim(spark: SparkSession, sfDir: String): DataFrame =
-    // persist + per-JVM memo: the stream side replans this join EVERY
-    // micro-batch (maxFilesPerTrigger=1 means N batches), so an un-cached
-    // dim is re-read from parquet and — once it outgrows the broadcast
-    // threshold — re-shuffled N times. Cached, the first batch materializes
-    // the projected dim once and every later batch reuses the in-memory
-    // blocks; materialization also gives the planner MEASURED InMemory
-    // stats instead of the over-estimating join-of-scans estimate, so the
-    // broadcast-vs-shuffle decision flips exactly at the true size. Still
-    // un-hinted (customer-proportional — the r8 bug class); MEMORY_AND_DISK
-    // so an executor-memory-sized dim spills instead of recomputing.
-    // keyed by applicationId (unique per SparkContext incarnation, unlike
-    // an identity hash that a stop/recreate cycle can collide) + path;
-    // assumes dim files are immutable for the JVM's lifetime — the same
-    // assumption Spark's own FileIndex caching makes
-    dimCache.computeIfAbsent(
-      s"${spark.sparkContext.applicationId}:$sfDir", _ =>
-      spark.read.parquet(s"$sfDir/customer.parquet")
-        .join(spark.read.parquet(s"$sfDir/nation.parquet"),
-          col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** (measured dim rows, broadcast hinted?) of the latest [[userNationDim]]
+    * call — spec observability, mirroring Curation.lastDupSetStats. */
+  val lastDimStats =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Boolean)]((0L, false))
+
+  /** Broadcast row cap for the measured dim gate. 2^21 rows x ~30 B
+    * (long + short string) ≈ 60 MB — comfortably inside executor memory
+    * and the 8 GB broadcast-table limit; the same default as the q94
+    * dup-set gate. */
+  private def dimBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.stream.dimBroadcastMaxRows",
+      (1L << 21).toString).toLong
+
+  private final case class MaterializedDim(df: DataFrame, rows: Long)
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MaterializedDim]()
+
+  /** The static dimension of [[enrichedHourly]]: user_id -> nation name
+    * (customer keyed by c_custkey joined to nation), materialized ONCE per
+    * (SparkContext incarnation, path) and joined under a MEASURED
+    * broadcast gate.
+    *
+    * Why materialize: the stream side replans this join EVERY micro-batch
+    * (maxFilesPerTrigger=1 means N batches), so a plain parquet dim would
+    * be re-read — and, once over the broadcast threshold, re-shuffled — N
+    * times. localCheckpoint (flat stats; see GraftCheckpoint) cuts the
+    * file scan out of the plan entirely: every batch re-plans from the
+    * already-materialized RDD blocks, never from parquet.
+    *
+    * Why a measured gate instead of size-based planning: Catalyst's
+    * estimate for a join-of-scans subtree can OVER-estimate and flip to
+    * shuffle early (r11 verdict), and the flat-stats checkpoint
+    * deliberately carries no size estimate at all — so the gate counts
+    * the materialized dim once per stream start and owns the decision in
+    * both regimes: hint under `spark.graft.stream.dimBroadcastMaxRows`
+    * (each micro-batch is then a broadcast join; the stream never
+    * shuffles before its windowed agg), un-hinted keyed shuffle beyond
+    * (graceful degradation instead of the r8 hint-forced driver OOM).
+    *
+    * Cache keyed by applicationId (unique per context incarnation, unlike
+    * an identity hash that a stop/recreate cycle can collide) + path;
+    * entries of OTHER incarnations are pruned on access — their blocks
+    * died with their context, so a stale entry is a leak, and Spark runs
+    * one context per JVM so pruning by "not my appId" is exact. Assumes
+    * dim files are immutable for the JVM's lifetime — the same assumption
+    * Spark's own FileIndex caching makes. */
+  def userNationDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    dimCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
+    val dim = dimCache.computeIfAbsent(s"$appId:$sfDir", _ => {
+      val df = org.apache.spark.sql.execution.GraftCheckpoint
+        .localCheckpointFlatStats(
+          spark.read.parquet(s"$sfDir/customer.parquet")
+            .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+              col("c_nationkey") === col("n_nationkey"))
+            .select(col("c_custkey").as("user_id"),
+              col("n_name").as("nation")))
+      MaterializedDim(df, df.count())
+    })
+    // gate decided per call (the conf may differ between streams); the
+    // count is the memoized one — no extra job after the first stream
+    val useBroadcast = dim.rows <= dimBroadcastMaxRows(spark)
+    lastDimStats.set((dim.rows, useBroadcast))
+    if (useBroadcast) graft.BroadcastBounds.bounded("user-dim-gated")(dim.df)
+    else dim.df
+  }
 
   /** Streaming keyed upsert via foreachBatch (q86): the arbitrary-sink
     * surface — each micro-batch MERGEs its per-user aggregate into a

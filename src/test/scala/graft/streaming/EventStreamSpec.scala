@@ -79,6 +79,84 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  /** Both regimes of q81's MEASURED dim gate
+    * (`spark.graft.stream.dimBroadcastMaxRows`), the streaming twin of
+    * CurationSpec's q94 regime test — and the per-micro-batch scan check:
+    * the dim must enter every batch's plan as the once-materialized RDD
+    * (localCheckpoint), NEVER as a parquet re-scan of customer/nation.
+    * Under the cap the batch plan is a broadcast join; with the cap
+    * forced to 0 (and size-based broadcast disabled) the same stream
+    * runs a real keyed shuffle join — with identical emitted rows. */
+  test("q81 dim regimes: materialized once, gated broadcast vs keyed shuffle, same rows") {
+    val spark = TestSpark.spark
+    withTempDir { replay =>
+      EventStream.stageReplay(spark, sfDir, replay, nFiles = 4)
+
+      def scanNames(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        graft.PlanWalk.collectAll(p).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.mkString(",")
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.verboseString(1000)
+        }
+
+      def joinNodes(p: org.apache.spark.sql.execution.SparkPlan) =
+        graft.PlanWalk.collectAll(p).filter {
+          case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+          case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+          case _ => false
+        }
+
+      // regime 1 (default): measured gate hints the broadcast
+      val hinted = EventStream.enrichedHourly(spark, replay, sfDir, "s_dim_h")
+      val (rowsH, bcastH) = EventStream.lastDimStats.get()
+      assert(rowsH > 0 && bcastH,
+        s"default regime should measure and broadcast the dim ($rowsH rows)")
+      val planH = EventStream.lastEnrichPlan.get()
+        .getOrElse(fail("no executed micro-batch plan captured"))
+      val dimScansH = scanNames(planH)
+        .filter(s => s.contains("customer.parquet") || s.contains("nation.parquet"))
+      assert(dimScansH.isEmpty,
+        s"per-micro-batch plan re-scans the dim parquet: $dimScansH")
+      assert(joinNodes(planH).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        "under-cap regime should join via broadcast, plan:\n" + planH.treeString)
+      // join-regime change reorders the double accumulation of sum_value
+      // (broadcast keeps stream order; SMJ pre-sorts by user_id), so the
+      // sums can drift a ULP — compare keys/counts exactly, sums rounded
+      def dump(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+        df.select(col("hour_start"), col("nation"), col("cnt"),
+            round(col("sum_value"), 6).as("sum_value"))
+          .orderBy("hour_start", "nation").collect().toSeq
+      val hintedRows = dump(hinted)
+
+      // regime 2: cap forced to 0 -> un-hinted keyed shuffle, same rows
+      graft.SpecHelpers.withConf(spark,
+        "spark.graft.stream.dimBroadcastMaxRows" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val shuffled = EventStream.enrichedHourly(spark, replay, sfDir, "s_dim_s")
+        val (rowsS, bcastS) = EventStream.lastDimStats.get()
+        assert(!bcastS, "over-cap regime should record broadcast=false")
+        assert(rowsS == rowsH, "the measured cardinality is regime-independent")
+        val planS = EventStream.lastEnrichPlan.get()
+          .getOrElse(fail("no executed micro-batch plan captured"))
+        val dimScansS = scanNames(planS)
+          .filter(s => s.contains("customer.parquet") || s.contains("nation.parquet"))
+        assert(dimScansS.isEmpty,
+          s"over-cap per-micro-batch plan re-scans the dim parquet: $dimScansS")
+        assert(joinNodes(planS).exists(j =>
+          j.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]
+            || j.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+          "over-cap regime should run a keyed shuffle join, plan:\n"
+            + planS.treeString)
+
+        assert(dump(shuffled) == hintedRows,
+          "q81 rows differ between broadcast and shuffle dim regimes")
+      }
+    }
+  }
+
   test("stream-stream interval join emits exactly the batch join's pair set") {
     val spark = TestSpark.spark
     withTempDir { replay =>
