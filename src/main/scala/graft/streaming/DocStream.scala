@@ -147,6 +147,7 @@ object DocStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamPlans.record("q53_streaming_neardup", q)
     // recentProgress (default retention 100 updates) covers the replay's
     // micro-batch count; numRowsTotal is the state store's live row count
     // AFTER the batch's removals — the number the bounded-state claim is

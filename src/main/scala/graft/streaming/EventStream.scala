@@ -65,6 +65,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamPlans.record("q33_streaming_hourly", q)
     spark.table(sinkTable)
   }
 
@@ -301,6 +302,11 @@ object EventStream {
           }
         version += 1
         merged.write.mode("overwrite").parquet(s"$stateDir/v$version")
+        // the per-batch MERGE job is a batch frame the sink runs itself —
+        // invisible to GraftStreamPlan (the streaming plan is just
+        // scan -> foreachBatch), so record it explicitly
+        StreamPlans.recordPlan("q86_streaming_upsert_merge",
+          merged.queryExecution.executedPlan)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -361,6 +367,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamPlans.record("q98_stream_stream_join", q)
     spark.table(sinkTable)
   }
 
@@ -497,6 +504,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    StreamPlans.record("q50_streaming_sessions", q)
     spark.table(sinkTable)
   }
 

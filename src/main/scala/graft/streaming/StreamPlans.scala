@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Per-rig capture of the streaming queries' per-micro-batch physical
+  * plans — the plan a streaming operator actually repeats every trigger,
+  * which exists only inside a live `IncrementalExecution` and is otherwise
+  * invisible to PLANS.md / plan specs (the rigs run to completion and
+  * return only their sink tables). Each run-to-completion helper records
+  * its final micro-batch plan here under its query name; `DumpPlans`
+  * renders them and plan specs can walk them. Overwritten per run — the
+  * registry holds the LATEST plan per name, which is what both consumers
+  * want. q81 additionally keeps its own `EventStream.lastEnrichPlan`
+  * (regime-test observability predates this registry; same mechanism). */
+object StreamPlans {
+
+  private val plans =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkPlan]()
+
+  /** Record `q`'s last micro-batch executed plan (no-op if none ran). */
+  def record(name: String, q: StreamingQuery): Unit =
+    org.apache.spark.sql.execution.streaming.runtime.GraftStreamPlan
+      .lastExecutedPlan(q).foreach(plans.put(name, _))
+
+  /** Record an explicitly built plan (the foreachBatch case, where the
+    * interesting per-batch job is a batch frame the sink runs itself). */
+  def recordPlan(name: String, p: SparkPlan): Unit = plans.put(name, p)
+
+  def get(name: String): Option[SparkPlan] = Option(plans.get(name))
+}

@@ -62,6 +62,13 @@ object DumpPlans {
         |corpus vectors for exact re-rank. At 100TB the corpus hash is
         |embarrassingly parallel and the probe join stays broadcast — the
         |re-rank set is ~n/65536 x 8 probes, not n/256.""".stripMargin,
+    "q24_math_funcs" ->
+      """Pure per-row math over one scan: every function lands in a single
+        |Project inside WholeStageCodegen (no UDF boundary), ReadSchema
+        |prunes to the 4 referenced columns, and the only exchange is the
+        |output sort's range partition. The 100 TB shape is
+        |scan-bandwidth-bound; its bench weight is the row-count of the
+        |materialized output, not compute.""".stripMargin,
     "q44_percentiles" ->
       """Exact percentiles as a distributed aggregate — the pass the
         |reference rejected as too expensive single-node.""".stripMargin,
@@ -357,6 +364,76 @@ object DumpPlans {
         forcedShuffle(graft.SparkEntry.queries("q68_semdedup")(spark, sfDir))))
   }
 
+  /** The streaming rigs' PER-MICRO-BATCH plans — the shape each trigger
+    * repeats, which exists only inside a live IncrementalExecution and is
+    * captured by [[graft.streaming.StreamPlans]] when the rigs run. Each
+    * rig is run to completion here (via its SparkEntry def, so staging and
+    * session conf are the production path), then the recorded plan is
+    * rendered. */
+  private def streamingFrames(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, render: String => String): Seq[(String, String, String)] = {
+    import graft.streaming.StreamPlans
+    Seq("q33_streaming_tumbling", "q50_streaming_sessions",
+      "q53_streaming_neardup", "q86_streaming_upsert")
+      .foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).collect())
+    // captured at AvailableNow's FINAL trigger — the watermark-flush batch,
+    // whose source slice is empty (a data trigger carries its file slice in
+    // the same leaf); every stateful/exchange node above the leaf is the
+    // repeated shape
+    def plan(key: String): String =
+      StreamPlans.get(key).map(p => render(p.treeString))
+        .getOrElse(sys.error(s"no captured stream plan for $key"))
+    val flushNote = "\n\n(Captured at AvailableNow's final watermark-flush " +
+      "trigger, so the source leaf prints empty; a data trigger carries " +
+      "its file slice in the same leaf — the stateful/exchange shape " +
+      "above it is what every trigger repeats.)"
+    Seq(
+      ("q33_streaming_tumbling (per-micro-batch plan)",
+        """What every trigger repeats: the file-source slice of THIS batch
+          |(never the whole replay), the partial+final HashAggregate pair
+          |around one hash exchange on (window, event_type) — identical to
+          |batch q27's shape — and the StateStoreRestore/Save pair that
+          |carries open windows between triggers. EventTimeWatermark
+          |bounds that state to ~2 windows per key regardless of stream
+          |age; emitted rows are the watermark-closed windows only.""".stripMargin
+          + flushNote,
+        plan("q33_streaming_hourly")),
+      ("q50_streaming_sessions (per-micro-batch plan)",
+        """Custom-state sessionization: the batch slice exchanges ONCE on
+          |user_id into FlatMapGroupsWithStateExec (state store hash-
+          |partitioned on the same key — arriving rows meet their user's
+          |open sessions without any extra shuffle), with the object
+          |serialization fenced into Append/DeserializeToObject around the
+          |state operator. State per user is the open-session list,
+          |expired by EventTimeTimeout at the watermark.""".stripMargin
+          + flushNote,
+        plan("q50_streaming_sessions")),
+      ("q53_streaming_neardup (per-micro-batch plan)",
+        """Streaming near-dup ingest: the minhash signature + banding are
+          |STATELESS Projects on the batch slice (same codegen'd
+          |expressions as batch q35 — streaming changes nothing about the
+          |hot loop), then one exchange on (band, bucket value) into
+          |FlatMapGroupsWithStateExec whose per-bucket state is a single
+          |anchor row with event-time expiry. At 100 TB/day the exchange
+          |carries 3 narrow band rows per doc; the state store holds one
+          |row per live bucket, bounded by the horizon.""".stripMargin
+          + flushNote,
+        plan("q53_streaming_neardup")),
+      ("q86_streaming_upsert (per-micro-batch MERGE frame)",
+        """The batch job foreachBatch runs per trigger (the streaming plan
+          |proper is just scan -> sink; this is the work): the micro-batch
+          |collapses to a per-user partial+final aggregate FIRST, and only
+          |that batch-bounded aggregate joins FULL OUTER on user_id
+          |against the current state table — so the join's left side is
+          |batch-sized, the right side is the keyed state parquet, and
+          |both sides hash-partition on the merge key exactly like a
+          |lakehouse MERGE INTO. Merge arithmetic is associative and
+          |exact (counts, max ts, DECIMAL sums): final state equals the
+          |one-shot batch aggregate regardless of micro-batch slicing
+          |(EventStreamSpec).""".stripMargin,
+        plan("q86_streaming_upsert_merge")))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -372,13 +449,21 @@ object DumpPlans {
     sb.append("AQE is enabled; plans below are the initial physical plans\n")
     sb.append("(AQE refines exchanges at runtime — see QueryPlanSpec and\n")
     sb.append("SkewJoinSpec for executed-plan assertions).\n")
-    // strip identity hashcodes and plan ids so regeneration is
-    // diff-stable when the plan shape has not changed
-    def render(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.explainString(
-          org.apache.spark.sql.execution.SimpleMode)
-        .replaceAll("@[0-9a-f]{6,}", "@...")
+    // strip identity hashcodes, plan ids, run UUIDs, temp paths and epoch
+    // timestamps so regeneration is diff-stable when the plan shape has
+    // not changed (streaming plans carry per-run state-store paths)
+    def renderStr(s: String): String =
+      s.replaceAll("@[0-9a-f]{6,}", "@...")
         .replaceAll("plan_id=\\d+", "plan_id=N")
+        .replaceAll(
+          "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+          "UUID")
+        .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N")
+        .replaceAll("/(tmp|private)/[-_/A-Za-z0-9.]*", "/tmp/...")
+        .replaceAll("\\d{13}", "EPOCH_MS")
+    def render(df: org.apache.spark.sql.DataFrame): String =
+      renderStr(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
     annotated.foreach { case (name, note) =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name\n\n$note\n\n```\n${render(df)}```\n")
@@ -387,9 +472,14 @@ object DumpPlans {
     custom.foreach { case (name, note, plan) =>
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
     }
+    val streaming = streamingFrames(spark, sfDir, renderStr)
+    streaming.foreach { case (name, note, plan) =>
+      sb.append(s"\n## $name\n\n$note\n\n```\n$plan\n```\n")
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PLANS.md"), sb.toString)
-    println(s"[plans] wrote PLANS.md (${annotated.size + custom.size} queries)")
+    println(s"[plans] wrote PLANS.md " +
+      s"(${annotated.size + custom.size + streaming.size} queries)")
     spark.stop()
   }
 }
