@@ -106,9 +106,15 @@ object Stats {
     // happens once per ingest; every subsequent distinct-count rollup
     // (per source, global, any grouping-set over stored slices) is
     // sketch-sized work (~2.5 KB per sketch at lgK=12, rel err ~1.6%).
-    // exact_distinct rides along as the audit column (the spec bounds
-    // the estimate within 5%); rows-only — sketch binary layouts and
-    // estimators differ across engines.
+    //
+    // TOLERANCE-CHECKED ORACLE (promoted r12, q44b's scheme): sketch
+    // binary layouts and estimators are engine-specific, so the compared
+    // projection carries the EXACT distinct count (cross-engine
+    // hash-checked against DuckDB) plus the 5%-tolerance verdict
+    // |est - exact| / exact <= 0.05 pinned TRUE — ~3 sigma of lgK=12's
+    // ~1.6% rel err, the same estimator-headroom rule as q12c. A
+    // drifting estimate now fails the driver gate, not just
+    // SketchRollupSpec.
     QueryDef("q100_hll_sketch_rollup",
       (s, d) => {
         val docs = t(s, d, "documents")
@@ -125,9 +131,21 @@ object Stats {
             docs.agg(countDistinct(col("fp")).as("exact_distinct"))))
           .select(lit("__all__").as("source"), col("est_distinct"),
             col("exact_distinct"))
-        per.unionByName(global).orderBy("source")
+        per.unionByName(global)
+          .select(col("source"), col("exact_distinct"),
+            (abs(col("est_distinct") - col("exact_distinct"))
+              .cast(DoubleType) / col("exact_distinct") <= 0.05)
+              .as("within_tol"))
+          .orderBy("source")
       },
-      None),
+      Some("""WITH per AS (SELECT source,
+             |    COUNT(DISTINCT md5(text)) AS exact_distinct
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT '__all__' AS source,
+             |    COUNT(DISTINCT md5(text)) AS exact_distinct FROM documents)
+             |SELECT source, exact_distinct, TRUE AS within_tol
+             |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+             |ORDER BY source""".stripMargin)),
 
     // Q45 scalar UDF registration surface ---------------------------------
     // A deterministic quality score via a REGISTERED Scala UDF; the oracle

@@ -13,14 +13,16 @@ class SketchRollupSpec extends AnyFunSuite {
 
   test("q100: every slice and the union rollup estimate within 5% of exact") {
     val spark = TestSpark.spark
+    // since the r12 oracle promotion the query itself computes the 5%
+    // verdict (the estimate column would hash-mismatch across engines);
+    // the spec asserts the verdict and the rig's shape
     val rows = SparkEntry.queries("q100_hll_sketch_rollup")(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.exists(_._1 == "__all__"), "missing the union rollup row")
     assert(rows.length >= 3, s"degenerate rig: ${rows.length} rows")
-    rows.foreach { case (src, est, exact) =>
+    rows.foreach { case (src, exact, withinTol) =>
       assert(exact > 0, s"$src: exact distinct is 0")
-      val relErr = math.abs(est - exact).toDouble / exact
-      assert(relErr <= 0.05, s"$src: estimate $est vs exact $exact ($relErr)")
+      assert(withinTol, s"$src: sketch estimate outside 5% of $exact")
     }
   }
 
