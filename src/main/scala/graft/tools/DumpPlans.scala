@@ -205,6 +205,26 @@ object DumpPlans {
         |aggregate on depth. For million-round graph closures q51's
         |checkpointed delta iteration remains the scale path; this is the
         |SQL-surface recursion operator.""".stripMargin,
+    "q101_fuzzy_decontamination" ->
+      """Graded decontamination: shingles materialize once; the train x
+        |bench join is keyed on the shingle with the bench-df cap bounding
+        |fan-out per train shingle; pair intersections partial-aggregate
+        |on (t_doc, b_doc) BEFORE their exchange; per-doc sizes attach by
+        |keyed joins; the per-train argmax window partitions by t_doc
+        |(bounded by that doc's candidate count) and the global top-50 is
+        |TakeOrderedAndProject — per-task heaps + driver merge, never a
+        |global sort. At 100 TB the only corpus-sized exchanges are the
+        |shingle distinct and the bounded candidate join.""".stripMargin,
+    "q102_ingest_dedup" ->
+      """Ingest classification with NO pair stream: the stored corpus
+        |enters only as two partial-agg HashAggregates — one row per
+        |fingerprint, one row per band bucket (a hot near-dup bucket is
+        |ONE index row) — and the arriving batch probes both with keyed
+        |joins whose probe side is batch-sized. The 5-gram shingle +
+        |signature build is a per-row Project over the scan (zero
+        |shuffle); anchors resolve by partial-aggregatable min; the
+        |est_sim re-attach touches <= 1 stored signature per batch
+        |doc.""".stripMargin,
     "q94_line_dedup" ->
       """C4-style boilerplate removal with ONE content shuffle: line
         |frequency is a partial+final HashAggregate on the 16-byte md5 key
