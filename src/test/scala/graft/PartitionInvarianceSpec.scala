@@ -34,7 +34,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // q99's sketch contents are execution-order-DEPENDENT by design; the
     // exact rescue pass is what makes the OUTPUT invariant — the strongest
     // instance of this contract in the suite
-    "q99_heavy_hitters")
+    "q99_heavy_hitters",
+    "q101_fuzzy_decontamination", // r12: pair-agg + argmax window + top-50
+    "q102_ingest_dedup")          // r12: pre-aggregated index probes
 
   test("outputs are identical under a different shuffle partitioning") {
     val spark = TestSpark.spark
