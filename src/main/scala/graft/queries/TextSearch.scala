@@ -594,6 +594,65 @@ object TextSearch {
              |FROM cells v LEFT JOIN close cl ON v.vec_id = cl.qid
              |ORDER BY v.vec_id""".stripMargin)),
 
+    // Q103 semantic decontamination (r12) ----------------------------------
+    // The EMBEDDING-space twin of q101's lexical overlap check (and the
+    // third member of the decontamination family with q56): for every
+    // TRAIN vector (vec_id % 19 != 0), the maximum cosine against any
+    // BENCHMARK vector (vec_id % 19 == 0) searched within the train
+    // vector's IvfProbes nearest cells — paraphrased eval leakage that
+    // shares no 8-gram surfaces lexically but sits at SemTau-radius
+    // semantically (the SemDeDup observation applied to decontamination).
+    // Output is the q101-shaped top-50 report, flagged at q68's SemTau.
+    //
+    // Scale shape: rides the ONE materialized IVF index (same Scan
+    // ExistingRDD leaves as q62/q68); the candidate join is the salted
+    // cell-members shape with the BENCH side grouped (holdout-sized
+    // members — a hot bench cell still salts across bounded group keys);
+    // per-train argmax is a window over probe-bounded candidates; the
+    // global top-50 is TakeOrderedAndProject. Candidates are
+    // probes x bench/cells per train vector — O(n^0.5 x holdout/corpus)
+    // each, never all-pairs.
+    QueryDef("q103_semantic_decontamination",
+      (s, d) => {
+        val idx = ivfIndexed(s, d)
+        val probes = idx.df.filter(col("rn") <= IvfProbes
+            && col("vec_id") % 19 =!= 0)
+          .select(col("vec_id").as("qid"), col("cid"),
+            col("embedding").as("qe"))
+        val benchIdx = IvfIndex(
+          idx.df.filter(col("vec_id") % 19 === 0), idx.corpusRows)
+        val cells = cellMembersGrouped(s, benchIdx)
+        val cand = saltedProbes(probes, cells)
+          .join(cells.members, Seq("cid", "salt"))
+          .select(col("qid"), col("qe"), explode(col("members")).as("m"))
+          .select(col("qid"), col("m.vec_id").as("bench_id"),
+            r4(expr("cosine_sim(qe, m.embedding)")).as("sim"))
+        cand.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(col("sim").desc, col("bench_id"))))
+          .filter(col("rk") === 1)
+          .select(col("qid").as("vec_id"), col("bench_id"),
+            col("sim").as("max_sim"), (col("sim") >= SemTau).as("flagged"))
+          .orderBy(col("max_sim").desc, col("vec_id"))
+          .limit(50)
+      },
+      Some(s"""WITH $IVF_CELLS_SQL,
+             |probes AS (SELECT vec_id AS qid, cid, embedding AS qe
+             |  FROM assigned WHERE rn <= $IvfProbes AND vec_id % 19 <> 0),
+             |bench AS (SELECT vec_id AS bench_id, cid, embedding
+             |  FROM cells WHERE vec_id % 19 = 0),
+             |cand AS (SELECT p.qid, b.bench_id,
+             |    CAST(ROUND(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+             |      CAST(b.embedding AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |  FROM probes p JOIN bench b ON b.cid = p.cid),
+             |best AS (SELECT qid, bench_id, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY sim DESC, bench_id) AS rk FROM cand)
+             |SELECT qid AS vec_id, bench_id, sim AS max_sim,
+             |  sim >= $SemTau AS flagged
+             |FROM best WHERE rk = 1
+             |ORDER BY max_sim DESC, vec_id LIMIT 50""".stripMargin)),
+
     // Q54 int8 embedding quantization (r5) ---------------------------------
     // The 4x storage/bandwidth compressor of a 100TB embedding store:
     // per-dimension [lo, hi] ranges trained on the corpus (one

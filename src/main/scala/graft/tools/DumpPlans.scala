@@ -225,6 +225,15 @@ object DumpPlans {
         |shuffle); anchors resolve by partial-aggregatable min; the
         |est_sim re-attach touches <= 1 stored signature per batch
         |doc.""".stripMargin,
+    "q103_semantic_decontamination" ->
+      """Embedding-space decontamination on q62's leaves: both sides scan
+        |the ONE materialized IVF index (Scan ExistingRDD), the candidate
+        |join is keyed on (cell id, salt) with only the BENCH side grouped
+        |into members (holdout-sized — a hot bench cell still salts), the
+        |per-train argmax is WindowGroupLimit-bounded before its exchange,
+        |and the global top-50 is TakeOrderedAndProject. Candidates are
+        |probe-bounded (O(probes x bench/cells) per train vector), never
+        |all-pairs.""".stripMargin,
     "q94_line_dedup" ->
       """C4-style boilerplate removal with ONE content shuffle: line
         |frequency is a partial+final HashAggregate on the 16-byte md5 key

@@ -79,6 +79,47 @@ class IngestSpec extends AnyFunSuite {
       s"disjoint doc misclassified: $r17")
   }
 
+  test("q103: a benchmark vector duplicated into train is found at cosine 1.0") {
+    // 40 deterministic 8-dim vectors; train vec 20 is BYTE-IDENTICAL to
+    // bench vec 19 (identical vectors always share a home cell — equal
+    // distances to every centroid — so the IVF search cannot miss it)
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semdecon").toString
+    def vec(i: Long): Array[Float] =
+      (0 until 8).map(j => math.sin(i * 7.0 + j).toFloat).toArray
+    val rows = (0L until 40L).map(i =>
+      (i, if (i == 20L) vec(19L) else vec(i), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val out = SparkEntry.queries("q103_semantic_decontamination")(sp, tmp)
+      .collect()
+    val top = out.head
+    assert(top.getLong(0) == 20L && top.getLong(1) == 19L
+      && top.getDouble(2) == 1.0 && top.getBoolean(3),
+      s"planted semantic duplicate not ranked first: $top")
+    out.foreach { r =>
+      assert(r.getLong(0) % 19 != 0 && r.getLong(1) % 19 == 0,
+        s"split leak: $r")
+    }
+  }
+
+  test("q103 on the live corpus: report is sorted, split-respecting, bounded") {
+    val rows = SparkEntry.queries("q103_semantic_decontamination")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 19 != 0 && r.getLong(1) % 19 == 0, s"split leak: $r")
+      val sim = r.getDouble(2)
+      assert(sim >= -1.0 - 1e-9 && sim <= 1.0 + 1e-9, s"cosine out of range: $r")
+      assert(r.getBoolean(3) == (sim >= graft.queries.TextSearch.SemTau),
+        s"flag inconsistent with SemTau: $r")
+    }
+    val sims = rows.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse, "report not sorted by similarity")
+  }
+
   test("q102 on the live corpus: statuses partition the batch, near is evidenced") {
     val sp = spark
     val out = SparkEntry.queries("q102_ingest_dedup")(sp, dir)
