@@ -414,6 +414,68 @@ object LlmOps {
     * sets (q35's unit) don't discriminate here. */
   val IngestShingleN = 5
 
+  /** (doc_id, fp, sigl) of the ingest-dedup family (q102 one-shot, q104
+    * streaming): md5 fingerprint + 12-hash MinHash over word-5-gram
+    * shingle sets (docs under 5 tokens fall back to their raw token set —
+    * mirrored in the oracle). One formula for both topologies, the
+    * q35/q53 sharing pattern. The shingle array is materialized via
+    * withColumn so minhash_sig references a bound column, not the
+    * transform expression (HOF collapse-inlining would re-expand the
+    * array per access — the q49 lesson). Caller registers GraftFunctions.
+    */
+  private[graft] def ingestSig(docs: DataFrame): DataFrame = {
+    val n = IngestShingleN
+    val shArr = when(size(col("toks")) < n, col("toks"))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*)))
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("fp", md5(col("text")))
+      .withColumn("toks", shArr)
+      .withColumn("sigl", minhashSigCol)
+      .select(col("doc_id"), col("fp"), col("sigl"))
+  }
+
+  /** The two pre-aggregated ingest indexes: one row per fingerprint and
+    * ONE ROW PER BAND BUCKET (min member doc id each) — the only shape
+    * the stored corpus ever takes in the probe joins. */
+  private[graft] def fpIndexOf(sig: DataFrame): DataFrame =
+    sig.groupBy("fp").agg(min(col("doc_id")).as("exact_anchor"))
+  private[graft] def bandIndexOf(sig: DataFrame): DataFrame =
+    minhashBands(sig.select(col("doc_id"), col("sigl")))
+      .groupBy("b", "bv").agg(min(col("doc_id")).as("band_anchor"))
+
+  /** Classify `batchSig` rows against an ingest index (see q102 notes):
+    * 'exact' on a fingerprint hit, 'near' on a shared MinHash band
+    * bucket, 'novel' otherwise — stored anchor named, signature
+    * agreement est_sim attached from `sigStore` (doc_id, sigl). All
+    * probe joins are keyed and batch-sized on the probe side. */
+  private[graft] def classifyAgainstIndex(batchSig: DataFrame,
+      fpIndex: DataFrame, bandIndex: DataFrame,
+      sigStore: DataFrame): DataFrame = {
+    val nearAnchor = minhashBands(batchSig.select(col("doc_id"), col("sigl")))
+      .join(bandIndex, Seq("b", "bv"))
+      .groupBy("doc_id").agg(min(col("band_anchor")).as("near_anchor"))
+    batchSig
+      .join(fpIndex, Seq("fp"), "left")
+      .join(nearAnchor, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("exact_anchor").isNotNull, "exact")
+          .when(col("near_anchor").isNotNull, "near")
+          .otherwise("novel"))
+      .withColumn("anchor_doc",
+        coalesce(col("exact_anchor"), col("near_anchor")))
+      .join(sigStore.select(col("doc_id").as("anchor_doc"),
+        col("sigl").as("asig")), Seq("anchor_doc"), "left")
+      .select(col("doc_id"), col("status"), col("anchor_doc"),
+        r4(when(col("asig").isNotNull,
+          aggregate(zip_with(col("sigl"), col("asig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast(DoubleType) / 12))
+          .as("est_sim"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q30 exact dedup: MD5 group, survivor = MIN(doc_id) -------------------
@@ -1217,45 +1279,11 @@ object LlmOps {
     QueryDef("q102_ingest_dedup",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val n = IngestShingleN
-        val shArr = when(size(col("toks")) < n, col("toks"))
-          .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
-            i => concat_ws(" ",
-              (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*)))
-        val sig = docsWithTokens(s, d)
-          .withColumn("fp", md5(col("text")))
-          // materialized via withColumn so minhash_sig references a bound
-          // column, not the transform expression (HOF collapse-inlining
-          // would re-expand the shingle array per access — the q49 lesson)
-          .withColumn("toks", shArr)
-          .withColumn("sigl", minhashSigCol)
-          .select(col("doc_id"), col("fp"), col("sigl"))
+        val sig = ingestSig(t(s, d, "documents"))
         val stored = sig.filter(col("doc_id") % 10 =!= 7)
         val batch = sig.filter(col("doc_id") % 10 === 7)
-        val fpIndex = stored.groupBy("fp")
-          .agg(min(col("doc_id")).as("exact_anchor"))
-        val storedBuckets = minhashBands(stored.select(col("doc_id"), col("sigl")))
-          .groupBy("b", "bv").agg(min(col("doc_id")).as("band_anchor"))
-        val nearAnchor = minhashBands(batch.select(col("doc_id"), col("sigl")))
-          .join(storedBuckets, Seq("b", "bv"))
-          .groupBy("doc_id").agg(min(col("band_anchor")).as("near_anchor"))
-        batch
-          .join(fpIndex, Seq("fp"), "left")
-          .join(nearAnchor, Seq("doc_id"), "left")
-          .withColumn("status",
-            when(col("exact_anchor").isNotNull, "exact")
-              .when(col("near_anchor").isNotNull, "near")
-              .otherwise("novel"))
-          .withColumn("anchor_doc",
-            coalesce(col("exact_anchor"), col("near_anchor")))
-          .join(stored.select(col("doc_id").as("anchor_doc"),
-            col("sigl").as("asig")), Seq("anchor_doc"), "left")
-          .select(col("doc_id"), col("status"), col("anchor_doc"),
-            r4(when(col("asig").isNotNull,
-              aggregate(zip_with(col("sigl"), col("asig"),
-                (x, y) => when(x === y, 1).otherwise(0)),
-                lit(0), (acc, v) => acc + v).cast(DoubleType) / 12))
-              .as("est_sim"))
+        classifyAgainstIndex(batch, fpIndexOf(stored), bandIndexOf(stored),
+            stored.select(col("doc_id"), col("sigl")))
           .orderBy("doc_id")
       },
       Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Q104: CONTINUOUS crawl ingestion against a persistent dedup index —
+  * the streaming twin of q102's one-shot classification and the third
+  * member of the ingest-dedup family (q53 dedups within a watermarked
+  * horizon; q102 classifies one batch against a fixed stored corpus; this
+  * classifies every arriving micro-batch against the index of EVERYTHING
+  * ingested before it, then merges the batch in).
+  *
+  * Topology (foreachBatch, the q86 arbitrary-sink pattern): per trigger,
+  * (1) signature the batch (q102's exact formula via LlmOps.ingestSig —
+  * one Project, no shuffle), (2) probe the current index version —
+  * fingerprint table, band-bucket table, signature store, all read from
+  * the versioned state dir — with q102's classifyAgainstIndex, (3) append
+  * the classifications to the output, (4) MERGE the batch into the index
+  * (union + partial-aggregatable min per key) and write version k+1.
+  * State lives OUTSIDE the state store, so it survives restarts, is
+  * queryable mid-stream, and grows with the DISTINCT corpus, not the
+  * stream age — at 100 TB/day the merge is a keyed join of a batch-sized
+  * aggregate against the index, the exact q86 MERGE-INTO shape.
+  *
+  * Contract (spec-pinned): a doc's classification sees every doc from
+  * STRICTLY EARLIER batches and nothing from its own batch or later —
+  * in-batch duplicates are q30's job (same contract as q102's
+  * stored-vs-batch split). Anchors are global minima over earlier docs,
+  * so the result is independent of how earlier batches were themselves
+  * sliced (min is associative — the q86 merge-arithmetic argument).
+  */
+object IngestStream {
+
+  /** Stage documents as `nBatches` replay files; batch k holds the docs
+    * with doc_id % nBatches == k (a DETERMINISTIC membership the batch
+    * twin can reconstruct, unlike sampled range boundaries), replayed in
+    * k order via pinned mtimes. */
+  def stageReplay(spark: SparkSession, sfDir: String, replayDir: String,
+      nBatches: Int = 4): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(replayDir)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    (0 until nBatches).foreach { k =>
+      val stage = s"$replayDir/_stage$k"
+      docs.filter(pmod(col("doc_id"), lit(nBatches)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .head
+      val dst = new org.apache.hadoop.fs.Path(dir, f"batch-$k%04d.parquet")
+      fs.rename(part, dst)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      fs.setTimes(dst, 1700000000000L + k * 60000L, -1)
+    }
+  }
+
+  /** Run the ingest stream to completion: classifications of every doc
+    * (vs the index before its batch), ordered by doc_id. `stateDir`
+    * receives the versioned index tables. */
+  def classified(spark: SparkSession, replayDir: String,
+      stateDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val outDir = s"$stateDir/classified"
+    var version = 0
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.queries.LlmOps
+        // one signature pass reused by the probe AND the merge — localCheckpoint
+        // (flat stats) so the index merge doesn't recompute minhashes
+        val sig = org.apache.spark.sql.execution.GraftCheckpoint
+          .localCheckpointFlatStats(LlmOps.ingestSig(batch.toDF()))
+        val out =
+          if (version == 0)
+            sig.select(col("doc_id"), lit("novel").as("status"),
+              lit(null).cast(org.apache.spark.sql.types.LongType)
+                .as("anchor_doc"),
+              lit(null).cast(org.apache.spark.sql.types.DoubleType)
+                .as("est_sim"))
+          else {
+            val v = s"$stateDir/v$version"
+            LlmOps.classifyAgainstIndex(sig,
+              spark.read.parquet(s"$v/fp"),
+              spark.read.parquet(s"$v/band"),
+              spark.read.parquet(s"$v/sig"))
+          }
+        out.write.mode("append").parquet(outDir)
+        StreamPlans.recordPlan("q104_streaming_ingest_probe",
+          out.queryExecution.executedPlan)
+        // merge the batch into the index: union + min per key — associative,
+        // so the final index is slicing-independent
+        val (fp, band, sigStore) =
+          if (version == 0)
+            (LlmOps.fpIndexOf(sig), LlmOps.bandIndexOf(sig),
+              sig.select(col("doc_id"), col("sigl")))
+          else {
+            val v = s"$stateDir/v$version"
+            (spark.read.parquet(s"$v/fp")
+              .unionByName(LlmOps.fpIndexOf(sig))
+              .groupBy("fp").agg(min(col("exact_anchor")).as("exact_anchor")),
+              spark.read.parquet(s"$v/band")
+                .unionByName(LlmOps.bandIndexOf(sig))
+                .groupBy("b", "bv")
+                .agg(min(col("band_anchor")).as("band_anchor")),
+              spark.read.parquet(s"$v/sig")
+                .unionByName(sig.select(col("doc_id"), col("sigl"))))
+          }
+        version += 1
+        val nv = s"$stateDir/v$version"
+        fp.write.mode("overwrite").parquet(s"$nv/fp")
+        band.write.mode("overwrite").parquet(s"$nv/band")
+        sigStore.write.mode("overwrite").parquet(s"$nv/sig")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
+  /** Batch twin: the same classification computed in one shot — for each
+    * doc, anchors are minima over docs in STRICTLY EARLIER batches
+    * (batch = doc_id % nBatches, the staged membership). Quadratic-free
+    * only at twin scale (cross-batch pair joins); the streaming form IS
+    * the scale path — this exists to pin its semantics. */
+  def batchTwin(spark: SparkSession, sfDir: String,
+      nBatches: Int = 4): DataFrame = {
+    import graft.queries.LlmOps
+    graft.functions.GraftFunctions.register(spark)
+    val sig = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFlatStats(
+        LlmOps.ingestSig(spark.read.parquet(s"$sfDir/documents.parquet")
+            .select(col("doc_id"), col("text")))
+          .withColumn("batch", pmod(col("doc_id"), lit(nBatches))))
+    val exact = sig.select(col("doc_id"), col("fp"), col("batch"))
+      .join(sig.select(col("doc_id").as("o_doc"), col("fp"),
+        col("batch").as("o_batch")), "fp")
+      .filter(col("o_batch") < col("batch"))
+      .groupBy("doc_id").agg(min(col("o_doc")).as("exact_anchor"))
+    val bands = graft.queries.LlmOps
+      .minhashBands(sig.select(col("doc_id"), col("sigl")))
+      .join(sig.select(col("doc_id"), col("batch")), "doc_id")
+    val near = bands
+      .join(bands.select(col("doc_id").as("o_doc"), col("b"), col("bv"),
+        col("batch").as("o_batch")), Seq("b", "bv"))
+      .filter(col("o_batch") < col("batch"))
+      .groupBy("doc_id").agg(min(col("o_doc")).as("near_anchor"))
+    sig
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("exact_anchor").isNotNull, "exact")
+          .when(col("near_anchor").isNotNull, "near")
+          .otherwise("novel"))
+      .withColumn("anchor_doc",
+        coalesce(col("exact_anchor"), col("near_anchor")))
+      .join(sig.select(col("doc_id").as("anchor_doc"),
+        col("sigl").as("asig")), Seq("anchor_doc"), "left")
+      .select(col("doc_id"), col("status"), col("anchor_doc"),
+        graft.Q.r4(when(col("asig").isNotNull,
+          aggregate(zip_with(col("sigl"), col("asig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast(
+            org.apache.spark.sql.types.DoubleType) / 12))
+          .as("est_sim"))
+      .orderBy("doc_id")
+  }
+}

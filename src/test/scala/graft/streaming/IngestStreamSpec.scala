@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Q104: the streaming ingest-dedup's contract — every arriving doc is
+  * classified against EXACTLY the docs of strictly earlier batches
+  * (nothing from its own batch or later), and the run-to-completion
+  * stream equals the one-shot batch twin row for row.
+  */
+class IngestStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("stream classifications equal the batch twin row for row (live corpus)") {
+    val replay = s"${tempDir("graft-ingest-replay")}/replay"
+    IngestStream.stageReplay(spark, sfDir, replay)
+    val streamed = IngestStream
+      .classified(spark, replay, s"${tempDir("graft-ingest-state")}/state")
+      .collect().toSeq
+    val twin = IngestStream.batchTwin(spark, sfDir).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == twin,
+      s"stream vs twin diverged; first stream rows: ${streamed.take(3)}")
+    // the corpus's near-dup structure must surface across arrival batches
+    assert(streamed.exists(_.getString(1) == "near"),
+      "live corpus has near-dups across batches; none detected")
+  }
+
+  test("in-batch duplicates stay novel; later copies anchor to the earliest") {
+    val sp = spark
+    import sp.implicits._
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    // batch = doc_id % 4: docs 8 and 16 are BOTH batch 0 with the same
+    // text (in-batch dup -> both novel); doc 7 (batch 3) repeats it and
+    // must anchor to min(8, 16) = 8 as 'exact'; doc 5 (batch 1) is clean
+    val src = tempDir("graft-ingest-fix")
+    Seq((8L, words), (16L, words), (5L, other), (7L, words))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    val replay = s"${tempDir("graft-ingest-fixr")}/replay"
+    IngestStream.stageReplay(sp, src, replay)
+    val state = s"${tempDir("graft-ingest-fixs")}/state"
+    val rows = IngestStream.classified(sp, replay, state)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(rows(8L).getString(1) == "novel" && rows(8L).isNullAt(2),
+      s"in-batch dup classified against its own batch: ${rows(8L)}")
+    assert(rows(16L).getString(1) == "novel" && rows(16L).isNullAt(2),
+      s"in-batch dup classified against its own batch: ${rows(16L)}")
+    assert(rows(5L).getString(1) == "novel")
+    val r7 = rows(7L)
+    assert(r7.getString(1) == "exact" && r7.getLong(2) == 8L
+      && r7.getDouble(3) == 1.0,
+      s"later copy should exact-anchor to the earliest ingested: $r7")
+
+    // index law: the final fingerprint index holds one row per distinct
+    // fp with the global min doc id (min-merge is slicing-independent)
+    val fp = sp.read.parquet(s"$state/v4/fp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp.size == 2, s"distinct fingerprints: ${fp.size}")
+    // the index anchor is the min over EVERYTHING INGESTED (7 < 8), while
+    // doc 7's own classification saw only earlier batches (anchor 8) —
+    // the two minima are deliberately different quantities
+    assert(fp.values.toSet == Set(5L, 7L),
+      s"fp anchors must be global minima over ingested docs: $fp")
+  }
+}
