@@ -252,16 +252,17 @@ object TextSearch {
   /** Oracle twin of [[ivfAssigned]] (CTE chain ending in `assigned` and
     * the home-cell view `cells`), shared by the q48 and q62 oracles. */
   private val IVF_CELLS_SQL: String =
-    s"""seeds AS (SELECT vec_id AS cid, embedding AS ce
-      |    FROM embeddings WHERE vec_id < (SELECT GREATEST($IvfCellsMin,
+    s"""env AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+      |seeds AS (SELECT vec_id AS cid, embedding AS ce
+      |    FROM env WHERE vec_id < (SELECT GREATEST($IvfCellsMin,
       |      CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))
-      |      FROM embeddings)),
+      |      FROM env)),
       |a0 AS (SELECT vec_id, cid, embedding FROM (
       |    SELECT e.vec_id, s.cid, e.embedding,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
       |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
       |          CAST(s.ce AS DOUBLE[])), 4) DESC, s.cid) AS rn
-      |    FROM embeddings e CROSS JOIN seeds s) x WHERE rn = 1),
+      |    FROM env e CROSS JOIN seeds s) x WHERE rn = 1),
       |pieces AS (SELECT cid,
       |    unnest(generate_series(1, len(embedding))) AS pos,
       |    unnest(CAST(embedding AS DOUBLE[])) AS v
@@ -275,7 +276,7 @@ object TextSearch {
       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
       |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
       |        CAST(r.ce AS DOUBLE[])), 4) DESC, r.cid) AS rn
-      |  FROM embeddings e CROSS JOIN refined r),
+      |  FROM env e CROSS JOIN refined r),
       |cells AS (SELECT vec_id, cid, embedding FROM assigned WHERE rn = 1)""".stripMargin
 
   /** Oracle twin of [[knnGraph]] as a reusable CTE chain ending in `g` =

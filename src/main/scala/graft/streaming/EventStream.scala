@@ -164,20 +164,9 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    lastEnrichPlan.set(
-      org.apache.spark.sql.execution.streaming.runtime.GraftStreamPlan
-        .lastExecutedPlan(q))
+    StreamPlans.record("q81_streaming_enrich", q)
     spark.table(sinkTable)
   }
-
-  /** Executed plan of q81's final micro-batch — spec observability (the
-    * streaming execution is unreachable from the returned sink table;
-    * EventStreamSpec's dim-regime test plan-walks this instead). Every
-    * micro-batch re-plans the same dataflow, so the last batch's plan IS
-    * the repeated per-batch shape. */
-  val lastEnrichPlan =
-    new java.util.concurrent.atomic.AtomicReference[
-      Option[org.apache.spark.sql.execution.SparkPlan]](None)
 
   /** (measured dim rows, broadcast hinted?) of the latest [[userNationDim]]
     * call — spec observability, mirroring Curation.lastDupSetStats. */

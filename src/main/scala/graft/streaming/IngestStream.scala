@@ -18,7 +18,9 @@ import org.apache.spark.sql.streaming.Trigger
   * the versioned state dir — with q102's classifyAgainstIndex, (3) append
   * the classifications to the output, (4) MERGE the batch into the index
   * (union + partial-aggregatable min per key) and write version k+1.
-  * State lives OUTSIDE the state store, so it survives restarts, is
+  * Index state lives OUTSIDE the state store (versioned parquet keyed by
+  * the checkpoint-stable batchId, replay progress in the stream
+  * checkpoint — see [[classified]]), so it survives restarts, is
   * queryable mid-stream, and grows with the DISTINCT corpus, not the
   * stream age — at 100 TB/day the merge is a keyed join of a batch-sized
   * aggregate against the index, the exact q86 MERGE-INTO shape.
@@ -56,13 +58,25 @@ object IngestStream {
       val dst = new org.apache.hadoop.fs.Path(dir, f"batch-$k%04d.parquet")
       fs.rename(part, dst)
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      fs.setTimes(dst, 1700000000000L + k * 60000L, -1)
+      ReplayStage.pinFile(fs, dst, k)
     }
   }
 
-  /** Run the ingest stream to completion: classifications of every doc
-    * (vs the index before its batch), ordered by doc_id. `stateDir`
-    * receives the versioned index tables. */
+  /** Run the ingest stream over every currently-unprocessed replay file:
+    * classifications of every doc ingested SO FAR (vs the index before its
+    * batch), ordered by doc_id. `stateDir` receives the versioned index
+    * tables, the stream checkpoint, and the per-batch classification
+    * output.
+    *
+    * Restart semantics (spec-pinned): file-source progress lives in the
+    * stream checkpoint, the index version classified against is derived
+    * from the checkpoint-stable `batchId` (batch k probes v(k), writes
+    * v(k+1)), written versions are never mutated, and both per-batch
+    * writes are OVERWRITE of a batchId-deterministic path — so a crashed
+    * or re-invoked run resumes exactly where it stopped and a replayed
+    * trigger is idempotent (the standard foreachBatch exactly-once
+    * recipe). Calling [[classified]] again on the same `stateDir` after
+    * new files land continues the crawl. */
   def classified(spark: SparkSession, replayDir: String,
       stateDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -72,43 +86,43 @@ object IngestStream {
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
     val outDir = s"$stateDir/classified"
-    var version = 0
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(replayDir)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.queries.LlmOps
         // one signature pass reused by the probe AND the merge — localCheckpoint
         // (flat stats) so the index merge doesn't recompute minhashes
         val sig = org.apache.spark.sql.execution.GraftCheckpoint
           .localCheckpointFlatStats(LlmOps.ingestSig(batch.toDF()))
         val out =
-          if (version == 0)
+          if (batchId == 0L)
             sig.select(col("doc_id"), lit("novel").as("status"),
               lit(null).cast(org.apache.spark.sql.types.LongType)
                 .as("anchor_doc"),
               lit(null).cast(org.apache.spark.sql.types.DoubleType)
                 .as("est_sim"))
           else {
-            val v = s"$stateDir/v$version"
+            val v = s"$stateDir/v$batchId"
             LlmOps.classifyAgainstIndex(sig,
               spark.read.parquet(s"$v/fp"),
               spark.read.parquet(s"$v/band"),
               spark.read.parquet(s"$v/sig"))
           }
-        out.write.mode("append").parquet(outDir)
+        out.write.mode("overwrite").parquet(s"$outDir/b$batchId")
         StreamPlans.recordPlan("q104_streaming_ingest_probe",
           out.queryExecution.executedPlan)
         // merge the batch into the index: union + min per key — associative,
         // so the final index is slicing-independent
         val (fp, band, sigStore) =
-          if (version == 0)
+          if (batchId == 0L)
             (LlmOps.fpIndexOf(sig), LlmOps.bandIndexOf(sig),
               sig.select(col("doc_id"), col("sigl")))
           else {
-            val v = s"$stateDir/v$version"
+            val v = s"$stateDir/v$batchId"
             (spark.read.parquet(s"$v/fp")
               .unionByName(LlmOps.fpIndexOf(sig))
               .groupBy("fp").agg(min(col("exact_anchor")).as("exact_anchor")),
@@ -119,8 +133,7 @@ object IngestStream {
               spark.read.parquet(s"$v/sig")
                 .unionByName(sig.select(col("doc_id"), col("sigl"))))
           }
-        version += 1
-        val nv = s"$stateDir/v$version"
+        val nv = s"$stateDir/v${batchId + 1}"
         fp.write.mode("overwrite").parquet(s"$nv/fp")
         band.write.mode("overwrite").parquet(s"$nv/band")
         sigStore.write.mode("overwrite").parquet(s"$nv/sig")
@@ -129,7 +142,7 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir).orderBy("doc_id")
+    spark.read.parquet(s"$outDir/b*").orderBy("doc_id")
   }
 
   /** Batch twin: the same classification computed in one shot — for each

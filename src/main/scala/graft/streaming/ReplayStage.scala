@@ -11,6 +11,18 @@ import org.apache.spark.sql.SparkSession
   */
 object ReplayStage {
 
+  /** The pinned-mtime scheme itself — file k replays at BaseEpochMs +
+    * k * SpacingMs. Single source for every rig (q33/q50/q53/q104): a
+    * second copy of these constants is exactly the drift the object doc
+    * warns about. */
+  val BaseEpochMs = 1700000000000L
+  val SpacingMs = 60000L
+
+  /** Pin one staged file to replay position `k`. */
+  def pinFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, k: Int): Unit =
+    fs.setTimes(path, BaseEpochMs + k * SpacingMs, -1)
+
   def pinReplayOrder(spark: SparkSession, replayDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(replayDir)
@@ -21,8 +33,6 @@ object ReplayStage {
           st.getPath.getName.endsWith(".parquet")
       }
       .sortBy(_.getPath.getName)
-      .zipWithIndex.foreach { case (st, i) =>
-        fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
-      }
+      .zipWithIndex.foreach { case (st, i) => pinFile(fs, st.getPath, i) }
   }
 }

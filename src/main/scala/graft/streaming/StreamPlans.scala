@@ -11,8 +11,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * its final micro-batch plan here under its query name; `DumpPlans`
   * renders them and plan specs can walk them. Overwritten per run — the
   * registry holds the LATEST plan per name, which is what both consumers
-  * want. q81 additionally keeps its own `EventStream.lastEnrichPlan`
-  * (regime-test observability predates this registry; same mechanism). */
+  * want. */
 object StreamPlans {
 
   private val plans =

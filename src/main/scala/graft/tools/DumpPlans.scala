@@ -403,7 +403,8 @@ object DumpPlans {
       sfDir: String, render: String => String): Seq[(String, String, String)] = {
     import graft.streaming.StreamPlans
     Seq("q33_streaming_tumbling", "q50_streaming_sessions",
-      "q53_streaming_neardup", "q86_streaming_upsert")
+      "q53_streaming_neardup", "q86_streaming_upsert",
+      "q81_streaming_enrich", "q104_streaming_ingest_dedup")
       .foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).collect())
     // captured at AvailableNow's FINAL trigger — the watermark-flush batch,
     // whose source slice is empty (a data trigger carries its file slice in
@@ -460,7 +461,29 @@ object DumpPlans {
           |exact (counts, max ts, DECIMAL sums): final state equals the
           |one-shot batch aggregate regardless of micro-batch slicing
           |(EventStreamSpec).""".stripMargin,
-        plan("q86_streaming_upsert_merge")))
+        plan("q86_streaming_upsert_merge")),
+      ("q81_streaming_enrich (per-micro-batch plan)",
+        """Stream-static enrichment: the batch slice left-joins the
+          |MEASURED-gated user->nation dim (materialized once per stream
+          |via flat-stats localCheckpoint — no dim parquet scan appears in
+          |this plan, only its RDD scan) then feeds the same watermarked
+          |window aggregate as q33. Under the row cap the dim side is a
+          |BroadcastHashJoin, so the stream never exchanges before its
+          |windowed agg; over the cap it degrades to an un-hinted keyed
+          |shuffle join. Both regimes row-equal (EventStreamSpec).""".stripMargin
+          + flushNote,
+        plan("q81_streaming_enrich")),
+      ("q104_streaming_ingest_dedup (per-micro-batch probe frame)",
+        """Continuous ingest-dedup's foreachBatch probe (the streaming plan
+          |proper is scan -> sink; this is the per-trigger work): the
+          |batch's one-Project signature pass probes the current index
+          |version — fingerprint anchors, band buckets, stored signatures
+          |— via three keyed joins whose LEFT side is batch-sized and
+          |whose right side is the versioned index parquet, then the
+          |batch merges in as a union + min-per-key partial aggregate.
+          |Index size tracks the DISTINCT corpus, not stream age
+          |(IngestStreamSpec pins slicing-independence).""".stripMargin,
+        plan("q104_streaming_ingest_probe")))
   }
 
   def main(args: Array[String]): Unit = {
@@ -489,7 +512,10 @@ object DumpPlans {
           "UUID")
         .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N")
         .replaceAll("/(tmp|private)/[-_/A-Za-z0-9.]*", "/tmp/...")
-        .replaceAll("\\d{13}", "EPOCH_MS")
+        // standalone 13-digit runs only: a digit or '.' on either side
+        // means the run is inside a longer numeric literal (a double's
+        // fraction digits), which must render verbatim
+        .replaceAll("(?<![\\d.])\\d{13}(?![\\d.])", "EPOCH_MS")
     def render(df: org.apache.spark.sql.DataFrame): String =
       renderStr(df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

@@ -113,7 +113,7 @@ class EventStreamSpec extends AnyFunSuite {
       val (rowsH, bcastH) = EventStream.lastDimStats.get()
       assert(rowsH > 0 && bcastH,
         s"default regime should measure and broadcast the dim ($rowsH rows)")
-      val planH = EventStream.lastEnrichPlan.get()
+      val planH = graft.streaming.StreamPlans.get("q81_streaming_enrich")
         .getOrElse(fail("no executed micro-batch plan captured"))
       val dimScansH = scanNames(planH)
         .filter(s => s.contains("customer.parquet") || s.contains("nation.parquet"))
@@ -139,7 +139,7 @@ class EventStreamSpec extends AnyFunSuite {
         val (rowsS, bcastS) = EventStream.lastDimStats.get()
         assert(!bcastS, "over-cap regime should record broadcast=false")
         assert(rowsS == rowsH, "the measured cardinality is regime-independent")
-        val planS = EventStream.lastEnrichPlan.get()
+        val planS = graft.streaming.StreamPlans.get("q81_streaming_enrich")
           .getOrElse(fail("no executed micro-batch plan captured"))
         val dimScansS = scanNames(planS)
           .filter(s => s.contains("customer.parquet") || s.contains("nation.parquet"))

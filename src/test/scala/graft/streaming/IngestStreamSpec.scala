@@ -71,4 +71,40 @@ class IngestStreamSpec extends AnyFunSuite {
     assert(fp.values.toSet == Set(5L, 7L),
       s"fp anchors must be global minima over ingested docs: $fp")
   }
+
+  test("restart: a second invocation resumes from the checkpoint against the persisted index") {
+    val sp = spark
+    val full = s"${tempDir("graft-ingest-full")}/full"
+    IngestStream.stageReplay(sp, sfDir, full)
+    val replay = s"${tempDir("graft-ingest-half")}/replay"
+    val state = s"${tempDir("graft-ingest-rs")}/state"
+    val conf = sp.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(replay)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    // the crawl lands files over time: two before the "crash", two after
+    def land(k: Int): Unit = {
+      val name = f"batch-$k%04d.parquet"
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$full/$name"), fs, dst, false, conf)
+      ReplayStage.pinFile(fs, dst, k)
+    }
+    land(0); land(1)
+    val first = IngestStream.classified(sp, replay, state).collect()
+    val earlyIds = sp.read.parquet(s"$sfDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(4)) < 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first.map(_.getLong(0)).toSet == earlyIds,
+      "first invocation must classify exactly the landed batches")
+
+    land(2); land(3)
+    val resumed = IngestStream.classified(sp, replay, state).collect().toSeq
+    val twin = IngestStream.batchTwin(sp, sfDir).collect().toSeq
+    // equality with the one-shot twin proves the resumed stream continued
+    // from batchId 2 against index v2 (built on batches 0-1) — a reset to
+    // version 0 would classify batch 2 as all-novel and diverge
+    assert(resumed == twin,
+      s"resumed crawl must equal the one-shot twin; first rows: ${resumed.take(3)}")
+  }
 }
