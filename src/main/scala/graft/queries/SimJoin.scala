@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Q105: EXACT set-similarity self-join via prefix filtering — the exact
+  * counterpart of q35's probabilistic MinHash-LSH: every document pair
+  * whose word-5-gram shingle sets have Jaccard >= SimJoinTau, no false
+  * negatives, no estimation (the Bayardo/PPJoin "all-pairs similarity
+  * search" family, here the prefix-filter core without the positional
+  * refinements).
+  *
+  * The prefix-filter principle: order the shingle universe by a GLOBAL
+  * total order (ascending document frequency, rarest first — ties by
+  * hash). For a set of size n, its PREFIX is its first
+  * p = n - ceil(tau*n) + 1 shingles in that order. Any pair with
+  * J >= tau has |a ∩ b| >= ceil(tau*max(na, nb)); if a's prefix missed
+  * the whole intersection, the intersection would fit inside a's last
+  * ceil(tau*na) - 1 shingles — too small. So both prefixes hit the
+  * intersection, and (with both prefixes being low ends of ONE global
+  * order) a prefix-to-prefix equi-join on the shingle loses no
+  * qualifying pair. Everything after that is exact verification.
+  *
+  * Scale shape (the reason this beats the naive shingle self-join):
+  *  - shingle sets materialize per-row (no shuffle; the q102 projection);
+  *  - global df is one partial-agg shuffle over corpus shingles;
+  *  - prefix selection is a doc-partitioned window (bounded partitions);
+  *  - the candidate join keys on PREFIX shingles only. Rarity ordering is
+  *    what bounds it: a boilerplate shingle (df = millions) sorts LAST,
+  *    so it enters a prefix only for a doc whose prefix spans nearly its
+  *    whole set — fan-out per shingle is (prefix df)^2, and prefix df is
+  *    small exactly where raw df is large. The remaining blowup case is
+  *    REAL output: k identical docs have k(k-1)/2 qualifying pairs, which
+  *    any exact algorithm must emit — run q30 exact dedup first and join
+  *    the survivors when that bill is unacceptable;
+  *  - verification carries each doc's hashed shingle ARRAY to the
+  *    candidate pairs (two keyed joins) and intersects in-row
+  *    (codegen'd array_intersect) — per-pair O(na + nb), no third
+  *    shuffle over shingles.
+  *
+  * Determinism: tau = SimJoinTauNum/SimJoinTauDen is applied in exact
+  * integer arithmetic everywhere — prefix length
+  * p = n - ceil(tau*n) + 1 via (num*n + den - 1) div den, the length
+  * bound tau*max <= min as num*max <= den*min, and the final test
+  * J >= tau as (num+den)*ni >= num*(na+nb) — so no double comparison can
+  * knife-edge across engines; the reported jaccard is r4 of an exact
+  * small-integer division.
+  *
+  * The DuckDB oracle runs the NAIVE all-pairs shingle join (q73's
+  * cross-algorithm parity pattern): hash equality of the two outputs is
+  * exactly the exactness claim — the prefix filter dropped nothing.
+  */
+object SimJoin {
+
+  /** Jaccard threshold as an exact rational: 3/5 = 0.6 ("mostly the same
+    * document" — between q101's 0.5 review bar and near-exact 0.9). */
+  val SimJoinTauNum = 3
+  val SimJoinTauDen = 5
+
+  /** Per-doc hashed shingle sets: (doc_id, shs ARRAY<md5-hash> distinct,
+    * n = |shs|). Word-5-gram shingles, docs under 5 tokens fall back to
+    * their raw token set — the q102/ingestSig convention, mirrored in
+    * the oracle. Arrays are bound columns (withColumn) so HOF
+    * collapse-inlining cannot re-expand them per access (the q49
+    * lesson). */
+  private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleSetsOf(t(s, d, "documents"))
+
+  private[graft] def shingleSetsOf(docs: DataFrame): DataFrame = {
+    val n = LlmOps.IngestShingleN
+    val shArr = when(size(col("toks")) < n, col("toks"))
+      .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*)))
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shl", shArr)
+      .withColumn("shs", array_sort(array_distinct(
+        transform(col("shl"), t => md5(t)))))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("n"))
+  }
+
+  /** ceil(num*n/den) in exact integer arithmetic. */
+  private def ceilFrac(n: org.apache.spark.sql.Column) =
+    floor((n * SimJoinTauNum + (SimJoinTauDen - 1)) / SimJoinTauDen)
+      .cast(LongType)
+
+  /** Prefix-filtered candidate pairs (doc_a < doc_b, one row each) —
+    * exposed so the spec can pin the filter's selectivity directly. */
+  private[graft] def candidatePairs(sets: DataFrame): DataFrame = {
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("dfq"))
+    // prefix = the p rarest shingles of each doc under the global
+    // (df, hash) order; p = n - ceil(tau*n) + 1
+    val prefix = ex.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dfq"), col("sh"))))
+      .filter(col("rk") <= col("n") - ceilFrac(col("n")) + 1)
+      .select(col("doc_id"), col("n"), col("sh"))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("n").as("sz_a"),
+      col("sh"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("n").as("sz_b"),
+      col("sh"))
+    // candidates: a shared prefix shingle + the Jaccard length bound
+    // (tau*max <= min, integer form) — then dedup to one row per pair
+    a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("sz_a") * SimJoinTauNum <= col("sz_b") * SimJoinTauDen &&
+        col("sz_b") * SimJoinTauNum <= col("sz_a") * SimJoinTauDen)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** The full q105 dataflow over `sets` = [[shingleSets]] output — split
+    * out so the spec can drive planted fixtures through the PRODUCTION
+    * pipeline, not a copy. */
+  private[graft] def similarPairs(sets: DataFrame): DataFrame = {
+    // exact verification: carry both shingle arrays to the pair,
+    // intersect in-row; J >= tau in integer form
+    val byDoc = sets.select(col("doc_id"), col("shs"), col("n"))
+    candidatePairs(sets)
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast(LongType))
+      .filter(col("n_inter") * (SimJoinTauNum + SimJoinTauDen) >=
+        (col("n_a") + col("n_b")) * SimJoinTauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_a").cast(LongType).as("n_a"),
+        col("n_b").cast(LongType).as("n_b"), col("n_inter"),
+        r4(col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Naive brute-force twin (shingle-keyed self-join, no prefix filter) —
+    * the spec's exactness reference, same output contract. */
+  private[graft] def naivePairs(sets: DataFrame): DataFrame = {
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val a = ex.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("sh"))
+    val b = ex.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter") * (SimJoinTauNum + SimJoinTauDen) >=
+        (col("n_a") + col("n_b")) * SimJoinTauNum)
+      .select(col("doc_a"), col("doc_b"), col("n_a").cast(LongType).as("n_a"),
+        col("n_b").cast(LongType).as("n_b"), col("n_inter"),
+        r4(col("n_inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_inter")).cast(DoubleType))
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q105_similarity_join",
+      (s, d) => similarPairs(shingleSets(s, d)),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |shl AS (SELECT doc_id,
+             |    CASE WHEN len(w) < ${LlmOps.IngestShingleN} THEN w
+             |         ELSE list_transform(
+             |           generate_series(1, len(w) - ${LlmOps.IngestShingleN - 1}),
+             |           i -> array_to_string(w[i:i+${LlmOps.IngestShingleN - 1}], ' '))
+             |    END AS sl FROM tk),
+             |hs AS (SELECT DISTINCT doc_id,
+             |    UNNEST(list_transform(sl, t -> md5(t))) AS h FROM shl),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    COUNT(*) AS n_inter
+             |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT doc_a, doc_b,
+             |  sa.n AS n_a, sb.n AS n_b, n_inter,
+             |  CAST(ROUND(CAST(n_inter AS DOUBLE)
+             |    / CAST(sa.n + sb.n - n_inter AS DOUBLE), 4) AS DOUBLE)
+             |    AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = doc_a
+             |JOIN sizes sb ON sb.doc_id = doc_b
+             |WHERE n_inter * ${SimJoinTauNum + SimJoinTauDen}
+             |  >= (sa.n + sb.n) * $SimJoinTauNum
+             |ORDER BY doc_a, doc_b""".stripMargin)))
+}

@@ -36,7 +36,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // instance of this contract in the suite
     "q99_heavy_hitters",
     "q101_fuzzy_decontamination", // r12: pair-agg + argmax window + top-50
-    "q102_ingest_dedup")          // r12: pre-aggregated index probes
+    "q102_ingest_dedup",          // r12: pre-aggregated index probes
+    "q105_similarity_join")       // r12: df-ordered prefix join + verify
 
   test("outputs are identical under a different shuffle partitioning") {
     val spark = TestSpark.spark
