@@ -175,5 +175,17 @@ object GraftFunctions {
       exprs => BpeEncode(exprs(0),
         BpeCodec.parseMerges(litString(exprs(1), "bpe_encode"))),
       "built-in")
+    // Spark's runtime-filter bloom kernels, exposed as session functions
+    // (OSS keeps them internal to InjectRuntimeFilter; q106 needs them on
+    // a DERIVED key — an exploded shingle — that no optimizer rule can
+    // reach through the generator). bloom_agg(xxhash64(x), nItems, nBits)
+    // -> binary sketch; bloom_might_contain(sketchLit, xxhash64(x)) is a
+    // codegen'd scan-side predicate.
+    reg.createOrReplaceTempFunction("bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }

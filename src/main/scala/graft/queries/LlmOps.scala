@@ -476,6 +476,39 @@ object LlmOps {
           .as("est_sim"))
   }
 
+  /** Q106 bloom false-positive rate: 1% keeps the sketch at
+    * ~1.2 MB per million bench shingles while cutting the confirm join's
+    * probe side to ~1% of the corpus shingle stream. */
+  val BloomDecontamFpp = 0.01
+
+  /** Q106 shared dataflow, split for spec observability: (train shingle
+    * stream, bloom-surviving train shingles, pre-aggregated bench side).
+    * The bloom is built by ONE aggregate over the bench shingles (sized
+    * from a measured count — the Curation gate pattern) and shipped as a
+    * plan literal; merge is bitmap OR, so the sketch bytes are
+    * partition-order-independent. Caller-visible semantics are exactly
+    * q56's. */
+  private[graft] def bloomDecontamParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val toks = docsWithTokens(s, d)
+    val bench = wordShingles(toks.filter(col("doc_id") % 19 === 0))
+      .groupBy("sh").agg(count(lit(1)).as("n_bench_docs_sh"))
+    val benchN = math.max(bench.count(), 1L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(benchN, BloomDecontamFpp)
+    val bloomBytes = bench
+      .select(call_function("bloom_agg", xxhash64(col("sh")),
+        lit(benchN), lit(nBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val train = wordShingles(toks.filter(col("doc_id") % 19 =!= 0))
+    val survivors =
+      if (bloomBytes == null) train.filter(lit(false))
+      else train.filter(call_function("bloom_might_contain",
+        lit(bloomBytes), xxhash64(col("sh"))))
+    (train, survivors, bench)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q30 exact dedup: MD5 group, survivor = MIN(doc_id) -------------------
@@ -1145,6 +1178,51 @@ object LlmOps {
           .groupBy("sh").agg(count(lit(1)).as("n_bench_docs_sh"))
         val train = shingles(toks.filter(col("doc_id") % 19 =!= 0))
         train.join(graft.BroadcastBounds.bounded("bench-shingles")(bench), "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_shingles"),
+            sum(col("n_bench_docs_sh")).as("n_bench_hits"))
+          .filter(col("n_shared_shingles") >= 2)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w,
+             |    unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
+             |  FROM tk),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    array_to_string(w[i:i+7], ' ') AS sh
+             |  FROM idx),
+             |bench AS (SELECT sh, COUNT(*) AS n_bench_docs_sh FROM sh
+             |          WHERE doc_id % 19 = 0 GROUP BY sh),
+             |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 19 <> 0)
+             |SELECT t.doc_id,
+             |  COUNT(*) AS n_shared_shingles,
+             |  CAST(SUM(b.n_bench_docs_sh) AS BIGINT) AS n_bench_hits
+             |FROM train t JOIN bench b ON t.sh = b.sh
+             |GROUP BY t.doc_id
+             |HAVING COUNT(*) >= 2
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Q106 bloom-gated decontamination (r12) -------------------------------
+    // q56's SCALE PATH: identical semantics (the oracle IS q56's SQL), a
+    // different physical regime. q56 broadcasts the bench shingle table —
+    // right while the holdout fits the broadcast ceiling (~2 GB at a
+    // 2M-doc holdout per BENCH_NOTES_r12 §2), wrong beyond it, where the
+    // fallback is a CORPUS-sized shuffle of every train shingle. Here the
+    // bench side compresses to a ~1.2 MB/M-shingle bloom SKETCH (one
+    // aggregate, bitmap-OR merge), shipped as a plan literal into a
+    // codegen'd scan-side predicate (Spark's own runtime-filter kernel,
+    // which InjectRuntimeFilter cannot place here because the key is an
+    // exploded shingle behind a generator) — so the corpus-sized stream
+    // dies AT THE SCAN and only ~fpp of it plus the true hits reach the
+    // exact confirm join. That join is deliberately UN-broadcast: its
+    // probe side is survivor-sized, its build side holdout-sized, and
+    // both shuffle cheaply at any corpus scale. False positives add
+    // survivors, never results — the string-keyed confirm join removes
+    // them, so the output is exact (hash-equal to q56's).
+    QueryDef("q106_bloom_decontamination",
+      (s, d) => {
+        val (_, survivors, bench) = bloomDecontamParts(s, d)
+        survivors.join(bench, "sh")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared_shingles"),
             sum(col("n_bench_docs_sh")).as("n_bench_hits"))
