@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Morton (Z-order) curve arithmetic as pure Column compositions — every
+  * step is a codegen'd long op (shift/and/or), no UDF, no custom
+  * expression needed. 16 bits per dimension, two dimensions -> a 32-bit
+  * z-value in a long.
+  *
+  * The interleave uses the classic magic-mask bit spread: x | x<<8
+  * masked to 0x00FF00FF, then 4/2/1 — each step doubles the gap between
+  * payload bits until each sits at an even position; y lands on the odd
+  * positions. ZOrderSpec pins a plain-Scala reference roundtrip.
+  */
+object ZOrder {
+
+  /** Linear map of `c` from [lo, hi] onto the 16-bit grid [0, 65535]
+    * (floor; hi clamps to 65535, a degenerate range to 0). NULL in ->
+    * NULL out. The mapping only positions rows on the curve — layout
+    * changes NEVER change query results, so this arithmetic needs no
+    * cross-engine determinism contract. */
+  def norm16(c: Column, lo: Double, hi: Double): Column =
+    if (hi <= lo) when(c.isNull, lit(null).cast(LongType)).otherwise(lit(0L))
+    else least(lit(65535L),
+      floor((c.cast(DoubleType) - lit(lo)) / lit(hi - lo) * 65536.0)
+        .cast(LongType))
+
+  /** Spread the low 16 bits of `c` onto even bit positions 0,2,..,30. */
+  def spread16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** The z-value of two 16-bit coordinates: x on even bits, y on odd. */
+  def interleave16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+import graft.Q._
+import graft.functions.ZOrder
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Q107: Z-ORDER data layout — the lakehouse OPTIMIZE ZORDER operation
+  * (Delta/Iceberg's multi-column clustering) as a first-class operator.
+  *
+  * Why it exists at 100 TB: hive partitioning (LakeLayoutSpec) prunes on
+  * ONE low-cardinality column; sorting prunes on ONE ordered column. A
+  * corpus queried by 2-D boxes (user x value here; source x quality
+  * score, date x domain in a training pipeline) needs every FILE to be
+  * narrow in BOTH dimensions at once — which is exactly what clustering
+  * by a space-filling curve gives: rows are range-partitioned and sorted
+  * by the interleaved-bit Morton code, so each output file covers a
+  * small square-ish region of the 2-D space, and the parquet footer
+  * min/max stats of BOTH raw columns become tight per file. A box
+  * predicate then skips most row groups at the SCAN, before any Spark
+  * operator runs — data-skipping bought purely with layout, no index
+  * structure to maintain.
+  *
+  * The rewrite itself is one range shuffle (repartitionByRange on the
+  * z-value — Spark samples the range bounds, so skew in z-space still
+  * yields balanced files) + an in-partition sort + a parquet write:
+  * linear in the data, embarrassingly scalable.
+  *
+  * Correctness contract: LAYOUT INVARIANCE. The query reads the
+  * REWRITTEN copy and aggregates a 2-D box; the DuckDB oracle runs the
+  * same box aggregate on the ORIGINAL table — hash equality proves the
+  * rewrite lost, duplicated and corrupted nothing. The box bounds are
+  * derived from min/max range fractions (0.25/0.375 — exact binary
+  * doubles) computed identically by both engines from the same data.
+  *
+  * Pushdown note: the semantic guard `CAST(user_id AS DOUBLE) >= bound`
+  * is NOT parquet-pushable (the cast hides the attribute), so the query
+  * conjoins a WIDENED integral guard on the raw column
+  * (user_id >= floor(lo), < ceil(hi) — a strict superset, so results
+  * are unchanged and the oracle doesn't carry it) purely to hand the
+  * scan a stats-comparable predicate. ZOrderSpec measures the effect:
+  * the z-layout scan emits a fraction of the rows a hash-layout scan of
+  * the same data emits under the same predicate.
+  */
+object Layout {
+
+  /** Output file count of the rewrite = z-range granularity: 16 files
+    * = 4 z-bits = a 4x4 grid of 2-D cells, each file ~1 cell. Production
+    * tables size this by target file size (~1 GB), not a constant. */
+  val ZFiles = 16
+
+  /** Cluster `df` by the Z-curve over (x, y) scaled from the given
+    * ranges, writing `ZFiles` parquet files to `path`. The z column
+    * rides along in the files (file-level zv min/max documents the
+    * clustering; droppable). */
+  private[graft] def zOrderWrite(df: DataFrame, x: Column, y: Column,
+      xr: (Double, Double), yr: (Double, Double), path: String): Unit =
+    df.withColumn("zv", ZOrder.interleave16(
+        ZOrder.norm16(x, xr._1, xr._2), ZOrder.norm16(y, yr._1, yr._2)))
+      .repartitionByRange(ZFiles, col("zv"))
+      .sortWithinPartitions("zv")
+      .write.mode("overwrite").parquet(path)
+
+  /** The measured (min, max) of user_id and value — the clustering
+    * ranges AND the box-bound inputs, shared with ZOrderSpec. */
+  private[graft] def eventRanges(s: SparkSession, d: String)
+      : (DataFrame, (Double, Double), (Double, Double)) = {
+    val ev = Q.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val st = ev.agg(
+      min(col("user_id")).cast(DoubleType), max(col("user_id")).cast(DoubleType),
+      min(col("value")), max(col("value"))).head
+    (ev, (st.getDouble(0), st.getDouble(1)), (st.getDouble(2), st.getDouble(3)))
+  }
+
+  /** The q107 box filter over a copy of events: the exact double-typed
+    * box plus the widened integral pushdown guard on user_id. */
+  private[graft] def boxFilter(df: DataFrame,
+      ur: (Double, Double), vr: (Double, Double)): DataFrame = {
+    val (bul, buh) = (ur._1 + 0.25 * (ur._2 - ur._1),
+      ur._1 + 0.375 * (ur._2 - ur._1))
+    val (bvl, bvh) = (vr._1 + 0.25 * (vr._2 - vr._1),
+      vr._1 + 0.375 * (vr._2 - vr._1))
+    df.filter(col("user_id") >= lit(math.floor(bul).toLong) &&
+        col("user_id") < lit(math.ceil(buh).toLong))   // pushable superset
+      .filter(col("user_id").cast(DoubleType) >= bul &&
+        col("user_id").cast(DoubleType) < buh &&
+        col("value") >= bvl && col("value") < bvh)
+  }
+
+  private def zPath(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-zorder-" +
+      java.lang.Integer.toHexString(d.hashCode)
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q107_zorder_layout",
+      (s, d) => {
+        val (ev, ur, vr) = eventRanges(s, d)
+        val path = zPath(d)
+        zOrderWrite(ev, col("user_id"), col("value"), ur, vr, path)
+        boxFilter(s.read.parquet(path), ur, vr)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum4(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (${Q.EVENTS_SQL}),
+             |st AS (SELECT CAST(MIN(user_id) AS DOUBLE) AS ulo,
+             |    CAST(MAX(user_id) AS DOUBLE) AS uhi,
+             |    MIN(value) AS vlo, MAX(value) AS vhi FROM ev),
+             |box AS (SELECT ulo + 0.25 * (uhi - ulo) AS bul,
+             |    ulo + 0.375 * (uhi - ulo) AS buh,
+             |    vlo + 0.25 * (vhi - vlo) AS bvl,
+             |    vlo + 0.375 * (vhi - vlo) AS bvh FROM st)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  ${SUM4("value")} AS sum_value
+             |FROM ev, box
+             |WHERE CAST(user_id AS DOUBLE) >= bul
+             |  AND CAST(user_id AS DOUBLE) < buh
+             |  AND value >= bvl AND value < bvh
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+}

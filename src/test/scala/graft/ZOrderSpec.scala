@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.ZOrder
+import graft.queries.Layout
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q107 Z-order layout: the bit-interleave law against a plain-Scala
+  * reference, layout invariance of the rewrite, and the point of the
+  * whole exercise — MEASURED data skipping: the same 2-D box predicate
+  * over the same rows reads a fraction of the data from the z-clustered
+  * layout vs a hash-distributed one.
+  */
+class ZOrderSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withTempDir[A](f: String => A): A = {
+    val d = java.nio.file.Files.createTempDirectory("graft-zspec").toFile
+    try f(d.getAbsolutePath)
+    finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles).foreach(_.foreach(rm)); x.delete()
+      }
+      rm(d)
+    }
+  }
+
+  test("interleave16 matches a plain-Scala Morton reference") {
+    def spreadRef(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      x = (x | (x << 1)) & 0x55555555L
+      x
+    }
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (1L, 2L)) ++
+      (1 to 60).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val sp = spark
+    import sp.implicits._
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.interleave16(col("x"), col("y")).as("zv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      val want = spreadRef(x) | (spreadRef(y) << 1)
+      assert(got((x, y)) == want, s"interleave($x, $y): ${got((x, y))} != $want")
+    }
+  }
+
+  test("the rewrite is layout-invariant: full read-back equals the source") {
+    withTempDir { tmp =>
+      val (ev, ur, vr) = Layout.eventRanges(spark, dir)
+      Layout.zOrderWrite(ev, col("user_id"), col("value"), ur, vr, s"$tmp/z")
+      val back = spark.read.parquet(s"$tmp/z")
+        .select("event_id", "user_id", "event_type", "value")
+      assert(back.count() == ev.count())
+      assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty,
+        "z-order rewrite changed the row multiset")
+    }
+  }
+
+  test("the box scan reads a fraction of the rows a hash layout reads") {
+    withTempDir { tmp =>
+      val (ev, ur, vr) = Layout.eventRanges(spark, dir)
+      Layout.zOrderWrite(ev, col("user_id"), col("value"), ur, vr, s"$tmp/z")
+      // control: identical rows, identical file count, hash-distributed —
+      // every file's (user_id, value) min/max spans the full space
+      ev.repartition(Layout.ZFiles).write.parquet(s"$tmp/hash")
+
+      def scanned(path: String): (Long, Long) = {
+        val df = Layout.boxFilter(spark.read.parquet(path), ur, vr)
+        val result = df.count()
+        val scans = PlanWalk.collectAll(PlanWalk.executedPlanOf(df))
+          .collect { case f: FileSourceScanExec => f }
+        assert(scans.nonEmpty, "no parquet scan in the box plan")
+        (scans.map(_.metrics("numOutputRows").value).sum, result)
+      }
+      val (zRead, zRows) = scanned(s"$tmp/z")
+      val (hRead, hRows) = scanned(s"$tmp/hash")
+      val total = ev.count()
+      assert(zRows == hRows, "both layouts must yield identical results")
+      // the hash layout can skip nothing: its scan emits ~every row that
+      // survives the pushed predicates row-group-wide; the z layout must
+      // skip most row groups outright
+      assert(zRead * 2 <= hRead,
+        s"z-order skipped too little: z=$zRead hash=$hRead total=$total")
+      assert(zRead * 2 <= total,
+        s"z-order scan should read under half the table: $zRead of $total")
+    }
+  }
+}
