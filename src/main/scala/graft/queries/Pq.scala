@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+import graft.Q._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Q108: PRODUCT QUANTIZATION ANN (Jégou et al., "Product Quantization
+  * for Nearest Neighbor Search", TPAMI 2011) — the compressed-domain
+  * member completing the vector-search family: q32 brute force, q41
+  * LSH buckets, q48/q62 IVF cells, q54 scalar int8 — and now PQ, the
+  * FAISS-style codec that makes billion-vector search fit in memory:
+  * each 64-dim float vector compresses to 8 four-bit codes (256 bytes
+  * -> 8 nibbles, a 64x reduction) and queries scan CODES, not vectors.
+  *
+  * Layout: 8 subspaces x 8 dims; per subspace a 16-centroid codebook
+  * trained like q48's coarse quantizer (seeds = the first 16 vectors'
+  * sub-slices, one deterministic Lloyd refinement step). A vector's
+  * code in subspace m = argmin_c dist^2(sub_m(v), codebook[m][c]).
+  * Search is ADC (asymmetric distance computation): the query builds an
+  * 8x16 lookup table of sub-distances ONCE, every database vector's
+  * approximate distance is then 8 table lookups + 7 adds — no float
+  * vector is touched until the final exact re-rank of the top-32 ADC
+  * candidates.
+  *
+  * Scale shape: training touches the corpus twice (assign + the
+  * per-(subspace, centroid, coordinate) refine aggregate, output
+  * bounded by 8*16*8 = 1024 rows); the codebooks and LUT ride as PLAN
+  * LITERALS (q80's literal-centroid pattern — the expression form of a
+  * broadcast model), so encode + ADC scoring is ONE projection over the
+  * vector scan: no join, no shuffle, candidates via
+  * TakeOrderedAndProject. Only the 32 candidates ever carry their float
+  * embeddings to the re-rank.
+  *
+  * Determinism (the oracle contract): every distance is an EXPLICIT
+  * left-associated 8-term sum — written out term by term in the DuckDB
+  * SQL and folded in the same order by Spark's `aggregate` — over
+  * float->double-exact inputs, so the doubles are bit-identical across
+  * engines before the f4/f6 floor rounding is applied; argmins tie-break
+  * on centroid id; the ADC sum runs in DECIMAL(18,4) and the centroid
+  * averages over DECIMAL(18,8) sums (both exact and
+  * association-order-free — the VectorStats mechanism), so the whole
+  * chain is bit-stable under any partitioning, not just across engines.
+  */
+object Pq {
+
+  val SubSpaces = 8
+  val SubDim = 8
+  val CodebookK = 16
+  val AdcCandidates = 32
+  val TopK = 10
+
+  private val dec4 = DecimalType(18, 4)
+
+  /** f4's scale-6 sibling for codebook coordinates (quantization cells
+    * are ~1e-2 wide; 1e-6 rounding is far below the cell structure). */
+  private def f6(c: Column): Column =
+    (floor(c * 1000000 + lit(0.5)) / 1000000.0).cast(DoubleType)
+  private def F6(x: String): String =
+    s"CAST(FLOOR(($x) * 1000000 + 0.5) / 1000000.0 AS DOUBLE)"
+
+  /** Driver twins of Q.f4 / the left-fold distance — same IEEE ops in
+    * the same order, so LUT entries computed here are bit-identical to
+    * what the engines would compute. */
+  private def f4s(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+  private def distScala(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val t = a(i) - b(i); acc = acc + t * t; i += 1 }
+    acc
+  }
+
+  /** dist^2 of a bound sub-vector column against a literal centroid:
+    * zip_with then a LEFT fold — ((0 + t1) + t2)... — matching the
+    * explicit left-associated term chain in the oracle SQL. */
+  private def distTo(sv: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(sv, array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The oracle-side twin: an explicit left-associated 8-term chain. */
+  private def DIST(a: String, b: String): String =
+    (1 to SubDim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])")
+      .mkString(" + ")
+
+  /** embeddings with NULLs dropped (the q48 guard), widened to double
+    * once so both engines run identical arithmetic; the raw float array
+    * rides along for the exact re-rank. */
+  private def dvecs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+
+  /** Trained codebooks: per subspace m, the surviving (cid, centroid)
+    * rows sorted by cid (a seed whose cluster emptied — possible when
+    * two seed sub-vectors are identical and the lower cid wins both —
+    * simply drops out, in both engines). 1024 driver rows max. */
+  private[graft] def trainCodebooks(s: SparkSession, d: String)
+      : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] = {
+    val ed = dvecs(s, d)
+    val seeds = ed.filter(col("vec_id") < CodebookK)
+      .orderBy("vec_id").select(col("vec_id"), col("e")).collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toIndexedSeq)
+    // one corpus pass assigns every (row, subspace) to its nearest seed
+    val assigned = (0 until SubSpaces).foldLeft(
+        ed.select(col("vec_id"), col("e"))) { (acc, m) =>
+      val seedSubs = seeds.map { case (vid, v) =>
+        vid -> v.slice(m * SubDim, m * SubDim + SubDim)
+      }
+      acc.withColumn(s"sv_$m", slice(col("e"), m * SubDim + 1, SubDim))
+        .withColumn(s"d_$m", array(seedSubs.map { case (_, sc) =>
+          f4(distTo(col(s"sv_$m"), sc)) }: _*))
+        .withColumn(s"c0_$m", element_at(
+          array(seedSubs.map(x => lit(x._1)): _*),
+          expr(s"array_position(d_$m, array_min(d_$m))").cast(IntegerType)))
+    }
+    val refined = assigned.select(col("vec_id"),
+        explode(array((0 until SubSpaces).map(m => struct(
+          lit(m).as("m"), col(s"c0_$m").as("cid"),
+          col(s"sv_$m").as("sv"))): _*)).as("z"))
+      .select(col("z.m").as("m"), col("z.cid").as("cid"),
+        posexplode(col("z.sv")).as(Seq("pos", "v")))
+      .groupBy("m", "cid", "pos")
+      // exact decimal sum then one double division: association-order-free
+      // (the VectorStats dec8 mechanism), so codebooks are bit-identical
+      // under any partitioning — q108 rides the partition-invariance law
+      .agg(f6(sum(col("v").cast(DecimalType(18, 8))).cast(DoubleType)
+        / count(lit(1))).as("cv"))
+      .collect()
+    val byM = refined.groupBy(_.getInt(0))
+    IndexedSeq.tabulate(SubSpaces) { m =>
+      byM.getOrElse(m, Array.empty).groupBy(_.getInt(1)).toIndexedSeq
+        .sortBy(_._1)
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq
+        }
+    }
+  }
+
+  /** The full q108 search: train, encode + ADC-score in one projection,
+    * exact-re-rank the top candidates. */
+  private[graft] def search(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ed = dvecs(s, d)
+    val books = trainCodebooks(s, d)
+    val qe = ed.filter(col("vec_id") === 0).select(col("e"))
+      .head.getSeq[Double](0).toIndexedSeq
+    // the ADC lookup table, with the engine-twin arithmetic
+    val lut: IndexedSeq[IndexedSeq[Double]] = IndexedSeq.tabulate(SubSpaces) {
+      m => books(m).map { case (_, ce) =>
+        f4s(distScala(qe.slice(m * SubDim, m * SubDim + SubDim), ce))
+      }
+    }
+    val scored = (0 until SubSpaces).foldLeft(
+        ed.filter(col("vec_id") =!= 0)) { (acc, m) =>
+      acc.withColumn(s"sv_$m", slice(col("e"), m * SubDim + 1, SubDim))
+        .withColumn(s"pd_$m", array(books(m).map { case (_, ce) =>
+          f4(distTo(col(s"sv_$m"), ce)) }: _*))
+        .withColumn(s"t_$m", element_at(
+          array(lut(m).map(lit): _*),
+          expr(s"array_position(pd_$m, array_min(pd_$m))").cast(IntegerType)))
+    }
+    val cand = scored
+      .withColumn("adc_dist",
+        (0 until SubSpaces).map(m => col(s"t_$m").cast(dec4))
+          .reduce(_ + _).cast(DoubleType))
+      .select(col("vec_id"), col("embedding"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(AdcCandidates)
+    val qrow = t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    cand.crossJoin(graft.BroadcastBounds.bounded("single-query-probe")(qrow))
+      .select(col("vec_id"), col("adc_dist"),
+        f4(expr("cosine_sim(embedding, qe)")).as("exact_cos"))
+      .orderBy(col("exact_cos").desc, col("vec_id"))
+      .limit(TopK)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q108_pq_ann",
+      (s, d) => search(s, d),
+      Some(s"""WITH env AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |    FROM embeddings WHERE embedding IS NOT NULL),
+             |ms AS (SELECT UNNEST(generate_series(0, ${SubSpaces - 1})) AS m),
+             |subs AS (SELECT vec_id, m,
+             |    e[m*$SubDim+1 : m*$SubDim+$SubDim] AS sv
+             |  FROM env CROSS JOIN ms),
+             |seeds AS (SELECT m, vec_id AS cid, sv AS sc FROM subs
+             |  WHERE vec_id < $CodebookK),
+             |a0 AS (SELECT vec_id, m, cid FROM (
+             |    SELECT s.vec_id, s.m, d.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             |        ORDER BY ${F4(DIST("s.sv", "d.sc"))}, d.cid) AS rn
+             |    FROM subs s JOIN seeds d ON d.m = s.m) x WHERE rn = 1),
+             |pieces AS (SELECT a.m, a.cid,
+             |    unnest(generate_series(1, $SubDim)) AS pos, unnest(s.sv) AS v
+             |  FROM a0 a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m),
+             |rc AS (SELECT m, cid, pos,
+             |    ${F6("CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)")}
+             |      AS cv
+             |  FROM pieces GROUP BY m, cid, pos),
+             |refined AS (SELECT m, cid, list(cv ORDER BY pos) AS ce
+             |  FROM rc GROUP BY m, cid),
+             |codes AS (SELECT vec_id, m, cid FROM (
+             |    SELECT s.vec_id, s.m, r.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             |        ORDER BY ${F4(DIST("s.sv", "r.ce"))}, r.cid) AS rn
+             |    FROM subs s JOIN refined r ON r.m = s.m) x WHERE rn = 1),
+             |qs AS (SELECT m, sv FROM subs WHERE vec_id = 0),
+             |lut AS (SELECT r.m, r.cid, ${F4(DIST("q.sv", "r.ce"))} AS qd
+             |  FROM refined r JOIN qs q ON q.m = r.m),
+             |adc AS (SELECT c.vec_id,
+             |    CAST(SUM(CAST(l.qd AS DECIMAL(18,4))) AS DOUBLE) AS adc_dist
+             |  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+             |  WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+             |cand AS (SELECT vec_id, adc_dist FROM adc
+             |  ORDER BY adc_dist, vec_id LIMIT $AdcCandidates),
+             |qv AS (SELECT e FROM env WHERE vec_id = 0)
+             |SELECT c.vec_id AS vec_id, c.adc_dist AS adc_dist,
+             |  ${F4("list_cosine_similarity(e.e, (SELECT e FROM qv))")}
+             |    AS exact_cos
+             |FROM cand c JOIN env e ON e.vec_id = c.vec_id
+             |ORDER BY exact_cos DESC, vec_id LIMIT $TopK""".stripMargin)))
+}

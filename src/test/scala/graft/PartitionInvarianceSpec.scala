@@ -38,7 +38,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q101_fuzzy_decontamination", // r12: pair-agg + argmax window + top-50
     "q102_ingest_dedup",          // r12: pre-aggregated index probes
     "q105_similarity_join",       // r12: df-ordered prefix join + verify
-    "q106_bloom_decontamination") // r12: bitmap-OR sketch + confirm join
+    "q106_bloom_decontamination", // r12: bitmap-OR sketch + confirm join
+    "q108_pq_ann")                // r12: decimal-exact codebook training
 
   test("outputs are identical under a different shuffle partitioning") {
     val spark = TestSpark.spark

@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.Pq
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q108 product quantization beyond engine parity (the DuckDB oracle
+  * replays the full train/encode/ADC/re-rank chain, so the driver
+  * hash-match proves Spark == DuckDB): retrieval QUALITY against exact
+  * brute force, codebook shape, a planted exact duplicate, and
+  * run-to-run determinism.
+  */
+class PqSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def exactTopK(d: String, k: Int): Seq[Long] = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(BroadcastBounds.bounded("single-query-probe")(q))
+      .select(col("vec_id"),
+        round(expr("cosine_sim(embedding, qe)"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("ADC search finds the true nearest neighbor and >= 40% of the exact top-10") {
+    val pq = Pq.search(spark, dir).collect().map(_.getLong(0)).toSeq
+    val exact = exactTopK(dir, Pq.TopK)
+    assert(pq.contains(exact.head),
+      s"rank-1 exact neighbor ${exact.head} missing from PQ results $pq")
+    val recall = pq.toSet.intersect(exact.toSet).size.toDouble / exact.size
+    assert(recall >= 0.4,
+      s"recall@${Pq.TopK} too low: $recall (pq=$pq exact=$exact)")
+  }
+
+  test("codebooks: 8 subspaces, <= 16 centroids each, 8 coordinates each") {
+    val books = Pq.trainCodebooks(spark, dir)
+    assert(books.size == Pq.SubSpaces)
+    books.foreach { cents =>
+      assert(cents.nonEmpty && cents.size <= Pq.CodebookK,
+        s"bad codebook size ${cents.size}")
+      assert(cents.map(_._1) == cents.map(_._1).sorted, "cids must be sorted")
+      cents.foreach { case (cid, ce) =>
+        assert(cid >= 0 && cid < Pq.CodebookK)
+        assert(ce.size == Pq.SubDim)
+      }
+    }
+  }
+
+  test("a planted exact copy of the query ranks first at cosine 1.0") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val q = vec()
+    val rows = (0L until 40L).map { id =>
+      (id, if (id == 0L || id == 30L) q else vec(), id.toInt % 3)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Pq.search(spark, tmp).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getLong(0) == 30L && top.getDouble(2) == 1.0,
+      s"planted copy not rank-1 at cosine 1.0: ${out.toSeq}")
+  }
+
+  test("the whole chain is deterministic across runs") {
+    val a = Pq.search(spark, dir).collect().toSeq
+    val b = Pq.search(spark, dir).collect().toSeq
+    assert(a == b, "PQ results differ across runs")
+  }
+}
