@@ -22,19 +22,24 @@ class SimJoinSpec extends AnyFunSuite {
     SimJoin.shingleSetsOf(rows.toDF("doc_id", "text"))
   }
 
-  test("planted pairs: exact copy, exact tau boundary kept, just-below dropped") {
-    val w = (1 to 20).map(i => s"w$i")
-    val a = w.mkString(" ") // 16 shingles
+  test("planted pairs: exact copy collapses, tau boundary kept, just-below dropped") {
+    val w = (1 to 21).map(i => s"w$i")
+    val a = w.take(20).mkString(" ") // 16 shingles
+    // byte-identical to a: collapsed by the built-in q30 composition
+    val copy = a
     // 12 shared shingles, 16 each: J = 12/20 = 0.6 — EXACTLY tau, kept
     val boundary = (w.take(16) ++ (1 to 4).map(i => s"x$i")).mkString(" ")
     // 11 shared shingles: J = 11/21 < tau, dropped
     val below = (w.take(15) ++ (1 to 5).map(i => s"y$i")).mkString(" ")
-    val sets = setsOf(Seq(1L -> a, 2L -> a, 3L -> boundary, 4L -> below))
+    // one extra trailing token: 17 shingles, 16 shared with a ->
+    // J = 16/17 (a NEAR-identical pair that must survive the collapse)
+    val nearCopy = w.mkString(" ")
+    val sets = setsOf(Seq(1L -> a, 2L -> copy, 3L -> boundary, 4L -> below,
+      5L -> nearCopy))
 
     val got = SimJoin.similarPairs(sets).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
-    assert(got.toSet == Set((1L, 2L, 16L, 1.0), (1L, 3L, 12L, 0.6),
-      (2L, 3L, 12L, 0.6)),
+    assert(got.toSet == Set((1L, 3L, 12L, 0.6), (1L, 5L, 16L, 0.9412)),
       s"boundary fixture mismatch: ${got.mkString(", ")}")
   }
 
