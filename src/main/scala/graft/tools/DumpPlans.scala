@@ -234,6 +234,44 @@ object DumpPlans {
         |and the global top-50 is TakeOrderedAndProject. Candidates are
         |probe-bounded (O(probes x bench/cells) per train vector), never
         |all-pairs.""".stripMargin,
+    "q105_similarity_join" ->
+      """Exact set-similarity join: the q30 survivor collapse (one
+        |content-keyed partial+final aggregate) runs first so byte-identical
+        |copies never enter the pair space; the hashed shingle sets then
+        |materialize ONCE (Scan ExistingRDD leaves — every consumer reads
+        |the checkpoint, the tokenize+md5 projection appears nowhere
+        |downstream). The candidate join keys on PREFIX shingles only
+        |(rarity-ordered, so raw-df-hot shingles stay out of prefixes);
+        |verification carries the two shingle arrays to each surviving
+        |candidate pair and intersects in-row — no third corpus
+        |shuffle.""".stripMargin,
+    "q106_bloom_decontamination" ->
+      """q56's over-broadcast scale path: the bench side collapses into a
+        |~KB bloom SKETCH via one aggregate, and might_contain(xxhash64)
+        |runs as the FIRST conjunct of the pushed Filter directly over the
+        |train shingle stream — the corpus dies at the scan, before any
+        |exchange. The exact confirm join is un-hinted and keyed: its
+        |probe side is survivor-sized (~fpp x corpus + true hits), its
+        |build side holdout-sized, so neither side's shuffle grows with
+        |the training corpus.""".stripMargin,
+    "q107_zorder_layout" ->
+      """Layout invariance read-back: the scan carries BOTH the exact
+        |double-typed box and the widened integral guard in PushedFilters
+        |(the guard is what parquet row-group stats can compare), so at
+        |the z-clustered layout most row groups never decompress —
+        |ZOrderSpec measures the skip against a hash layout of the same
+        |rows. The rewrite itself (not in this read plan) is one range
+        |exchange on the Morton code + in-partition sort: linear,
+        |sampling-balanced, no hot key.""".stripMargin,
+    "q108_pq_ann" ->
+      """Compressed-domain ANN: codebooks and the ADC lookup table ride as
+        |PLAN LITERALS, so encode + scoring is ONE Project inside
+        |whole-stage codegen over the vector scan — no join, no shuffle,
+        |no UDF — and the top-32 candidates come out of
+        |TakeOrderedAndProject (per-task heaps + driver merge). Only those
+        |32 rows carry float embeddings into the broadcast re-rank join.
+        |Training (not in this search plan) is two corpus passes whose
+        |aggregate output is bounded by 8x16x8 codebook cells.""".stripMargin,
     "q94_line_dedup" ->
       """C4-style boilerplate removal with ONE content shuffle: line
         |frequency is a partial+final HashAggregate on the 16-byte md5 key
@@ -511,6 +549,10 @@ object DumpPlans {
           "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
           "UUID")
         .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$N")
+        // long binary literals (q106's inlined bloom sketch): collapse —
+        // they are data-dependent (diff churn) and would otherwise be
+        // corrupted by the epoch-ms rule below
+        .replaceAll("0x[0-9A-F]{64,}", "0x<BINARY_LITERAL>")
         .replaceAll("/(tmp|private)/[-_/A-Za-z0-9.]*", "/tmp/...")
         // standalone 13-digit runs only: a digit or '.' on either side
         // means the run is inside a longer numeric literal (a double's
