@@ -137,6 +137,48 @@ object Pq {
     }
   }
 
+  /** The query's ADC lookup table (engine-twin arithmetic). */
+  private[graft] def lutFor(books: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]],
+      qe: IndexedSeq[Double]): IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(SubSpaces) { m =>
+      books(m).map { case (_, ce) =>
+        f4s(distScala(qe.slice(m * SubDim, m * SubDim + SubDim), ce))
+      }
+    }
+
+  /** Encode + ADC-score `df` (must carry the double array `e`) in one
+    * literal projection: per subspace, argmin against the codebook picks
+    * the code position and the LUT entry at that position is the ADC
+    * term; the 8 terms sum in exact DECIMAL(18,4) into `adc_dist`. */
+  private[graft] def adcScored(df: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]],
+      lut: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    val scored = (0 until SubSpaces).foldLeft(df) { (acc, m) =>
+      acc.withColumn(s"sv_$m", slice(col("e"), m * SubDim + 1, SubDim))
+        .withColumn(s"pd_$m", array(books(m).map { case (_, ce) =>
+          f4(distTo(col(s"sv_$m"), ce)) }: _*))
+        .withColumn(s"t_$m", element_at(
+          array(lut(m).map(lit): _*),
+          expr(s"array_position(pd_$m, array_min(pd_$m))").cast(IntegerType)))
+    }
+    scored.withColumn("adc_dist",
+      (0 until SubSpaces).map(m => col(s"t_$m").cast(dec4))
+        .reduce(_ + _).cast(DoubleType))
+  }
+
+  /** The exact cosine re-rank of an ADC candidate frame (vec_id,
+    * embedding, adc_dist [+ extras]): top-TopK by true similarity. */
+  private def reranked(s: SparkSession, d: String, cand: DataFrame,
+      extra: Seq[String] = Seq.empty): DataFrame = {
+    val qrow = t(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    cand.crossJoin(graft.BroadcastBounds.bounded("single-query-probe")(qrow))
+      .select((Seq(col("vec_id")) ++ extra.map(col) ++ Seq(col("adc_dist"),
+        f4(expr("cosine_sim(embedding, qe)")).as("exact_cos"))): _*)
+      .orderBy(col("exact_cos").desc, col("vec_id"))
+      .limit(TopK)
+  }
+
   /** The full q108 search: train, encode + ADC-score in one projection,
     * exact-re-rank the top candidates. */
   private[graft] def search(s: SparkSession, d: String): DataFrame = {
@@ -145,35 +187,55 @@ object Pq {
     val books = trainCodebooks(s, d)
     val qe = ed.filter(col("vec_id") === 0).select(col("e"))
       .head.getSeq[Double](0).toIndexedSeq
-    // the ADC lookup table, with the engine-twin arithmetic
-    val lut: IndexedSeq[IndexedSeq[Double]] = IndexedSeq.tabulate(SubSpaces) {
-      m => books(m).map { case (_, ce) =>
-        f4s(distScala(qe.slice(m * SubDim, m * SubDim + SubDim), ce))
-      }
-    }
-    val scored = (0 until SubSpaces).foldLeft(
-        ed.filter(col("vec_id") =!= 0)) { (acc, m) =>
-      acc.withColumn(s"sv_$m", slice(col("e"), m * SubDim + 1, SubDim))
-        .withColumn(s"pd_$m", array(books(m).map { case (_, ce) =>
-          f4(distTo(col(s"sv_$m"), ce)) }: _*))
-        .withColumn(s"t_$m", element_at(
-          array(lut(m).map(lit): _*),
-          expr(s"array_position(pd_$m, array_min(pd_$m))").cast(IntegerType)))
-    }
-    val cand = scored
-      .withColumn("adc_dist",
-        (0 until SubSpaces).map(m => col(s"t_$m").cast(dec4))
-          .reduce(_ + _).cast(DoubleType))
+    val cand = adcScored(ed.filter(col("vec_id") =!= 0), books,
+        lutFor(books, qe))
       .select(col("vec_id"), col("embedding"), col("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(AdcCandidates)
-    val qrow = t(s, d, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"))
-    cand.crossJoin(graft.BroadcastBounds.bounded("single-query-probe")(qrow))
-      .select(col("vec_id"), col("adc_dist"),
-        f4(expr("cosine_sim(embedding, qe)")).as("exact_cos"))
-      .orderBy(col("exact_cos").desc, col("vec_id"))
-      .limit(TopK)
+    reranked(s, d, cand)
+  }
+
+  /** Q109: the IVF-PQ composition (FAISS IndexIVFPQ's architecture,
+    * minus residual encoding — codes are global, documented below):
+    * q48's coarse quantizer routes the query to its IvfProbes nearest
+    * cells, and ONLY vectors homed in those cells are ADC-scored. q108
+    * scans every code (fine at memory scale, 8 bytes/vector, but still
+    * O(n) per query); q109's per-query work is O(probes * n / cells) —
+    * at sqrt(n) cells and 10^10 vectors, ~4 of ~10^5 cells = a 25,000x
+    * smaller scan, the geometry that makes billion-scale ANN serve.
+    * In production the code table is partitioned by cell id, so the
+    * probe filter IS partition pruning; here it is a pushed filter over
+    * the one materialized IVF assignment (the q62 index shape).
+    *
+    * Global (non-residual) codes trade ~recall for a single codebook
+    * shared by every cell — the IVFFlat+PQ variant; residual encoding
+    * would subtract each cell centroid before quantizing (per-cell
+    * distance tables), a documented extension, not a correctness gap.
+    * PqSpec pins cell containment and recall against exact brute force.
+    */
+  private[graft] def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val ed = dvecs(s, d)
+    val n = ed.count()
+    val idx = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFlatStats(
+        TextSearch.ivfAssigned(s, d, TextSearch.ivfCells(n))
+          .filter(col("rn") <= TextSearch.IvfProbes)
+          .select(col("vec_id"), col("cid"), col("rn")))
+    val probed = idx.filter(col("vec_id") === 0)
+      .select("cid").collect().map(_.getLong(0)).sorted
+    val cand0 = idx.filter(col("rn") === 1 && col("vec_id") =!= 0 &&
+        col("cid").isin(probed: _*))
+      .select(col("vec_id"), col("cid"))
+      .join(ed, "vec_id")
+    val books = trainCodebooks(s, d)
+    val qe = ed.filter(col("vec_id") === 0).select(col("e"))
+      .head.getSeq[Double](0).toIndexedSeq
+    val cand = adcScored(cand0, books, lutFor(books, qe))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(AdcCandidates)
+    reranked(s, d, cand, extra = Seq("cid"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -220,5 +282,59 @@ object Pq {
              |  ${F4("list_cosine_similarity(e.e, (SELECT e FROM qv))")}
              |    AS exact_cos
              |FROM cand c JOIN env e ON e.vec_id = c.vec_id
+             |ORDER BY exact_cos DESC, vec_id LIMIT $TopK""".stripMargin)),
+
+    QueryDef("q109_ivf_pq_ann",
+      (s, d) => ivfPqSearch(s, d),
+      Some(s"""WITH ${TextSearch.IVF_CELLS_SQL},
+             |probed AS (SELECT cid FROM assigned
+             |  WHERE vec_id = 0 AND rn <= ${TextSearch.IvfProbes}),
+             |candv AS (SELECT c.vec_id, c.cid FROM cells c
+             |  JOIN probed p USING (cid) WHERE c.vec_id <> 0),
+             |penv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             |  FROM env),
+             |pms AS (SELECT UNNEST(generate_series(0, ${SubSpaces - 1})) AS m),
+             |psubs AS (SELECT vec_id, m,
+             |    e[m*$SubDim+1 : m*$SubDim+$SubDim] AS sv
+             |  FROM penv CROSS JOIN pms),
+             |pseeds AS (SELECT m, vec_id AS pcid, sv AS sc FROM psubs
+             |  WHERE vec_id < $CodebookK),
+             |pa0 AS (SELECT vec_id, m, pcid FROM (
+             |    SELECT s.vec_id, s.m, d.pcid,
+             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             |        ORDER BY ${F4(DIST("s.sv", "d.sc"))}, d.pcid) AS rn
+             |    FROM psubs s JOIN pseeds d ON d.m = s.m) x WHERE rn = 1),
+             |ppieces AS (SELECT a.m, a.pcid,
+             |    unnest(generate_series(1, $SubDim)) AS pos, unnest(s.sv) AS v
+             |  FROM pa0 a JOIN psubs s ON s.vec_id = a.vec_id AND s.m = a.m),
+             |prc AS (SELECT m, pcid, pos,
+             |    ${F6("CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)")}
+             |      AS cv
+             |  FROM ppieces GROUP BY m, pcid, pos),
+             |prefined AS (SELECT m, pcid, list(cv ORDER BY pos) AS ce
+             |  FROM prc GROUP BY m, pcid),
+             |pcodes AS (SELECT vec_id, m, pcid FROM (
+             |    SELECT s.vec_id, s.m, r.pcid,
+             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             |        ORDER BY ${F4(DIST("s.sv", "r.ce"))}, r.pcid) AS rn
+             |    FROM psubs s JOIN prefined r ON r.m = s.m) x WHERE rn = 1),
+             |pqs AS (SELECT m, sv FROM psubs WHERE vec_id = 0),
+             |plut AS (SELECT r.m, r.pcid, ${F4(DIST("q.sv", "r.ce"))} AS qd
+             |  FROM prefined r JOIN pqs q ON q.m = r.m),
+             |padc AS (SELECT c.vec_id,
+             |    CAST(SUM(CAST(l.qd AS DECIMAL(18,4))) AS DOUBLE) AS adc_dist
+             |  FROM pcodes c
+             |  JOIN plut l ON l.m = c.m AND l.pcid = c.pcid
+             |  JOIN candv cv ON cv.vec_id = c.vec_id
+             |  GROUP BY c.vec_id),
+             |pcand AS (SELECT a.vec_id, cv.cid, a.adc_dist
+             |  FROM padc a JOIN candv cv USING (vec_id)
+             |  ORDER BY adc_dist, vec_id LIMIT $AdcCandidates),
+             |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM env
+             |  WHERE vec_id = 0)
+             |SELECT p.vec_id AS vec_id, p.cid AS cid, p.adc_dist AS adc_dist,
+             |  ${F4("list_cosine_similarity(e.e, (SELECT e FROM qv))")}
+             |    AS exact_cos
+             |FROM pcand p JOIN penv e USING (vec_id)
              |ORDER BY exact_cos DESC, vec_id LIMIT $TopK""".stripMargin)))
 }

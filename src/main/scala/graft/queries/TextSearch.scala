@@ -98,7 +98,7 @@ object TextSearch {
       d: String): DataFrame =
     t(s, d, "embeddings").filter(col("embedding").isNotNull)
 
-  private def ivfAssigned(s: org.apache.spark.sql.SparkSession,
+  private[graft] def ivfAssigned(s: org.apache.spark.sql.SparkSession,
       d: String, cells: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = embNonNull(s, d)
@@ -251,7 +251,7 @@ object TextSearch {
 
   /** Oracle twin of [[ivfAssigned]] (CTE chain ending in `assigned` and
     * the home-cell view `cells`), shared by the q48 and q62 oracles. */
-  private val IVF_CELLS_SQL: String =
+  private[graft] val IVF_CELLS_SQL: String =
     s"""env AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL),
       |seeds AS (SELECT vec_id AS cid, embedding AS ce
       |    FROM env WHERE vec_id < (SELECT GREATEST($IvfCellsMin,

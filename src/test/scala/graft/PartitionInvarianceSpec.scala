@@ -39,7 +39,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q102_ingest_dedup",          // r12: pre-aggregated index probes
     "q105_similarity_join",       // r12: df-ordered prefix join + verify
     "q106_bloom_decontamination", // r12: bitmap-OR sketch + confirm join
-    "q108_pq_ann")                // r12: decimal-exact codebook training
+    "q108_pq_ann",                // r12: decimal-exact codebook training
+    "q109_ivf_pq_ann")            // r12: probe filter over the same chain
 
   test("outputs are identical under a different shuffle partitioning") {
     val spark = TestSpark.spark

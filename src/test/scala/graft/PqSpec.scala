@@ -76,4 +76,38 @@ class PqSpec extends AnyFunSuite {
     val b = Pq.search(spark, dir).collect().toSeq
     assert(a == b, "PQ results differ across runs")
   }
+
+  test("q109 IVF-PQ: probe-bounded cells, rank-1 found, recall holds") {
+    val out = Pq.ivfPqSearch(spark, dir).collect()
+    assert(out.nonEmpty)
+    // candidates come only from the query's probed cells, so the result
+    // can span at most IvfProbes distinct cell ids
+    val cids = out.map(_.getLong(1)).toSet
+    assert(cids.size <= graft.queries.TextSearch.IvfProbes,
+      s"results span ${cids.size} cells — more than the probe budget")
+    val got = out.map(_.getLong(0)).toSet
+    val exact = exactTopK(dir, Pq.TopK)
+    assert(got.contains(exact.head),
+      s"rank-1 exact neighbor ${exact.head} missing from IVF-PQ results $got")
+    val recall = got.intersect(exact.toSet).size.toDouble / exact.size
+    assert(recall >= 0.4,
+      s"IVF-PQ recall@${Pq.TopK} too low: $recall (got=$got exact=$exact)")
+  }
+
+  test("q109 equals q108 restricted to the probed cells, and is deterministic") {
+    val a = Pq.ivfPqSearch(spark, dir).collect().toSeq
+    val b = Pq.ivfPqSearch(spark, dir).collect().toSeq
+    assert(a == b, "IVF-PQ results differ across runs")
+    // every IVF-PQ hit carries the same ADC distance q108's global scan
+    // assigns it — the probe filter changes the CANDIDATE set, never a
+    // surviving vector's score (global, non-residual codes)
+    val globalAdc = Pq.search(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    a.foreach { r =>
+      val (vid, adc) = (r.getLong(0), r.getDouble(2))
+      globalAdc.get(vid).foreach { g =>
+        assert(g == adc, s"vec $vid: IVF-PQ adc $adc != global adc $g")
+      }
+    }
+  }
 }
