@@ -95,6 +95,37 @@ object Layout {
     s"${System.getProperty("java.io.tmpdir")}/graft-zorder-" +
       java.lang.Integer.toHexString(d.hashCode)
 
+  /** Q110 compaction target. Test-scale 4 MB; production uses ~1 GB —
+    * the knob, not the mechanism, changes. */
+  val CompactTargetBytes: Long = 4L << 20
+
+  /** Q110: SMALL-FILE COMPACTION — the other half of lakehouse OPTIMIZE
+    * (q107 clusters, this bin-packs). Streaming ingest and per-partition
+    * writers leave thousands of KB-sized files; every later scan then
+    * pays per-file open/footer cost and the NameNode/listing pays the
+    * metadata. The Spark-native shape needs NO shuffle at all: the scan
+    * already bin-packs small files into input splits (openCostInBytes
+    * accounts each file a minimum share, maxPartitionBytes caps the
+    * split), so compaction is read -> coalesce(ceil(bytes/target)) ->
+    * write — coalesce is a NARROW dependency gluing scan partitions
+    * together, no exchange, no sort, row order within files preserved.
+    * Returns (filesBefore, filesAfter, bytes). */
+  private[graft] def compact(s: SparkSession, inPath: String,
+      outPath: String): (Long, Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val target = math.max(1L,
+      math.ceil(bytes.toDouble / CompactTargetBytes).toLong)
+    s.read.parquet(inPath).coalesce(target.toInt)
+      .write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(_.getPath.getName.endsWith(".parquet")).toLong
+    (parts.length.toLong, after, bytes)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q107_zorder_layout",
       (s, d) => {
@@ -123,5 +154,35 @@ object Layout {
              |WHERE CAST(user_id AS DOUBLE) >= bul
              |  AND CAST(user_id AS DOUBLE) < buh
              |  AND value >= bvl AND value < bvh
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // The queryable contract of a compaction is INVARIANCE: the oracle
+    // aggregates the ORIGINAL table while the query aggregates the
+    // twice-rewritten copy (fragment into ~150 small files, then compact
+    // back to a handful) — hash equality proves both rewrites lost,
+    // duplicated and corrupted nothing. LakeLayoutSpec pins the physical
+    // claims (file counts, no exchange in the compact plan).
+    QueryDef("q110_compaction",
+      (s, d) => {
+        val ev = Q.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft-compact-" +
+          java.lang.Integer.toHexString(d.hashCode)
+        ev.repartition(150)
+          .write.mode("overwrite").parquet(s"$base/frag")
+        compact(s, s"$base/frag", s"$base/out")
+        s.read.parquet(s"$base/out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum4(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (${Q.EVENTS_SQL})
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  ${SUM4("value")} AS sum_value
+             |FROM ev
              |GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

@@ -66,6 +66,34 @@ class LakeLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("q110 compaction: file count collapses, rows survive, no exchange") {
+    val spark = TestSpark.spark
+    withTempDir { out =>
+      val ev = Q.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      ev.repartition(80).write.parquet(s"$out/frag")
+      val (before, after, bytes) =
+        graft.queries.Layout.compact(spark, s"$out/frag", s"$out/compact")
+      assert(before == 80, s"fragment rig wrote $before files")
+      val expect = math.max(1L, math.ceil(
+        bytes.toDouble / graft.queries.Layout.CompactTargetBytes).toLong)
+      assert(after == expect && after < before,
+        s"compaction wrote $after files (expected $expect, before $before)")
+      // the row MULTISET survives both rewrites
+      val back = spark.read.parquet(s"$out/compact")
+      assert(back.count() == ev.count())
+      assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty,
+        "compaction changed the row multiset")
+      // and the compact dataflow itself is shuffle-free: scan-side split
+      // packing + a narrow coalesce, never an exchange
+      val plan = PlanWalk.executedPlanOf(
+        spark.read.parquet(s"$out/frag").coalesce(expect.toInt))
+      assert(!PlanWalk.collectAll(plan).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        s"compaction plan shuffles:\n$plan")
+    }
+  }
+
   test("schema evolution: mergeSchema unions corpus generations") {
     // a long-lived corpus accumulates columns (a new quality score, a new
     // provenance field); readers must see the union schema with NULLs for
