@@ -272,6 +272,23 @@ object DumpPlans {
         |32 rows carry float embeddings into the broadcast re-rank join.
         |Training (not in this search plan) is two corpus passes whose
         |aggregate output is bounded by 8x16x8 codebook cells.""".stripMargin,
+    "q109_ivf_pq_ann" ->
+      """IVF-PQ: the ADC scoring Project runs over the PROBE-FILTERED
+        |slice of the materialized IVF assignment (Scan ExistingRDD with
+        |the cid-in-probed-cells filter — in production this is partition
+        |pruning over a cell-partitioned code table), joined once to the
+        |vector payloads. Per-query scored rows are O(probes x n / cells)
+        |instead of q108's O(n); codebooks + LUT are still plan literals,
+        |candidates still TakeOrderedAndProject, and only 32 rows reach
+        |the broadcast re-rank.""".stripMargin,
+    "q110_compaction" ->
+      """The read-back audit of a shuffle-free compaction (the rewrite
+        |itself is scan -> narrow coalesce -> write; LakeLayoutSpec pins
+        |its plan has no exchange): an ordinary partial+final aggregate
+        |over the compacted copy. The point at 100 TB is what is ABSENT —
+        |compaction never exchanges, sorts or re-encodes rows, so its
+        |cost is IO-bound at write bandwidth and embarrassingly parallel
+        |across partitions.""".stripMargin,
     "q94_line_dedup" ->
       """C4-style boilerplate removal with ONE content shuffle: line
         |frequency is a partial+final HashAggregate on the 16-byte md5 key
