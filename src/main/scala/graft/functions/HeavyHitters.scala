@@ -103,4 +103,33 @@ object HeavyHitterSketch {
   /** 4096 counters (~100 KB of short tokens per partial buffer): clears
     * q99's n/1000 threshold with 4x margin and stays broadcast-trivial. */
   val DefaultCapacity = 4096
+
+  /** The PODS-2012 merge on plain maps — q111's streaming state fold
+    * (driver-side over <= 2*capacity entries per micro-batch). Same rule
+    * as [[HeavyHitterSketch.merge]], so the batch-by-batch fold is just
+    * another merge tree and the survival guarantee transfers verbatim. */
+  def mergeCounts(a: Map[String, Long], b: Map[String, Long],
+      capacity: Int): Map[String, Long] = {
+    val sk = new HeavyHitterSketch(capacity)
+    sk.merge(mutable.HashMap.from(a), mutable.HashMap.from(b)).toMap
+  }
+}
+
+/** [[HeavyHitterSketch]]'s map-valued sibling: same bounded buffer, same
+  * reduce/merge, but `finish` keeps the COUNTS — what a streaming
+  * consumer must persist between micro-batches (the candidate list alone
+  * cannot be merged; the counts can, by mergeable-summaries). */
+class HeavyHitterCounts(capacity: Int)
+    extends Aggregator[Array[String], mutable.HashMap[String, Long], Map[String, Long]] {
+  private val inner = new HeavyHitterSketch(capacity)
+  def zero: mutable.HashMap[String, Long] = inner.zero
+  def reduce(buf: mutable.HashMap[String, Long], toks: Array[String])
+      : mutable.HashMap[String, Long] = inner.reduce(buf, toks)
+  def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long])
+      : mutable.HashMap[String, Long] = inner.merge(a, b)
+  def finish(buf: mutable.HashMap[String, Long]): Map[String, Long] = buf.toMap
+  def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
+  def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }

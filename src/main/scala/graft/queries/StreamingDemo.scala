@@ -277,6 +277,29 @@ object StreamingDemo {
       },
       None),
 
+    // Q111: STREAMING heavy hitters (r12) — micro-batch Misra-Gries
+    // sketches folded into a versioned persistent sketch with the
+    // PODS-2012 merge (the same rule the batch aggregate uses, so the MG
+    // survival guarantee transfers to ANY slicing), then q99's exact
+    // rescue. The one streaming query WITH a DuckDB oracle: the rescue
+    // discards every order- and slicing-dependent artifact of the
+    // sketch, so the streamed output hash-equals the batch q99 — whose
+    // oracle SQL this query reuses verbatim.
+    QueryDef("q111_streaming_heavy_hitters",
+      (s, d) => {
+        val s2 = streamSession(s)
+        val replay = ingestReplayDirFor(s2, d)
+        val state =
+          s"${java.nio.file.Files.createTempDirectory("graft-q111")}/state"
+        graft.streaming.HitterStream.heavyHitters(s2, replay, state, d)
+      },
+      Some("""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token
+             |              FROM documents),
+             |tot AS (SELECT COUNT(*) AS n FROM toks)
+             |SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+             |HAVING COUNT(*) >= GREATEST((SELECT n FROM tot) // 1000, 5)
+             |ORDER BY cnt DESC, token""".stripMargin)),
+
     // Q53: streaming NEAR-dup ingest (r5) — MinHash band buckets resolved
     // to anchors through bounded per-bucket flatMapGroupsWithState state
     // with event-time expiry (see DocStream). No SQL oracle (DuckDB has no
