@@ -255,6 +255,94 @@ object Curation {
              |GROUP BY s.doc_id
              |ORDER BY doc_id""".stripMargin)),
 
+    // Q112 exact-span dedup REMOVAL (r12) ----------------------------------
+    // q70 AUDITS duplicated-substring coverage; this executes the Lee et
+    // al. remover: every token position covered by a word-8-gram that
+    // also occurs in a LOWER-id document is dropped, the span's minimum
+    // owner keeps its copy (one surviving occurrence per duplicated span
+    // chain — canonical-keeper, cross-doc only; within-doc repeats are
+    // q58's subject). Output pins the rewrite exactly: token counts plus
+    // the md5 of the reconstructed text.
+    //
+    // Scale shape: the positioned gram stream materializes once
+    // (flat-stats checkpoint, q70's lesson); span ownership is ONE
+    // content-keyed partial-agg shuffle (q94's shape — min + count over
+    // distinct (doc, span) pairs); the mark join is keyed on the span
+    // (a boilerplate span shared by 10^6 docs is one stats row joined
+    // against many gram rows — AQE's skew split handles the fat
+    // partition, and no pair stream exists anywhere); the removal
+    // positions explode 8x from marked grams only; reconstruction is
+    // q94's per-doc sorted collect_list. Every exchange is keyed on
+    // doc_id or span content — nothing quadratic, nothing all-pairs.
+    QueryDef("q112_span_dedup",
+      (s, d) => {
+        val n = 8
+        val toks = t(s, d, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        val len = greatest(size(col("toks")) - (n - 1), lit(0))
+        val sliced = (1 to n).foldLeft(toks)((acc, k) =>
+          acc.withColumn(s"s$k", slice(col("toks"), lit(k), len)))
+        val grams = org.apache.spark.sql.execution.GraftCheckpoint
+          .localCheckpointFlatStats(sliced
+            .select(col("doc_id"), posexplode(
+              arrays_zip((1 to n).map(k => col(s"s$k")): _*)).as(Seq("p0", "z")))
+            .select(col("doc_id"), (col("p0") + 1).as("i"),
+              concat_ws(" ", (1 to n).map(k => col(s"z.s$k")): _*).as("span")))
+        val owners = grams.select("doc_id", "span").distinct()
+          .groupBy("span")
+          .agg(min(col("doc_id")).as("owner"), count(lit(1)).as("n_docs"))
+        val removed = grams.join(owners, "span")
+          .filter(col("n_docs") >= 2 && col("doc_id") > col("owner"))
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+          .distinct()
+        val positions = toks
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "w")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+        val rebuilt = positions
+          .join(removed, Seq("doc_id", "pos"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")), " ").as("clean"))
+        toks.select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+              .as("n_removed"),
+            md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, w,
+             |    unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
+             |  FROM tk),
+             |g AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS span
+             |  FROM idx),
+             |own AS (SELECT span, MIN(doc_id) AS owner,
+             |    COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY span),
+             |rm0 AS (SELECT g.doc_id,
+             |    unnest(generate_series(g.i, g.i + 7)) AS pos
+             |  FROM g JOIN own ON own.span = g.span
+             |  WHERE own.n_docs >= 2 AND g.doc_id > own.owner),
+             |rm AS (SELECT DISTINCT doc_id, pos FROM rm0),
+             |pos_tab AS (SELECT doc_id,
+             |    unnest(generate_series(1, len(w))) AS pos, unnest(w) AS tok
+             |  FROM tk),
+             |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos_tab p
+             |  WHERE NOT EXISTS (SELECT 1 FROM rm
+             |    WHERE rm.doc_id = p.doc_id AND rm.pos = p.pos)),
+             |rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+             |    string_agg(tok, ' ' ORDER BY pos) AS clean
+             |  FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+             |  CAST(len(t.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+             |  md5(COALESCE(r.clean, '')) AS clean_md5
+             |FROM tk t LEFT JOIN rebuilt r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Q83 vocabulary KL-divergence drift audit ------------------------------
     // Distribution-shift monitoring between a corpus slice and the rest
     // (the check a curation pipeline runs when a new crawl lands, and the

@@ -96,6 +96,56 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q112: planted spans — owner keeps, copies lose exactly the span, shorts untouched") {
+    val sp = spark
+    import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q112").toString
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val span = (1 to 8).map(i => s"d$i").mkString(" ") // one exact 8-gram
+    val owner = s"$span o1 o2 o3"                      // doc 1 owns it
+    val copy = s"c1 c2 c3 $span"                       // doc 2 loses it
+    val full = owner                                   // doc 3 = exact dup of 1
+    val short = "s1 s2 s3"                             // < 8 tokens: no spans
+    Seq(1L -> owner, 2L -> copy, 3L -> full, 4L -> short)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val rows = SparkEntry.queries("q112_span_dedup")(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the minimum owner keeps its text verbatim
+    assert(rows(1L) == ((11L, 0L, md5(owner))), s"owner rewritten: ${rows(1L)}")
+    // the copy loses EXACTLY the 8 span tokens, context survives
+    assert(rows(2L) == ((11L, 8L, md5("c1 c2 c3"))), s"copy: ${rows(2L)}")
+    // an exact duplicate of the owner is fully covered -> empty rewrite
+    assert(rows(3L) == ((11L, 11L, md5(""))), s"exact dup: ${rows(3L)}")
+    // sub-span docs carry no 8-grams and are untouched
+    assert(rows(4L) == ((3L, 0L, md5(short))), s"short doc: ${rows(4L)}")
+  }
+
+  test("q112 live corpus: untouched docs keep their exact text, removals bounded") {
+    val rows = SparkEntry.queries("q112_span_dedup")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size, "every doc must appear in the rewrite")
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    var removedAny = 0
+    rows.foreach { r =>
+      val (id, nTok, nRem, h) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nRem >= 0 && nRem <= nTok, s"doc $id: removal out of bounds")
+      if (nRem == 0)
+        assert(h == md5(docs(id)), s"untouched doc $id text changed")
+      else removedAny += 1
+    }
+    assert(removedAny > 0, "live corpus has planted dups; none were rewritten")
+  }
+
   test("q72: DSIR selects the entire target slice and enriches beyond base rate") {
     val sp = spark
     val sel = SparkEntry.queries("q72_dsir_selection")(sp, dir)

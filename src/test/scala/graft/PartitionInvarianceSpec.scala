@@ -40,7 +40,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q105_similarity_join",       // r12: df-ordered prefix join + verify
     "q106_bloom_decontamination", // r12: bitmap-OR sketch + confirm join
     "q108_pq_ann",                // r12: decimal-exact codebook training
-    "q109_ivf_pq_ann")            // r12: probe filter over the same chain
+    "q109_ivf_pq_ann",            // r12: probe filter over the same chain
+    "q112_span_dedup")            // r12: span-keyed mark + doc rebuild
 
   test("outputs are identical under a different shuffle partitioning") {
     val spark = TestSpark.spark
