@@ -56,8 +56,10 @@ object HitterStream {
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val toks = batch.select(split(col("text"), " ").as("toks"))
-        val batchSketch: Map[String, Long] =
-          toks.as[Array[String]].select(counts.toColumn).head()
+        val aggDf = toks.as[Array[String]].select(counts.toColumn)
+        val batchSketch: Map[String, Long] = aggDf.head()
+        StreamPlans.recordPlan("q111_streaming_sketch",
+          aggDf.queryExecution.executedPlan)
         val batchN = toks.agg(coalesce(sum(size(col("toks"))), lit(0L)))
           .head().getLong(0)
         val (prev, prevN) =
@@ -74,8 +76,6 @@ object HitterStream {
           .coalesce(1).write.mode("overwrite").parquet(s"$nv/sketch")
         Seq(prevN + batchN).toDF("n_total")
           .coalesce(1).write.mode("overwrite").parquet(s"$nv/meta")
-        StreamPlans.recordPlan("q111_streaming_sketch_merge",
-          toks.queryExecution.executedPlan)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -289,6 +289,16 @@ object DumpPlans {
         |compaction never exchanges, sorts or re-encodes rows, so its
         |cost is IO-bound at write bandwidth and embarrassingly parallel
         |across partitions.""".stripMargin,
+    "q112_span_dedup" ->
+      """Substring-dedup removal: the positioned gram stream is ONE
+        |materialized explode (Scan ExistingRDD on both consumers); span
+        |ownership is a partial+final aggregate on the span content
+        |(q94's one content shuffle); the mark join keys on span — a
+        |boilerplate span is one stats row, and the fat probe partition
+        |it creates is many-rows-one-key, exactly what AQE's skew split
+        |handles; removal positions explode 8x from MARKED grams only;
+        |the anti-join and rebuild key on (doc_id, pos) / doc_id. No
+        |window, no all-pairs, nothing quadratic.""".stripMargin,
     "q94_line_dedup" ->
       """C4-style boilerplate removal with ONE content shuffle: line
         |frequency is a partial+final HashAggregate on the 16-byte md5 key
@@ -459,7 +469,8 @@ object DumpPlans {
     import graft.streaming.StreamPlans
     Seq("q33_streaming_tumbling", "q50_streaming_sessions",
       "q53_streaming_neardup", "q86_streaming_upsert",
-      "q81_streaming_enrich", "q104_streaming_ingest_dedup")
+      "q81_streaming_enrich", "q104_streaming_ingest_dedup",
+      "q111_streaming_heavy_hitters")
       .foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).collect())
     // captured at AvailableNow's FINAL trigger — the watermark-flush batch,
     // whose source slice is empty (a data trigger carries its file slice in
@@ -528,6 +539,17 @@ object DumpPlans {
           |shuffle join. Both regimes row-equal (EventStreamSpec).""".stripMargin
           + flushNote,
         plan("q81_streaming_enrich")),
+      ("q111_streaming_heavy_hitters (per-micro-batch sketch frame)",
+        """The streamed sketch build inside foreachBatch: ONE bounded
+          |Misra-Gries buffer per partition partial-aggregates into a
+          |single <= capacity map row (ObjectHashAggregate over the typed
+          |Aggregator) — the batch slice's vocabulary never shuffles; the
+          |PODS merge into the versioned persistent sketch is a
+          |driver-side fold over two bounded maps. The exact rescue after
+          |stream completion is q99's batch tail, so the streamed output
+          |hash-equals batch q99 under any slicing
+          |(HitterStreamSpec).""".stripMargin,
+        plan("q111_streaming_sketch")),
       ("q104_streaming_ingest_dedup (per-micro-batch probe frame)",
         """Continuous ingest-dedup's foreachBatch probe (the streaming plan
           |proper is scan -> sink; this is the per-trigger work): the
