@@ -24,5 +24,18 @@ class ShortDocSpec extends AnyFunSuite {
     val w = SparkEntry.queries("q49_winnowing")(spark, dir).collect()
     assert(w.length == 5)
     assert(w.take(3).forall(_.getAs[Int]("n_fingerprints") == 0))
+
+    // r12 text family on the same degenerate corpus: the similarity join
+    // falls back to token sets below the shingle width (no pair here
+    // reaches tau — all texts distinct), bloom decontamination sees an
+    // empty bench split (no id % 19 == 0 with spans), and the span
+    // remover must pass every doc through untouched (nothing reaches
+    // 8 tokens)
+    assert(SparkEntry.queries("q105_similarity_join")(spark, dir)
+      .collect().isEmpty)
+    assert(SparkEntry.queries("q106_bloom_decontamination")(spark, dir)
+      .collect().isEmpty)
+    val sd = SparkEntry.queries("q112_span_dedup")(spark, dir).collect()
+    assert(sd.length == 5 && sd.forall(_.getAs[Long]("n_removed") == 0L))
   }
 }
