@@ -23,9 +23,13 @@ object ZOrder {
     * cross-engine determinism contract. */
   def norm16(c: Column, lo: Double, hi: Double): Column =
     if (hi <= lo) when(c.isNull, lit(null).cast(LongType)).otherwise(lit(0L))
-    else least(lit(65535L),
-      floor((c.cast(DoubleType) - lit(lo)) / lit(hi - lo) * 65536.0)
-        .cast(LongType))
+    // least() SKIPS nulls (it returns the least non-null operand), so the
+    // null case needs the explicit branch or a NULL coordinate would land
+    // at 65535 — the top curve corner — instead of propagating
+    else when(c.isNull, lit(null).cast(LongType))
+      .otherwise(least(lit(65535L),
+        floor((c.cast(DoubleType) - lit(lo)) / lit(hi - lo) * 65536.0)
+          .cast(LongType)))
 
   /** Spread the low 16 bits of `c` onto even bit positions 0,2,..,30. */
   def spread16(c: Column): Column = {

@@ -492,8 +492,13 @@ object LlmOps {
       : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val toks = docsWithTokens(s, d)
-    val bench = wordShingles(toks.filter(col("doc_id") % 19 === 0))
-      .groupBy("sh").agg(count(lit(1)).as("n_bench_docs_sh"))
+    // materialized once (flat-stats checkpoint): the measuring count, the
+    // bloom build and the confirm join all scan this — left lazy, each
+    // re-runs the bench split's tokenize + 8-gram explode + two aggs
+    val bench = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFlatStats(
+        wordShingles(toks.filter(col("doc_id") % 19 === 0))
+          .groupBy("sh").agg(count(lit(1)).as("n_bench_docs_sh")))
     val benchN = math.max(bench.count(), 1L)
     val nBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(benchN, BloomDecontamFpp)

@@ -42,11 +42,7 @@ object HitterStream {
   def heavyHitters(spark: SparkSession, replayDir: String,
       stateDir: String, sfDir: String): DataFrame = {
     import spark.implicits._
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
+    val schema = ReplayStage.DocSchema
     val counts = new HeavyHitterCounts(cap)
     val q = spark.readStream
       .schema(schema)
@@ -55,13 +51,18 @@ object HitterStream {
       .writeStream
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // ONE pass per batch slice: the sketch (as a udaf, so it can ride
+        // an untyped agg) and the exact token total share the scan
         val toks = batch.select(split(col("text"), " ").as("toks"))
-        val aggDf = toks.as[Array[String]].select(counts.toColumn)
-        val batchSketch: Map[String, Long] = aggDf.head()
+        val sketchUdaf = udaf(counts)
+        val aggDf = toks.agg(sketchUdaf(col("toks")).as("sketch"),
+          coalesce(sum(size(col("toks"))), lit(0L)).as("n"))
+        val row = aggDf.head()
+        val batchSketch: Map[String, Long] =
+          row.getAs[Map[String, Long]]("sketch")
+        val batchN = row.getLong(1)
         StreamPlans.recordPlan("q111_streaming_sketch",
           aggDf.queryExecution.executedPlan)
-        val batchN = toks.agg(coalesce(sum(size(col("toks"))), lit(0L)))
-          .head().getLong(0)
         val (prev, prevN) =
           if (batchId == 0L) (Map.empty[String, Long], 0L)
           else {
@@ -81,12 +82,16 @@ object HitterStream {
       .start()
     q.awaitTermination()
 
-    // final version = highest v<k> the stream wrote
+    // final version = highest v<k> the stream wrote; an empty replay
+    // (zero batches executed) has no versions and no hitters
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val last = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
       .map(_.getPath.getName).filter(_.matches("v\\d+"))
-      .map(_.drop(1).toInt).max
+      .map(_.drop(1).toInt)
+    if (versions.isEmpty)
+      return Seq.empty[(String, Long)].toDF("token", "cnt")
+    val last = versions.max
     val candidates = spark.read.parquet(s"$stateDir/v$last/sketch")
       .select("token")
     val nTotal = spark.read.parquet(s"$stateDir/v$last/meta")

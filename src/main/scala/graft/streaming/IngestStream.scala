@@ -80,11 +80,7 @@ object IngestStream {
   def classified(spark: SparkSession, replayDir: String,
       stateDir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
+    val schema = ReplayStage.DocSchema
     val outDir = s"$stateDir/classified"
     val q = spark.readStream
       .schema(schema)
@@ -142,7 +138,24 @@ object IngestStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$outDir/b*").orderBy("doc_id")
+    // an empty replay (zero batches executed) wrote no b<k> dirs; the
+    // glob read would throw PATH_NOT_FOUND instead of returning the
+    // empty classification the incremental-crawl contract implies
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(outPath))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("anchor_doc",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("est_sim",
+            org.apache.spark.sql.types.DoubleType))))
+    else spark.read.parquet(s"$outDir/b*").orderBy("doc_id")
   }
 
   /** Batch twin: the same classification computed in one shot — for each

@@ -18,6 +18,18 @@ object ReplayStage {
   val BaseEpochMs = 1700000000000L
   val SpacingMs = 60000L
 
+  /** The schema of IngestStream.stageReplay's files, shared by its two
+    * readers (IngestStream/HitterStream) — the same single-source
+    * argument as the mtime constants: a staging change must not need
+    * mirroring across readers. (DocStream's replay is a different
+    * staging: it carries an event-time ts column.) */
+  val DocSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
   /** Pin one staged file to replay position `k`. */
   def pinFile(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path, k: Int): Unit =

@@ -17,10 +17,17 @@ object StreamPlans {
   private val plans =
     new java.util.concurrent.ConcurrentHashMap[String, SparkPlan]()
 
-  /** Record `q`'s last micro-batch executed plan (no-op if none ran). */
+  /** Record `q`'s last micro-batch executed plan. A run that executed NO
+    * batch CLEARS the entry instead of leaving a previous run's plan
+    * behind — a consumer must fail with "no plan captured", not assert
+    * against a stale, misattributed plan (the contract the removed
+    * per-query AtomicReference had by construction). */
   def record(name: String, q: StreamingQuery): Unit =
     org.apache.spark.sql.execution.streaming.runtime.GraftStreamPlan
-      .lastExecutedPlan(q).foreach(plans.put(name, _))
+      .lastExecutedPlan(q) match {
+      case Some(p) => plans.put(name, p)
+      case None => plans.remove(name)
+    }
 
   /** Record an explicitly built plan (the foreachBatch case, where the
     * interesting per-batch job is a batch frame the sink runs itself). */
