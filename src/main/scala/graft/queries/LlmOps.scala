@@ -476,6 +476,28 @@ object LlmOps {
           .as("est_sim"))
   }
 
+  /** Q113 per-language carve size — exact, not a rate (see the QueryDef
+    * notes). */
+  val QuotaPerStratum = 30
+
+  /** Q113's dataflow at any quota — exposed so MixingSpec can pin the
+    * rank-nesting law (quota 15 prefix-of quota 30) against the
+    * PRODUCTION pipeline. */
+  private[graft] def quotaSample(s: SparkSession, d: String,
+      quota: Int): DataFrame = {
+    val hk = conv(substring(md5(concat(lit("quota1|"), col("doc_id"))),
+      1, 8), 16, 10).cast(LongType)
+    t(s, d, "documents")
+      .withColumn("hk", hk)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rk") <= quota)
+      .select(col("lang"), col("rk").cast(IntegerType).as("rk"),
+        col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
   /** Q106 bloom false-positive rate: 1% keeps the sketch at
     * ~1.2 MB per million bench shingles while cutting the confirm join's
     * probe side to ~1% of the corpus shingle stream. */
@@ -1156,6 +1178,39 @@ object LlmOps {
              |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END)
              |    AS BIGINT) AS kept_id_checksum
              |FROM k GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Q113 exact-quota stratified sampling (r12) ---------------------------
+    // q55's sibling for the FIXED-SIZE case: carve exactly
+    // min(quota, |stratum|) docs per language — the eval-set/calibration
+    // carving operation, where "10% of the stratum" (q55's rate gate) is
+    // the wrong contract and "exactly 30 docs" is the requirement.
+    // Selection = the quota smallest (salted-hash, doc_id) keys per
+    // stratum: uniform in the hash sense, reproducible on any cluster,
+    // and RANK-NESTED — quota 15 is a strict prefix of quota 30 under
+    // the same salt, so a larger eval set always contains the smaller
+    // (MixingSpec pins both laws). Fresh salt => independent of q55/q74
+    // draws and q88's splits (the family's independence contract).
+    //
+    // Scale shape: the rank is a per-stratum window whose rk <= quota
+    // filter pushes a partial WindowGroupLimit below the exchange — each
+    // map task forwards at most `quota` rows per stratum, so a
+    // mega-stratum never materializes its full sort anywhere
+    // (QueryPlanSpec pins the partial group-limit, q87's mechanism).
+    QueryDef("q113_quota_sample",
+      (s, d) => quotaSample(s, d, QuotaPerStratum),
+      Some(s"""WITH g AS (SELECT lang, doc_id,
+             |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |      (strpos('0123456789abcdef',
+             |         substr(md5('quota1|' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+             |        * CAST(16 ** (8 - i) AS BIGINT))) AS BIGINT) AS hk
+             |  FROM documents),
+             |r AS (SELECT lang, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+             |      AS rk
+             |  FROM g)
+             |SELECT lang, CAST(rk AS INT) AS rk, doc_id
+             |FROM r WHERE rk <= $QuotaPerStratum
+             |ORDER BY lang, rk""".stripMargin)),
 
     // Q56 benchmark decontamination (r5) -----------------------------------
     // The eval-leakage check every training corpus needs: flag training

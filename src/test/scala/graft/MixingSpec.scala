@@ -31,6 +31,32 @@ class MixingSpec extends AnyFunSuite {
     assert(math.abs(r50.size / 500.0 - 0.50) < 0.06, s"r50=${r50.size}")
   }
 
+  test("q113 quotas are exact per stratum and rank-nested across quota sizes") {
+    def sample(q: Int): Map[String, Seq[Long]] =
+      graft.queries.LlmOps.quotaSample(spark, sfDir, q).collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+        .toMap
+    val strata = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s30 = sample(30)
+    // exact quota: min(30, stratum size) rows per language, every language
+    assert(s30.keySet == strata.keySet)
+    s30.foreach { case (lang, ids) =>
+      assert(ids.length == math.min(30L, strata(lang)).toInt,
+        s"$lang: ${ids.length} selected of ${strata(lang)}")
+      assert(ids.distinct.length == ids.length)
+    }
+    // rank nesting: the 15-quota carve is a strict PREFIX of the 30-quota
+    // carve per stratum (same salt, same order — the curriculum property)
+    val s15 = sample(15)
+    s15.foreach { case (lang, ids) =>
+      assert(ids == s30(lang).take(ids.length),
+        s"$lang: quota-15 not a prefix of quota-30")
+    }
+  }
+
   test("q57 bins are contiguous from 0 and account for every token") {
     val rows = SparkEntry.queries("q57_sequence_packing")(spark, sfDir)
       .collect()

@@ -41,7 +41,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q106_bloom_decontamination", // r12: bitmap-OR sketch + confirm join
     "q108_pq_ann",                // r12: decimal-exact codebook training
     "q109_ivf_pq_ann",            // r12: probe filter over the same chain
-    "q112_span_dedup")            // r12: span-keyed mark + doc rebuild
+    "q112_span_dedup",            // r12: span-keyed mark + doc rebuild
+    "q113_quota_sample")          // r12: hash-rank carve (sampling family)
 
   test("outputs are identical under a different shuffle partitioning") {
     val spark = TestSpark.spark

@@ -160,6 +160,17 @@ class QueryPlanSpec extends AnyFunSuite {
     }, "expected a partial (map-side) WindowGroupLimit below the exchange")
   }
 
+  test("q113: the quota rank is map-side-bounded (partial WindowGroupLimit)") {
+    // a mega-stratum must never materialize its full sort: each map task
+    // forwards at most `quota` rows per stratum before the exchange
+    val all = collectAll(executedPlan("q113_quota_sample"))
+    assert(all.exists {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        w.mode == org.apache.spark.sql.execution.window.Partial
+      case _ => false
+    }, "expected a partial (map-side) WindowGroupLimit below the exchange")
+  }
+
   test("flagship entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
