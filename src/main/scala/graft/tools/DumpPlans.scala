@@ -289,6 +289,13 @@ object DumpPlans {
         |compaction never exchanges, sorts or re-encodes rows, so its
         |cost is IO-bound at write bandwidth and embarrassingly parallel
         |across partitions.""".stripMargin,
+    "q113_quota_sample" ->
+      """Exact-quota carve: the hash order key is per-row arithmetic, the
+        |per-stratum rank runs as WindowGroupLimit Partial BEFORE the
+        |lang exchange — each map task forwards at most quota rows per
+        |stratum, so the shuffle carries O(quota x strata x tasks), never
+        |the corpus, and a mega-stratum's sort never materializes. One
+        |exchange total plus the output sort.""".stripMargin,
     "q112_span_dedup" ->
       """Substring-dedup removal: the positioned gram stream is ONE
         |materialized explode (Scan ExistingRDD on both consumers); span
