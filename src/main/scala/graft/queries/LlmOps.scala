@@ -62,13 +62,20 @@ object LlmOps {
     * gate, not a private copy that could drift. */
   private[graft] def sampleGate: Column = saltedGate("mix1|")
 
+  /** The salted 32-bit doc hash underneath the whole sampling family
+    * (q55/q60/q74/q88 gates + q113's rank key) — ONE formula, so the
+    * specs pin the production arithmetic and a tweak (e.g. widening the
+    * hex window) cannot drift one consumer away from the others. */
+  private[graft] def saltedHash(salt: String): Column =
+    conv(substring(md5(concat(lit(salt), col("doc_id"))), 1, 8), 16, 10)
+      .cast(LongType)
+
   /** The same gate under any salt: independent salts give INDEPENDENT
     * reproducible draws (q88's split must not correlate with q55/q74's
     * sampling — a doc's chance of landing in `val` cannot depend on
     * whether the mixture draw kept it). */
-  private[graft] def saltedGate(salt: String): Column = pmod(
-    conv(substring(md5(concat(lit(salt), col("doc_id"))), 1, 8), 16, 10)
-      .cast(LongType), lit(10000L))
+  private[graft] def saltedGate(salt: String): Column =
+    pmod(saltedHash(salt), lit(10000L))
 
   /** Releases a localCheckpoint'ed generation's blocks NOW — at corpus
     * scale, retained generations would otherwise sit in executor storage
@@ -446,6 +453,15 @@ object LlmOps {
     minhashBands(sig.select(col("doc_id"), col("sigl")))
       .groupBy("b", "bv").agg(min(col("doc_id")).as("band_anchor"))
 
+  /** [[classifyAgainstIndex]]'s output schema, named once so consumers
+    * that must synthesize an empty classification (IngestStream's
+    * zero-batch path) cannot drift from the real output shape. */
+  private[graft] val ClassificationSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("anchor_doc", LongType),
+    StructField("est_sim", DoubleType)))
+
   /** Classify `batchSig` rows against an ingest index (see q102 notes):
     * 'exact' on a fingerprint hit, 'near' on a shared MinHash band
     * bucket, 'novel' otherwise — stored anchor named, signature
@@ -485,8 +501,7 @@ object LlmOps {
     * PRODUCTION pipeline. */
   private[graft] def quotaSample(s: SparkSession, d: String,
       quota: Int): DataFrame = {
-    val hk = conv(substring(md5(concat(lit("quota1|"), col("doc_id"))),
-      1, 8), 16, 10).cast(LongType)
+    val hk = saltedHash("quota1|")
     t(s, d, "documents")
       .withColumn("hk", hk)
       .withColumn("rk", row_number().over(
@@ -1723,9 +1738,7 @@ object LlmOps {
     QueryDef("q60_shuffle_shard",
       (s, d) => {
         val nShards = 8
-        val key = conv(substring(
-            md5(concat(lit("shard1|"), col("doc_id"))), 1, 8), 16, 10)
-          .cast(LongType)
+        val key = saltedHash("shard1|")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("shard"))
           .orderBy(col("shuffle_key"), col("doc_id"))

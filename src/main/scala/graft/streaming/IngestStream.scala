@@ -146,15 +146,7 @@ object IngestStream {
     if (!fs.exists(outPath))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("anchor_doc",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("est_sim",
-            org.apache.spark.sql.types.DoubleType))))
+        graft.queries.LlmOps.ClassificationSchema)
     else spark.read.parquet(s"$outDir/b*").orderBy("doc_id")
   }
 

@@ -49,9 +49,14 @@ class MixingSpec extends AnyFunSuite {
       assert(ids.distinct.length == ids.length)
     }
     // rank nesting: the 15-quota carve is a strict PREFIX of the 30-quota
-    // carve per stratum (same salt, same order — the curriculum property)
+    // carve per stratum (same salt, same order — the curriculum property).
+    // Sizes asserted FIRST: without them any prefix — including one from a
+    // quota argument that was ignored — would pass the nesting check
     val s15 = sample(15)
+    assert(s15.keySet == strata.keySet)
     s15.foreach { case (lang, ids) =>
+      assert(ids.length == math.min(15L, strata(lang)).toInt,
+        s"$lang: quota-15 selected ${ids.length} of ${strata(lang)}")
       assert(ids == s30(lang).take(ids.length),
         s"$lang: quota-15 not a prefix of quota-30")
     }
