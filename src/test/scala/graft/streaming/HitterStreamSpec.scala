@@ -33,6 +33,46 @@ class HitterStreamSpec extends AnyFunSuite {
       s"streamed != batch: ${streamed.size} vs ${batch.size} rows")
   }
 
+  test("an empty replay yields an empty result, and a resumed run continues the fold") {
+    val base = java.nio.file.Files.createTempDirectory("graft-hitter-rs").toString
+    val full = s"$base/full"
+    IngestStream.stageReplay(spark, sfDir, full, nBatches = 4)
+    val replay = s"$base/replay"
+    val state = s"$base/state"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(replay)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    // nothing landed yet: the stream runs zero batches and must return
+    // an empty frame, not crash on the missing state versions
+    assert(HitterStream.heavyHitters(spark, replay, state, sfDir)
+      .collect().isEmpty)
+    // land the full corpus in two waves; the second invocation resumes
+    // from the checkpoint and folds only the new files into the sketch
+    def land(k: Int): Unit = {
+      val name = f"batch-$k%04d.parquet"
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$full/$name"), fs, dst, false, conf)
+      ReplayStage.pinFile(fs, dst, k)
+    }
+    land(0); land(1)
+    HitterStream.heavyHitters(spark, replay, state, sfDir).collect()
+    land(2); land(3)
+    val resumed = HitterStream.heavyHitters(spark, replay, state, sfDir)
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q99_heavy_hitters")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    // equality with batch q99 proves the resumed stream merged batches
+    // 2-3 into the v2 sketch (a reset would re-fold 0-1 and still pass
+    // only if the checkpoint restarted cleanly — the version count pins
+    // that it did not)
+    assert(resumed == batch, "resumed stream diverged from the batch twin")
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .map(_.getPath.getName).count(_.matches("v\\d+"))
+    assert(versions == 4, s"expected 4 versions after the resumed crawl: $versions")
+  }
+
   test("output is micro-batch-slicing independent; state stays bounded") {
     val (one, _) = run(nBatches = 1)
     val (four, state4) = run(nBatches = 4)

@@ -72,6 +72,18 @@ class IngestStreamSpec extends AnyFunSuite {
       s"fp anchors must be global minima over ingested docs: $fp")
   }
 
+  test("an empty replay dir classifies nothing instead of failing on the output glob") {
+    val sp = spark
+    val replay = s"${tempDir("graft-ingest-empty")}/replay"
+    val state = s"${tempDir("graft-ingest-empty-s")}/state"
+    val dir = new org.apache.hadoop.fs.Path(replay)
+    dir.getFileSystem(sp.sparkContext.hadoopConfiguration).mkdirs(dir)
+    val out = IngestStream.classified(sp, replay, state)
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "status", "anchor_doc", "est_sim"))
+  }
+
   test("restart: a second invocation resumes from the checkpoint against the persisted index") {
     val sp = spark
     val full = s"${tempDir("graft-ingest-full")}/full"
