@@ -136,16 +136,36 @@ object TextSearch {
     * (id, cid, embedding, rn) rows — the same order as the index a
     * vector store persists. The sizing job (a parquet-footer count) runs
     * once per index build, free relative to the quantizer.
-    */
-  private def ivfIndexed(s: org.apache.spark.sql.SparkSession,
+    *
+    * MEMOIZED per (SparkContext incarnation, shuffle partitioning, dir) —
+    * the EventStream.dimCache pattern, extended with the partition count
+    * so PartitionInvarianceSpec's prime-partition reruns rebuild the
+    * index rather than silently exempting the quantizer from the law.
+    * This is a vector store's actual lifecycle: the index is built once
+    * and probed by every query (six consumers here: q48/q62/q68/q97/
+    * q103/q109 each paid a full quantizer run before this). Entries from
+    * stopped contexts are evicted on access; fixture-dir entries are
+    * bounded by their test corpus. Index CONTENT is deterministic
+    * (rounded argmax + decimal-free rounding), so caching cannot change
+    * any result — KnnGraphSpec/SemDeDupSpec regime tests flip only
+    * DOWNSTREAM confs (salting, broadcast), which don't key the build. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  private[graft] def ivfIndexed(s: org.apache.spark.sql.SparkSession,
       d: String): IvfIndex = {
-    val e = embNonNull(s, d)
-    val n = e.count()
-    val df =
-      org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
-        ivfAssigned(s, d, ivfCells(n)).filter(col("rn") <= IvfProbes)
-          .select(col("vec_id"), col("cid"), col("embedding"), col("rn")))
-    IvfIndex(df, n)
+    val appId = s.sparkContext.applicationId
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "?")
+    indexCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
+    indexCache.computeIfAbsent(s"$appId:$parts:$d", _ => {
+      val e = embNonNull(s, d)
+      val n = e.count()
+      val df =
+        org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
+          ivfAssigned(s, d, ivfCells(n)).filter(col("rn") <= IvfProbes)
+            .select(col("vec_id"), col("cid"), col("embedding"), col("rn")))
+      IvfIndex(df, n)
+    })
   }
 
   /** Members per grouped cell row cap (r11). Without it a hot cell — a
