@@ -94,8 +94,26 @@ object Pq {
   /** Trained codebooks: per subspace m, the surviving (cid, centroid)
     * rows sorted by cid (a seed whose cluster emptied — possible when
     * two seed sub-vectors are identical and the lower cid wins both —
-    * simply drops out, in both engines). 1024 driver rows max. */
+    * simply drops out, in both engines). 1024 driver rows max.
+    *
+    * MEMOIZED per (context, partitioning, dir) like the IVF index —
+    * q108 and q109 share one training run per session (the codec is
+    * trained once and reused, PQ's whole point); content is
+    * decimal-exact so caching cannot change results, and the partition
+    * count keys the entry so the invariance law still retrains. */
+  private val bookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]]]()
+
   private[graft] def trainCodebooks(s: SparkSession, d: String)
+      : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] = {
+    val appId = s.sparkContext.applicationId
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "?")
+    bookCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
+    bookCache.computeIfAbsent(s"$appId:$parts:$d",
+      _ => trainCodebooksUncached(s, d))
+  }
+
+  private def trainCodebooksUncached(s: SparkSession, d: String)
       : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] = {
     val ed = dvecs(s, d)
     val seeds = ed.filter(col("vec_id") < CodebookK)
