@@ -52,6 +52,55 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom session functions: no false negatives, mostly true negatives") {
+    // the registration contract behind q106, pinned without its corpus:
+    // every inserted key must test positive (a bloom has no false
+    // negatives); absent keys test negative except ~fpp
+    graft.functions.GraftFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    val items = (1L to 500L).toDF("v")
+    val bloom = items
+      .select(expr("bloom_agg(xxhash64(v), 500L, 4800L)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val inserted = items
+      .filter(call_function("bloom_might_contain", lit(bloom),
+        xxhash64(col("v"))))
+      .count()
+    assert(inserted == 500, s"bloom dropped inserted keys: $inserted/500")
+    val absent = (10001L to 10500L).toDF("v")
+      .filter(call_function("bloom_might_contain", lit(bloom),
+        xxhash64(col("v"))))
+      .count()
+    assert(absent < 50, s"false-positive rate far over 1%: $absent/500")
+  }
+
+  test("interleave roundtrip: z-values decode back to their coordinates") {
+    def deinterleave(z: Long): (Long, Long) = {
+      def compact(v: Long): Long = {
+        var x = v & 0x55555555L
+        x = (x | (x >> 1)) & 0x33333333L
+        x = (x | (x >> 2)) & 0x0F0F0F0FL
+        x = (x | (x >> 4)) & 0x00FF00FFL
+        (x | (x >> 8)) & 0x0000FFFFL
+      }
+      (compact(z), compact(z >> 1))
+    }
+    val rnd = new scala.util.Random(19)
+    val pts = (1 to 200).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val sp = spark
+    import sp.implicits._
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.interleave16(col("x"), col("y")).as("zv"))
+      .collect()
+    got.foreach { r =>
+      assert(deinterleave(r.getLong(2)) == ((r.getLong(0), r.getLong(1))),
+        s"roundtrip failed for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("the rewrite is layout-invariant: full read-back equals the source") {
     withTempDir { tmp =>
       val (ev, ur, vr) = Layout.eventRanges(spark, dir)
