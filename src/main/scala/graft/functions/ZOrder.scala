@@ -26,10 +26,14 @@ object ZOrder {
     // least() SKIPS nulls (it returns the least non-null operand), so the
     // null case needs the explicit branch or a NULL coordinate would land
     // at 65535 — the top curve corner — instead of propagating
+    // clamp BOTH ends: a coordinate below `lo` would floor to a negative
+    // value whose spread16 leaks bits outside the even positions and
+    // scrambles curve locality — greatest(0) makes the map total over
+    // out-of-range inputs (callers passing measured min/max never hit it)
     else when(c.isNull, lit(null).cast(LongType))
-      .otherwise(least(lit(65535L),
+      .otherwise(least(lit(65535L), greatest(lit(0L),
         floor((c.cast(DoubleType) - lit(lo)) / lit(hi - lo) * 65536.0)
-          .cast(LongType)))
+          .cast(LongType))))
 
   /** Spread the low 16 bits of `c` onto even bit positions 0,2,..,30. */
   def spread16(c: Column): Column = {

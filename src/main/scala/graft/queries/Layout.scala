@@ -91,9 +91,18 @@ object Layout {
         col("value") >= bvl && col("value") < bvh)
   }
 
-  private def zPath(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-zorder-" +
-      java.lang.Integer.toHexString(d.hashCode)
+  /** Staging dir for a rewrite: keyed by the FULL md5 of the data dir
+    * (32-bit hashCode can collide across distinct dirs) and salted with
+    * the applicationId so two concurrent harnesses on the same testdata
+    * never race each other's overwrite. Same app + same dir -> same path,
+    * so within a session the rewrite stays a cheap idempotent overwrite. */
+  private[graft] def stagePath(s: SparkSession, kind: String,
+      d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft-$kind-" +
+      s"${s.sparkContext.applicationId}-$digest"
+  }
 
   /** Q110 compaction target. Test-scale 4 MB; production uses ~1 GB —
     * the knob, not the mechanism, changes. */
@@ -130,7 +139,7 @@ object Layout {
     QueryDef("q107_zorder_layout",
       (s, d) => {
         val (ev, ur, vr) = eventRanges(s, d)
-        val path = zPath(d)
+        val path = stagePath(s, "zorder", d)
         zOrderWrite(ev, col("user_id"), col("value"), ur, vr, path)
         boxFilter(s.read.parquet(path), ur, vr)
           .groupBy("event_type")
@@ -167,8 +176,7 @@ object Layout {
         val ev = Q.events(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"))
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft-compact-" +
-          java.lang.Integer.toHexString(d.hashCode)
+        val base = stagePath(s, "compact", d)
         ev.repartition(150)
           .write.mode("overwrite").parquet(s"$base/frag")
         compact(s, s"$base/frag", s"$base/out")

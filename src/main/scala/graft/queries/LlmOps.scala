@@ -539,6 +539,22 @@ object LlmOps {
     val benchN = math.max(bench.count(), 1L)
     val nBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(benchN, BloomDecontamFpp)
+    // BloomFilterAggregate silently CLAMPS numBits/numItems to the
+    // runtime-filter session caps (8 MB default) — a very large holdout
+    // would quietly degrade the fpp the ~1% design claim rests on and
+    // inflate the confirm-join probe side. Raise the caps to the measured
+    // size so the build is never clamped; exactness never depended on the
+    // bloom (the confirm join re-checks), this keeps the SCALE claim true.
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .zip(Seq(nBits, benchN)).foreach { case (k, need) =>
+        val cap = s.conf.get(k).toLong
+        if (need > cap) {
+          s.conf.set(k, need.toString)
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"q106: raising $k $cap -> $need (holdout ${benchN} shingles)")
+        }
+      }
     val bloomBytes = bench
       .select(call_function("bloom_agg", xxhash64(col("sh")),
         lit(benchN), lit(nBits)).as("bf"))

@@ -290,12 +290,14 @@ object EventStream {
                   .as("sum_value"))
           }
         version += 1
-        merged.write.mode("overwrite").parquet(s"$stateDir/v$version")
         // the per-batch MERGE job is a batch frame the sink runs itself —
         // invisible to GraftStreamPlan (the streaming plan is just
-        // scan -> foreachBatch), so record it explicitly
+        // scan -> foreachBatch), so record it explicitly, capturing the
+        // plan the write ACTUALLY executed (AQE-finalized), not the
+        // never-run merged.queryExecution
         StreamPlans.recordPlan("q86_streaming_upsert_merge",
-          merged.queryExecution.executedPlan)
+          org.apache.spark.sql.execution.GraftWrite
+            .parquetCaptured(merged, s"$stateDir/v$version"))
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -52,12 +52,21 @@ object HitterStream {
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // ONE pass per batch slice: the sketch (as a udaf, so it can ride
-        // an untyped agg) and the exact token total share the scan
-        val toks = batch.select(split(col("text"), " ").as("toks"))
+        // an untyped agg) and the exact token total share the scan.
+        // coalesce to array(): a NULL text would otherwise contribute
+        // size(NULL) = -1 to n_total (legacy sizeOfNull) and NPE the MG
+        // udaf's reduce — the batch twin q99 and the oracle both treat a
+        // null doc as zero tokens
+        val toks = batch.select(
+          coalesce(split(col("text"), " "), array()).as("toks"))
         val sketchUdaf = udaf(counts)
         val aggDf = toks.agg(sketchUdaf(col("toks")).as("sketch"),
           coalesce(sum(size(col("toks"))), lit(0L)).as("n"))
-        val row = aggDf.head()
+        // collect() (not head()) executes aggDf's OWN QueryExecution, so
+        // the recorded executedPlan below is the completed, AQE-finalized
+        // plan — head() would run a separate limit-wrapped execution and
+        // leave aggDf.queryExecution un-run
+        val row = aggDf.collect().head
         val batchSketch: Map[String, Long] =
           row.getAs[Map[String, Long]]("sketch")
         val batchN = row.getLong(1)

@@ -108,9 +108,11 @@ object IngestStream {
               spark.read.parquet(s"$v/band"),
               spark.read.parquet(s"$v/sig"))
           }
-        out.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        // capture the plan the write ACTUALLY executed (AQE-finalized) —
+        // out.queryExecution never runs, the write's own execution does
         StreamPlans.recordPlan("q104_streaming_ingest_probe",
-          out.queryExecution.executedPlan)
+          org.apache.spark.sql.execution.GraftWrite
+            .parquetCaptured(out, s"$outDir/b$batchId"))
         // merge the batch into the index: union + min per key — associative,
         // so the final index is slicing-independent
         val (fp, band, sigStore) =
