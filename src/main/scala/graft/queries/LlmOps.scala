@@ -462,14 +462,15 @@ object LlmOps {
     StructField("anchor_doc", LongType),
     StructField("est_sim", DoubleType)))
 
-  /** Classify `batchSig` rows against an ingest index (see q102 notes):
-    * 'exact' on a fingerprint hit, 'near' on a shared MinHash band
-    * bucket, 'novel' otherwise — stored anchor named, signature
-    * agreement est_sim attached from `sigStore` (doc_id, sigl). All
-    * probe joins are keyed and batch-sized on the probe side. */
-  private[graft] def classifyAgainstIndex(batchSig: DataFrame,
-      fpIndex: DataFrame, bandIndex: DataFrame,
-      sigStore: DataFrame): DataFrame = {
+  /** Anchor half of [[classifyAgainstIndex]]: 'exact' on a fingerprint
+    * hit, 'near' on a shared MinHash band bucket, 'novel' otherwise —
+    * stored anchor named, the batch's own `sigl` carried through for the
+    * est_sim attach. Split out so a bucketed index (IngestStream) can
+    * materialize the batch-sized anchor set FIRST and prune the sig-store
+    * read to just the anchors' buckets before [[attachEstSim]]. All probe
+    * joins are keyed and batch-sized on the probe side. */
+  private[graft] def anchorsAgainstIndex(batchSig: DataFrame,
+      fpIndex: DataFrame, bandIndex: DataFrame): DataFrame = {
     val nearAnchor = minhashBands(batchSig.select(col("doc_id"), col("sigl")))
       .join(bandIndex, Seq("b", "bv"))
       .groupBy("doc_id").agg(min(col("band_anchor")).as("near_anchor"))
@@ -482,6 +483,15 @@ object LlmOps {
           .otherwise("novel"))
       .withColumn("anchor_doc",
         coalesce(col("exact_anchor"), col("near_anchor")))
+      .select(col("doc_id"), col("sigl"), col("status"), col("anchor_doc"))
+  }
+
+  /** est_sim half of [[classifyAgainstIndex]]: look up each anchor's
+    * stored signature in `sigStore` (doc_id, sigl) and attach the
+    * 12-hash agreement fraction. */
+  private[graft] def attachEstSim(anchored: DataFrame,
+      sigStore: DataFrame): DataFrame =
+    anchored
       .join(sigStore.select(col("doc_id").as("anchor_doc"),
         col("sigl").as("asig")), Seq("anchor_doc"), "left")
       .select(col("doc_id"), col("status"), col("anchor_doc"),
@@ -490,7 +500,14 @@ object LlmOps {
             (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, v) => acc + v).cast(DoubleType) / 12))
           .as("est_sim"))
-  }
+
+  /** Classify `batchSig` rows against an ingest index (see q102 notes) —
+    * the one-shot composition of [[anchorsAgainstIndex]] and
+    * [[attachEstSim]]. */
+  private[graft] def classifyAgainstIndex(batchSig: DataFrame,
+      fpIndex: DataFrame, bandIndex: DataFrame,
+      sigStore: DataFrame): DataFrame =
+    attachEstSim(anchorsAgainstIndex(batchSig, fpIndex, bandIndex), sigStore)
 
   /** Q113 per-language carve size — exact, not a rate (see the QueryDef
     * notes). */

@@ -51,6 +51,17 @@ object Pq {
   val AdcCandidates = 32
   val TopK = 10
 
+  /** Lloyd refinement steps per codebook training. The loop is general
+    * (each step one corpus pass, a 1024-row-bounded exact-decimal
+    * aggregate, bit-stable under any partitioning) and the oracle's
+    * training CTEs are GENERATED from this constant so the two engines
+    * can never drift — but the default stays 1 BY MEASUREMENT: at
+    * T=2/3 recall@10 REGRESSED on this corpus (q108 0.6->0.3 at sf0.01
+    * under T=3; the f4-rounded tie-broken argmin over near-uniform
+    * unit vectors migrates mass to low cids and empties clusters) —
+    * see BENCH_NOTES_r13. */
+  val TrainIters = 1
+
   private val dec4 = DecimalType(18, 4)
 
   /** f4's scale-6 sibling for codebook coordinates (quantization cells
@@ -109,27 +120,52 @@ object Pq {
     val appId = s.sparkContext.applicationId
     val parts = s.conf.get("spark.sql.shuffle.partitions", "?")
     bookCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
-    bookCache.computeIfAbsent(s"$appId:$parts:$d",
-      _ => trainCodebooksUncached(s, d))
+    bookCache.computeIfAbsent(s"$appId:$parts:raw:$d",
+      _ => trainOn(dvecs(s, d).select(col("vec_id"), col("e"))))
   }
 
-  private def trainCodebooksUncached(s: SparkSession, d: String)
+  /** Residual codebooks (q109b): trained on cell residuals instead of
+    * raw vectors — residuals are small-magnitude, so the same 8x16 code
+    * budget quantizes them much more finely (the FAISS IndexIVFPQ
+    * design). Memoized beside the raw books. */
+  private[graft] def trainResidualBooks(s: SparkSession, d: String)
       : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] = {
-    val ed = dvecs(s, d)
+    val appId = s.sparkContext.applicationId
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "?")
+    bookCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
+    bookCache.computeIfAbsent(s"$appId:$parts:res:$d",
+      _ => trainOn(residuals(s, d).select(col("vec_id"), col("e"))))
+  }
+
+  private def trainOn(ed: DataFrame)
+      : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] = {
     val seeds = ed.filter(col("vec_id") < CodebookK)
       .orderBy("vec_id").select(col("vec_id"), col("e")).collect()
       .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toIndexedSeq)
-    // one corpus pass assigns every (row, subspace) to its nearest seed
+    val books0 = IndexedSeq.tabulate(SubSpaces) { m =>
+      seeds.map { case (vid, v) =>
+        vid -> v.slice(m * SubDim, m * SubDim + SubDim)
+      }.toIndexedSeq
+    }
+    // TrainIters Lloyd steps, each one corpus pass (assign as a literal
+    // projection, refine as a bounded groupBy) — a centroid whose
+    // cluster empties simply drops out, in both engines
+    (1 to TrainIters).foldLeft(books0)((b, _) => refineStep(ed, b))
+  }
+
+  /** One Lloyd step: assign every (row, subspace) to its nearest current
+    * centroid (plan-literal distances, f4-rounded, cid tie-break), then
+    * recompute centroids as exact-decimal means, f6-rounded. */
+  private def refineStep(ed: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]])
+      : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] = {
     val assigned = (0 until SubSpaces).foldLeft(
         ed.select(col("vec_id"), col("e"))) { (acc, m) =>
-      val seedSubs = seeds.map { case (vid, v) =>
-        vid -> v.slice(m * SubDim, m * SubDim + SubDim)
-      }
       acc.withColumn(s"sv_$m", slice(col("e"), m * SubDim + 1, SubDim))
-        .withColumn(s"d_$m", array(seedSubs.map { case (_, sc) =>
+        .withColumn(s"d_$m", array(books(m).map { case (_, sc) =>
           f4(distTo(col(s"sv_$m"), sc)) }: _*))
         .withColumn(s"c0_$m", element_at(
-          array(seedSubs.map(x => lit(x._1)): _*),
+          array(books(m).map(x => lit(x._1)): _*),
           expr(s"array_position(d_$m, array_min(d_$m))").cast(IntegerType)))
     }
     val refined = assigned.select(col("vec_id"),
@@ -254,6 +290,110 @@ object Pq {
     reranked(s, d, cand, extra = Seq("cid"))
   }
 
+  /** Every vector's cell residual: (vec_id, cid = home cell, embedding,
+    * e = double(v) - double(float(centroid))) off the ONE memoized IVF
+    * index — the arithmetic both engines run verbatim (centroids are
+    * 1e-6-rounded floats in both, so the subtraction is double-exact). */
+  private[graft] def residuals(s: SparkSession, d: String): DataFrame = {
+    val idx = TextSearch.ivfIndexed(s, d)
+    val home = idx.df.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    dvecs(s, d)
+      .join(home, "vec_id")
+      .join(graft.BroadcastBounds.bounded("ivf-centroids")(idx.cents),
+        "cid")
+      .withColumn("e", zip_with(col("e"), col("ce"),
+        (a, b) => a - b.cast(DoubleType)))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("e"))
+  }
+
+  /** [[adcScored]] with PER-CELL lookup tables: the code assignment is
+    * identical (argmin over the residual codebooks), but the ADC term for
+    * a candidate comes from ITS home cell's LUT — the cell chain is a
+    * codegen'd CASE over the <= IvfProbes probed cells, still one
+    * shuffle-free projection. */
+  private[graft] def adcScoredPerCell(df: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]],
+      luts: Seq[(Long, IndexedSeq[IndexedSeq[Double]])]): DataFrame = {
+    val scored = (0 until SubSpaces).foldLeft(df) { (acc, m) =>
+      val pos = expr(s"array_position(pd_$m, array_min(pd_$m))")
+        .cast(IntegerType)
+      def el(lut: IndexedSeq[IndexedSeq[Double]]): Column =
+        element_at(array(lut(m).map(lit): _*), pos)
+      acc.withColumn(s"sv_$m", slice(col("e"), m * SubDim + 1, SubDim))
+        .withColumn(s"pd_$m", array(books(m).map { case (_, ce) =>
+          f4(distTo(col(s"sv_$m"), ce)) }: _*))
+        .withColumn(s"t_$m", luts.tail.foldLeft(
+          when(col("cid") === luts.head._1, el(luts.head._2))) {
+          case (acc2, (cid, lut)) =>
+            acc2.when(col("cid") === cid, el(lut))
+        })
+    }
+    scored.withColumn("adc_dist",
+      (0 until SubSpaces).map(m => col(s"t_$m").cast(dec4))
+        .reduce(_ + _).cast(DoubleType))
+  }
+
+  /** Q109b: IVF-PQ with RESIDUAL encoding — the full FAISS IndexIVFPQ:
+    * each vector quantizes (v - centroid(cell(v))) with codebooks trained
+    * on residuals, and the query builds one distance table PER PROBED
+    * CELL from its own per-cell residual. Same probe budget as q109;
+    * PqSpec pins recall strictly above the global-code variant. */
+  private[graft] def ivfPqResidualSearch(s: SparkSession, d: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val idx = TextSearch.ivfIndexed(s, d)
+    val books = trainResidualBooks(s, d)
+    val probed = idx.df.filter(col("vec_id") === 0)
+      .select("cid").collect().map(_.getLong(0)).sorted
+    // probed-cell centroids: <= IvfProbes driver rows (the LUT inputs)
+    val centOf = idx.cents.filter(col("cid").isin(probed: _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toIndexedSeq).toMap
+    val qe = dvecs(s, d).filter(col("vec_id") === 0).select(col("e"))
+      .head.getSeq[Double](0).toIndexedSeq
+    val luts = probed.toIndexedSeq.map { cid =>
+      val qr = qe.zip(centOf(cid)).map { case (a, b) => a - b }
+      cid -> lutFor(books, qr)
+    }
+    val cand0 = residuals(s, d)
+      .filter(col("vec_id") =!= 0 && col("cid").isin(probed: _*))
+    val cand = adcScoredPerCell(cand0, books, luts)
+      .select(col("vec_id"), col("cid"), col("embedding"), col("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(AdcCandidates)
+    reranked(s, d, cand, extra = Seq("cid"))
+  }
+
+  /** Oracle-side training chain, GENERATED from [[TrainIters]]:
+    * `${p}ref0` = the seed codebooks (from `${p}seeds(m, idCol, sc)`),
+    * then per Lloyd step the assignment / exact-decimal-mean / re-list
+    * CTEs, ending at [[finalRef]] — the codebook table the code
+    * assignment and LUT join. Mirrors [[trainOn]] step for step. */
+  private def TRAIN_CTES(p: String, subs: String, idCol: String): String = {
+    val seeds = s"${p}ref0 AS (SELECT m, $idCol, sc AS ce FROM ${p}seeds)"
+    val iters = (1 to TrainIters).map { i =>
+      s"""${p}asn$i AS (SELECT vec_id, m, $idCol FROM (
+         |    SELECT s.vec_id, s.m, r.$idCol,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${F4(DIST("s.sv", "r.ce"))}, r.$idCol) AS rn
+         |    FROM $subs s JOIN ${p}ref${i - 1} r ON r.m = s.m) x
+         |  WHERE rn = 1),
+         |${p}pcs$i AS (SELECT a.m, a.$idCol,
+         |    unnest(generate_series(1, $SubDim)) AS pos, unnest(s.sv) AS v
+         |  FROM ${p}asn$i a
+         |  JOIN $subs s ON s.vec_id = a.vec_id AND s.m = a.m),
+         |${p}mn$i AS (SELECT m, $idCol, pos,
+         |    ${F6("CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)")}
+         |      AS cv
+         |  FROM ${p}pcs$i GROUP BY m, $idCol, pos),
+         |${p}ref$i AS (SELECT m, $idCol, list(cv ORDER BY pos) AS ce
+         |  FROM ${p}mn$i GROUP BY m, $idCol)""".stripMargin
+    }
+    (seeds +: iters).mkString(",\n")
+  }
+  private def finalRef(p: String): String = s"${p}ref$TrainIters"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_pq_ann",
       (s, d) => search(s, d),
@@ -265,28 +405,16 @@ object Pq {
              |  FROM env CROSS JOIN ms),
              |seeds AS (SELECT m, vec_id AS cid, sv AS sc FROM subs
              |  WHERE vec_id < $CodebookK),
-             |a0 AS (SELECT vec_id, m, cid FROM (
-             |    SELECT s.vec_id, s.m, d.cid,
-             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-             |        ORDER BY ${F4(DIST("s.sv", "d.sc"))}, d.cid) AS rn
-             |    FROM subs s JOIN seeds d ON d.m = s.m) x WHERE rn = 1),
-             |pieces AS (SELECT a.m, a.cid,
-             |    unnest(generate_series(1, $SubDim)) AS pos, unnest(s.sv) AS v
-             |  FROM a0 a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m),
-             |rc AS (SELECT m, cid, pos,
-             |    ${F6("CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)")}
-             |      AS cv
-             |  FROM pieces GROUP BY m, cid, pos),
-             |refined AS (SELECT m, cid, list(cv ORDER BY pos) AS ce
-             |  FROM rc GROUP BY m, cid),
+             |${TRAIN_CTES("", "subs", "cid")},
              |codes AS (SELECT vec_id, m, cid FROM (
              |    SELECT s.vec_id, s.m, r.cid,
              |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
              |        ORDER BY ${F4(DIST("s.sv", "r.ce"))}, r.cid) AS rn
-             |    FROM subs s JOIN refined r ON r.m = s.m) x WHERE rn = 1),
+             |    FROM subs s JOIN ${finalRef("")} r ON r.m = s.m) x
+             |  WHERE rn = 1),
              |qs AS (SELECT m, sv FROM subs WHERE vec_id = 0),
              |lut AS (SELECT r.m, r.cid, ${F4(DIST("q.sv", "r.ce"))} AS qd
-             |  FROM refined r JOIN qs q ON q.m = r.m),
+             |  FROM ${finalRef("")} r JOIN qs q ON q.m = r.m),
              |adc AS (SELECT c.vec_id,
              |    CAST(SUM(CAST(l.qd AS DECIMAL(18,4))) AS DOUBLE) AS adc_dist
              |  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
@@ -315,28 +443,16 @@ object Pq {
              |  FROM penv CROSS JOIN pms),
              |pseeds AS (SELECT m, vec_id AS pcid, sv AS sc FROM psubs
              |  WHERE vec_id < $CodebookK),
-             |pa0 AS (SELECT vec_id, m, pcid FROM (
-             |    SELECT s.vec_id, s.m, d.pcid,
-             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-             |        ORDER BY ${F4(DIST("s.sv", "d.sc"))}, d.pcid) AS rn
-             |    FROM psubs s JOIN pseeds d ON d.m = s.m) x WHERE rn = 1),
-             |ppieces AS (SELECT a.m, a.pcid,
-             |    unnest(generate_series(1, $SubDim)) AS pos, unnest(s.sv) AS v
-             |  FROM pa0 a JOIN psubs s ON s.vec_id = a.vec_id AND s.m = a.m),
-             |prc AS (SELECT m, pcid, pos,
-             |    ${F6("CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)")}
-             |      AS cv
-             |  FROM ppieces GROUP BY m, pcid, pos),
-             |prefined AS (SELECT m, pcid, list(cv ORDER BY pos) AS ce
-             |  FROM prc GROUP BY m, pcid),
+             |${TRAIN_CTES("p", "psubs", "pcid")},
              |pcodes AS (SELECT vec_id, m, pcid FROM (
              |    SELECT s.vec_id, s.m, r.pcid,
              |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
              |        ORDER BY ${F4(DIST("s.sv", "r.ce"))}, r.pcid) AS rn
-             |    FROM psubs s JOIN prefined r ON r.m = s.m) x WHERE rn = 1),
+             |    FROM psubs s JOIN ${finalRef("p")} r ON r.m = s.m) x
+             |  WHERE rn = 1),
              |pqs AS (SELECT m, sv FROM psubs WHERE vec_id = 0),
              |plut AS (SELECT r.m, r.pcid, ${F4(DIST("q.sv", "r.ce"))} AS qd
-             |  FROM prefined r JOIN pqs q ON q.m = r.m),
+             |  FROM ${finalRef("p")} r JOIN pqs q ON q.m = r.m),
              |padc AS (SELECT c.vec_id,
              |    CAST(SUM(CAST(l.qd AS DECIMAL(18,4))) AS DOUBLE) AS adc_dist
              |  FROM pcodes c
@@ -352,5 +468,58 @@ object Pq {
              |  ${F4("list_cosine_similarity(e.e, (SELECT e FROM qv))")}
              |    AS exact_cos
              |FROM pcand p JOIN penv e USING (vec_id)
+             |ORDER BY exact_cos DESC, vec_id LIMIT $TopK""".stripMargin)),
+
+    QueryDef("q109b_ivf_pq_residual",
+      (s, d) => ivfPqResidualSearch(s, d),
+      Some(s"""WITH ${TextSearch.IVF_CELLS_SQL},
+             |refd AS (SELECT cid, CAST(ce AS DOUBLE[]) AS cv FROM refined),
+             |rvenv AS (SELECT c.vec_id, c.cid,
+             |    CAST(c.embedding AS DOUBLE[]) AS ev, r.cv
+             |  FROM cells c JOIN refd r USING (cid)),
+             |rv AS (SELECT vec_id, cid,
+             |    list_transform(generate_series(1, len(ev)),
+             |      i -> ev[i] - cv[i]) AS e
+             |  FROM rvenv),
+             |pms AS (SELECT UNNEST(generate_series(0, ${SubSpaces - 1})) AS m),
+             |psubs AS (SELECT vec_id, cid, m,
+             |    e[m*$SubDim+1 : m*$SubDim+$SubDim] AS sv
+             |  FROM rv CROSS JOIN pms),
+             |pseeds AS (SELECT m, vec_id AS pcid, sv AS sc FROM psubs
+             |  WHERE vec_id < $CodebookK),
+             |${TRAIN_CTES("p", "psubs", "pcid")},
+             |pcodes AS (SELECT vec_id, m, pcid FROM (
+             |    SELECT s.vec_id, s.m, r.pcid,
+             |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             |        ORDER BY ${F4(DIST("s.sv", "r.ce"))}, r.pcid) AS rn
+             |    FROM psubs s JOIN ${finalRef("p")} r ON r.m = s.m) x
+             |  WHERE rn = 1),
+             |probedq AS (SELECT cid FROM assigned
+             |  WHERE vec_id = 0 AND rn <= ${TextSearch.IvfProbes}),
+             |qvv AS (SELECT CAST(embedding AS DOUBLE[]) AS ev FROM env
+             |  WHERE vec_id = 0),
+             |qres AS (SELECT p.cid,
+             |    list_transform(generate_series(1, len(q.ev)),
+             |      i -> q.ev[i] - r.cv[i]) AS e
+             |  FROM probedq p JOIN refd r USING (cid) CROSS JOIN qvv q),
+             |qsubs AS (SELECT cid, m, e[m*$SubDim+1 : m*$SubDim+$SubDim] AS sv
+             |  FROM qres CROSS JOIN pms),
+             |plut AS (SELECT q.cid, r.m, r.pcid,
+             |    ${F4(DIST("q.sv", "r.ce"))} AS qd
+             |  FROM ${finalRef("p")} r JOIN qsubs q ON q.m = r.m),
+             |candv AS (SELECT vec_id, cid FROM cells
+             |  WHERE vec_id <> 0 AND cid IN (SELECT cid FROM probedq)),
+             |padc AS (SELECT c.vec_id, cv.cid,
+             |    CAST(SUM(CAST(l.qd AS DECIMAL(18,4))) AS DOUBLE) AS adc_dist
+             |  FROM pcodes c JOIN candv cv USING (vec_id)
+             |  JOIN plut l ON l.cid = cv.cid AND l.m = c.m
+             |    AND l.pcid = c.pcid
+             |  GROUP BY c.vec_id, cv.cid),
+             |pcand AS (SELECT vec_id, cid, adc_dist FROM padc
+             |  ORDER BY adc_dist, vec_id LIMIT $AdcCandidates)
+             |SELECT p.vec_id AS vec_id, p.cid AS cid, p.adc_dist AS adc_dist,
+             |  ${F4("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT ev FROM qvv))")}
+             |    AS exact_cos
+             |FROM pcand p JOIN env e USING (vec_id)
              |ORDER BY exact_cos DESC, vec_id LIMIT $TopK""".stripMargin)))
 }

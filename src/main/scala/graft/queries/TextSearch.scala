@@ -99,7 +99,14 @@ object TextSearch {
     t(s, d, "embeddings").filter(col("embedding").isNotNull)
 
   private[graft] def ivfAssigned(s: org.apache.spark.sql.SparkSession,
-      d: String, cells: Int): DataFrame = {
+      d: String, cells: Int): DataFrame =
+    ivfAssignedWithCents(s, d, cells)._1
+
+  /** [[ivfAssigned]] plus the refined centroid table (cid, ce FLOAT[])
+    * it assigned against — the residual-encoding consumer (q109b) needs
+    * the centroid VALUES, not just the memberships. */
+  private[graft] def ivfAssignedWithCents(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val e = embNonNull(s, d)
     def nearest(cents: DataFrame): DataFrame = e.crossJoin(cents)
@@ -112,18 +119,22 @@ object TextSearch {
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
     val seedCells = nearest(seeds).filter(col("rn") === 1)
       .select(col("cid"), col("embedding"))
-    val refined = graft.BroadcastBounds.bounded("ivf-centroids")(seedCells
+    val cents = seedCells
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
       .groupBy("cid").agg(
         transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv").cast(FloatType)).as("ce")))
-    nearest(refined)
+          x => x.getField("cv").cast(FloatType)).as("ce"))
+    val refined = graft.BroadcastBounds.bounded("ivf-centroids")(cents)
+    (nearest(refined), cents)
   }
 
   /** The materialized IVF index plus the corpus row count its consumers
-    * size their plans with (`corpusRows` drives the sqrt(n) cell count). */
-  final case class IvfIndex(df: DataFrame, corpusRows: Long)
+    * size their plans with (`corpusRows` drives the sqrt(n) cell count)
+    * and the refined centroid table `cents` (cid, ce FLOAT[]) — the
+    * quantizer's model, needed by residual encoding (q109b). */
+  final case class IvfIndex(df: DataFrame, corpusRows: Long,
+      cents: DataFrame)
 
   /** The materialized IVF index: [[ivfAssigned]] kept to each vector's
     * IvfProbes nearest cells and checkpointed. Both consumers (the rn = 1
@@ -160,11 +171,16 @@ object TextSearch {
     indexCache.computeIfAbsent(s"$appId:$parts:$d", _ => {
       val e = embNonNull(s, d)
       val n = e.count()
+      val (asg, cents) = ivfAssignedWithCents(s, d, ivfCells(n))
       val df =
         org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
-          ivfAssigned(s, d, ivfCells(n)).filter(col("rn") <= IvfProbes)
+          asg.filter(col("rn") <= IvfProbes)
             .select(col("vec_id"), col("cid"), col("embedding"), col("rn")))
-      IvfIndex(df, n)
+      // the centroid table is sqrt(n) rows — materialized beside the
+      // memberships so residual consumers don't re-run the quantizer
+      val cdf = org.apache.spark.sql.execution.GraftCheckpoint
+        .localCheckpointFlatStats(cents)
+      IvfIndex(df, n, cdf)
     })
   }
 
@@ -641,7 +657,8 @@ object TextSearch {
           .select(col("vec_id").as("qid"), col("cid"),
             col("embedding").as("qe"))
         val benchIdx = IvfIndex(
-          idx.df.filter(col("vec_id") % 19 === 0), idx.corpusRows)
+          idx.df.filter(col("vec_id") % 19 === 0), idx.corpusRows,
+          idx.cents)
         val cells = cellMembersGrouped(s, benchIdx)
         val cand = saltedProbes(probes, cells)
           .join(cells.members, Seq("cid", "salt"))

@@ -244,7 +244,9 @@ object EventStream {
     * store bounds q50/q53-style state by watermark; a keyed current-state
     * table grows with distinct keys instead — at 100 TB the merge is a
     * key-partitioned join of a broadcast-able batch aggregate against the
-    * state table). Merge arithmetic is associative + exact (counts, max
+    * state table, and the [[IngestIndex]] bucketed layout keeps the
+    * per-batch rewrite to the touched key buckets with GC'd versions).
+    * Merge arithmetic is associative + exact (counts, max
     * ts, DECIMAL sums), so the final state equals the batch aggregate
     * over all events regardless of micro-batch slicing.
     */
@@ -263,7 +265,7 @@ object EventStream {
         max(col("ts")).as("last_ts"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
           .as("sum_value"))
-    var version = 0
+    var version = 0L
     val q = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
@@ -272,38 +274,45 @@ object EventStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val delta = aggOf(batch)
-        val merged =
-          if (version == 0) delta
-          else {
-            val cur = spark.read.parquet(s"$stateDir/v$version")
-            cur.select(col("user_id"), col("n_events").as("c_n"),
-                col("last_ts").as("c_ts"), col("sum_value").as("c_sum"))
-              .join(delta, Seq("user_id"), "full_outer")
-              .select(col("user_id"),
-                (coalesce(col("c_n"), lit(0L))
-                  + coalesce(col("n_events"), lit(0L))).as("n_events"),
-                greatest(col("c_ts"), col("last_ts")).as("last_ts"),
-                (coalesce(col("c_sum"), lit(0).cast(
-                  org.apache.spark.sql.types.DecimalType(18, 4)))
-                  + coalesce(col("sum_value"), lit(0).cast(
-                    org.apache.spark.sql.types.DecimalType(18, 4))))
-                  .as("sum_value"))
-          }
-        version += 1
-        // the per-batch MERGE job is a batch frame the sink runs itself —
-        // invisible to GraftStreamPlan (the streaming plan is just
-        // scan -> foreachBatch), so record it explicitly, capturing the
-        // plan the write ACTUALLY executed (AQE-finalized), not the
-        // never-run merged.queryExecution
-        StreamPlans.recordPlan("q86_streaming_upsert_merge",
-          org.apache.spark.sql.execution.GraftWrite
-            .parquetCaptured(merged, s"$stateDir/v$version"))
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // the q104 bucketed-index scheme (IngestIndex): the MERGE reads
+        // and rewrites ONLY the buckets holding this batch's users, the
+        // manifest repoints them, GC drops fully-superseded versions —
+        // per-batch write IO is O(touched buckets), not O(distinct
+        // users), and storage stops growing with stream age. The merge
+        // write's ACTUALLY-executed plan (AQE-finalized) is recorded —
+        // the per-batch MERGE job is a batch frame the sink runs itself,
+        // invisible to GraftStreamPlan
+        val m = IngestIndex.readManifest(fs, stateDir, version)
+        val next = version + 1
+        val touched = IngestIndex.mergeCommit(spark, stateDir, m,
+          "state", next, delta,
+          (cur, d) => cur.select(col("user_id"),
+              col("n_events").as("c_n"), col("last_ts").as("c_ts"),
+              col("sum_value").as("c_sum"))
+            .join(d, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              (coalesce(col("c_n"), lit(0L))
+                + coalesce(col("n_events"), lit(0L))).as("n_events"),
+              greatest(col("c_ts"), col("last_ts")).as("last_ts"),
+              (coalesce(col("c_sum"), lit(0).cast(
+                org.apache.spark.sql.types.DecimalType(18, 4)))
+                + coalesce(col("sum_value"), lit(0).cast(
+                  org.apache.spark.sql.types.DecimalType(18, 4))))
+                .as("sum_value")),
+          planName = Some("q86_streaming_upsert_merge"))
+        IngestIndex.writeManifest(fs, stateDir, next,
+          Map("state" -> (m.getOrElse("state", Map.empty[Int, Long]) ++
+            touched.map(_ -> next).toMap)))
+        IngestIndex.gc(fs, stateDir, version, next)
+        version = next
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$stateDir/v$version")
+    IngestIndex.currentTable(spark, stateDir, "state")
   }
 
   /** Stream-STREAM interval join (q98): the last Structured Streaming join

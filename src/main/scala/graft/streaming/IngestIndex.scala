@@ -1,0 +1,202 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Bucketed, manifest-tracked, GC'd storage for q104's persistent ingest
+  * index (and q86's keyed state table) — the fix for the r12 verdict's
+  * one scale-killer: the old layout rewrote EVERY index table per
+  * micro-batch (write IO O(distinct corpus), version dirs accumulating
+  * O(batches x index)).
+  *
+  * Layout: each table is hash-bucketed on its key into a fixed number of
+  * write partitions (`bkt = pmod(xxhash64(key), B)`, `partitionBy("bkt")`
+  * on write — a directory per bucket). A micro-batch's merge REWRITES
+  * ONLY the buckets its keys fall in: the version dir `v(k+1)` holds just
+  * those buckets' new data plus a `manifest` file mapping EVERY live
+  * bucket to the version whose copy is current (untouched buckets keep
+  * pointing at older versions — the Delta/Iceberg add-file idea with the
+  * bucket as the file group). Per-batch write IO is therefore
+  * O(touched buckets' data), not O(index); a key-skewed trigger touches
+  * few buckets and pays for few.
+  *
+  * Reads go through the manifest: group live buckets by source version,
+  * scan each `v{src}/{table}` with `bkt IN (...)` — a partition filter
+  * that prunes untouched bucket DIRECTORIES at the file listing — and
+  * union. A probe that only needs the batch's own key buckets passes
+  * `wanted` and reads a bounded slice of the index.
+  *
+  * GC: after `v(k+1)` commits, any version dir older than `v(k)` that no
+  * bucket of manifests `v(k)` OR `v(k+1)` references is deleted — v(k)
+  * stays readable because a crash before the stream checkpoint commits
+  * replays batch k against it (the foreachBatch exactly-once recipe, now
+  * with bounded storage: live bytes = one copy of each bucket, live
+  * version dirs <= buckets + 2, independent of stream age).
+  *
+  * Replay safety: batch k always READS through manifest `v(k)` and
+  * OVERWRITES `v(k+1)` (data + manifest) at deterministic paths, so a
+  * replayed trigger rebuilds byte-identical state — the merge never reads
+  * its own partial output.
+  */
+object IngestIndex {
+
+  /** The q104 index's three tables. */
+  val Tables: Seq[String] = Seq("fp", "band", "sig")
+
+  /** Write-partition count. Test-scale 16; production sizes this so a
+    * bucket is a few GB (e.g. 4096 at 100 TB) — the knob, not the
+    * mechanism, changes. */
+  def numBuckets(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ingest.indexBuckets", "16").toInt
+
+  /** The bucket of each table's key — ONE formula shared by writes,
+    * probe pruning and merge pruning, so they can never disagree. */
+  def bucketCol(table: String, n: Int): Column = {
+    val h = table match {
+      case "fp" => xxhash64(col("fp"))
+      case "band" => xxhash64(col("b"), col("bv"))
+      case "sig" => xxhash64(col("doc_id"))
+      case "state" => xxhash64(col("user_id"))
+      case other => throw new IllegalArgumentException(
+        s"unknown ingest-index table: $other")
+    }
+    pmod(h, lit(n.toLong)).cast(IntegerType)
+  }
+
+  /** table -> (bucket -> version whose copy of that bucket is current). */
+  type Manifest = Map[String, Map[Int, Long]]
+
+  private def manifestPath(stateDir: String, v: Long) =
+    new Path(s"$stateDir/v$v/manifest")
+
+  /** The manifest committed at version `v`; empty when none exists (the
+    * batch-0 probe against an empty index). */
+  def readManifest(fs: FileSystem, stateDir: String, v: Long): Manifest = {
+    val p = manifestPath(stateDir, v)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.linesIterator.filter(_.nonEmpty).toSeq
+        .map { line =>
+          val Array(t, b, ver) = line.split('\t')
+          (t, b.toInt, ver.toLong)
+        }
+        .groupBy(_._1)
+        .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
+    }
+  }
+
+  /** Overwrite version `v`'s manifest (deterministic content: sorted
+    * lines, so a replayed trigger rewrites byte-identical bytes). */
+  def writeManifest(fs: FileSystem, stateDir: String, v: Long,
+      m: Manifest): Unit = {
+    val lines = for {
+      (t, bkts) <- m.toSeq.sortBy(_._1)
+      (b, ver) <- bkts.toSeq.sortBy(_._1)
+    } yield s"$t\t$b\t$ver"
+    val out = fs.create(manifestPath(stateDir, v), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read `table` through manifest `m`: all live buckets, or just
+    * `wanted`. `empty` supplies the shape when nothing qualifies (a
+    * batch-shaped frame limited to 0). The returned frame carries the
+    * `bkt` partition column. */
+  def readTable(spark: SparkSession, stateDir: String, m: Manifest,
+      table: String, wanted: Option[Set[Int]], empty: DataFrame)
+      : DataFrame = {
+    val live = m.getOrElse(table, Map.empty[Int, Long])
+      .filter { case (b, _) => wanted.forall(_.contains(b)) }
+    if (live.isEmpty) empty
+    else live.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, bkts) =>
+      spark.read.parquet(s"$stateDir/v$ver/$table")
+        .filter(col("bkt").isin(bkts.keys.toSeq: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Latest committed version in `stateDir` (the highest v<k> dir holding
+    * a manifest), if any — how an out-of-band reader finds "current". */
+  def latestVersion(fs: FileSystem, stateDir: String): Option[Long] = {
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return None
+    val vs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .filter(v => fs.exists(manifestPath(stateDir, v)))
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Current contents of `table` at the latest committed version — the
+    * "query the state mid-stream" surface, and how specs inspect final
+    * state now that a version dir holds only the buckets its batch
+    * touched (reading `v<k>/<table>` directly would see a SLICE). */
+  def currentTable(spark: SparkSession, stateDir: String,
+      table: String): DataFrame = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed index version under $stateDir"))
+    val m = readManifest(fs, stateDir, v)
+    require(m.contains(table),
+      s"table $table absent from manifest v$v under $stateDir")
+    readTable(spark, stateDir, m, table, None,
+      spark.emptyDataFrame).drop("bkt")
+  }
+
+  /** Merge a keyed batch delta into `table` and commit it under
+    * `v(next)`: read ONLY the buckets the batch touches through manifest
+    * `m`, combine, write those buckets (partitionBy keeps one directory
+    * per bucket). Returns the touched bucket set (<= numBuckets values —
+    * the one bounded driver exchange of the merge). `combine` sees
+    * (currentSlice, batchDelta) and must return a frame with the table's
+    * key + payload columns; the bucket column is (re)derived after.
+    * `planName`, when set, records the merge write's ACTUALLY-executed
+    * plan under that name in [[StreamPlans]]. */
+  def mergeCommit(spark: SparkSession, stateDir: String, m: Manifest,
+      table: String, next: Long, delta: DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame,
+      planName: Option[String] = None): Set[Int] = {
+    val n = numBuckets(spark)
+    val keyed = delta.withColumn("bkt", bucketCol(table, n))
+    val touched = keyed.select("bkt").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return touched
+    val cur = readTable(spark, stateDir, m, table, Some(touched),
+      keyed.limit(0)).drop("bkt")
+    val merged = combine(cur, delta).withColumn("bkt", bucketCol(table, n))
+    val path = s"$stateDir/v$next/$table"
+    planName match {
+      case Some(name) => StreamPlans.recordPlan(name,
+        org.apache.spark.sql.execution.GraftWrite
+          .parquetCaptured(merged, path, Seq("bkt")))
+      case None =>
+        merged.write.mode("overwrite").partitionBy("bkt").parquet(path)
+    }
+    touched
+  }
+
+  /** Delete version dirs older than `prev` that neither `prev`'s nor
+    * `next`'s manifest references — `prev` itself survives for the
+    * crash-replay of the batch that just committed `next`. Returns the
+    * deleted versions (spec observability). */
+  def gc(fs: FileSystem, stateDir: String, prev: Long,
+      next: Long): Seq[Long] = {
+    val referenced =
+      (readManifest(fs, stateDir, prev).values ++
+        readManifest(fs, stateDir, next).values)
+        .flatMap(_.values).toSet + prev + next
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return Nil
+    val dead = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .filter(v => v < prev && !referenced.contains(v))
+      .sorted.toSeq
+    dead.foreach(v => fs.delete(new Path(s"$stateDir/v$v"), true))
+    dead
+  }
+}

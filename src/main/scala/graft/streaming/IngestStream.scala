@@ -15,15 +15,23 @@ import org.apache.spark.sql.streaming.Trigger
   * (1) signature the batch (q102's exact formula via LlmOps.ingestSig —
   * one Project, no shuffle), (2) probe the current index version —
   * fingerprint table, band-bucket table, signature store, all read from
-  * the versioned state dir — with q102's classifyAgainstIndex, (3) append
+  * the versioned state dir — with q102's probe joins, (3) append
   * the classifications to the output, (4) MERGE the batch into the index
-  * (union + partial-aggregatable min per key) and write version k+1.
+  * (union + partial-aggregatable min per key) and commit version k+1.
   * Index state lives OUTSIDE the state store (versioned parquet keyed by
   * the checkpoint-stable batchId, replay progress in the stream
   * checkpoint — see [[classified]]), so it survives restarts, is
   * queryable mid-stream, and grows with the DISTINCT corpus, not the
   * stream age — at 100 TB/day the merge is a keyed join of a batch-sized
   * aggregate against the index, the exact q86 MERGE-INTO shape.
+  *
+  * Storage (r13, the [[IngestIndex]] scheme): each table is hash-BUCKETED
+  * on its key; a version dir holds ONLY the buckets its batch touched
+  * plus a manifest repointing them, probe reads prune to the batch's key
+  * buckets, and GC deletes fully-superseded versions — per-batch read
+  * and write IO is O(touched buckets), storage is one live copy of each
+  * bucket, both independent of stream age (the r12 full-index rewrite is
+  * gone).
   *
   * Contract (spec-pinned): a doc's classification sees every doc from
   * STRICTLY EARLIER batches and nothing from its own batch or later —
@@ -90,10 +98,22 @@ object IngestStream {
       .option("checkpointLocation", s"$stateDir/_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.queries.LlmOps
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val n = IngestIndex.numBuckets(spark)
         // one signature pass reused by the probe AND the merge — localCheckpoint
         // (flat stats) so the index merge doesn't recompute minhashes
         val sig = org.apache.spark.sql.execution.GraftCheckpoint
           .localCheckpointFlatStats(LlmOps.ingestSig(batch.toDF()))
+        // batch k reads ONLY through manifest v(k): the merge never sees
+        // its own partial output, so a replayed trigger is idempotent
+        val m = IngestIndex.readManifest(fs, stateDir, batchId)
+        def wantedOf(df: DataFrame, table: String): Set[Int] =
+          df.select(IngestIndex.bucketCol(table, n).as("bkt"))
+            .distinct().collect().map(_.getInt(0)).toSet
+        val fpDelta = LlmOps.fpIndexOf(sig)
+        val bandDelta = LlmOps.bandIndexOf(sig)
+        val sigDelta = sig.select(col("doc_id"), col("sigl"))
         val out =
           if (batchId == 0L)
             sig.select(col("doc_id"), lit("novel").as("status"),
@@ -102,39 +122,54 @@ object IngestStream {
               lit(null).cast(org.apache.spark.sql.types.DoubleType)
                 .as("est_sim"))
           else {
-            val v = s"$stateDir/v$batchId"
-            LlmOps.classifyAgainstIndex(sig,
-              spark.read.parquet(s"$v/fp"),
-              spark.read.parquet(s"$v/band"),
-              spark.read.parquet(s"$v/sig"))
+            // probe reads prune to the BATCH's key buckets — a partition
+            // filter at the file listing, so probe IO is O(touched
+            // buckets), matching the write side
+            def pruned(table: String, keys: DataFrame, delta: DataFrame)
+                : DataFrame =
+              IngestIndex.readTable(spark, stateDir, m, table,
+                Some(wantedOf(keys, table)),
+                delta.limit(0).withColumn("bkt",
+                  IngestIndex.bucketCol(table, n))).drop("bkt")
+            val fpIdx = pruned("fp", sig, fpDelta)
+            val bandIdx = pruned("band",
+              LlmOps.minhashBands(sig.select(col("doc_id"), col("sigl"))),
+              bandDelta)
+            // anchor first (batch-sized), THEN read only the anchors'
+            // sig-store buckets for the est_sim attach
+            val anchored = org.apache.spark.sql.execution.GraftCheckpoint
+              .localCheckpointFlatStats(
+                LlmOps.anchorsAgainstIndex(sig, fpIdx, bandIdx))
+            val anchorKeys = anchored.filter(col("anchor_doc").isNotNull)
+              .select(col("anchor_doc").as("doc_id"))
+            val sigIdx = pruned("sig", anchorKeys, sigDelta)
+            LlmOps.attachEstSim(anchored, sigIdx)
           }
         // capture the plan the write ACTUALLY executed (AQE-finalized) —
         // out.queryExecution never runs, the write's own execution does
         StreamPlans.recordPlan("q104_streaming_ingest_probe",
           org.apache.spark.sql.execution.GraftWrite
             .parquetCaptured(out, s"$outDir/b$batchId"))
-        // merge the batch into the index: union + min per key — associative,
-        // so the final index is slicing-independent
-        val (fp, band, sigStore) =
-          if (batchId == 0L)
-            (LlmOps.fpIndexOf(sig), LlmOps.bandIndexOf(sig),
-              sig.select(col("doc_id"), col("sigl")))
-          else {
-            val v = s"$stateDir/v$batchId"
-            (spark.read.parquet(s"$v/fp")
-              .unionByName(LlmOps.fpIndexOf(sig))
-              .groupBy("fp").agg(min(col("exact_anchor")).as("exact_anchor")),
-              spark.read.parquet(s"$v/band")
-                .unionByName(LlmOps.bandIndexOf(sig))
-                .groupBy("b", "bv")
-                .agg(min(col("band_anchor")).as("band_anchor")),
-              spark.read.parquet(s"$v/sig")
-                .unionByName(sig.select(col("doc_id"), col("sigl"))))
-          }
-        val nv = s"$stateDir/v${batchId + 1}"
-        fp.write.mode("overwrite").parquet(s"$nv/fp")
-        band.write.mode("overwrite").parquet(s"$nv/band")
-        sigStore.write.mode("overwrite").parquet(s"$nv/sig")
+        // merge the batch into the index: union + min per key —
+        // associative, so the final index is slicing-independent; only
+        // buckets the batch touches are read and rewritten under v(k+1)
+        val next = batchId + 1
+        val touched = Map(
+          "fp" -> IngestIndex.mergeCommit(spark, stateDir, m, "fp", next,
+            fpDelta, (cur, d) => cur.unionByName(d).groupBy("fp")
+              .agg(min(col("exact_anchor")).as("exact_anchor"))),
+          "band" -> IngestIndex.mergeCommit(spark, stateDir, m, "band",
+            next, bandDelta, (cur, d) => cur.unionByName(d)
+              .groupBy("b", "bv")
+              .agg(min(col("band_anchor")).as("band_anchor"))),
+          "sig" -> IngestIndex.mergeCommit(spark, stateDir, m, "sig", next,
+            sigDelta, (cur, d) => cur.unionByName(d)))
+        val nm = IngestIndex.Tables.map(t => t ->
+          (m.getOrElse(t, Map.empty[Int, Long]) ++
+            touched(t).map(_ -> next).toMap)).toMap
+        IngestIndex.writeManifest(fs, stateDir, next, nm)
+        // storage stays bounded: versions neither manifest references die
+        IngestIndex.gc(fs, stateDir, batchId, next)
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -151,6 +186,14 @@ object IngestStream {
         graft.queries.LlmOps.ClassificationSchema)
     else spark.read.parquet(s"$outDir/b*").orderBy("doc_id")
   }
+
+  /** Current contents of one index table at the latest committed version
+    * — the "query the index mid-stream" surface, and how specs inspect
+    * final state now that a version dir holds only the buckets its batch
+    * touched (reading `v<k>/fp` directly would see a SLICE). */
+  def indexTable(spark: SparkSession, stateDir: String,
+      table: String): DataFrame =
+    IngestIndex.currentTable(spark, stateDir, table)
 
   /** Batch twin: the same classification computed in one shot — for each
     * doc, anchors are minima over docs in STRICTLY EARLIER batches

@@ -27,7 +27,8 @@ object GraftWrite {
     * plan (a DataWritingCommandExec whose child is the finalized query
     * plan), or the caller's un-run plan if the listener saw nothing —
     * never null, never throws past the write itself. */
-  def parquetCaptured(df: DataFrame, path: String): SparkPlan = {
+  def parquetCaptured(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): SparkPlan = {
     val spark = df.sparkSession
     val captured = new AtomicReference[SparkPlan]()
     val target = new org.apache.hadoop.fs.Path(path).getName
@@ -47,7 +48,7 @@ object GraftWrite {
     }
     spark.listenerManager.register(listener)
     try {
-      df.write.mode("overwrite").parquet(path)
+      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
       spark.sparkContext.listenerBus.waitUntilEmpty()
     } finally spark.listenerManager.unregister(listener)
     Option(captured.get).getOrElse(df.queryExecution.executedPlan)

@@ -28,13 +28,13 @@ class PqSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
   }
 
-  test("ADC search finds the true nearest neighbor and >= 40% of the exact top-10") {
+  test("ADC search finds the true nearest neighbor and >= 50% of the exact top-10") {
     val pq = Pq.search(spark, dir).collect().map(_.getLong(0)).toSeq
     val exact = exactTopK(dir, Pq.TopK)
     assert(pq.contains(exact.head),
       s"rank-1 exact neighbor ${exact.head} missing from PQ results $pq")
     val recall = pq.toSet.intersect(exact.toSet).size.toDouble / exact.size
-    assert(recall >= 0.4,
+    assert(recall >= 0.5,
       s"recall@${Pq.TopK} too low: $recall (pq=$pq exact=$exact)")
   }
 
@@ -90,8 +90,30 @@ class PqSpec extends AnyFunSuite {
     assert(got.contains(exact.head),
       s"rank-1 exact neighbor ${exact.head} missing from IVF-PQ results $got")
     val recall = got.intersect(exact.toSet).size.toDouble / exact.size
-    assert(recall >= 0.4,
+    assert(recall >= 0.5,
       s"IVF-PQ recall@${Pq.TopK} too low: $recall (got=$got exact=$exact)")
+  }
+
+  test("q109b residual IVF-PQ: probe-bounded, rank-1 found, recall holds, deterministic") {
+    val a = Pq.ivfPqResidualSearch(spark, dir).collect()
+    assert(a.nonEmpty)
+    val cids = a.map(_.getLong(1)).toSet
+    assert(cids.size <= graft.queries.TextSearch.IvfProbes,
+      s"results span ${cids.size} cells — more than the probe budget")
+    val got = a.map(_.getLong(0)).toSet
+    val exact = exactTopK(dir, Pq.TopK)
+    assert(got.contains(exact.head),
+      s"rank-1 exact neighbor ${exact.head} missing from residual results")
+    // measured 0.6 at sf0.001 / 0.9 at sf0.01 (vs global codes' 0.7/0.8
+    // — the corpus is near-uniform UNIT vectors, so cell residuals keep
+    // ~94% of the norm and the residual advantage only shows at the
+    // larger SF; see BENCH_NOTES_r13). Pin with regeneration headroom,
+    // above the old 0.4 floor.
+    val recall = got.intersect(exact.toSet).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"residual recall@${Pq.TopK} too low: $recall (got=$got exact=$exact)")
+    val b = Pq.ivfPqResidualSearch(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "residual IVF-PQ results differ across runs")
   }
 
   test("q109 equals q108 restricted to the probed cells, and is deterministic") {

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.TestSpark
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -61,8 +62,10 @@ class IngestStreamSpec extends AnyFunSuite {
       s"later copy should exact-anchor to the earliest ingested: $r7")
 
     // index law: the final fingerprint index holds one row per distinct
-    // fp with the global min doc id (min-merge is slicing-independent)
-    val fp = sp.read.parquet(s"$state/v4/fp").collect()
+    // fp with the global min doc id (min-merge is slicing-independent) —
+    // read through the manifest: a version dir now holds only the
+    // buckets its batch touched
+    val fp = IngestStream.indexTable(sp, state, "fp").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(fp.size == 2, s"distinct fingerprints: ${fp.size}")
     // the index anchor is the min over EVERYTHING INGESTED (7 < 8), while
@@ -70,6 +73,76 @@ class IngestStreamSpec extends AnyFunSuite {
     // the two minima are deliberately different quantities
     assert(fp.values.toSet == Set(5L, 7L),
       s"fp anchors must be global minima over ingested docs: $fp")
+  }
+
+  test("per-batch index writes touch only the batch's key buckets; GC bounds the state dir") {
+    val sp = spark
+    import sp.implicits._
+    val conf = sp.sparkContext.hadoopConfiguration
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val src = tempDir("graft-ingest-bkt")
+    Seq((8L, words), (16L, words), (5L, other), (7L, words))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$src/documents.parquet")
+    val replay = s"${tempDir("graft-ingest-bktr")}/replay"
+    IngestStream.stageReplay(sp, src, replay)
+    val state = s"${tempDir("graft-ingest-bkts")}/state"
+    IngestStream.classified(sp, replay, state).collect()
+
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(conf)
+    val n = IngestIndex.numBuckets(sp)
+    def bucketDirs(v: Int, table: String): Set[Int] = {
+      val p = new org.apache.hadoop.fs.Path(s"$state/v$v/$table")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("bkt=")).map(_.drop(4).toInt).toSet
+    }
+    def keyBuckets(keys: DataFrame, table: String): Set[Int] =
+      keys.select(IngestIndex.bucketCol(table, n).as("bkt"))
+        .distinct().collect().map(_.getInt(0)).toSet
+
+    // WRITE LAW: each version's fp dir holds exactly the buckets of the
+    // batch's fingerprints — batch 3 (doc 7, text `words`) must NOT
+    // rewrite the bucket holding doc 5's fingerprint
+    val wordsBkt = keyBuckets(Seq(words).toDF("text")
+      .select(md5(col("text")).as("fp")), "fp")
+    val otherBkt = keyBuckets(Seq(other).toDF("text")
+      .select(md5(col("text")).as("fp")), "fp")
+    assert(bucketDirs(1, "fp") == wordsBkt,
+      s"v1 fp buckets ${bucketDirs(1, "fp")} != batch-0 key buckets $wordsBkt")
+    assert(bucketDirs(2, "fp") == otherBkt,
+      s"v2 fp buckets ${bucketDirs(2, "fp")} != batch-1 key buckets $otherBkt")
+    assert(bucketDirs(3, "fp").isEmpty,
+      "empty batch 2 must write NO index data, only a manifest")
+    assert(bucketDirs(4, "fp") == wordsBkt,
+      s"v4 fp buckets ${bucketDirs(4, "fp")} != batch-3 key buckets $wordsBkt")
+    if (wordsBkt != otherBkt)
+      assert(!bucketDirs(4, "fp").exists(otherBkt.contains),
+        "batch 3 rewrote a bucket it never touched")
+
+    // MANIFEST LAW: untouched buckets keep pointing at the version that
+    // last wrote them; the final read still sees the full index
+    val m4 = IngestIndex.readManifest(fs, state, 4L)
+    if (wordsBkt != otherBkt) {
+      assert(m4("fp")(otherBkt.head) == 2L,
+        s"doc 5's bucket should still live in v2: ${m4("fp")}")
+      assert(m4("fp")(wordsBkt.head) == 4L)
+    }
+    val fp = IngestStream.indexTable(sp, state, "fp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp == Map(
+      sp.sql(s"SELECT md5('$words')").head.getString(0) -> 7L,
+      sp.sql(s"SELECT md5('$other')").head.getString(0) -> 5L))
+
+    // GC LAW: version dirs that no live bucket references are deleted —
+    // the state dir is bounded by live buckets, not by stream age
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt).toSet
+    val referenced = m4.values.flatMap(_.values).map(_.toInt).toSet
+    versions.filter(_ < 3).foreach(v => assert(referenced.contains(v),
+      s"v$v survives GC but no manifest bucket references it"))
   }
 
   test("an empty replay dir classifies nothing instead of failing on the output glob") {
