@@ -115,26 +115,97 @@ object Pq {
   private val bookCache = new java.util.concurrent.ConcurrentHashMap[
     String, IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]]]()
 
+  /** Spec observability + test hook for the persisted-codebook
+    * lifecycle (the TextSearch.ivfBuilds pattern). */
+  private[graft] val bookBuilds = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val bookLoads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def clearBookCache(): Unit = bookCache.clear()
+
   private[graft] def trainCodebooks(s: SparkSession, d: String)
-      : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] = {
-    val appId = s.sparkContext.applicationId
-    val parts = s.conf.get("spark.sql.shuffle.partitions", "?")
-    bookCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
-    bookCache.computeIfAbsent(s"$appId:$parts:raw:$d",
-      _ => trainOn(dvecs(s, d).select(col("vec_id"), col("e"))))
-  }
+      : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] =
+    memoBooks(s, d, "raw",
+      () => trainOn(dvecs(s, d).select(col("vec_id"), col("e"))))
 
   /** Residual codebooks (q109b): trained on cell residuals instead of
     * raw vectors — residuals are small-magnitude, so the same 8x16 code
     * budget quantizes them much more finely (the FAISS IndexIVFPQ
     * design). Memoized beside the raw books. */
   private[graft] def trainResidualBooks(s: SparkSession, d: String)
+      : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] =
+    memoBooks(s, d, "res",
+      () => trainOn(residuals(s, d).select(col("vec_id"), col("e"))))
+
+  /** Session memo + optional disk persistence (`spark.graft.ann
+    * .indexDir`, the TextSearch scheme): books live beside the IVF index
+    * as a tiny (m, cid, pos, v) parquet with a row-count meta marker —
+    * load-or-build, guarded against corpus regeneration, byte-exact
+    * either way (f6-rounded doubles roundtrip parquet exactly). */
+  private def memoBooks(s: SparkSession, d: String, kind: String,
+      build: () => IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]])
       : IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]] = {
     val appId = s.sparkContext.applicationId
     val parts = s.conf.get("spark.sql.shuffle.partitions", "?")
     bookCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
-    bookCache.computeIfAbsent(s"$appId:$parts:res:$d",
-      _ => trainOn(residuals(s, d).select(col("vec_id"), col("e"))))
+    bookCache.computeIfAbsent(s"$appId:$parts:$kind:$d", _ => {
+      val root = s.conf.get("spark.graft.ann.indexDir", "")
+      val loaded = if (root.isEmpty) None else loadBooks(s, root, d, kind)
+      loaded.getOrElse {
+        bookBuilds.incrementAndGet()
+        val books = build()
+        if (root.nonEmpty) saveBooks(s, root, d, kind, books)
+        books
+      }
+    })
+  }
+
+  private def bookBase(s: SparkSession, root: String, d: String,
+      kind: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$root/$digest/books_$kind"
+  }
+
+  private def loadBooks(s: SparkSession, root: String, d: String,
+      kind: String): Option[IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]]] = {
+    val base = bookBase(s, root, d, kind)
+    val meta = new org.apache.hadoop.fs.Path(s"$base/meta")
+    val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta)) return None
+    val in = fs.open(meta)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim.toLong finally in.close()
+    val n = dvecs(s, d).count()
+    if (stored != n) return None
+    bookLoads.incrementAndGet()
+    val rows = s.read.parquet(s"$base/data").collect()
+    val byM = rows.groupBy(_.getInt(0))
+    Some(IndexedSeq.tabulate(SubSpaces) { m =>
+      byM.getOrElse(m, Array.empty).groupBy(_.getInt(1)).toIndexedSeq
+        .sortBy(_._1)
+        .map { case (cid, rs) =>
+          cid -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq
+        }
+    })
+  }
+
+  private def saveBooks(s: SparkSession, root: String, d: String,
+      kind: String,
+      books: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]]): Unit = {
+    val base = bookBase(s, root, d, kind)
+    val sp = s
+    import sp.implicits._
+    val rows = for {
+      (cents, m) <- books.zipWithIndex
+      (cid, ce) <- cents
+      (v, pos) <- ce.zipWithIndex
+    } yield (m, cid, pos, v)
+    rows.toDF("m", "cid", "pos", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/data")
+    val meta = new org.apache.hadoop.fs.Path(s"$base/meta")
+    val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(s"${dvecs(s, d).count()}\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   private def trainOn(ed: DataFrame)

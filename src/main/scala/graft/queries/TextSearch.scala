@@ -163,6 +163,31 @@ object TextSearch {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
+  /** Spec observability for the persisted-index lifecycle: how many
+    * quantizer BUILDS vs disk LOADS this JVM ran. */
+  private[graft] val ivfBuilds = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val ivfLoads = new java.util.concurrent.atomic.AtomicLong
+  /** Test hook: forget the in-memory memo (simulates JVM death for the
+    * load-or-build path without stopping the shared context). */
+  private[graft] def clearIndexCache(): Unit = indexCache.clear()
+
+  /** Root for PERSISTED indexes, or "" = session-memo only. When set,
+    * the built IVF assignment + centroids are written as parquet under
+    * `<root>/<md5(corpusDir)>/` (meta last — the commit marker), and a
+    * later session LOAD-OR-BUILDs: a valid persisted index whose stored
+    * corpus row count matches the live corpus is read back instead of
+    * re-running the quantizer — the vector-store lifecycle where the
+    * index outlives the JVM. Content is deterministic, so load vs build
+    * cannot change any result (PersistedIndexSpec pins identity). */
+  private def persistRoot(s: org.apache.spark.sql.SparkSession): String =
+    s.conf.get("spark.graft.ann.indexDir", "")
+
+  private def persistPath(root: String, d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$root/$digest"
+  }
+
   private[graft] def ivfIndexed(s: org.apache.spark.sql.SparkSession,
       d: String): IvfIndex = {
     val appId = s.sparkContext.applicationId
@@ -171,17 +196,54 @@ object TextSearch {
     indexCache.computeIfAbsent(s"$appId:$parts:$d", _ => {
       val e = embNonNull(s, d)
       val n = e.count()
-      val (asg, cents) = ivfAssignedWithCents(s, d, ivfCells(n))
-      val df =
-        org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
-          asg.filter(col("rn") <= IvfProbes)
-            .select(col("vec_id"), col("cid"), col("embedding"), col("rn")))
-      // the centroid table is sqrt(n) rows — materialized beside the
-      // memberships so residual consumers don't re-run the quantizer
-      val cdf = org.apache.spark.sql.execution.GraftCheckpoint
-        .localCheckpointFlatStats(cents)
-      IvfIndex(df, n, cdf)
+      val root = persistRoot(s)
+      val loaded = if (root.isEmpty) None else loadPersisted(s, root, d, n)
+      loaded.getOrElse {
+        ivfBuilds.incrementAndGet()
+        val (asg, cents) = ivfAssignedWithCents(s, d, ivfCells(n))
+        val df =
+          org.apache.spark.sql.execution.GraftCheckpoint.localCheckpointFlatStats(
+            asg.filter(col("rn") <= IvfProbes)
+              .select(col("vec_id"), col("cid"), col("embedding"), col("rn")))
+        // the centroid table is sqrt(n) rows — materialized beside the
+        // memberships so residual consumers don't re-run the quantizer
+        val cdf = org.apache.spark.sql.execution.GraftCheckpoint
+          .localCheckpointFlatStats(cents)
+        val idx = IvfIndex(df, n, cdf)
+        if (root.nonEmpty) savePersisted(s, root, d, idx)
+        idx
+      }
     })
+  }
+
+  /** Load the persisted index if its commit marker exists and its stored
+    * corpus row count matches the LIVE corpus (a regenerated corpus
+    * invalidates the index rather than silently serving stale cells). */
+  private def loadPersisted(s: org.apache.spark.sql.SparkSession,
+      root: String, d: String, n: Long): Option[IvfIndex] = {
+    val base = persistPath(root, d)
+    val meta = new org.apache.hadoop.fs.Path(s"$base/meta")
+    val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta)) return None
+    val in = fs.open(meta)
+    val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim.toLong finally in.close()
+    if (stored != n) return None
+    ivfLoads.incrementAndGet()
+    Some(IvfIndex(s.read.parquet(s"$base/ivf"), n,
+      s.read.parquet(s"$base/cents")))
+  }
+
+  private def savePersisted(s: org.apache.spark.sql.SparkSession,
+      root: String, d: String, idx: IvfIndex): Unit = {
+    val base = persistPath(root, d)
+    idx.df.write.mode("overwrite").parquet(s"$base/ivf")
+    idx.cents.write.mode("overwrite").parquet(s"$base/cents")
+    val meta = new org.apache.hadoop.fs.Path(s"$base/meta")
+    val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    try out.write(s"${idx.corpusRows}\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Members per grouped cell row cap (r11). Without it a hot cell — a
