@@ -190,6 +190,10 @@ object TextSearch {
 
   private[graft] def ivfIndexed(s: org.apache.spark.sql.SparkSession,
       d: String): IvfIndex = {
+    // register session functions HERE, not only inside the build path —
+    // a LOADED index skips ivfAssignedWithCents, but every consumer
+    // still scores with cosine_sim (caught by the fresh-JVM load rig)
+    graft.functions.GraftFunctions.register(s)
     val appId = s.sparkContext.applicationId
     val parts = s.conf.get("spark.sql.shuffle.partitions", "?")
     indexCache.keySet.removeIf(k => !k.startsWith(s"$appId:"))
