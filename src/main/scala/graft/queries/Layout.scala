@@ -76,19 +76,68 @@ object Layout {
     (ev, (st.getDouble(0), st.getDouble(1)), (st.getDouble(2), st.getDouble(3)))
   }
 
+  /** The q107 2-D box bounds: closed-open [bul, buh) x [bvl, bvh) at
+    * exact-binary range fractions — shared by the row filter and the
+    * file-manifest pruning so they can never disagree. */
+  private[graft] def boxBounds(ur: (Double, Double), vr: (Double, Double))
+      : (Double, Double, Double, Double) =
+    (ur._1 + 0.25 * (ur._2 - ur._1), ur._1 + 0.375 * (ur._2 - ur._1),
+      vr._1 + 0.25 * (vr._2 - vr._1), vr._1 + 0.375 * (vr._2 - vr._1))
+
   /** The q107 box filter over a copy of events: the exact double-typed
     * box plus the widened integral pushdown guard on user_id. */
   private[graft] def boxFilter(df: DataFrame,
       ur: (Double, Double), vr: (Double, Double)): DataFrame = {
-    val (bul, buh) = (ur._1 + 0.25 * (ur._2 - ur._1),
-      ur._1 + 0.375 * (ur._2 - ur._1))
-    val (bvl, bvh) = (vr._1 + 0.25 * (vr._2 - vr._1),
-      vr._1 + 0.375 * (vr._2 - vr._1))
+    val (bul, buh, bvl, bvh) = boxBounds(ur, vr)
     df.filter(col("user_id") >= lit(math.floor(bul).toLong) &&
         col("user_id") < lit(math.ceil(buh).toLong))   // pushable superset
       .filter(col("user_id").cast(DoubleType) >= bul &&
         col("user_id").cast(DoubleType) < buh &&
         col("value") >= bvl && col("value") < bvh)
+  }
+
+  /** FILE-skipping manifest for the z layout (r13, the Delta add-file
+    * stats analogue): one row per output file with min/max of BOTH box
+    * columns (plus the z-value range, documentation of the clustering).
+    * Stored as parquet under `_manifest` INSIDE the layout dir — the
+    * leading underscore hides it from every normal parquet read of the
+    * directory. Parquet footer stats skip ROW GROUPS after the scan has
+    * listed and opened every file; the manifest prunes FILES before the
+    * scan ever lists them — at 100 TB that is the difference between
+    * "open 100k footers" and "read one 16-row table". */
+  private[graft] def writeManifest(s: SparkSession, path: String): Unit =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        min(col("zv")).as("zmin"), max(col("zv")).as("zmax"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+
+  /** Files whose (user_id, value) ranges intersect the box, plus the
+    * total file count (spec observability). A file drops out exactly
+    * when its stats PROVE it holds no qualifying row, so pruning can
+    * never change results — and a pruning bug would surface as an
+    * oracle hash mismatch on q107. */
+  private[graft] def manifestPrunedFiles(s: SparkSession, path: String,
+      ur: (Double, Double), vr: (Double, Double)): (Seq[String], Long) = {
+    val (bul, buh, bvl, bvh) = boxBounds(ur, vr)
+    val m = s.read.parquet(s"$path/_manifest")
+    val keep = m.filter(col("umax").cast(DoubleType) >= bul &&
+        col("umin").cast(DoubleType) < buh &&
+        col("vmax") >= bvl && col("vmin") < bvh)
+      .select("file").collect().map(_.getString(0)).toSeq
+    (keep, m.count())
+  }
+
+  /** Read the z layout through its manifest: only intersecting FILES are
+    * handed to the scan. Empty intersection -> an empty frame with the
+    * layout's schema. */
+  private[graft] def manifestPrunedRead(s: SparkSession, path: String,
+      ur: (Double, Double), vr: (Double, Double)): DataFrame = {
+    val (keep, _) = manifestPrunedFiles(s, path, ur, vr)
+    if (keep.isEmpty) s.read.parquet(path).limit(0)
+    else s.read.parquet(keep: _*)
   }
 
   /** Staging dir for a rewrite: keyed by the FULL md5 of the data dir
@@ -141,7 +190,11 @@ object Layout {
         val (ev, ur, vr) = eventRanges(s, d)
         val path = stagePath(s, "zorder", d)
         zOrderWrite(ev, col("user_id"), col("value"), ur, vr, path)
-        boxFilter(s.read.parquet(path), ur, vr)
+        writeManifest(s, path)
+        // file-level skipping via the manifest, THEN row-group skipping
+        // via footers, THEN the exact row filter — three nested sieves,
+        // identical results at each level (the oracle hash proves it)
+        boxFilter(manifestPrunedRead(s, path, ur, vr), ur, vr)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_events"),
             countDistinct(col("user_id")).as("n_users"),

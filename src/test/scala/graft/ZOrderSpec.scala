@@ -113,6 +113,29 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("file manifest prunes a strict subset of files; results unchanged") {
+    withTempDir { tmp =>
+      val (ev, ur, vr) = Layout.eventRanges(spark, dir)
+      Layout.zOrderWrite(ev, col("user_id"), col("value"), ur, vr, s"$tmp/z")
+      Layout.writeManifest(spark, s"$tmp/z")
+      // the manifest is hidden from normal reads of the layout dir
+      assert(spark.read.parquet(s"$tmp/z").columns.toSet
+        .contains("event_id"), "layout read must see data, not manifest")
+      val (keep, total) = Layout.manifestPrunedFiles(spark, s"$tmp/z", ur, vr)
+      assert(total == Layout.ZFiles.toLong,
+        s"manifest must carry one row per output file: $total")
+      assert(keep.nonEmpty && keep.size < Layout.ZFiles,
+        s"box must prune FILES outright on a z layout: kept ${keep.size}/$total")
+      // pruning changes which files the scan LISTS, never the answer
+      val full = Layout.boxFilter(spark.read.parquet(s"$tmp/z"), ur, vr)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      val pruned = Layout
+        .boxFilter(Layout.manifestPrunedRead(spark, s"$tmp/z", ur, vr), ur, vr)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(pruned == full, "manifest pruning changed the box result")
+    }
+  }
+
   test("the box scan reads a fraction of the rows a hash layout reads") {
     withTempDir { tmp =>
       val (ev, ur, vr) = Layout.eventRanges(spark, dir)
