@@ -1,11 +1,8 @@
 package org.apache.spark.sql.execution
 
-import java.util.concurrent.atomic.AtomicReference
-
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.command.DataWritingCommandExec
-import org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
-import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.catalyst.plans.logical.CommandResult
+import org.apache.spark.sql.execution.datasources.DataSource
 
 /** Parquet write that returns the plan that ACTUALLY executed.
   *
@@ -13,44 +10,39 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * caller-visible `df.queryExecution` never executes, so under AQE its
   * `executedPlan` is the UN-finalized adaptive plan — recording it (the
   * pre-r13 foreachBatch pattern) renders a shape that can differ from
-  * what ran. This helper registers a QueryExecutionListener for the
-  * duration of the write, matches the write command by output path (so a
-  * concurrent query in the same session can't be mis-captured), and
-  * drains the listener bus before returning — the captured
-  * `executedPlan` is then the completed execution, `isFinalPlan=true`
-  * under AQE. Lives in Spark's package namespace for
-  * `listenerBus.waitUntilEmpty` (same arrangement as [[GraftCheckpoint]]).
+  * what ran. A QueryExecutionListener cannot help either: foreachBatch
+  * sinks run their writes as NESTED executions (the micro-batch already
+  * holds the execution id), which post no SQLExecutionEnd event. So this
+  * helper does what DataFrameWriter.saveToV1Source does — build the V1
+  * write command and execute it eagerly — but KEEPS the QueryExecution:
+  * after `assertCommandExecuted()` the `CommandResult` node carries the
+  * executed physical plan, whose AQE subtree is finalized
+  * (`isFinalPlan=true`). Lives in Spark's package namespace for
+  * `Dataset.logicalPlan` (same arrangement as [[GraftCheckpoint]]).
   */
 object GraftWrite {
 
-  /** Overwrite `df` as parquet at `path`; returns the executed write
-    * plan (a DataWritingCommandExec whose child is the finalized query
-    * plan), or the caller's un-run plan if the listener saw nothing —
-    * never null, never throws past the write itself. */
+  /** Overwrite `df` as parquet at `path` (optionally partitioned);
+    * returns the executed write plan — the DataWritingCommandExec whose
+    * child is the finalized query plan. */
   def parquetCaptured(df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): SparkPlan = {
-    val spark = df.sparkSession
-    val captured = new AtomicReference[SparkPlan]()
-    val target = new org.apache.hadoop.fs.Path(path).getName
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = {
-        val mine = qe.executedPlan.collectFirst {
-          case w: DataWritingCommandExec
-              if w.cmd.isInstanceOf[InsertIntoHadoopFsRelationCommand] &&
-                w.cmd.asInstanceOf[InsertIntoHadoopFsRelationCommand]
-                  .outputPath.getName == target => w
-        }
-        mine.foreach(_ => captured.compareAndSet(null, qe.executedPlan))
-      }
-      override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = ()
+    // every frame in this engine is the classic (local JVM) Dataset —
+    // the cast reaches its private[sql] logicalPlan
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    val spark = cdf.sparkSession
+    val cmd = DataSource(
+      sparkSession = spark,
+      className = "parquet",
+      partitionColumns = partitionBy,
+      options = Map("path" -> path))
+      .planForWriting(SaveMode.Overwrite, cdf.logicalPlan)
+    val qe = spark.sessionState.executePlan(cmd)
+    qe.assertCommandExecuted()
+    qe.commandExecuted match {
+      case cr: CommandResult =>
+        cr.commandPhysicalPlan.asInstanceOf[SparkPlan]
+      case _ => qe.executedPlan
     }
-    spark.listenerManager.register(listener)
-    try {
-      df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(path)
-      spark.sparkContext.listenerBus.waitUntilEmpty()
-    } finally spark.listenerManager.unregister(listener)
-    Option(captured.get).getOrElse(df.queryExecution.executedPlan)
   }
 }
