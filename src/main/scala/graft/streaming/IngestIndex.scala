@@ -45,9 +45,16 @@ object IngestIndex {
   /** The q104 index's three tables. */
   val Tables: Seq[String] = Seq("fp", "band", "sig")
 
-  /** Write-partition count. Test-scale 16; production sizes this so a
-    * bucket is a few GB (e.g. 4096 at 100 TB) — the knob, not the
-    * mechanism, changes. */
+  /** Write-partition count. Test-scale 16. The sizing rule that makes
+    * per-trigger write IO BATCH-proportional: a touched bucket rewrites
+    * its WHOLE content, and a uniform batch of k keys touches
+    * ~B(1 - e^(-k/B)) ≈ min(k, B) buckets, so per-trigger write ≈
+    * k x (index/B) — bounded by a constant per key only when the BUCKET
+    * BYTE SIZE (index/B) is held to a fixed target (e.g. 128 MB). That
+    * is the Delta/Iceberg file model: bucket COUNT grows with the index
+    * (a production store re-buckets by splitting as it grows; the
+    * manifest absorbs it), bucket SIZE does not. A fixed B here is the
+    * test-scale knob, not the mechanism. */
   def numBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.graft.ingest.indexBuckets", "16").toInt
 
@@ -160,15 +167,22 @@ object IngestIndex {
   def mergeCommit(spark: SparkSession, stateDir: String, m: Manifest,
       table: String, next: Long, delta: DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
-      planName: Option[String] = None): Set[Int] = {
+      planName: Option[String] = None,
+      touchedKnown: Option[Set[Int]] = None): Set[Int] = {
     val n = numBuckets(spark)
     val keyed = delta.withColumn("bkt", bucketCol(table, n))
-    val touched = keyed.select("bkt").distinct()
-      .collect().map(_.getInt(0)).toSet
+    val touched = touchedKnown.getOrElse(keyed.select("bkt").distinct()
+      .collect().map(_.getInt(0)).toSet)
     if (touched.isEmpty) return touched
     val cur = readTable(spark, stateDir, m, table, Some(touched),
       keyed.limit(0)).drop("bkt")
+    // ONE file per touched bucket per version: repartition on the bucket
+    // key collapses the post-combine shuffle partitions into <= touched
+    // writer tasks — without it every shuffle partition writes a sliver
+    // into every bucket dir (touched x partitions files, the small-file
+    // problem q110 exists to undo)
     val merged = combine(cur, delta).withColumn("bkt", bucketCol(table, n))
+      .repartition(math.max(1, touched.size), col("bkt"))
     val path = s"$stateDir/v$next/$table"
     planName match {
       case Some(name) => StreamPlans.recordPlan(name,

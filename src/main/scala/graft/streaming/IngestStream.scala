@@ -114,6 +114,13 @@ object IngestStream {
         val fpDelta = LlmOps.fpIndexOf(sig)
         val bandDelta = LlmOps.bandIndexOf(sig)
         val sigDelta = sig.select(col("doc_id"), col("sigl"))
+        // the batch's key buckets, computed ONCE and shared by the probe
+        // pruning and the merge (the sets are identical by construction)
+        val fpTouched = wantedOf(sig, "fp")
+        val bandTouched = wantedOf(
+          LlmOps.minhashBands(sig.select(col("doc_id"), col("sigl"))),
+          "band")
+        val sigTouched = wantedOf(sig.select(col("doc_id")), "sig")
         val out =
           if (batchId == 0L)
             sig.select(col("doc_id"), lit("novel").as("status"),
@@ -125,16 +132,14 @@ object IngestStream {
             // probe reads prune to the BATCH's key buckets — a partition
             // filter at the file listing, so probe IO is O(touched
             // buckets), matching the write side
-            def pruned(table: String, keys: DataFrame, delta: DataFrame)
+            def pruned(table: String, wanted: Set[Int], delta: DataFrame)
                 : DataFrame =
               IngestIndex.readTable(spark, stateDir, m, table,
-                Some(wantedOf(keys, table)),
+                Some(wanted),
                 delta.limit(0).withColumn("bkt",
                   IngestIndex.bucketCol(table, n))).drop("bkt")
-            val fpIdx = pruned("fp", sig, fpDelta)
-            val bandIdx = pruned("band",
-              LlmOps.minhashBands(sig.select(col("doc_id"), col("sigl"))),
-              bandDelta)
+            val fpIdx = pruned("fp", fpTouched, fpDelta)
+            val bandIdx = pruned("band", bandTouched, bandDelta)
             // anchor first (batch-sized), THEN read only the anchors'
             // sig-store buckets for the est_sim attach
             val anchored = org.apache.spark.sql.execution.GraftCheckpoint
@@ -142,7 +147,8 @@ object IngestStream {
                 LlmOps.anchorsAgainstIndex(sig, fpIdx, bandIdx))
             val anchorKeys = anchored.filter(col("anchor_doc").isNotNull)
               .select(col("anchor_doc").as("doc_id"))
-            val sigIdx = pruned("sig", anchorKeys, sigDelta)
+            val sigIdx = pruned("sig", wantedOf(anchorKeys, "sig"),
+              sigDelta)
             LlmOps.attachEstSim(anchored, sigIdx)
           }
         // capture the plan the write ACTUALLY executed (AQE-finalized) —
@@ -157,13 +163,16 @@ object IngestStream {
         val touched = Map(
           "fp" -> IngestIndex.mergeCommit(spark, stateDir, m, "fp", next,
             fpDelta, (cur, d) => cur.unionByName(d).groupBy("fp")
-              .agg(min(col("exact_anchor")).as("exact_anchor"))),
+              .agg(min(col("exact_anchor")).as("exact_anchor")),
+            touchedKnown = Some(fpTouched)),
           "band" -> IngestIndex.mergeCommit(spark, stateDir, m, "band",
             next, bandDelta, (cur, d) => cur.unionByName(d)
               .groupBy("b", "bv")
-              .agg(min(col("band_anchor")).as("band_anchor"))),
+              .agg(min(col("band_anchor")).as("band_anchor")),
+            touchedKnown = Some(bandTouched)),
           "sig" -> IngestIndex.mergeCommit(spark, stateDir, m, "sig", next,
-            sigDelta, (cur, d) => cur.unionByName(d)))
+            sigDelta, (cur, d) => cur.unionByName(d),
+            touchedKnown = Some(sigTouched)))
         val nm = IngestIndex.Tables.map(t => t ->
           (m.getOrElse(t, Map.empty[Int, Long]) ++
             touched(t).map(_ -> next).toMap)).toMap
