@@ -41,6 +41,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q106_bloom_decontamination", // r12: bitmap-OR sketch + confirm join
     "q108_pq_ann",                // r12: decimal-exact codebook training
     "q109_ivf_pq_ann",            // r12: probe filter over the same chain
+    "q109b_ivf_pq_residual",      // r13: residual chain + per-cell LUTs
     "q112_span_dedup",            // r12: span-keyed mark + doc rebuild
     "q113_quota_sample")          // r12: hash-rank carve (sampling family)
 
