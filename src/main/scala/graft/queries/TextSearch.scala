@@ -94,7 +94,7 @@ object TextSearch {
     * NULLs the seed-sampling dim probes; synthetic data never ships one,
     * real corpora do — r11 advice). Dropping at the scan keeps the filter
     * pushed into the parquet read for every IVF consumer. */
-  private def embNonNull(s: org.apache.spark.sql.SparkSession,
+  private[graft] def embNonNull(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     t(s, d, "embeddings").filter(col("embedding").isNotNull)
 
@@ -105,28 +105,44 @@ object TextSearch {
   /** [[ivfAssigned]] plus the refined centroid table (cid, ce FLOAT[])
     * it assigned against — the residual-encoding consumer (q109b) needs
     * the centroid VALUES, not just the memberships. */
-  private[graft] def ivfAssignedWithCents(s: org.apache.spark.sql.SparkSession,
-      d: String, cells: Int): (DataFrame, DataFrame) = {
+  /** Rank every vector of `e` by rounded cosine against a (broadcast)
+    * centroid table: rn = 1 is the home cell, rn <= k the probe
+    * expansion. The assignment is PER ROW, which is what makes
+    * incremental ingestion (q114) exact: assigning a new batch against
+    * frozen centroids gives the same rows a one-shot assignment would. */
+  private[graft] def nearestCells(e: DataFrame,
+      cents: DataFrame): DataFrame = e.crossJoin(cents)
+    .withColumn("sim_c", round(expr("cosine_sim(embedding, ce)"), 4))
+    .withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(col("sim_c").desc, col("cid"))))
+
+  /** The coarse-quantizer training on an arbitrary corpus frame: seeds =
+    * `e`'s vectors with vec_id < cells, one Lloyd step, 1e-6-rounded
+    * float centroids (cid, ce). */
+  private[graft] def trainCents(s: org.apache.spark.sql.SparkSession,
+      e: DataFrame, cells: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val e = embNonNull(s, d)
-    def nearest(cents: DataFrame): DataFrame = e.crossJoin(cents)
-      .withColumn("sim_c", round(expr("cosine_sim(embedding, ce)"), 4))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("sim_c").desc, col("cid"))))
     val seeds = graft.BroadcastBounds.bounded("ivf-centroids")(
       e.filter(col("vec_id") < cells)
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
-    val seedCells = nearest(seeds).filter(col("rn") === 1)
+    val seedCells = nearestCells(e, seeds).filter(col("rn") === 1)
       .select(col("cid"), col("embedding"))
-    val cents = seedCells
+    seedCells
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cid", "pos").agg(round(avg(col("v")), 6).as("cv"))
       .groupBy("cid").agg(
         transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv").cast(FloatType)).as("ce"))
+  }
+
+  private[graft] def ivfAssignedWithCents(s: org.apache.spark.sql.SparkSession,
+      d: String, cells: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embNonNull(s, d)
+    val cents = trainCents(s, e, cells)
     val refined = graft.BroadcastBounds.bounded("ivf-centroids")(cents)
-    (nearest(refined), cents)
+    (nearestCells(e, refined), cents)
   }
 
   /** The materialized IVF index plus the corpus row count its consumers

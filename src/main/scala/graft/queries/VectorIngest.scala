@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+import graft.Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IngestIndex
+
+/** Q114: VECTOR INDEX UPSERT — the ingestion path of a vector store,
+  * completing the ANN family's lifecycle story: q48/q62/etc PROBE a
+  * built index, r13's persistence makes the index outlive the JVM, and
+  * this operator GROWS it incrementally the way production stores do
+  * (FAISS `add`, Milvus/pgvector inserts): the coarse codebook is
+  * trained ONCE on the initial corpus and FROZEN; later batches are
+  * assigned against the frozen centroids (a per-row literal-broadcast
+  * projection — no retraining, no rebuild) and MERGEd into the
+  * persistent bucketed index (the q104 `IngestIndex` machinery: touched
+  * buckets rewritten, manifest repointed, old versions GC'd).
+  *
+  * Why freezing is the production semantics: retraining per insert
+  * would move every stored vector's cell (a full re-index); stores
+  * instead freeze the quantizer and re-train offline when drift
+  * warrants. Because assignment is PER ROW, the incrementally-built
+  * index is EXACTLY the index a one-shot assignment of the full corpus
+  * against the same centroids would produce — the q114 contract, which
+  * the DuckDB oracle checks end to end by training on the first half
+  * (vec_id < floor(n/2)) and assigning everything.
+  *
+  * Scale shape: phase A is the q48 build on half the corpus; the upsert
+  * is one scan of the NEW batch (centroids broadcast), one keyed merge
+  * touching only the batch's index buckets, zero contact with stored
+  * vectors. At 100 TB the upsert cost is O(batch), not O(index) — the
+  * same argument as q104, here for vectors.
+  */
+object VectorIngest {
+
+  /** Two-phase build + the q48-shaped probe over the merged index. */
+  private[graft] def upsertProbe(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = TextSearch.embNonNull(s, d)
+    val n = e.count()
+    val half = n / 2
+    val cells = TextSearch.ivfCells(half)
+    val a = e.filter(col("vec_id") < half)
+    val b = e.filter(col("vec_id") >= half)
+    // the frozen coarse codebook: trained on the initial corpus only
+    val cents = graft.BroadcastBounds.bounded("ivf-centroids")(
+      TextSearch.trainCents(s, a, cells))
+    def assigned(batch: DataFrame): DataFrame =
+      TextSearch.nearestCells(batch, cents)
+        .filter(col("rn") <= TextSearch.IvfProbes)
+        .select(col("vec_id"), col("cid"), col("embedding"), col("rn"))
+
+    val state = Layout.stagePath(s, "vecidx", d)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state), true)
+    // phase A: initial build -> v1; phase B: upsert the new batch -> v2
+    // (disjoint keys, so the merge combine is a plain union)
+    val t0 = IngestIndex.mergeCommit(s, state, Map.empty, "vec", 1L,
+      assigned(a), (cur, delta) => cur.unionByName(delta))
+    IngestIndex.writeManifest(fs, state, 1L,
+      Map("vec" -> t0.map(_ -> 1L).toMap))
+    val m1 = IngestIndex.readManifest(fs, state, 1L)
+    val t1 = IngestIndex.mergeCommit(s, state, m1, "vec", 2L,
+      assigned(b), (cur, delta) => cur.unionByName(delta))
+    IngestIndex.writeManifest(fs, state, 2L,
+      Map("vec" -> (m1("vec") ++ t1.map(_ -> 2L).toMap)))
+    IngestIndex.gc(fs, state, 1L, 2L)
+
+    probeOf(s, IngestIndex.currentTable(s, state, "vec"))
+  }
+
+  /** The q48 probe shape over an arbitrary (vec_id, cid, embedding, rn)
+    * index frame: query = vec 0's IvfProbes nearest cells, candidates =
+    * home-cell members, exact rounded cosine, top 5. */
+  private[graft] def probeOf(s: SparkSession, index: DataFrame)
+      : DataFrame = {
+    val cellsDf = index.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("embedding"))
+    val qprobe = index.filter(col("vec_id") === 0)
+      .select(col("cid").as("qcid"), col("embedding").as("qe"))
+    cellsDf.join(
+        graft.BroadcastBounds.bounded("single-query-probe")(qprobe),
+        col("cid") === col("qcid"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), r4(expr("cosine_sim(embedding, qe)")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q114_vector_index_upsert",
+      (s, d) => upsertProbe(s, d),
+      // the oracle trains on the FIRST HALF and assigns EVERYTHING in
+      // one shot — hash equality proves the incremental build (frozen
+      // centroids + bucketed merge + manifest read-back) lost, moved
+      // and invented nothing
+      Some(s"""WITH env AS (SELECT * FROM embeddings
+             |  WHERE embedding IS NOT NULL),
+             |half AS (SELECT CAST(FLOOR(COUNT(*) / 2) AS BIGINT) AS h
+             |  FROM env),
+             |enva AS (SELECT e.* FROM env e, half WHERE e.vec_id < h),
+             |seeds AS (SELECT vec_id AS cid, embedding AS ce FROM enva
+             |  WHERE vec_id < (SELECT GREATEST(${TextSearch.IvfCellsMin},
+             |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))
+             |    FROM enva)),
+             |a0 AS (SELECT vec_id, cid, embedding FROM (
+             |    SELECT e.vec_id, s.cid, e.embedding,
+             |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |          CAST(s.ce AS DOUBLE[])), 4) DESC, s.cid) AS rn
+             |    FROM enva e CROSS JOIN seeds s) x WHERE rn = 1),
+             |pieces AS (SELECT cid,
+             |    unnest(generate_series(1, len(embedding))) AS pos,
+             |    unnest(CAST(embedding AS DOUBLE[])) AS v
+             |  FROM a0),
+             |means AS (SELECT cid, pos, ROUND(AVG(v), 6) AS cv
+             |  FROM pieces GROUP BY cid, pos),
+             |refined AS (SELECT cid, CAST(list(cv ORDER BY pos) AS FLOAT[]) AS ce
+             |  FROM means GROUP BY cid),
+             |assigned AS (
+             |  SELECT e.vec_id, r.cid, e.embedding,
+             |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |        CAST(r.ce AS DOUBLE[])), 4) DESC, r.cid) AS rn
+             |  FROM env e CROSS JOIN refined r),
+             |cells AS (SELECT vec_id, cid, embedding FROM assigned
+             |  WHERE rn = 1),
+             |qcell AS (SELECT cid AS qcid, embedding AS qe FROM assigned
+             |  WHERE vec_id = 0 AND rn <= ${TextSearch.IvfProbes})
+             |SELECT v.vec_id,
+             |  CAST(ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+             |    CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS sim
+             |FROM cells v JOIN qcell q ON v.cid = q.qcid
+             |WHERE v.vec_id <> 0
+             |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)))
+}

@@ -66,6 +66,7 @@ object IngestIndex {
       case "band" => xxhash64(col("b"), col("bv"))
       case "sig" => xxhash64(col("doc_id"))
       case "state" => xxhash64(col("user_id"))
+      case "vec" => xxhash64(col("vec_id"))
       case other => throw new IllegalArgumentException(
         s"unknown ingest-index table: $other")
     }

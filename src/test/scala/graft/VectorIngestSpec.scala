@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.{TextSearch, VectorIngest}
+import graft.streaming.IngestIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q114 vector index upsert beyond oracle parity: the incremental-build
+  * law (two-phase frozen-centroid build == one-shot assignment of the
+  * full corpus against the same centroids, row for row), the
+  * batch-proportional merge (phase B touches only ITS buckets), and
+  * determinism across runs.
+  */
+class VectorIngestSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("incremental build equals the one-shot frozen-centroid assignment row for row") {
+    val sp = spark
+    graft.functions.GraftFunctions.register(sp)
+    // run the two-phase build (also materializes the state dir)
+    VectorIngest.upsertProbe(sp, dir).collect()
+    val state = graft.queries.Layout.stagePath(sp, "vecidx", dir)
+    val incremental = IngestIndex.currentTable(sp, state, "vec")
+      .select("vec_id", "cid", "rn")
+      .collect().map(_.toSeq).toSet
+
+    val e = TextSearch.embNonNull(sp, dir)
+    val half = e.count() / 2
+    val cents = graft.BroadcastBounds.bounded("ivf-centroids")(
+      TextSearch.trainCents(sp, e.filter(col("vec_id") < half),
+        TextSearch.ivfCells(half)))
+    val oneShot = TextSearch.nearestCells(e, cents)
+      .filter(col("rn") <= TextSearch.IvfProbes)
+      .select("vec_id", "cid", "rn")
+      .collect().map(_.toSeq).toSet
+    assert(incremental == oneShot,
+      "two-phase upsert index diverged from the one-shot assignment")
+  }
+
+  test("the upsert touches only the new batch's buckets; probe is deterministic") {
+    val sp = spark
+    val a = VectorIngest.upsertProbe(sp, dir).collect().toSeq
+    val b = VectorIngest.upsertProbe(sp, dir).collect().toSeq
+    assert(a == b, "q114 probe differs across runs")
+    val state = graft.queries.Layout.stagePath(sp, "vecidx", dir)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val n = IngestIndex.numBuckets(sp)
+    val e = TextSearch.embNonNull(sp, dir)
+    val half = e.count() / 2
+    def bucketDirs(v: Int): Set[Int] = {
+      val p = new org.apache.hadoop.fs.Path(s"$state/v$v/vec")
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("bkt=")).map(_.drop(4).toInt).toSet
+    }
+    val bBuckets = e.filter(col("vec_id") >= half)
+      .select(IngestIndex.bucketCol("vec", n).as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(bucketDirs(2) == bBuckets,
+      s"v2 must hold exactly phase B's key buckets: ${bucketDirs(2)} vs $bBuckets")
+  }
+}
