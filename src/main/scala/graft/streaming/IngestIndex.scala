@@ -195,6 +195,43 @@ object IngestIndex {
     touched
   }
 
+  /** Fold the version tail: rewrite EVERY live bucket of every table
+    * into one consolidated COMPACTION EPOCH, repoint the manifest AT THE
+    * CURRENT TOP VERSION at it, and GC the now-unreferenced tail. An
+    * OFFLINE op (run with no trigger in flight, like any OPTIMIZE): one
+    * read + one write of the live data, occasionally, batch-independent.
+    *
+    * Epoch dirs use NEGATIVE version numbers (`v-1`, `v-2`, ...) so they
+    * can never collide with the stream's batchId-derived versions — the
+    * resumption contract (batch k probes manifest `v(k)`, writes
+    * `v(k+1)`) survives compaction untouched: the next batch still reads
+    * manifest `v(top)`, which now points every bucket at the epoch dir.
+    * Crash-safe ordering: epoch data fully written BEFORE the one-file
+    * manifest overwrite commits it; the old tail is deleted only after.
+    * Returns the repointed manifest. */
+  def compact(spark: SparkSession, stateDir: String, top: Long): Manifest = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(fs, stateDir, top)
+    val existing = fs.listStatus(new Path(stateDir))
+      .map(_.getPath.getName).filter(_.matches("v-?\\d+"))
+      .map(_.drop(1).toLong)
+    val epoch = math.min(0L, existing.minOption.getOrElse(0L)) - 1
+    val nm: Manifest = m.map { case (table, bkts) =>
+      if (bkts.isEmpty) table -> bkts
+      else {
+        readTable(spark, stateDir, m, table, None, null)
+          .repartition(math.max(1, bkts.size), col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(s"$stateDir/v$epoch/$table")
+        table -> bkts.map { case (b, _) => b -> epoch }
+      }
+    }
+    writeManifest(fs, stateDir, top, nm)
+    gc(fs, stateDir, top, top)
+    nm
+  }
+
   /** Delete version dirs older than `prev` that neither `prev`'s nor
     * `next`'s manifest references — `prev` itself survives for the
     * crash-replay of the batch that just committed `next`. Returns the
@@ -207,8 +244,10 @@ object IngestIndex {
         .flatMap(_.values).toSet + prev + next
     val root = new Path(stateDir)
     if (!fs.exists(root)) return Nil
+    // v-?: compaction epoch dirs (negative versions) are GC'd by the
+    // same reference rule once a later epoch supersedes them
     val dead = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .filter(_.matches("v-?\\d+")).map(_.drop(1).toLong)
       .filter(v => v < prev && !referenced.contains(v))
       .sorted.toSeq
     dead.foreach(v => fs.delete(new Path(s"$stateDir/v$v"), true))

@@ -51,7 +51,7 @@ object IngestIo {
       }
     // GC'd versions are gone; walk the survivors
     val versions = fs.listStatus(new Path(state))
-      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+      .map(_.getPath.getName).filter(_.matches("v-?\\d+"))
       .map(_.drop(1).toInt).sorted
     var cumWritten = 0L
     versions.foreach { v =>

@@ -145,6 +145,50 @@ class IngestStreamSpec extends AnyFunSuite {
       s"v$v survives GC but no manifest bucket references it"))
   }
 
+  test("compact folds the tail into an epoch dir; contents unchanged; the stream resumes through it") {
+    val sp = spark
+    val conf = sp.sparkContext.hadoopConfiguration
+    val full = s"${tempDir("graft-ingest-cpf")}/full"
+    IngestStream.stageReplay(sp, sfDir, full)
+    val replay = s"${tempDir("graft-ingest-cpr")}/replay"
+    val state = s"${tempDir("graft-ingest-cps")}/state"
+    val dir = new org.apache.hadoop.fs.Path(replay)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    def land(k: Int): Unit = {
+      val name = f"batch-$k%04d.parquet"
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$full/$name"), fs, dst, false, conf)
+      ReplayStage.pinFile(fs, dst, k)
+    }
+    land(0); land(1)
+    IngestStream.classified(sp, replay, state).collect()
+    def fpRows(): Set[Seq[Any]] =
+      IngestStream.indexTable(sp, state, "fp").collect().map(_.toSeq).toSet
+    def versions(): Set[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(state))
+        .map(_.getPath.getName).filter(_.matches("v-?\\d+"))
+        .map(_.drop(1).toLong).toSet
+    val before = fpRows()
+    val top = versions().max
+    IngestIndex.compact(sp, state, top)
+    // exactly the top version (manifest home) + the epoch dir survive;
+    // the manifest points every bucket at the epoch
+    assert(versions() == Set(top, -1L),
+      s"compact must leave the top version + one epoch dir: ${versions()}")
+    assert(fpRows() == before, "compact changed the index contents")
+    val m = IngestIndex.readManifest(fs, state, top)
+    assert(m.values.flatMap(_.values).toSet == Set(-1L))
+    // the version-numbering contract survives: later batches resume
+    // against the compacted state and the final answer equals the twin
+    land(2); land(3)
+    val resumed = IngestStream.classified(sp, replay, state)
+      .collect().toSeq
+    assert(resumed == IngestStream.batchTwin(sp, sfDir).collect().toSeq,
+      "resumption through a compacted index diverged from the twin")
+  }
+
   test("an empty replay dir classifies nothing instead of failing on the output glob") {
     val sp = spark
     val replay = s"${tempDir("graft-ingest-empty")}/replay"
