@@ -147,6 +147,65 @@ object Stats {
              |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
              |ORDER BY source""".stripMargin)),
 
+    // Q115 mergeable QUANTILE sketch rollup (r13) — q100's pattern for
+    // percentiles: per-slice Datasketches KLL sketches (k=200, ~1.65%
+    // rank error, a few KB each) computed in ONE fact-table scan; any
+    // coarser rollup derives by kll_merge_agg over the STORED sketches —
+    // percentile cubes without rescanning, the thing exact percentiles
+    // (q44's sort-based, non-mergeable aggregate) cannot do. Exact
+    // percentile rides along as the audit column; the oracle hash-pins
+    // the exact values and the within-5%-of-exact booleans (KLL
+    // compaction is randomized, so the ESTIMATES themselves are not
+    // cross-engine-hashable — q100's HLL treatment). At 100 TB: slice
+    // sketches are the stored artifact, the global quantile is a merge
+    // of K sketches, not a rescan of the table.
+    QueryDef("q115_kll_quantile_rollup",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("slice"),
+            col("l_extendedprice").cast(DoubleType).as("v"))
+        val slices = li.groupBy("slice").agg(
+          expr("kll_sketch_agg_double(v, 200)").as("sk"),
+          r4(expr("percentile(v, 0.5)")).as("exact_p50"),
+          r4(expr("percentile(v, 0.95)")).as("exact_p95"))
+        val per = slices.select(col("slice"), col("exact_p50"),
+          col("exact_p95"),
+          expr("kll_sketch_get_quantile_double(sk, 0.5D)").as("est_p50"),
+          expr("kll_sketch_get_quantile_double(sk, 0.95D)").as("est_p95"))
+        val global = slices
+          .agg(expr("kll_merge_agg_double(sk)").as("gsk"))
+          .crossJoin(graft.BroadcastBounds.bounded("scalar-agg")(
+            li.agg(r4(expr("percentile(v, 0.5)")).as("exact_p50"),
+              r4(expr("percentile(v, 0.95)")).as("exact_p95"))))
+          .select(lit("__all__").as("slice"), col("exact_p50"),
+            col("exact_p95"),
+            expr("kll_sketch_get_quantile_double(gsk, 0.5D)").as("est_p50"),
+            expr("kll_sketch_get_quantile_double(gsk, 0.95D)").as("est_p95"))
+        per.unionByName(global)
+          .select(col("slice"), col("exact_p50"), col("exact_p95"),
+            (abs(col("est_p50") - col("exact_p50")) / col("exact_p50")
+              <= 0.05).as("p50_tol"),
+            (abs(col("est_p95") - col("exact_p95")) / col("exact_p95")
+              <= 0.05).as("p95_tol"))
+          .orderBy("slice")
+      },
+      Some("""WITH per AS (SELECT l_returnflag AS slice,
+             |    CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE)
+             |      AS exact_p50,
+             |    CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE)
+             |      AS exact_p95
+             |  FROM lineitem GROUP BY l_returnflag),
+             |tot AS (SELECT '__all__' AS slice,
+             |    CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE)
+             |      AS exact_p50,
+             |    CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE)
+             |      AS exact_p95
+             |  FROM lineitem)
+             |SELECT slice, exact_p50, exact_p95,
+             |  TRUE AS p50_tol, TRUE AS p95_tol
+             |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+             |ORDER BY slice""".stripMargin)),
+
     // Q45 scalar UDF registration surface ---------------------------------
     // A deterministic quality score via a REGISTERED Scala UDF; the oracle
     // replicates the arithmetic in SQL. (Engine surface demo — the

@@ -41,4 +41,37 @@ class SketchRollupSpec extends AnyFunSuite {
     val diff = math.abs(viaUnion - direct).toDouble / math.max(direct, 1L)
     assert(diff <= 0.02, s"union $viaUnion vs direct $direct ($diff)")
   }
+
+  test("q115: every slice and the merged rollup quantile within tolerance of exact") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("q115_kll_quantile_rollup")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.exists(_._1 == "__all__"), "missing the merged rollup row")
+    assert(rows.length >= 3, s"degenerate rig: ${rows.length} rows")
+    rows.foreach { case (slice, p50, p95, t50, t95) =>
+      assert(p50 > 0 && p95 >= p50, s"$slice: nonsense exact quantiles")
+      assert(t50 && t95, s"$slice: KLL estimate outside 5% of ($p50, $p95)")
+    }
+  }
+
+  test("q115: merge of slice KLL sketches agrees with a direct whole-table sketch") {
+    val spark = TestSpark.spark
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag").as("slice"),
+        col("l_extendedprice").cast("double").as("v"))
+    val viaMerge = li.groupBy("slice")
+      .agg(expr("kll_sketch_agg_double(v, 200)").as("sk"))
+      .agg(expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5D)"))
+      .head().getDouble(0)
+    val direct = li
+      .agg(expr("kll_sketch_get_quantile_double(kll_sketch_agg_double(v, 200), 0.5D)"))
+      .head().getDouble(0)
+    // both are rank-error-bounded estimates of the same median; the
+    // mergeability law is agreement within the combined ~2x1.65% rank
+    // error translated through the local value density — 5% of value is
+    // far outside it on this distribution
+    val diff = math.abs(viaMerge - direct) / direct
+    assert(diff <= 0.05, s"merge $viaMerge vs direct $direct ($diff)")
+  }
 }
