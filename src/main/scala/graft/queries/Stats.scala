@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryDef}
 import graft.Q._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -205,6 +206,61 @@ object Stats {
              |  TRUE AS p50_tol, TRUE AS p95_tol
              |FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
              |ORDER BY slice""".stripMargin)),
+
+    // Q116 mergeable TOP-K sketch rollup (r13) — the third member of the
+    // pre-aggregated sketch cube (q100 distinct=HLL, q115 quantiles=KLL,
+    // q116 frequent items): per-source approx_top_k_accumulate states
+    // (bounded: maxItemsTracked entries each) in ONE token scan, the
+    // global rollup by approx_top_k_combine over the STORED states — no
+    // rescan. The Misra-Gries-family sketch is EXACT while the tracked
+    // map never evicts (distinct items <= maxItemsTracked, true here and
+    // asserted by the spec), so unlike q100/q115 the counts themselves
+    // hash against DuckDB's exact aggregation; at open-vocabulary scale
+    // it degrades to the guaranteed-overcount regime q99 rescues.
+    // Ties re-ranked (cnt DESC, token ASC) in both engines — the sketch
+    // API's own tie order is unspecified.
+    QueryDef("q116_topk_sketch_rollup",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("token"))
+        val states = toks.groupBy("source")
+          .agg(expr("approx_top_k_accumulate(token, 10000)").as("st"))
+        def top3(df: DataFrame): DataFrame = df
+          .select(col("source"),
+            explode(expr("approx_top_k_estimate(st, 64)")).as("e"))
+          .select(col("source"), col("e.item").as("token"),
+            col("e.count").cast(LongType).as("cnt"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")
+              .orderBy(col("cnt").desc, col("token"))))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("rk").cast(IntegerType).as("rk"),
+            col("token"), col("cnt"))
+        val per = top3(states)
+        val global = top3(states
+          .agg(expr("approx_top_k_combine(st, 10000)").as("st"))
+          .select(lit("__all__").as("source"), col("st")))
+        per.unionByName(global).orderBy("source", "rk")
+      },
+      Some("""WITH toks AS (SELECT source,
+             |    unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |cnts AS (SELECT source, token, COUNT(*) AS cnt
+             |  FROM toks GROUP BY source, token),
+             |per AS (SELECT source, CAST(ROW_NUMBER() OVER (
+             |      PARTITION BY source ORDER BY cnt DESC, token) AS INT)
+             |      AS rk, token, cnt
+             |  FROM cnts),
+             |gcnts AS (SELECT '__all__' AS source, token,
+             |    COUNT(*) AS cnt FROM toks GROUP BY token),
+             |gl AS (SELECT source, CAST(ROW_NUMBER() OVER (
+             |      ORDER BY cnt DESC, token) AS INT) AS rk, token, cnt
+             |  FROM gcnts)
+             |SELECT * FROM (
+             |  SELECT * FROM per WHERE rk <= 3
+             |  UNION ALL SELECT * FROM gl WHERE rk <= 3)
+             |ORDER BY source, rk""".stripMargin)),
 
     // Q45 scalar UDF registration surface ---------------------------------
     // A deterministic quality score via a REGISTERED Scala UDF; the oracle

@@ -74,4 +74,55 @@ class SketchRollupSpec extends AnyFunSuite {
     val diff = math.abs(viaMerge - direct) / direct
     assert(diff <= 0.05, s"merge $viaMerge vs direct $direct ($diff)")
   }
+
+  test("q116: the no-eviction precondition holds, so sketch counts are exact") {
+    val spark = TestSpark.spark
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    // the oracle HASHES the counts, which is only sound while no
+    // per-source sketch ever evicts — pin the precondition so a corpus
+    // regeneration that explodes the vocabulary fails HERE, loudly,
+    // instead of as an opaque driver hash mismatch
+    val maxVocab = toks.groupBy("source")
+      .agg(countDistinct(col("token")).as("v"))
+      .agg(max(col("v"))).head().getLong(0)
+    assert(maxVocab <= 10000,
+      s"per-source vocab $maxVocab exceeds maxItemsTracked: q116's " +
+        "exact-count contract no longer holds — demote it to " +
+        "containment booleans (the q100/q115 treatment)")
+    // exactness: the sketch's counts equal a plain groupBy's
+    val viaSketch = toks.agg(expr("approx_top_k_accumulate(token, 10000)")
+        .as("st"))
+      .select(explode(expr("approx_top_k_estimate(st, 64)")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").cast("long").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc).limit(64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(viaSketch.get(t).contains(c),
+        s"sketch count for '$t': ${viaSketch.get(t)} != exact $c")
+    }
+  }
+
+  test("q116: under forced eviction a GENUINELY heavy item still surfaces") {
+    // the open-vocabulary degradation regime. Spark's estimate answers in
+    // no-false-positives mode: under eviction it returns only items whose
+    // count lower bound clears the error threshold — on near-uniform data
+    // that is correctly NOTHING (observed: the corpus's 31 even tokens
+    // vanish at maxItemsTracked=10), while a true heavy hitter must
+    // survive any slicing. Pin both halves on a skewed fixture.
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val rows = Seq.fill(2000)("heavy") ++
+      (1 to 400).map(i => s"rare$i")
+    val toks = rows.toDF("token").repartition(8)
+    val got = toks.agg(expr("approx_top_k_accumulate(token, 10)").as("st"))
+      .select(explode(expr("approx_top_k_estimate(st, 10)")).as("e"))
+      .select(col("e.item")).collect().map(_.getString(0)).toSet
+    assert(got.contains("heavy"),
+      s"evicting sketch lost the dominant item: $got")
+    assert(!got.exists(_.startsWith("rare")) || got.size <= 10,
+      s"false positives beyond capacity: $got")
+  }
 }
