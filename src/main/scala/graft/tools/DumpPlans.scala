@@ -281,6 +281,37 @@ object DumpPlans {
         |instead of q108's O(n); codebooks + LUT are still plan literals,
         |candidates still TakeOrderedAndProject, and only 32 rows reach
         |the broadcast re-rank.""".stripMargin,
+    "q109b_ivf_pq_residual" ->
+      """Residual IVF-PQ (full FAISS IndexIVFPQ): the residual subtraction
+        |is a zip_with over the broadcast-joined centroid, the code
+        |assignment an argmin over residual-codebook PLAN LITERALS, and
+        |the per-probed-cell distance tables a codegen'd CASE over <=
+        |IvfProbes cells — the whole encode+score is still ONE projection
+        |over the probe-filtered index slice, no extra shuffle vs q109.
+        |The per-cell LUT CASE is the expression form of FAISS's
+        |per-inverted-list distance tables.""".stripMargin,
+    "q114_vector_index_upsert" ->
+      """The probe over the INCREMENTALLY-built index: candidates come
+        |from the bucketed-manifest read-back (a union of parquet scans
+        |pruned by bkt partition dirs — at scale, file pruning before the
+        |listing). The build is absent from this plan by design: phase B's
+        |upsert touched only its own key buckets against FROZEN broadcast
+        |centroids, so growing the index never rescans stored vectors —
+        |VectorIngestSpec pins incremental == one-shot row for row.""".stripMargin,
+    "q115_kll_quantile_rollup" ->
+      """Mergeable quantile cube: per-slice KLL sketches + exact audit
+        |percentiles in one partial+final aggregate over the fact scan;
+        |the global row derives from kll_merge_agg over the SLICE SKETCH
+        |rows (3 rows in, one out) — at 100 TB the rollup is a merge of
+        |K kilobyte sketches, never a rescan. The exact percentile audit
+        |column is the only sort-based cost and exists for the oracle.""".stripMargin,
+    "q116_topk_sketch_rollup" ->
+      """Mergeable top-k cube: per-source frequent-items states (bounded
+        |maxItemsTracked entries each) from one token scan; the global
+        |top-3 derives from approx_top_k_combine over the stored states.
+        |The estimate explode + rank window runs over <= 64 rows per
+        |slice — driver-scale — while the only corpus-sized work is the
+        |one partial+final accumulate aggregate.""".stripMargin,
     "q110_compaction" ->
       """The read-back audit of a shuffle-free compaction (the rewrite
         |itself is scan -> narrow coalesce -> write; LakeLayoutSpec pins
