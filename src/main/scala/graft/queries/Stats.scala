@@ -165,10 +165,18 @@ object Stats {
         val li = t(s, d, "lineitem")
           .select(col("l_returnflag").as("slice"),
             col("l_extendedprice").cast(DoubleType).as("v"))
-        val slices = li.groupBy("slice").agg(
-          expr("kll_sketch_agg_double(v, 200)").as("sk"),
-          r4(expr("percentile(v, 0.5)")).as("exact_p50"),
-          r4(expr("percentile(v, 0.95)")).as("exact_p95"))
+        // ONE scan computes every exact audit percentile (per-slice AND
+        // global) via rollup's two grouping sets, plus the per-slice
+        // sketches; the grand-total row's own sketch is deliberately
+        // DISCARDED — the global estimate must come from merging the
+        // STORED slice sketches, because that merge is the operator's
+        // whole claim
+        val agg = org.apache.spark.sql.execution.GraftCheckpoint
+          .localCheckpointFlatStats(li.rollup("slice").agg(
+            expr("kll_sketch_agg_double(v, 200)").as("sk"),
+            r4(expr("percentile(v, 0.5)")).as("exact_p50"),
+            r4(expr("percentile(v, 0.95)")).as("exact_p95")))
+        val slices = agg.filter(col("slice").isNotNull)
         val per = slices.select(col("slice"), col("exact_p50"),
           col("exact_p95"),
           expr("kll_sketch_get_quantile_double(sk, 0.5D)").as("est_p50"),
@@ -176,8 +184,8 @@ object Stats {
         val global = slices
           .agg(expr("kll_merge_agg_double(sk)").as("gsk"))
           .crossJoin(graft.BroadcastBounds.bounded("scalar-agg")(
-            li.agg(r4(expr("percentile(v, 0.5)")).as("exact_p50"),
-              r4(expr("percentile(v, 0.95)")).as("exact_p95"))))
+            agg.filter(col("slice").isNull)
+              .select(col("exact_p50"), col("exact_p95"))))
           .select(lit("__all__").as("slice"), col("exact_p50"),
             col("exact_p95"),
             expr("kll_sketch_get_quantile_double(gsk, 0.5D)").as("est_p50"),
