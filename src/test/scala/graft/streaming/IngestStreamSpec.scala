@@ -189,6 +189,45 @@ class IngestStreamSpec extends AnyFunSuite {
       "resumption through a compacted index diverged from the twin")
   }
 
+  test("a torn write (v(k+1) data present, manifest missing) is healed by trigger replay") {
+    val sp = spark
+    val conf = sp.sparkContext.hadoopConfiguration
+    val full = s"${tempDir("graft-ingest-twf")}/full"
+    IngestStream.stageReplay(sp, sfDir, full)
+    val replay = s"${tempDir("graft-ingest-twr")}/replay"
+    val state = s"${tempDir("graft-ingest-tws")}/state"
+    val dir = new org.apache.hadoop.fs.Path(replay)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    def land(k: Int): Unit = {
+      val name = f"batch-$k%04d.parquet"
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$full/$name"), fs, dst, false, conf)
+      ReplayStage.pinFile(fs, dst, k)
+    }
+    land(0); land(1)
+    IngestStream.classified(sp, replay, state).collect()
+    // simulate a crash mid-batch-2: v3 data partially written (garbage
+    // in a bucket the batch will never touch), NO v3 manifest, stream
+    // checkpoint never advanced past batch 1
+    val torn = new org.apache.hadoop.fs.Path(s"$state/v3/fp/bkt=999")
+    fs.mkdirs(torn)
+    val g = fs.create(new org.apache.hadoop.fs.Path(torn, "garbage.parquet"), true)
+    try g.write("not parquet".getBytes("UTF-8")) finally g.close()
+    land(2); land(3)
+    val resumed = IngestStream.classified(sp, replay, state).collect().toSeq
+    assert(resumed == IngestStream.batchTwin(sp, sfDir).collect().toSeq,
+      "resumption over a torn v(k+1) diverged from the twin")
+    // the replayed trigger's overwrite replaced the torn table dir —
+    // the garbage bucket is gone and no manifest ever references it
+    assert(!fs.exists(torn), s"torn bucket survived the healing overwrite")
+    val last = IngestIndex.latestVersion(fs, state).get
+    val refs = IngestIndex.readManifest(fs, state, last)
+      .values.flatMap(_.keys).toSet
+    assert(!refs.contains(999))
+  }
+
   test("an empty replay dir classifies nothing instead of failing on the output glob") {
     val sp = spark
     val replay = s"${tempDir("graft-ingest-empty")}/replay"
