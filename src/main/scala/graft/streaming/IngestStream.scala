@@ -121,6 +121,7 @@ object IngestStream {
           LlmOps.minhashBands(sig.select(col("doc_id"), col("sigl"))),
           "band")
         val sigTouched = wantedOf(sig.select(col("doc_id")), "sig")
+        var anchoredRef: Option[DataFrame] = None
         val out =
           if (batchId == 0L)
             sig.select(col("doc_id"), lit("novel").as("status"),
@@ -145,6 +146,7 @@ object IngestStream {
             val anchored = org.apache.spark.sql.execution.GraftCheckpoint
               .localCheckpointFlatStats(
                 LlmOps.anchorsAgainstIndex(sig, fpIdx, bandIdx))
+            anchoredRef = Some(anchored)
             val anchorKeys = anchored.filter(col("anchor_doc").isNotNull)
               .select(col("anchor_doc").as("doc_id"))
             val sigIdx = pruned("sig", wantedOf(anchorKeys, "sig"),
@@ -179,6 +181,12 @@ object IngestStream {
         IngestIndex.writeManifest(fs, stateDir, next, nm)
         // storage stays bounded: versions neither manifest references die
         IngestIndex.gc(fs, stateDir, batchId, next)
+        // release this trigger's checkpointed blocks — on a long-running
+        // crawl the per-batch sig/anchored generations would otherwise
+        // accumulate in executor storage, one batch-sized set per
+        // trigger (the memory twin of the r12 write-IO weak)
+        anchoredRef.foreach(LlmOps.releaseCheckpoint)
+        LlmOps.releaseCheckpoint(sig)
         ()
       }
       .trigger(Trigger.AvailableNow())
