@@ -41,9 +41,12 @@ object VectorIngest {
     val e = TextSearch.embNonNull(s, d)
     val n = e.count()
     val half = n / 2
-    val cells = TextSearch.ivfCells(half)
     val a = e.filter(col("vec_id") < half)
     val b = e.filter(col("vec_id") >= half)
+    // cell count from the INITIAL corpus's actual size (|A|, not half):
+    // the oracle's seeds CTE counts enva, and on a corpus with NULL
+    // embeddings below the split the two would otherwise disagree
+    val cells = TextSearch.ivfCells(a.count())
     // the frozen coarse codebook: trained on the initial corpus only
     val cents = graft.BroadcastBounds.bounded("ivf-centroids")(
       TextSearch.trainCents(s, a, cells))
@@ -90,14 +93,12 @@ object VectorIngest {
       .limit(5)
   }
 
-  val defs: Seq[QueryDef] = Seq(
-    QueryDef("q114_vector_index_upsert",
-      (s, d) => upsertProbe(s, d),
-      // the oracle trains on the FIRST HALF and assigns EVERYTHING in
-      // one shot — hash equality proves the incremental build (frozen
-      // centroids + bucketed merge + manifest read-back) lost, moved
-      // and invented nothing
-      Some(s"""WITH env AS (SELECT * FROM embeddings
+  /** The one oracle both build topologies share: train on the FIRST
+    * HALF, assign EVERYTHING one-shot — hash equality proves each
+    * incremental build (batch two-phase q114, streaming q114b) lost,
+    * moved and invented nothing. */
+  private val FrozenCentroidOracle: String =
+    s"""WITH env AS (SELECT * FROM embeddings
              |  WHERE embedding IS NOT NULL),
              |half AS (SELECT CAST(FLOOR(COUNT(*) / 2) AS BIGINT) AS h
              |  FROM env),
@@ -135,5 +136,23 @@ object VectorIngest {
              |    CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS sim
              |FROM cells v JOIN qcell q ON v.cid = q.qcid
              |WHERE v.vec_id <> 0
-             |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)))
+             |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q114_vector_index_upsert",
+      (s, d) => upsertProbe(s, d),
+      Some(FrozenCentroidOracle)),
+
+    // the streaming twin: same frozen-centroid contract as an actual
+    // AvailableNow stream with checkpointed progress and the q104
+    // bucketed/manifest/GC state machinery — per-row assignment against
+    // frozen centroids commutes with slicing, so it shares q114's oracle
+    QueryDef("q114b_streaming_vector_ingest",
+      (s, d) => {
+        val base = Layout.stagePath(s, "vecstream", d)
+        graft.streaming.VectorStream.stageReplay(s, d, s"$base/replay")
+        graft.streaming.VectorStream.ingested(s, s"$base/replay",
+          s"$base/state")
+      },
+      Some(FrozenCentroidOracle)))
 }

@@ -61,4 +61,37 @@ class VectorIngestSpec extends AnyFunSuite {
     assert(bucketDirs(2) == bBuckets,
       s"v2 must hold exactly phase B's key buckets: ${bucketDirs(2)} vs $bBuckets")
   }
+
+  test("q114b: the stream equals the two-phase build, and resumes across invocations") {
+    val sp = spark
+    val conf = sp.sparkContext.hadoopConfiguration
+    val batchResult = VectorIngest.upsertProbe(sp, dir).collect().toSeq
+
+    // the crawl lands the initial corpus first; the second wave arrives
+    // after the first invocation finished — the stream must train at
+    // trigger 0, freeze, and resume the upsert from the checkpoint
+    val full = s"${java.nio.file.Files.createTempDirectory("graft-vecs")}/full"
+    graft.streaming.VectorStream.stageReplay(sp, dir, full)
+    val replay = s"${java.nio.file.Files.createTempDirectory("graft-vecr")}/replay"
+    val state = s"${java.nio.file.Files.createTempDirectory("graft-vecst")}/state"
+    val rdir = new org.apache.hadoop.fs.Path(replay)
+    val fs = rdir.getFileSystem(conf)
+    fs.mkdirs(rdir)
+    def land(k: Int): Unit = {
+      val name = f"batch-$k%04d.parquet"
+      val dst = new org.apache.hadoop.fs.Path(rdir, name)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$full/$name"), fs, dst, false, conf)
+      graft.streaming.ReplayStage.pinFile(fs, dst, k)
+    }
+    land(0)
+    val afterA = graft.streaming.VectorStream.ingested(sp, replay, state)
+      .collect()
+    assert(afterA.nonEmpty, "probe over the initial corpus alone is empty")
+    land(1)
+    val resumed = graft.streaming.VectorStream.ingested(sp, replay, state)
+      .collect().toSeq
+    assert(resumed == batchResult,
+      "resumed streaming ingest diverged from the two-phase build")
+  }
 }
