@@ -100,9 +100,11 @@ object SimJoin {
   }
 
   /** ceil(num*n/den) in exact integer arithmetic. */
+  private def ceilFracBy(n: org.apache.spark.sql.Column, num: Int,
+      den: Int) =
+    floor((n * num + (den - 1)) / den).cast(LongType)
   private def ceilFrac(n: org.apache.spark.sql.Column) =
-    floor((n * SimJoinTauNum + (SimJoinTauDen - 1)) / SimJoinTauDen)
-      .cast(LongType)
+    ceilFracBy(n, SimJoinTauNum, SimJoinTauDen)
 
   /** Prefix-filtered candidate pairs (doc_a < doc_b, one row each) —
     * exposed so the spec can pin the filter's selectivity directly. */
@@ -179,6 +181,82 @@ object SimJoin {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Q117 containment threshold (9/10 — "the inner doc is essentially
+    * inside the outer") and the inner-size floor: containment of a
+    * near-empty shingle set is noise (a 1-shingle doc is "contained" in
+    * anything sharing one 5-gram), and tiny all-boilerplate docs are the
+    * one genuinely-huge-TRUE-answer case (contained in most of the
+    * corpus), so they are excluded from the INNER role by contract —
+    * they still serve as outers. */
+  val ContainTauNum = 9
+  val ContainTauDen = 10
+  val MinInnerShingles = 5
+
+  /** Q117: the DIRECTED containment join — Broder's c(a->b) =
+    * |Sa ∩ Sb| / |Sa| >= 9/10, the relation Jaccard cannot see at size
+    * mismatch (a quote embedded in a 10x larger doc has J ~ 0.1 but
+    * containment ~ 1). One-sided prefix filter: if the intersection
+    * covers ceil(tau*|Sa|) of Sa, then Sa's first
+    * p = |Sa| - ceil(tau*|Sa|) + 1 rarest shingles (the q105 global
+    * (df, hash) order) cannot ALL miss Sb — so a's prefix joins against
+    * the FULL postings of the corpus (the inverted-index side must be
+    * complete: tau bounds nothing on the outer), plus the size bound
+    * den*|Sb| >= num*|Sa|. Exact in-row verification as q105. */
+  private[graft] def containmentPairs(sets0: DataFrame): DataFrame = {
+    val sets = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFlatStats(sets0)
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("dfq"))
+    val prefix = ex.filter(col("n") >= MinInnerShingles)
+      .join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dfq"), col("sh"))))
+      .filter(col("rk") <= col("n")
+        - ceilFracBy(col("n"), ContainTauNum, ContainTauDen) + 1)
+      .select(col("doc_id").as("inner_doc"), col("n").as("ni"), col("sh"))
+    val postings = ex.select(col("doc_id").as("outer_doc"),
+      col("n").as("no"), col("sh"))
+    val cand = prefix.join(postings, Seq("sh"))
+      .filter(col("inner_doc") =!= col("outer_doc"))
+      .filter(col("no") * ContainTauDen >= col("ni") * ContainTauNum)
+      .select("inner_doc", "outer_doc").distinct()
+    val byDoc = sets.select(col("doc_id"), col("shs"), col("n"))
+    cand
+      .join(byDoc.select(col("doc_id").as("inner_doc"),
+        col("shs").as("shs_i"), col("n").as("n_i")), "inner_doc")
+      .join(byDoc.select(col("doc_id").as("outer_doc"),
+        col("shs").as("shs_o"), col("n").as("n_o")), "outer_doc")
+      .withColumn("n_inter",
+        size(array_intersect(col("shs_i"), col("shs_o"))).cast(LongType))
+      .filter(col("n_inter") * ContainTauDen >= col("n_i") * ContainTauNum)
+      .select(col("inner_doc"), col("outer_doc"),
+        col("n_i").cast(LongType).as("n_inner"),
+        col("n_o").cast(LongType).as("n_outer"), col("n_inter"),
+        r4(col("n_inter").cast(DoubleType) / col("n_i").cast(DoubleType))
+          .as("containment"))
+      .orderBy("inner_doc", "outer_doc")
+  }
+
+  /** Naive brute-force containment twin (full postings self-join, no
+    * prefix filter) — the spec's exactness reference. */
+  private[graft] def naiveContainmentPairs(sets: DataFrame): DataFrame = {
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val a = ex.filter(col("n") >= MinInnerShingles)
+      .select(col("doc_id").as("inner_doc"), col("n").as("n_i"), col("sh"))
+    val b = ex.select(col("doc_id").as("outer_doc"), col("n").as("n_o"),
+      col("sh"))
+    a.join(b, Seq("sh")).filter(col("inner_doc") =!= col("outer_doc"))
+      .groupBy("inner_doc", "outer_doc", "n_i", "n_o")
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter") * ContainTauDen >= col("n_i") * ContainTauNum)
+      .select(col("inner_doc"), col("outer_doc"),
+        col("n_i").cast(LongType).as("n_inner"),
+        col("n_o").cast(LongType).as("n_outer"), col("n_inter"),
+        r4(col("n_inter").cast(DoubleType) / col("n_i").cast(DoubleType))
+          .as("containment"))
+      .orderBy("inner_doc", "outer_doc")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q105_similarity_join",
       (s, d) => similarPairs(shingleSets(s, d)),
@@ -210,5 +288,38 @@ object SimJoin {
              |JOIN sizes sb ON sb.doc_id = doc_b
              |WHERE n_inter * ${SimJoinTauNum + SimJoinTauDen}
              |  >= (sa.n + sb.n) * $SimJoinTauNum
-             |ORDER BY doc_a, doc_b""".stripMargin)))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // the oracle is the NAIVE directed all-pairs join — hash equality IS
+    // the exactness claim: the one-sided prefix filter dropped nothing
+    QueryDef("q117_containment_join",
+      (s, d) => containmentPairs(shingleSets(s, d)),
+      Some(s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents
+             |  GROUP BY md5(text)),
+             |tk AS (SELECT d.doc_id, string_split(text, ' ') AS w
+             |  FROM documents d JOIN surv USING (doc_id)),
+             |shl AS (SELECT doc_id,
+             |    CASE WHEN len(w) < ${LlmOps.IngestShingleN} THEN w
+             |         ELSE list_transform(
+             |           generate_series(1, len(w) - ${LlmOps.IngestShingleN - 1}),
+             |           i -> array_to_string(w[i:i+${LlmOps.IngestShingleN - 1}], ' '))
+             |    END AS sl FROM tk),
+             |hs AS (SELECT DISTINCT doc_id,
+             |    UNNEST(list_transform(sl, t -> substr(md5(t), 1, 16))) AS h
+             |  FROM shl),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+             |    COUNT(*) AS n_inter
+             |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT inner_doc, outer_doc, si.n AS n_inner, so.n AS n_outer,
+             |  n_inter,
+             |  CAST(ROUND(CAST(n_inter AS DOUBLE) / CAST(si.n AS DOUBLE), 4)
+             |    AS DOUBLE) AS containment
+             |FROM inter
+             |JOIN sizes si ON si.doc_id = inner_doc
+             |JOIN sizes so ON so.doc_id = outer_doc
+             |WHERE si.n >= $MinInnerShingles
+             |  AND n_inter * $ContainTauDen >= si.n * $ContainTauNum
+             |ORDER BY inner_doc, outer_doc""".stripMargin)))
 }

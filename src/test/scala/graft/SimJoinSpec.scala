@@ -82,4 +82,43 @@ class SimJoinSpec extends AnyFunSuite {
         s"trial $trial diverged on corpus $docs: fast=$fast naive=$naive")
     }
   }
+
+  test("q117 planted: embedded quote found DIRECTED; Jaccard would miss it; tiny inner excluded") {
+    // outer = 60 tokens (56 shingles); inner = its first 14 tokens
+    // (10 shingles, all shared) -> c(inner->outer) = 1.0 while
+    // J = 10/56 ~ 0.18 — far under q105's bar: the relation only the
+    // containment join sees. tiny = 4 tokens (1 fallback shingle,
+    // also inside outer? no - distinct words) under MinInnerShingles.
+    val w = (1 to 60).map(i => s"w$i")
+    val outer = w.mkString(" ")
+    val inner = w.take(14).mkString(" ")
+    val tiny = (1 to 4).map(i => s"w$i").mkString(" ")
+    val rows = SimJoin.containmentPairs(setsOf(Seq(
+      1L -> outer, 2L -> inner, 3L -> tiny))).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L)),
+      s"expected exactly inner->outer containment: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(2) == 10 && r.getLong(4) == 10
+      && r.getDouble(5) == 1.0, s"wrong containment row: $r")
+    // and q105 indeed cannot see it (J ~ 0.18 < 0.6)
+    assert(SimJoin.similarPairs(setsOf(Seq(1L -> outer, 2L -> inner)))
+      .collect().isEmpty, "Jaccard join unexpectedly caught the quote")
+  }
+
+  test("q117 randomized: one-sided prefix filter never loses a qualifying pair") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val vocabSize = 4 + rnd.nextInt(6)
+      val docs = (1L to (5 + rnd.nextInt(8)).toLong).map { id =>
+        val len = 1 + rnd.nextInt(14)
+        id -> (1 to len).map(_ => s"t${rnd.nextInt(vocabSize)}").mkString(" ")
+      }
+      val sets = setsOf(docs)
+      val fast = SimJoin.containmentPairs(sets).collect().toSeq
+      val naive = SimJoin.naiveContainmentPairs(sets).collect().toSeq
+      assert(fast == naive,
+        s"trial $trial diverged on corpus $docs: fast=$fast naive=$naive")
+    }
+  }
 }
