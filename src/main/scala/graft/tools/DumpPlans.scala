@@ -312,6 +312,17 @@ object DumpPlans {
         |The estimate explode + rank window runs over <= 64 rows per
         |slice — driver-scale — while the only corpus-sized work is the
         |one partial+final accumulate aggregate.""".stripMargin,
+    "q117_containment_join" ->
+      """Directed containment: the inner side explodes only each doc's
+        |PREFIX (rarest p = n - ceil(tau n) + 1 shingles under the global
+        |(df, hash) order — one partial-agg df shuffle + a bounded
+        |per-doc window), the outer side is the full postings stream, and
+        |the equi-join on the shingle is the only corpus-sized exchange.
+        |Verification carries both hashed arrays to the surviving
+        |candidates and intersects in-row (codegen'd array_intersect) —
+        |no third shuffle. Measured FLAT at the 10x hot-cluster rig: the
+        |q30 composition collapses byte-identical copies before any pair
+        |forms.""".stripMargin,
     "q110_compaction" ->
       """The read-back audit of a shuffle-free compaction (the rewrite
         |itself is scan -> narrow coalesce -> write; LakeLayoutSpec pins

@@ -43,6 +43,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q109_ivf_pq_ann",            // r12: probe filter over the same chain
     "q109b_ivf_pq_residual",      // r13: residual chain + per-cell LUTs
     "q112_span_dedup",            // r12: span-keyed mark + doc rebuild
+    "q117_containment_join",      // r13: one-sided prefix + postings join
     "q113_quota_sample")          // r12: hash-rank carve (sampling family)
 
   test("outputs are identical under a different shuffle partitioning") {
