@@ -63,13 +63,11 @@ object VectorIngest {
     // (disjoint keys, so the merge combine is a plain union)
     val t0 = IngestIndex.mergeCommit(s, state, Map.empty, "vec", 1L,
       assigned(a), (cur, delta) => cur.unionByName(delta))
-    IngestIndex.writeManifest(fs, state, 1L,
-      Map("vec" -> t0.map(_ -> 1L).toMap))
+    IngestIndex.writeManifest(fs, state, 1L, Map("vec" -> t0))
     val m1 = IngestIndex.readManifest(fs, state, 1L)
     val t1 = IngestIndex.mergeCommit(s, state, m1, "vec", 2L,
       assigned(b), (cur, delta) => cur.unionByName(delta))
-    IngestIndex.writeManifest(fs, state, 2L,
-      Map("vec" -> (m1("vec") ++ t1.map(_ -> 2L).toMap)))
+    IngestIndex.writeManifest(fs, state, 2L, Map("vec" -> t1))
     IngestIndex.gc(fs, state, 1L, 2L)
 
     probeOf(s, IngestIndex.currentTable(s, state, "vec"))

@@ -286,7 +286,7 @@ object EventStream {
         // invisible to GraftStreamPlan
         val m = IngestIndex.readManifest(fs, stateDir, version)
         val next = version + 1
-        val touched = IngestIndex.mergeCommit(spark, stateDir, m,
+        val stateMap = IngestIndex.mergeCommit(spark, stateDir, m,
           "state", next, delta,
           (cur, d) => cur.select(col("user_id"),
               col("n_events").as("c_n"), col("last_ts").as("c_ts"),
@@ -303,9 +303,9 @@ object EventStream {
                 .as("sum_value")),
           planName = Some("q86_streaming_upsert_merge"))
         IngestIndex.writeManifest(fs, stateDir, next,
-          Map("state" -> (m.getOrElse("state", Map.empty[Int, Long]) ++
-            touched.map(_ -> next).toMap)))
+          Map("state" -> stateMap))
         IngestIndex.gc(fs, stateDir, version, next)
+        IngestIndex.maybeCompact(spark, stateDir, next)
         version = next
         ()
       }

@@ -5,22 +5,45 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
-/** Bucketed, manifest-tracked, GC'd storage for q104's persistent ingest
-  * index (and q86's keyed state table) — the fix for the r12 verdict's
-  * one scale-killer: the old layout rewrote EVERY index table per
-  * micro-batch (write IO O(distinct corpus), version dirs accumulating
-  * O(batches x index)).
+/** Bucketed, manifest-tracked, GC'd, SELF-SPLITTING storage for q104's
+  * persistent ingest index (and q86's keyed state table, q114's vector
+  * index) — the fix for the r12 verdict's one scale-killer: the old
+  * layout rewrote EVERY index table per micro-batch (write IO
+  * O(distinct corpus), version dirs accumulating O(batches x index)).
   *
-  * Layout: each table is hash-bucketed on its key into a fixed number of
-  * write partitions (`bkt = pmod(xxhash64(key), B)`, `partitionBy("bkt")`
-  * on write — a directory per bucket). A micro-batch's merge REWRITES
-  * ONLY the buckets its keys fall in: the version dir `v(k+1)` holds just
-  * those buckets' new data plus a `manifest` file mapping EVERY live
-  * bucket to the version whose copy is current (untouched buckets keep
-  * pointing at older versions — the Delta/Iceberg add-file idea with the
-  * bucket as the file group). Per-batch write IO is therefore
-  * O(touched buckets' data), not O(index); a key-skewed trigger touches
-  * few buckets and pays for few.
+  * Layout: each table is hash-bucketed on its key into write partitions
+  * (`partitionBy("bkt")` on write — a directory per bucket). A
+  * micro-batch's merge REWRITES ONLY the buckets its keys fall in: the
+  * version dir `v(k+1)` holds just those buckets' new data plus a
+  * `manifest` file mapping EVERY live bucket to the version whose copy
+  * is current (untouched buckets keep pointing at older versions — the
+  * Delta/Iceberg add-file idea with the bucket as the file group).
+  * Per-batch write IO is therefore O(touched buckets' data), not
+  * O(index); a key-skewed trigger touches few buckets and pays for few.
+  *
+  * BUCKET SPLITTING (r14): per-trigger write IO stays BATCH-proportional
+  * only while the BUCKET BYTE SIZE is held to a fixed target — bucket
+  * COUNT must grow with the index (the Delta/Iceberg file model). The
+  * key space is extendible-hash partitioned: a bucket `b` at generation
+  * `g` covers keys with `hash mod B0*2^g == b`; when its live bytes
+  * reach [[splitBytes]] the NEXT merge that touches it writes its data
+  * (plus the batch delta) as the two gen-(g+1) children `b` and
+  * `b + B0*2^g` instead — no extra IO beyond the rewrite that batch was
+  * paying anyway, and the manifest absorbs the mixed generations (each
+  * entry records its bucket's gen). The split decision reads only
+  * manifest-v(k) state (the PREVIOUS live size), so a replayed trigger
+  * makes the same choice — replay stays byte-identical.
+  *
+  * Key-to-bucket assignment under mixed generations ([[bucketCol]]):
+  * try the FINEST modulus first — for each live generation g (finest to
+  * coarsest), candidate `pmod(hash, B0*2^g)`; the first candidate that
+  * is a live gen-g bucket id wins, else fall through to gen 0. Because
+  * the live bucket set is split-tree-closed (children fully replace
+  * their parent) the covers partition the key space, and a candidate
+  * matching a gen-g id always IS the covering bucket: a match at gen g
+  * means `hash ≡ id (mod B0*2^g)`, which is exactly that bucket's
+  * cover. One codegen'd expression (a few pmods + IN lists), shared by
+  * writes, probe pruning and merge pruning, so they can never disagree.
   *
   * Reads go through the manifest: group live buckets by source version,
   * scan each `v{src}/{table}` with `bkt IN (...)` — a partition filter
@@ -45,36 +68,69 @@ object IngestIndex {
   /** The q104 index's three tables. */
   val Tables: Seq[String] = Seq("fp", "band", "sig")
 
-  /** Write-partition count. Test-scale 16. The sizing rule that makes
-    * per-trigger write IO BATCH-proportional: a touched bucket rewrites
-    * its WHOLE content, and a uniform batch of k keys touches
-    * ~B(1 - e^(-k/B)) ≈ min(k, B) buckets, so per-trigger write ≈
-    * k x (index/B) — bounded by a constant per key only when the BUCKET
-    * BYTE SIZE (index/B) is held to a fixed target (e.g. 128 MB). That
-    * is the Delta/Iceberg file model: bucket COUNT grows with the index
-    * (a production store re-buckets by splitting as it grows; the
-    * manifest absorbs it), bucket SIZE does not. A fixed B here is the
-    * test-scale knob, not the mechanism. */
+  /** One live bucket: the version holding its current copy and its
+    * generation in the split tree (gen g ⇒ the bucket covers keys with
+    * `hash mod B0*2^g == id`; gen 0 ids are the base buckets). */
+  case class Bkt(ver: Long, gen: Int)
+
+  /** BASE write-partition count B0. Test-scale 16. Growth beyond B0 is
+    * [[splitBytes]]-driven splitting, not this knob. */
   def numBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.graft.ingest.indexBuckets", "16").toInt
 
-  /** The bucket of each table's key — ONE formula shared by writes,
-    * probe pruning and merge pruning, so they can never disagree. */
-  def bucketCol(table: String, n: Int): Column = {
-    val h = table match {
-      case "fp" => xxhash64(col("fp"))
-      case "band" => xxhash64(col("b"), col("bv"))
-      case "sig" => xxhash64(col("doc_id"))
-      case "state" => xxhash64(col("user_id"))
-      case "vec" => xxhash64(col("vec_id"))
-      case other => throw new IllegalArgumentException(
-        s"unknown ingest-index table: $other")
-    }
-    pmod(h, lit(n.toLong)).cast(IntegerType)
+  /** Live-byte threshold at which a bucket splits into its two
+    * next-generation children on the next merge that touches it. The
+    * production default (128 MB) keeps per-trigger write IO bounded by
+    * ~touched-keys x 128 MB regardless of index size; specs shrink it
+    * to exercise multi-generation splits at test scale. */
+  def splitBytes(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.ingest.splitBytes",
+      (128L * 1024 * 1024).toString).toLong
+
+  /** Live version-dir count above which [[maybeCompact]] folds the tail
+    * (0 disables). GC already bounds dirs to <= live buckets + 2; this
+    * bounds them to a constant on high-bucket-count stores. */
+  def autoCompactVersions(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ingest.autoCompactVersions", "64").toInt
+
+  /** The split generation of each live bucket that has one (ids absent
+    * are unsplit gen-0 buckets) — the topology [[bucketCol]] needs. */
+  def gensOf(m: Manifest, table: String): Map[Int, Int] =
+    m.getOrElse(table, Map.empty[Int, Bkt])
+      .collect { case (b, e) if e.gen > 0 => b -> e.gen }
+
+  private def hashFor(table: String): Column = table match {
+    case "fp" => xxhash64(col("fp"))
+    case "band" => xxhash64(col("b"), col("bv"))
+    case "sig" => xxhash64(col("doc_id"))
+    case "state" => xxhash64(col("user_id"))
+    case "vec" => xxhash64(col("vec_id"))
+    case other => throw new IllegalArgumentException(
+      s"unknown ingest-index table: $other")
   }
 
-  /** table -> (bucket -> version whose copy of that bucket is current). */
-  type Manifest = Map[String, Map[Int, Long]]
+  /** The bucket of each table's key under topology (`n` base buckets,
+    * `gens` = split buckets' generations) — ONE formula shared by
+    * writes, probe pruning and merge pruning, so they can never
+    * disagree. Finest-modulus-first: see the object doc for why the
+    * first per-generation match is always the covering bucket. */
+  def bucketCol(table: String, n: Int,
+      gens: Map[Int, Int] = Map.empty): Column = {
+    val h = hashFor(table)
+    val base = pmod(h, lit(n.toLong)).cast(IntegerType)
+    if (gens.isEmpty) base
+    else {
+      val cands = gens.groupBy(_._2).toSeq.sortBy(-_._1)
+        .map { case (g, ids) =>
+          val c = pmod(h, lit(n.toLong << g)).cast(IntegerType)
+          when(c.isInCollection(ids.keys.toSeq), c)
+        }
+      coalesce(cands :+ base: _*)
+    }
+  }
+
+  /** table -> (bucket id -> its live [[Bkt]] entry). */
+  type Manifest = Map[String, Map[Int, Bkt]]
 
   private def manifestPath(stateDir: String, v: Long) =
     new Path(s"$stateDir/v$v/manifest")
@@ -90,8 +146,12 @@ object IngestIndex {
       finally in.close()
       text.linesIterator.filter(_.nonEmpty).toSeq
         .map { line =>
-          val Array(t, b, ver) = line.split('\t')
-          (t, b.toInt, ver.toLong)
+          line.split('\t') match {
+            case Array(t, b, ver, gen) => (t, b.toInt, Bkt(ver.toLong, gen.toInt))
+            case Array(t, b, ver) => (t, b.toInt, Bkt(ver.toLong, 0))
+            case _ => throw new IllegalStateException(
+              s"torn manifest line in $p: '$line'")
+          }
         }
         .groupBy(_._1)
         .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
@@ -104,8 +164,8 @@ object IngestIndex {
       m: Manifest): Unit = {
     val lines = for {
       (t, bkts) <- m.toSeq.sortBy(_._1)
-      (b, ver) <- bkts.toSeq.sortBy(_._1)
-    } yield s"$t\t$b\t$ver"
+      (b, e) <- bkts.toSeq.sortBy(_._1)
+    } yield s"$t\t$b\t${e.ver}\t${e.gen}"
     val out = fs.create(manifestPath(stateDir, v), true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -118,10 +178,10 @@ object IngestIndex {
   def readTable(spark: SparkSession, stateDir: String, m: Manifest,
       table: String, wanted: Option[Set[Int]], empty: DataFrame)
       : DataFrame = {
-    val live = m.getOrElse(table, Map.empty[Int, Long])
+    val live = m.getOrElse(table, Map.empty[Int, Bkt])
       .filter { case (b, _) => wanted.forall(_.contains(b)) }
     if (live.isEmpty) empty
-    else live.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, bkts) =>
+    else live.groupBy(_._2.ver).toSeq.sortBy(_._1).map { case (ver, bkts) =>
       spark.read.parquet(s"$stateDir/v$ver/$table")
         .filter(col("bkt").isin(bkts.keys.toSeq: _*))
     }.reduce(_ unionByName _)
@@ -156,25 +216,58 @@ object IngestIndex {
       spark.emptyDataFrame).drop("bkt")
   }
 
+  /** Live bytes of bucket `b`'s current copy (0 when the referenced dir
+    * was never materialized — a split child that received no rows). */
+  private def liveBytes(fs: FileSystem, stateDir: String, table: String,
+      b: Int, ver: Long): Long = {
+    val p = new Path(s"$stateDir/v$ver/$table/bkt=$b")
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   /** Merge a keyed batch delta into `table` and commit it under
     * `v(next)`: read ONLY the buckets the batch touches through manifest
     * `m`, combine, write those buckets (partitionBy keeps one directory
-    * per bucket). Returns the touched bucket set (<= numBuckets values —
-    * the one bounded driver exchange of the merge). `combine` sees
-    * (currentSlice, batchDelta) and must return a frame with the table's
-    * key + payload columns; the bucket column is (re)derived after.
-    * `planName`, when set, records the merge write's ACTUALLY-executed
-    * plan under that name in [[StreamPlans]]. */
+    * per bucket) — splitting any touched bucket whose live bytes have
+    * reached [[splitBytes]] into its two next-generation children as
+    * part of the same write. Returns the table's FULL updated bucket
+    * map (the manifest entry to commit: untouched buckets keep their
+    * old entries, written buckets point at `next` with their — possibly
+    * bumped — generation). `combine` sees (currentSlice, batchDelta)
+    * and must return a frame with the table's key + payload columns;
+    * the bucket column is (re)derived after, under the post-split
+    * topology. `planName`, when set, records the merge write's
+    * ACTUALLY-executed plan under that name in [[StreamPlans]]. */
   def mergeCommit(spark: SparkSession, stateDir: String, m: Manifest,
       table: String, next: Long, delta: DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
       planName: Option[String] = None,
-      touchedKnown: Option[Set[Int]] = None): Set[Int] = {
+      touchedKnown: Option[Set[Int]] = None): Map[Int, Bkt] = {
     val n = numBuckets(spark)
-    val keyed = delta.withColumn("bkt", bucketCol(table, n))
+    val gens = gensOf(m, table)
+    val entries = m.getOrElse(table, Map.empty[Int, Bkt])
+    val keyed = delta.withColumn("bkt", bucketCol(table, n, gens))
     val touched = touchedKnown.getOrElse(keyed.select("bkt").distinct()
       .collect().map(_.getInt(0)).toSet)
-    if (touched.isEmpty) return touched
+    if (touched.isEmpty) return entries
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // split decision from manifest-v(k) state ONLY (the previous live
+    // size), so a replayed trigger decides identically
+    val thr = splitBytes(spark)
+    val splitting: Map[Int, Int] = touched.iterator.flatMap { b =>
+      entries.get(b).filter(e =>
+          liveBytes(fs, stateDir, table, b, e.ver) >= thr)
+        .map(e => b -> e.gen)
+    }.toMap
+    val wGens = gens ++ splitting.iterator.flatMap { case (b, g) =>
+      Seq(b -> (g + 1), (b + (n << g)) -> (g + 1))
+    }
+    val writeTouched: Set[Int] = touched.flatMap { b =>
+      splitting.get(b) match {
+        case Some(g) => Seq(b, b + (n << g))
+        case None => Seq(b)
+      }
+    }
     val cur = readTable(spark, stateDir, m, table, Some(touched),
       keyed.limit(0)).drop("bkt")
     // ONE file per touched bucket per version: repartition on the bucket
@@ -182,8 +275,9 @@ object IngestIndex {
     // writer tasks — without it every shuffle partition writes a sliver
     // into every bucket dir (touched x partitions files, the small-file
     // problem q110 exists to undo)
-    val merged = combine(cur, delta).withColumn("bkt", bucketCol(table, n))
-      .repartition(math.max(1, touched.size), col("bkt"))
+    val merged = combine(cur, delta)
+      .withColumn("bkt", bucketCol(table, n, wGens))
+      .repartition(math.max(1, writeTouched.size), col("bkt"))
     val path = s"$stateDir/v$next/$table"
     planName match {
       case Some(name) => StreamPlans.recordPlan(name,
@@ -192,14 +286,30 @@ object IngestIndex {
       case None =>
         merged.write.mode("overwrite").partitionBy("bkt").parquet(path)
     }
-    touched
+    // a write-touched bucket with no materialized dir holds nothing
+    // (a split child all of whose keys landed in its sibling, or a
+    // bucket a delete emptied): DROP its entry — an absent bucket is
+    // the representation of empty, and a dangling pointer would break
+    // later probes of that version
+    val pathP = new Path(path)
+    val written: Set[Int] =
+      if (!fs.exists(pathP)) Set.empty
+      else fs.listStatus(pathP).map(_.getPath.getName)
+        .filter(_.startsWith("bkt=")).map(_.drop(4).toInt).toSet
+    (entries -- writeTouched) ++ written.iterator.map(b =>
+      b -> Bkt(next, wGens.getOrElse(b, 0)))
   }
 
   /** Fold the version tail: rewrite EVERY live bucket of every table
     * into one consolidated COMPACTION EPOCH, repoint the manifest AT THE
-    * CURRENT TOP VERSION at it, and GC the now-unreferenced tail. An
-    * OFFLINE op (run with no trigger in flight, like any OPTIMIZE): one
-    * read + one write of the live data, occasionally, batch-independent.
+    * CURRENT TOP VERSION at it, and GC the now-unreferenced tail. Safe
+    * offline OR between triggers right after batch (top-1) committed
+    * `v(top)`: GC keeps manifest v(top-1)'s references (and the dir
+    * itself), so a crash before the stream checkpoint lands still
+    * replays batch top-1 against intact state — the replayed trigger
+    * simply overwrites the repointed manifest and the epoch dies at the
+    * next GC. One read + one write of the live data, occasionally,
+    * batch-independent.
     *
     * Epoch dirs use NEGATIVE version numbers (`v-1`, `v-2`, ...) so they
     * can never collide with the stream's batchId-derived versions — the
@@ -224,12 +334,34 @@ object IngestIndex {
           .repartition(math.max(1, bkts.size), col("bkt"))
           .write.mode("overwrite").partitionBy("bkt")
           .parquet(s"$stateDir/v$epoch/$table")
-        table -> bkts.map { case (b, _) => b -> epoch }
+        table -> bkts.map { case (b, e) => b -> Bkt(epoch, e.gen) }
       }
     }
     writeManifest(fs, stateDir, top, nm)
-    gc(fs, stateDir, top, top)
+    // prev = top - 1: the PREVIOUS manifest's references (and dir) are
+    // the crash-replay fallback for the batch that committed v(top) —
+    // deleting them here would strand a resume whose checkpoint commit
+    // had not landed before compaction ran
+    gc(fs, stateDir, top - 1, top)
     nm
+  }
+
+  /** Post-commit hook for streams: fold the tail when the live
+    * version-dir count exceeds [[autoCompactVersions]]. Called right
+    * after batch k commits `v(top)` — crash-safe per [[compact]]'s
+    * contract. Returns whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, stateDir: String,
+      top: Long): Boolean = {
+    val maxV = autoCompactVersions(spark)
+    if (maxV <= 0) return false
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return false
+    val count = fs.listStatus(root).map(_.getPath.getName)
+      .count(_.matches("v-?\\d+"))
+    if (count <= maxV) false
+    else { compact(spark, stateDir, top); true }
   }
 
   /** Delete version dirs older than `prev` that neither `prev`'s nor
@@ -241,7 +373,7 @@ object IngestIndex {
     val referenced =
       (readManifest(fs, stateDir, prev).values ++
         readManifest(fs, stateDir, next).values)
-        .flatMap(_.values).toSet + prev + next
+        .flatMap(_.values.map(_.ver)).toSet + prev + next
     val root = new Path(stateDir)
     if (!fs.exists(root)) return Nil
     // v-?: compaction epoch dirs (negative versions) are GC'd by the

@@ -108,8 +108,11 @@ object IngestStream {
         // batch k reads ONLY through manifest v(k): the merge never sees
         // its own partial output, so a replayed trigger is idempotent
         val m = IngestIndex.readManifest(fs, stateDir, batchId)
+        // probe/merge pruning under the manifest's CURRENT topology —
+        // split buckets resolve to their live generation's ids
         def wantedOf(df: DataFrame, table: String): Set[Int] =
-          df.select(IngestIndex.bucketCol(table, n).as("bkt"))
+          df.select(IngestIndex.bucketCol(table, n,
+              IngestIndex.gensOf(m, table)).as("bkt"))
             .distinct().collect().map(_.getInt(0)).toSet
         val fpDelta = LlmOps.fpIndexOf(sig)
         val bandDelta = LlmOps.bandIndexOf(sig)
@@ -138,7 +141,8 @@ object IngestStream {
               IngestIndex.readTable(spark, stateDir, m, table,
                 Some(wanted),
                 delta.limit(0).withColumn("bkt",
-                  IngestIndex.bucketCol(table, n))).drop("bkt")
+                  IngestIndex.bucketCol(table, n,
+                    IngestIndex.gensOf(m, table)))).drop("bkt")
             val fpIdx = pruned("fp", fpTouched, fpDelta)
             val bandIdx = pruned("band", bandTouched, bandDelta)
             // anchor first (batch-sized), THEN read only the anchors'
@@ -162,7 +166,7 @@ object IngestStream {
         // associative, so the final index is slicing-independent; only
         // buckets the batch touches are read and rewritten under v(k+1)
         val next = batchId + 1
-        val touched = Map(
+        val nm: IngestIndex.Manifest = Map(
           "fp" -> IngestIndex.mergeCommit(spark, stateDir, m, "fp", next,
             fpDelta, (cur, d) => cur.unionByName(d).groupBy("fp")
               .agg(min(col("exact_anchor")).as("exact_anchor")),
@@ -175,12 +179,12 @@ object IngestStream {
           "sig" -> IngestIndex.mergeCommit(spark, stateDir, m, "sig", next,
             sigDelta, (cur, d) => cur.unionByName(d),
             touchedKnown = Some(sigTouched)))
-        val nm = IngestIndex.Tables.map(t => t ->
-          (m.getOrElse(t, Map.empty[Int, Long]) ++
-            touched(t).map(_ -> next).toMap)).toMap
         IngestIndex.writeManifest(fs, stateDir, next, nm)
         // storage stays bounded: versions neither manifest references die
         IngestIndex.gc(fs, stateDir, batchId, next)
+        // ... and the version-dir COUNT stays bounded on a long crawl:
+        // fold the tail into an epoch once it crosses the threshold
+        IngestIndex.maybeCompact(spark, stateDir, next)
         // release this trigger's checkpointed blocks — on a long-running
         // crawl the per-batch sig/anchored generations would otherwise
         // accumulate in executor storage, one batch-sized set per

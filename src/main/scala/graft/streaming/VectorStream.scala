@@ -89,12 +89,11 @@ object VectorStream {
           .select(col("vec_id"), col("cid"), col("embedding"), col("rn"))
         val m = IngestIndex.readManifest(fs, stateDir, batchId)
         val next = batchId + 1
-        val touched = IngestIndex.mergeCommit(spark, stateDir, m, "vec",
+        val vecMap = IngestIndex.mergeCommit(spark, stateDir, m, "vec",
           next, assigned, (cur, d) => cur.unionByName(d))
-        IngestIndex.writeManifest(fs, stateDir, next,
-          Map("vec" -> (m.getOrElse("vec", Map.empty[Int, Long]) ++
-            touched.map(_ -> next).toMap)))
+        IngestIndex.writeManifest(fs, stateDir, next, Map("vec" -> vecMap))
         IngestIndex.gc(fs, stateDir, batchId, next)
+        IngestIndex.maybeCompact(spark, stateDir, next)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -69,8 +69,8 @@ object IngestIo {
     val last = versions.max
     val manifest = IngestIndex.readManifest(fs, state, last.toLong)
     val liveBytes = manifest.toSeq.flatMap { case (t, bkts) =>
-      bkts.toSeq.map { case (bk, ver) =>
-        dataBytes(new Path(s"$state/v$ver/$t/bkt=$bk"))
+      bkts.toSeq.map { case (bk, e) =>
+        dataBytes(new Path(s"$state/v${e.ver}/$t/bkt=$bk"))
       }
     }.sum
     // per-trigger write = one version dir's data bytes (GC'd versions

@@ -10,73 +10,217 @@ import org.scalatest.funsuite.AnyFunSuite
   * surviving version dir must be reachable from the final manifest (or
   * be the replay-safety pair), and compaction must preserve contents.
   * The q104/q86/q114 fixtures pin specific rigs; this pins the
-  * machinery itself.
+  * machinery itself — including bucket SPLITTING (r14): the same laws
+  * under a tiny split threshold (every touched bucket splits every
+  * batch), plus the sizing law splitting exists for (bucket byte size
+  * stays bounded while the index grows >= 8x) and the auto-compaction
+  * law (version-dir count stays bounded on a long replay with no
+  * manual compact call).
   */
 class IngestIndexSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  test("random batch sequences: read-back == naive fold; GC leaves only reachable versions; compact preserves") {
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Replay `batches` through mergeCommit on the `state` table,
+    * asserting the read-back == in-memory fold and the GC reachability
+    * law after EVERY commit. Returns the final (manifest, stateDir). */
+  private def replayAndCheck(state: String,
+      batches: Seq[Seq[(Long, Long)]], tag: String)
+      : (IngestIndex.Manifest, String) = {
     val sp = spark
     import sp.implicits._
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    batches.zipWithIndex.foreach { case (rows, k) =>
+      val delta = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq
+      delta.foreach { case (u, c) =>
+        expected(u) = expected.getOrElse(u, 0L) + c
+      }
+      val m = IngestIndex.readManifest(fs, state, k.toLong)
+      val stateMap = IngestIndex.mergeCommit(sp, state, m, "state",
+        k + 1L,
+        delta.toDF("user_id", "cnt"),
+        (cur, d) => cur.unionByName(d).groupBy("user_id")
+          .agg(sum(col("cnt")).as("cnt")))
+      IngestIndex.writeManifest(fs, state, k + 1L,
+        Map("state" -> stateMap))
+      IngestIndex.gc(fs, state, k.toLong, k + 1L)
+
+      // invariant after EVERY commit: read-back equals the fold so far
+      val got =
+        if (expected.isEmpty) Map.empty[Long, Long]
+        else IngestIndex.currentTable(sp, state, "state")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected.toMap,
+        s"$tag batch $k: read-back diverged from the fold")
+      // invariant: every surviving version dir is referenced by the
+      // live manifest OR the previous one (kept for the crash-replay
+      // of the just-committed batch), or is the pair {k, k+1} itself
+      val live = (IngestIndex.readManifest(fs, state, k + 1L).values ++
+        IngestIndex.readManifest(fs, state, k.toLong).values)
+        .flatMap(_.values.map(_.ver)).toSet ++ Set(k.toLong, k + 1L)
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+        .map(_.getPath.getName).filter(_.matches("v-?\\d+"))
+        .map(_.drop(1).toLong).toSet
+      val orphans = dirs.diff(live)
+      assert(orphans.isEmpty,
+        s"$tag batch $k: unreachable versions survive GC: $orphans")
+    }
+    if (expected.nonEmpty) {
+      IngestIndex.compact(spark, state, batches.size.toLong)
+      val got = IngestIndex.currentTable(spark, state, "state")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected.toMap, s"$tag: compact changed the contents")
+    }
+    (IngestIndex.readManifest(fs, state, batches.size.toLong), state)
+  }
+
+  test("random batch sequences: read-back == naive fold; GC leaves only reachable versions; compact preserves") {
     val rnd = new scala.util.Random(31)
     for (trial <- 1 to 3) {
       val state = java.nio.file.Files
         .createTempDirectory(s"graft-idx-prop$trial").toString + "/state"
-      val fs = new org.apache.hadoop.fs.Path(state)
-        .getFileSystem(sp.sparkContext.hadoopConfiguration)
       val keySpace = 1 + rnd.nextInt(40)
       val nBatches = 3 + rnd.nextInt(6)
+      val batches = Seq.fill(nBatches)(Seq.fill(rnd.nextInt(30))(
+        rnd.nextInt(keySpace).toLong -> (1 + rnd.nextInt(5)).toLong))
+      replayAndCheck(state, batches, s"trial $trial")
+    }
+  }
+
+  test("split stress: splitBytes=1 forces every touched bucket to split every batch; all laws hold") {
+    withConf("spark.graft.ingest.splitBytes" -> "1") {
+      val rnd = new scala.util.Random(47)
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-idx-split-stress").toString + "/state"
+      val batches = Seq.fill(6)(Seq.fill(10 + rnd.nextInt(20))(
+        rnd.nextInt(25).toLong -> (1 + rnd.nextInt(5)).toLong))
+      val (m, _) = replayAndCheck(state, batches, "split-stress")
+      // the point of the stress: generations actually advanced
+      assert(m("state").values.map(_.gen).max >= 2,
+        s"splitBytes=1 never advanced a generation: ${m("state")}")
+    }
+  }
+
+  test("sizing law: bucket byte size stays bounded while the index grows >= 8x") {
+    val sp = spark
+    import sp.implicits._
+    // 4 base buckets, small split target; keys 0..1023 with a 512-char
+    // incompressible payload arrive over 8 batches — live data grows
+    // ~8x from batch 0 (payload deterministic per id so the fold check
+    // and any replay see identical bytes)
+    val thr = 24 * 1024L
+    def payload(id: Long): String =
+      new scala.util.Random(id).alphanumeric.take(512).mkString
+    withConf("spark.graft.ingest.indexBuckets" -> "4",
+        "spark.graft.ingest.splitBytes" -> thr.toString) {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-idx-sizing").toString + "/state"
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+      val expected = scala.collection.mutable.Map.empty[Long, String]
+      var maxBucketBytes = 0L
+      var firstLive = 0L
+      (0 until 8).foreach { k =>
+        val rows = (0 until 128).map { i =>
+          val id = (k * 128 + i).toLong
+          id -> payload(id)
+        }
+        rows.foreach { case (u, p) => expected(u) = p }
+        val m = IngestIndex.readManifest(fs, state, k.toLong)
+        val stateMap = IngestIndex.mergeCommit(sp, state, m, "state",
+          k + 1L, rows.toDF("user_id", "pad"),
+          (cur, d) => cur.unionByName(d).groupBy("user_id")
+            .agg(max(col("pad")).as("pad")))
+        IngestIndex.writeManifest(fs, state, k + 1L,
+          Map("state" -> stateMap))
+        IngestIndex.gc(fs, state, k.toLong, k + 1L)
+        // measure every live bucket's current bytes
+        val nm = IngestIndex.readManifest(fs, state, k + 1L)
+        val sizes = nm("state").toSeq.map { case (b, e) =>
+          val p = new org.apache.hadoop.fs.Path(
+            s"$state/v${e.ver}/state/bkt=$b")
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        }
+        if (k == 0) firstLive = sizes.sum
+        maxBucketBytes = math.max(maxBucketBytes, sizes.max)
+      }
+      val finalM = IngestIndex.readManifest(fs, state, 8L)
+      val finalSizes = finalM("state").toSeq.map { case (b, e) =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"$state/v${e.ver}/state/bkt=$b")
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }
+      assert(finalSizes.sum >= 8 * firstLive / 2,
+        s"rig did not grow the index enough: ${finalSizes.sum} vs first $firstLive")
+      // THE law: no live bucket ever exceeded threshold + one batch's
+      // worth of one bucket's delta (a bucket splits on the merge AFTER
+      // crossing the target, so the overshoot is bounded by one batch
+      // slice plus parquet per-file overhead)
+      val bound = 2 * thr
+      assert(maxBucketBytes <= bound,
+        s"bucket byte size unbounded under splitting: max $maxBucketBytes > $bound")
+      assert(finalM("state").size > 4,
+        "index grew 8x but bucket count never grew")
+      assert(finalM("state").values.map(_.gen).max >= 1,
+        "no split generation advanced")
+      // contents survived every split
+      val got = IngestIndex.currentTable(sp, state, "state")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected.toMap, "read-back diverged under splitting")
+    }
+  }
+
+  test("auto-compaction keeps version-dir count bounded on a long replay with no manual call") {
+    val sp = spark
+    import sp.implicits._
+    withConf("spark.graft.ingest.autoCompactVersions" -> "4") {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-idx-autocompact").toString + "/state"
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
       val expected = scala.collection.mutable.Map.empty[Long, Long]
-      (0 until nBatches).foreach { k =>
-        // batches skew hot: repeated keys inside a batch pre-aggregate
-        // (the delta is keyed), empty batches exercise the
-        // manifest-only path
-        val rows = Seq.fill(rnd.nextInt(30))(
-          rnd.nextInt(keySpace).toLong -> (1 + rnd.nextInt(5)).toLong)
-        val delta = rows.groupBy(_._1).view
-          .mapValues(_.map(_._2).sum).toSeq
-        delta.foreach { case (u, c) =>
+      var maxDirs = 0
+      (0 until 12).foreach { k =>
+        // one hot key + one fresh key per batch: the hot bucket pins old
+        // versions alive under plain GC, fresh keys spread references
+        val rows = Seq(0L -> 1L, (k + 1).toLong -> 1L)
+        rows.foreach { case (u, c) =>
           expected(u) = expected.getOrElse(u, 0L) + c
         }
         val m = IngestIndex.readManifest(fs, state, k.toLong)
-        val touched = IngestIndex.mergeCommit(sp, state, m, "state",
-          k + 1L,
-          delta.toDF("user_id", "cnt"),
+        val stateMap = IngestIndex.mergeCommit(sp, state, m, "state",
+          k + 1L, rows.toDF("user_id", "cnt"),
           (cur, d) => cur.unionByName(d).groupBy("user_id")
             .agg(sum(col("cnt")).as("cnt")))
         IngestIndex.writeManifest(fs, state, k + 1L,
-          Map("state" -> (m.getOrElse("state", Map.empty[Int, Long]) ++
-            touched.map(_ -> (k + 1L)).toMap)))
+          Map("state" -> stateMap))
         IngestIndex.gc(fs, state, k.toLong, k + 1L)
-
-        // invariant after EVERY commit: read-back equals the fold so far
-        val got =
-          if (expected.isEmpty) Map.empty[Long, Long]
-          else IngestIndex.currentTable(sp, state, "state")
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expected.toMap,
-          s"trial $trial batch $k: read-back diverged from the fold")
-        // invariant: every surviving version dir is referenced by the
-        // live manifest OR the previous one (kept for the crash-replay
-        // of the just-committed batch), or is the pair {k, k+1} itself
-        val live = (IngestIndex.readManifest(fs, state, k + 1L).values ++
-          IngestIndex.readManifest(fs, state, k.toLong).values)
-          .flatMap(_.values).toSet ++ Set(k.toLong, k + 1L)
-        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(state))
-          .map(_.getPath.getName).filter(_.matches("v-?\\d+"))
-          .map(_.drop(1).toLong).toSet
-        val orphans = dirs.diff(live)
-        assert(orphans.isEmpty,
-          s"trial $trial batch $k: unreachable versions survive GC: $orphans")
+        IngestIndex.maybeCompact(sp, state, k + 1L)
+        maxDirs = math.max(maxDirs,
+          fs.listStatus(new org.apache.hadoop.fs.Path(state))
+            .map(_.getPath.getName).count(_.matches("v-?\\d+")))
       }
-      if (expected.nonEmpty) {
-        IngestIndex.compact(sp, state, nBatches.toLong)
-        val got = IngestIndex.currentTable(sp, state, "state")
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expected.toMap,
-          s"trial $trial: compact changed the contents")
-      }
+      // threshold 4 + the post-compact replay tail: never more than
+      // threshold + a small constant
+      assert(maxDirs <= 7,
+        s"auto-compaction failed to bound version dirs: $maxDirs")
+      val got = IngestIndex.currentTable(sp, state, "state")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected.toMap,
+        "auto-compaction changed the contents")
     }
   }
 }

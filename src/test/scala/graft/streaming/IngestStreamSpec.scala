@@ -125,9 +125,9 @@ class IngestStreamSpec extends AnyFunSuite {
     // last wrote them; the final read still sees the full index
     val m4 = IngestIndex.readManifest(fs, state, 4L)
     if (wordsBkt != otherBkt) {
-      assert(m4("fp")(otherBkt.head) == 2L,
+      assert(m4("fp")(otherBkt.head).ver == 2L,
         s"doc 5's bucket should still live in v2: ${m4("fp")}")
-      assert(m4("fp")(wordsBkt.head) == 4L)
+      assert(m4("fp")(wordsBkt.head).ver == 4L)
     }
     val fp = IngestStream.indexTable(sp, state, "fp").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -140,7 +140,7 @@ class IngestStreamSpec extends AnyFunSuite {
     val versions = fs.listStatus(new org.apache.hadoop.fs.Path(state))
       .map(_.getPath.getName).filter(_.matches("v\\d+"))
       .map(_.drop(1).toInt).toSet
-    val referenced = m4.values.flatMap(_.values).map(_.toInt).toSet
+    val referenced = m4.values.flatMap(_.values).map(_.ver.toInt).toSet
     versions.filter(_ < 3).foreach(v => assert(referenced.contains(v),
       s"v$v survives GC but no manifest bucket references it"))
   }
@@ -175,11 +175,14 @@ class IngestStreamSpec extends AnyFunSuite {
     IngestIndex.compact(sp, state, top)
     // exactly the top version (manifest home) + the epoch dir survive;
     // the manifest points every bucket at the epoch
-    assert(versions() == Set(top, -1L),
-      s"compact must leave the top version + one epoch dir: ${versions()}")
+    // r14: compact keeps v(top-1) + its referenced tail as the
+    // crash-replay fallback of the batch that committed v(top); the
+    // next batch's GC reclaims it
+    assert(versions() == Set(top, top - 1, -1L),
+      s"compact must leave top + the replay-safety tail + one epoch dir: ${versions()}")
     assert(fpRows() == before, "compact changed the index contents")
     val m = IngestIndex.readManifest(fs, state, top)
-    assert(m.values.flatMap(_.values).toSet == Set(-1L))
+    assert(m.values.flatMap(_.values.map(_.ver)).toSet == Set(-1L))
     // the version-numbering contract survives: later batches resume
     // against the compacted state and the final answer equals the twin
     land(2); land(3)
