@@ -140,17 +140,66 @@ object Layout {
     else s.read.parquet(keep: _*)
   }
 
+  /** Staging dirs this JVM created — deleted by one shutdown hook, so
+    * appId-salted paths don't accumulate in tmp across harness runs. */
+  private val stagedPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val stageCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      stagedPaths.forEach { p =>
+        try {
+          val root = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        } catch { case _: Throwable => () }
+      }
+    }))
+  /** Belt-and-braces for SIGKILLed JVMs whose hook never ran: on first
+    * staging use, sweep graft-* staging dirs from OTHER applications
+    * untouched for a week (old enough that no live harness owns them). */
+  private lazy val staleSweep: Unit = {
+    try {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+      val ls = java.nio.file.Files.list(tmp)
+      try ls.filter(p => p.getFileName.toString.startsWith("graft-")
+          && java.nio.file.Files.getLastModifiedTime(p)
+            .toMillis < cutoff)
+        .forEach { p =>
+          try {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            finally walk.close()
+          } catch { case _: Throwable => () }
+        }
+      finally ls.close()
+    } catch { case _: Throwable => () }
+  }
+
   /** Staging dir for a rewrite: keyed by the FULL md5 of the data dir
     * (32-bit hashCode can collide across distinct dirs) and salted with
     * the applicationId so two concurrent harnesses on the same testdata
     * never race each other's overwrite. Same app + same dir -> same path,
-    * so within a session the rewrite stays a cheap idempotent overwrite. */
+    * so within a session the rewrite stays a cheap idempotent overwrite;
+    * a shutdown hook deletes this JVM's dirs (and a first-use sweep
+    * reclaims week-old orphans from crashed runs), so the salt cannot
+    * accumulate tmp garbage across runs. */
   private[graft] def stagePath(s: SparkSession, kind: String,
       d: String): String = {
+    stageCleanupHook
+    staleSweep
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft-$kind-" +
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-$kind-" +
       s"${s.sparkContext.applicationId}-$digest"
+    stagedPaths.add(p)
+    p
   }
 
   /** Q110 compaction target. Test-scale 4 MB; production uses ~1 GB —

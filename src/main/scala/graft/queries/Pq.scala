@@ -173,9 +173,11 @@ object Pq {
     if (!fs.exists(meta)) return None
     val in = fs.open(meta)
     val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString.trim.toLong finally in.close()
+      .mkString.trim finally in.close()
+    // row count AND content fingerprint: a regenerated corpus at the
+    // same scale factor must rebuild, not serve stale codebooks
     val n = dvecs(s, d).count()
-    if (stored != n) return None
+    if (stored != s"$n ${TextSearch.corpusFingerprint(s, d)}") return None
     bookLoads.incrementAndGet()
     val rows = s.read.parquet(s"$base/data").collect()
     val byM = rows.groupBy(_.getInt(0))
@@ -204,7 +206,8 @@ object Pq {
     val meta = new org.apache.hadoop.fs.Path(s"$base/meta")
     val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(meta, true)
-    try out.write(s"${dvecs(s, d).count()}\n".getBytes("UTF-8"))
+    try out.write(s"${dvecs(s, d).count()} ${
+        TextSearch.corpusFingerprint(s, d)}\n".getBytes("UTF-8"))
     finally out.close()
   }
 

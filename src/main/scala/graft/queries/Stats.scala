@@ -155,7 +155,10 @@ object Stats {
     // percentile cubes without rescanning, the thing exact percentiles
     // (q44's sort-based, non-mergeable aggregate) cannot do. Exact
     // percentile rides along as the audit column; the oracle hash-pins
-    // the exact values and the within-5%-of-exact booleans (KLL
+    // the exact values and the within-10%-of-exact booleans — a bound
+    // several times the k=200 rank-error envelope, because KLL
+    // compaction is randomized and UNSEEDED: a tail-event miss at a
+    // tight bound would fail the oracle gate as a flake (KLL
     // compaction is randomized, so the ESTIMATES themselves are not
     // cross-engine-hashable — q100's HLL treatment). At 100 TB: slice
     // sketches are the stored artifact, the global quantile is a merge
@@ -193,9 +196,9 @@ object Stats {
         per.unionByName(global)
           .select(col("slice"), col("exact_p50"), col("exact_p95"),
             (abs(col("est_p50") - col("exact_p50")) / col("exact_p50")
-              <= 0.05).as("p50_tol"),
+              <= 0.10).as("p50_tol"),
             (abs(col("est_p95") - col("exact_p95")) / col("exact_p95")
-              <= 0.05).as("p95_tol"))
+              <= 0.10).as("p95_tol"))
           .orderBy("slice")
       },
       Some("""WITH per AS (SELECT l_returnflag AS slice,
@@ -226,7 +229,10 @@ object Stats {
     // hash against DuckDB's exact aggregation; at open-vocabulary scale
     // it degrades to the guaranteed-overcount regime q99 rescues.
     // Ties re-ranked (cnt DESC, token ASC) in both engines — the sketch
-    // API's own tie order is unspecified.
+    // API's own tie order is unspecified — and the estimate window is
+    // the FULL tracked capacity (10000, not a 64-item slice), so no
+    // count tie can straddle a window boundary and drop a token the
+    // oracle's total order would have ranked in.
     QueryDef("q116_topk_sketch_rollup",
       (s, d) => {
         val toks = t(s, d, "documents")
@@ -236,7 +242,7 @@ object Stats {
           .agg(expr("approx_top_k_accumulate(token, 10000)").as("st"))
         def top3(df: DataFrame): DataFrame = df
           .select(col("source"),
-            explode(expr("approx_top_k_estimate(st, 64)")).as("e"))
+            explode(expr("approx_top_k_estimate(st, 10000)")).as("e"))
           .select(col("source"), col("e.item").as("token"),
             col("e.count").cast(LongType).as("cnt"))
           .withColumn("rk", row_number().over(

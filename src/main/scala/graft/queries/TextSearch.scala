@@ -204,6 +204,27 @@ object TextSearch {
     s"$root/$digest"
   }
 
+  /** Content fingerprint of the corpus backing `d`'s embeddings: md5
+    * over each data file's (name, length, mtime). Stale-serving guard
+    * for persisted indexes/codebooks — a REGENERATED corpus at the same
+    * scale factor keeps the row count but changes lengths/mtimes, so a
+    * count-only check would silently serve a stale index (r13 advisor
+    * finding). Metadata-only: no data read, O(files) namenode calls. */
+  private[graft] def corpusFingerprint(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stats =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else if (fs.getFileStatus(p).isFile) Array(fs.getFileStatus(p))
+      else fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+    val desc = stats.map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   private[graft] def ivfIndexed(s: org.apache.spark.sql.SparkSession,
       d: String): IvfIndex = {
     // register session functions HERE, not only inside the build path —
@@ -236,8 +257,9 @@ object TextSearch {
     })
   }
 
-  /** Load the persisted index if its commit marker exists and its stored
-    * corpus row count matches the LIVE corpus (a regenerated corpus
+  /** Load the persisted index if its commit marker exists and BOTH its
+    * stored corpus row count and content fingerprint match the LIVE
+    * corpus (a regenerated corpus — even at the same row count —
     * invalidates the index rather than silently serving stale cells). */
   private def loadPersisted(s: org.apache.spark.sql.SparkSession,
       root: String, d: String, n: Long): Option[IvfIndex] = {
@@ -247,8 +269,8 @@ object TextSearch {
     if (!fs.exists(meta)) return None
     val in = fs.open(meta)
     val stored = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString.trim.toLong finally in.close()
-    if (stored != n) return None
+      .mkString.trim finally in.close()
+    if (stored != s"$n ${corpusFingerprint(s, d)}") return None
     ivfLoads.incrementAndGet()
     Some(IvfIndex(s.read.parquet(s"$base/ivf"), n,
       s.read.parquet(s"$base/cents")))
@@ -262,7 +284,8 @@ object TextSearch {
     val meta = new org.apache.hadoop.fs.Path(s"$base/meta")
     val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(meta, true)
-    try out.write(s"${idx.corpusRows}\n".getBytes("UTF-8"))
+    try out.write(
+      s"${idx.corpusRows} ${corpusFingerprint(s, d)}\n".getBytes("UTF-8"))
     finally out.close()
   }
 

@@ -89,4 +89,44 @@ class PersistedIndexSpec extends AnyFunSuite {
       Pq.clearBookCache()
     }
   }
+
+  test("a regenerated corpus at the SAME row count invalidates the persisted index (content fingerprint)") {
+    val sp = spark
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-annidx-regen").toString
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-annidx-corpus").toString
+    sp.conf.set("spark.graft.ann.indexDir", root)
+    try {
+      sp.read.parquet(s"$dir/embeddings.parquet")
+        .write.parquet(s"$work/embeddings.parquet")
+      TextSearch.clearIndexCache()
+      val b0 = (TextSearch.ivfBuilds.get, TextSearch.ivfLoads.get)
+      TextSearch.ivfIndexed(sp, work)
+      assert(TextSearch.ivfBuilds.get == b0._1 + 1)
+
+      // "regeneration": identical rows rewritten — row count unchanged,
+      // file lengths/mtimes not. The r13 count-only guard loaded the
+      // stale copy here; the fingerprint must force a rebuild.
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+      val rows = sp.read.parquet(s"$work/embeddings.parquet")
+      rows.write.parquet(s"$work/regen")
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$work/embeddings.parquet"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$work/regen"),
+        new org.apache.hadoop.fs.Path(s"$work/embeddings.parquet"))
+
+      TextSearch.clearIndexCache()
+      val b1 = (TextSearch.ivfBuilds.get, TextSearch.ivfLoads.get)
+      TextSearch.ivfIndexed(sp, work)
+      assert(TextSearch.ivfBuilds.get == b1._1 + 1
+        && TextSearch.ivfLoads.get == b1._2,
+        "regenerated corpus (same row count) must rebuild, not load stale")
+    } finally {
+      sp.conf.unset("spark.graft.ann.indexDir")
+      TextSearch.clearIndexCache()
+      Pq.clearBookCache()
+    }
+  }
 }
