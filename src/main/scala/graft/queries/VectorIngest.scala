@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, QueryDef}
 import graft.Q._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.streaming.IngestIndex
@@ -35,8 +35,11 @@ import graft.streaming.IngestIndex
   */
 object VectorIngest {
 
-  /** Two-phase build + the q48-shaped probe over the merged index. */
-  private[graft] def upsertProbe(s: SparkSession, d: String): DataFrame = {
+  /** The two-phase frozen-centroid build into `state` (v1 = initial
+    * corpus, v2 = upserted second half). Returns the fs handle for
+    * follow-on commits. */
+  private[graft] def buildTwoPhase(s: SparkSession, d: String,
+      state: String): org.apache.hadoop.fs.FileSystem = {
     graft.functions.GraftFunctions.register(s)
     val e = TextSearch.embNonNull(s, d)
     val n = e.count()
@@ -55,7 +58,6 @@ object VectorIngest {
         .filter(col("rn") <= TextSearch.IvfProbes)
         .select(col("vec_id"), col("cid"), col("embedding"), col("rn"))
 
-    val state = Layout.stagePath(s, "vecidx", d)
     val fs = new org.apache.hadoop.fs.Path(state)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(state), true)
@@ -69,7 +71,43 @@ object VectorIngest {
       assigned(b), (cur, delta) => cur.unionByName(delta))
     IngestIndex.writeManifest(fs, state, 2L, Map("vec" -> t1))
     IngestIndex.gc(fs, state, 1L, 2L)
+    fs
+  }
 
+  /** Two-phase build + the q48-shaped probe over the merged index. */
+  private[graft] def upsertProbe(s: SparkSession, d: String): DataFrame = {
+    val state = Layout.stagePath(s, "vecidx", d)
+    buildTwoPhase(s, d, state)
+    probeOf(s, IngestIndex.currentTable(s, state, "vec"))
+  }
+
+  /** q114c's tombstone predicate — the deleted ids (GDPR erasure /
+    * superseded crawl). Excludes vec 0, the probe query. */
+  private[graft] def deletedCond: Column =
+    pmod(col("vec_id"), lit(7)) === 3
+
+  /** Apply a tombstone batch to the index at `state` (manifest `top`):
+    * an anti-join merge through the SAME touched-bucket machinery as
+    * the upsert — only the buckets holding tombstoned ids are read and
+    * rewritten, O(tombstones), zero contact with the rest of the
+    * index; a fully-emptied bucket's manifest entry is dropped. */
+  private[graft] def deleteCommit(s: SparkSession, state: String,
+      fs: org.apache.hadoop.fs.FileSystem, top: Long,
+      tombstones: DataFrame): Unit = {
+    val m = IngestIndex.readManifest(fs, state, top)
+    val t = IngestIndex.mergeCommit(s, state, m, "vec", top + 1,
+      tombstones.select(col("vec_id")),
+      (cur, d) => cur.join(d, Seq("vec_id"), "left_anti"))
+    IngestIndex.writeManifest(fs, state, top + 1, Map("vec" -> t))
+    IngestIndex.gc(fs, state, top, top + 1)
+  }
+
+  /** Q114c: build, DELETE the tombstone set, probe the survivors. */
+  private[graft] def deleteProbe(s: SparkSession, d: String): DataFrame = {
+    val state = Layout.stagePath(s, "vecdel", d)
+    val fs = buildTwoPhase(s, d, state)
+    deleteCommit(s, state, fs, 2L,
+      TextSearch.embNonNull(s, d).filter(deletedCond))
     probeOf(s, IngestIndex.currentTable(s, state, "vec"))
   }
 
@@ -91,11 +129,15 @@ object VectorIngest {
       .limit(5)
   }
 
-  /** The one oracle both build topologies share: train on the FIRST
-    * HALF, assign EVERYTHING one-shot — hash equality proves each
-    * incremental build (batch two-phase q114, streaming q114b) lost,
-    * moved and invented nothing. */
-  private val FrozenCentroidOracle: String =
+  /** The one oracle every index-lifecycle topology shares: train on
+    * the FIRST HALF, assign EVERYTHING one-shot, keep `survivors` —
+    * hash equality proves each incremental build (batch two-phase
+    * q114, streaming q114b) and the delete path (q114c, survivors =
+    * the non-tombstoned ids) lost, moved and invented nothing. */
+  private def frozenCentroidOracle(survivors: String): String =
+    FrozenCentroidOracleAll.replace("__SURVIVORS__", survivors)
+
+  private val FrozenCentroidOracleAll: String =
     s"""WITH env AS (SELECT * FROM embeddings
              |  WHERE embedding IS NOT NULL),
              |half AS (SELECT CAST(FLOOR(COUNT(*) / 2) AS BIGINT) AS h
@@ -126,7 +168,7 @@ object VectorIngest {
              |        CAST(r.ce AS DOUBLE[])), 4) DESC, r.cid) AS rn
              |  FROM env e CROSS JOIN refined r),
              |cells AS (SELECT vec_id, cid, embedding FROM assigned
-             |  WHERE rn = 1),
+             |  WHERE rn = 1 AND (__SURVIVORS__)),
              |qcell AS (SELECT cid AS qcid, embedding AS qe FROM assigned
              |  WHERE vec_id = 0 AND rn <= ${TextSearch.IvfProbes})
              |SELECT v.vec_id,
@@ -135,6 +177,9 @@ object VectorIngest {
              |FROM cells v JOIN qcell q ON v.cid = q.qcid
              |WHERE v.vec_id <> 0
              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  private val FrozenCentroidOracle: String =
+    frozenCentroidOracle("TRUE")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q114_vector_index_upsert",
@@ -152,5 +197,18 @@ object VectorIngest {
         graft.streaming.VectorStream.ingested(s, s"$base/replay",
           s"$base/state")
       },
-      Some(FrozenCentroidOracle)))
+      Some(FrozenCentroidOracle)),
+
+    // q114c DELETE: the remaining lifecycle verb of a production vector
+    // store (GDPR erasure, re-crawl supersedes). A tombstone batch
+    // flows through the SAME touched-bucket merge as the upsert — an
+    // anti-join on vec_id over only the buckets holding tombstoned
+    // ids, O(tombstones) IO, stored survivors untouched. Oracle = the
+    // one-shot frozen-centroid assignment of the SURVIVING set: hash
+    // equality proves the delete removed exactly the tombstoned rows
+    // and moved nothing else (upsert-then-delete == never-inserted,
+    // also pinned as a VectorIngestSpec law).
+    QueryDef("q114c_vector_index_delete",
+      (s, d) => deleteProbe(s, d),
+      Some(frozenCentroidOracle("vec_id % 7 <> 3"))))
 }

@@ -29,11 +29,15 @@ object VectorStream {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
-  /** Stage the embeddings as a 2-file replay: batch 0 = the initial
-    * corpus (non-null embeddings with vec_id < floor(n/2)), batch 1 =
-    * the rest — the exact split q114's oracle trains on. */
+  /** Stage the embeddings as a replay: batch 0 = the initial corpus
+    * (non-null embeddings with vec_id < floor(n/2)) — the exact split
+    * q114's oracle trains on — and the rest sliced into `restSlices`
+    * files by a deterministic hash gate. Because per-row assignment
+    * against frozen centroids commutes with slicing, EVERY restSlices
+    * value yields the same final index (the VectorIngestSpec
+    * slicing-independence property). */
   def stageReplay(spark: SparkSession, sfDir: String,
-      replayDir: String): Unit = {
+      replayDir: String, restSlices: Int = 1): Unit = {
     val e = TextSearch.embNonNull(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val half = e.count() / 2
@@ -41,8 +45,11 @@ object VectorStream {
     val dir = new org.apache.hadoop.fs.Path(replayDir)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    Seq(0 -> e.filter(col("vec_id") < half),
-        1 -> e.filter(col("vec_id") >= half)).foreach { case (k, batch) =>
+    val rest = e.filter(col("vec_id") >= half)
+    val slices = Seq(0 -> e.filter(col("vec_id") < half)) ++
+      (0 until restSlices).map(j => (j + 1) ->
+        rest.filter(pmod(xxhash64(col("vec_id")), lit(restSlices)) === j))
+    slices.foreach { case (k, batch) =>
       val stage = s"$replayDir/_stage$k"
       batch.coalesce(1).write.mode("overwrite").parquet(stage)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))

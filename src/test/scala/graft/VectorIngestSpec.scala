@@ -94,4 +94,66 @@ class VectorIngestSpec extends AnyFunSuite {
     assert(resumed == batchResult,
       "resumed streaming ingest diverged from the two-phase build")
   }
+
+  test("q114c delete law: upsert-then-delete == never-inserted; absent-id delete is a no-op") {
+    val sp = spark
+    graft.functions.GraftFunctions.register(sp)
+    // the full lifecycle state: build + tombstone delete
+    VectorIngest.deleteProbe(sp, dir).collect()
+    val state = graft.queries.Layout.stagePath(sp, "vecdel", dir)
+    def indexRows(st: String): Set[Seq[Any]] =
+      IngestIndex.currentTable(sp, st, "vec")
+        .select("vec_id", "cid", "rn").collect().map(_.toSeq).toSet
+    val afterDelete = indexRows(state)
+
+    // never-inserted: one-shot assignment of the SURVIVORS against the
+    // same frozen (first-half-trained) centroids
+    val e = TextSearch.embNonNull(sp, dir)
+    val half = e.count() / 2
+    val cents = graft.BroadcastBounds.bounded("ivf-centroids")(
+      TextSearch.trainCents(sp, e.filter(col("vec_id") < half),
+        TextSearch.ivfCells(half)))
+    val neverInserted = TextSearch
+      .nearestCells(e.filter(!VectorIngest.deletedCond), cents)
+      .filter(col("rn") <= TextSearch.IvfProbes)
+      .select("vec_id", "cid", "rn")
+      .collect().map(_.toSeq).toSet
+    assert(afterDelete == neverInserted,
+      "upsert-then-delete diverged from the never-inserted index")
+    // the tombstoned ids are genuinely gone
+    assert(!afterDelete.exists(r =>
+        r.head.asInstanceOf[Long] % 7 == 3),
+      "a tombstoned vec_id survived the delete")
+
+    // absent-id delete: tombstoning ids not in the index changes nothing
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val top = IngestIndex.latestVersion(fs, state).get
+    VectorIngest.deleteCommit(sp, state, fs, top,
+      sp.range(5).select((col("id") + 10000000L).as("vec_id")))
+    assert(indexRows(state) == afterDelete,
+      "deleting absent ids must be a no-op")
+  }
+
+  test("slicing independence: the streamed index is identical for any rest-batch slicing (k in {3, 5})") {
+    val sp = spark
+    graft.functions.GraftFunctions.register(sp)
+    // reference: the two-phase build's index
+    VectorIngest.upsertProbe(sp, dir).collect()
+    val ref = IngestIndex.currentTable(sp,
+        graft.queries.Layout.stagePath(sp, "vecidx", dir), "vec")
+      .select("vec_id", "cid", "rn").collect().map(_.toSeq).toSet
+    for (k <- Seq(3, 5)) {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-vecslice$k").toString
+      graft.streaming.VectorStream.stageReplay(sp, dir,
+        s"$base/replay", restSlices = k)
+      graft.streaming.VectorStream.ingested(sp, s"$base/replay",
+        s"$base/state").collect()
+      val got = IngestIndex.currentTable(sp, s"$base/state", "vec")
+        .select("vec_id", "cid", "rn").collect().map(_.toSeq).toSet
+      assert(got == ref,
+        s"index under $k-slice replay diverged from the two-phase build")
+    }
+  }
 }
