@@ -143,6 +143,7 @@ object VectorIngest {
              |half AS (SELECT CAST(FLOOR(COUNT(*) / 2) AS BIGINT) AS h
              |  FROM env),
              |enva AS (SELECT e.* FROM env e, half WHERE e.vec_id < h),
+             |${TextSearch.duckTrainSampleCtes("enva")},
              |seeds AS (SELECT vec_id AS cid, embedding AS ce FROM enva
              |  WHERE vec_id < (SELECT GREATEST(${TextSearch.IvfCellsMin},
              |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))
@@ -152,7 +153,7 @@ object VectorIngest {
              |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
              |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
              |          CAST(s.ce AS DOUBLE[])), 4) DESC, s.cid) AS rn
-             |    FROM enva e CROSS JOIN seeds s) x WHERE rn = 1),
+             |    FROM tsamp e CROSS JOIN seeds s) x WHERE rn = 1),
              |pieces AS (SELECT cid,
              |    unnest(generate_series(1, len(embedding))) AS pos,
              |    unnest(CAST(embedding AS DOUBLE[])) AS v
