@@ -294,6 +294,77 @@ object Pq {
         .reduce(_ + _).cast(DoubleType))
   }
 
+  /** Conf gate for [[adcScoredBroadcast]]: carry the codebooks + LUT as
+    * ONE broadcast model row instead of plan literals. At the test-scale
+    * 8x16 model the literal form codegens fine (and stays the default);
+    * at production sizes (16 subspaces x 256 centroids, the FAISS
+    * standard) literal arrays bloat every generated projection, while
+    * the broadcast row ships the model once per executor and the
+    * projection's codegen size is model-independent. */
+  private[graft] def useBroadcastModel(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.pq.broadcastModel", "false").toBoolean
+
+  /** [[adcScored]]'s broadcast-model twin: the model rides as a single
+    * broadcast row (m -> centroid coords, m -> LUT terms) cross-joined
+    * into the scan — a BroadcastNestedLoopJoin of one row, NOT a
+    * shuffle — and the per-subspace encode/score runs over the joined
+    * array columns via transform/zip_with/aggregate with the IDENTICAL
+    * IEEE op order, f4 floors and first-min tie-break as the literal
+    * form, so the two are row-identical (PqSpec twin law). The residual
+    * path's per-probed-cell LUT CASE (q109b) stays literal — its LUT
+    * count is probe-bounded, not model-sized. */
+  private[graft] def adcScoredBroadcast(s: SparkSession, df: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]],
+      lut: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("bk_ce",
+        ArrayType(ArrayType(ArrayType(DoubleType)))),
+      StructField("bk_lut", ArrayType(ArrayType(DoubleType)))))
+    val row = org.apache.spark.sql.Row(
+      books.map(_.map(_._2.toSeq).toSeq).toSeq,
+      lut.map(_.toSeq).toSeq)
+    val model = s.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+    val joined = df.crossJoin(broadcast(model))
+    val scored = (0 until SubSpaces).foldLeft(joined) { (acc, m) =>
+      acc.withColumn(s"sv_$m", slice(col("e"), m * SubDim + 1, SubDim))
+        .withColumn(s"pd_$m", transform(element_at(col("bk_ce"), m + 1),
+          ce => f4(aggregate(zip_with(col(s"sv_$m"), ce,
+            (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc2, x) => acc2 + x))))
+        .withColumn(s"t_$m", element_at(element_at(col("bk_lut"), m + 1),
+          expr(s"array_position(pd_$m, array_min(pd_$m))")
+            .cast(IntegerType)))
+    }
+    scored.withColumn("adc_dist",
+      (0 until SubSpaces).map(m => col(s"t_$m").cast(dec4))
+        .reduce(_ + _).cast(DoubleType))
+      .drop("bk_ce", "bk_lut")
+  }
+
+  /** The regime-gated scorer both search paths share. */
+  private def adcScoredGated(s: SparkSession, df: DataFrame,
+      books: IndexedSeq[IndexedSeq[(Int, IndexedSeq[Double])]],
+      lut: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+    if (useBroadcastModel(s)) adcScoredBroadcast(s, df, books, lut)
+    else adcScored(df, books, lut)
+
+  /** The literal/broadcast twin pair over the full corpus minus the
+    * query vector — the PqSpec equality + plan surface. */
+  private[graft] def adcTwinFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val ed = dvecs(s, d)
+    val books = trainCodebooks(s, d)
+    val qe = ed.filter(col("vec_id") === 0).select(col("e"))
+      .head.getSeq[Double](0).toIndexedSeq
+    val base = ed.filter(col("vec_id") =!= 0)
+    val lut = lutFor(books, qe)
+    (adcScored(base, books, lut).select("vec_id", "adc_dist"),
+      adcScoredBroadcast(s, base, books, lut)
+        .select("vec_id", "adc_dist"))
+  }
+
   /** The exact cosine re-rank of an ADC candidate frame (vec_id,
     * embedding, adc_dist [+ extras]): top-TopK by true similarity. */
   private def reranked(s: SparkSession, d: String, cand: DataFrame,
@@ -315,7 +386,7 @@ object Pq {
     val books = trainCodebooks(s, d)
     val qe = ed.filter(col("vec_id") === 0).select(col("e"))
       .head.getSeq[Double](0).toIndexedSeq
-    val cand = adcScored(ed.filter(col("vec_id") =!= 0), books,
+    val cand = adcScoredGated(s, ed.filter(col("vec_id") =!= 0), books,
         lutFor(books, qe))
       .select(col("vec_id"), col("embedding"), col("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
@@ -357,7 +428,7 @@ object Pq {
     val books = trainCodebooks(s, d)
     val qe = ed.filter(col("vec_id") === 0).select(col("e"))
       .head.getSeq[Double](0).toIndexedSeq
-    val cand = adcScored(cand0, books, lutFor(books, qe))
+    val cand = adcScoredGated(s, cand0, books, lutFor(books, qe))
       .select(col("vec_id"), col("cid"), col("embedding"), col("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(AdcCandidates)

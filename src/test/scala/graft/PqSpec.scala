@@ -132,4 +132,34 @@ class PqSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("broadcast-model ADC equals the literal form row for row; the scored plan stays shuffle-free") {
+    val sp = spark
+    val (litF, bcF) = Pq.adcTwinFrames(sp, dir)
+    val a = litF.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val b = bcF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b,
+      "broadcast-model ADC diverged from the plan-literal form")
+
+    // the model join is a one-row broadcast, not a shuffle: no
+    // ShuffleExchange anywhere in the scored projection's plan
+    val plan = bcF.queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"broadcast-model scoring introduced a shuffle:\n$plan")
+
+    // the full q108/q109 searches under the gate equal the literal runs
+    val lit108 = Pq.search(sp, dir).collect().toSeq
+    val lit109 = Pq.ivfPqSearch(sp, dir).collect().toSeq
+    sp.conf.set("spark.graft.pq.broadcastModel", "true")
+    try {
+      assert(Pq.search(sp, dir).collect().toSeq == lit108,
+        "q108 under the broadcast-model gate diverged")
+      assert(Pq.ivfPqSearch(sp, dir).collect().toSeq == lit109,
+        "q109 under the broadcast-model gate diverged")
+    } finally sp.conf.unset("spark.graft.pq.broadcastModel")
+  }
 }
