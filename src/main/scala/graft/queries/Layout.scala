@@ -84,60 +84,113 @@ object Layout {
     (ur._1 + 0.25 * (ur._2 - ur._1), ur._1 + 0.375 * (ur._2 - ur._1),
       vr._1 + 0.25 * (vr._2 - vr._1), vr._1 + 0.375 * (vr._2 - vr._1))
 
-  /** The q107 box filter over a copy of events: the exact double-typed
-    * box plus the widened integral pushdown guard on user_id. */
-  private[graft] def boxFilter(df: DataFrame,
+  /** A 2-D box filter over integral column `xc` and double column `yc`:
+    * the exact double-typed box plus the widened integral pushdown
+    * guard on `xc` (the CAST hides the attribute from parquet stats, so
+    * the scan gets a strict-superset raw-column predicate). */
+  private[graft] def boxFilterOn(df: DataFrame, xc: String, yc: String,
       ur: (Double, Double), vr: (Double, Double)): DataFrame = {
     val (bul, buh, bvl, bvh) = boxBounds(ur, vr)
-    df.filter(col("user_id") >= lit(math.floor(bul).toLong) &&
-        col("user_id") < lit(math.ceil(buh).toLong))   // pushable superset
-      .filter(col("user_id").cast(DoubleType) >= bul &&
-        col("user_id").cast(DoubleType) < buh &&
-        col("value") >= bvl && col("value") < bvh)
+    df.filter(col(xc) >= lit(math.floor(bul).toLong) &&
+        col(xc) < lit(math.ceil(buh).toLong))   // pushable superset
+      .filter(col(xc).cast(DoubleType) >= bul &&
+        col(xc).cast(DoubleType) < buh &&
+        col(yc) >= bvl && col(yc) < bvh)
   }
 
-  /** FILE-skipping manifest for the z layout (r13, the Delta add-file
-    * stats analogue): one row per output file with min/max of BOTH box
-    * columns (plus the z-value range, documentation of the clustering).
-    * Stored as parquet under `_manifest` INSIDE the layout dir — the
-    * leading underscore hides it from every normal parquet read of the
-    * directory. Parquet footer stats skip ROW GROUPS after the scan has
-    * listed and opened every file; the manifest prunes FILES before the
-    * scan ever lists them — at 100 TB that is the difference between
-    * "open 100k footers" and "read one 16-row table". */
-  private[graft] def writeManifest(s: SparkSession, path: String): Unit =
+  /** The q107 box filter: (user_id, value). */
+  private[graft] def boxFilter(df: DataFrame,
+      ur: (Double, Double), vr: (Double, Double)): DataFrame =
+    boxFilterOn(df, "user_id", "value", ur, vr)
+
+  /** FILE-skipping manifest (r13, generalized r14 — the Delta add-file
+    * stats analogue): one row per data file with min/max of EACH of
+    * `cols`, an ARBITRARY column set. Stored as parquet under
+    * `_manifest` INSIDE the layout dir — the leading underscore hides
+    * it from every normal parquet read of the directory. Parquet
+    * footer stats skip ROW GROUPS after the scan has listed and opened
+    * every file; the manifest prunes FILES before the scan ever lists
+    * them — at 100 TB that is the difference between "open 100k
+    * footers" and "read one 16-row table". */
+  private[graft] def writeStatsManifest(s: SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
     s.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
-        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
-        min(col("zv")).as("zmin"), max(col("zv")).as("zmax"))
+      .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
 
-  /** Files whose (user_id, value) ranges intersect the box, plus the
+  /** The q107 manifest: stats on the two box columns plus the z-value
+    * range (documentation of the clustering). */
+  private[graft] def writeManifest(s: SparkSession, path: String): Unit =
+    writeStatsManifest(s, path, Seq("user_id", "value", "zv"))
+
+  /** Files whose per-column stats intersect EVERY closed-open interval
+    * in `boxes` (col -> [lo, hi), compared in double space), plus the
     * total file count (spec observability). A file drops out exactly
     * when its stats PROVE it holds no qualifying row, so pruning can
     * never change results — and a pruning bug would surface as an
-    * oracle hash mismatch on q107. */
-  private[graft] def manifestPrunedFiles(s: SparkSession, path: String,
-      ur: (Double, Double), vr: (Double, Double)): (Seq[String], Long) = {
-    val (bul, buh, bvl, bvh) = boxBounds(ur, vr)
+    * oracle hash mismatch on q107/q118. */
+  private[graft] def statsPrunedFiles(s: SparkSession, path: String,
+      boxes: Seq[(String, Double, Double)]): (Seq[String], Long) = {
     val m = s.read.parquet(s"$path/_manifest")
-    val keep = m.filter(col("umax").cast(DoubleType) >= bul &&
-        col("umin").cast(DoubleType) < buh &&
-        col("vmax") >= bvl && col("vmin") < bvh)
+    val keep = m.filter(boxes.map { case (c, lo, hi) =>
+        col(s"${c}__max").cast(DoubleType) >= lo &&
+          col(s"${c}__min").cast(DoubleType) < hi
+      }.reduce(_ && _))
       .select("file").collect().map(_.getString(0)).toSeq
     (keep, m.count())
   }
 
-  /** Read the z layout through its manifest: only intersecting FILES are
-    * handed to the scan. Empty intersection -> an empty frame with the
-    * layout's schema. */
-  private[graft] def manifestPrunedRead(s: SparkSession, path: String,
-      ur: (Double, Double), vr: (Double, Double)): DataFrame = {
-    val (keep, _) = manifestPrunedFiles(s, path, ur, vr)
+  /** q107's (user_id, value) box over [[statsPrunedFiles]]. */
+  private[graft] def manifestPrunedFiles(s: SparkSession, path: String,
+      ur: (Double, Double), vr: (Double, Double)): (Seq[String], Long) = {
+    val (bul, buh, bvl, bvh) = boxBounds(ur, vr)
+    statsPrunedFiles(s, path,
+      Seq(("user_id", bul, buh), ("value", bvl, bvh)))
+  }
+
+  /** Read a layout through its stats manifest: only FILES intersecting
+    * every interval are handed to the scan. Empty intersection -> an
+    * empty frame with the layout's schema. */
+  private[graft] def statsPrunedRead(s: SparkSession, path: String,
+      boxes: Seq[(String, Double, Double)]): DataFrame = {
+    val (keep, _) = statsPrunedFiles(s, path, boxes)
     if (keep.isEmpty) s.read.parquet(path).limit(0)
     else s.read.parquet(keep: _*)
+  }
+
+  /** Read the q107 z layout through its manifest. */
+  private[graft] def manifestPrunedRead(s: SparkSession, path: String,
+      ur: (Double, Double), vr: (Double, Double)): DataFrame = {
+    val (bul, buh, bvl, bvh) = boxBounds(ur, vr)
+    statsPrunedRead(s, path,
+      Seq(("user_id", bul, buh), ("value", bvl, bvh)))
+  }
+
+  /** Q118's one-pass lakehouse OPTIMIZE: bin-pack small files AND
+    * z-cluster on (x, y) AND write the file-stats manifest over
+    * `statsCols` — the full maintenance loop q110 (compact) and q107
+    * (cluster + stats) each did half of. One read of the fragmented
+    * input, one range shuffle, ZFiles output files, one 16-row stats
+    * pass; at 100 TB this is the nightly OPTIMIZE job's exact shape
+    * (Delta OPTIMIZE ZORDER BY). Returns the measured (x, y) ranges —
+    * the clustering inputs and the box-bound inputs downstream. */
+  private[graft] def optimize(s: SparkSession, inPath: String,
+      outPath: String, x: String, y: String, statsCols: Seq[String])
+      : ((Double, Double), (Double, Double)) = {
+    val df = s.read.parquet(inPath)
+    val st = df.agg(
+      min(col(x)).cast(DoubleType), max(col(x)).cast(DoubleType),
+      min(col(y)).cast(DoubleType), max(col(y)).cast(DoubleType)).head
+    val xr = (st.getDouble(0), st.getDouble(1))
+    val yr = (st.getDouble(2), st.getDouble(3))
+    zOrderWrite(df, col(x), col(y), xr, yr, outPath)
+    writeStatsManifest(s, outPath, statsCols :+ "zv")
+    (xr, yr)
   }
 
   /** Staging dirs this JVM created — deleted by one shutdown hook, so
@@ -294,5 +347,52 @@ object Layout {
              |  COUNT(DISTINCT user_id) AS n_users,
              |  ${SUM4("value")} AS sum_value
              |FROM ev
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Q118 the COMPOSED maintenance loop (r14): q110 fragments-to-few
+    // and q107 cluster-plus-stats as ONE OPTIMIZE pass, exercised on a
+    // SECOND column pair (event_id x value) so the manifest generality
+    // is oracle-covered, not just spec-covered. The query fragments
+    // events into 150 small files, optimizes (bin-pack + z-cluster +
+    // stats manifest in one read/shuffle/write), then answers a 2-D box
+    // aggregate reading ONLY manifest-intersecting files; the oracle
+    // runs the same box aggregate on the ORIGINAL table — hash equality
+    // proves the full loop (fragment, compact, cluster, prune) lost,
+    // duplicated and corrupted nothing.
+    QueryDef("q118_optimize_layout",
+      (s, d) => {
+        val ev = Q.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+        val base = stagePath(s, "optimize", d)
+        ev.repartition(150)
+          .write.mode("overwrite").parquet(s"$base/frag")
+        val (er, vr) = optimize(s, s"$base/frag", s"$base/out",
+          "event_id", "value", Seq("event_id", "value"))
+        val (bel, beh, bvl, bvh) = boxBounds(er, vr)
+        boxFilterOn(statsPrunedRead(s, s"$base/out",
+            Seq(("event_id", bel, beh), ("value", bvl, bvh))),
+            "event_id", "value", er, vr)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum4(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (${Q.EVENTS_SQL}),
+             |st AS (SELECT CAST(MIN(event_id) AS DOUBLE) AS elo,
+             |    CAST(MAX(event_id) AS DOUBLE) AS ehi,
+             |    MIN(value) AS vlo, MAX(value) AS vhi FROM ev),
+             |box AS (SELECT elo + 0.25 * (ehi - elo) AS bel,
+             |    elo + 0.375 * (ehi - elo) AS beh,
+             |    vlo + 0.25 * (vhi - vlo) AS bvl,
+             |    vlo + 0.375 * (vhi - vlo) AS bvh FROM st)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  ${SUM4("value")} AS sum_value
+             |FROM ev, box
+             |WHERE CAST(event_id AS DOUBLE) >= bel
+             |  AND CAST(event_id AS DOUBLE) < beh
+             |  AND value >= bvl AND value < bvh
              |GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

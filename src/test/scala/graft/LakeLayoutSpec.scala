@@ -124,4 +124,49 @@ class LakeLayoutSpec extends AnyFunSuite {
         _.partitionFilters.nonEmpty), "gen filter must prune partitions")
     }
   }
+
+  test("q118 optimize: one pass compacts 150 files to ZFiles, clusters, and the (event_id, value) manifest prunes losslessly") {
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    withTempDir { base =>
+      val ev = graft.Q.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      ev.repartition(150).write.mode("overwrite").parquet(s"$base/frag")
+      val frags = new java.io.File(s"$base/frag").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(frags > 100, s"fragmentation rig produced only $frags files")
+      val (er, vr) = graft.queries.Layout.optimize(spark, s"$base/frag",
+        s"$base/out", "event_id", "value", Seq("event_id", "value"))
+      // COMPACTION: the small-file pile collapsed to the layout target
+      val outFiles = new java.io.File(s"$base/out").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(outFiles <= graft.queries.Layout.ZFiles,
+        s"optimize left $outFiles files")
+      // INVARIANCE: full read-back equals the source multiset
+      val back = spark.read.parquet(s"$base/out")
+        .select("event_id", "user_id", "event_type", "value")
+      assert(back.count() == ev.count())
+      assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty,
+        "optimize changed the row multiset")
+      // PRUNING on the SECOND column pair: strict subset of files,
+      // identical box answer
+      val (bel, beh, bvl, bvh) = graft.queries.Layout.boxBounds(er, vr)
+      val boxes = Seq(("event_id", bel, beh), ("value", bvl, bvh))
+      val (keep, total) = graft.queries.Layout.statsPrunedFiles(spark,
+        s"$base/out", boxes)
+      assert(total == outFiles.toLong,
+        s"manifest rows $total != data files $outFiles")
+      assert(keep.nonEmpty && keep.size < outFiles,
+        s"box must prune files on the optimized layout: ${keep.size}/$total")
+      val full = graft.queries.Layout.boxFilterOn(
+          spark.read.parquet(s"$base/out"), "event_id", "value", er, vr)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      val pruned = graft.queries.Layout.boxFilterOn(
+          graft.queries.Layout.statsPrunedRead(spark, s"$base/out", boxes),
+          "event_id", "value", er, vr)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(pruned == full, "manifest pruning changed the box result")
+    }
+  }
 }
