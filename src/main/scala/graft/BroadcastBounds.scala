@@ -67,6 +67,11 @@ object BroadcastBounds {
     "single-query-probe" -> Bound(Fixed,
       "one query vector, or its <= nProbe probe expansions: per-query " +
         "constant rows"),
+    "pq-model" -> Bound(Fixed,
+      "the PQ codec model as ONE row (SubSpaces x <= CodebookK centroid " +
+        "coords + the query LUT): a property of the trained codec, " +
+        "constant at any corpus size (16x256x32 floats ~ 0.5 MB at the " +
+        "FAISS-standard production shape)"),
     "mg-candidates" -> Bound(Fixed,
       "Misra-Gries candidate tokens: <= sketch capacity (4096) rows by " +
         "construction, whatever the vocabulary size"),

@@ -325,7 +325,8 @@ object Pq {
       lut.map(_.toSeq).toSeq)
     val model = s.createDataFrame(
       java.util.Collections.singletonList(row), schema)
-    val joined = df.crossJoin(broadcast(model))
+    val joined = df.crossJoin(
+      graft.BroadcastBounds.bounded("pq-model")(model))
     val scored = (0 until SubSpaces).foldLeft(joined) { (acc, m) =>
       acc.withColumn(s"sv_$m", slice(col("e"), m * SubDim + 1, SubDim))
         .withColumn(s"pd_$m", transform(element_at(col("bk_ce"), m + 1),

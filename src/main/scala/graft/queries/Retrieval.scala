@@ -46,6 +46,70 @@ object Retrieval {
   private def toks(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     t(s, d, "documents").withColumn("toks", split(col("text"), " "))
 
+  /** DuckDB twin of [[bm25Scores]] as a CTE chain ending in `sc` =
+    * (doc_id, score) — shared by the q63 and q119 oracles. */
+  private val BM25_SQL_CTES: String = {
+    val tfDefs = Bm25Terms.map(t0 =>
+      s"CAST(len(list_filter(toks, x -> x = '$t0')) AS DOUBLE) AS tf_$t0")
+      .mkString(",\n  ")
+    val dfDefs = Bm25Terms.map(t0 =>
+      s"CAST(SUM(CASE WHEN tf_$t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t0")
+      .mkString(",\n  ")
+    val contribs = Bm25Terms.map(t0 =>
+      s"""CAST(ln(CAST(1.0 AS DOUBLE) + (n_docs - df_$t0 + CAST(0.5 AS DOUBLE))
+         |      / (df_$t0 + CAST(0.5 AS DOUBLE)))
+         |    * (tf_$t0 * CAST(${Bm25K1 + 1.0} AS DOUBLE)
+         |      / (tf_$t0 + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)
+         |        + CAST($Bm25B AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
+         |    AS DECIMAL(18,4))""".stripMargin)
+      .mkString("\n  + ")
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dd AS (SELECT doc_id, len(toks) AS dl,
+       |  $tfDefs
+       |  FROM tk),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |  CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM dd),
+       |df AS (SELECT
+       |  $dfDefs
+       |  FROM dd),
+       |sc AS (SELECT doc_id, CAST(ROUND(
+       |  $contribs, 4) AS DOUBLE) AS score
+       |  FROM dd CROSS JOIN st CROSS JOIN df)""".stripMargin
+  }
+
+  /** The Okapi BM25 scorer over the fixed query terms: (doc_id, score)
+    * for every doc with a positive score — q63's body, shared with the
+    * q119 hybrid fusion. Corpus stats are two tiny broadcast
+    * aggregates; scoring is a pure per-doc map. */
+  private def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val base = toks(s, d).withColumn("dl", size(col("toks")))
+    val withTf = Bm25Terms.foldLeft(base) { (df, t0) =>
+      df.withColumn(s"tf_$t0",
+        size(filter(col("toks"), x => x === t0)).cast(DoubleType))
+    }
+    val stats = graft.BroadcastBounds.bounded("scalar-agg")(withTf.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      (sum(col("dl").cast(LongType)).cast(DoubleType)
+        / count(lit(1))).as("avgdl")))
+    val dfs = graft.BroadcastBounds.bounded("scalar-agg")(withTf.agg(
+      Bm25Terms.map(t0 => sum(when(col(s"tf_$t0") > 0, 1L).otherwise(0L))
+        .cast(DoubleType).as(s"df_$t0")).head,
+      Bm25Terms.map(t0 => sum(when(col(s"tf_$t0") > 0, 1L).otherwise(0L))
+        .cast(DoubleType).as(s"df_$t0")).tail: _*))
+    val contrib: String => Column = t0 => dec18(
+      log(lit(1.0) + (col("n_docs") - col(s"df_$t0") + lit(0.5))
+        / (col(s"df_$t0") + lit(0.5)))
+        * (col(s"tf_$t0") * lit(Bm25K1 + 1.0)
+          / (col(s"tf_$t0") + lit(Bm25K1) * (lit(1.0 - Bm25B)
+            + lit(Bm25B) * col("dl").cast(DoubleType) / col("avgdl")))))
+    withTf.crossJoin(stats).crossJoin(dfs)
+      .withColumn("score",
+        r4(Bm25Terms.map(contrib).reduce(_ + _)))
+      .filter(col("score") > 0)
+      .select(col("doc_id"), col("score"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q63 BM25 scoring (Okapi, k1=1.2 b=0.75) ------------------------------
@@ -56,65 +120,12 @@ object Retrieval {
     // idf*tf_norm goes through DECIMAL(18,4) before the (exact, decimal)
     // cross-term sum, so ln()'s 1-ulp library drift cannot flip the hash.
     QueryDef("q63_bm25",
-      (s, d) => {
-        val base = toks(s, d).withColumn("dl", size(col("toks")))
-        val withTf = Bm25Terms.foldLeft(base) { (df, t0) =>
-          df.withColumn(s"tf_$t0",
-            size(filter(col("toks"), x => x === t0)).cast(DoubleType))
-        }
-        val stats = graft.BroadcastBounds.bounded("scalar-agg")(withTf.agg(
-          count(lit(1)).cast(DoubleType).as("n_docs"),
-          (sum(col("dl").cast(LongType)).cast(DoubleType)
-            / count(lit(1))).as("avgdl")))
-        val dfs = graft.BroadcastBounds.bounded("scalar-agg")(withTf.agg(
-          Bm25Terms.map(t0 => sum(when(col(s"tf_$t0") > 0, 1L).otherwise(0L))
-            .cast(DoubleType).as(s"df_$t0")).head,
-          Bm25Terms.map(t0 => sum(when(col(s"tf_$t0") > 0, 1L).otherwise(0L))
-            .cast(DoubleType).as(s"df_$t0")).tail: _*))
-        val contrib: String => Column = t0 => dec18(
-          log(lit(1.0) + (col("n_docs") - col(s"df_$t0") + lit(0.5))
-            / (col(s"df_$t0") + lit(0.5)))
-            * (col(s"tf_$t0") * lit(Bm25K1 + 1.0)
-              / (col(s"tf_$t0") + lit(Bm25K1) * (lit(1.0 - Bm25B)
-                + lit(Bm25B) * col("dl").cast(DoubleType) / col("avgdl")))))
-        withTf.crossJoin(stats).crossJoin(dfs)
-          .withColumn("score",
-            r4(Bm25Terms.map(contrib).reduce(_ + _)))
-          .filter(col("score") > 0)
-          .select(col("doc_id"), col("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(20)
-      },
-      Some {
-        val tfDefs = Bm25Terms.map(t0 =>
-          s"CAST(len(list_filter(toks, x -> x = '$t0')) AS DOUBLE) AS tf_$t0")
-          .mkString(",\n  ")
-        val dfDefs = Bm25Terms.map(t0 =>
-          s"CAST(SUM(CASE WHEN tf_$t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t0")
-          .mkString(",\n  ")
-        val contribs = Bm25Terms.map(t0 =>
-          s"""CAST(ln(CAST(1.0 AS DOUBLE) + (n_docs - df_$t0 + CAST(0.5 AS DOUBLE))
-             |      / (df_$t0 + CAST(0.5 AS DOUBLE)))
-             |    * (tf_$t0 * CAST(${Bm25K1 + 1.0} AS DOUBLE)
-             |      / (tf_$t0 + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)
-             |        + CAST($Bm25B AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl)))
-             |    AS DECIMAL(18,4))""".stripMargin)
-          .mkString("\n  + ")
-        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-           |dd AS (SELECT doc_id, len(toks) AS dl,
-           |  $tfDefs
-           |  FROM tk),
-           |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-           |  CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*) AS avgdl FROM dd),
-           |df AS (SELECT
-           |  $dfDefs
-           |  FROM dd),
-           |sc AS (SELECT doc_id, CAST(ROUND(
-           |  $contribs, 4) AS DOUBLE) AS score
-           |  FROM dd CROSS JOIN st CROSS JOIN df)
+      (s, d) => bm25Scores(s, d)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20),
+      Some(s"""WITH $BM25_SQL_CTES
            |SELECT doc_id, score FROM sc WHERE score > 0
-           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-      }),
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
     // Q64 RAG chunking (overlapping token windows) -------------------------
     // Splits every document into ChunkLen-token chunks at ChunkStride
@@ -384,5 +395,72 @@ object Retrieval {
              |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
              |      ORDER BY s DESC, term) AS INT) AS rk FROM sc)
              |SELECT doc_id, term, CAST(ROUND(s, 4) AS DOUBLE) AS tfidf, rk
-             |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)))
+             |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // Q119 HYBRID RETRIEVAL FUSION (r14): reciprocal rank fusion
+    // (Cormack/Clarke/Buettcher RRF, k=60) of the stack's two retrieval
+    // arms — the production RAG "hybrid search" pattern (lexical BM25 +
+    // dense cosine, fused on RANK so neither arm's score scale needs
+    // calibration). Each arm computes its top-20 DISTRIBUTEDLY
+    // (TakeOrderedAndProject — no global window over the corpus; the
+    // rank window runs on the 20 surviving rows), the fusion is a
+    // 20x20 full-outer join of two driver-scale frames, and
+    // rrf = sum over arms of 1/(60 + rank). Doc ids double as vec ids
+    // (the corpus contract); id 0 is the query (its embedding is the
+    // dense query) and is excluded from both arms. Integer-reciprocal
+    // arithmetic summed in a fixed order is bit-identical across
+    // engines; order + output both use the r4-rounded value so a
+    // rounding collision cannot reorder rows differently per engine.
+    QueryDef("q119_hybrid_rrf",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val rankW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        val lex = bm25Scores(s, d).filter(col("doc_id") =!= 0)
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .withColumn("lex_rank", row_number().over(rankW))
+          .select(col("doc_id"), col("lex_rank"))
+        val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"))
+        val dense = e.filter(col("vec_id") =!= 0)
+          .crossJoin(graft.BroadcastBounds.bounded("single-query-probe")(q))
+          .select(col("vec_id").as("doc_id"),
+            r4(expr("cosine_sim(embedding, qe)")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .withColumn("dense_rank", row_number().over(rankW))
+          .select(col("doc_id"), col("dense_rank"))
+        lex.join(dense, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", r4(
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("dense_rank")),
+                lit(0.0))))
+          .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+            col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH $BM25_SQL_CTES,
+             |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             |      ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+             |  FROM sc WHERE score > 0 AND doc_id <> 0
+             |  ORDER BY score DESC, doc_id LIMIT 20),
+             |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             |dsc AS (SELECT c.vec_id AS doc_id,
+             |    CAST(ROUND(list_cosine_similarity(
+             |      CAST(c.embedding AS DOUBLE[]),
+             |      CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS score
+             |  FROM embeddings c, q
+             |  WHERE c.vec_id <> 0 AND c.embedding IS NOT NULL),
+             |den AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             |      ORDER BY score DESC, doc_id) AS INT) AS dense_rank
+             |  FROM dsc ORDER BY score DESC, doc_id LIMIT 20)
+             |SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+             |  l.lex_rank, r.dense_rank,
+             |  CAST(ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0)
+             |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r.dense_rank), 0), 4)
+             |    AS DOUBLE)
+             |    AS rrf
+             |FROM lex l FULL OUTER JOIN den r ON l.doc_id = r.doc_id
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)))
 }

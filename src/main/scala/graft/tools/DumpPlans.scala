@@ -298,6 +298,23 @@ object DumpPlans {
         |upsert touched only its own key buckets against FROZEN broadcast
         |centroids, so growing the index never rescans stored vectors —
         |VectorIngestSpec pins incremental == one-shot row for row.""".stripMargin,
+    "q114c_vector_index_delete" ->
+      """The probe after a tombstone DELETE: same manifest read-back
+        |shape as q114 — the delete itself was an anti-join merge over
+        |ONLY the buckets holding tombstoned vec_ids (O(tombstones) IO,
+        |survivors untouched, emptied buckets dropped from the
+        |manifest), so nothing of it appears in the probe plan. The
+        |oracle one-shot-assigns the SURVIVING set; VectorIngestSpec
+        |pins upsert-then-delete == never-inserted.""".stripMargin,
+    "q118_optimize_layout" ->
+      """The box aggregate after the ONE-PASS OPTIMIZE (bin-pack 150
+        |fragments + z-cluster on (event_id, value) + stats manifest in
+        |one read/range-shuffle/write): the scan lists ONLY
+        |manifest-intersecting files (file pruning before listing — the
+        |generalized arbitrary-column manifest), then parquet footers
+        |skip row groups via the widened integral guard, then the exact
+        |double box filters rows — three nested sieves, hash-equal to
+        |the oracle's aggregate over the original table.""".stripMargin,
     "q115_kll_quantile_rollup" ->
       """Mergeable quantile cube: per-slice KLL sketches + exact audit
         |percentiles in one partial+final aggregate over the fact scan;
