@@ -20,11 +20,16 @@ object IngestIo {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val nBatches = if (args.length > 1) args(1).toInt else 32
     val buckets = if (args.length > 2) args(2).toInt else 2048
+    // optional 4th arg: split threshold in bytes (r14 — rehearse the
+    // bucket-splitting crawl regime at test scale)
+    val splitBytes =
+      if (args.length > 3) args(3).toLong else 128L * 1024 * 1024
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.graft.ingest.indexBuckets", buckets.toString)
+      .config("spark.graft.ingest.splitBytes", splitBytes.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -80,6 +85,15 @@ object IngestIo {
       .map(v => dataBytes(new Path(s"$state/v$v")))
     val avgPerTrigger =
       if (steady.isEmpty) 0L else steady.sum / steady.length
+    val bucketSizes = manifest.toSeq.flatMap { case (t, bkts) =>
+      bkts.toSeq.map { case (bk, e) =>
+        dataBytes(new Path(s"$state/v${e.ver}/$t/bkt=$bk"))
+      }
+    }
+    val maxGen = manifest.values.flatMap(_.values.map(_.gen))
+      .maxOption.getOrElse(0)
+    println(f"[io] live_buckets=${bucketSizes.length} max_bucket_bytes=${
+      bucketSizes.maxOption.getOrElse(0L)} max_gen=$maxGen (splitBytes=$splitBytes)")
     println(f"[io] versions_surviving=${versions.length} (of ${nBatches + 1} written; rest GC'd)")
     println(f"[io] live_index_bytes=$liveBytes%d")
     println(f"[io] avg_bytes_per_trigger=$avgPerTrigger%d (surviving post-v1 versions)")
