@@ -63,6 +63,27 @@ object StreamingDemo {
       replay
     })
 
+  /** q120/q121's rig: ONE upsert-with-change-feed replay per sfDir —
+    * (stateDir, cdfDir, top version). Both queries read files the run
+    * committed, so the stream cost is paid once and shared. retain=8
+    * keeps every manifest of the 4-batch replay readable for q121's
+    * AS-OF reads (production sets retention to the time-travel SLA). */
+  private val cdfRig = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Long)]()
+
+  private def cdfRigFor(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): (String, String, Long) =
+    cdfRig.computeIfAbsent(sfDir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q120")
+      val replay = s"$base/replay"
+      val state = s"$base/state"
+      val cdf = s"$base/cdf"
+      graft.streaming.CdfStream.stageModReplay(s, sfDir, replay, nBatches = 4)
+      val top = graft.streaming.CdfStream.runUpsertCdf(
+        streamSession(s), replay, state, cdf, retain = 8)
+      (state, cdf, top)
+    })
+
   /** Eagerly stages the replay rigs (idempotent). Bench calls this from its
     * warmup so even a single-run harness times only the streams — lazy
     * staging inside the first q33/q50/q53 invocation billed ~10 s of rig to
@@ -324,5 +345,80 @@ object StreamingDemo {
               && col("s.anchor_doc") === col("b.anchor_doc")).as("matches_batch"))
           .orderBy("doc_id", "band")
       },
-      None))
+      None),
+
+    // Q120 CHANGE DATA FEED (r14): the q86 upsert topology, with the merge
+    // also emitting the Delta-style row-level change log (insert /
+    // update_preimage / update_postimage per key per micro-batch) from the
+    // SAME touched-bucket join the merge already runs — see CdfStream.
+    // The first streaming-machinery query with a full DuckDB oracle: the
+    // replay slices by event_id % 4, so the feed equals a batch
+    // cumulative-window computation over raw events, hash-checked end to
+    // end (every earlier streaming rig could only pin batch-twin flags).
+    QueryDef("q120_change_data_feed",
+      (s, d) => {
+        val (_, cdf, _) = cdfRigFor(s, d)
+        graft.streaming.CdfStream.cdfRows(s, cdf)
+          .select(col("user_id"), col("batch_id"), col("op"),
+            col("n_events"), unix_micros(col("last_ts")).as("last_ts_us"),
+            col("sum_value")
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("user_id", "batch_id", "op")
+      },
+      Some(s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             |    event_id % 4 AS b FROM events),
+             |per AS (SELECT user_id, b, COUNT(*) AS n, MAX(ts) AS mts,
+             |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+             |  FROM e GROUP BY user_id, b),
+             |cum AS (SELECT user_id, b,
+             |    CAST(SUM(n) OVER w AS BIGINT) AS cn,
+             |    MAX(mts) OVER w AS cts,
+             |    CAST(SUM(sv) OVER w AS DECIMAL(18,4)) AS csv
+             |  FROM per WINDOW w AS (PARTITION BY user_id ORDER BY b)),
+             |lg AS (SELECT user_id, b, cn, cts, csv,
+             |    LAG(cn) OVER p AS pn, LAG(cts) OVER p AS pts,
+             |    LAG(csv) OVER p AS psv
+             |  FROM cum WINDOW p AS (PARTITION BY user_id ORDER BY b))
+             |SELECT user_id, b AS batch_id,
+             |  CASE WHEN pn IS NULL THEN 'insert'
+             |       ELSE 'update_postimage' END AS op,
+             |  cn AS n_events, epoch_us(cts) AS last_ts_us,
+             |  CAST(csv AS DOUBLE) AS sum_value
+             |FROM lg
+             |UNION ALL
+             |SELECT user_id, b AS batch_id, 'update_preimage' AS op,
+             |  pn AS n_events, epoch_us(pts) AS last_ts_us,
+             |  CAST(psv AS DOUBLE) AS sum_value
+             |FROM lg WHERE pn IS NOT NULL
+             |ORDER BY user_id, batch_id, op""".stripMargin)),
+
+    // Q121 TIME TRAVEL (r14): VERSION-AS-OF reads over the same run's
+    // retained manifests — the Delta/Iceberg snapshot surface on the
+    // bucketed layout (IngestIndex.tableAt; gc keeps the newest `retain`
+    // manifests replayable). Snapshot v2 = the state after batches {0,1}
+    // = events with event_id % 4 <= 1, which the oracle recomputes
+    // directly; the final version rides along so one hash pins both an
+    // historical and the current snapshot.
+    QueryDef("q121_time_travel",
+      (s, d) => {
+        val (state, _, top) = cdfRigFor(s, d)
+        def asOf(v: Long) = graft.streaming.IngestIndex
+          .tableAt(s, state, "state", v)
+          .select(lit(v).as("as_of_version"), col("user_id"),
+            col("n_events"), unix_micros(col("last_ts")).as("last_ts_us"),
+            col("sum_value")
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+        asOf(2L).unionByName(asOf(top))
+          .orderBy("as_of_version", "user_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             |    event_id % 4 AS b FROM events),
+             |snap AS (SELECT CAST(v.v AS BIGINT) AS as_of_version, user_id,
+             |    COUNT(*) AS n_events,
+             |    epoch_us(MAX(ts)) AS last_ts_us,
+             |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |      AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |  FROM e, (VALUES (2), (4)) AS v(v)
+             |  WHERE e.b < v.v GROUP BY v.v, user_id)
+             |SELECT * FROM snap ORDER BY as_of_version, user_id""".stripMargin)))
 }

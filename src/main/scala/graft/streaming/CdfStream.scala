@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** CHANGE DATA FEED over the q86 keyed-upsert topology (q120/q121): each
+  * micro-batch's MERGE into the bucketed persistent state table
+  * ([[IngestIndex]]) also EMITS the Delta-Lake-style row-level change log
+  * — `insert` for keys the merge first creates, `update_preimage` +
+  * `update_postimage` pairs for keys it revises — written per batch to a
+  * deterministic path. Downstream consumers (incremental materialized
+  * views, replication, audit) read the feed instead of diffing snapshots.
+  *
+  * Why the feed is FREE at scale: the merge already full-outer-joins the
+  * batch delta against exactly the touched buckets' current rows; the
+  * change rows are a projection of that same join, materialized once
+  * (flat-stats local checkpoint) and scanned twice — zero extra reads of
+  * the state table, CDF write IO O(changed keys). This is the argument
+  * Delta's CDF makes (the change files ride the same commit), re-expressed
+  * on the bucketed-manifest layout.
+  *
+  * Replay/restart: the feed write is mode=overwrite at a batchId-derived
+  * path and the merge follows the [[IngestIndex]] contract (batch k reads
+  * manifest v(k), overwrites v(k+1)), so a replayed trigger rewrites
+  * byte-identical state AND byte-identical change rows — the feed is
+  * exactly-once under the same recipe as the table itself.
+  *
+  * TIME TRAVEL (q121): the run keeps `retain` manifest versions, so
+  * [[IngestIndex.tableAt]] can read the state AS OF any retained version
+  * — the Delta/Iceberg `VERSION AS OF` surface on the same layout.
+  *
+  * Unlike the other streaming rigs, this family is fully DuckDB-oracle-
+  * able: the replay slices by `event_id % nBatches` (deterministic, SQL-
+  * reconstructible membership — IngestStream.stageReplay's argument), so
+  * the whole feed equals a batch cumulative-window computation over the
+  * raw events table, and the driver's hash gate checks it end to end.
+  */
+object CdfStream {
+
+  /** One state row per user: the q86 aggregate. The merged sum is cast
+    * back to DECIMAL(18,4) after each addition so the stored schema stays
+    * identical across versions (plus-widening would drift the parquet
+    * decimal precision version by version); values are exact at scale 4
+    * throughout, so batch-wise accumulation equals the one-shot sum. */
+  private val dec = DecimalType(18, 4)
+
+  private val EventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Stage events as `nBatches` replay files; batch k holds the events
+    * with event_id % nBatches == k — a deterministic membership the
+    * DuckDB oracle reconstructs with `event_id % n` (sampled range
+    * boundaries could not be mirrored in SQL). Replayed in k order via
+    * pinned mtimes. */
+  def stageModReplay(spark: SparkSession, sfDir: String, replayDir: String,
+      nBatches: Int = 4): Unit = {
+    val events = graft.Q.events(spark, sfDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(replayDir)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    (0 until nBatches).foreach { k =>
+      val stage = s"$replayDir/_stage$k"
+      events.filter(pmod(col("event_id"), lit(nBatches)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .head
+      val dst = new org.apache.hadoop.fs.Path(dir, f"batch-$k%04d.parquet")
+      fs.rename(part, dst)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      ReplayStage.pinFile(fs, dst, k)
+    }
+  }
+
+  private def aggOf(df: DataFrame): DataFrame =
+    df.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      max(col("ts")).as("last_ts"),
+      sum(col("value").cast(dec)).as("sum_value"))
+
+  /** Run the upsert stream to completion, committing state versions under
+    * `stateDir` (retaining `retain` snapshots) and the change feed under
+    * `cdfDir/b<batchId>`. Returns the final committed version. */
+  def runUpsertCdf(spark: SparkSession, replayDir: String, stateDir: String,
+      cdfDir: String, retain: Int = 8): Long = {
+    var top = 0L
+    val q = spark.readStream
+      .schema(EventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val delta = aggOf(batch)
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val m = IngestIndex.readManifest(fs, stateDir, batchId)
+        val next = batchId + 1
+        val stateMap = IngestIndex.mergeCommit(spark, stateDir, m,
+          "state", next, delta,
+          (cur, d) => {
+            // ONE materialization of (touched current rows ⋈ batch delta);
+            // both the change feed and the merged state project from it —
+            // the state table is never re-read for the feed
+            val j = org.apache.spark.sql.execution.GraftCheckpoint
+              .localCheckpointFlatStats(
+                cur.select(col("user_id"), col("n_events").as("c_n"),
+                    col("last_ts").as("c_ts"), col("sum_value").as("c_sum"))
+                  .join(d, Seq("user_id"), "full_outer"))
+            val changed = j.filter(col("n_events").isNotNull)
+            val post = changed.select(col("user_id"),
+              when(col("c_n").isNull, lit("insert"))
+                .otherwise(lit("update_postimage")).as("op"),
+              (coalesce(col("c_n"), lit(0L)) + col("n_events"))
+                .as("n_events"),
+              greatest(col("c_ts"), col("last_ts")).as("last_ts"),
+              (coalesce(col("c_sum"), lit(0).cast(dec)) + col("sum_value"))
+                .cast(dec).as("sum_value"))
+            val pre = changed.filter(col("c_n").isNotNull)
+              .select(col("user_id"), lit("update_preimage").as("op"),
+                col("c_n").as("n_events"), col("c_ts").as("last_ts"),
+                col("c_sum").cast(dec).as("sum_value"))
+            post.unionByName(pre)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").parquet(s"$cdfDir/b$batchId")
+            j.select(col("user_id"),
+              (coalesce(col("c_n"), lit(0L))
+                + coalesce(col("n_events"), lit(0L))).as("n_events"),
+              greatest(col("c_ts"), col("last_ts")).as("last_ts"),
+              (coalesce(col("c_sum"), lit(0).cast(dec))
+                + coalesce(col("sum_value"), lit(0).cast(dec)))
+                .cast(dec).as("sum_value"))
+          })
+        IngestIndex.writeManifest(fs, stateDir, next,
+          Map("state" -> stateMap))
+        IngestIndex.gc(fs, stateDir, batchId, next, retain)
+        top = math.max(top, next)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    top
+  }
+
+  /** The accumulated change feed (all batches). */
+  def cdfRows(spark: SparkSession, cdfDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(cdfDir)
+}

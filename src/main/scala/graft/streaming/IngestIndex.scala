@@ -216,6 +216,34 @@ object IngestIndex {
       spark.emptyDataFrame).drop("bkt")
   }
 
+  /** TIME-TRAVEL read: `table` exactly as it stood when manifest version
+    * `v` committed (batch k-1's merge commits `v(k)`, so `tableAt(.., k)`
+    * = the state the stream's batch k probed). Only versions inside the
+    * [[gc]] retention window are readable — an evicted snapshot fails
+    * LOUDLY here rather than returning a partial union of whatever dirs
+    * survived. At scale this is the Delta/Iceberg `VERSION AS OF` surface:
+    * the manifest is the snapshot, the bucket dirs are its data files,
+    * and reading an old version costs the same pruned scan as reading the
+    * current one. */
+  def tableAt(spark: SparkSession, stateDir: String, table: String,
+      v: Long): DataFrame = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(fs, stateDir, v)
+    require(m.contains(table),
+      s"no readable snapshot of '$table' at version v$v under $stateDir " +
+        "— the version was never committed or GC evicted it past the " +
+        "retention window (raise the gc retain parameter to keep more)")
+    val missing = m(table).values.map(_.ver).toSet
+      .filterNot(ver => fs.exists(new Path(s"$stateDir/v$ver/$table")))
+    require(missing.isEmpty,
+      s"snapshot v$v of '$table' references GC'd data versions " +
+        s"${missing.toSeq.sorted.mkString(",")} — retention was lowered " +
+        "after the snapshot committed")
+    readTable(spark, stateDir, m, table, None,
+      spark.emptyDataFrame).drop("bkt")
+  }
+
   /** Live bytes of bucket `b`'s current copy (0 when the referenced dir
     * was never materialized — a split child that received no rows). */
   private def liveBytes(fs: FileSystem, stateDir: String, table: String,
@@ -364,23 +392,30 @@ object IngestIndex {
     else { compact(spark, stateDir, top); true }
   }
 
-  /** Delete version dirs older than `prev` that neither `prev`'s nor
-    * `next`'s manifest references — `prev` itself survives for the
-    * crash-replay of the batch that just committed `next`. Returns the
-    * deleted versions (spec observability). */
+  /** Delete version dirs that no RETAINED manifest references. The newest
+    * `retain` manifests (ending at `next`, always including `prev`) stay
+    * fully replayable — their referenced data dirs and their own dirs
+    * survive. The default 2 = {prev, next} is the crash-replay minimum
+    * (prev survives so a crash before the stream checkpoint lands can
+    * replay the batch that committed `next`); a larger `retain` is the
+    * TIME-TRAVEL window — `tableAt` can read any still-retained version
+    * (the Delta/Iceberg snapshot-retention model). Returns the deleted
+    * versions (spec observability). */
   def gc(fs: FileSystem, stateDir: String, prev: Long,
-      next: Long): Seq[Long] = {
-    val referenced =
-      (readManifest(fs, stateDir, prev).values ++
-        readManifest(fs, stateDir, next).values)
-        .flatMap(_.values.map(_.ver)).toSet + prev + next
+      next: Long, retain: Int = 2): Seq[Long] = {
+    val protect =
+      ((next - math.max(retain, 2) + 1) to next).toSet + prev + next
+    val referenced = protect.toSeq.sorted
+      .flatMap(v => readManifest(fs, stateDir, v).values)
+      .flatMap(_.values.map(_.ver)).toSet ++ protect
     val root = new Path(stateDir)
     if (!fs.exists(root)) return Nil
+    val floor = protect.min
     // v-?: compaction epoch dirs (negative versions) are GC'd by the
     // same reference rule once a later epoch supersedes them
     val dead = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.matches("v-?\\d+")).map(_.drop(1).toLong)
-      .filter(v => v < prev && !referenced.contains(v))
+      .filter(v => v < floor && !referenced.contains(v))
       .sorted.toSeq
     dead.foreach(v => fs.delete(new Path(s"$stateDir/v$v"), true))
     dead

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q120/q121 laws the DuckDB oracle can't see from outside the stream:
+  * the feed FOLDS back to the table (applying each user's last change
+  * equals the final state, which equals the one-shot batch aggregate),
+  * preimages chain to the previous postimage (the CDC-consumer
+  * contract), snapshots read through retained manifests equal direct
+  * recomputation over their batches' slices, and eviction past the
+  * retention window fails LOUDLY instead of returning a partial union.
+  */
+class CdfSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val rig: (String, String, Long) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdfspec")
+    val replay = s"$base/replay"
+    CdfStream.stageModReplay(spark, sfDir, replay, nBatches = 4)
+    val top = CdfStream.runUpsertCdf(spark, replay, s"$base/state",
+      s"$base/cdf", retain = 8)
+    (s"$base/state", s"$base/cdf", top)
+  }
+
+  private def key(df: DataFrame): Map[Long, (Long, Long, BigDecimal)] =
+    df.select(col("user_id"), col("n_events"),
+        unix_micros(col("last_ts")).as("us"),
+        col("sum_value").cast(DecimalType(18, 4)))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3))))).toMap
+
+  test("q120: change-feed postimages fold back to the final state, " +
+    "which equals the one-shot batch aggregate") {
+    val (state, cdf, top) = rig
+    assert(top === 4L, "4 staged slices must replay as 4 micro-batches")
+    val finalState = key(IngestIndex.tableAt(spark, state, "state", top))
+    val batchTwin = key(graft.Q.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_value")))
+    assert(finalState === batchTwin)
+    // last change per user (max batch_id; insert or postimage) == final
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("batch_id").desc)
+    val folded = key(CdfStream.cdfRows(spark, cdf)
+      .filter(col("op") =!= "update_preimage")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1))
+    assert(folded === finalState)
+  }
+
+  test("q120: every preimage equals the user's previous postimage") {
+    val (_, cdf, _) = rig
+    val rows = CdfStream.cdfRows(spark, cdf)
+    val pre = rows.filter(col("op") === "update_preimage").as("p")
+    // the previous change of (user, b) is the post/insert row at the
+    // user's max batch_id < b — join and compare all payload columns
+    val post = rows.filter(col("op") =!= "update_preimage").as("q")
+    val joined = pre.join(post, col("p.user_id") === col("q.user_id")
+        && col("q.batch_id") < col("p.batch_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p.user_id"), col("p.batch_id"))
+          .orderBy(col("q.batch_id").desc)))
+      .filter(col("rn") === 1)
+    assert(joined.count() ===
+      rows.filter(col("op") === "update_preimage").count(),
+      "every preimage must have a predecessor change")
+    val bad = joined.filter(
+      col("p.n_events") =!= col("q.n_events")
+        || col("p.last_ts") =!= col("q.last_ts")
+        || col("p.sum_value").cast(DecimalType(18, 4)) =!=
+          col("q.sum_value").cast(DecimalType(18, 4)))
+    assert(bad.count() === 0L)
+  }
+
+  test("q121: retained snapshots equal direct recomputation per slice " +
+    "prefix") {
+    val (state, _, _) = rig
+    val e = graft.Q.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("b", pmod(col("event_id"), lit(4)))
+    (1L to 4L).foreach { v =>
+      val snap = key(IngestIndex.tableAt(spark, state, "state", v))
+      val direct = key(e.filter(col("b") < v).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"),
+          sum(col("value").cast(DecimalType(18, 4))).as("sum_value")))
+      assert(snap === direct, s"snapshot v$v")
+    }
+  }
+
+  test("q121: eviction past the retention window fails loudly") {
+    // replay a twin with the crash-replay-minimum retention: old
+    // manifests are GC'd, and the AS-OF read must throw a named error,
+    // not silently union surviving dirs
+    val base = java.nio.file.Files.createTempDirectory("graft-cdfspec2")
+    val replay = s"$base/replay"
+    CdfStream.stageModReplay(spark, sfDir, replay, nBatches = 4)
+    val top = CdfStream.runUpsertCdf(spark, replay, s"$base/state",
+      s"$base/cdf", retain = 2)
+    assert(top === 4L)
+    // current + prev stay readable under the minimum window
+    assert(IngestIndex.tableAt(spark, s"$base/state", "state", top)
+      .count() > 0)
+    val ex = intercept[IllegalArgumentException] {
+      IngestIndex.tableAt(spark, s"$base/state", "state", 1L)
+    }
+    assert(ex.getMessage.contains("retention"))
+  }
+}
