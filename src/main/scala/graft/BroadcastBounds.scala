@@ -75,6 +75,10 @@ object BroadcastBounds {
     "mg-candidates" -> Bound(Fixed,
       "Misra-Gries candidate tokens: <= sketch capacity (4096) rows by " +
         "construction, whatever the vocabulary size"),
+    "rerank-candidates" -> Bound(Fixed,
+      "the fused retrieval candidate set: <= 10 rows by the q119 LIMIT, " +
+        "a per-query constant — reranking joins candidates back to their " +
+        "documents/embeddings, never the corpus to itself"),
     "cdc-batch" -> Bound(External,
       "an SCD2 merge batch is bounded by the ingest batch window, not by " +
         "the dimension it merges into; a batch too large to broadcast " +

@@ -110,6 +110,71 @@ object Retrieval {
       .select(col("doc_id"), col("score"))
   }
 
+  /** q119's fused hybrid candidates (top-10 by RRF over the BM25 +
+    * dense-cosine arms), shared with q122's reranker. Each arm computes
+    * its top-20 distributedly (TakeOrderedAndProject — no global window
+    * over the corpus; the rank window runs on the 20 surviving rows);
+    * the fusion is a 20x20 full-outer join of two driver-scale frames.
+    * Doc ids double as vec ids (the corpus contract); id 0 is the query
+    * and is excluded from both arms. */
+  private def hybridFused(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25Scores(s, d).filter(col("doc_id") =!= 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rank", row_number().over(rankW))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val dense = e.filter(col("vec_id") =!= 0)
+      .crossJoin(graft.BroadcastBounds.bounded("single-query-probe")(q))
+      .select(col("vec_id").as("doc_id"),
+        r4(expr("cosine_sim(embedding, qe)")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("dense_rank", row_number().over(rankW))
+      .select(col("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", r4(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("dense_rank")),
+            lit(0.0))))
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** DuckDB twin of [[hybridFused]]: a CTE chain ending in `fused` =
+    * (doc_id, lex_rank, dense_rank, rrf), top-10 — shared by the q119
+    * and q122 oracles. */
+  private val HYBRID_SQL_CTES: String =
+    s"""$BM25_SQL_CTES,
+       |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |      ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+       |  FROM sc WHERE score > 0 AND doc_id <> 0
+       |  ORDER BY score DESC, doc_id LIMIT 20),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |dsc AS (SELECT c.vec_id AS doc_id,
+       |    CAST(ROUND(list_cosine_similarity(
+       |      CAST(c.embedding AS DOUBLE[]),
+       |      CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS score
+       |  FROM embeddings c, q
+       |  WHERE c.vec_id <> 0 AND c.embedding IS NOT NULL),
+       |den AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |      ORDER BY score DESC, doc_id) AS INT) AS dense_rank
+       |  FROM dsc ORDER BY score DESC, doc_id LIMIT 20),
+       |fused AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+       |  l.lex_rank, r.dense_rank,
+       |  CAST(ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0)
+       |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r.dense_rank), 0), 4)
+       |    AS DOUBLE)
+       |    AS rrf
+       |FROM lex l FULL OUTER JOIN den r ON l.doc_id = r.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Q63 BM25 scoring (Okapi, k1=1.2 b=0.75) ------------------------------
@@ -412,55 +477,116 @@ object Retrieval {
     // engines; order + output both use the r4-rounded value so a
     // rounding collision cannot reorder rows differently per engine.
     QueryDef("q119_hybrid_rrf",
+      (s, d) => hybridFused(s, d)
+        .orderBy(col("rrf").desc, col("doc_id")),
+      Some(s"""WITH $HYBRID_SQL_CTES
+             |SELECT doc_id, lex_rank, dense_rank, rrf FROM fused
+             |ORDER BY rrf DESC, doc_id""".stripMargin)),
+
+    // Q122 CROSS-ENCODER RERANK (r14): the third stage of the production
+    // retrieval pipeline (retrieve -> fuse -> rerank): q119's fused
+    // candidates are re-scored by a query-document INTERACTION model —
+    // features only computable with both sides in hand (query-term
+    // coverage, earliest-match position, in-order adjacent-bigram hit,
+    // dense similarity), combined under fixed literal weights (q91's
+    // literal-model pattern standing in for learned cross-encoder
+    // weights; the plumbing — candidate-bounded scoring, feature
+    // extraction, rank diff — is the real thing). At 100 TB the cost
+    // shape is the point: the interaction scoring touches ONLY the
+    // candidate set (10 rows joined back to their documents/embeddings
+    // through a broadcast), never the corpus — reranking cost is
+    // O(candidates), independent of corpus size, which is why real
+    // stacks afford an expensive model there. All feature arithmetic is
+    // integer-derived or pre-rounded doubles, so both engines combine
+    // identical IEEE values; the final mix goes through f4.
+    QueryDef("q122_cross_encoder_rerank",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val rankW = org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("doc_id"))
-        val lex = bm25Scores(s, d).filter(col("doc_id") =!= 0)
-          .orderBy(col("score").desc, col("doc_id")).limit(20)
-          .withColumn("lex_rank", row_number().over(rankW))
-          .select(col("doc_id"), col("lex_rank"))
+        val fusedW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col("doc_id"))
+        val cand = graft.BroadcastBounds.bounded("rerank-candidates")(
+          hybridFused(s, d)
+            .withColumn("fused_rank",
+              row_number().over(fusedW).cast(IntegerType))
+            .select(col("doc_id"), col("rrf"), col("fused_rank")))
+        val docs = toks(s, d).select(col("doc_id"), col("text"), col("toks"))
         val e = t(s, d, "embeddings").filter(col("embedding").isNotNull)
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qe"))
-        val dense = e.filter(col("vec_id") =!= 0)
+        val Sentinel = 1000000L
+        val cov = Bm25Terms.map(t0 =>
+            when(array_contains(col("toks"), t0), 1).otherwise(0))
+          .reduce(_ + _).cast(DoubleType) / lit(3.0)
+        val fp = least(Bm25Terms.map(t0 => coalesce(
+          nullif(array_position(col("toks"), lit(t0)), lit(0L)),
+          lit(Sentinel))): _*)
+        val early = when(fp >= Sentinel, lit(0.0))
+          .otherwise(lit(1.0) / (lit(1.0) + fp.cast(DoubleType)))
+        val pad = concat(lit(" "), col("text"), lit(" "))
+        val big = when(Bm25Terms.sliding(2).map(p =>
+            locate(s" ${p.head} ${p.last} ", pad) > 0)
+          .reduce(_ || _), lit(1.0)).otherwise(lit(0.0))
+        val cosd = coalesce(r4(expr("cosine_sim(embedding, qe)")), lit(0.0))
+        val scored = docs.join(cand, "doc_id")
+          .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left")
           .crossJoin(graft.BroadcastBounds.bounded("single-query-probe")(q))
-          .select(col("vec_id").as("doc_id"),
-            r4(expr("cosine_sim(embedding, qe)")).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(20)
-          .withColumn("dense_rank", row_number().over(rankW))
-          .select(col("doc_id"), col("dense_rank"))
-        lex.join(dense, Seq("doc_id"), "full_outer")
-          .withColumn("rrf", r4(
-            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
-              + coalesce(lit(1.0) / (lit(60) + col("dense_rank")),
-                lit(0.0))))
-          .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
-            col("rrf"))
-          .orderBy(col("rrf").desc, col("doc_id"))
-          .limit(10)
+          .withColumn("cov", cov).withColumn("early", early)
+          .withColumn("bigram", big).withColumn("cosd", cosd)
+          .withColumn("ce_score", f4(lit(0.4) * col("cov")
+            + lit(0.2) * col("early") + lit(0.15) * col("bigram")
+            + lit(0.25) * col("cosd")))
+        val ceW = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ce_score").desc, col("doc_id"))
+        scored
+          .withColumn("ce_rank", row_number().over(ceW).cast(IntegerType))
+          .select(col("doc_id"), col("rrf"), col("fused_rank"),
+            col("ce_score"), col("ce_rank"),
+            (col("fused_rank") - col("ce_rank")).as("rank_delta"))
+          .orderBy("ce_rank")
       },
-      Some(s"""WITH $BM25_SQL_CTES,
-             |lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
-             |      ORDER BY score DESC, doc_id) AS INT) AS lex_rank
-             |  FROM sc WHERE score > 0 AND doc_id <> 0
-             |  ORDER BY score DESC, doc_id LIMIT 20),
-             |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-             |dsc AS (SELECT c.vec_id AS doc_id,
-             |    CAST(ROUND(list_cosine_similarity(
-             |      CAST(c.embedding AS DOUBLE[]),
-             |      CAST(q.qe AS DOUBLE[])), 4) AS DOUBLE) AS score
-             |  FROM embeddings c, q
-             |  WHERE c.vec_id <> 0 AND c.embedding IS NOT NULL),
-             |den AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
-             |      ORDER BY score DESC, doc_id) AS INT) AS dense_rank
-             |  FROM dsc ORDER BY score DESC, doc_id LIMIT 20)
-             |SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
-             |  l.lex_rank, r.dense_rank,
-             |  CAST(ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0)
-             |    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r.dense_rank), 0), 4)
-             |    AS DOUBLE)
-             |    AS rrf
-             |FROM lex l FULL OUTER JOIN den r ON l.doc_id = r.doc_id
-             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)))
+      Some(s"""WITH $HYBRID_SQL_CTES,
+             |cand AS (SELECT doc_id, rrf, CAST(ROW_NUMBER() OVER (
+             |      ORDER BY rrf DESC, doc_id) AS INT) AS fused_rank
+             |  FROM fused),
+             |emb AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE embedding IS NOT NULL),
+             |qv AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0),
+             |ft AS (SELECT c.doc_id, c.rrf, c.fused_rank, d.text,
+             |    string_split(d.text, ' ') AS toks
+             |  FROM cand c JOIN documents d ON d.doc_id = c.doc_id),
+             |fe AS (SELECT doc_id, rrf, fused_rank,
+             |    CAST(${Bm25Terms.map(t0 =>
+                    s"(CASE WHEN list_contains(toks, '$t0') THEN 1 ELSE 0 END)")
+                    .mkString(" + ")} AS DOUBLE) / CAST(3.0 AS DOUBLE) AS cov,
+             |    LEAST(${Bm25Terms.map(t0 =>
+                    s"COALESCE(NULLIF(list_position(toks, '$t0'), 0), 1000000)")
+                    .mkString(", ")}) AS fp,
+             |    CASE WHEN ${Bm25Terms.sliding(2).map(p =>
+                    s"position(' ${p.head} ${p.last} ' IN ' ' || text || ' ') > 0")
+                    .mkString(" OR ")}
+             |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             |      AS bigram
+             |  FROM ft),
+             |sc2 AS (SELECT fe.doc_id, fe.rrf, fe.fused_rank,
+             |    fe.cov,
+             |    CASE WHEN fe.fp >= 1000000 THEN CAST(0.0 AS DOUBLE)
+             |      ELSE CAST(1.0 AS DOUBLE)
+             |        / (CAST(1.0 AS DOUBLE) + CAST(fe.fp AS DOUBLE)) END
+             |      AS early,
+             |    fe.bigram,
+             |    COALESCE(CAST(ROUND(list_cosine_similarity(
+             |        CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])),
+             |      4) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS cosd
+             |  FROM fe LEFT JOIN emb e ON e.vec_id = fe.doc_id CROSS JOIN qv q),
+             |fin AS (SELECT doc_id, rrf, fused_rank,
+             |    ${F4("0.4 * cov + 0.2 * early + 0.15 * bigram + 0.25 * cosd")}
+             |      AS ce_score
+             |  FROM sc2)
+             |SELECT doc_id, rrf, fused_rank, ce_score,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY ce_score DESC, doc_id) AS INT)
+             |    AS ce_rank,
+             |  fused_rank - CAST(ROW_NUMBER() OVER (
+             |    ORDER BY ce_score DESC, doc_id) AS INT) AS rank_delta
+             |FROM fin ORDER BY ce_rank""".stripMargin)))
 }

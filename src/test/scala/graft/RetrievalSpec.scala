@@ -98,4 +98,26 @@ class RetrievalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q122: reranking permutes exactly the q119 candidate set and " +
+    "rank bookkeeping is consistent") {
+    val fused = queries.Retrieval.defs.find(_.name == "q119_hybrid_rrf").get
+      .run(spark, dir).collect()
+    val rr = queries.Retrieval.defs
+      .find(_.name == "q122_cross_encoder_rerank").get
+      .run(spark, dir).collect()
+    // same doc set, no additions or losses
+    assert(rr.map(_.getAs[Long]("doc_id")).toSet ===
+      fused.map(_.getAs[Long]("doc_id")).toSet)
+    // ce_rank is a 1..k permutation, rows emitted in ce_rank order,
+    // ce_score non-increasing along it, deltas cancel (a permutation
+    // conserves total rank)
+    val ranks = rr.map(_.getAs[Int]("ce_rank")).toSeq
+    assert(ranks == (1 to rr.length))
+    val scores = rr.map(_.getAs[Double]("ce_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rr.map(_.getAs[Int]("rank_delta")).sum === 0)
+    assert(rr.forall(r => r.getAs[Int]("fused_rank") - r.getAs[Int]("ce_rank")
+      === r.getAs[Int]("rank_delta")))
+  }
 }
