@@ -420,5 +420,45 @@ object StreamingDemo {
              |      AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
              |  FROM e, (VALUES (2), (4)) AS v(v)
              |  WHERE e.b < v.v GROUP BY v.v, user_id)
-             |SELECT * FROM snap ORDER BY as_of_version, user_id""".stripMargin)))
+             |SELECT * FROM snap ORDER BY as_of_version, user_id""".stripMargin)),
+
+    // Q123 INCREMENTAL VIEW MAINTENANCE (r14): the CONSUMER side of the
+    // q120 change feed — a per-nation rollup maintained from change rows
+    // alone (each change contributes postimage - preimage; the signed
+    // deltas telescope to the final per-user state, then roll up through
+    // the broadcast-gated user->nation dim), never touching the raw
+    // events or the state table. This is the Delta-CDF materialized-view
+    // pattern: at crawl scale the view update reads O(changed keys) per
+    // refresh instead of rescanning an unbounded fact table; here the
+    // full feed replays in one pass and the oracle recomputes the view
+    // directly from raw events, so the hash proves the delta algebra.
+    QueryDef("q123_incremental_view",
+      (s, d) => {
+        val (_, cdf, _) = cdfRigFor(s, d)
+        val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+        val sign = when(col("op") === "update_preimage", lit(-1L))
+          .otherwise(lit(1L))
+        val perUser = graft.streaming.CdfStream.cdfRows(s, cdf)
+          .groupBy("user_id")
+          .agg(sum(sign * col("n_events")).as("n"),
+            sum((sign.cast(dec) * col("sum_value").cast(dec)).cast(dec))
+              .as("sv"))
+        val dim = graft.streaming.EventStream.userNationDim(s, d)
+        perUser.join(dim, "user_id")
+          .groupBy("nation")
+          .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+            sum(col("sv")).cast(dec)
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("nation")
+      },
+      Some(s"""WITH per AS (SELECT user_id, COUNT(*) AS n,
+             |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+             |  FROM events GROUP BY user_id),
+             |dim AS (SELECT c_custkey AS user_id, n_name AS nation
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT nation, COUNT(*) AS n_users,
+             |  CAST(SUM(n) AS BIGINT) AS n_events,
+             |  CAST(CAST(SUM(sv) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM per JOIN dim USING (user_id)
+             |GROUP BY nation ORDER BY nation""".stripMargin)))
 }
