@@ -115,7 +115,9 @@ object Layout {
   private[graft] def writeStatsManifest(s: SparkSession, path: String,
       cols: Seq[String]): Unit = {
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))) :+
+      count(lit(1)).as("cnt") // per-file row count: q124's metadata-only
+    //                           aggregates answer from this, zero data IO
     s.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -151,6 +153,42 @@ object Layout {
     val (bul, buh, bvl, bvh) = boxBounds(ur, vr)
     statsPrunedFiles(s, path,
       Seq(("user_id", bul, buh), ("value", bvl, bvh)))
+  }
+
+  /** METADATA-ONLY box count (q124 — Iceberg/Delta's "answer from
+    * manifests" pattern): a file whose per-column stats prove FULL
+    * containment in every interval contributes its manifest row count
+    * with zero data IO; only files STRADDLING a box edge are scanned
+    * (with the exact residual filter). At 100 TB with tight z-clustered
+    * files, interior files dominate any large box, so the count touches
+    * O(perimeter) files instead of O(area) — and a full-table count
+    * touches none at all. Returns (count, filesMetaCounted, filesScanned,
+    * filesTotal); the driver-side manifest collect is one row per file
+    * (the same bound statsPrunedFiles already carries). */
+  private[graft] def metadataCount(s: SparkSession, path: String,
+      boxes: Seq[(String, Double, Double)]): (Long, Long, Long, Long) = {
+    val m = s.read.parquet(s"$path/_manifest")
+    val inter = boxes.map { case (c, lo, hi) =>
+      col(s"${c}__max").cast(DoubleType) >= lo &&
+        col(s"${c}__min").cast(DoubleType) < hi
+    }.reduce(_ && _)
+    val full = boxes.map { case (c, lo, hi) =>
+      col(s"${c}__min").cast(DoubleType) >= lo &&
+        col(s"${c}__max").cast(DoubleType) < hi
+    }.reduce(_ && _)
+    val rows = m.filter(inter)
+      .select(col("file"), col("cnt"), full.as("full")).collect()
+    val metaCnt = rows.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+    val scanFiles = rows.filterNot(_.getBoolean(2)).map(_.getString(0))
+    val scanned =
+      if (scanFiles.isEmpty) 0L
+      else s.read.parquet(scanFiles.toSeq: _*)
+        .filter(boxes.map { case (c, lo, hi) =>
+          col(c).cast(DoubleType) >= lo && col(c).cast(DoubleType) < hi
+        }.reduce(_ && _))
+        .count()
+    (metaCnt + scanned, rows.count(_.getBoolean(2)).toLong,
+      scanFiles.length.toLong, m.count())
   }
 
   /** Read a layout through its stats manifest: only FILES intersecting
@@ -394,5 +432,54 @@ object Layout {
              |WHERE CAST(event_id AS DOUBLE) >= bel
              |  AND CAST(event_id AS DOUBLE) < beh
              |  AND value >= bvl AND value < bvh
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Q124 METADATA-ONLY COUNT (r14): COUNT(*) under a 2-D box answered
+    // from the file-stats manifest — fully-contained files contribute
+    // their manifest row counts with ZERO data IO; only edge-straddling
+    // files are scanned with the exact residual filter (Iceberg/Delta's
+    // metadata-query pattern; the full-table count reads no data files
+    // at all). Three boxes of growing size share one z-layout; the
+    // oracle recomputes each count directly from the raw table, so hash
+    // equality proves the containment algebra AND the manifest counts.
+    // LakeLayoutSpec pins the IO claim itself (interior files metadata-
+    // counted, only perimeter files scanned, full box scans nothing).
+    QueryDef("q124_metadata_count",
+      (s, d) => {
+        val (ev, ur, vr) = eventRanges(s, d)
+        val path = stagePath(s, "metacount", d)
+        zOrderWrite(ev, col("user_id"), col("value"), ur, vr, path)
+        writeManifest(s, path)
+        val (bul, buh, bvl, bvh) = boxBounds(ur, vr)
+        val boxes = Seq(
+          1 -> Seq(("user_id", bul, buh), ("value", bvl, bvh)),
+          2 -> Seq(("user_id", ur._1, ur._1 + 0.5 * (ur._2 - ur._1)),
+            ("value", vr._1, vr._1 + 0.5 * (vr._2 - vr._1))),
+          3 -> Seq(("user_id", ur._1, ur._2 + 1.0),
+            ("value", vr._1, vr._2 + 1.0)))
+        val sp = s
+        import sp.implicits._
+        boxes.map { case (id, bs) =>
+          (id, metadataCount(s, path, bs)._1)
+        }.toDF("box_id", "n_rows").orderBy("box_id")
+      },
+      Some(s"""WITH ev AS (${Q.EVENTS_SQL}),
+             |st AS (SELECT CAST(MIN(user_id) AS DOUBLE) AS ulo,
+             |    CAST(MAX(user_id) AS DOUBLE) AS uhi,
+             |    MIN(value) AS vlo, MAX(value) AS vhi FROM ev),
+             |boxes AS (
+             |  SELECT 1 AS box_id, ulo + 0.25 * (uhi - ulo) AS bul,
+             |    ulo + 0.375 * (uhi - ulo) AS buh,
+             |    vlo + 0.25 * (vhi - vlo) AS bvl,
+             |    vlo + 0.375 * (vhi - vlo) AS bvh FROM st
+             |  UNION ALL SELECT 2, ulo, ulo + 0.5 * (uhi - ulo),
+             |    vlo, vlo + 0.5 * (vhi - vlo) FROM st
+             |  UNION ALL SELECT 3, ulo, uhi + 1, vlo, vhi + 1 FROM st)
+             |SELECT CAST(b.box_id AS INT) AS box_id,
+             |  COUNT(e.value) AS n_rows
+             |FROM boxes b LEFT JOIN ev e
+             |  ON CAST(e.user_id AS DOUBLE) >= b.bul
+             |  AND CAST(e.user_id AS DOUBLE) < b.buh
+             |  AND e.value >= b.bvl AND e.value < b.bvh
+             |GROUP BY b.box_id ORDER BY box_id""".stripMargin)))
 }

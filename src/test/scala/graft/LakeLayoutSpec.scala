@@ -169,4 +169,52 @@ class LakeLayoutSpec extends AnyFunSuite {
       assert(pruned == full, "manifest pruning changed the box result")
     }
   }
+
+  test("q124 metadata count: interior files counted from the manifest, " +
+    "only perimeter files scanned, full box touches zero data files") {
+    val spark = TestSpark.spark
+    withTempDir { base =>
+      val (ev, ur, vr) = graft.queries.Layout.eventRanges(spark, dir)
+      graft.queries.Layout.zOrderWrite(ev, col("user_id"), col("value"),
+        ur, vr, s"$base/z")
+      graft.queries.Layout.writeManifest(spark, s"$base/z")
+      def exact(bs: Seq[(String, Double, Double)]): Long =
+        bs.foldLeft(ev) { case (df, (c, lo, hi)) =>
+          df.filter(col(c).cast("double") >= lo &&
+            col(c).cast("double") < hi)
+        }.count()
+      // the half box: big enough that z-clustering yields interior files
+      val half = Seq(
+        ("user_id", ur._1, ur._1 + 0.5 * (ur._2 - ur._1)),
+        ("value", vr._1, vr._1 + 0.5 * (vr._2 - vr._1)))
+      val (n, metaFiles, scanFiles, total) =
+        graft.queries.Layout.metadataCount(spark, s"$base/z", half)
+      assert(n === exact(half), "metadata count != exact count")
+      assert(metaFiles + scanFiles < total,
+        "the box must exclude at least one file outright")
+      assert(scanFiles < total,
+        "scanning every file means the metadata path did nothing")
+      // the full box: EVERY file fully contained — zero data IO
+      val fullBox = Seq(("user_id", ur._1, ur._2 + 1.0),
+        ("value", vr._1, vr._2 + 1.0))
+      val (nf, mf, sf, tf) =
+        graft.queries.Layout.metadataCount(spark, s"$base/z", fullBox)
+      assert(nf === ev.count())
+      assert(sf === 0L, s"full-table count scanned $sf files")
+      assert(mf === tf, "every file must be metadata-counted")
+      // law under arbitrary boxes: metadata+perimeter == exact
+      val rnd = new scala.util.Random(7)
+      (1 to 5).foreach { _ =>
+        val f1 = rnd.nextDouble(); val f2 = rnd.nextDouble()
+        val g1 = rnd.nextDouble(); val g2 = rnd.nextDouble()
+        val bs = Seq(
+          ("user_id", ur._1 + math.min(f1, f2) * (ur._2 - ur._1),
+            ur._1 + math.max(f1, f2) * (ur._2 - ur._1)),
+          ("value", vr._1 + math.min(g1, g2) * (vr._2 - vr._1),
+            vr._1 + math.max(g1, g2) * (vr._2 - vr._1)))
+        assert(graft.queries.Layout.metadataCount(
+          spark, s"$base/z", bs)._1 === exact(bs))
+      }
+    }
+  }
 }
