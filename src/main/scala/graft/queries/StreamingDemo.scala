@@ -63,24 +63,40 @@ object StreamingDemo {
       replay
     })
 
-  /** q120/q121's rig: ONE upsert-with-change-feed replay per sfDir —
-    * (stateDir, cdfDir, top version). Both queries read files the run
-    * committed, so the stream cost is paid once and shared. retain=8
-    * keeps every manifest of the 4-batch replay readable for q121's
-    * AS-OF reads (production sets retention to the time-travel SLA). */
+  /** The mod-4 events replay staging for the CDF family (staging is rig
+    * work, memoized like the other replay dirs). */
+  private val stagedCdfReplay =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdfReplayFor(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): String =
+    stagedCdfReplay.computeIfAbsent(sfDir, _ => {
+      val replay =
+        s"${java.nio.file.Files.createTempDirectory("graft-q120")}/replay"
+      graft.streaming.CdfStream.stageModReplay(s, sfDir, replay, nBatches = 4)
+      replay
+    })
+
+  /** q121/q123's PRODUCER rig: one completed upsert-with-change-feed run
+    * per sfDir — (stateDir, cdfDir, top version). Those two queries'
+    * operators are READS of committed artifacts (AS-OF snapshots, the
+    * feed fold), so the producing stream is rig work for them and runs
+    * once; q120 — whose operator IS the emitting stream — pays a fresh
+    * run every invocation instead (the q86/q104 billing convention).
+    * retain=8 keeps every manifest of the 4-batch replay readable for
+    * q121's AS-OF reads (production sets retention to the time-travel
+    * SLA). */
   private val cdfRig = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String, Long)]()
 
   private def cdfRigFor(s: org.apache.spark.sql.SparkSession,
       sfDir: String): (String, String, Long) =
     cdfRig.computeIfAbsent(sfDir, _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-q120")
-      val replay = s"$base/replay"
+      val base = java.nio.file.Files.createTempDirectory("graft-q120rig")
       val state = s"$base/state"
       val cdf = s"$base/cdf"
-      graft.streaming.CdfStream.stageModReplay(s, sfDir, replay, nBatches = 4)
       val top = graft.streaming.CdfStream.runUpsertCdf(
-        streamSession(s), replay, state, cdf, retain = 8)
+        streamSession(s), cdfReplayFor(s, sfDir), state, cdf, retain = 8)
       (state, cdf, top)
     })
 
@@ -92,6 +108,8 @@ object StreamingDemo {
     replayDirFor(s, sfDir)
     docReplayDirFor(s, sfDir)
     ingestReplayDirFor(s, sfDir)
+    cdfReplayFor(s, sfDir)
+    cdfRigFor(s, sfDir) // q121/q123's producer run (rig work for READ ops)
     ()
   }
 
@@ -357,7 +375,10 @@ object StreamingDemo {
     // end (every earlier streaming rig could only pin batch-twin flags).
     QueryDef("q120_change_data_feed",
       (s, d) => {
-        val (_, cdf, _) = cdfRigFor(s, d)
+        val base = java.nio.file.Files.createTempDirectory("graft-q120run")
+        val cdf = s"$base/cdf"
+        graft.streaming.CdfStream.runUpsertCdf(streamSession(s),
+          cdfReplayFor(s, d), s"$base/state", cdf, retain = 8)
         graft.streaming.CdfStream.cdfRows(s, cdf)
           .select(col("user_id"), col("batch_id"), col("op"),
             col("n_events"), unix_micros(col("last_ts")).as("last_ts_us"),
