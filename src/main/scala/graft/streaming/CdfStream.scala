@@ -131,9 +131,10 @@ object CdfStream {
               .select(col("user_id"), lit("update_preimage").as("op"),
                 col("c_n").as("n_events"), col("c_ts").as("last_ts"),
                 col("c_sum").cast(dec).as("sum_value"))
-            post.unionByName(pre)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite").parquet(s"$cdfDir/b$batchId")
+            StreamPlans.recordPlan("q120_cdf_emit",
+              org.apache.spark.sql.execution.GraftWrite.parquetCaptured(
+                post.unionByName(pre).withColumn("batch_id", lit(batchId)),
+                s"$cdfDir/b$batchId", Seq.empty))
             j.select(col("user_id"),
               (coalesce(col("c_n"), lit(0L))
                 + coalesce(col("n_events"), lit(0L))).as("n_events"),

@@ -315,6 +315,46 @@ object DumpPlans {
         |skip row groups via the widened integral guard, then the exact
         |double box filters rows — three nested sieves, hash-equal to
         |the oracle's aggregate over the original table.""".stripMargin,
+    "q119_hybrid_rrf" ->
+      """Hybrid retrieval fusion: each arm ends in TakeOrderedAndProject
+        |(per-task heaps + driver merge — no corpus-wide sort or window;
+        |the rank window runs over the 20 survivors), the BM25 arm's
+        |corpus stats are two broadcast one-row aggregates, the dense arm
+        |is one codegen'd cosine Project over the vector scan, and the
+        |RRF fusion is a full-outer join of two 20-row frames. Nothing
+        |after the arms touches the corpus.""".stripMargin,
+    "q122_cross_encoder_rerank" ->
+      """The rerank stage: the 10 fused candidates ride as a BROADCAST
+        |build side into the documents scan (BroadcastHashJoin — the
+        |corpus streams past a 10-row hash table; at 100 TB this is why
+        |reranking affords an expensive model: cost is O(candidates)),
+        |embeddings attach the same way, and the interaction features +
+        |weighted mix are one codegen'd Project over the 10 surviving
+        |rows. The candidate stage above is q119's plan verbatim.""".stripMargin,
+    "q121_time_travel" ->
+      """VERSION AS OF reads: each snapshot is a union of parquet scans,
+        |one per source version the manifest maps live buckets to, each
+        |pruned by its bkt partition filter at the file listing — an old
+        |version costs the same pruned scan as the current one; the
+        |manifest (not the plan) is what changed between the two AS-OF
+        |frames unioned here. GC retention (gc retain=N) is what keeps
+        |the older manifest's referenced dirs alive.""".stripMargin,
+    "q123_incremental_view" ->
+      """CDF-consuming view maintenance: one scan of the change feed (the
+        |only fact-sized input — O(changed keys) per refresh at crawl
+        |scale, never the raw events), a per-user partial+final aggregate
+        |of the signed postimage-preimage deltas, a broadcast join to the
+        |measured-gated user->nation dim, and a 25-row final rollup. The
+        |raw events table appears nowhere in this plan — that is the
+        |operator's claim.""".stripMargin,
+    "q124_metadata_count" ->
+      """Metadata-only counting: the final frame is a LocalTableScan BY
+        |DESIGN — each box's count was assembled from (a) the 16-row
+        |manifest (fully-contained files contribute their stored counts,
+        |zero data IO) and (b) an exact-filtered scan of ONLY the
+        |edge-straddling files; the full-table box runs no data scan at
+        |all. LakeLayoutSpec pins the IO claims; the oracle pins the
+        |counts.""".stripMargin,
     "q115_kll_quantile_rollup" ->
       """Mergeable quantile cube: per-slice KLL sketches + exact audit
         |percentiles in one partial+final aggregate over the fact scan;
@@ -536,7 +576,7 @@ object DumpPlans {
     Seq("q33_streaming_tumbling", "q50_streaming_sessions",
       "q53_streaming_neardup", "q86_streaming_upsert",
       "q81_streaming_enrich", "q104_streaming_ingest_dedup",
-      "q111_streaming_heavy_hitters")
+      "q111_streaming_heavy_hitters", "q120_change_data_feed")
       .foreach(n => graft.SparkEntry.queries(n)(spark, sfDir).collect())
     // captured at AvailableNow's FINAL trigger — the watermark-flush batch,
     // whose source slice is empty (a data trigger carries its file slice in
@@ -616,6 +656,17 @@ object DumpPlans {
           |hash-equals batch q99 under any slicing
           |(HitterStreamSpec).""".stripMargin,
         plan("q111_streaming_sketch")),
+      ("q120_change_data_feed (per-micro-batch CDF-emit frame)",
+        """The change-feed write each trigger repeats: the feed rows are a
+          |pure PROJECTION of the one materialized (touched-state ⋈
+          |batch-delta) full-outer join the merge already built (Scan
+          |ExistingRDD — the flat-stats checkpoint; the state table is
+          |never re-read for the feed), split into post/insert and
+          |preimage branches by a union, written overwrite at a
+          |batchId-deterministic path. CDF IO is O(changed keys) per
+          |trigger; exactly-once by the same replay recipe as the table
+          |(CdfSpec).""".stripMargin,
+        plan("q120_cdf_emit")),
       ("q104_streaming_ingest_dedup (per-micro-batch probe frame)",
         """Continuous ingest-dedup's foreachBatch probe (the streaming plan
           |proper is scan -> sink; this is the per-trigger work): the
