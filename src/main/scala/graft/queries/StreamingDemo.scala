@@ -481,5 +481,38 @@ object StreamingDemo {
              |  CAST(SUM(n) AS BIGINT) AS n_events,
              |  CAST(CAST(SUM(sv) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
              |FROM per JOIN dim USING (user_id)
+             |GROUP BY nation ORDER BY nation""".stripMargin)),
+
+    // Q125 STREAMING CDC CONSUMER (r14): q123's view maintained by a
+    // SECOND STREAM reading the q120 feed as a file source — the
+    // downstream half of a chained CDC pipeline (table -> change feed ->
+    // derived view, Delta's readChangeFeed topology). Each trigger
+    // reduces its change slice to signed per-nation deltas and merges
+    // them into a versioned 25-key view table; the upstream state table
+    // is never read. The delta algebra is associative, so the final view
+    // is independent of trigger slicing (no replay-order pinning — the
+    // one rig where order genuinely cannot matter). Shares q123's oracle
+    // verbatim: stream-maintained == fold == direct recompute.
+    QueryDef("q125_streaming_cdc_view",
+      (s, d) => {
+        val s2 = streamSession(s)
+        val (_, cdf, _) = cdfRigFor(s, d)
+        val viewDir =
+          s"${java.nio.file.Files.createTempDirectory("graft-q125")}/view"
+        graft.streaming.CdfStream.maintainView(s2, s"$cdf/b*", d, viewDir)
+          .select(col("nation"), col("n_users"), col("n_events"),
+            col("sum_value")
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("nation")
+      },
+      Some(s"""WITH per AS (SELECT user_id, COUNT(*) AS n,
+             |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+             |  FROM events GROUP BY user_id),
+             |dim AS (SELECT c_custkey AS user_id, n_name AS nation
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT nation, COUNT(*) AS n_users,
+             |  CAST(SUM(n) AS BIGINT) AS n_events,
+             |  CAST(CAST(SUM(sv) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM per JOIN dim USING (user_id)
              |GROUP BY nation ORDER BY nation""".stripMargin)))
 }

@@ -158,4 +158,77 @@ object CdfStream {
   /** The accumulated change feed (all batches). */
   def cdfRows(spark: SparkSession, cdfDir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(cdfDir)
+
+  private val FeedSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("op", StringType),
+    StructField("n_events", LongType),
+    StructField("last_ts", TimestampType),
+    StructField("sum_value", DecimalType(18, 4)),
+    StructField("batch_id", LongType)))
+
+  /** q125: the DOWNSTREAM half of a CDC pipeline — a SECOND stream
+    * consumes the change feed as a file source and maintains the
+    * per-nation view INCREMENTALLY: each trigger reduces its change
+    * slice to signed per-nation deltas (insert count, postimage −
+    * preimage event/value deltas through the broadcast dim) and MERGEs
+    * them into a versioned 25-key view table. The upstream table is
+    * never read — the feed is the only input, which is the CDC
+    * contract. Because the delta algebra is associative (sums of signed
+    * terms), the final view is independent of how the feed files slice
+    * into triggers — no replay-order pinning needed, unlike every
+    * event-time rig. Returns the completed view. */
+  def maintainView(spark: SparkSession, feedGlob: String, sfDir: String,
+      viewDir: String): DataFrame = {
+    val dim = EventStream.userNationDim(spark, sfDir)
+    val q = spark.readStream
+      .schema(FeedSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(feedGlob)
+      .writeStream
+      .option("checkpointLocation", s"$viewDir/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sgn = when(col("op") === "update_preimage", lit(-1L))
+          .otherwise(lit(1L))
+        // delta columns carry the VIEW's names (they are signed deltas of
+        // those columns) so mergeCommit's batch-shaped empty frame IS
+        // view-shaped on the first trigger
+        val delta = batch
+          .join(dim, "user_id")
+          .groupBy("nation")
+          .agg(
+            sum(when(col("op") === "insert", 1L).otherwise(0L))
+              .as("n_users"),
+            sum(sgn * col("n_events")).as("n_events"),
+            sum((sgn.cast(dec) * col("sum_value").cast(dec)).cast(dec))
+              .cast(dec).as("sum_value"))
+        val fs = new org.apache.hadoop.fs.Path(viewDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val m = IngestIndex.readManifest(fs, viewDir, batchId)
+        val next = batchId + 1
+        val viewMap = IngestIndex.mergeCommit(spark, viewDir, m,
+          "view", next, delta,
+          (cur, d) => cur
+            .select(col("nation"), col("n_users").as("c_u"),
+              col("n_events").as("c_e"), col("sum_value").as("c_v"))
+            .join(d, Seq("nation"), "full_outer")
+            .select(col("nation"),
+              (coalesce(col("c_u"), lit(0L))
+                + coalesce(col("n_users"), lit(0L))).as("n_users"),
+              (coalesce(col("c_e"), lit(0L))
+                + coalesce(col("n_events"), lit(0L))).as("n_events"),
+              (coalesce(col("c_v"), lit(0).cast(dec))
+                + coalesce(col("sum_value"), lit(0).cast(dec)))
+                .cast(dec).as("sum_value")))
+        IngestIndex.writeManifest(fs, viewDir, next,
+          Map("view" -> viewMap))
+        IngestIndex.gc(fs, viewDir, batchId, next)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    IngestIndex.currentTable(spark, viewDir, "view")
+  }
 }

@@ -105,6 +105,7 @@ object IngestIndex {
     case "sig" => xxhash64(col("doc_id"))
     case "state" => xxhash64(col("user_id"))
     case "vec" => xxhash64(col("vec_id"))
+    case "view" => xxhash64(col("nation"))
     case other => throw new IllegalArgumentException(
       s"unknown ingest-index table: $other")
   }

@@ -96,6 +96,26 @@ class CdfSpec extends AnyFunSuite {
     }
   }
 
+  test("q125: the CDC-consumer view is independent of trigger slicing " +
+    "(4-batch replay == single-batch replay)") {
+    val (_, cdf, _) = rig
+    def viewOf(feedDir: String): Map[String, (Long, Long, BigDecimal)] = {
+      val out = java.nio.file.Files.createTempDirectory("graft-cdfspec3")
+      CdfStream.maintainView(spark, feedDir, sfDir, s"$out/view")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDecimal(3))))).toMap
+    }
+    val sliced = viewOf(s"$cdf/b*")
+    // same change rows, one file, one trigger — the delta algebra must
+    // not care how the feed slices
+    val one = java.nio.file.Files.createTempDirectory("graft-cdfspec4")
+    CdfStream.cdfRows(spark, cdf).coalesce(1)
+      .write.mode("overwrite").parquet(s"$one/ball")
+    assert(viewOf(s"$one/ball") === sliced)
+    assert(sliced.nonEmpty)
+  }
+
   test("q121: eviction past the retention window fails loudly") {
     // replay a twin with the crash-replay-minimum retention: old
     // manifests are GC'd, and the AS-OF read must throw a named error,
