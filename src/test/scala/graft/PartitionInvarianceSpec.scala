@@ -44,7 +44,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q109b_ivf_pq_residual",      // r13: residual chain + per-cell LUTs
     "q112_span_dedup",            // r12: span-keyed mark + doc rebuild
     "q117_containment_join",      // r13: one-sided prefix + postings join
-    "q113_quota_sample")          // r12: hash-rank carve (sampling family)
+    "q113_quota_sample",          // r12: hash-rank carve (sampling family)
+    "q119_hybrid_rrf",            // r14: two top-k arms + rank fusion
+    "q122_cross_encoder_rerank",  // r14: broadcast-candidate rerank
+    "q123_incremental_view",      // r14: signed CDF delta fold + dim join
+    "q124_metadata_count")        // r14: manifest sums + perimeter scans
 
   test("outputs are identical under a different shuffle partitioning") {
     val spark = TestSpark.spark
