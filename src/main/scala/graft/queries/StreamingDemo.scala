@@ -141,7 +141,22 @@ object StreamingDemo {
     s2
   }
 
+  /** The closed-window oracle predicate shared by q33/q81: append mode
+    * emits a window when the FINAL watermark passes its end. Spark's
+    * eviction predicate is `window.end <= watermark` (LessThanOrEqual in
+    * WatermarkSupport) with the watermark tracked in MILLISECONDS
+    * (event-time stats floor micros -> ms) and compared in micros
+    * (wm_ms * 1000) — mirrored here digit for digit so an hour-aligned
+    * max timestamp cannot flip the boundary between engines. */
+  private val ClosedWindowWm =
+    "((epoch_us(MAX(ts)) // 1000) - 7200000) * 1000"
+
   val defs: Seq[QueryDef] = Seq(
+    // PROMOTED to a full hash oracle (r14): the completed stream's
+    // emitted set is DETERMINISTIC — every window whose end the final
+    // watermark (global max event time - 2h) passed, with exact counts —
+    // so DuckDB recomputes it directly; only the float sum stays inside
+    // the in-flight tolerance flag (pinned TRUE).
     QueryDef("q33_streaming_tumbling",
       (s, d) => {
         val s2 = streamSession(s)
@@ -156,24 +171,32 @@ object StreamingDemo {
         streamed.as("s").join(batch.as("b"),
             col("s.hour_start") === col("b.hour_start")
               && col("s.event_type") === col("b.event_type"), "left")
-          .select(col("s.hour_start").as("hour_start"),
+          .select(unix_micros(col("s.hour_start")).as("hour_start_us"),
             col("s.event_type").as("event_type"),
             col("s.cnt").as("cnt"),
             (col("b.cnt").isNotNull && col("s.cnt") === col("b.cnt")
               && abs(col("s.sum_value") - col("b.sum_value")) < lit(1e-6))
               .as("matches_batch"))
-          .orderBy("hour_start", "event_type")
+          .orderBy("hour_start_us", "event_type")
       },
-      None),
+      Some(s"""WITH e AS (${graft.Q.EVENTS_SQL}),
+             |mx AS (SELECT $ClosedWindowWm AS wm_us FROM e),
+             |w AS (SELECT date_trunc('hour', ts) AS hs, event_type,
+             |    COUNT(*) AS cnt
+             |  FROM e GROUP BY hs, event_type)
+             |SELECT epoch_us(hs) AS hour_start_us, event_type, cnt,
+             |  TRUE AS matches_batch
+             |FROM w, mx
+             |WHERE epoch_us(hs + INTERVAL 1 HOUR) <= wm_us
+             |ORDER BY hour_start_us, event_type""".stripMargin)),
 
     // Q81: stream-static enrichment join — the remaining Structured
     // Streaming topology beside windowed agg (q33), custom state
     // (q50/q53) and stream dedup: facts enrich against a broadcast
-    // static dimension at ingest, stateless on the dim side. No SQL
-    // oracle (DuckDB has no streaming); EventStreamSpec asserts equality
-    // with the batch twin on closed windows; here the emitted windows
-    // re-join the batch twin so the driver's rows-only check sees the
-    // match flags.
+    // static dimension at ingest, stateless on the dim side. PROMOTED to
+    // a full hash oracle (r14): same closed-window determinism as q33,
+    // with the dim join recomputed in SQL; the float sum stays inside
+    // the in-flight tolerance flag (pinned TRUE).
     QueryDef("q81_streaming_enrich",
       (s, d) => {
         val s2 = streamSession(s)
@@ -185,23 +208,38 @@ object StreamingDemo {
         streamed.as("s").join(batch.as("b"),
             col("s.hour_start") === col("b.hour_start")
               && col("s.nation") === col("b.nation"), "left")
-          .select(col("s.hour_start").as("hour_start"),
+          .select(unix_micros(col("s.hour_start")).as("hour_start_us"),
             col("s.nation").as("nation"), col("s.cnt").as("cnt"),
             (col("b.cnt").isNotNull && col("s.cnt") === col("b.cnt")
               && abs(col("s.sum_value") - col("b.sum_value")) < lit(1e-6))
               .as("matches_batch"))
-          .orderBy("hour_start", "nation")
+          .orderBy("hour_start_us", "nation")
       },
-      None),
+      Some(s"""WITH e AS (${graft.Q.EVENTS_SQL}),
+             |mx AS (SELECT $ClosedWindowWm AS wm_us FROM e),
+             |dim AS (SELECT c_custkey AS user_id, n_name AS nation
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |w AS (SELECT date_trunc('hour', e.ts) AS hs,
+             |    COALESCE(dim.nation, 'unknown') AS nation,
+             |    COUNT(*) AS cnt
+             |  FROM e LEFT JOIN dim USING (user_id)
+             |  GROUP BY hs, nation)
+             |SELECT epoch_us(hs) AS hour_start_us, nation, cnt,
+             |  TRUE AS matches_batch
+             |FROM w, mx
+             |WHERE epoch_us(hs + INTERVAL 1 HOUR) <= wm_us
+             |ORDER BY hour_start_us, nation""".stripMargin)),
 
     // Q86: streaming keyed upsert via foreachBatch — the arbitrary-sink
     // surface: each micro-batch full-outer-MERGEs its per-user aggregate
     // into a versioned parquet state table (the CDC-ingest/lakehouse-MERGE
     // topology; state outside the state store: restart-safe, queryable,
-    // unbounded keys). Merge arithmetic is associative and exact, so the
-    // final state must equal the one-shot batch aggregate regardless of
-    // micro-batch slicing — asserted per-row here (rows-only; DuckDB has
-    // no streaming) and in EventStreamSpec.
+    // unbounded keys). PROMOTED to a full hash oracle (r14, the q120
+    // argument): the merge arithmetic is associative and exact, so the
+    // final state equals the one-shot aggregate under ANY slicing — even
+    // this rig's sampled range boundaries, which SQL cannot reconstruct,
+    // don't matter. DuckDB recomputes the aggregate directly; the
+    // in-flight batch-twin flags ride along, pinned TRUE.
     QueryDef("q86_streaming_upsert",
       (s, d) => {
         val s2 = streamSession(s)
@@ -217,11 +255,11 @@ object StreamingDemo {
           .select(
             coalesce(col("s.user_id"), col("b.user_id")).as("user_id"),
             col("s.n_events").as("n_events"),
-            col("s.last_ts").as("last_ts"),
+            unix_micros(col("s.last_ts")).as("last_ts_us"),
             // exact decimal internally, DOUBLE in the OUTPUT schema:
             // oracle-checkable outputs carry only types with one canonical
             // cross-engine rendering (DECIMAL kept q55 driver-red for three
-            // rounds), and this rows-only query must stay promotable
+            // rounds)
             col("s.sum_value").cast(dec)
               .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"),
             (col("s.n_events") === col("b.n_events")
@@ -231,7 +269,13 @@ object StreamingDemo {
               .as("matches_batch"))
           .orderBy("user_id")
       },
-      None),
+      Some(s"""WITH e AS (${graft.Q.EVENTS_SQL})
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  epoch_us(MAX(ts)) AS last_ts_us,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+             |  TRUE AS matches_batch
+             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Q50: streaming sessionization via flatMapGroupsWithState — the
     // custom-state surface (bounded open-session state per user, event-time
@@ -239,6 +283,11 @@ object StreamingDemo {
     // session is asserted against batch q29's gaps-and-islands twin in
     // EventStreamSpec; here the emitted sessions are re-joined to the batch
     // twin so the driver's rows-only check sees the match flags.
+    // PROMOTED to a full hash oracle (r14): the emitted set is sessions
+    // whose close (last event + gap) the FINAL watermark passed — both
+    // the gaps-and-islands session structure and the closure cut are
+    // deterministic, so DuckDB recomputes them (windowed island
+    // detection + the same ms-floored watermark arithmetic as q33).
     QueryDef("q50_streaming_sessions",
       (s, d) => {
         val s2 = streamSession(s)
@@ -250,13 +299,35 @@ object StreamingDemo {
             col("s.user_id") === col("b.user_id")
               && col("s.session_start") === col("b.session_start"), "left")
           .select(col("s.user_id").as("user_id"),
-            col("s.session_start").as("session_start"),
+            unix_micros(col("s.session_start")).as("session_start_us"),
             col("s.n_events").as("n_events"),
             (col("b.n_events").isNotNull
               && col("s.n_events") === col("b.n_events")).as("matches_batch"))
-          .orderBy("user_id", "session_start")
+          .orderBy("user_id", "session_start_us")
       },
-      None),
+      Some(s"""WITH e AS (${graft.Q.EVENTS_SQL}),
+             |mx AS (SELECT $ClosedWindowWm AS wm_us FROM e),
+             |o AS (SELECT user_id, ts, event_id,
+             |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS prev_ts
+             |  FROM e),
+             |m AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+             |      AS new_s
+             |  FROM o),
+             |sx AS (SELECT user_id, ts,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m),
+             |g AS (SELECT user_id, sid, MIN(ts) AS session_start,
+             |    MAX(ts) AS last_ts, COUNT(*) AS n_events
+             |  FROM sx GROUP BY user_id, sid)
+             |SELECT user_id, epoch_us(session_start) AS session_start_us,
+             |  n_events, TRUE AS matches_batch
+             |FROM g, mx
+             |WHERE epoch_us(last_ts) + 1800000000 <= wm_us
+             |ORDER BY user_id, session_start_us""".stripMargin)),
 
     // Q98: stream-STREAM interval join — the remaining streaming join
     // topology (q81 is stream-static): per-user click→purchase attribution
@@ -265,6 +336,12 @@ object StreamingDemo {
     // oracle (DuckDB has no streaming); EventStreamSpec asserts pair-set
     // equality with the batch interval-join twin; here each emitted pair
     // re-joins the twin so the driver's rows-only check sees match flags.
+    // PROMOTED to a full hash oracle (r14): inner stream-stream join
+    // emission is NOT watermark-gated — a pair emits as soon as both rows
+    // have arrived; the watermark only bounds STATE — so the completed
+    // stream's output is exactly the batch interval join, which DuckDB
+    // computes directly. The in-flight batch-twin flags ride along,
+    // pinned TRUE.
     QueryDef("q98_stream_stream_join",
       (s, d) => {
         val s2 = streamSession(s)
@@ -278,14 +355,23 @@ object StreamingDemo {
               && col("s.c_event") === col("b.c_event"), "left")
           .select(col("s.user_id").as("user_id"),
             col("s.p_event").as("p_event"), col("s.c_event").as("c_event"),
-            col("s.p_ts").as("p_ts"),
+            unix_micros(col("s.p_ts")).as("p_ts_us"),
             (col("b.user_id").isNotNull
               && col("s.c_ts") === col("b.c_ts")
               && col("s.p_ts") === col("b.p_ts")
               && col("s.p_value") === col("b.p_value")).as("matches_batch"))
           .orderBy("p_event", "c_event")
       },
-      None),
+      Some(s"""WITH e AS (${graft.Q.EVENTS_SQL}),
+             |c AS (SELECT user_id AS cu, ts AS cts, event_id AS ce
+             |  FROM e WHERE event_type = 'click'),
+             |p AS (SELECT user_id AS pu, ts AS pts, event_id AS pe
+             |  FROM e WHERE event_type = 'purchase')
+             |SELECT pu AS user_id, pe AS p_event, ce AS c_event,
+             |  epoch_us(pts) AS p_ts_us, TRUE AS matches_batch
+             |FROM p JOIN c ON pu = cu AND pts > cts
+             |  AND pts <= cts + INTERVAL 1 HOUR
+             |ORDER BY p_event, c_event""".stripMargin)),
 
     // Q104: streaming ingest-dedup against a PERSISTENT index (r12) — the
     // continuous-crawl topology: each micro-batch classifies against the
