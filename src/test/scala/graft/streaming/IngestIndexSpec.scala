@@ -100,6 +100,65 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("retention law (random): every manifest inside the newest-R window " +
+    "stays fully readable as its prefix fold; older unreferenced dirs die") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 2) {
+      val retain = 2 + rnd.nextInt(4) // 2..5
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft-idx-retain$trial").toString + "/state"
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+      val keySpace = 1 + rnd.nextInt(30)
+      val nBatches = retain + 3 + rnd.nextInt(4)
+      val fold = scala.collection.mutable.Map.empty[Long, Long]
+      // prefixFolds(v) = contents of manifest v (fold of batches 0..v-1)
+      val prefixFolds =
+        scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+      (0 until nBatches).foreach { k =>
+        val rows = Seq.fill(1 + rnd.nextInt(20))(
+          rnd.nextInt(keySpace).toLong -> (1 + rnd.nextInt(5)).toLong)
+        val delta = rows.groupBy(_._1).view
+          .mapValues(_.map(_._2).sum).toSeq
+        delta.foreach { case (u, c) =>
+          fold(u) = fold.getOrElse(u, 0L) + c
+        }
+        val m = IngestIndex.readManifest(fs, state, k.toLong)
+        val stateMap = IngestIndex.mergeCommit(sp, state, m, "state",
+          k + 1L, delta.toDF("user_id", "cnt"),
+          (cur, d) => cur.unionByName(d).groupBy("user_id")
+            .agg(sum(col("cnt")).as("cnt")))
+        IngestIndex.writeManifest(fs, state, k + 1L,
+          Map("state" -> stateMap))
+        IngestIndex.gc(fs, state, k.toLong, k + 1L, retain)
+        prefixFolds(k + 1L) = fold.toMap
+        // EVERY retained version reads back exactly its prefix fold
+        val lo = math.max(1L, k + 1L - retain + 1)
+        (lo to k + 1L).foreach { v =>
+          val got = IngestIndex.tableAt(sp, state, "state", v)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == prefixFolds(v),
+            s"trial $trial retain=$retain: snapshot v$v diverged " +
+              s"from its prefix fold after batch $k")
+        }
+        // storage bound: a surviving dir is referenced by a retained
+        // manifest or is a retained version itself
+        val live = (lo to k + 1L)
+          .flatMap(v => IngestIndex.readManifest(fs, state, v).values)
+          .flatMap(_.values.map(_.ver)).toSet ++ (lo to k + 1L)
+        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+          .map(_.getPath.getName).filter(_.matches("v-?\\d+"))
+          .map(_.drop(1).toLong).toSet
+        val orphans = dirs.diff(live)
+        assert(orphans.isEmpty,
+          s"trial $trial retain=$retain batch $k: dirs outside the " +
+            s"retention reference set survive GC: $orphans")
+      }
+    }
+  }
+
   test("split stress: splitBytes=1 forces every touched bucket to split every batch; all laws hold") {
     withConf("spark.graft.ingest.splitBytes" -> "1") {
       val rnd = new scala.util.Random(47)
