@@ -75,6 +75,9 @@ object BroadcastBounds {
     "mg-candidates" -> Bound(Fixed,
       "Misra-Gries candidate tokens: <= sketch capacity (4096) rows by " +
         "construction, whatever the vocabulary size"),
+    "point-get-keys" -> Bound(Fixed,
+      "a point-lookup's probe key set: per-query constant rows (the GET " +
+        "semantics — the caller names the keys), never corpus-derived"),
     "rerank-candidates" -> Bound(Fixed,
       "the fused retrieval candidate set: <= 10 rows by the q119 LIMIT, " +
         "a per-query constant — reranking joins candidates back to their " +

@@ -569,6 +569,41 @@ object StreamingDemo {
              |FROM per JOIN dim USING (user_id)
              |GROUP BY nation ORDER BY nation""".stripMargin)),
 
+    // Q126 POINT LOOKUP / GET (r14): the O(keys) read path of the
+    // key-value store the streams maintain — the 5 smallest user ids are
+    // probed through IngestIndex.pointGet, which maps key -> bucket ->
+    // (version dir, partition filter) via the manifest and SCANS ONLY
+    // the covered bucket directories: at any store size the GET lists a
+    // bounded set of dirs (the manifest is the index; CdfSpec pins the
+    // pruning observably). The probe-key rule ("5 smallest distinct
+    // users") is SQL-expressible, so the oracle recomputes the same rows
+    // from raw events directly.
+    QueryDef("q126_point_lookup",
+      (s, d) => {
+        val (state, _, _) = cdfRigFor(s, d)
+        val sp = s
+        import sp.implicits._
+        val keys = graft.Q.events(s, d).select("user_id").distinct()
+          .orderBy("user_id").limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        val got = graft.streaming.IngestIndex.pointGet(s, state, "state",
+          keys.toDF("user_id"))
+        got.select(col("user_id"), col("n_events"),
+            unix_micros(col("last_ts")).as("last_ts_us"),
+            col("sum_value")
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${graft.Q.EVENTS_SQL}),
+             |k AS (SELECT DISTINCT user_id FROM e
+             |  ORDER BY user_id LIMIT 5)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  epoch_us(MAX(ts)) AS last_ts_us,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e WHERE user_id IN (SELECT user_id FROM k)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Q125 STREAMING CDC CONSUMER (r14): q123's view maintained by a
     // SECOND STREAM reading the q120 feed as a file source — the
     // downstream half of a chained CDC pipeline (table -> change feed ->

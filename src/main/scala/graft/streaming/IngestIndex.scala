@@ -245,6 +245,38 @@ object IngestIndex {
       spark.emptyDataFrame).drop("bkt")
   }
 
+  /** POINT LOOKUP (GET): the current rows of `keys` read through ONLY
+    * the buckets those keys cover — the manifest maps key -> bucket ->
+    * (version dir, partition filter), so the scan lists a bounded set of
+    * bucket directories however large the store is: the O(keys) read
+    * path of a key-value store, on the same layout the streams maintain.
+    * `keyed` must be a tiny frame holding the probe keys in the table's
+    * key column(s); its bucket assignment uses the SAME [[bucketCol]]
+    * formula as every write, so probe and layout can never disagree. */
+  def pointGet(spark: SparkSession, stateDir: String, table: String,
+      keyed: DataFrame): DataFrame = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed index version under $stateDir"))
+    val m = readManifest(fs, stateDir, v)
+    require(m.contains(table),
+      s"table $table absent from manifest v$v under $stateDir")
+    val n = numBuckets(spark)
+    val gens = gensOf(m, table)
+    val wanted = keyed.withColumn("bkt", bucketCol(table, n, gens))
+      .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+    // table-shaped empty frame for the no-covered-bucket case (keys that
+    // hash to buckets holding nothing): schema from the full manifest
+    // read, rows from nowhere (limit 0 prunes at planning)
+    val shape = readTable(spark, stateDir, m, table, None,
+      keyed.limit(0)).limit(0)
+    readTable(spark, stateDir, m, table, Some(wanted), shape).drop("bkt")
+      .join(graft.BroadcastBounds.bounded("point-get-keys")(keyed),
+        keyed.columns.toSeq, "left_semi")
+  }
+
   /** Live bytes of bucket `b`'s current copy (0 when the referenced dir
     * was never materialized — a split child that received no rows). */
   private def liveBytes(fs: FileSystem, stateDir: String, table: String,

@@ -116,6 +116,36 @@ class CdfSpec extends AnyFunSuite {
     assert(sliced.nonEmpty)
   }
 
+  test("q126: point lookup reads only covered buckets and equals the " +
+    "full-table filter; absent keys return nothing") {
+    val (state, _, top) = rig
+    val sp = spark
+    import sp.implicits._
+    val full = IngestIndex.tableAt(spark, state, "state", top)
+    val someKeys = full.select("user_id").orderBy("user_id").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    val got = key(IngestIndex.pointGet(spark, state, "state",
+      someKeys.toDF("user_id")))
+    val want = key(full.filter(col("user_id").isInCollection(someKeys)))
+    assert(got === want)
+    assert(got.keySet === someKeys.toSet)
+    // pruning is real: the probe's bucket cover is a strict subset of
+    // the live buckets (5 keys cannot cover all 16 base buckets here)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = IngestIndex.readManifest(fs, state, top)
+    val n = IngestIndex.numBuckets(spark)
+    val covered = someKeys.toDF("user_id")
+      .withColumn("bkt", IngestIndex.bucketCol("state", n,
+        IngestIndex.gensOf(m, "state")))
+      .select("bkt").distinct().count()
+    assert(covered < m("state").size,
+      s"probe covered $covered of ${m("state").size} buckets — no pruning")
+    // a key that never existed resolves to empty, not an error
+    assert(IngestIndex.pointGet(spark, state, "state",
+      Seq(-1L).toDF("user_id")).count() === 0L)
+  }
+
   test("q121: eviction past the retention window fails loudly") {
     // replay a twin with the crash-replay-minimum retention: old
     // manifests are GC'd, and the AS-OF read must throw a named error,
