@@ -347,6 +347,14 @@ object DumpPlans {
         |measured-gated user->nation dim, and a 25-row final rollup. The
         |raw events table appears nowhere in this plan — that is the
         |operator's claim.""".stripMargin,
+    "q126_point_lookup" ->
+      """The key-value GET: the probe keys ride as a BROADCAST semi-join
+        |build side over a union of parquet scans covering ONLY the
+        |buckets those keys hash to (the `bkt IN (...)` partition filter
+        |prunes every other bucket directory at the file listing) — the
+        |scan's input is bounded by the probe, not the store. The keys'
+        |bucket assignment is the same bucketCol expression every write
+        |uses, so probe and layout cannot disagree.""".stripMargin,
     "q124_metadata_count" ->
       """Metadata-only counting: the final frame is a LocalTableScan BY
         |DESIGN — each box's count was assembled from (a) the 16-row
