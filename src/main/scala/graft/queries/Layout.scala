@@ -182,11 +182,24 @@ object Layout {
     val scanFiles = rows.filterNot(_.getBoolean(2)).map(_.getString(0))
     val scanned =
       if (scanFiles.isEmpty) 0L
-      else s.read.parquet(scanFiles.toSeq: _*)
-        .filter(boxes.map { case (c, lo, hi) =>
-          col(c).cast(DoubleType) >= lo && col(c).cast(DoubleType) < hi
-        }.reduce(_ && _))
-        .count()
+      else {
+        val df = s.read.parquet(scanFiles.toSeq: _*)
+        df.filter(boxes.map { case (c, lo, hi) =>
+          // on an INTEGRAL column the exact predicate's CAST hides the
+          // attribute from parquet row-group stats (boxFilterOn's
+          // argument) — conjoin a widened raw-typed superset guard so
+          // the perimeter scan still skips row groups; a floating
+          // column's exact predicate is pushable as-is (no-op cast)
+          val exact = col(c).cast(DoubleType) >= lo &&
+            col(c).cast(DoubleType) < hi
+          df.schema(c).dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              col(c) >= lit(math.floor(lo).toLong) &&
+                col(c) < lit(math.ceil(hi).toLong) && exact
+            case _ => exact
+          }
+        }.reduce(_ && _)).count()
+      }
     (metaCnt + scanned, rows.count(_.getBoolean(2)).toLong,
       scanFiles.length.toLong, m.count())
   }
@@ -281,6 +294,16 @@ object Layout {
     * a shutdown hook deletes this JVM's dirs (and a first-use sweep
     * reclaims week-old orphans from crashed runs), so the salt cannot
     * accumulate tmp garbage across runs. */
+  /** Register an externally-created temp dir for the same shutdown-hook
+    * cleanup [[stagePath]] dirs get (per-invocation streaming rigs would
+    * otherwise accumulate until the week-old sweep of some later JVM). */
+  private[graft] def trackTemp(p: String): Unit = {
+    stageCleanupHook
+    staleSweep
+    stagedPaths.add(p)
+    ()
+  }
+
   private[graft] def stagePath(s: SparkSession, kind: String,
       d: String): String = {
     stageCleanupHook

@@ -93,6 +93,7 @@ object StreamingDemo {
       sfDir: String): (String, String, Long) =
     cdfRig.computeIfAbsent(sfDir, _ => {
       val base = java.nio.file.Files.createTempDirectory("graft-q120rig")
+      Layout.trackTemp(base.toString)
       val state = s"$base/state"
       val cdf = s"$base/cdf"
       val top = graft.streaming.CdfStream.runUpsertCdf(
@@ -462,6 +463,7 @@ object StreamingDemo {
     QueryDef("q120_change_data_feed",
       (s, d) => {
         val base = java.nio.file.Files.createTempDirectory("graft-q120run")
+        Layout.trackTemp(base.toString)
         val cdf = s"$base/cdf"
         graft.streaming.CdfStream.runUpsertCdf(streamSession(s),
           cdfReplayFor(s, d), s"$base/state", cdf, retain = 8)
@@ -618,8 +620,9 @@ object StreamingDemo {
       (s, d) => {
         val s2 = streamSession(s)
         val (_, cdf, _) = cdfRigFor(s, d)
-        val viewDir =
-          s"${java.nio.file.Files.createTempDirectory("graft-q125")}/view"
+        val viewBase = java.nio.file.Files.createTempDirectory("graft-q125")
+        Layout.trackTemp(viewBase.toString)
+        val viewDir = s"$viewBase/view"
         graft.streaming.CdfStream.maintainView(s2, s"$cdf/b*", d, viewDir)
           .select(col("nation"), col("n_users"), col("n_events"),
             col("sum_value")

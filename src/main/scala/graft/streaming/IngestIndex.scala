@@ -73,6 +73,18 @@ object IngestIndex {
     * `hash mod B0*2^g == id`; gen 0 ids are the base buckets). */
   case class Bkt(ver: Long, gen: Int)
 
+  /** Sentinel version for a LIVE-BUT-EMPTY split bucket (a gen>0 child
+    * all of whose keys landed in its sibling, or one a delete emptied).
+    * Such buckets MUST keep their manifest entry: [[bucketCol]]'s
+    * covering argument requires the live set to be split-tree-closed —
+    * dropping an empty child would route its cover's keys back to the
+    * BASE id at gen 0, and re-splitting that recreated base would reuse
+    * the still-live sibling's id and orphan its data (the r14 review's
+    * reproduced data-loss sequence). Gen-0 empties may still drop: their
+    * fallback IS themselves, so closure is unaffected. Readers skip
+    * sentinel entries (no dir exists for this version). */
+  val EmptyVer: Long = Long.MinValue
+
   /** BASE write-partition count B0. Test-scale 16. Growth beyond B0 is
     * [[splitBytes]]-driven splitting, not this knob. */
   def numBuckets(spark: SparkSession): Int =
@@ -180,7 +192,8 @@ object IngestIndex {
       table: String, wanted: Option[Set[Int]], empty: DataFrame)
       : DataFrame = {
     val live = m.getOrElse(table, Map.empty[Int, Bkt])
-      .filter { case (b, _) => wanted.forall(_.contains(b)) }
+      .filter { case (b, e) =>
+        e.ver != EmptyVer && wanted.forall(_.contains(b)) }
     if (live.isEmpty) empty
     else live.groupBy(_._2.ver).toSeq.sortBy(_._1).map { case (ver, bkts) =>
       spark.read.parquet(s"$stateDir/v$ver/$table")
@@ -236,6 +249,7 @@ object IngestIndex {
         "— the version was never committed or GC evicted it past the " +
         "retention window (raise the gc retain parameter to keep more)")
     val missing = m(table).values.map(_.ver).toSet
+      .filterNot(_ == EmptyVer) // sentinel = live-but-empty, no dir
       .filterNot(ver => fs.exists(new Path(s"$stateDir/v$ver/$table")))
     require(missing.isEmpty,
       s"snapshot v$v of '$table' references GC'd data versions " +
@@ -347,18 +361,24 @@ object IngestIndex {
       case None =>
         merged.write.mode("overwrite").partitionBy("bkt").parquet(path)
     }
-    // a write-touched bucket with no materialized dir holds nothing
-    // (a split child all of whose keys landed in its sibling, or a
-    // bucket a delete emptied): DROP its entry — an absent bucket is
-    // the representation of empty, and a dangling pointer would break
-    // later probes of that version
+    // a write-touched bucket with no materialized dir holds nothing (a
+    // split child all of whose keys landed in its sibling, or a bucket
+    // a delete emptied). A gen-0 empty DROPS its entry (absent base =
+    // empty; its cover's fallback is itself, so closure holds). A gen>0
+    // empty KEEPS a sentinel [[EmptyVer]] entry: dropping it would break
+    // the split-tree closure bucketCol's covering argument needs — see
+    // the EmptyVer scaladoc for the reproduced data-loss sequence.
     val pathP = new Path(path)
     val written: Set[Int] =
       if (!fs.exists(pathP)) Set.empty
       else fs.listStatus(pathP).map(_.getPath.getName)
         .filter(_.startsWith("bkt=")).map(_.drop(4).toInt).toSet
-    (entries -- writeTouched) ++ written.iterator.map(b =>
-      b -> Bkt(next, wGens.getOrElse(b, 0)))
+    (entries -- writeTouched) ++ writeTouched.iterator.flatMap { b =>
+      val g = wGens.getOrElse(b, 0)
+      if (written(b)) Some(b -> Bkt(next, g))
+      else if (g > 0) Some(b -> Bkt(EmptyVer, g))
+      else None
+    }
   }
 
   /** Fold the version tail: rewrite EVERY live bucket of every table
@@ -389,13 +409,19 @@ object IngestIndex {
       .map(_.drop(1).toLong)
     val epoch = math.min(0L, existing.minOption.getOrElse(0L)) - 1
     val nm: Manifest = m.map { case (table, bkts) =>
-      if (bkts.isEmpty) table -> bkts
+      // sentinel (live-but-empty split) entries hold no data: they keep
+      // their EmptyVer pointer through compaction — repointing them at
+      // the epoch dir would be a dangling reference if every bucket of
+      // the table were empty (nothing to write)
+      val withData = bkts.filter(_._2.ver != EmptyVer)
+      if (withData.isEmpty) table -> bkts
       else {
         readTable(spark, stateDir, m, table, None, null)
-          .repartition(math.max(1, bkts.size), col("bkt"))
+          .repartition(math.max(1, withData.size), col("bkt"))
           .write.mode("overwrite").partitionBy("bkt")
           .parquet(s"$stateDir/v$epoch/$table")
-        table -> bkts.map { case (b, e) => b -> Bkt(epoch, e.gen) }
+        table -> bkts.map { case (b, e) =>
+          b -> (if (e.ver == EmptyVer) e else Bkt(epoch, e.gen)) }
       }
     }
     writeManifest(fs, stateDir, top, nm)

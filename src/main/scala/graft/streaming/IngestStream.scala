@@ -55,18 +55,8 @@ object IngestStream {
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     (0 until nBatches).foreach { k =>
-      val stage = s"$replayDir/_stage$k"
-      docs.filter(pmod(col("doc_id"), lit(nBatches)) === k)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") &&
-          p.getName.endsWith(".parquet"))
-        .head
-      val dst = new org.apache.hadoop.fs.Path(dir, f"batch-$k%04d.parquet")
-      fs.rename(part, dst)
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      ReplayStage.pinFile(fs, dst, k)
+      ReplayStage.stageSlice(fs, replayDir, k,
+        docs.filter(pmod(col("doc_id"), lit(nBatches)) === k))
     }
   }
 

@@ -35,6 +35,28 @@ object ReplayStage {
       path: org.apache.hadoop.fs.Path, k: Int): Unit =
     fs.setTimes(path, BaseEpochMs + k * SpacingMs, -1)
 
+  /** Stage one pre-sliced batch frame as replay file `k`: single-file
+    * write to a scratch dir, rename to `batch-%04d.parquet`, pinned
+    * mtime. THE single implementation of the per-slice staging scheme
+    * (IngestStream / VectorStream / CdfStream all route here — a second
+    * copy of this loop is exactly the drift the object doc warns
+    * about). */
+  def stageSlice(fs: org.apache.hadoop.fs.FileSystem, replayDir: String,
+      k: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+    val stage = s"$replayDir/_stage$k"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .head
+    val dst = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(replayDir), f"batch-$k%04d.parquet")
+    fs.rename(part, dst)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    pinFile(fs, dst, k)
+  }
+
   def pinReplayOrder(spark: SparkSession, replayDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(replayDir)

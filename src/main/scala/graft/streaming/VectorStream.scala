@@ -50,17 +50,7 @@ object VectorStream {
       (0 until restSlices).map(j => (j + 1) ->
         rest.filter(pmod(xxhash64(col("vec_id")), lit(restSlices)) === j))
     slices.foreach { case (k, batch) =>
-      val stage = s"$replayDir/_stage$k"
-      batch.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("part-") &&
-          p.getName.endsWith(".parquet"))
-        .head
-      val dst = new org.apache.hadoop.fs.Path(dir, f"batch-$k%04d.parquet")
-      fs.rename(part, dst)
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      ReplayStage.pinFile(fs, dst, k)
+      ReplayStage.stageSlice(fs, replayDir, k, batch)
     }
   }
 

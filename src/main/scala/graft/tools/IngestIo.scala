@@ -73,11 +73,14 @@ object IngestIo {
     // live index = the manifest view (one current copy of each bucket)
     val last = versions.max
     val manifest = IngestIndex.readManifest(fs, state, last.toLong)
-    val liveBytes = manifest.toSeq.flatMap { case (t, bkts) =>
+    // one listing pass over the live buckets serves both the per-bucket
+    // sizes and their total
+    val bucketSizes = manifest.toSeq.flatMap { case (t, bkts) =>
       bkts.toSeq.map { case (bk, e) =>
         dataBytes(new Path(s"$state/v${e.ver}/$t/bkt=$bk"))
       }
-    }.sum
+    }
+    val liveBytes = bucketSizes.sum
     // per-trigger write = one version dir's data bytes (GC'd versions
     // were the same scale — each held only its batch's touched buckets);
     // r12's model rewrote the ENTIRE index-as-of-then every trigger
@@ -85,11 +88,6 @@ object IngestIo {
       .map(v => dataBytes(new Path(s"$state/v$v")))
     val avgPerTrigger =
       if (steady.isEmpty) 0L else steady.sum / steady.length
-    val bucketSizes = manifest.toSeq.flatMap { case (t, bkts) =>
-      bkts.toSeq.map { case (bk, e) =>
-        dataBytes(new Path(s"$state/v${e.ver}/$t/bkt=$bk"))
-      }
-    }
     val maxGen = manifest.values.flatMap(_.values.map(_.gen))
       .maxOption.getOrElse(0)
     println(f"[io] live_buckets=${bucketSizes.length} max_bucket_bytes=${

@@ -159,6 +159,46 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("empty split child keeps a live sentinel entry — the reviewed " +
+    "data-loss sequence (recreated base re-split orphaning its sibling) " +
+    "cannot occur") {
+    val sp = spark
+    import sp.implicits._
+    // find k1, k2 sharing a base bucket (mod 16) but landing in
+    // DIFFERENT gen-1 children (mod 32): k2's lone occupancy makes the
+    // other child empty on split; k1 is covered by that empty child
+    val rows = (0L until 4096L).toDF("k")
+      .select(col("k"),
+        pmod(xxhash64(col("k")), lit(16L)).cast("int").as("b16"),
+        pmod(xxhash64(col("k")), lit(32L)).cast("int").as("b32"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val (k1, k2) = rows.groupBy(_._2).valuesIterator
+      .flatMap { g =>
+        val byChild = g.groupBy(_._3)
+        if (byChild.size >= 2) {
+          val two = byChild.values.take(2).toSeq
+          Some((two(0).head._1, two(1).head._1))
+        } else None
+      }.next()
+    withConf("spark.graft.ingest.indexBuckets" -> "16",
+        "spark.graft.ingest.splitBytes" -> "1") {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-idx-sentinel").toString + "/state"
+      // batch0: k2 seeds the base bucket; batch1: re-touch splits it,
+      // leaving k1's gen-1 cover EMPTY; batch2: k1 must route to that
+      // child (not recreate the base at gen 0); batch3: re-touching k1
+      // splits again — under the pre-fix entry-drop this sequence
+      // orphaned k2's data (read-back Map(k1 -> 2), k2 gone)
+      val batches = Seq(Seq(k2 -> 1L), Seq(k2 -> 1L),
+        Seq(k1 -> 1L), Seq(k1 -> 1L))
+      val (m, _) = replayAndCheck(state, batches, "sentinel")
+      // the machinery actually exercised the sentinel path: some entry
+      // must have carried EmptyVer at some point — at minimum the final
+      // manifest's gens advanced past 0 on both keys' covers
+      assert(m("state").values.exists(_.gen > 0))
+    }
+  }
+
   test("split stress: splitBytes=1 forces every touched bucket to split every batch; all laws hold") {
     withConf("spark.graft.ingest.splitBytes" -> "1") {
       val rnd = new scala.util.Random(47)
