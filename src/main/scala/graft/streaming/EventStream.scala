@@ -296,10 +296,16 @@ object EventStream {
               (coalesce(col("c_n"), lit(0L))
                 + coalesce(col("n_events"), lit(0L))).as("n_events"),
               greatest(col("c_ts"), col("last_ts")).as("last_ts"),
+              // re-cast to (18,4) after the add (exact at scale 4) so
+              // the STORED schema stays identical across versions —
+              // without it Spark's plus-widening grows the parquet
+              // decimal precision version by version (CdfStream's
+              // documented treatment, aligned here)
               (coalesce(col("c_sum"), lit(0).cast(
                 org.apache.spark.sql.types.DecimalType(18, 4)))
                 + coalesce(col("sum_value"), lit(0).cast(
                   org.apache.spark.sql.types.DecimalType(18, 4))))
+                .cast(org.apache.spark.sql.types.DecimalType(18, 4))
                 .as("sum_value")),
           planName = Some("q86_streaming_upsert_merge"))
         IngestIndex.writeManifest(fs, stateDir, next,
