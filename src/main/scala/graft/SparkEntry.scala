@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.Profiling.defs ++ graft.queries.VectorStats.defs ++
       graft.queries.ZarrPipeline.defs ++ graft.queries.StreamingDemo.defs ++
       graft.queries.SimJoin.defs ++ graft.queries.Layout.defs ++
-      graft.queries.Pq.defs ++ graft.queries.VectorIngest.defs
+      graft.queries.Pq.defs ++ graft.queries.VectorIngest.defs ++
+      graft.queries.MergeOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

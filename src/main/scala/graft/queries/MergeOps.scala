@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.{Q, QueryDef}
+import graft.operators.MergeInto
+import graft.streaming.IngestIndex
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Q127/Q128: the two table-maintenance surfaces the bucketed persistent
+  * store ([[IngestIndex]]) was still missing after r14's CDF family —
+  * the declarative multi-clause MERGE statement and in-place schema
+  * evolution. Both run THROUGH the store (touched-bucket reads/writes,
+  * manifest commits), so their cost geometry is the store's: O(batch +
+  * touched buckets) per commit, never O(table).
+  */
+object MergeOps {
+
+  private val dec = DecimalType(18, 4)
+
+  /** Per-user (n_events, sum_value) over `df` — the shared target/source
+    * aggregate (q86's state shape minus the timestamp). The sum is
+    * re-cast to DECIMAL(18,4) so the STORED schema is version-stable
+    * (EventStream's documented treatment). */
+  private def userAgg(df: DataFrame): DataFrame =
+    df.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum(col("value").cast(dec)).cast(dec).as("sum_value"))
+
+  /** Commit `delta` into `table` under version `next` with `combine`,
+    * writing the manifest — one store transaction. Returns the manifest. */
+  private def commit(s: SparkSession, state: String,
+      m: IngestIndex.Manifest, next: Long, delta: DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame): IngestIndex.Manifest = {
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val map = IngestIndex.mergeCommit(s, state, m, "state", next, delta,
+      combine)
+    val nm: IngestIndex.Manifest = Map("state" -> map)
+    IngestIndex.writeManifest(fs, state, next, nm)
+    nm
+  }
+
+  /** The q127 MERGE statement — all three clause kinds fire on real
+    * data: source users more active than their target row are DELETED,
+    * other matched users UPDATED (adds are associative + exact), users
+    * new to the source INSERTED. */
+  private[graft] val q127Merge = MergeInto(
+    key = "user_id",
+    payload = Seq("n_events", "sum_value"),
+    matchedDeleteWhen = Some(col("s_n_events") > col("t_n_events")),
+    updateSet = Map(
+      "n_events" -> (col("t_n_events") + col("s_n_events")),
+      "sum_value" ->
+        (col("t_sum_value") + col("s_sum_value")).cast(dec)))
+
+  /** q127's two input halves: target = even event_ids, source = odd. */
+  private[graft] def q127Inputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val ev = Q.events(s, d)
+    (userAgg(ev.filter(pmod(col("event_id"), lit(2)) === 0)),
+      userAgg(ev.filter(pmod(col("event_id"), lit(2)) === 1)))
+  }
+
+  /** The staging state dir of query `kind` (spec access). */
+  private[graft] def stateDirFor(s: SparkSession, kind: String,
+      d: String): String = s"${Layout.stagePath(s, kind, d)}/state"
+
+  /** Run q128's 4-batch evolving fold, returning the state dir (batches
+    * 0-1 write the 2-column payload, batches 2-3 bring `max_value` —
+    * the store evolves in place; no GC, so every snapshot stays
+    * readable for the spec's pre-evolution time-travel check). */
+  private[graft] def runEvolvingFold(s: SparkSession, d: String): String = {
+    val ev = Q.events(s, d)
+    def slice(i: Int): DataFrame =
+      ev.filter(pmod(col("event_id"), lit(4)) === i)
+    // pre-evolution combine: q86's add/add algebra on the 2-col payload
+    val baseCombine: (DataFrame, DataFrame) => DataFrame = (cur, dl) =>
+      cur.select(col("user_id"), col("n_events").as("c_n"),
+          col("sum_value").as("c_s"))
+        .join(dl, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("c_n"), lit(0L))
+            + coalesce(col("n_events"), lit(0L))).as("n_events"),
+          (coalesce(col("c_s"), lit(0).cast(dec))
+            + coalesce(col("sum_value"), lit(0).cast(dec)))
+            .cast(dec).as("sum_value"))
+    // post-evolution combine: the delta brings `max_value`; the current
+    // slice may predate it (readTable null-fills buckets last written
+    // under the old schema, and this normalization covers the slice
+    // whose every live bucket is still pre-evolution)
+    val evoCombine: (DataFrame, DataFrame) => DataFrame = (cur, dl) => {
+      val c0 = if (cur.columns.contains("max_value")) cur
+        else cur.withColumn("max_value", lit(null).cast(DoubleType))
+      c0.select(col("user_id"), col("n_events").as("c_n"),
+          col("sum_value").as("c_s"), col("max_value").as("c_m"))
+        .join(dl, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("c_n"), lit(0L))
+            + coalesce(col("n_events"), lit(0L))).as("n_events"),
+          (coalesce(col("c_s"), lit(0).cast(dec))
+            + coalesce(col("sum_value"), lit(0).cast(dec)))
+            .cast(dec).as("sum_value"),
+          // greatest skips NULLs: keys untouched by evolved batches
+          // keep NULL — exactly "no post-evolution observation"
+          greatest(col("c_m"), col("max_value")).as("max_value"))
+    }
+    val state = stateDirFor(s, "evolve", d)
+    var m: IngestIndex.Manifest = Map.empty
+    for (i <- 0 until 4) {
+      val delta =
+        if (i < 2) userAgg(slice(i))
+        else slice(i).groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast(dec).as("sum_value"),
+          max(col("value")).as("max_value"))
+      m = commit(s, state, m, i + 1L, delta,
+        if (i < 2) baseCombine else evoCombine)
+    }
+    state
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Q127 MERGE INTO (r14): the declarative multi-clause merge —
+    // `MERGE INTO state USING source ON user_id WHEN MATCHED AND
+    // s.n_events > t.n_events THEN DELETE WHEN MATCHED THEN UPDATE SET
+    // n_events = t+s, sum_value = t+s WHEN NOT MATCHED THEN INSERT` —
+    // executed through the bucketed persistent store: commit 1 stages
+    // the target (even event_ids' per-user aggregate), commit 2 applies
+    // the MERGE batch (odd event_ids') touching only its key buckets.
+    // The oracle replays the clause algebra as a full-outer join + CASE
+    // in DuckDB; hash equality proves clause precedence, the delete
+    // gate, the update arithmetic and the insert path all at once.
+    QueryDef("q127_merge_into",
+      (s, d) => {
+        val (target, source) = q127Inputs(s, d)
+        val state = stateDirFor(s, "merge127", d)
+        val m1 = commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
+        commit(s, state, m1, 2L, source, q127Merge.apply)
+        IngestIndex.currentTable(s, state, "state")
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |t AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+             |s AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 1 GROUP BY user_id),
+             |m AS (SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+             |    t.n_events AS tn, t.sum_value AS tv,
+             |    s.n_events AS sn, s.sum_value AS sv
+             |  FROM t FULL JOIN s ON t.user_id = s.user_id)
+             |SELECT user_id,
+             |  CASE WHEN tn IS NOT NULL AND sn IS NOT NULL THEN tn + sn
+             |       WHEN tn IS NOT NULL THEN tn ELSE sn END AS n_events,
+             |  CAST(CASE WHEN tn IS NOT NULL AND sn IS NOT NULL
+             |       THEN CAST(tv + sv AS DECIMAL(18,4))
+             |       WHEN tn IS NOT NULL THEN tv ELSE sv END
+             |    AS DOUBLE) AS sum_value
+             |FROM m
+             |WHERE NOT (tn IS NOT NULL AND sn IS NOT NULL AND sn > tn)
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q128 SCHEMA EVOLUTION (r14): the store gains a payload column
+    // MID-STREAM — a 4-batch fold (event_id mod 4) where batches 2-3
+    // add `max_value` to the per-user state. Only the evolved batches'
+    // touched buckets are rewritten under the new schema; every other
+    // bucket reads back with NULL, which is semantically exact (those
+    // keys have no post-evolution observation), and pre-evolution
+    // snapshots stay readable WITHOUT the column (MergeIntoSpec pins
+    // that). The oracle recomputes the final state directly: totals
+    // over all events, max_value over batches 2-3 only — merge
+    // associativity makes fold == recompute.
+    QueryDef("q128_schema_evolution",
+      (s, d) => {
+        val state = runEvolvingFold(s, d)
+        IngestIndex.currentTable(s, state, "state")
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"),
+            col("max_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL})
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value,
+             |  MAX(CASE WHEN event_id % 4 >= 2 THEN value END) AS max_value
+             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)))
+}

@@ -187,7 +187,16 @@ object IngestIndex {
   /** Read `table` through manifest `m`: all live buckets, or just
     * `wanted`. `empty` supplies the shape when nothing qualifies (a
     * batch-shaped frame limited to 0). The returned frame carries the
-    * `bkt` partition column. */
+    * `bkt` partition column.
+    *
+    * SCHEMA EVOLUTION (r14): the per-version unions allow missing
+    * columns — a batch that ADDS a payload column (the lakehouse
+    * mergeSchema contract) rewrites only its touched buckets under the
+    * new schema; buckets last written pre-evolution read back with NULL
+    * in the new column, which is exactly the column's value for keys the
+    * evolving batches never touched. Column order: oldest version's
+    * columns first, later additions appended (versions are read in
+    * sorted order), so the output schema is deterministic. */
   def readTable(spark: SparkSession, stateDir: String, m: Manifest,
       table: String, wanted: Option[Set[Int]], empty: DataFrame)
       : DataFrame = {
@@ -198,7 +207,7 @@ object IngestIndex {
     else live.groupBy(_._2.ver).toSeq.sortBy(_._1).map { case (ver, bkts) =>
       spark.read.parquet(s"$stateDir/v$ver/$table")
         .filter(col("bkt").isin(bkts.keys.toSeq: _*))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Latest committed version in `stateDir` (the highest v<k> dir holding

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.MergeInto
+import graft.queries.MergeOps
+import graft.streaming.IngestIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q127 multi-clause MERGE INTO + q128 schema evolution on the bucketed
+  * persistent store: clause algebra, store-vs-direct equality, and the
+  * evolution laws the oracle can't see (pre-evolution snapshots readable
+  * without the new column).
+  */
+class MergeIntoSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MergeInto: every clause kind fires and first-match-wins holds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val target = Seq((1L, 10L, 100.0), (2L, 1L, 5.0), (3L, 7L, 70.0))
+      .toDF("user_id", "n_events", "sum_value")
+    val source = Seq((1L, 3L, 30.0), (2L, 5L, 50.0), (4L, 2L, 20.0),
+        (5L, 1L, 1.0))
+      .toDF("user_id", "n_events", "sum_value")
+    val merge = MergeInto(
+      key = "user_id",
+      payload = Seq("n_events", "sum_value"),
+      // user 2: source outran target -> DELETE (clause 1 beats clause 2)
+      matchedDeleteWhen = Some(col("s_n_events") > col("t_n_events")),
+      updateSet = Map(
+        "n_events" -> (col("t_n_events") + col("s_n_events")),
+        "sum_value" -> (col("t_sum_value") + col("s_sum_value"))),
+      // user 5 (n=1): unmatched but below the insert gate -> dropped
+      insertWhen = col("s_n_events") >= 2)
+    val got = merge(target, source).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set(
+      (1L, 13L, 130.0), // matched -> UPDATE
+      (3L, 7L, 70.0), // target-only -> kept
+      (4L, 2L, 20.0))) // unmatched + gate passes -> INSERT
+  }
+
+  test("q127: MERGE through the bucketed store == MergeInto applied directly") {
+    val spark = TestSpark.spark
+    val viaStore = SparkEntry.queries("q127_merge_into")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (target, source) = MergeOps.q127Inputs(spark, dir)
+    val direct = MergeOps.q127Merge(target, source)
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStore === direct)
+    assert(viaStore.nonEmpty)
+    // the DELETE clause genuinely removed matched rows: some target user
+    // must be absent from the result
+    val targetUsers = target.select("user_id").collect()
+      .map(_.getLong(0)).toSet
+    assert((targetUsers -- viaStore.map(_._1)).nonEmpty,
+      "degenerate rig: no user hit the DELETE clause")
+  }
+
+  test("q128: evolved fold == direct recompute; pre-evolution snapshot lacks the column") {
+    val spark = TestSpark.spark
+    val rows = SparkEntry.queries("q128_schema_evolution")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val direct = Q.events(spark, dir).groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)")
+          .cast("double").as("sum_value"),
+        max(when(pmod(col("event_id"), lit(4)) >= 2, col("value")))
+          .as("max_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(rows === direct)
+    assert(rows.exists(_._4.isDefined),
+      "degenerate rig: no user saw a post-evolution batch")
+    // the evolved column is genuinely NEW: the batch-2 snapshot (v2,
+    // committed before evolution) reads back WITHOUT it
+    val state = MergeOps.stateDirFor(spark, "evolve", dir)
+    val preEvo = IngestIndex.tableAt(spark, state, "state", 2L)
+    assert(!preEvo.columns.contains("max_value"),
+      s"v2 snapshot should predate max_value: ${preEvo.columns.mkString(",")}")
+    assert(preEvo.count() > 0)
+    val postEvo = IngestIndex.tableAt(spark, state, "state", 4L)
+    assert(postEvo.columns.contains("max_value"))
+  }
+}
