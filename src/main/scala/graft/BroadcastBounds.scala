@@ -105,6 +105,13 @@ object BroadcastBounds {
       "one (cid, n_salts) row per IVF cell — sqrt(n) rows of two ints; " +
         "the fan-out table that spreads a hot cell's probes across its " +
         "ceil(size/MaxCellGroupMembers) salt keys"),
+    "store-topology" -> Bound(Sublinear,
+      "the bucketed store's split-bucket id lists (one INT per live " +
+        "gen>0 bucket): store_bytes / splitBytes rows — ~10^6 ids (4 MB) " +
+        "for a 100 TB store at the 128 MB default, and the splitBytes " +
+        "knob scales the target bucket size up long before the id list " +
+        "approaches broadcast limits; grows with the STORE, never the " +
+        "batch being assigned"),
     "user-dim-gated" -> Bound(Gated,
       "the q81 enrichment dim (customer x nation projection) is customer-" +
         "proportional, so EventStream.userNationDim materializes it once " +

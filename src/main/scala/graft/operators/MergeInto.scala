@@ -13,12 +13,22 @@ import org.apache.spark.sql.functions._
   *   1. WHEN MATCHED AND [[matchedDeleteWhen]] THEN DELETE
   *   2. WHEN MATCHED THEN UPDATE SET [[updateSet]]
   *   3. WHEN NOT MATCHED [by target] AND [[insertWhen]] THEN INSERT
-  * plus the implicit "target rows with no source match are kept".
+  *   4. WHEN NOT MATCHED BY SOURCE AND [[notMatchedBySourceDeleteWhen]]
+  *      THEN DELETE (SQL:2023 / Delta's third clause family — the
+  *      full-sync topology: prune target rows the source no longer
+  *      carries)
+  *   5. WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+  *      [[notMatchedBySourceSet]] (when non-empty — e.g. tombstone
+  *      flagging rows absent from the sync snapshot)
+  * plus the implicit "target rows with no source match are kept" when
+  * neither BY SOURCE clause is configured (the default, so existing
+  * 3-clause merges are bit-identical).
   *
   * Conditions and assignments reference the target row's columns as
   * `t_<col>` and the source row's as `s_<col>` (both sides must carry
   * `key` plus every `payload` column; INSERT takes the source row's
-  * payload verbatim).
+  * payload verbatim; BY SOURCE conditions/assignments may only
+  * reference `t_<col>` — no source row exists for those keys).
   *
   * Scale shape: ONE full-outer equi-join on the merge key plus a
   * codegen'd projection — no windows, no second shuffle. Run through the
@@ -32,7 +42,9 @@ final case class MergeInto(
     payload: Seq[String],
     matchedDeleteWhen: Option[Column] = None,
     updateSet: Map[String, Column] = Map.empty,
-    insertWhen: Column = lit(true)) {
+    insertWhen: Column = lit(true),
+    notMatchedBySourceDeleteWhen: Option[Column] = None,
+    notMatchedBySourceSet: Map[String, Column] = Map.empty) {
 
   /** The MERGE as a combine: `target` = current rows (of the touched
     * slice, when run through the store), `source` = the batch. Returns
@@ -50,13 +62,17 @@ final case class MergeInto(
     // null-safe clause gates: a condition evaluating to NULL must read
     // as "clause does not fire" (SQL MERGE treats unknown as false)
     val fires: Column => Column = c => coalesce(c, lit(false))
-    val deleted = matched && fires(matchedDeleteWhen.getOrElse(lit(false)))
+    val targetOnly = tp && !sp
+    val deleted =
+      (matched && fires(matchedDeleteWhen.getOrElse(lit(false)))) ||
+        (targetOnly &&
+          fires(notMatchedBySourceDeleteWhen.getOrElse(lit(false))))
     val skippedInsert = !tp && sp && !fires(insertWhen)
     t.join(s, Seq(key), "full_outer")
       .filter(!deleted && !skippedInsert)
       .select(col(key) +: payload.map { c =>
         when(matched, updateSet.getOrElse(c, col(s"t_$c")))
-          .when(tp, col(s"t_$c"))
+          .when(tp, notMatchedBySourceSet.getOrElse(c, col(s"t_$c")))
           .otherwise(col(s"s_$c")).as(c)
       }: _*)
   }

@@ -259,12 +259,40 @@ object Layout {
               .forEach(f => java.nio.file.Files.deleteIfExists(f))
             finally walk.close()
           }
+          java.nio.file.Files.deleteIfExists(ownerMarker(root))
         } catch { case _: Throwable => () }
       }
     }))
+  /** The SIBLING liveness marker of staging dir `p`: `<p>.owner` holds
+    * the owning JVM's pid. A sibling (not a file inside the dir) because
+    * several stagePath roots are themselves parquet overwrite targets —
+    * an in-dir marker would die on the first rewrite. */
+  private def ownerMarker(p: java.nio.file.Path): java.nio.file.Path =
+    p.resolveSibling(p.getFileName.toString + ".owner")
+
+  private def writeOwnerMarker(p: String): Unit = try {
+    java.nio.file.Files.writeString(
+      ownerMarker(java.nio.file.Paths.get(p)),
+      ProcessHandle.current().pid().toString)
+    ()
+  } catch { case _: Throwable => () }
+
+  /** The pid recorded in `p`'s owner marker is a live process. Absent or
+    * unreadable marker => not alive (legacy dirs sweep by age alone,
+    * today's behavior). */
+  private def ownerAlive(p: java.nio.file.Path): Boolean = try {
+    val pid = java.nio.file.Files
+      .readString(ownerMarker(p)).trim.toLong
+    ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+  } catch { case _: Throwable => false }
+
   /** Belt-and-braces for SIGKILLed JVMs whose hook never ran: on first
     * staging use, sweep graft-* staging dirs from OTHER applications
-    * untouched for a week (old enough that no live harness owns them). */
+    * untouched for a week — UNLESS their owner-pid marker names a
+    * still-live process (r15, advisor fix: a harness alive >7 days, or
+    * a dir staged once and only READ since, must not lose its staging
+    * to a concurrently starting JVM — dir mtime does not update on
+    * reads). Orphaned markers (dir already gone, owner dead) sweep too. */
   private lazy val staleSweep: Unit = {
     try {
       val tmp = java.nio.file.Paths.get(
@@ -276,10 +304,21 @@ object Layout {
             .toMillis < cutoff)
         .forEach { p =>
           try {
-            val walk = java.nio.file.Files.walk(p)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => java.nio.file.Files.deleteIfExists(f))
-            finally walk.close()
+            val name = p.getFileName.toString
+            if (name.endsWith(".owner")) {
+              // an old marker whose dir is gone and owner dead is litter
+              val dir = p.resolveSibling(name.stripSuffix(".owner"))
+              if (!java.nio.file.Files.exists(dir) && !ownerAlive(dir))
+                java.nio.file.Files.deleteIfExists(p)
+              ()
+            } else if (!ownerAlive(p)) {
+              val walk = java.nio.file.Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+              finally walk.close()
+              java.nio.file.Files.deleteIfExists(ownerMarker(p))
+              ()
+            }
           } catch { case _: Throwable => () }
         }
       finally ls.close()
@@ -301,6 +340,7 @@ object Layout {
     stageCleanupHook
     staleSweep
     stagedPaths.add(p)
+    writeOwnerMarker(p)
     ()
   }
 
@@ -313,6 +353,7 @@ object Layout {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft-$kind-" +
       s"${s.sparkContext.applicationId}-$digest"
     stagedPaths.add(p)
+    writeOwnerMarker(p)
     p
   }
 

@@ -444,6 +444,30 @@ object LlmOps {
       .select(col("doc_id"), col("fp"), col("sigl"))
   }
 
+  /** Oracle-side twin of [[ingestSig]] + [[minhashBands]] + the md5
+    * fingerprint as DuckDB CTEs (tk/shl/hsrc/sig/bands/fps) — shared by
+    * q102's one-shot oracle and q104's streaming-replay oracle so the
+    * two cannot drift on the signature formula. */
+  private[graft] val INGEST_SIG_SQL: String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |shl AS (SELECT doc_id,
+       |    CASE WHEN len(w) < $IngestShingleN THEN w
+       |         ELSE list_transform(
+       |           generate_series(1, len(w) - ${IngestShingleN - 1}),
+       |           i -> array_to_string(w[i:i+${IngestShingleN - 1}], ' '))
+       |    END AS sl FROM tk),
+       |hsrc AS (SELECT doc_id, list_transform(sl, t -> md5(t)) AS hs
+       |  FROM shl),
+       |sig AS (SELECT doc_id,
+       |    list_transform(generate_series(0, 11), j ->
+       |      list_min(list_transform(hs, h -> substr(h || h, j + 1, 16))))
+       |      AS sigl
+       |  FROM hsrc),
+       |bands AS (SELECT doc_id, b,
+       |    md5(array_to_string(sigl[4*b+1:4*b+4], '|')) AS bv
+       |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS b) bs),
+       |fps AS (SELECT doc_id, md5(text) AS fp FROM documents)""".stripMargin
+
   /** The two pre-aggregated ingest indexes: one row per fingerprint and
     * ONE ROW PER BAND BUCKET (min member doc id each) — the only shape
     * the stored corpus ever takes in the probe joins. */
@@ -1472,24 +1496,7 @@ object LlmOps {
             stored.select(col("doc_id"), col("sigl")))
           .orderBy("doc_id")
       },
-      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |shl AS (SELECT doc_id,
-             |    CASE WHEN len(w) < $IngestShingleN THEN w
-             |         ELSE list_transform(
-             |           generate_series(1, len(w) - ${IngestShingleN - 1}),
-             |           i -> array_to_string(w[i:i+${IngestShingleN - 1}], ' '))
-             |    END AS sl FROM tk),
-             |hsrc AS (SELECT doc_id, list_transform(sl, t -> md5(t)) AS hs
-             |  FROM shl),
-             |sig AS (SELECT doc_id,
-             |    list_transform(generate_series(0, 11), j ->
-             |      list_min(list_transform(hs, h -> substr(h || h, j + 1, 16))))
-             |      AS sigl
-             |  FROM hsrc),
-             |bands AS (SELECT doc_id, b,
-             |    md5(array_to_string(sigl[4*b+1:4*b+4], '|')) AS bv
-             |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS b) bs),
-             |fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      Some(s"""WITH $INGEST_SIG_SQL,
              |stored AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7),
              |batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
              |fpidx AS (SELECT fp, MIN(f.doc_id) AS exact_anchor

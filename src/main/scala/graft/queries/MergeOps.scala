@@ -63,6 +63,63 @@ object MergeOps {
       userAgg(ev.filter(pmod(col("event_id"), lit(2)) === 1)))
   }
 
+  /** q127b NOT-MATCHED-BY-SOURCE floor: a target row absent from the sync
+    * snapshot with fewer events than this is pruned (DELETE); the rest are
+    * tombstone-zeroed (UPDATE). 66 splits the per-user event counts so
+    * BOTH arms fire on real rows at sf0.001 and sf0.01 (measured 3/2 and
+    * 21/29). Shared with the oracle SQL. */
+  private[graft] val SyncStaleFloor = 66L
+
+  /** The q127b FULL-SYNC merge — the SQL:2023 third clause family on real
+    * rows: matched rows are OVERWRITTEN with the snapshot's values (not
+    * added — the sync semantics), target rows the snapshot no longer
+    * carries are DELETED below [[SyncStaleFloor]] events and
+    * tombstone-zeroed above it. */
+  private[graft] val q127bMerge = MergeInto(
+    key = "user_id",
+    payload = Seq("n_events", "sum_value"),
+    updateSet = Map(
+      "n_events" -> col("s_n_events"),
+      "sum_value" -> col("s_sum_value")),
+    notMatchedBySourceDeleteWhen =
+      Some(col("t_n_events") < SyncStaleFloor),
+    notMatchedBySourceSet = Map("sum_value" -> lit(0).cast(dec)))
+
+  /** q127b's halves: target = every user's full aggregate; source = the
+    * "fresh sync snapshot" — even event_ids of users with user_id % 3 <> 0
+    * (a deterministic, SQL-expressible strict subset of the target's
+    * keys, so the BY SOURCE clauses genuinely fire). */
+  private[graft] def q127bInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val ev = Q.events(s, d)
+    (userAgg(ev),
+      userAgg(ev.filter(pmod(col("user_id"), lit(3)) =!= 0
+        && pmod(col("event_id"), lit(2)) === 0)))
+  }
+
+  /** Commit a FULL-SYNC merge: unlike the touched-bucket commit, a merge
+    * with NOT MATCHED BY SOURCE clauses must see EVERY target row (a key
+    * can be acted on precisely because the batch does NOT carry it), so
+    * the touched set is all live buckets plus the delta's own — the same
+    * full-target-scan cost Delta documents for this clause family. The
+    * manifest/version/replay contract is unchanged. */
+  private[graft] def commitFullSync(s: SparkSession, state: String,
+      m: IngestIndex.Manifest, next: Long, delta: DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame): IngestIndex.Manifest = {
+    val n = IngestIndex.numBuckets(s)
+    val gens = IngestIndex.gensOf(m, "state")
+    val deltaBkts = IngestIndex.assignBucket(delta, "state", n, gens)
+      .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+    val live = m.getOrElse("state", Map.empty[Int, IngestIndex.Bkt]).keySet
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val map = IngestIndex.mergeCommit(s, state, m, "state", next, delta,
+      combine, touchedKnown = Some(live ++ deltaBkts))
+    val nm: IngestIndex.Manifest = Map("state" -> map)
+    IngestIndex.writeManifest(fs, state, next, nm)
+    nm
+  }
+
   /** The staging state dir of query `kind` (spec access). */
   private[graft] def stateDirFor(s: SparkSession, kind: String,
       d: String): String = s"${Layout.stagePath(s, kind, d)}/state"
@@ -166,6 +223,129 @@ object MergeOps {
              |FROM m
              |WHERE NOT (tn IS NOT NULL AND sn IS NOT NULL AND sn > tn)
              |ORDER BY user_id""".stripMargin)),
+
+    // Q127b FULL-SYNC MERGE (r15): completes the MERGE contract with
+    // SQL:2023's third clause family — `WHEN NOT MATCHED BY SOURCE` —
+    // on rows where it genuinely fires: the target (every user's full
+    // aggregate) syncs against a snapshot carrying only a strict subset
+    // of its keys; matched rows are OVERWRITTEN with snapshot values,
+    // absent rows DELETE below the stale floor and tombstone-zero above
+    // it. Runs through the store via commitFullSync (the clause family
+    // requires the full target scan — Delta's documented cost for it).
+    // The oracle replays all four clause arms as full-outer + CASE.
+    QueryDef("q127b_merge_full_sync",
+      (s, d) => {
+        val (target, source) = q127bInputs(s, d)
+        val state = stateDirFor(s, "merge127b", d)
+        val m1 = commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
+        commitFullSync(s, state, m1, 2L, source, q127bMerge.apply)
+        IngestIndex.currentTable(s, state, "state")
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |t AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e GROUP BY user_id),
+             |s AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE user_id % 3 <> 0 AND event_id % 2 = 0
+             |  GROUP BY user_id),
+             |m AS (SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+             |    t.n_events AS tn, t.sum_value AS tv,
+             |    s.n_events AS sn, s.sum_value AS sv
+             |  FROM t FULL JOIN s ON t.user_id = s.user_id)
+             |SELECT user_id,
+             |  CASE WHEN tn IS NOT NULL AND sn IS NOT NULL THEN sn
+             |       WHEN tn IS NOT NULL THEN tn ELSE sn END AS n_events,
+             |  CAST(CASE WHEN tn IS NOT NULL AND sn IS NOT NULL THEN sv
+             |       WHEN tn IS NOT NULL THEN CAST(0 AS DECIMAL(18,4))
+             |       ELSE sv END AS DOUBLE) AS sum_value
+             |FROM m
+             |WHERE NOT (tn IS NOT NULL AND sn IS NULL
+             |           AND tn < $SyncStaleFloor)
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q82b SCD2 THROUGH MERGE INTO (r15): q82's slowly-changing-dimension
+    // semantics re-expressed as ONE MergeInto commit against the bucketed
+    // store — the operator generalizes beyond q127's add/delete algebra.
+    // SCD2 needs TWO output rows per changed key (close the old version,
+    // open the new), which a one-row-per-key MERGE emits via the classic
+    // union-trick source (the Databricks SCD2 MERGE recipe): each change
+    // contributes a CLOSE row whose merge key mk equals the stored row's
+    // (matched -> UPDATE SET is_current = false) and an OPEN row under a
+    // fresh non-colliding mk (not matched -> INSERT version 2); brand-new
+    // business keys ride as plain INSERT rows. mk ranges are disjoint by
+    // construction: target mk = key <= mx, insert mk = key + (mx+1),
+    // open mk = key + 2(mx+1) — the +1 matters because keys start at 0
+    // (key 0's insert under a bare +mx offset collided with the REAL key
+    // mx and closed it; caught by the oracle hash en route). The oracle
+    // is q82's SQL shape verbatim — hash equality proves the MERGE
+    // formulation computes exactly the declarative union form.
+    QueryDef("q82b_scd2_merge_into",
+      (s, d) => {
+        val base = Q.t(s, d, "customer")
+          .select(col("c_custkey").as("key"),
+            col("c_mktsegment").as("mktsegment"))
+        val mx = base.agg(max(col("key"))).head().getLong(0)
+        val v = (n: Int) => lit(n).cast(
+          org.apache.spark.sql.types.IntegerType).as("version")
+        val cur = (b: Boolean) => lit(b).as("is_current")
+        val target = base.select(col("key").as("mk"), col("key"),
+          col("mktsegment"), v(1), cur(true))
+        val changes = base.filter(col("key") % 7 === 0)
+        val closeRows = changes.select(col("key").as("mk"), col("key"),
+          col("mktsegment"), v(1), cur(false))
+        val openRows = changes.select(
+          (col("key") + 2 * (mx + 1)).as("mk"),
+          col("key"), lit("PROMO").as("mktsegment"), v(2), cur(true))
+        val insertRows = base.filter(col("key") % 11 === 0)
+          .select((col("key") + (mx + 1)).as("mk"),
+            (col("key") + mx).as("key"),
+            lit("NEWSEG").as("mktsegment"), v(1), cur(true))
+        val source = closeRows.unionByName(openRows)
+          .unionByName(insertRows)
+        val merge = MergeInto(
+          key = "mk",
+          payload = Seq("key", "mktsegment", "version", "is_current"),
+          updateSet = Map("is_current" -> lit(false)))
+        val state = stateDirFor(s, "scd2b", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val m1: IngestIndex.Manifest = Map("dim" ->
+          IngestIndex.mergeCommit(s, state, Map.empty, "dim", 1L, target,
+            (_, dl) => dl))
+        IngestIndex.writeManifest(fs, state, 1L, m1)
+        val m2: IngestIndex.Manifest = Map("dim" ->
+          IngestIndex.mergeCommit(s, state, m1, "dim", 2L, source,
+            merge.apply))
+        IngestIndex.writeManifest(fs, state, 2L, m2)
+        IngestIndex.currentTable(s, state, "dim")
+          .select(col("key"), col("mktsegment"), col("version"),
+            col("is_current"))
+          .orderBy("key", "version", "is_current")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS key, c_mktsegment AS mktsegment
+             |    FROM customer),
+             |changes AS (SELECT key, 'PROMO' AS new_seg FROM base
+             |    WHERE key % 7 = 0)
+             |SELECT key, mktsegment, CAST(1 AS INT) AS version,
+             |    TRUE AS is_current
+             |  FROM base WHERE key NOT IN (SELECT key FROM changes)
+             |UNION ALL
+             |SELECT b.key, b.mktsegment, CAST(1 AS INT), FALSE
+             |  FROM base b JOIN changes c ON b.key = c.key
+             |UNION ALL
+             |SELECT b.key, c.new_seg, CAST(2 AS INT), TRUE
+             |  FROM base b JOIN changes c ON b.key = c.key
+             |UNION ALL
+             |SELECT key + (SELECT MAX(key) FROM base), 'NEWSEG',
+             |    CAST(1 AS INT), TRUE
+             |  FROM base WHERE key % 11 = 0
+             |ORDER BY key, version, is_current""".stripMargin)),
 
     // Q128 SCHEMA EVOLUTION (r14): the store gains a payload column
     // MID-STREAM — a 4-batch fold (event_id mod 4) where batches 2-3

@@ -516,7 +516,7 @@ object Retrieval {
         val Sentinel = 1000000L
         val cov = Bm25Terms.map(t0 =>
             when(array_contains(col("toks"), t0), 1).otherwise(0))
-          .reduce(_ + _).cast(DoubleType) / lit(3.0)
+          .reduce(_ + _).cast(DoubleType) / lit(Bm25Terms.size.toDouble)
         val fp = least(Bm25Terms.map(t0 => coalesce(
           nullif(array_position(col("toks"), lit(t0)), lit(0L)),
           lit(Sentinel))): _*)
@@ -558,7 +558,7 @@ object Retrieval {
              |fe AS (SELECT doc_id, rrf, fused_rank,
              |    CAST(${Bm25Terms.map(t0 =>
                     s"(CASE WHEN list_contains(toks, '$t0') THEN 1 ELSE 0 END)")
-                    .mkString(" + ")} AS DOUBLE) / CAST(3.0 AS DOUBLE) AS cov,
+                    .mkString(" + ")} AS DOUBLE) / CAST(${Bm25Terms.size}.0 AS DOUBLE) AS cov,
              |    LEAST(${Bm25Terms.map(t0 =>
                     s"COALESCE(NULLIF(list_position(toks, '$t0'), 0), 1000000)")
                     .mkString(", ")}) AS fp,

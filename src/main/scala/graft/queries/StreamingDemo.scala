@@ -25,8 +25,9 @@ object StreamingDemo {
 
   private def replayDirFor(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
     stagedReplay.computeIfAbsent(sfDir, _ => {
-      val replay =
-        s"${java.nio.file.Files.createTempDirectory("graft-q33")}/replay"
+      val base = java.nio.file.Files.createTempDirectory("graft-q33")
+      Layout.trackTemp(base.toString)
+      val replay = s"$base/replay"
       graft.streaming.EventStream.stageReplay(s, sfDir, replay, nFiles = 4)
       replay
     })
@@ -42,8 +43,9 @@ object StreamingDemo {
   private def docReplayDirFor(s: org.apache.spark.sql.SparkSession,
       sfDir: String): (String, Int) =
     stagedDocReplay.computeIfAbsent(sfDir, _ => {
-      val replay =
-        s"${java.nio.file.Files.createTempDirectory("graft-q53")}/replay"
+      val base = java.nio.file.Files.createTempDirectory("graft-q53")
+      Layout.trackTemp(base.toString)
+      val replay = s"$base/replay"
       graft.streaming.DocStream.stageDocReplay(s, sfDir, replay, nFiles = 4)
       val nDocs = s.read.parquet(s"$sfDir/documents.parquet").count()
       (replay, graft.streaming.DocStream.horizonMinutesFor(nDocs))
@@ -57,9 +59,11 @@ object StreamingDemo {
   private def ingestReplayDirFor(s: org.apache.spark.sql.SparkSession,
       sfDir: String): String =
     stagedIngestReplay.computeIfAbsent(sfDir, _ => {
-      val replay =
-        s"${java.nio.file.Files.createTempDirectory("graft-q104")}/replay"
-      graft.streaming.IngestStream.stageReplay(s, sfDir, replay, nBatches = 4)
+      val base = java.nio.file.Files.createTempDirectory("graft-q104")
+      Layout.trackTemp(base.toString)
+      val replay = s"$base/replay"
+      graft.streaming.IngestStream.stageReplay(s, sfDir, replay,
+        nBatches = graft.streaming.IngestStream.ReplayBatches)
       replay
     })
 
@@ -71,8 +75,9 @@ object StreamingDemo {
   private def cdfReplayFor(s: org.apache.spark.sql.SparkSession,
       sfDir: String): String =
     stagedCdfReplay.computeIfAbsent(sfDir, _ => {
-      val replay =
-        s"${java.nio.file.Files.createTempDirectory("graft-q120")}/replay"
+      val base = java.nio.file.Files.createTempDirectory("graft-q120")
+      Layout.trackTemp(base.toString)
+      val replay = s"$base/replay"
       graft.streaming.CdfStream.stageModReplay(s, sfDir, replay, nBatches = 4)
       replay
     })
@@ -245,8 +250,9 @@ object StreamingDemo {
       (s, d) => {
         val s2 = streamSession(s)
         val replay = replayDirFor(s, d)
-        val stateDir =
-          s"${java.nio.file.Files.createTempDirectory("graft-q86")}/state"
+        val stateBase = java.nio.file.Files.createTempDirectory("graft-q86")
+        Layout.trackTemp(stateBase.toString)
+        val stateDir = s"$stateBase/state"
         val streamed = graft.streaming.EventStream
           .upsertedState(s2, replay, stateDir)
         val batch = graft.streaming.EventStream.batchUserState(s2, d)
@@ -378,16 +384,22 @@ object StreamingDemo {
     // continuous-crawl topology: each micro-batch classifies against the
     // index of everything ingested before it (exact/near/novel + anchor +
     // est_sim, q102's formula via the shared classifyAgainstIndex), then
-    // MERGEs itself in (versioned parquet state, the q86 pattern). No SQL
-    // oracle (streaming); IngestStreamSpec pins row equality with the
-    // one-shot batch twin; here the classifications re-join the twin so
-    // the driver's rows-only check sees per-row match flags.
+    // MERGEs itself in (versioned parquet state, the q86 pattern).
+    // PROMOTED to a full hash oracle (r15, the q120 recipe): the replay
+    // slices by doc_id % 4 — a deterministic membership SQL can
+    // reconstruct — and a doc's anchors are MINIMA over strictly-earlier-
+    // batch docs (associative, slicing-independent), so the whole
+    // classification chain replays in DuckDB as fp/band self-joins with
+    // an earlier-batch predicate + q102's est_sim tail. IngestStreamSpec
+    // still pins streamed == batchTwin; the in-flight match flags ride
+    // along, pinned TRUE.
     QueryDef("q104_streaming_ingest_dedup",
       (s, d) => {
         val s2 = streamSession(s)
         val replay = ingestReplayDirFor(s2, d)
-        val state =
-          s"${java.nio.file.Files.createTempDirectory("graft-q104")}/state"
+        val stateBase = java.nio.file.Files.createTempDirectory("graft-q104")
+        Layout.trackTemp(stateBase.toString)
+        val state = s"$stateBase/state"
         val streamed = graft.streaming.IngestStream.classified(s2, replay, state)
         val twin = graft.streaming.IngestStream.batchTwin(s2, d)
         streamed.as("s").join(twin.as("b"),
@@ -401,7 +413,37 @@ object StreamingDemo {
               && col("s.est_sim") <=> col("b.est_sim")).as("matches_batch"))
           .orderBy("doc_id")
       },
-      None),
+      Some {
+        val n = graft.streaming.IngestStream.ReplayBatches
+        s"""WITH ${graft.queries.LlmOps.INGEST_SIG_SQL},
+           |ex AS (SELECT f2.doc_id, MIN(f1.doc_id) AS exact_anchor
+           |  FROM fps f2 JOIN fps f1 ON f1.fp = f2.fp
+           |    AND f1.doc_id % $n < f2.doc_id % $n
+           |  GROUP BY f2.doc_id),
+           |nr AS (SELECT b2.doc_id, MIN(b1.doc_id) AS near_anchor
+           |  FROM bands b2 JOIN bands b1 ON b1.b = b2.b AND b1.bv = b2.bv
+           |    AND b1.doc_id % $n < b2.doc_id % $n
+           |  GROUP BY b2.doc_id),
+           |cls AS (SELECT d.doc_id, ex.exact_anchor, nr.near_anchor,
+           |    CASE WHEN ex.exact_anchor IS NOT NULL THEN 'exact'
+           |         WHEN nr.near_anchor IS NOT NULL THEN 'near'
+           |         ELSE 'novel' END AS status,
+           |    COALESCE(ex.exact_anchor, nr.near_anchor) AS anchor_doc
+           |  FROM documents d
+           |  LEFT JOIN ex ON ex.doc_id = d.doc_id
+           |  LEFT JOIN nr ON nr.doc_id = d.doc_id)
+           |SELECT c.doc_id AS doc_id, c.status AS status,
+           |  c.anchor_doc AS anchor_doc,
+           |  CAST(ROUND(CASE WHEN c.anchor_doc IS NOT NULL THEN
+           |    CAST(list_sum(list_transform(generate_series(1, 12),
+           |      i -> CASE WHEN sa.sigl[i] = sb.sigl[i] THEN 1 ELSE 0 END))
+           |      AS DOUBLE) / 12 END, 4) AS DOUBLE) AS est_sim,
+           |  TRUE AS matches_batch
+           |FROM cls c
+           |LEFT JOIN sig sa ON sa.doc_id = c.anchor_doc
+           |LEFT JOIN sig sb ON sb.doc_id = c.doc_id
+           |ORDER BY c.doc_id""".stripMargin
+      }),
 
     // Q111: STREAMING heavy hitters (r12) — micro-batch Misra-Gries
     // sketches folded into a versioned persistent sketch with the
@@ -415,8 +457,9 @@ object StreamingDemo {
       (s, d) => {
         val s2 = streamSession(s)
         val replay = ingestReplayDirFor(s2, d)
-        val state =
-          s"${java.nio.file.Files.createTempDirectory("graft-q111")}/state"
+        val stateBase = java.nio.file.Files.createTempDirectory("graft-q111")
+        Layout.trackTemp(stateBase.toString)
+        val state = s"$stateBase/state"
         graft.streaming.HitterStream.heavyHitters(s2, replay, state, d)
       },
       Some("""WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token

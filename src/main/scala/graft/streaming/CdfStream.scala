@@ -79,10 +79,12 @@ object CdfStream {
       sum(col("value").cast(dec)).as("sum_value"))
 
   /** Run the upsert stream to completion, committing state versions under
-    * `stateDir` (retaining `retain` snapshots) and the change feed under
-    * `cdfDir/b<batchId>`. Returns the final committed version. */
+    * `stateDir` (retaining `retain` snapshots — plus, when `retainMillis`
+    * > 0, every snapshot younger than that wall-clock window: the
+    * production time-based VERSION-AS-OF retention) and the change feed
+    * under `cdfDir/b<batchId>`. Returns the final committed version. */
   def runUpsertCdf(spark: SparkSession, replayDir: String, stateDir: String,
-      cdfDir: String, retain: Int = 8): Long = {
+      cdfDir: String, retain: Int = 8, retainMillis: Long = 0L): Long = {
     var top = 0L
     val q = spark.readStream
       .schema(EventsSchema)
@@ -135,7 +137,7 @@ object CdfStream {
           })
         IngestIndex.writeManifest(fs, stateDir, next,
           Map("state" -> stateMap))
-        IngestIndex.gc(fs, stateDir, batchId, next, retain)
+        IngestIndex.gc(fs, stateDir, batchId, next, retain, retainMillis)
         top = math.max(top, next)
         ()
       }

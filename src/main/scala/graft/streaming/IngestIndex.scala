@@ -118,6 +118,7 @@ object IngestIndex {
     case "state" => xxhash64(col("user_id"))
     case "vec" => xxhash64(col("vec_id"))
     case "view" => xxhash64(col("nation"))
+    case "dim" => xxhash64(col("mk"))
     case other => throw new IllegalArgumentException(
       s"unknown ingest-index table: $other")
   }
@@ -139,6 +140,53 @@ object IngestIndex {
           when(c.isInCollection(ids.keys.toSeq), c)
         }
       coalesce(cands :+ base: _*)
+    }
+  }
+
+  /** Split-bucket-id count above which [[assignBucket]] switches from the
+    * plan-literal [[bucketCol]] expression to the broadcast topology map.
+    * The literal form inlines every gen>0 id into the plan (InSet lists):
+    * fine to ~10^5 ids, but at 10^6+ live split buckets (a ~100 TB store
+    * at the 128 MB bucket target) the per-trigger plan payload and
+    * codegen size grow with the STORE — the broadcast form ships the ids
+    * once per executor as ordinary join data instead (the broadcast-ADC
+    * pattern applied to the store topology). Default is high enough that
+    * every test-scale store keeps the literal plan. */
+  def topologyBroadcastMinIds(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ingest.topologyBroadcastMinIds",
+      "65536").toInt
+
+  /** `df` plus its `bkt` bucket assignment under the topology — SAME
+    * assignment law as [[bucketCol]] (finest-modulus-first, fall through
+    * to gen 0), representation chosen by topology size: small topologies
+    * inline the id lists (one codegen'd expression, zero joins); past
+    * [[topologyBroadcastMinIds]] split ids, each live generation's id
+    * set rides as a BROADCAST hash join on the candidate modulus — one
+    * bounded join per live generation (generation count grows as
+    * log2(store growth), so a handful even at extreme scale), plan
+    * payload independent of bucket count. `IngestIndexSpec` pins
+    * literal == broadcast row for row. */
+  def assignBucket(df: DataFrame, table: String, n: Int,
+      gens: Map[Int, Int] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    if (gens.size < topologyBroadcastMinIds(spark))
+      df.withColumn("bkt", bucketCol(table, n, gens))
+    else {
+      import spark.implicits._
+      val byGen = gens.groupBy(_._2).toSeq.sortBy(-_._1) // finest first
+      var out = df.withColumn("__h", hashFor(table))
+      val arms = byGen.map { case (g, ids) =>
+        val name = s"__t$g"
+        val cand = pmod(col("__h"), lit(n.toLong << g)).cast(IntegerType)
+        val idsDf = ids.keys.toSeq.toDF(name)
+        out = out.join(
+          graft.BroadcastBounds.bounded("store-topology")(idsDf),
+          cand === col(name), "left")
+        when(col(name).isNotNull, col(name))
+      }
+      val base = pmod(col("__h"), lit(n.toLong)).cast(IntegerType)
+      out.withColumn("bkt", coalesce(arms :+ base: _*))
+        .drop("__h" +: byGen.map { case (g, _) => s"__t$g" }: _*)
     }
   }
 
@@ -196,7 +244,17 @@ object IngestIndex {
     * in the new column, which is exactly the column's value for keys the
     * evolving batches never touched. Column order: oldest version's
     * columns first, later additions appended (versions are read in
-    * sorted order), so the output schema is deterministic. */
+    * sorted order), so the output schema is deterministic.
+    *
+    * Evolution supports column ADDITION ONLY (r15, declared): a column
+    * whose TYPE differs across live versions (int widened to long, a
+    * decimal precision bump) fails LOUDLY here with the column and both
+    * types named — silent unionByName coercion would quietly rewrite
+    * stored decimals/ints under whichever type Spark picks, and the two
+    * engines of the oracle gate need not agree on it. The supported
+    * migration is rewrite-under-the-new-type: [[compact]] the store
+    * after a combine that casts, so every live bucket carries one
+    * schema. */
   def readTable(spark: SparkSession, stateDir: String, m: Manifest,
       table: String, wanted: Option[Set[Int]], empty: DataFrame)
       : DataFrame = {
@@ -207,7 +265,20 @@ object IngestIndex {
     else live.groupBy(_._2.ver).toSeq.sortBy(_._1).map { case (ver, bkts) =>
       spark.read.parquet(s"$stateDir/v$ver/$table")
         .filter(col("bkt").isin(bkts.keys.toSeq: _*))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.reduce { (a, b) =>
+      val at = a.schema.fields.map(f => f.name -> f.dataType).toMap
+      b.schema.fields.foreach { f =>
+        at.get(f.name).filter(_ != f.dataType).foreach { t =>
+          throw new IllegalStateException(
+            s"schema evolution of table '$table' supports column " +
+              s"ADDITION only: column '${f.name}' changes type from $t " +
+              s"to ${f.dataType} across live versions — rewrite the " +
+              "store under the new type (cast in a combine, then " +
+              "compact) instead of widening in place")
+        }
+      }
+      a.unionByName(b, allowMissingColumns = true)
+    }
   }
 
   /** Latest committed version in `stateDir` (the highest v<k> dir holding
@@ -288,7 +359,7 @@ object IngestIndex {
       s"table $table absent from manifest v$v under $stateDir")
     val n = numBuckets(spark)
     val gens = gensOf(m, table)
-    val wanted = keyed.withColumn("bkt", bucketCol(table, n, gens))
+    val wanted = assignBucket(keyed, table, n, gens)
       .select("bkt").distinct().collect().map(_.getInt(0)).toSet
     // table-shaped empty frame for the no-covered-bucket case (keys that
     // hash to buckets holding nothing): schema from the full manifest
@@ -329,7 +400,7 @@ object IngestIndex {
     val n = numBuckets(spark)
     val gens = gensOf(m, table)
     val entries = m.getOrElse(table, Map.empty[Int, Bkt])
-    val keyed = delta.withColumn("bkt", bucketCol(table, n, gens))
+    val keyed = assignBucket(delta, table, n, gens)
     val touched = touchedKnown.getOrElse(keyed.select("bkt").distinct()
       .collect().map(_.getInt(0)).toSet)
     if (touched.isEmpty) return entries
@@ -359,8 +430,7 @@ object IngestIndex {
     // writer tasks — without it every shuffle partition writes a sliver
     // into every bucket dir (touched x partitions files, the small-file
     // problem q110 exists to undo)
-    val merged = combine(cur, delta)
-      .withColumn("bkt", bucketCol(table, n, wGens))
+    val merged = assignBucket(combine(cur, delta), table, n, wGens)
       .repartition(math.max(1, writeTouched.size), col("bkt"))
     val path = s"$stateDir/v$next/$table"
     planName match {
@@ -408,8 +478,15 @@ object IngestIndex {
     * manifest `v(top)`, which now points every bucket at the epoch dir.
     * Crash-safe ordering: epoch data fully written BEFORE the one-file
     * manifest overwrite commits it; the old tail is deleted only after.
-    * Returns the repointed manifest. */
-  def compact(spark: SparkSession, stateDir: String, top: Long): Manifest = {
+    * Returns the repointed manifest.
+    *
+    * `retain` MUST match the stream's own gc retention (the time-travel
+    * window): compaction's GC uses the same rule, so a store run with
+    * `retain = 8` snapshots keeps all 8 readable through a compaction
+    * instead of silently evicting them down to the crash-replay
+    * minimum. */
+  def compact(spark: SparkSession, stateDir: String, top: Long,
+      retain: Int = 2): Manifest = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = readManifest(fs, stateDir, top)
@@ -438,16 +515,19 @@ object IngestIndex {
     // the crash-replay fallback for the batch that committed v(top) —
     // deleting them here would strand a resume whose checkpoint commit
     // had not landed before compaction ran
-    gc(fs, stateDir, top - 1, top)
+    gc(fs, stateDir, top - 1, top, retain)
     nm
   }
 
   /** Post-commit hook for streams: fold the tail when the live
     * version-dir count exceeds [[autoCompactVersions]]. Called right
     * after batch k commits `v(top)` — crash-safe per [[compact]]'s
-    * contract. Returns whether a compaction ran. */
+    * contract. Pass the stream's own gc `retain` so auto-compaction
+    * honors the same time-travel window (a store run with retain=8
+    * must not have its retained snapshots evicted mid-stream by the
+    * compaction default). Returns whether a compaction ran. */
   def maybeCompact(spark: SparkSession, stateDir: String,
-      top: Long): Boolean = {
+      top: Long, retain: Int = 2): Boolean = {
     val maxV = autoCompactVersions(spark)
     if (maxV <= 0) return false
     val fs = new Path(stateDir)
@@ -457,7 +537,7 @@ object IngestIndex {
     val count = fs.listStatus(root).map(_.getPath.getName)
       .count(_.matches("v-?\\d+"))
     if (count <= maxV) false
-    else { compact(spark, stateDir, top); true }
+    else { compact(spark, stateDir, top, retain); true }
   }
 
   /** Delete version dirs that no RETAINED manifest references. The newest
@@ -467,17 +547,39 @@ object IngestIndex {
     * (prev survives so a crash before the stream checkpoint lands can
     * replay the batch that committed `next`); a larger `retain` is the
     * TIME-TRAVEL window — `tableAt` can read any still-retained version
-    * (the Delta/Iceberg snapshot-retention model). Returns the deleted
-    * versions (spec observability). */
+    * (the Delta/Iceberg snapshot-retention model).
+    *
+    * `retainMillis` > 0 adds a WALL-CLOCK window (r15): every version
+    * whose manifest file's mtime is younger than the window is also
+    * retained fully replayable — the production "7 days of VERSION AS
+    * OF" policy (Delta's `delta.deletedFileRetentionDuration`). The
+    * mtime is FILE METADATA, so replay stays byte-identical (a stamp in
+    * the manifest content would not); a replayed trigger refreshes the
+    * mtime, which can only EXTEND retention, never shrink it. The
+    * count-based floor stays as the crash-replay minimum either way.
+    * Returns the deleted versions (spec observability). */
   def gc(fs: FileSystem, stateDir: String, prev: Long,
-      next: Long, retain: Int = 2): Seq[Long] = {
-    val protect =
+      next: Long, retain: Int = 2, retainMillis: Long = 0L): Seq[Long] = {
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return Nil
+    val countProtect =
       ((next - math.max(retain, 2) + 1) to next).toSet + prev + next
+    val ageProtect: Set[Long] =
+      if (retainMillis <= 0L) Set.empty
+      else {
+        val cutoff = System.currentTimeMillis() - retainMillis
+        fs.listStatus(root).map(_.getPath.getName)
+          .filter(_.matches("v-?\\d+")).map(_.drop(1).toLong)
+          .filter { v =>
+            val mp = manifestPath(stateDir, v)
+            fs.exists(mp) &&
+              fs.getFileStatus(mp).getModificationTime >= cutoff
+          }.toSet
+      }
+    val protect = countProtect ++ ageProtect
     val referenced = protect.toSeq.sorted
       .flatMap(v => readManifest(fs, stateDir, v).values)
       .flatMap(_.values.map(_.ver)).toSet ++ protect
-    val root = new Path(stateDir)
-    if (!fs.exists(root)) return Nil
     val floor = protect.min
     // v-?: compaction epoch dirs (negative versions) are GC'd by the
     // same reference rule once a later epoch supersedes them

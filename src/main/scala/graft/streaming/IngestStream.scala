@@ -42,12 +42,17 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IngestStream {
 
+  /** The replay's batch count — shared by the staging, the batch twin
+    * and the DuckDB oracle's `doc_id % n` slicing so they cannot
+    * drift. */
+  val ReplayBatches = 4
+
   /** Stage documents as `nBatches` replay files; batch k holds the docs
     * with doc_id % nBatches == k (a DETERMINISTIC membership the batch
     * twin can reconstruct, unlike sampled range boundaries), replayed in
     * k order via pinned mtimes. */
   def stageReplay(spark: SparkSession, sfDir: String, replayDir: String,
-      nBatches: Int = 4): Unit = {
+      nBatches: Int = ReplayBatches): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -101,9 +106,9 @@ object IngestStream {
         // probe/merge pruning under the manifest's CURRENT topology —
         // split buckets resolve to their live generation's ids
         def wantedOf(df: DataFrame, table: String): Set[Int] =
-          df.select(IngestIndex.bucketCol(table, n,
-              IngestIndex.gensOf(m, table)).as("bkt"))
-            .distinct().collect().map(_.getInt(0)).toSet
+          IngestIndex.assignBucket(df, table, n,
+              IngestIndex.gensOf(m, table))
+            .select("bkt").distinct().collect().map(_.getInt(0)).toSet
         val fpDelta = LlmOps.fpIndexOf(sig)
         val bandDelta = LlmOps.bandIndexOf(sig)
         val sigDelta = sig.select(col("doc_id"), col("sigl"))
@@ -130,9 +135,8 @@ object IngestStream {
                 : DataFrame =
               IngestIndex.readTable(spark, stateDir, m, table,
                 Some(wanted),
-                delta.limit(0).withColumn("bkt",
-                  IngestIndex.bucketCol(table, n,
-                    IngestIndex.gensOf(m, table)))).drop("bkt")
+                IngestIndex.assignBucket(delta.limit(0), table, n,
+                  IngestIndex.gensOf(m, table))).drop("bkt")
             val fpIdx = pruned("fp", fpTouched, fpDelta)
             val bandIdx = pruned("band", bandTouched, bandDelta)
             // anchor first (batch-sized), THEN read only the anchors'
@@ -212,7 +216,7 @@ object IngestStream {
     * only at twin scale (cross-batch pair joins); the streaming form IS
     * the scale path — this exists to pin its semantics. */
   def batchTwin(spark: SparkSession, sfDir: String,
-      nBatches: Int = 4): DataFrame = {
+      nBatches: Int = ReplayBatches): DataFrame = {
     import graft.queries.LlmOps
     graft.functions.GraftFunctions.register(spark)
     val sig = org.apache.spark.sql.execution.GraftCheckpoint

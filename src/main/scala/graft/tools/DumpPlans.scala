@@ -363,6 +363,40 @@ object DumpPlans {
         |edge-straddling files; the full-table box runs no data scan at
         |all. LakeLayoutSpec pins the IO claims; the oracle pins the
         |counts.""".stripMargin,
+    "q127_merge_into" ->
+      """The read-back after the two store commits (stage target, MERGE
+        |source): a union of bkt-pruned parquet scans through the
+        |manifest. The MERGE itself ran inside mergeCommit as ONE
+        |full-outer equi-join on user_id (left side = only the touched
+        |buckets' current rows) + a codegen'd clause projection — delete
+        |gate as a filter, update/insert arms as one CASE per payload
+        |column. O(batch + touched buckets) per MERGE at any table
+        |size; MergeIntoSpec pins clause precedence.""".stripMargin,
+    "q127b_merge_full_sync" ->
+      """The read-back after a FULL-SYNC merge (WHEN NOT MATCHED BY
+        |SOURCE): unlike q127's touched-bucket commit, this clause family
+        |must see every target row (a key is acted on precisely because
+        |the batch does NOT carry it), so the merge's left side was ALL
+        |live buckets — the full-target-scan cost Delta documents for
+        |this clause. Still one full-outer join + one codegen'd clause
+        |projection; the manifest/replay contract is unchanged.""".stripMargin,
+    "q82b_scd2_merge_into" ->
+      """SCD2 as ONE MergeInto commit (the union-trick source: close rows
+        |match and flip is_current, open/new rows insert under fresh
+        |merge keys) — the same full-outer-join + clause-projection frame
+        |as q127, proving the operator generalizes to the
+        |two-rows-per-change SCD topology. The read-back is the usual
+        |bkt-pruned manifest union; the oracle is q82's declarative
+        |UNION-ALL shape verbatim.""".stripMargin,
+    "q128_schema_evolution" ->
+      """The read-back after the 4-batch evolving fold: versions union
+        |with allowMissingColumns, so buckets last written pre-evolution
+        |surface max_value as NULL (exact: those keys have no
+        |post-evolution observation) while evolved buckets carry it.
+        |Only the evolving batches' touched buckets were rewritten under
+        |the new schema — evolution costs nothing beyond the merge the
+        |batch was paying anyway. Type CHANGES (vs additions) fail
+        |loudly at read time with the column and both types named.""".stripMargin,
     "q115_kll_quantile_rollup" ->
       """Mergeable quantile cube: per-slice KLL sketches + exact audit
         |percentiles in one partial+final aggregate over the fact scan;

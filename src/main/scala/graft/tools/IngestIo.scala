@@ -75,8 +75,11 @@ object IngestIo {
     val manifest = IngestIndex.readManifest(fs, state, last.toLong)
     // one listing pass over the live buckets serves both the per-bucket
     // sizes and their total
+    // EmptyVer sentinels (live-but-empty split children) hold no data:
+    // skip them so live_buckets counts only data-bearing buckets and no
+    // v<EmptyVer> path is probed
     val bucketSizes = manifest.toSeq.flatMap { case (t, bkts) =>
-      bkts.toSeq.map { case (bk, e) =>
+      bkts.toSeq.collect { case (bk, e) if e.ver != IngestIndex.EmptyVer =>
         dataBytes(new Path(s"$state/v${e.ver}/$t/bkt=$bk"))
       }
     }

@@ -41,6 +41,92 @@ class MergeIntoSpec extends AnyFunSuite {
       (4L, 2L, 20.0))) // unmatched + gate passes -> INSERT
   }
 
+  test("MergeInto: NOT MATCHED BY SOURCE clause family (delete beats update; matched/source-only untouched)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val target = Seq((1L, 10L, 100.0), (2L, 2L, 20.0), (3L, 9L, 90.0))
+      .toDF("user_id", "n_events", "sum_value")
+    val source = Seq((1L, 4L, 40.0), (5L, 6L, 60.0))
+      .toDF("user_id", "n_events", "sum_value")
+    val merge = MergeInto(
+      key = "user_id",
+      payload = Seq("n_events", "sum_value"),
+      updateSet = Map("n_events" -> col("s_n_events"),
+        "sum_value" -> col("s_sum_value")),
+      // user 2 (n=2): absent from source, below floor -> DELETE
+      notMatchedBySourceDeleteWhen = Some(col("t_n_events") < 5),
+      // user 3 (n=9): absent from source, above floor -> zeroed
+      notMatchedBySourceSet = Map("sum_value" -> lit(0.0)))
+    val got = merge(target, source).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set(
+      (1L, 4L, 40.0), // matched -> overwritten with source
+      (3L, 9L, 0.0), // not matched by source -> UPDATE arm (delete lost)
+      (5L, 6L, 60.0))) // source-only -> INSERT, BY SOURCE clauses silent
+  }
+
+  test("MergeInto: default (no BY SOURCE clauses) keeps target-only rows verbatim") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val target = Seq((1L, 10L, 100.0), (2L, 2L, 20.0))
+      .toDF("user_id", "n_events", "sum_value")
+    val source = Seq((1L, 4L, 40.0)).toDF("user_id", "n_events", "sum_value")
+    val merge = MergeInto(key = "user_id",
+      payload = Seq("n_events", "sum_value"),
+      updateSet = Map("n_events" -> col("s_n_events"),
+        "sum_value" -> col("s_sum_value")))
+    val got = merge(target, source).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 4L, 40.0), (2L, 2L, 20.0)))
+  }
+
+  test("q127b: full-sync MERGE through the store == direct; both BY SOURCE arms fire") {
+    val spark = TestSpark.spark
+    val viaStore = SparkEntry.queries("q127b_merge_full_sync")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (target, source) = MergeOps.q127bInputs(spark, dir)
+    val direct = MergeOps.q127bMerge(target, source)
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStore === direct)
+    val targetUsers = target.select("user_id").collect()
+      .map(_.getLong(0)).toSet
+    assert((targetUsers -- viaStore.map(_._1)).nonEmpty,
+      "degenerate rig: no user hit the BY SOURCE DELETE arm")
+    assert(viaStore.exists(r => r._3 == 0.0 && r._2 >= MergeOps.SyncStaleFloor),
+      "degenerate rig: no user hit the BY SOURCE UPDATE (tombstone) arm")
+  }
+
+  test("type widening across live versions fails loudly with the column and types named") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val state = s"${java.nio.file.Files.createTempDirectory("graft-widen")}/state"
+    graft.queries.Layout.trackTemp(new java.io.File(state).getParent)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v1: cnt as INT over many keys (several buckets live)
+    val v1 = (1L to 64L).map(u => (u, u.toInt)).toDF("user_id", "cnt")
+    val m1: IngestIndex.Manifest = Map("state" ->
+      IngestIndex.mergeCommit(spark, state, Map.empty, "state", 1L, v1,
+        (_, d) => d))
+    IngestIndex.writeManifest(fs, state, 1L, m1)
+    // v2: one key's bucket rewritten with cnt WIDENED to LONG — the other
+    // buckets stay live at v1 under the old type
+    val v2 = Seq((1L, 100L)).toDF("user_id", "cnt")
+    val m2: IngestIndex.Manifest = Map("state" ->
+      IngestIndex.mergeCommit(spark, state, m1, "state", 2L, v2,
+        (_, d) => d))
+    IngestIndex.writeManifest(fs, state, 2L, m2)
+    val err = intercept[IllegalStateException] {
+      IngestIndex.currentTable(spark, state, "state").collect()
+    }
+    assert(err.getMessage.contains("cnt"), err.getMessage)
+    assert(err.getMessage.contains("ADDITION only"), err.getMessage)
+    assert(err.getMessage.toLowerCase.contains("integer")
+      && err.getMessage.toLowerCase.contains("long"), err.getMessage)
+  }
+
   test("q127: MERGE through the bucketed store == MergeInto applied directly") {
     val spark = TestSpark.spark
     val viaStore = SparkEntry.queries("q127_merge_into")(spark, dir)

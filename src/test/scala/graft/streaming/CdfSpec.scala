@@ -146,6 +146,75 @@ class CdfSpec extends AnyFunSuite {
       Seq(-1L).toDF("user_id")).count() === 0L)
   }
 
+  test("CDF chain associativity (randomized): for random batch counts k, " +
+    "the completed upsert equals the one-shot aggregate and the " +
+    "feed-maintained view equals the direct recompute") {
+    // q125 pins 4-batch == 1-batch; this pins the associativity claim
+    // directly over random k — the feed's signed-delta algebra and the
+    // merge arithmetic must be independent of how the stream slices
+    val rnd = new scala.util.Random(17)
+    val ks = Seq(1 + rnd.nextInt(8), 1 + rnd.nextInt(8)).distinct
+    val oneShot = key(graft.Q.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_value")))
+    val directView = {
+      val dim = EventStream.userNationDim(spark, sfDir)
+      graft.Q.events(spark, sfDir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).as("sv"))
+        .join(dim, "user_id").groupBy("nation")
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+          sum(col("sv")).cast(DecimalType(18, 4)).as("sum_value"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDecimal(3))))).toMap
+    }
+    ks.foreach { k =>
+      val base = java.nio.file.Files.createTempDirectory(s"graft-cdfprop$k")
+      val replay = s"$base/replay"
+      CdfStream.stageModReplay(spark, sfDir, replay, nBatches = k)
+      val top = CdfStream.runUpsertCdf(spark, replay, s"$base/state",
+        s"$base/cdf", retain = k + 2)
+      assert(top === k.toLong, s"k=$k replay did not run $k micro-batches")
+      assert(key(IngestIndex.tableAt(spark, s"$base/state", "state", top))
+        === oneShot, s"k=$k: final state diverged from the one-shot twin")
+      val view = CdfStream
+        .maintainView(spark, s"$base/cdf/b*", sfDir, s"$base/view")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDecimal(3))))).toMap
+      assert(view === directView,
+        s"k=$k: feed-maintained view diverged from the direct recompute")
+    }
+  }
+
+  test("q121: time-based retention through the stream — the wall-clock " +
+    "window keeps every young snapshot readable past the count minimum") {
+    // same crash-replay-minimum count floor as the loud-eviction twin
+    // below, but a 1h wall-clock window covers every manifest this run
+    // writes: ALL four snapshots stay readable (retain=2 alone evicts
+    // v1/v2 — the next test pins that side), each equal to its slice
+    // prefix. The production "N days of VERSION AS OF" policy.
+    val base = java.nio.file.Files.createTempDirectory("graft-cdfspec6")
+    val replay = s"$base/replay"
+    CdfStream.stageModReplay(spark, sfDir, replay, nBatches = 4)
+    val top = CdfStream.runUpsertCdf(spark, replay, s"$base/state",
+      s"$base/cdf", retain = 2, retainMillis = 3600L * 1000)
+    assert(top === 4L)
+    val e = graft.Q.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("b", pmod(col("event_id"), lit(4)))
+    (1L to 4L).foreach { v =>
+      val snap = key(IngestIndex.tableAt(spark, s"$base/state", "state", v))
+      val direct = key(e.filter(col("b") < v).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"),
+          sum(col("value").cast(DecimalType(18, 4))).as("sum_value")))
+      assert(snap === direct, s"young snapshot v$v under the time window")
+    }
+  }
+
   test("q121: eviction past the retention window fails loudly") {
     // replay a twin with the crash-replay-minimum retention: old
     // manifests are GC'd, and the AS-OF read must throw a named error,

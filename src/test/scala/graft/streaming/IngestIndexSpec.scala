@@ -282,6 +282,101 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast topology: gated assignBucket == literal bucketCol row " +
+    "for row; store laws hold with every assignment going through the gate") {
+    val sp = spark
+    import sp.implicits._
+    // direct twin on a synthetic multi-generation topology (finest
+    // modulus first: gen-2 ids {5, 21} under mod 32, gen-1 {3, 11}
+    // under mod 16, base mod 8)
+    val gens = Map(3 -> 1, 11 -> 1, 5 -> 2, 21 -> 2)
+    val df = (0L until 20000L).toDF("user_id")
+    val literal = IngestIndex.assignBucket(df, "state", 8, gens)
+      .select("user_id", "bkt").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    withConf("spark.graft.ingest.topologyBroadcastMinIds" -> "1") {
+      val gated = IngestIndex.assignBucket(df, "state", 8, gens)
+      val got = gated.select("user_id", "bkt").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === literal,
+        "broadcast topology assignment diverged from the literal formula")
+      // the representation actually changed: ids ride as broadcast join
+      // data, not plan literals
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange")
+        || plan.contains("BroadcastHashJoin"),
+        s"gated assignBucket shows no broadcast join:\n$plan")
+    }
+    // the full machinery under the gate + forced splitting: every write,
+    // probe and merge assignment rides the broadcast map on a REAL
+    // multi-generation store, and every read-back/GC law still holds
+    withConf("spark.graft.ingest.topologyBroadcastMinIds" -> "1",
+        "spark.graft.ingest.splitBytes" -> "1") {
+      val rnd = new scala.util.Random(61)
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-idx-bcast").toString + "/state"
+      val batches = Seq.fill(5)(Seq.fill(10 + rnd.nextInt(15))(
+        rnd.nextInt(20).toLong -> (1 + rnd.nextInt(4)).toLong))
+      val (m, _) = replayAndCheck(state, batches, "bcast-topology")
+      assert(m("state").values.exists(_.gen > 0),
+        "rig never advanced a generation — the gate was never exercised " +
+          "on a split topology")
+    }
+  }
+
+  test("time-based gc retention: every version younger than the window " +
+    "stays readable past the count floor; dropping the window evicts loudly") {
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-idx-agegc").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val fold = scala.collection.mutable.Map.empty[Long, Long]
+    val prefixFolds =
+      scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+    val hour = 3600L * 1000
+    (0 until 6).foreach { k =>
+      // every batch touches EVERY key: each version fully supersedes its
+      // predecessor, so the wall-clock window is the ONLY thing keeping
+      // history alive (a partially-superseded version would survive on
+      // data references alone and never exercise the age rule)
+      val rows = (0L to 9L).map(_ -> (k + 1).toLong)
+      rows.foreach { case (u, c) => fold(u) = fold.getOrElse(u, 0L) + c }
+      val m = IngestIndex.readManifest(fs, state, k.toLong)
+      val stateMap = IngestIndex.mergeCommit(sp, state, m, "state",
+        k + 1L, rows.toDF("user_id", "cnt"),
+        (cur, d) => cur.unionByName(d).groupBy("user_id")
+          .agg(sum(col("cnt")).as("cnt")))
+      IngestIndex.writeManifest(fs, state, k + 1L,
+        Map("state" -> stateMap))
+      // count floor = the crash-replay minimum (2); the WALL-CLOCK
+      // window is what keeps history alive
+      IngestIndex.gc(fs, state, k.toLong, k + 1L, retain = 2,
+        retainMillis = hour)
+      prefixFolds(k + 1L) = fold.toMap
+    }
+    // every snapshot is younger than the window: ALL of them readable,
+    // each equal to its prefix fold — count-based retain=2 alone would
+    // have evicted v1..v4 (the q121 loud-eviction law pins that side)
+    (1L to 6L).foreach { v =>
+      val got = IngestIndex.tableAt(sp, state, "state", v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == prefixFolds(v), s"young snapshot v$v diverged")
+    }
+    // drop the window: the count floor alone applies — history evicts,
+    // and an AS-OF read of an evicted version fails loudly
+    IngestIndex.gc(fs, state, 5L, 6L, retain = 2, retainMillis = 0L)
+    val ex = intercept[IllegalArgumentException] {
+      IngestIndex.tableAt(sp, state, "state", 1L)
+    }
+    assert(ex.getMessage.contains("retention"))
+    // the replay/read law is unchanged: current == the full fold
+    val cur = IngestIndex.currentTable(sp, state, "state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cur == prefixFolds(6L))
+  }
+
   test("auto-compaction keeps version-dir count bounded on a long replay with no manual call") {
     val sp = spark
     import sp.implicits._
