@@ -353,7 +353,7 @@ object LlmOps {
   private val HYPERPLANE_BUCKET_SQL: String = hyperplaneBucketSql(EmbedBucketBits)
 
   /** Oracle-side twin of [[minhashSig]]+[[minhashBands]] as DuckDB CTEs. */
-  private val MINHASH_BANDS_SQL: String =
+  private[graft] val MINHASH_BANDS_SQL: String =
     """hsrc AS (SELECT doc_id,
       |    list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)) AS hs
       |  FROM documents),
@@ -1097,17 +1097,81 @@ object LlmOps {
              |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)),
 
     // Q42 multimodal plumbing: opaque binary media + stubbed decode --------
+    // PROMOTED to a full hash oracle (r15, the q96 argument): the media
+    // column is BUILT from documents.text, so the P5 wrap, the real
+    // decode's byte stats (mean + entropy over the zero-padded samples,
+    // entropy folded in byte-histogram order via list_reduce so float
+    // order matches the driver loop; math.rint == round_even, NOT
+    // ROUND), the stub decoder's fake dims, and the sha256-over-media
+    // prefix all reconstruct in SQL (DuckDB sha256 hashes VARCHAR bytes,
+    // NUL-safe — verified against byte-level hashing).
     QueryDef("q42_multimodal_features",
       (s, d) => graft.operators.Multimodal.features(s, d),
-      None),
+      Some("""WITH m AS MATERIALIZED (
+             |  SELECT doc_id AS id, CAST(doc_id % 3 AS VARCHAR) AS kind,
+             |    text, length(text) AS l
+             |  FROM documents),
+             |g AS MATERIALIZED (
+             |  SELECT *, LEAST(GREATEST(l, 1), 64) AS w,
+             |    (GREATEST(l, 1) + LEAST(GREATEST(l, 1), 64) - 1)
+             |      // LEAST(GREATEST(l, 1), 64) AS h
+             |  FROM m),
+             |mm AS MATERIALIZED (
+             |  SELECT id, kind, l, w, h,
+             |    CASE WHEN kind = '1'
+             |      THEN 'P5' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+             |        CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) ||
+             |        text || repeat(chr(0), w * h - l)
+             |      ELSE text END AS media,
+             |    CASE WHEN kind = '1' THEN text || repeat(chr(0), w * h - l)
+             |      ELSE text END AS stats_src
+             |  FROM g),
+             |st AS MATERIALIZED (
+             |  SELECT id, SUM(c) AS total, SUM(b * c) AS bytesum,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      array_agg(-(c / CAST(tot AS DOUBLE))
+             |        * ln(c / CAST(tot AS DOUBLE)) / ln(CAST(2 AS DOUBLE))
+             |        ORDER BY b)), (acc, e) -> acc + e) AS ent
+             |  FROM (SELECT id, b, c,
+             |      SUM(c) OVER (PARTITION BY id) AS tot FROM (
+             |    SELECT mm.id, ascii(substr(mm.stats_src, p.p, 1)) AS b,
+             |      COUNT(*) AS c
+             |    FROM mm CROSS JOIN
+             |      UNNEST(generate_series(1, length(mm.stats_src))) AS p(p)
+             |    GROUP BY 1, 2)) q
+             |  GROUP BY id)
+             |SELECT mm.id, mm.kind,
+             |  CAST(length(mm.media) AS INT) AS n_bytes,
+             |  CAST(CASE WHEN mm.kind = '1' THEN mm.w
+             |    ELSE 16 + GREATEST(length(mm.media), 1) % 640 END AS INT)
+             |    AS width,
+             |  CAST(CASE WHEN mm.kind = '1' THEN mm.h
+             |    ELSE 16 + (GREATEST(length(mm.media), 1) // 7) % 480 END
+             |    AS INT) AS height,
+             |  round_even(COALESCE(st.bytesum, 0)
+             |    / CAST(GREATEST(COALESCE(st.total, 0), 1) AS DOUBLE)
+             |    * 10000, 0) / 10000 AS mean_byte,
+             |  round_even(COALESCE(st.ent, 0.0) * 10000, 0) / 10000
+             |    AS entropy_bits,
+             |  substr(sha256(mm.media), 1, 16) AS sha,
+             |  CASE WHEN mm.kind = '1' THEN 'pnm' ELSE 'stub' END
+             |    AS decoder
+             |FROM mm LEFT JOIN st USING (id)
+             |ORDER BY id""".stripMargin)),
 
-    // Q42b resize + frame-sample (rows-only, like q42: decode stubs make a
-    // SQL oracle meaningless; MultimodalSpec proves the pixel semantics).
-    // Deterministic per-doc summary of both operators: source/target dims
-    // and a thumb digest from resize, sampled-frame count and total frame
-    // bytes from the frame sampler. The thumb/frame payloads themselves
-    // stay out of the result — they ride prunable binary columns and this
-    // summary only forces the digests/lengths.
+    // Q42b resize + frame-sample. Deterministic per-doc summary of both
+    // operators: source/target dims and a thumb digest from resize,
+    // sampled-frame count and total frame bytes from the frame sampler.
+    // The thumb/frame payloads themselves stay out of the result — they
+    // ride prunable binary columns and this summary only forces the
+    // digests/lengths. PROMOTED to a full hash oracle (r15, the q96/q42
+    // argument): the 16x16 nearest-neighbor resample (kind-1 P5), the
+    // stub sampled-byte grid (the 2654435761 Knuth-hash index walk, via
+    // HUGEINT so the multiply never wraps), and the frame slicing
+    // arithmetic all reconstruct in SQL from the text-derived media;
+    // thumb bytes rebuild as chr() strings (ASCII + NUL padding, so the
+    // sha256-over-VARCHAR equals the byte hash). MultimodalSpec keeps
+    // the pixel-semantics laws.
     QueryDef("q42b_multimodal_resize",
       (s, d) => {
         val resized = graft.operators.Multimodal.resize(s, d, 16, 16)
@@ -1122,7 +1186,63 @@ object LlmOps {
           .na.fill(0L, Seq("n_frames", "frame_bytes"))
           .orderBy("id")
       },
-      None),
+      Some("""WITH m AS MATERIALIZED (
+             |  SELECT doc_id AS id, CAST(doc_id % 3 AS VARCHAR) AS kind,
+             |    text, length(text) AS l
+             |  FROM documents),
+             |g AS MATERIALIZED (
+             |  SELECT *, LEAST(GREATEST(l, 1), 64) AS w,
+             |    (GREATEST(l, 1) + LEAST(GREATEST(l, 1), 64) - 1)
+             |      // LEAST(GREATEST(l, 1), 64) AS h
+             |  FROM m),
+             |mm AS MATERIALIZED (
+             |  SELECT id, kind, l, w, h,
+             |    CASE WHEN kind = '1'
+             |      THEN 'P5' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+             |        CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) ||
+             |        text || repeat(chr(0), w * h - l)
+             |      ELSE text END AS media,
+             |    CASE WHEN kind = '1' THEN text || repeat(chr(0), w * h - l)
+             |      ELSE text END AS samples
+             |  FROM g),
+             |th AS MATERIALIZED (
+             |  SELECT id,
+             |    CASE WHEN kind = '1' THEN
+             |      array_to_string(list_transform(generate_series(0, 255),
+             |        i -> substr(samples,
+             |          LEAST((i // 16) * h // 16, h - 1) * w
+             |            + LEAST((i % 16) * w // 16, w - 1) + 1, 1)), '')
+             |    WHEN length(media) = 0 THEN repeat(chr(0), 256)
+             |    ELSE array_to_string(list_transform(generate_series(0, 255),
+             |      i -> substr(media,
+             |        CAST((CAST(i AS HUGEINT) * 2654435761)
+             |          % length(media) AS BIGINT) + 1, 1)), '')
+             |    END AS thumb,
+             |    CASE WHEN kind = '1' THEN w
+             |      ELSE 16 + GREATEST(length(media), 1) % 640 END AS width,
+             |    CASE WHEN kind = '1' THEN h
+             |      ELSE 16 + (GREATEST(length(media), 1) // 7) % 480 END
+             |      AS height
+             |  FROM mm),
+             |fr AS MATERIALIZED (
+             |  SELECT mm.id, COUNT(*) AS n_frames,
+             |    SUM(LEAST(st + flen, n) - st) AS frame_bytes
+             |  FROM (SELECT id, length(media) AS n,
+             |      GREATEST(length(media) // 16, 1) AS flen FROM mm) mm
+             |  CROSS JOIN (SELECT UNNEST([0, 4, 8, 12]) AS f) f
+             |  CROSS JOIN LATERAL
+             |    (SELECT LEAST(f.f * mm.flen, mm.n - 1) AS st) s
+             |  WHERE mm.n > 0
+             |  GROUP BY mm.id)
+             |SELECT t.id, m2.kind,
+             |  CAST(t.width AS INT) AS width,
+             |  CAST(t.height AS INT) AS height,
+             |  16 AS out_width, 16 AS out_height,
+             |  substr(sha256(t.thumb), 1, 16) AS thumb_sha,
+             |  COALESCE(fr.n_frames, 0) AS n_frames,
+             |  CAST(COALESCE(fr.frame_bytes, 0) AS BIGINT) AS frame_bytes
+             |FROM th t JOIN mm m2 USING (id) LEFT JOIN fr USING (id)
+             |ORDER BY t.id""".stripMargin)),
 
     // Q96 image near-dup via perceptual hash (r8) --------------------------
     // The image-side twin of q36's simhash: byte-DISTINCT but pixel-CLOSE
@@ -1156,7 +1276,72 @@ object LlmOps {
           .distinct()
           .orderBy("id_a", "id_b")
       },
-      None),
+      // PROMOTED to a full hash oracle (r15): the media column is BUILT
+      // from documents.text (Multimodal.mediaTable wraps kind-1 texts as
+      // netpbm P5), so the whole decode -> noisy-stamp -> 8x8 nearest-
+      // neighbor thumb -> aHash -> band self-join chain reconstructs in
+      // SQL from first principles: P5 geometry w=min(len,64),
+      // h=ceil(len/w), header "P5\n{w} {h}\n255\n" (its length decides
+      // which PIXEL each 16-byte noisy stamp lands on), pixel j = the
+      // text byte's ASCII code (zero-padded), and the 64-bit hash
+      // accumulates via HUGEINT SHIFTS — DuckDB's ** returns DOUBLE,
+      // whose 53-bit mantissa silently zeroes the low hash bits (caught
+      // by this oracle's own hash en route). MultimodalSpec keeps the
+      // brute-force pair-set law.
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT doc_id AS id, text, length(text) AS l,
+             |    GREATEST(length(text), 1) AS n
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |geom AS MATERIALIZED (
+             |  SELECT id, text, l, LEAST(n, 64) AS w,
+             |    (n + LEAST(n, 64) - 1) // LEAST(n, 64) AS h
+             |  FROM base),
+             |hdr AS MATERIALIZED (
+             |  SELECT *, 9 + length(CAST(w AS VARCHAR))
+             |      + length(CAST(h AS VARCHAR)) AS hl
+             |  FROM geom),
+             |imgs AS MATERIALIZED (
+             |  SELECT id, text, l, w, h, hl, FALSE AS noisy FROM hdr
+             |  UNION ALL
+             |  SELECT id + 1000000, text, l, w, h, hl, TRUE
+             |  FROM hdr WHERE id % 10 = 1),
+             |thumb AS MATERIALIZED (
+             |  SELECT i.id, t.ti,
+             |    CASE WHEN pj < i.l THEN ascii(substr(i.text, pj + 1, 1))
+             |      ELSE 0 END
+             |      + CASE WHEN i.noisy AND (i.hl + pj) % 16 = 0
+             |          AND i.hl + pj >= 16 THEN 1 ELSE 0 END AS px
+             |  FROM imgs i
+             |  CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS ti) t
+             |  CROSS JOIN LATERAL (SELECT
+             |      LEAST((t.ti // 8) * i.h // 8, i.h - 1) * i.w
+             |        + LEAST((t.ti % 8) * i.w // 8, i.w - 1) AS pj) s),
+             |ph AS MATERIALIZED (
+             |  SELECT id,
+             |    SUM(CASE WHEN px > mean THEN CAST(1 AS HUGEINT) << ti
+             |        ELSE CAST(0 AS HUGEINT) END) AS uph
+             |  FROM (SELECT id, ti, px,
+             |      SUM(px) OVER (PARTITION BY id) / 64.0 AS mean
+             |    FROM thumb) q
+             |  GROUP BY id),
+             |bands AS MATERIALIZED (
+             |  SELECT id, uph, b.bi,
+             |    CAST((uph >> (8 * b.bi)) % 256 AS BIGINT) AS bv
+             |  FROM ph CROSS JOIN
+             |    (SELECT UNNEST(generate_series(0, 7)) AS bi) b),
+             |pairs AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |    CAST(bit_count(xor(
+             |      CAST(CASE WHEN a.uph >= CAST(1 AS HUGEINT) << 63
+             |        THEN a.uph - (CAST(1 AS HUGEINT) << 64)
+             |        ELSE a.uph END AS BIGINT),
+             |      CAST(CASE WHEN b.uph >= CAST(1 AS HUGEINT) << 63
+             |        THEN b.uph - (CAST(1 AS HUGEINT) << 64)
+             |        ELSE b.uph END AS BIGINT))) AS INT) AS hamming
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+             |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // Q51 near-dup connected components (r5; delta iteration r7) -----------
     // The step every dedup campaign ends with: candidate pairs -> connected

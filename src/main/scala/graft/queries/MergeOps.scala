@@ -347,6 +347,44 @@ object MergeOps {
              |  FROM base WHERE key % 11 = 0
              |ORDER BY key, version, is_current""".stripMargin)),
 
+    // Q129 DELETION VECTORS (r15): the Delta/Iceberg soft-delete surface
+    // completing the store's delete cost spectrum — q114c rewrites every
+    // touched bucket eagerly; a DV delete commits ONLY the tombstone keys
+    // (write IO O(tombstones), base table untouched) and readers apply
+    // the vector as a broadcast anti-join. Two successive DV deletes on
+    // disjoint predicates pin accumulation; the spec additionally pins
+    // the IO claim (DV commits write no base-table bucket) and the
+    // materialize step (apply + clear == the dv-read, then plain reads).
+    // The oracle recomputes the visible rows directly with the two
+    // predicates excluded.
+    QueryDef("q129_deletion_vectors",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val state = stateDirFor(s, "dv129", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val m1 = commit(s, state, Map.empty, 1L, userAgg(ev), (_, dl) => dl)
+        val t1 = ev.filter(pmod(col("user_id"), lit(5)) === 2)
+          .select("user_id").distinct()
+        val m2 = IngestIndex.deleteWithDv(s, state, m1, "state", 2L, t1)
+        IngestIndex.writeManifest(fs, state, 2L, m2)
+        val t2 = ev.filter(pmod(col("user_id"), lit(7)) === 3)
+          .select("user_id").distinct()
+        val m3 = IngestIndex.deleteWithDv(s, state, m2, "state", 3L, t2)
+        IngestIndex.writeManifest(fs, state, 3L, m3)
+        IngestIndex.readWithDv(s, state, m3, "state", Seq("user_id"))
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL})
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e
+             |WHERE NOT (user_id % 5 = 2 OR user_id % 7 = 3)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Q128 SCHEMA EVOLUTION (r14): the store gains a payload column
     // MID-STREAM — a 4-batch fold (event_id mod 4) where batches 2-3
     // add `max_value` to the per-user state. Only the evolved batches'

@@ -298,9 +298,18 @@ object Retrieval {
     // `bpe_encode` expression (graft.functions.BpeEncode) and every doc
     // encodes at scan speed — per-doc arithmetic, no shuffle, no UDF
     // boxing. Output pins the full encoding (subword stream md5) per doc.
-    // No SQL oracle: BPE training/encoding is iterative — correctness is
-    // pinned by BpeSpec (hand-computed Sennrich-style merge sequence,
-    // round-trip property, expression == driver-side encoder).
+    // PROMOTED to a full hash oracle (r15): training's 20 merge steps
+    // unroll as chained CTEs over a WRAPPED-STRING word representation
+    // (''+sym+'' per symbol) where SQL replace() IS mergeAll
+    // — left-to-right non-overlapping with symbol-boundary alignment and
+    // correct adjacent-run semantics ("aaaa" -> aa,aa); encoding applies
+    // the trained merges IN RANK ORDER as 20 nested replaces, which
+    // equals the lowest-rank-present loop for a consistently-trained
+    // table (each pair's constituents are products of strictly earlier
+    // merges, so an exhausted pair can never rearise — the Sennrich
+    // apply-in-order equivalence; BpeSpec pins expression == driver
+    // encoder independently). Corpus is ASCII, so Scala's UTF-16 chars
+    // == DuckDB's substr code points.
     QueryDef("q71_bpe_encode",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
@@ -327,7 +336,60 @@ object Retrieval {
             md5(concat_ws(" ", col("sub"))).as("subword_md5"))
           .orderBy("doc_id")
       },
-      None),
+      Some {
+        val SEP = "\u001f" // US (unit separator): symbol-boundary marker, never in ASCII text
+        def wrap(c: String) =
+          s"""'$SEP' || array_to_string(list_transform(
+             |      generate_series(1, length($c)), i -> substr($c, i, 1)),
+             |      '$SEP$SEP') || '$SEP'""".stripMargin
+        def step(k: Int) =
+          s"""p$k AS MATERIALIZED (SELECT l[i.i] AS a, l[i.i+1] AS b,
+             |    SUM(c) AS n
+             |  FROM (SELECT str_split(trim(ws, '$SEP'), '$SEP$SEP') AS l, c
+             |    FROM v${k - 1}) s
+             |  CROSS JOIN (SELECT UNNEST(generate_series(1, 20)) AS i) i
+             |  WHERE i.i < len(l) GROUP BY 1, 2),
+             |b$k AS MATERIALIZED (SELECT a, b,
+             |    '$SEP' || a || '$SEP$SEP' || b || '$SEP' AS pat,
+             |    '$SEP' || a || b || '$SEP' AS rep
+             |  FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+             |v$k AS MATERIALIZED (SELECT replace(v.ws, b.pat, b.rep) AS ws,
+             |    v.c
+             |  FROM v${k - 1} v CROSS JOIN b$k b)""".stripMargin
+        val steps = (1 to BpeMerges).map(step).mkString(",\n")
+        val encExpr = (1 to BpeMerges).foldLeft("tw.ws0") { (e, k) =>
+          s"replace($e, b$k.pat, b$k.rep)"
+        }
+        val crossB = (1 to BpeMerges).map(k => s"CROSS JOIN b$k")
+          .mkString(" ")
+        s"""WITH v0 AS MATERIALIZED (
+           |  SELECT ${wrap("w")} AS ws, c FROM (
+           |    SELECT w, COUNT(*) AS c FROM (
+           |      SELECT UNNEST(string_split(text, ' ')) AS w
+           |      FROM documents) t
+           |    WHERE w <> '' GROUP BY w
+           |    ORDER BY c DESC, w LIMIT $BpeTrainVocabCap) q),
+           |$steps,
+           |dw AS MATERIALIZED (SELECT d.doc_id, g.i AS widx,
+           |    d.words[g.i] AS w, len(d.words) AS n_words
+           |  FROM (SELECT doc_id,
+           |      list_filter(string_split(text, ' '), w -> w <> '') AS words
+           |    FROM documents) d
+           |  CROSS JOIN UNNEST(generate_series(1, len(d.words))) AS g(i)),
+           |ew AS MATERIALIZED (SELECT tw.doc_id, tw.widx, tw.n_words,
+           |    str_split(trim($encExpr, '$SEP'), '$SEP$SEP') AS subs
+           |  FROM (SELECT doc_id, widx, n_words, ${wrap("w")} AS ws0
+           |    FROM dw) tw
+           |  $crossB),
+           |agg AS (SELECT doc_id, MAX(n_words) AS n_words,
+           |    flatten(array_agg(subs ORDER BY widx)) AS subs
+           |  FROM ew GROUP BY doc_id)
+           |SELECT d.doc_id, CAST(COALESCE(a.n_words, 0) AS INT) AS n_words,
+           |  CAST(COALESCE(len(a.subs), 0) AS INT) AS n_subwords,
+           |  md5(COALESCE(array_to_string(a.subs, ' '), '')) AS subword_md5
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // Q74 mixture draw: execute the temperature weights (r7) ---------------
     // Closes the mixing loop: q65 computes per-(source,lang) temperature

@@ -471,11 +471,14 @@ object StreamingDemo {
 
     // Q53: streaming NEAR-dup ingest (r5) — MinHash band buckets resolved
     // to anchors through bounded per-bucket flatMapGroupsWithState state
-    // with event-time expiry (see DocStream). No SQL oracle (DuckDB has no
-    // streaming); every emitted anchor is asserted equal to the batch
-    // bucket-anchor twin in DocStreamSpec (plus the expiry path); here the
-    // assignments re-join the batch twin so the driver's rows-only check
-    // sees per-row match flags.
+    // with event-time expiry (see DocStream). PROMOTED to a full hash
+    // oracle (r15): the replay arrives in doc_id order with the horizon
+    // sized past the staged span (horizonMinutesFor — no bucket can
+    // expire mid-replay), so every bucket's streamed anchor is the
+    // corpus-wide MIN(doc_id) — exactly the batch twin, which DuckDB
+    // recomputes with q35's validated signature/banding CTEs. The expiry
+    // path stays spec-pinned (DocStreamSpec runs a short-horizon rig);
+    // the in-flight match flags ride along, pinned TRUE.
     QueryDef("q53_streaming_neardup",
       (s, d) => {
         val s2 = streamSession(s)
@@ -493,7 +496,13 @@ object StreamingDemo {
               && col("s.anchor_doc") === col("b.anchor_doc")).as("matches_batch"))
           .orderBy("doc_id", "band")
       },
-      None),
+      Some(s"""WITH ${graft.queries.LlmOps.MINHASH_BANDS_SQL},
+             |anchors AS (SELECT b, bv, MIN(doc_id) AS anchor_doc
+             |  FROM bands GROUP BY b, bv)
+             |SELECT bd.doc_id AS doc_id, bd.b AS band, a.anchor_doc,
+             |  TRUE AS matches_batch
+             |FROM bands bd JOIN anchors a ON a.b = bd.b AND a.bv = bd.bv
+             |ORDER BY doc_id, band""".stripMargin)),
 
     // Q120 CHANGE DATA FEED (r14): the q86 upsert topology, with the merge
     // also emitting the Delta-style row-level change log (insert /

@@ -469,7 +469,7 @@ object TextSearch {
   /** Oracle twin of [[knnGraph]] as a reusable CTE chain ending in `g` =
     * (qid, rk, nn_id, sim); shared by the q62 and q97 oracles so the
     * triplet check rides the exact edge list the graph check pins. */
-  private val KNN_GRAPH_CTES: String =
+  private[queries] val KNN_GRAPH_CTES: String =
     s"""$IVF_CELLS_SQL,
        |probes AS (SELECT vec_id AS qid, cid AS qcid, embedding AS qe
        |           FROM assigned WHERE rn <= $IvfProbes),

@@ -327,11 +327,18 @@ object VectorStats {
     // power iteration on the 64x64 matrix (dimension-sized, like q71's
     // vocab-sized trainer), then ONE distributed projection pass with the
     // centered weights baked in as plan literals (codegen'd zip_with +
-    // aggregate — no UDF, no second shuffle). No SQL oracle (DuckDB has no
-    // eigensolver); PcaSpec pins the math: Rayleigh quotient beats every
-    // coordinate axis variance, projection variance equals the eigenvalue,
-    // and repeated runs are bit-identical (exact decimal aggregates
-    // upstream make the whole pipeline deterministic).
+    // aggregate — no UDF, no second shuffle). PROMOTED to a full hash
+    // oracle (r15): DuckDB has no eigensolver, but the power iteration
+    // carries the WHOLE weight vector as one list-typed row, so the 500
+    // iterations ride a RECURSIVE CTE whose step is per-row arithmetic —
+    // no aggregation over the recursive term, which is what standard SQL
+    // recursion forbids. Every float op mirrors the driver loop in order
+    // (matrix-vector products and norms as LEFT FOLDS via list_reduce;
+    // the covariance inputs are the exact fixed-point/decimal aggregates
+    // q76 already hash-proves; the first-max sign convention becomes
+    // list_position over the abs list), so 500 iterations land on
+    // identical doubles. PcaSpec keeps the Rayleigh-quotient and
+    // variance laws.
     QueryDef("q77_pca_projection",
       (s, d) => {
         val (_, mean, cov) = covarianceMatrix(s, d)
@@ -348,18 +355,144 @@ object VectorStats {
           .withColumn("explained_ratio", r4(lit(lambda / trace)))
           .orderBy("vec_id")
       },
-      None),
+      Some {
+        val D = Dim
+        val I = 500 // powerIteration's default iters
+        val Z = "CAST(0.0 AS DOUBLE)"
+        def foldl(items: String) =
+          s"list_reduce(list_prepend($Z, $items), (acc, e) -> acc + e)"
+        def mulRow(w: String) = foldl(
+          s"list_transform(generate_series(1, $D), j -> cm.m[i][j] * $w[j])")
+        s"""WITH RECURSIVE
+           |v AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |nrow AS MATERIALIZED (SELECT COUNT(*) AS n FROM v),
+           |meanv AS MATERIALIZED (SELECT array_agg(mp ORDER BY p) AS mean
+           |  FROM (SELECT u.p,
+           |      CAST(SUM(CAST(v.v[u.p] AS DECIMAL(18,8))) AS DOUBLE)
+           |        / nn.n AS mp
+           |    FROM v CROSS JOIN
+           |      (SELECT UNNEST(generate_series(1, $D)) AS p) u
+           |    CROSS JOIN nrow nn
+           |    GROUP BY u.p, nn.n)),
+           |prods AS MATERIALIZED (SELECT u.i, u.j,
+           |    SUM(CAST(FLOOR(v.v[u.i] * v.v[u.j] * 1e8 + 0.5) AS BIGINT))
+           |      AS sxy8
+           |  FROM v CROSS JOIN (SELECT i.i, j.j
+           |    FROM (SELECT UNNEST(generate_series(1, $D)) AS i) i,
+           |         (SELECT UNNEST(generate_series(1, $D)) AS j) j
+           |    WHERE j.j >= i.i) u
+           |  GROUP BY u.i, u.j),
+           |covm AS MATERIALIZED (SELECT array_agg(rowl ORDER BY i) AS m
+           |  FROM (SELECT i.i, array_agg(
+           |      p.sxy8 / 1e8 / nn.n - mv.mean[i.i] * mv.mean[j.j]
+           |      ORDER BY j.j) AS rowl
+           |    FROM (SELECT UNNEST(generate_series(1, $D)) AS i) i
+           |    CROSS JOIN (SELECT UNNEST(generate_series(1, $D)) AS j) j
+           |    JOIN prods p ON p.i = LEAST(i.i, j.j)
+           |      AND p.j = GREATEST(i.i, j.j)
+           |    CROSS JOIN nrow nn CROSS JOIN meanv mv
+           |    GROUP BY i.i)),
+           |pit AS (SELECT 0 AS k,
+           |    list_transform(generate_series(1, $D),
+           |      i -> CAST(1.0 AS DOUBLE) / sqrt(CAST($D AS DOUBLE))) AS w
+           |  UNION ALL
+           |  SELECT k + 1, list_transform(nw, x -> x / nrm) FROM (
+           |    SELECT k, nw,
+           |      sqrt(${foldl("list_transform(nw, x -> x * x)")}) AS nrm
+           |    FROM (SELECT k,
+           |        list_transform(generate_series(1, $D), i ->
+           |          ${mulRow("w")}) AS nw
+           |      FROM pit, covm cm WHERE k < $I) q1) q2),
+           |fin AS MATERIALIZED (SELECT w,
+           |    list_transform(generate_series(1, $D), i ->
+           |      ${mulRow("w")}) AS mw
+           |  FROM pit, covm cm WHERE k = $I),
+           |eig AS MATERIALIZED (SELECT
+           |    ${foldl(s"list_transform(generate_series(1, $D), i -> w[i] * mw[i])")}
+           |      AS lambda,
+           |    CASE WHEN w[list_position(list_transform(w, x -> abs(x)),
+           |        list_aggregate(list_transform(w, x -> abs(x)), 'max'))]
+           |        < 0
+           |      THEN list_transform(w, x -> -x) ELSE w END AS w
+           |  FROM fin),
+           |tr AS MATERIALIZED (SELECT
+           |    ${foldl(s"list_transform(generate_series(1, $D), i -> cm.m[i][i])")}
+           |      AS trace
+           |  FROM covm cm)
+           |SELECT v.vec_id,
+           |  CAST(ROUND(${foldl(s"list_transform(generate_series(1, $D), i -> (v.v[i] - mv.mean[i]) * e.w[i])")}, 4)
+           |    AS DOUBLE) AS pc1_score,
+           |  CAST(ROUND(e.lambda, 4) AS DOUBLE) AS eigenvalue,
+           |  CAST(ROUND(e.lambda / t.trace, 4) AS DOUBLE)
+           |    AS explained_ratio
+           |FROM v CROSS JOIN meanv mv CROSS JOIN eig e CROSS JOIN tr t
+           |ORDER BY v.vec_id""".stripMargin
+      }),
 
     // Q80 Lloyd k-means ----------------------------------------------------
     // Full iterative clustering (q48's IVF trains exactly one Lloyd step;
     // this is the general loop): k=8, 4 iterations, deterministic init
     // (lowest vec_ids) and deterministic tie-break (array_position takes
-    // the FIRST minimum). No SQL oracle (iterative — not expressible as
-    // one DuckDB query); KMeansSpec pins monotone non-increasing SSE, the
+    // the FIRST minimum). PROMOTED to a full hash oracle (r15, the q85
+    // unroll recipe): the fixed iteration count unrolls as chained
+    // MATERIALIZED CTEs; the per-row distance is a LEFT FOLD in array
+    // order (list_reduce mirrors Spark's aggregate() digit for digit),
+    // centroid updates are exact DECIMAL(18,8) coordinate sums divided
+    // as doubles, the first-minimum tie-break becomes ROW_NUMBER ORDER BY
+    // (dist, cluster), and an emptied cluster keeps its old centroid via
+    // COALESCE over the previous generation (mirroring the driver loop's
+    // clone-then-update). KMeansSpec keeps monotone SSE, the
     // exact-partition invariants, and run-to-run determinism.
     QueryDef("q80_kmeans",
       (s, d) => kmeans(s, d)._1,
-      None),
+      Some {
+        val D = 64
+        def fold(ve: String, ce: String) =
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(generate_series(1, $D), i ->
+             |        ($ve[i] - $ce[i]) * ($ve[i] - $ce[i]))),
+             |      (acc, e) -> acc + e)""".stripMargin
+        def assign(k: Int, prev: String) =
+          s"""a$k AS MATERIALIZED (
+             |  SELECT vec_id, v, cluster, dd AS d2 FROM (
+             |    SELECT vec_id, v, cluster, dd,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id
+             |        ORDER BY dd, cluster) AS rn
+             |    FROM (SELECT x.vec_id, x.v, c.cluster,
+             |        ${fold("x.v", "c.cent")} AS dd
+             |      FROM v x CROSS JOIN $prev c))
+             |  WHERE rn = 1)""".stripMargin
+        def update(k: Int) =
+          s"""mean$k AS MATERIALIZED (
+             |  SELECT cluster, array_agg(cp ORDER BY p) AS cent FROM (
+             |    SELECT a.cluster, u.p,
+             |      CAST(SUM(CAST(a.v[u.p] AS DECIMAL(18,8))) AS DOUBLE)
+             |        / COUNT(*) AS cp
+             |    FROM a$k a CROSS JOIN
+             |      (SELECT UNNEST(generate_series(1, $D)) AS p) u
+             |    GROUP BY a.cluster, u.p)
+             |  GROUP BY cluster),
+             |c$k AS MATERIALIZED (SELECT o.cluster,
+             |    COALESCE(m.cent, o.cent) AS cent
+             |  FROM c${k - 1} o LEFT JOIN mean$k m USING (cluster))""".stripMargin
+        val steps = (1 to KmeansIters)
+          .map(k => s"${assign(k, s"c${k - 1}")},\n${update(k)}")
+          .mkString(",\n")
+        s"""WITH v AS MATERIALIZED (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cluster,
+           |    v AS cent
+           |  FROM v WHERE vec_id < $KmeansK),
+           |$steps,
+           |${assign(KmeansIters + 1, s"c$KmeansIters")}
+           |SELECT cluster, COUNT(*) AS n_vecs,
+           |  CAST(ROUND(SUM(CAST(d2 AS DECIMAL(18,8))), 4) AS DOUBLE)
+           |    AS sse
+           |FROM a${KmeansIters + 1} GROUP BY cluster ORDER BY cluster""".stripMargin
+      }),
 
     // Q90 robust outlier detection over embedding norms ---------------------
     // Corrupt-embedding screening for curation: L2 norms -> median ->
@@ -421,12 +554,17 @@ object VectorStats {
     // Q85 PageRank over the kNN graph --------------------------------------
     // Semantic centrality of the embedding corpus: damped PageRank over
     // q62's IVF k-NN edge list (the SAME edges the q62 oracle
-    // hash-checks), 8 fixed iterations. General iterative dataflow beside
-    // q51's converging label propagation — fixed-point contributions make
-    // every iteration deterministic. No SQL oracle (iterative); the spec
-    // pins an exact driver-twin replay, mass conservation, and the
-    // uniform lower bound. Output scaled by N (mean 1.0) so ROUND(4)
-    // keeps resolution at any corpus size.
+    // hash-checks), 8 fixed iterations. PROMOTED to a full hash oracle
+    // (r15): the per-edge contributions are FIXED-POINT integers
+    // (floor(r/outdeg * 1e12 + 0.5)) summed exactly — association-order-
+    // free, so a DuckDB replay of the 8 iterations UNROLLED as chained
+    // CTEs (fixed count => no recursion needed) lands on identical
+    // doubles when every IEEE op is mirrored in order; decimal literals
+    // are CAST to DOUBLE in the SQL because DuckDB parses 0.85 as
+    // DECIMAL while Scala computes in doubles (1 - 0.85 differs between
+    // the two number systems). The spec keeps the driver-twin replay,
+    // mass conservation, and the uniform lower bound. Output scaled by N
+    // (mean 1.0) so ROUND(4) keeps resolution at any corpus size.
     QueryDef("q85_pagerank",
       (s, d) => {
         val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
@@ -438,6 +576,45 @@ object VectorStats {
           .orderBy(col("rank_x_n").desc, col("vec_id"))
           .limit(20)
       },
-      None)
+      Some {
+        val d = s"CAST($PrDamping AS DOUBLE)"
+        val steps = (1 to PrIters).map { k =>
+          val p = s"pr${k - 1}"
+          s"""s$k AS MATERIALIZED (SELECT e.dst,
+             |    SUM(CAST(FLOOR(p.r / o.outdeg * 1e12 + 0.5) AS BIGINT))
+             |      AS s12
+             |  FROM edges e JOIN $p p ON p.id = e.src
+             |  JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+             |d$k AS MATERIALIZED (SELECT
+             |    COALESCE(SUM(CAST(FLOOR(p.r * 1e12 + 0.5)
+             |      AS BIGINT)), 0) AS d12
+             |  FROM $p p WHERE p.id NOT IN (SELECT src FROM edges)),
+             |pr$k AS MATERIALIZED (SELECT n.id,
+             |    (CAST(1 AS DOUBLE) - $d) / nn.n
+             |      + $d * (COALESCE(s.s12, 0) / 1e12
+             |        + dg.d12 / 1e12 / nn.n) AS r
+             |  FROM nodes n CROSS JOIN nn CROSS JOIN d$k dg
+             |  LEFT JOIN s$k s ON s.dst = n.id)""".stripMargin
+        }.mkString(",\n")
+        // every multiply-referenced CTE is MATERIALIZED: DuckDB inlines
+        // plain CTEs per reference, and the 8 iterations reference
+        // edges/ranks 3x each — un-materialized, the whole IVF training
+        // chain would re-run dozens of times (measured: minutes at
+        // sf0.001 vs ~1 s materialized)
+        s"""WITH ${TextSearch.KNN_GRAPH_CTES},
+           |edges AS MATERIALIZED (SELECT qid AS src, nn_id AS dst FROM g),
+           |outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg
+           |  FROM edges GROUP BY src),
+           |nodes AS MATERIALIZED (SELECT vec_id AS id FROM embeddings),
+           |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+           |  FROM nodes),
+           |pr0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS r
+           |  FROM nodes CROSS JOIN nn),
+           |$steps
+           |SELECT p.id AS vec_id,
+           |  CAST(ROUND(p.r * nn.n, 4) AS DOUBLE) AS rank_x_n
+           |FROM pr$PrIters p CROSS JOIN nn
+           |ORDER BY rank_x_n DESC, vec_id LIMIT 20""".stripMargin
+      })
   )
 }

@@ -119,9 +119,20 @@ object IngestIndex {
     case "vec" => xxhash64(col("vec_id"))
     case "view" => xxhash64(col("nation"))
     case "dim" => xxhash64(col("mk"))
+    // a deletion-vector side table is keyed by ITS BASE TABLE's key, so
+    // a tombstone and the row it hides always share a bucket formula
+    case dv if dv.endsWith(DvSuffix) =>
+      hashFor(dv.stripSuffix(DvSuffix))
     case other => throw new IllegalArgumentException(
       s"unknown ingest-index table: $other")
   }
+
+  /** Manifest-table suffix of a base table's DELETION VECTOR side table
+    * (`state` -> `state__dv`). */
+  val DvSuffix = "__dv"
+
+  /** The DV side table of `table`. */
+  def dvTable(table: String): String = table + DvSuffix
 
   /** The bucket of each table's key under topology (`n` base buckets,
     * `gens` = split buckets' generations) — ONE formula shared by
@@ -369,6 +380,63 @@ object IngestIndex {
     readTable(spark, stateDir, m, table, Some(wanted), shape).drop("bkt")
       .join(graft.BroadcastBounds.bounded("point-get-keys")(keyed),
         keyed.columns.toSeq, "left_semi")
+  }
+
+  /** DELETION VECTORS (r15) — the Delta/Iceberg soft-delete surface, the
+    * missing cost point between q114c's eager delete and a full rewrite:
+    * eager delete REWRITES every touched bucket (write IO = those
+    * buckets' full bytes) even to hide one row; a DV delete instead
+    * COMMITS ONLY THE TOMBSTONE KEYS into a `<table>__dv` side table
+    * riding the same manifest/version machinery — write IO O(tombstone
+    * bytes), whatever the hidden rows' buckets weigh. Readers apply the
+    * vector as a keyed ANTI-JOIN whose build side is the (tiny) DV —
+    * AQE broadcasts it, so the read costs one pass over the data plus a
+    * per-row hash probe (Delta applies DVs per file; the broadcast
+    * anti-join is the same O(scan + |dv|) shape without per-file
+    * sidecar plumbing). [[materializeDeletes]] is the OPTIMIZE step:
+    * apply the accumulated vector through the eager touched-bucket
+    * merge once, then clear it — amortizing many cheap deletes into one
+    * rewrite, which is exactly why the format feature exists. */
+
+  /** Commit a DV delete: union `tombstones` (key rows of `table`) into
+    * the DV side table under `v(next)` — O(tombstones) IO, the base
+    * table untouched. Returns the updated manifest (caller writes it). */
+  def deleteWithDv(spark: SparkSession, stateDir: String, m: Manifest,
+      table: String, next: Long, tombstones: DataFrame): Manifest =
+    m + (dvTable(table) -> mergeCommit(spark, stateDir, m, dvTable(table),
+      next, tombstones,
+      (cur, d) => cur.unionByName(d).distinct()))
+
+  /** `table`'s current rows with the deletion vector APPLIED: the base
+    * read minus rows whose key appears in the DV side table. No DV in
+    * the manifest => the plain read (zero extra plan nodes). */
+  def readWithDv(spark: SparkSession, stateDir: String, m: Manifest,
+      table: String, keyCols: Seq[String]): DataFrame = {
+    val base = readTable(spark, stateDir, m, table, None,
+      spark.emptyDataFrame).drop("bkt")
+    // an entry with zero live buckets is an empty vector (every tombstone
+    // bucket dropped) — same as no vector
+    if (!m.get(dvTable(table)).exists(_.nonEmpty)) base
+    else {
+      val dv = readTable(spark, stateDir, m, dvTable(table), None,
+        spark.emptyDataFrame).drop("bkt")
+      base.join(dv, keyCols, "left_anti")
+    }
+  }
+
+  /** Materialize the accumulated deletions (the OPTIMIZE step): apply
+    * the DV through the eager touched-bucket merge — ONLY buckets
+    * holding tombstoned keys rewrite, q114c's shape — and drop the DV
+    * from the manifest. Commits `v(next)`; returns the new manifest. */
+  def materializeDeletes(spark: SparkSession, stateDir: String,
+      m: Manifest, table: String, next: Long,
+      keyCols: Seq[String]): Manifest = {
+    if (!m.get(dvTable(table)).exists(_.nonEmpty)) return m - dvTable(table)
+    val dvKeys = readTable(spark, stateDir, m, dvTable(table), None,
+      spark.emptyDataFrame).drop("bkt").select(keyCols.map(col): _*)
+    val cleaned = mergeCommit(spark, stateDir, m, table, next, dvKeys,
+      (cur, d) => cur.join(d, keyCols, "left_anti"))
+    m - dvTable(table) + (table -> cleaned)
   }
 
   /** Live bytes of bucket `b`'s current copy (0 when the referenced dir

@@ -388,6 +388,16 @@ object DumpPlans {
         |two-rows-per-change SCD topology. The read-back is the usual
         |bkt-pruned manifest union; the oracle is q82's declarative
         |UNION-ALL shape verbatim.""".stripMargin,
+    "q129_deletion_vectors" ->
+      """The DV-applied read: the base table's bkt-pruned manifest union
+        |anti-joins the deletion-vector side table — the DV is tombstone
+        |keys only, so AQE broadcasts the build side and the read costs
+        |one pass over the data plus a per-row hash probe. The deletes
+        |themselves wrote O(tombstone bytes) each (the version dirs hold
+        |ONLY the __dv table — IngestIndexSpec pins that no base bucket
+        |rewrote), which is the cost point q114c's eager rewrite cannot
+        |reach; materializeDeletes amortizes them into one touched-bucket
+        |rewrite later.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution

@@ -24,12 +24,18 @@ object IngestIo {
     // bucket-splitting crawl regime at test scale)
     val splitBytes =
       if (args.length > 3) args(3).toLong else 128L * 1024 * 1024
+    // optional 5th arg: broadcast-topology gate (r15 — rehearse the
+    // 10^6-bucket regime's assignment representation; 1 forces every
+    // split-topology assignment through the broadcast map)
+    val bcastMinIds = if (args.length > 4) args(4).toInt else 65536
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.graft.ingest.indexBuckets", buckets.toString)
       .config("spark.graft.ingest.splitBytes", splitBytes.toString)
+      .config("spark.graft.ingest.topologyBroadcastMinIds",
+        bcastMinIds.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

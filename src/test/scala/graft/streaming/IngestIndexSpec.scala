@@ -377,6 +377,60 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(cur == prefixFolds(6L))
   }
 
+  test("deletion vectors: dv-read == eager filter; a DV commit writes no " +
+    "base-table bucket; vectors accumulate; materialize applies and clears") {
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-idx-dv").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    def read(m: IngestIndex.Manifest): Map[Long, Long] =
+      IngestIndex.readWithDv(sp, state, m, "state", Seq("user_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = (0L until 200L).map(u => (u, u * 3 + 1))
+    val base = rows.toDF("user_id", "cnt")
+    val m1: IngestIndex.Manifest = Map("state" ->
+      IngestIndex.mergeCommit(sp, state, Map.empty, "state", 1L, base,
+        (_, d) => d))
+    IngestIndex.writeManifest(fs, state, 1L, m1)
+    // v2: soft-delete keys % 3 == 0 — write IO must be the tombstones
+    // alone: the version dir holds the DV table and NO base-table bucket
+    val m2 = IngestIndex.deleteWithDv(sp, state, m1, "state", 2L,
+      base.filter(col("user_id") % 3 === 0).select("user_id"))
+    IngestIndex.writeManifest(fs, state, 2L, m2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/v2/state")),
+      "a DV delete rewrote base-table buckets — the O(tombstones) claim " +
+        "is the point of the feature")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/v2/state__dv")))
+    val want2 = rows.filter(_._1 % 3 != 0).toMap
+    assert(read(m2) == want2)
+    // v3: a second vector accumulates (disjoint-predicate union)
+    val m3 = IngestIndex.deleteWithDv(sp, state, m2, "state", 3L,
+      base.filter(col("user_id") % 7 === 1).select("user_id"))
+    IngestIndex.writeManifest(fs, state, 3L, m3)
+    val want3 = rows.filter(r => r._1 % 3 != 0 && r._1 % 7 != 1).toMap
+    assert(read(m3) == want3)
+    // an absent-key tombstone is a no-op
+    val m4 = IngestIndex.deleteWithDv(sp, state, m3, "state", 4L,
+      Seq(10000L).toDF("user_id"))
+    IngestIndex.writeManifest(fs, state, 4L, m4)
+    assert(read(m4) == want3)
+    // materialize: the vector applies through the eager touched-bucket
+    // merge and clears — plain reads now see the survivors directly
+    val m5 = IngestIndex.materializeDeletes(sp, state, m4, "state", 5L,
+      Seq("user_id"))
+    IngestIndex.writeManifest(fs, state, 5L, m5)
+    assert(!m5.contains("state__dv"),
+      "materialize must drop the DV from the manifest")
+    val plain = IngestIndex.readTable(sp, state, m5, "state", None,
+        sp.emptyDataFrame).drop("bkt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == want3, "materialized table diverged from the dv-read")
+    assert(read(m5) == want3, "dv-read after materialize (no vector) " +
+      "must equal the plain read")
+  }
+
   test("auto-compaction keeps version-dir count bounded on a long replay with no manual call") {
     val sp = spark
     import sp.implicits._
