@@ -80,6 +80,60 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(got === Set((1L, 4L, 40.0), (2L, 2L, 20.0)))
   }
 
+  test("MergeInto clause algebra (randomized): DataFrame form == pure reference model") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    for (trial <- 1 to 5) {
+      def rows(): Seq[(Long, Long, Double)] =
+        (0L to 20L).filter(_ => rnd.nextBoolean())
+          .map(k => (k, rnd.nextInt(10).toLong, rnd.nextInt(100) / 10.0))
+      val target = rows()
+      val source = rows()
+      val delThr = rnd.nextInt(8).toLong
+      val insThr = rnd.nextInt(8).toLong
+      val bsDelThr = rnd.nextInt(8).toLong
+      val useBsDel = rnd.nextBoolean()
+      val useBsSet = rnd.nextBoolean()
+      val merge = MergeInto(
+        key = "k",
+        payload = Seq("n", "v"),
+        matchedDeleteWhen =
+          Some(col("s_n") - col("t_n") > delThr),
+        updateSet = Map("n" -> (col("t_n") + col("s_n")),
+          "v" -> greatest(col("t_v"), col("s_v"))),
+        insertWhen = col("s_n") >= insThr,
+        notMatchedBySourceDeleteWhen =
+          if (useBsDel) Some(col("t_n") < bsDelThr) else None,
+        notMatchedBySourceSet =
+          if (useBsSet) Map("v" -> lit(0.0)) else Map.empty)
+      val got = merge(target.toDF("k", "n", "v"),
+          source.toDF("k", "n", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // the reference model: the SQL MERGE contract evaluated row by row
+      val tm = target.map(r => r._1 -> r).toMap
+      val sm = source.map(r => r._1 -> r).toMap
+      val want = (tm.keySet ++ sm.keySet).flatMap { k =>
+        (tm.get(k), sm.get(k)) match {
+          case (Some(t), Some(s)) =>
+            if (s._2 - t._2 > delThr) None
+            else Some((k, t._2 + s._2, math.max(t._3, s._3)))
+          case (None, Some(s)) =>
+            if (s._2 >= insThr) Some(s) else None
+          case (Some(t), None) =>
+            if (useBsDel && t._2 < bsDelThr) None
+            else if (useBsSet) Some((k, t._2, 0.0))
+            else Some(t)
+          case _ => None
+        }
+      }
+      assert(got === want,
+        s"trial $trial (delThr=$delThr insThr=$insThr bsDelThr=$bsDelThr " +
+          s"useBsDel=$useBsDel useBsSet=$useBsSet)")
+    }
+  }
+
   test("q127b: full-sync MERGE through the store == direct; both BY SOURCE arms fire") {
     val spark = TestSpark.spark
     val viaStore = SparkEntry.queries("q127b_merge_full_sync")(spark, dir)
