@@ -181,6 +181,48 @@ class MergeIntoSpec extends AnyFunSuite {
       && err.getMessage.toLowerCase.contains("long"), err.getMessage)
   }
 
+  test("the declared widening migration works: cast-in-combine + compact " +
+    "rewrites every live bucket under the new type, then widened batches merge") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val state = s"${java.nio.file.Files.createTempDirectory("graft-widen2")}/state"
+    graft.queries.Layout.trackTemp(new java.io.File(state).getParent)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v1: INT counters over many buckets
+    val v1 = (1L to 64L).map(u => (u, u.toInt)).toDF("user_id", "cnt")
+    val m1: IngestIndex.Manifest = Map("state" ->
+      IngestIndex.mergeCommit(spark, state, Map.empty, "state", 1L, v1,
+        (_, d) => d))
+    IngestIndex.writeManifest(fs, state, 1L, m1)
+    // migration step (what the loud error recommends): a commit whose
+    // combine CASTS every touched row — here touching ALL buckets via a
+    // full-sync-shaped commit — then compact folds the store so every
+    // live bucket carries the widened schema
+    val allKeys = (1L to 64L).map(u => (u, 0L)).toDF("user_id", "delta")
+    val live = m1("state").keySet
+    val m2: IngestIndex.Manifest = Map("state" ->
+      IngestIndex.mergeCommit(spark, state, m1, "state", 2L, allKeys,
+        (cur, _) => cur.select(col("user_id"),
+          col("cnt").cast("long").as("cnt")),
+        touchedKnown = Some(live)))
+    IngestIndex.writeManifest(fs, state, 2L, m2)
+    IngestIndex.compact(spark, state, 2L)
+    // post-migration: a LONG batch merges cleanly and reads back
+    val v3 = Seq((1L, 1000000000000L), (65L, 7L)).toDF("user_id", "cnt")
+    val m2c = IngestIndex.readManifest(fs, state, 2L)
+    val m3: IngestIndex.Manifest = Map("state" ->
+      IngestIndex.mergeCommit(spark, state, m2c, "state", 3L, v3,
+        (cur, d) => cur.unionByName(d).groupBy("user_id")
+          .agg(sum(col("cnt")).as("cnt"))))
+    IngestIndex.writeManifest(fs, state, 3L, m3)
+    val got = IngestIndex.currentTable(spark, state, "state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1000000000001L, "widened merge lost the long range")
+    assert(got(65L) === 7L)
+    assert(got.size === 65)
+  }
+
   test("q127: MERGE through the bucketed store == MergeInto applied directly") {
     val spark = TestSpark.spark
     val viaStore = SparkEntry.queries("q127_merge_into")(spark, dir)
