@@ -106,6 +106,29 @@ object StreamingDemo {
       (state, cdf, top)
     })
 
+  /** q130b's PRODUCER rig: one completed upsert-with-DELETES run per
+    * sfDir (the q120 rig's shape with deleteMod = 29) — q130b's operator
+    * is a READ of the feed, so the producing stream is rig work for it;
+    * q130 — whose operator IS the deleting stream — pays a fresh run
+    * every invocation (the q120 convention). */
+  private val cdfDelRig = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Long)]()
+
+  private[graft] val CdcDeleteMod = 29
+
+  private def cdfDelRigFor(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): (String, String, Long) =
+    cdfDelRig.computeIfAbsent(sfDir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-q130rig")
+      Layout.trackTemp(base.toString)
+      val state = s"$base/state"
+      val cdf = s"$base/cdf"
+      val top = graft.streaming.CdfStream.runUpsertCdf(
+        streamSession(s), cdfReplayFor(s, sfDir), state, cdf, retain = 8,
+        deleteMod = Some(CdcDeleteMod))
+      (state, cdf, top)
+    })
+
   /** Eagerly stages the replay rigs (idempotent). Bench calls this from its
     * warmup so even a single-run harness times only the streams — lazy
     * staging inside the first q33/q50/q53 invocation billed ~10 s of rig to
@@ -116,6 +139,7 @@ object StreamingDemo {
     ingestReplayDirFor(s, sfDir)
     cdfReplayFor(s, sfDir)
     cdfRigFor(s, sfDir) // q121/q123's producer run (rig work for READ ops)
+    cdfDelRigFor(s, sfDir) // q130b's producer run (rig work for the READ)
     ()
   }
 
@@ -657,6 +681,88 @@ object StreamingDemo {
              |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
              |FROM e WHERE user_id IN (SELECT user_id FROM k)
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q130 CDC WITH DELETES (r15): the missing Delta-CDF op type — each
+    // micro-batch's merge also REMOVES batch-active users whose id lands
+    // on the batch under mod-29 (post-upsert), emitting `delete` rows
+    // with the removed image; removed users re-INSERT on their next
+    // activity (the re-crawl topology), and users deleted at the last
+    // batch they ever appear in stay gone. The rule is batch-membership-
+    // gated precisely so the chain stays SQL-reconstructible: a user's
+    // final state aggregates their events in batches STRICTLY AFTER
+    // their delete batch — the oracle computes that cutoff per user
+    // (EXISTS gates the membership) and recomputes the state directly.
+    QueryDef("q130_cdc_deletes",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-q130run")
+        Layout.trackTemp(base.toString)
+        graft.streaming.CdfStream.runUpsertCdf(streamSession(s),
+          cdfReplayFor(s, d), s"$base/state", s"$base/cdf", retain = 8,
+          deleteMod = Some(CdcDeleteMod))
+        graft.streaming.IngestIndex.currentTable(s, s"$base/state", "state")
+          .select(col("user_id"), col("n_events"),
+            unix_micros(col("last_ts")).as("last_ts_us"),
+            col("sum_value")
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    value, event_id % 4 AS b FROM events),
+             |d AS (SELECT du.user_id,
+             |    CASE WHEN du.user_id % $CdcDeleteMod <= 3 AND EXISTS (
+             |        SELECT 1 FROM e e2 WHERE e2.user_id = du.user_id
+             |          AND e2.b = du.user_id % $CdcDeleteMod)
+             |      THEN du.user_id % $CdcDeleteMod ELSE -1 END AS dk
+             |  FROM (SELECT DISTINCT user_id FROM e) du)
+             |SELECT e.user_id, COUNT(*) AS n_events,
+             |  epoch_us(MAX(e.ts)) AS last_ts_us,
+             |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e JOIN d ON d.user_id = e.user_id
+             |WHERE e.b > d.dk
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
+
+    // Q130b CDC-DELETE VIEW CONSUMER (r15): q125's topology over the
+    // delete-bearing feed — the consumer's signed-delta algebra gains
+    // the `delete` term (subtract the removed image; n_users -1), and
+    // the per-user contributions still telescope: insert ... delete
+    // cancels to zero, a re-insert restarts the chain, so the final view
+    // equals the direct recompute over each user's SURVIVING events.
+    // Nations whose every user fully departed drop from the output
+    // (n_users telescopes to 0 — the declared view semantics).
+    QueryDef("q130b_cdc_delete_view",
+      (s, d) => {
+        val s2 = streamSession(s)
+        val (_, cdf, _) = cdfDelRigFor(s, d)
+        val viewBase = java.nio.file.Files.createTempDirectory("graft-q130b")
+        Layout.trackTemp(viewBase.toString)
+        graft.streaming.CdfStream
+          .maintainView(s2, s"$cdf/b*", d, s"$viewBase/view")
+          .filter(col("n_users") > 0)
+          .select(col("nation"), col("n_users"), col("n_events"),
+            col("sum_value")
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("nation")
+      },
+      Some(s"""WITH e AS (SELECT user_id, value, event_id % 4 AS b
+             |  FROM events),
+             |d AS (SELECT du.user_id,
+             |    CASE WHEN du.user_id % $CdcDeleteMod <= 3 AND EXISTS (
+             |        SELECT 1 FROM e e2 WHERE e2.user_id = du.user_id
+             |          AND e2.b = du.user_id % $CdcDeleteMod)
+             |      THEN du.user_id % $CdcDeleteMod ELSE -1 END AS dk
+             |  FROM (SELECT DISTINCT user_id FROM e) du),
+             |per AS (SELECT e.user_id, COUNT(*) AS n,
+             |    SUM(CAST(e.value AS DECIMAL(18,4))) AS sv
+             |  FROM e JOIN d ON d.user_id = e.user_id
+             |  WHERE e.b > d.dk GROUP BY e.user_id),
+             |dim AS (SELECT c_custkey AS user_id, n_name AS nation
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT nation, COUNT(*) AS n_users,
+             |  CAST(SUM(n) AS BIGINT) AS n_events,
+             |  CAST(CAST(SUM(sv) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM per JOIN dim USING (user_id)
+             |GROUP BY nation ORDER BY nation""".stripMargin)),
 
     // Q125 STREAMING CDC CONSUMER (r14): q123's view maintained by a
     // SECOND STREAM reading the q120 feed as a file source — the

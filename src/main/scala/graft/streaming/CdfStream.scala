@@ -82,9 +82,23 @@ object CdfStream {
     * `stateDir` (retaining `retain` snapshots — plus, when `retainMillis`
     * > 0, every snapshot younger than that wall-clock window: the
     * production time-based VERSION-AS-OF retention) and the change feed
-    * under `cdfDir/b<batchId>`. Returns the final committed version. */
+    * under `cdfDir/b<batchId>`. Returns the final committed version.
+    *
+    * DELETES (r15, q130): with `deleteMod = Some(m)`, batch k also
+    * REMOVES every batch-active user with `user_id % m == k` AFTER its
+    * upsert applies — the missing Delta-CDF op type: the feed gains
+    * `delete` rows carrying the removed row's post-upsert image, and the
+    * state commit excludes the keys. The rule is deliberately
+    * batch-membership-gated (only users WITH activity in batch k delete
+    * at k) so the whole chain stays SQL-reconstructible: a user's final
+    * state is the aggregate of their events in batches STRICTLY AFTER
+    * their delete batch (they re-INSERT on their next activity — the
+    * re-crawl topology). Delete cost rides the merge's existing join:
+    * the removed keys were already in the touched slice, zero extra
+    * reads. */
   def runUpsertCdf(spark: SparkSession, replayDir: String, stateDir: String,
-      cdfDir: String, retain: Int = 8, retainMillis: Long = 0L): Long = {
+      cdfDir: String, retain: Int = 8, retainMillis: Long = 0L,
+      deleteMod: Option[Int] = None): Long = {
     var top = 0L
     val q = spark.readStream
       .schema(EventsSchema)
@@ -111,6 +125,11 @@ object CdfStream {
                     col("last_ts").as("c_ts"), col("sum_value").as("c_sum"))
                   .join(d, Seq("user_id"), "full_outer"))
             val changed = j.filter(col("n_events").isNotNull)
+            // delete rule (q130): batch-active keys whose id lands on
+            // this batch under the mod — post-upsert image removed
+            val delPred = deleteMod.map(m =>
+                pmod(col("user_id"), lit(m.toLong)) === lit(batchId))
+              .getOrElse(lit(false))
             val post = changed.select(col("user_id"),
               when(col("c_n").isNull, lit("insert"))
                 .otherwise(lit("update_postimage")).as("op"),
@@ -123,17 +142,26 @@ object CdfStream {
               .select(col("user_id"), lit("update_preimage").as("op"),
                 col("c_n").as("n_events"), col("c_ts").as("last_ts"),
                 col("c_sum").cast(dec).as("sum_value"))
+            val dels = post.filter(delPred)
+              .select(col("user_id"), lit("delete").as("op"),
+                col("n_events"), col("last_ts"), col("sum_value"))
             StreamPlans.recordPlan("q120_cdf_emit",
               org.apache.spark.sql.execution.GraftWrite.parquetCaptured(
-                post.unionByName(pre).withColumn("batch_id", lit(batchId)),
+                post.unionByName(pre).unionByName(dels)
+                  .withColumn("batch_id", lit(batchId)),
                 s"$cdfDir/b$batchId", Seq.empty))
             j.select(col("user_id"),
-              (coalesce(col("c_n"), lit(0L))
-                + coalesce(col("n_events"), lit(0L))).as("n_events"),
-              greatest(col("c_ts"), col("last_ts")).as("last_ts"),
-              (coalesce(col("c_sum"), lit(0).cast(dec))
-                + coalesce(col("sum_value"), lit(0).cast(dec)))
-                .cast(dec).as("sum_value"))
+                (coalesce(col("c_n"), lit(0L))
+                  + coalesce(col("n_events"), lit(0L))).as("n_events"),
+                greatest(col("c_ts"), col("last_ts")).as("last_ts"),
+                (coalesce(col("c_sum"), lit(0).cast(dec))
+                  + coalesce(col("sum_value"), lit(0).cast(dec)))
+                  .cast(dec).as("sum_value"),
+                // deletion applies only to batch-ACTIVE keys (the rule's
+                // membership gate): untouched keys keep their rows even
+                // when their id lands on this batch
+                (col("n_events").isNotNull && delPred).as("__del"))
+              .filter(!col("__del")).drop("__del")
           })
         IngestIndex.writeManifest(fs, stateDir, next,
           Map("state" -> stateMap))
@@ -181,8 +209,12 @@ object CdfStream {
       .writeStream
       .option("checkpointLocation", s"$viewDir/_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val sgn = when(col("op") === "update_preimage", lit(-1L))
-          .otherwise(lit(1L))
+        // preimages AND deletes subtract (a delete carries the removed
+        // row's image — the negative term that cancels its accumulated
+        // contributions); inserts/postimages add. Feeds without deletes
+        // (q123/q125) see the identical algebra as before.
+        val sgn = when(col("op") === "update_preimage"
+          || col("op") === "delete", lit(-1L)).otherwise(lit(1L))
         // delta columns carry the VIEW's names (they are signed deltas of
         // those columns) so mergeCommit's batch-shaped empty frame IS
         // view-shaped on the first trigger
@@ -190,7 +222,8 @@ object CdfStream {
           .join(dim, "user_id")
           .groupBy("nation")
           .agg(
-            sum(when(col("op") === "insert", 1L).otherwise(0L))
+            sum(when(col("op") === "insert", 1L)
+              .when(col("op") === "delete", -1L).otherwise(0L))
               .as("n_users"),
             sum(sgn * col("n_events")).as("n_events"),
             sum((sgn.cast(dec) * col("sum_value").cast(dec)).cast(dec))

@@ -388,6 +388,21 @@ object DumpPlans {
         |two-rows-per-change SCD topology. The read-back is the usual
         |bkt-pruned manifest union; the oracle is q82's declarative
         |UNION-ALL shape verbatim.""".stripMargin,
+    "q130_cdc_deletes" ->
+      """The final state after a delete-bearing CDC run: the usual
+        |bkt-pruned manifest union — what is ABSENT matters: removed
+        |users' rows are simply not in any live bucket (the merge's
+        |combine filtered them before the write; the delete predicate
+        |rode the SAME materialized join the upsert already ran, zero
+        |extra state reads). The feed carried their `delete` images for
+        |downstream consumers; CdfSpec pins the telescoping fold.""".stripMargin,
+    "q130b_cdc_delete_view" ->
+      """The delete-aware view consumer: one scan of the change feed,
+        |signed per-nation deltas (delete rows subtract the removed
+        |image and decrement n_users), a broadcast dim join, and the
+        |bucketed-view read-back. The raw events and the upstream state
+        |table appear nowhere — the CDC contract — and the delta algebra
+        |telescopes, so trigger slicing cannot matter.""".stripMargin,
     "q129_deletion_vectors" ->
       """The DV-applied read: the base table's bkt-pruned manifest union
         |anti-joins the deletion-vector side table — the DV is tombstone

@@ -190,6 +190,52 @@ class CdfSpec extends AnyFunSuite {
     }
   }
 
+  test("q130: the delete-bearing feed telescopes to the final state; " +
+    "departed users are gone; re-inserts emit as inserts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cdfspec7")
+    val replay = s"$base/replay"
+    CdfStream.stageModReplay(spark, sfDir, replay, nBatches = 4)
+    val top = CdfStream.runUpsertCdf(spark, replay, s"$base/state",
+      s"$base/cdf", retain = 8, deleteMod = Some(29))
+    assert(top === 4L)
+    val feed = CdfStream.cdfRows(spark, s"$base/cdf")
+    assert(feed.filter(col("op") === "delete").count() > 0,
+      "rig degenerate: no delete op ever fired")
+    // telescoping law: per user, the signed payload sum over ALL ops
+    // (insert/post +, pre/delete -) equals the final state payload — or
+    // zero for departed users
+    val dec = DecimalType(18, 4)
+    val sgn = when(col("op") === "update_preimage"
+      || col("op") === "delete", lit(-1L)).otherwise(lit(1L))
+    val folded = feed.groupBy("user_id")
+      .agg(sum(sgn * col("n_events")).as("n"),
+        sum((sgn.cast(dec) * col("sum_value").cast(dec)).cast(dec))
+          .cast(dec).as("sv"))
+    val state = IngestIndex.currentTable(spark, s"$base/state", "state")
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast(dec).as("state_sv"))
+    val joined = folded.join(state, Seq("user_id"), "full_outer")
+    val bad = joined.filter(
+      // present user: fold == state; departed user: fold telescopes to 0
+      when(col("n_events").isNotNull,
+        col("n") =!= col("n_events") || col("sv") =!= col("state_sv"))
+        .otherwise(col("n") =!= 0L))
+    assert(bad.count() === 0L, "feed fold diverged from the final state")
+    // departed-vs-reinserted: a user deleted at their LAST active batch
+    // is absent from the state; one deleted earlier re-inserted (their
+    // feed carries an insert in a LATER batch than a delete)
+    val delB = feed.filter(col("op") === "delete")
+      .select(col("user_id"), col("batch_id").as("db"))
+    val reins = feed.filter(col("op") === "insert").as("i")
+      .join(delB.as("dd"), col("i.user_id") === col("dd.user_id")
+        && col("i.batch_id") > col("dd.db"))
+    assert(reins.count() > 0, "rig degenerate: no user re-inserted " +
+      "after a delete")
+    val departed = delB.join(state, Seq("user_id"), "left_anti")
+    assert(departed.count() > 0, "rig degenerate: every deleted user " +
+      "re-inserted — the permanent-departure path never ran")
+  }
+
   test("q121: time-based retention through the stream — the wall-clock " +
     "window keeps every young snapshot readable past the count minimum") {
     // same crash-replay-minimum count floor as the loud-eviction twin
