@@ -468,6 +468,33 @@ object LlmOps {
        |  FROM sig CROSS JOIN (SELECT UNNEST(generate_series(0, 2)) AS b) bs),
        |fps AS (SELECT doc_id, md5(text) AS fp FROM documents)""".stripMargin
 
+  /** Oracle-side twin of [[graft.operators.Multimodal.mediaTable]] as
+    * DuckDB CTEs (m/g/mm): the text-derived media payload — P5 geometry,
+    * header, zero-padded samples — shared by the q42 and q42b oracles so
+    * the two cannot drift on the media formula (q96 derives the same
+    * geometry for PIXEL INDEX arithmetic rather than a media string, so
+    * it stays separate by shape). */
+  private[graft] val MEDIA_SQL_CTES: String =
+    """m AS MATERIALIZED (
+      |  SELECT doc_id AS id, CAST(doc_id % 3 AS VARCHAR) AS kind,
+      |    text, length(text) AS l
+      |  FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT *, LEAST(GREATEST(l, 1), 64) AS w,
+      |    (GREATEST(l, 1) + LEAST(GREATEST(l, 1), 64) - 1)
+      |      // LEAST(GREATEST(l, 1), 64) AS h
+      |  FROM m),
+      |mm AS MATERIALIZED (
+      |  SELECT id, kind, l, w, h,
+      |    CASE WHEN kind = '1'
+      |      THEN 'P5' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
+      |        CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) ||
+      |        text || repeat(chr(0), w * h - l)
+      |      ELSE text END AS media,
+      |    CASE WHEN kind = '1' THEN text || repeat(chr(0), w * h - l)
+      |      ELSE text END AS samples
+      |  FROM g)""".stripMargin
+
   /** The two pre-aggregated ingest indexes: one row per fingerprint and
     * ONE ROW PER BAND BUCKET (min member doc id each) — the only shape
     * the stored corpus ever takes in the probe joins. */
@@ -1107,25 +1134,7 @@ object LlmOps {
     // NUL-safe — verified against byte-level hashing).
     QueryDef("q42_multimodal_features",
       (s, d) => graft.operators.Multimodal.features(s, d),
-      Some("""WITH m AS MATERIALIZED (
-             |  SELECT doc_id AS id, CAST(doc_id % 3 AS VARCHAR) AS kind,
-             |    text, length(text) AS l
-             |  FROM documents),
-             |g AS MATERIALIZED (
-             |  SELECT *, LEAST(GREATEST(l, 1), 64) AS w,
-             |    (GREATEST(l, 1) + LEAST(GREATEST(l, 1), 64) - 1)
-             |      // LEAST(GREATEST(l, 1), 64) AS h
-             |  FROM m),
-             |mm AS MATERIALIZED (
-             |  SELECT id, kind, l, w, h,
-             |    CASE WHEN kind = '1'
-             |      THEN 'P5' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
-             |        CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) ||
-             |        text || repeat(chr(0), w * h - l)
-             |      ELSE text END AS media,
-             |    CASE WHEN kind = '1' THEN text || repeat(chr(0), w * h - l)
-             |      ELSE text END AS stats_src
-             |  FROM g),
+      Some(s"""WITH $MEDIA_SQL_CTES,
              |st AS MATERIALIZED (
              |  SELECT id, SUM(c) AS total, SUM(b * c) AS bytesum,
              |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1134,10 +1143,10 @@ object LlmOps {
              |        ORDER BY b)), (acc, e) -> acc + e) AS ent
              |  FROM (SELECT id, b, c,
              |      SUM(c) OVER (PARTITION BY id) AS tot FROM (
-             |    SELECT mm.id, ascii(substr(mm.stats_src, p.p, 1)) AS b,
+             |    SELECT mm.id, ascii(substr(mm.samples, p.p, 1)) AS b,
              |      COUNT(*) AS c
              |    FROM mm CROSS JOIN
-             |      UNNEST(generate_series(1, length(mm.stats_src))) AS p(p)
+             |      UNNEST(generate_series(1, length(mm.samples))) AS p(p)
              |    GROUP BY 1, 2)) q
              |  GROUP BY id)
              |SELECT mm.id, mm.kind,
@@ -1186,25 +1195,7 @@ object LlmOps {
           .na.fill(0L, Seq("n_frames", "frame_bytes"))
           .orderBy("id")
       },
-      Some("""WITH m AS MATERIALIZED (
-             |  SELECT doc_id AS id, CAST(doc_id % 3 AS VARCHAR) AS kind,
-             |    text, length(text) AS l
-             |  FROM documents),
-             |g AS MATERIALIZED (
-             |  SELECT *, LEAST(GREATEST(l, 1), 64) AS w,
-             |    (GREATEST(l, 1) + LEAST(GREATEST(l, 1), 64) - 1)
-             |      // LEAST(GREATEST(l, 1), 64) AS h
-             |  FROM m),
-             |mm AS MATERIALIZED (
-             |  SELECT id, kind, l, w, h,
-             |    CASE WHEN kind = '1'
-             |      THEN 'P5' || chr(10) || CAST(w AS VARCHAR) || ' ' ||
-             |        CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) ||
-             |        text || repeat(chr(0), w * h - l)
-             |      ELSE text END AS media,
-             |    CASE WHEN kind = '1' THEN text || repeat(chr(0), w * h - l)
-             |      ELSE text END AS samples
-             |  FROM g),
+      Some(s"""WITH $MEDIA_SQL_CTES,
              |th AS MATERIALIZED (
              |  SELECT id,
              |    CASE WHEN kind = '1' THEN

@@ -28,15 +28,18 @@ object MergeOps {
       count(lit(1)).as("n_events"),
       sum(col("value").cast(dec)).cast(dec).as("sum_value"))
 
-  /** Commit `delta` into `table` under version `next` with `combine`,
-    * writing the manifest — one store transaction. Returns the manifest. */
+  /** Commit `delta` into the `state` table under version `next` with
+    * `combine`, writing the manifest — one store transaction. `touched`
+    * overrides the touched-bucket set (the full-sync path passes all
+    * live buckets). Returns the manifest. */
   private def commit(s: SparkSession, state: String,
       m: IngestIndex.Manifest, next: Long, delta: DataFrame,
-      combine: (DataFrame, DataFrame) => DataFrame): IngestIndex.Manifest = {
+      combine: (DataFrame, DataFrame) => DataFrame,
+      touched: Option[Set[Int]] = None): IngestIndex.Manifest = {
     val fs = new Path(state)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val map = IngestIndex.mergeCommit(s, state, m, "state", next, delta,
-      combine)
+      combine, touchedKnown = touched)
     val nm: IngestIndex.Manifest = Map("state" -> map)
     IngestIndex.writeManifest(fs, state, next, nm)
     nm
@@ -102,7 +105,8 @@ object MergeOps {
     * can be acted on precisely because the batch does NOT carry it), so
     * the touched set is all live buckets plus the delta's own — the same
     * full-target-scan cost Delta documents for this clause family. The
-    * manifest/version/replay contract is unchanged. */
+    * manifest/version/replay contract is unchanged (one [[commit]] with
+    * an overridden touched set — r15 review fold). */
   private[graft] def commitFullSync(s: SparkSession, state: String,
       m: IngestIndex.Manifest, next: Long, delta: DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame): IngestIndex.Manifest = {
@@ -111,13 +115,8 @@ object MergeOps {
     val deltaBkts = IngestIndex.assignBucket(delta, "state", n, gens)
       .select("bkt").distinct().collect().map(_.getInt(0)).toSet
     val live = m.getOrElse("state", Map.empty[Int, IngestIndex.Bkt]).keySet
-    val fs = new Path(state)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val map = IngestIndex.mergeCommit(s, state, m, "state", next, delta,
-      combine, touchedKnown = Some(live ++ deltaBkts))
-    val nm: IngestIndex.Manifest = Map("state" -> map)
-    IngestIndex.writeManifest(fs, state, next, nm)
-    nm
+    commit(s, state, m, next, delta, combine,
+      touched = Some(live ++ deltaBkts))
   }
 
   /** The staging state dir of query `kind` (spec access). */
@@ -304,7 +303,7 @@ object MergeOps {
           col("key"), lit("PROMO").as("mktsegment"), v(2), cur(true))
         val insertRows = base.filter(col("key") % 11 === 0)
           .select((col("key") + (mx + 1)).as("mk"),
-            (col("key") + mx).as("key"),
+            (col("key") + mx + 1).as("key"),
             lit("NEWSEG").as("mktsegment"), v(1), cur(true))
         val source = closeRows.unionByName(openRows)
           .unionByName(insertRows)
@@ -342,7 +341,7 @@ object MergeOps {
              |SELECT b.key, c.new_seg, CAST(2 AS INT), TRUE
              |  FROM base b JOIN changes c ON b.key = c.key
              |UNION ALL
-             |SELECT key + (SELECT MAX(key) FROM base), 'NEWSEG',
+             |SELECT key + (SELECT MAX(key) FROM base) + 1, 'NEWSEG',
              |    CAST(1 AS INT), TRUE
              |  FROM base WHERE key % 11 = 0
              |ORDER BY key, version, is_current""".stripMargin)),

@@ -136,9 +136,12 @@ object Profiling {
         // engine-dependent
         val mx = graft.BroadcastBounds.bounded("scalar-agg")(
           base.agg(max(col("key")).as("mx")))
+        // +1: keys start at 0, so a bare +mx offset would land key 0's
+        // insert on the REAL key mx — two current rows for one business
+        // key (caught by the r15 review pass)
         val inserts = base.filter(col("key") % 11 === 0)
           .crossJoin(mx)
-          .select((col("key") + col("mx")).as("key"),
+          .select((col("key") + col("mx") + 1).as("key"),
             lit("NEWSEG").as("mktsegment"))
         val v = (n: Int) => lit(n).cast(IntegerType).as("version")
         val cur = (b: Boolean) => lit(b).as("is_current")
@@ -171,7 +174,7 @@ object Profiling {
              |SELECT b.key, c.new_seg, CAST(2 AS INT), TRUE
              |  FROM base b JOIN changes c ON b.key = c.key
              |UNION ALL
-             |SELECT key + (SELECT MAX(key) FROM base), 'NEWSEG',
+             |SELECT key + (SELECT MAX(key) FROM base) + 1, 'NEWSEG',
              |    CAST(1 AS INT), TRUE
              |  FROM base WHERE key % 11 = 0
              |ORDER BY key, version, is_current""".stripMargin)),

@@ -343,12 +343,12 @@ object Retrieval {
              |      generate_series(1, length($c)), i -> substr($c, i, 1)),
              |      '$SEP$SEP') || '$SEP'""".stripMargin
         def step(k: Int) =
-          s"""p$k AS MATERIALIZED (SELECT l[i.i] AS a, l[i.i+1] AS b,
-             |    SUM(c) AS n
+          s"""p$k AS MATERIALIZED (SELECT s.l[i.i] AS a, s.l[i.i+1] AS b,
+             |    SUM(s.c) AS n
              |  FROM (SELECT str_split(trim(ws, '$SEP'), '$SEP$SEP') AS l, c
              |    FROM v${k - 1}) s
-             |  CROSS JOIN (SELECT UNNEST(generate_series(1, 20)) AS i) i
-             |  WHERE i.i < len(l) GROUP BY 1, 2),
+             |  CROSS JOIN UNNEST(generate_series(1, len(s.l) - 1)) AS i(i)
+             |  GROUP BY 1, 2),
              |b$k AS MATERIALIZED (SELECT a, b,
              |    '$SEP' || a || '$SEP$SEP' || b || '$SEP' AS pat,
              |    '$SEP' || a || b || '$SEP' AS rep

@@ -415,8 +415,12 @@ object IngestIndex {
     val base = readTable(spark, stateDir, m, table, None,
       spark.emptyDataFrame).drop("bkt")
     // an entry with zero live buckets is an empty vector (every tombstone
-    // bucket dropped) — same as no vector
-    if (!m.get(dvTable(table)).exists(_.nonEmpty)) base
+    // bucket dropped) — same as no vector. Symmetrically, a table with
+    // no live data short-circuits to the plain (empty, zero-column)
+    // read: anti-joining it would fail to RESOLVE the key columns
+    // (r15 review finding) — there is nothing for a vector to hide
+    if (!m.get(dvTable(table)).exists(_.nonEmpty)
+      || !m.get(table).exists(_.exists(_._2.ver != EmptyVer))) base
     else {
       val dv = readTable(spark, stateDir, m, dvTable(table), None,
         spark.emptyDataFrame).drop("bkt")
@@ -548,13 +552,15 @@ object IngestIndex {
     * manifest overwrite commits it; the old tail is deleted only after.
     * Returns the repointed manifest.
     *
-    * `retain` MUST match the stream's own gc retention (the time-travel
-    * window): compaction's GC uses the same rule, so a store run with
-    * `retain = 8` snapshots keeps all 8 readable through a compaction
+    * `retain`/`retainMillis` MUST match the stream's own gc retention
+    * (the time-travel window, count-based AND wall-clock): compaction's
+    * GC uses the same rule, so a store run with `retain = 8` snapshots
+    * or a wall-clock window keeps them readable through a compaction
     * instead of silently evicting them down to the crash-replay
-    * minimum. */
+    * minimum (the half-plumbed variant of the r14 advisor bug — caught
+    * by the r15 review pass). */
   def compact(spark: SparkSession, stateDir: String, top: Long,
-      retain: Int = 2): Manifest = {
+      retain: Int = 2, retainMillis: Long = 0L): Manifest = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = readManifest(fs, stateDir, top)
@@ -583,7 +589,7 @@ object IngestIndex {
     // the crash-replay fallback for the batch that committed v(top) —
     // deleting them here would strand a resume whose checkpoint commit
     // had not landed before compaction ran
-    gc(fs, stateDir, top - 1, top, retain)
+    gc(fs, stateDir, top - 1, top, retain, retainMillis)
     nm
   }
 
@@ -595,7 +601,7 @@ object IngestIndex {
     * must not have its retained snapshots evicted mid-stream by the
     * compaction default). Returns whether a compaction ran. */
   def maybeCompact(spark: SparkSession, stateDir: String,
-      top: Long, retain: Int = 2): Boolean = {
+      top: Long, retain: Int = 2, retainMillis: Long = 0L): Boolean = {
     val maxV = autoCompactVersions(spark)
     if (maxV <= 0) return false
     val fs = new Path(stateDir)
@@ -605,7 +611,7 @@ object IngestIndex {
     val count = fs.listStatus(root).map(_.getPath.getName)
       .count(_.matches("v-?\\d+"))
     if (count <= maxV) false
-    else { compact(spark, stateDir, top, retain); true }
+    else { compact(spark, stateDir, top, retain, retainMillis); true }
   }
 
   /** Delete version dirs that no RETAINED manifest references. The newest

@@ -364,6 +364,16 @@ class IngestIndexSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == prefixFolds(v), s"young snapshot v$v diverged")
     }
+    // compaction HONORS the window (r15 review: the half-plumbed
+    // variant of the r14 advisor bug): a compact pass with the same
+    // retainMillis keeps every young snapshot readable
+    IngestIndex.compact(sp, state, 6L, retain = 2, retainMillis = hour)
+    (1L to 6L).foreach { v =>
+      val got = IngestIndex.tableAt(sp, state, "state", v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == prefixFolds(v),
+        s"compact evicted young snapshot v$v despite the window")
+    }
     // drop the window: the count floor alone applies — history evicts,
     // and an AS-OF read of an evicted version fails loudly
     IngestIndex.gc(fs, state, 5L, 6L, retain = 2, retainMillis = 0L)
@@ -429,6 +439,19 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(plain == want3, "materialized table diverged from the dv-read")
     assert(read(m5) == want3, "dv-read after materialize (no vector) " +
       "must equal the plain read")
+    // edge (r15 review): a DV over a table with NO live base data short-
+    // circuits to the plain empty read instead of failing to resolve the
+    // key columns in the anti-join
+    val state2 = java.nio.file.Files
+      .createTempDirectory("graft-idx-dv2").toString + "/state"
+    val fs2 = new org.apache.hadoop.fs.Path(state2)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val mOnlyDv = IngestIndex.deleteWithDv(sp, state2, Map.empty, "state",
+      1L, Seq(5L).toDF("user_id"))
+    IngestIndex.writeManifest(fs2, state2, 1L, mOnlyDv)
+    assert(IngestIndex
+      .readWithDv(sp, state2, mOnlyDv, "state", Seq("user_id"))
+      .count() === 0L)
   }
 
   test("auto-compaction keeps version-dir count bounded on a long replay with no manual call") {
