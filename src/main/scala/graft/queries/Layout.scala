@@ -267,23 +267,58 @@ object Layout {
     * the owning JVM's pid. A sibling (not a file inside the dir) because
     * several stagePath roots are themselves parquet overwrite targets —
     * an in-dir marker would die on the first rewrite. */
-  private def ownerMarker(p: java.nio.file.Path): java.nio.file.Path =
+  private[graft] def ownerMarker(p: java.nio.file.Path): java.nio.file.Path =
     p.resolveSibling(p.getFileName.toString + ".owner")
 
+  /** The marker's epoch-millis start time of process `h`, or None when
+    * the platform withholds it. */
+  private def startMillisOf(h: ProcessHandle): Option[Long] = {
+    val i = h.info().startInstant()
+    if (i.isPresent) Some(i.get().toEpochMilli) else None
+  }
+
+  private val markerWriteWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Marker content is `pid<TAB>startEpochMillis` (r16, advisor fix):
+    * a bare pid is vulnerable to PID REUSE — an unrelated process
+    * recycling a dead harness's pid would keep its staging alive
+    * forever. The JVM start time disambiguates: alive means the pid is
+    * live AND was started when the marker says. A failed marker write
+    * is logged ONCE (a dir whose marker never landed is sweepable after
+    * 7 days — silent failure would make that surprising). */
   private def writeOwnerMarker(p: String): Unit = try {
+    val self = ProcessHandle.current()
+    val start = startMillisOf(self).map(m => s"\t$m").getOrElse("")
     java.nio.file.Files.writeString(
       ownerMarker(java.nio.file.Paths.get(p)),
-      ProcessHandle.current().pid().toString)
+      s"${self.pid()}$start")
     ()
-  } catch { case _: Throwable => () }
+  } catch {
+    case e: Throwable =>
+      if (markerWriteWarned.compareAndSet(false, true))
+        Console.err.println(s"[graft] owner-marker write failed for $p " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — staging " +
+          "will be age-sweepable by other JVMs after 7 days")
+      ()
+  }
 
-  /** The pid recorded in `p`'s owner marker is a live process. Absent or
-    * unreadable marker => not alive (legacy dirs sweep by age alone,
-    * today's behavior). */
-  private def ownerAlive(p: java.nio.file.Path): Boolean = try {
-    val pid = java.nio.file.Files
-      .readString(ownerMarker(p)).trim.toLong
-    ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+  /** The process recorded in `p`'s owner marker is alive: live pid AND
+    * (when both sides expose it) matching start instant — a recycled
+    * pid with a different start time reads as dead. Absent or
+    * unreadable marker => not alive (legacy dirs sweep by age alone);
+    * legacy pid-only markers keep the pid-liveness check. */
+  private[graft] def ownerAlive(p: java.nio.file.Path): Boolean = try {
+    val parts = java.nio.file.Files
+      .readString(ownerMarker(p)).trim.split('\t')
+    val pid = parts(0).toLong
+    ProcessHandle.of(pid).map[Boolean] { h =>
+      if (!h.isAlive) false
+      else (parts.lift(1).map(_.toLong), startMillisOf(h)) match {
+        case (Some(recorded), Some(actual)) => recorded == actual
+        case _ => true // legacy pid-only marker, or no start time exposed
+      }
+    }.orElse(false)
   } catch { case _: Throwable => false }
 
   /** Belt-and-braces for SIGKILLed JVMs whose hook never ran: on first

@@ -49,7 +49,7 @@ object MergeOps {
     * data: source users more active than their target row are DELETED,
     * other matched users UPDATED (adds are associative + exact), users
     * new to the source INSERTED. */
-  private[graft] val q127Merge = MergeInto(
+  private[graft] val q127Merge = MergeInto.simple(
     key = "user_id",
     payload = Seq("n_events", "sum_value"),
     matchedDeleteWhen = Some(col("s_n_events") > col("t_n_events")),
@@ -78,7 +78,7 @@ object MergeOps {
     * added — the sync semantics), target rows the snapshot no longer
     * carries are DELETED below [[SyncStaleFloor]] events and
     * tombstone-zeroed above it. */
-  private[graft] val q127bMerge = MergeInto(
+  private[graft] val q127bMerge = MergeInto.simple(
     key = "user_id",
     payload = Seq("n_events", "sum_value"),
     updateSet = Map(
@@ -177,7 +177,140 @@ object MergeOps {
     state
   }
 
+  /** The q131 ordered-clause MERGE (r16): SQL:2023 allows an ordered
+    * LIST of conditional clauses per family, first match wins — the r15
+    * verdict's generality gap. Gates chosen so EVERY arm fires on real
+    * rows at sf0.001 AND sf0.01 (measured 5/3/2/1/1/2 and
+    * 59/22/22/8/9/25): matched users whose source sum outran the target
+    * are OVERWRITTEN, else those whose source count fell >4 behind are
+    * DELETED, the rest accumulate; unmatched even users insert
+    * verbatim, odd ones insert with the sum ZEROED (the second,
+    * conditional INSERT clause). */
+  private[graft] val q131Merge = MergeInto(
+    key = "user_id",
+    payload = Seq("n_events", "sum_value"),
+    matched = Seq(
+      graft.operators.MergeClause.update(
+        Map("n_events" -> col("s_n_events"),
+          "sum_value" -> col("s_sum_value")),
+        when = Some(col("s_sum_value") > col("t_sum_value"))),
+      graft.operators.MergeClause.delete(
+        when = Some(col("s_n_events") < col("t_n_events") - 4)),
+      graft.operators.MergeClause.update(
+        Map("n_events" -> (col("t_n_events") + col("s_n_events")),
+          "sum_value" ->
+            (col("t_sum_value") + col("s_sum_value")).cast(dec)))),
+    notMatched = Seq(
+      graft.operators.MergeClause.insert(
+        when = Some(pmod(col("user_id"), lit(2)) === 0)),
+      graft.operators.MergeClause.insert(
+        set = Map("sum_value" -> lit(0).cast(dec)))))
+
+  /** q131's halves: target = even events of users outside the mod-7
+    * stripe, source = odd events of users outside the mod-5 stripe —
+    * the stripes create genuine target-only and source-only keys, the
+    * even/odd split keeps matched counts close enough that both the
+    * overwrite and the delete gate find rows. */
+  private[graft] def q131Inputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val ev = Q.events(s, d)
+    (userAgg(ev.filter(pmod(col("event_id"), lit(2)) === 0
+        && pmod(col("user_id"), lit(7)) =!= 0)),
+      userAgg(ev.filter(pmod(col("event_id"), lit(2)) === 1
+        && pmod(col("user_id"), lit(5)) =!= 0)))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Q131 ORDERED MULTI-CLAUSE MERGE (r16): the full SQL:2023 clause
+    // algebra — N conditional clauses per family, first match wins —
+    // through the bucketed store. The oracle replays the ordered CASE
+    // chain in DuckDB; hash equality proves clause ORDER (overwrite
+    // beats delete beats accumulate), both insert arms, and the
+    // arithmetic of every surviving row at once.
+    QueryDef("q131_merge_ordered_clauses",
+      (s, d) => {
+        val (target, source) = q131Inputs(s, d)
+        val state = stateDirFor(s, "merge131", d)
+        val m1 = commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
+        commit(s, state, m1, 2L, source, q131Merge)
+        IngestIndex.currentTable(s, state, "state")
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |t AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 0 AND user_id % 7 <> 0
+             |  GROUP BY user_id),
+             |s AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 1 AND user_id % 5 <> 0
+             |  GROUP BY user_id),
+             |m AS (SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+             |    t.n_events AS tn, t.sum_value AS tv,
+             |    s.n_events AS sn, s.sum_value AS sv
+             |  FROM t FULL JOIN s ON t.user_id = s.user_id)
+             |SELECT user_id,
+             |  CASE WHEN tn IS NOT NULL AND sn IS NOT NULL THEN
+             |         CASE WHEN sv > tv THEN sn ELSE tn + sn END
+             |       WHEN tn IS NOT NULL THEN tn
+             |       ELSE sn END AS n_events,
+             |  CAST(CASE WHEN tn IS NOT NULL AND sn IS NOT NULL THEN
+             |         CASE WHEN sv > tv THEN sv
+             |              ELSE CAST(tv + sv AS DECIMAL(18,4)) END
+             |       WHEN tn IS NOT NULL THEN tv
+             |       WHEN user_id % 2 = 0 THEN sv
+             |       ELSE CAST(0 AS DECIMAL(18,4)) END
+             |    AS DOUBLE) AS sum_value
+             |FROM m
+             |WHERE NOT (tn IS NOT NULL AND sn IS NOT NULL
+             |           AND NOT sv > tv AND sn < tn - 4)
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q129b DV × POINT-GET COMPOSITION (r16): the r15 verdict's one
+    // store finding — deletion vectors must compose with EVERY read
+    // verb, not just readWithDv. A DV delete commits, then the O(keys)
+    // point lookup probes the 8 smallest users: tombstoned probes
+    // return NOTHING (the GET applies the vector, bucket-pruned to the
+    // probe's own covering DV buckets), survivors return their exact
+    // rows. The oracle recomputes the surviving probe rows directly;
+    // CdfSpec pins the law pointGet == filter(readWithDv) and the
+    // time-travel side (the pre-delete snapshot still shows the rows).
+    QueryDef("q129b_dv_point_get",
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val ev = Q.events(s, d)
+        val state = stateDirFor(s, "dv129b", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val m1 = commit(s, state, Map.empty, 1L, userAgg(ev), (_, dl) => dl)
+        val t1 = ev.filter(pmod(col("user_id"), lit(5)) === 2)
+          .select("user_id").distinct()
+        val m2 = IngestIndex.deleteWithDv(s, state, m1, "state", 2L, t1)
+        IngestIndex.writeManifest(fs, state, 2L, m2)
+        val keys = ev.select("user_id").distinct()
+          .orderBy("user_id").limit(8)
+          .collect().map(_.getLong(0)).toSeq
+        IngestIndex.pointGet(s, state, "state", keys.toDF("user_id"))
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |k AS (SELECT DISTINCT user_id FROM e
+             |  ORDER BY user_id LIMIT 8)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e
+             |WHERE user_id IN (SELECT user_id FROM k)
+             |  AND user_id % 5 <> 2
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Q127 MERGE INTO (r14): the declarative multi-clause merge —
     // `MERGE INTO state USING source ON user_id WHEN MATCHED AND
     // s.n_events > t.n_events THEN DELETE WHEN MATCHED THEN UPDATE SET
@@ -193,7 +326,7 @@ object MergeOps {
         val (target, source) = q127Inputs(s, d)
         val state = stateDirFor(s, "merge127", d)
         val m1 = commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
-        commit(s, state, m1, 2L, source, q127Merge.apply)
+        commit(s, state, m1, 2L, source, q127Merge)
         IngestIndex.currentTable(s, state, "state")
           .select(col("user_id"), col("n_events"),
             col("sum_value").cast(DoubleType).as("sum_value"))
@@ -237,7 +370,7 @@ object MergeOps {
         val (target, source) = q127bInputs(s, d)
         val state = stateDirFor(s, "merge127b", d)
         val m1 = commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
-        commitFullSync(s, state, m1, 2L, source, q127bMerge.apply)
+        commitFullSync(s, state, m1, 2L, source, q127bMerge)
         IngestIndex.currentTable(s, state, "state")
           .select(col("user_id"), col("n_events"),
             col("sum_value").cast(DoubleType).as("sum_value"))
@@ -307,7 +440,7 @@ object MergeOps {
             lit("NEWSEG").as("mktsegment"), v(1), cur(true))
         val source = closeRows.unionByName(openRows)
           .unionByName(insertRows)
-        val merge = MergeInto(
+        val merge = MergeInto.simple(
           key = "mk",
           payload = Seq("key", "mktsegment", "version", "is_current"),
           updateSet = Map("is_current" -> lit(false)))
@@ -320,7 +453,7 @@ object MergeOps {
         IngestIndex.writeManifest(fs, state, 1L, m1)
         val m2: IngestIndex.Manifest = Map("dim" ->
           IngestIndex.mergeCommit(s, state, m1, "dim", 2L, source,
-            merge.apply))
+            merge))
         IngestIndex.writeManifest(fs, state, 2L, m2)
         IngestIndex.currentTable(s, state, "dim")
           .select(col("key"), col("mktsegment"), col("version"),

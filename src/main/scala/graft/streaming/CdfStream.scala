@@ -86,16 +86,27 @@ object CdfStream {
     *
     * DELETES (r15, q130): with `deleteMod = Some(m)`, batch k also
     * REMOVES every batch-active user with `user_id % m == k` AFTER its
-    * upsert applies — the missing Delta-CDF op type: the feed gains
-    * `delete` rows carrying the removed row's post-upsert image, and the
-    * state commit excludes the keys. The rule is deliberately
-    * batch-membership-gated (only users WITH activity in batch k delete
-    * at k) so the whole chain stays SQL-reconstructible: a user's final
-    * state is the aggregate of their events in batches STRICTLY AFTER
-    * their delete batch (they re-INSERT on their next activity — the
-    * re-crawl topology). Delete cost rides the merge's existing join:
-    * the removed keys were already in the touched slice, zero extra
-    * reads. */
+    * upsert applies — the missing Delta-CDF op type. The rule is
+    * deliberately batch-membership-gated (only users WITH activity in
+    * batch k delete at k) so the whole chain stays SQL-reconstructible:
+    * a user's final state is the aggregate of their events in batches
+    * STRICTLY AFTER their delete batch (they re-INSERT on their next
+    * activity — the re-crawl topology). Delete cost rides the merge's
+    * existing join: the removed keys were already in the touched slice,
+    * zero extra reads.
+    *
+    * PER-COMMIT NET CHANGE (r16, advisor fix): a batch's feed rows are
+    * NETTED per key, Delta's CDF contract — one commit emits at most one
+    * change per key. A key upserted and then deleted inside the same
+    * micro-batch therefore emits a single `delete` row carrying the
+    * PRE-COMMIT image (the stored row the commit removed) when it
+    * existed before the batch, and NOTHING when the batch both created
+    * and removed it (net change: none — an external last-op-per-commit
+    * consumer replaying the feed sees exactly the table's commits). The
+    * in-repo view consumer's signed algebra is invariant under the
+    * netting (post − pre − post telescopes to the same −pre), so feeds
+    * with and without netting maintain identical views — but only the
+    * netted feed is safe for consumers that do not telescope. */
   def runUpsertCdf(spark: SparkSession, replayDir: String, stateDir: String,
       cdfDir: String, retain: Int = 8, retainMillis: Long = 0L,
       deleteMod: Option[Int] = None): Long = {
@@ -130,7 +141,12 @@ object CdfStream {
             val delPred = deleteMod.map(m =>
                 pmod(col("user_id"), lit(m.toLong)) === lit(batchId))
               .getOrElse(lit(false))
-            val post = changed.select(col("user_id"),
+            // netted per-commit change rows (r16): survivors emit
+            // insert/update pairs as before; a key the SAME batch also
+            // deletes nets to one `delete` row with the pre-commit image
+            // (previously stored keys) or to nothing (keys the batch
+            // both created and removed — net change: none)
+            val post = changed.filter(!delPred).select(col("user_id"),
               when(col("c_n").isNull, lit("insert"))
                 .otherwise(lit("update_postimage")).as("op"),
               (coalesce(col("c_n"), lit(0L)) + col("n_events"))
@@ -138,13 +154,14 @@ object CdfStream {
               greatest(col("c_ts"), col("last_ts")).as("last_ts"),
               (coalesce(col("c_sum"), lit(0).cast(dec)) + col("sum_value"))
                 .cast(dec).as("sum_value"))
-            val pre = changed.filter(col("c_n").isNotNull)
+            val pre = changed.filter(col("c_n").isNotNull && !delPred)
               .select(col("user_id"), lit("update_preimage").as("op"),
                 col("c_n").as("n_events"), col("c_ts").as("last_ts"),
                 col("c_sum").cast(dec).as("sum_value"))
-            val dels = post.filter(delPred)
+            val dels = changed.filter(col("c_n").isNotNull && delPred)
               .select(col("user_id"), lit("delete").as("op"),
-                col("n_events"), col("last_ts"), col("sum_value"))
+                col("c_n").as("n_events"), col("c_ts").as("last_ts"),
+                col("c_sum").cast(dec).as("sum_value"))
             StreamPlans.recordPlan("q120_cdf_emit",
               org.apache.spark.sql.execution.GraftWrite.parquetCaptured(
                 post.unionByName(pre).unionByName(dels)

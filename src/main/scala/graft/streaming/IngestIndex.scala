@@ -111,21 +111,26 @@ object IngestIndex {
     m.getOrElse(table, Map.empty[Int, Bkt])
       .collect { case (b, e) if e.gen > 0 => b -> e.gen }
 
-  private def hashFor(table: String): Column = table match {
-    case "fp" => xxhash64(col("fp"))
-    case "band" => xxhash64(col("b"), col("bv"))
-    case "sig" => xxhash64(col("doc_id"))
-    case "state" => xxhash64(col("user_id"))
-    case "vec" => xxhash64(col("vec_id"))
-    case "view" => xxhash64(col("nation"))
-    case "dim" => xxhash64(col("mk"))
+  /** The key column(s) of each store table — the bucket hash input, the
+    * MERGE key, and the deletion-vector join key, from ONE registry so
+    * they can never disagree. */
+  def keyColsFor(table: String): Seq[String] = table match {
+    case "fp" => Seq("fp")
+    case "band" => Seq("b", "bv")
+    case "sig" => Seq("doc_id")
+    case "state" => Seq("user_id")
+    case "vec" => Seq("vec_id")
+    case "view" => Seq("nation")
+    case "dim" => Seq("mk")
     // a deletion-vector side table is keyed by ITS BASE TABLE's key, so
     // a tombstone and the row it hides always share a bucket formula
-    case dv if dv.endsWith(DvSuffix) =>
-      hashFor(dv.stripSuffix(DvSuffix))
+    case dv if dv.endsWith(DvSuffix) => keyColsFor(dv.stripSuffix(DvSuffix))
     case other => throw new IllegalArgumentException(
       s"unknown ingest-index table: $other")
   }
+
+  private def hashFor(table: String): Column =
+    xxhash64(keyColsFor(table).map(col): _*)
 
   /** Manifest-table suffix of a base table's DELETION VECTOR side table
     * (`state` -> `state__dv`). */
@@ -207,40 +212,169 @@ object IngestIndex {
   private def manifestPath(stateDir: String, v: Long) =
     new Path(s"$stateDir/v$v/manifest")
 
-  /** The manifest committed at version `v`; empty when none exists (the
-    * batch-0 probe against an empty index). */
-  def readManifest(fs: FileSystem, stateDir: String, v: Long): Manifest = {
+  /** DELTA MANIFESTS (r16) — the r15 verdict's remaining O(buckets)
+    * driver term: the manifest used to be one text file with a line per
+    * LIVE bucket, fully rewritten every trigger, so at the projected
+    * 10^6 buckets (a ~100 TB store at the 128 MB bucket target) the
+    * driver parsed AND rewrote tens of MB of text per micro-batch. The
+    * Iceberg manifest-list idea, applied to this layout: a commit whose
+    * diff against its parent manifest is small writes a DELTA file —
+    * only the touched buckets' entries plus `-` tombstones for dropped
+    * ones, headed by `#delta <parentVersion> <depth>` — and every
+    * [[DefaultManifestFoldEvery]] commits (or whenever the diff stops
+    * being smaller than the full map) the chain FOLDS into a full base.
+    * Per-trigger driver WRITE IO is O(touched buckets); resolution walks
+    * the chain once and is memoized per (dir, version, mtime, length)
+    * in-process, so steady-state READ IO is O(new delta) per trigger
+    * too — the base is parsed once per fold epoch per JVM.
+    *
+    * Contracts preserved exactly:
+    *   - REPLAY: parent choice is "latest version below v with a
+    *     manifest", deterministic under replay (the replayed trigger
+    *     sees the same committed set below v), and the diff of the same
+    *     map against the same parent serializes to the same sorted
+    *     bytes.
+    *   - GC: a delta is only readable while its chain lives, so [[gc]]
+    *     protects every retained manifest's TRANSITIVE chain parents
+    *     (the `chain` field below) exactly like referenced data dirs.
+    *   - FORMAT COMPAT: base files are byte-identical to the pre-r16
+    *     format; stores written by older rounds read back unchanged.
+    *
+    * Single-writer per store (the existing contract): the memo cache
+    * assumes manifests only change through this object's writers —
+    * [[writeManifest]] and [[gc]] update/invalidate it in-process. */
+  val DefaultManifestFoldEvery: Int = 8
+
+  /** A resolved manifest: the overlaid map, its delta depth (0 = base),
+    * and every version whose manifest file participates in the chain
+    * (v itself plus transitive parents) — what GC must keep alive. */
+  private[streaming] case class Resolved(m: Manifest, depth: Int,
+      chain: Set[Long])
+
+  /** (dir, v) -> (manifest mtime, length, resolved) — stat-validated so
+    * a replay's byte-identical rewrite (new mtime) just re-reads, and a
+    * compaction's repoint (new content) can never serve stale. */
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, Long, Resolved)]()
+
+  private def memoKey(stateDir: String, v: Long) = s"$stateDir#v$v"
+
+  /** Resolve version `v`'s manifest through its delta chain; None when
+    * no manifest file exists at `v`. */
+  private[streaming] def resolveManifest(fs: FileSystem, stateDir: String,
+      v: Long): Option[Resolved] = {
     val p = manifestPath(stateDir, v)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      text.linesIterator.filter(_.nonEmpty).toSeq
-        .map { line =>
+    if (!fs.exists(p)) return None
+    val st = fs.getFileStatus(p)
+    val k = memoKey(stateDir, v)
+    val hit = manifestMemo.get(k)
+    if (hit != null && hit._1 == st.getModificationTime
+      && hit._2 == st.getLen) return Some(hit._3)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val res = lines.headOption match {
+      case Some(h) if h.startsWith("#delta\t") =>
+        val (parent, depth) = h.split('\t') match {
+          case Array(_, pv, d) => (pv.toLong, d.toInt)
+          case _ => throw new IllegalStateException(
+            s"torn delta-manifest header in $p: '$h'")
+        }
+        val base = resolveManifest(fs, stateDir, parent).getOrElse(
+          throw new IllegalStateException(
+            s"torn manifest chain under $stateDir: v$v's delta " +
+              s"references missing parent manifest v$parent (was its " +
+              "version dir deleted outside gc?)"))
+        var m = base.m
+        lines.tail.foreach { line =>
           line.split('\t') match {
-            case Array(t, b, ver, gen) => (t, b.toInt, Bkt(ver.toLong, gen.toInt))
+            case Array(t, b, "-") =>
+              val nb = m.getOrElse(t, Map.empty[Int, Bkt]) - b.toInt
+              m = if (nb.isEmpty) m - t else m + (t -> nb)
+            case Array(t, b, ver, gen) =>
+              m += t -> (m.getOrElse(t, Map.empty[Int, Bkt])
+                + (b.toInt -> Bkt(ver.toLong, gen.toInt)))
+            case _ => throw new IllegalStateException(
+              s"torn delta-manifest line in $p: '$line'")
+          }
+        }
+        Resolved(m, depth, base.chain + v)
+      case _ =>
+        val m = lines.map { line =>
+          line.split('\t') match {
+            case Array(t, b, ver, gen) =>
+              (t, b.toInt, Bkt(ver.toLong, gen.toInt))
             case Array(t, b, ver) => (t, b.toInt, Bkt(ver.toLong, 0))
             case _ => throw new IllegalStateException(
               s"torn manifest line in $p: '$line'")
           }
-        }
-        .groupBy(_._1)
-        .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
+        }.groupBy(_._1)
+          .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
+        Resolved(m, 0, Set(v))
     }
+    manifestMemo.put(k, (st.getModificationTime, st.getLen, res))
+    Some(res)
   }
 
-  /** Overwrite version `v`'s manifest (deterministic content: sorted
-    * lines, so a replayed trigger rewrites byte-identical bytes). */
-  def writeManifest(fs: FileSystem, stateDir: String, v: Long,
-      m: Manifest): Unit = {
-    val lines = for {
+  /** The manifest committed at version `v`; empty when none exists (the
+    * batch-0 probe against an empty index). */
+  def readManifest(fs: FileSystem, stateDir: String, v: Long): Manifest =
+    resolveManifest(fs, stateDir, v).map(_.m).getOrElse(Map.empty)
+
+  private def baseLines(m: Manifest): Seq[String] =
+    for {
       (t, bkts) <- m.toSeq.sortBy(_._1)
       (b, e) <- bkts.toSeq.sortBy(_._1)
     } yield s"$t\t$b\t${e.ver}\t${e.gen}"
+
+  /** Overwrite version `v`'s manifest (deterministic content: sorted
+    * lines, so a replayed trigger rewrites byte-identical bytes) — as a
+    * DELTA against the latest committed manifest below `v` when the
+    * chain policy allows (see the delta-manifest doc above), else as a
+    * full base. `foldEvery` <= 1 forces a base every commit (the pre-r16
+    * behavior). */
+  def writeManifest(fs: FileSystem, stateDir: String, v: Long,
+      m: Manifest, foldEvery: Int = DefaultManifestFoldEvery): Unit = {
+    val full = baseLines(m)
+    val lines: Seq[String] =
+      if (foldEvery <= 1) full
+      else {
+        val root = new Path(stateDir)
+        val parent: Option[(Long, Resolved)] =
+          if (!fs.exists(root)) None
+          else fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.matches("v-?\\d+")).map(_.drop(1).toLong)
+            .filter(_ < v).sorted(Ordering[Long].reverse).iterator
+            .flatMap(p => resolveManifest(fs, stateDir, p).map(p -> _))
+            .nextOption()
+        parent match {
+          case Some((pv, pr)) if pr.depth + 1 < foldEvery =>
+            val ups = for {
+              (t, bkts) <- m.toSeq.sortBy(_._1)
+              (b, e) <- bkts.toSeq.sortBy(_._1)
+              if !pr.m.get(t).flatMap(_.get(b)).contains(e)
+            } yield s"$t\t$b\t${e.ver}\t${e.gen}"
+            val tombs = for {
+              (t, bkts) <- pr.m.toSeq.sortBy(_._1)
+              (b, _) <- bkts.toSeq.sortBy(_._1)
+              if !m.get(t).exists(_.contains(b))
+            } yield s"$t\t$b\t-"
+            val delta = ups ++ tombs
+            if (delta.size >= full.size) full
+            else s"#delta\t$pv\t${pr.depth + 1}" +: delta
+          case _ => full
+        }
+      }
     val out = fs.create(manifestPath(stateDir, v), true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    // refresh the memo under the new file stat so the next trigger's
+    // read is a cache hit (steady-state read IO O(delta))
+    manifestMemo.remove(memoKey(stateDir, v))
+    resolveManifest(fs, stateDir, v)
+    ()
   }
 
   /** Read `table` through manifest `m`: all live buckets, or just
@@ -279,16 +413,40 @@ object IngestIndex {
     }.reduce { (a, b) =>
       val at = a.schema.fields.map(f => f.name -> f.dataType).toMap
       b.schema.fields.foreach { f =>
-        at.get(f.name).filter(_ != f.dataType).foreach { t =>
-          throw new IllegalStateException(
-            s"schema evolution of table '$table' supports column " +
-              s"ADDITION only: column '${f.name}' changes type from $t " +
-              s"to ${f.dataType} across live versions — rewrite the " +
-              "store under the new type (cast in a combine, then " +
-              "compact) instead of widening in place")
-        }
+        // nullability-normalized comparison (r16, advisor fix): two live
+        // versions differing only in nested nullability of the same
+        // logical type (an array element's containsNull flipped by a
+        // writer) union losslessly — only a LOGICAL type change is the
+        // unsupported in-place widening
+        at.get(f.name)
+          .filter(t => normalizeNullable(t) != normalizeNullable(f.dataType))
+          .foreach { t =>
+            throw new IllegalStateException(
+              s"schema evolution of table '$table' supports column " +
+                s"ADDITION only: column '${f.name}' changes type from $t " +
+                s"to ${f.dataType} across live versions — rewrite the " +
+                "store under the new type (cast in a combine, then " +
+                "compact) instead of widening in place")
+          }
       }
       a.unionByName(b, allowMissingColumns = true)
+    }
+  }
+
+  /** `dt` with every nested nullability flag forced true and field
+    * metadata dropped — the equality domain of the schema-evolution
+    * guard above (logical types only). */
+  private def normalizeNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f => StructField(
+        f.name, normalizeNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(normalizeNullable(a.elementType), containsNull = true)
+      case m: MapType => MapType(normalizeNullable(m.keyType),
+        normalizeNullable(m.valueType), valueContainsNull = true)
+      case other => other
     }
   }
 
@@ -306,9 +464,16 @@ object IngestIndex {
   /** Current contents of `table` at the latest committed version — the
     * "query the state mid-stream" surface, and how specs inspect final
     * state now that a version dir holds only the buckets its batch
-    * touched (reading `v<k>/<table>` directly would see a SLICE). */
+    * touched (reading `v<k>/<table>` directly would see a SLICE).
+    *
+    * DELETION VECTORS COMPOSE (r16): every read verb — this one,
+    * [[tableAt]], [[pointGet]] — applies the manifest's `__dv` side
+    * table automatically, so a snapshot or point lookup can never serve
+    * rows the store has already deleted (the r15 gap: DV application
+    * was opt-in per call site). `raw = true` is the debugging escape
+    * hatch that reads the base table with tombstoned rows visible. */
   def currentTable(spark: SparkSession, stateDir: String,
-      table: String): DataFrame = {
+      table: String, raw: Boolean = false): DataFrame = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, stateDir).getOrElse(
@@ -317,8 +482,10 @@ object IngestIndex {
     val m = readManifest(fs, stateDir, v)
     require(m.contains(table),
       s"table $table absent from manifest v$v under $stateDir")
-    readTable(spark, stateDir, m, table, None,
-      spark.emptyDataFrame).drop("bkt")
+    if (raw)
+      readTable(spark, stateDir, m, table, None,
+        spark.emptyDataFrame).drop("bkt")
+    else readWithDv(spark, stateDir, m, table, keyColsFor(table))
   }
 
   /** TIME-TRAVEL read: `table` exactly as it stood when manifest version
@@ -331,7 +498,7 @@ object IngestIndex {
     * and reading an old version costs the same pruned scan as reading the
     * current one. */
   def tableAt(spark: SparkSession, stateDir: String, table: String,
-      v: Long): DataFrame = {
+      v: Long, raw: Boolean = false): DataFrame = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = readManifest(fs, stateDir, v)
@@ -339,15 +506,22 @@ object IngestIndex {
       s"no readable snapshot of '$table' at version v$v under $stateDir " +
         "— the version was never committed or GC evicted it past the " +
         "retention window (raise the gc retain parameter to keep more)")
-    val missing = m(table).values.map(_.ver).toSet
-      .filterNot(_ == EmptyVer) // sentinel = live-but-empty, no dir
-      .filterNot(ver => fs.exists(new Path(s"$stateDir/v$ver/$table")))
+    // the snapshot's DV is part of the snapshot: a time-travel read must
+    // hide exactly the rows that were deleted AS OF v, so the existence
+    // check covers the DV side table's data versions too
+    val tables = table +: m.get(dvTable(table)).map(_ => dvTable(table)).toSeq
+    val missing = tables.flatMap(t => m(t).values.map(e => t -> e.ver)).toSet
+      .filterNot(_._2 == EmptyVer) // sentinel = live-but-empty, no dir
+      .filterNot { case (t, ver) =>
+        fs.exists(new Path(s"$stateDir/v$ver/$t")) }
     require(missing.isEmpty,
       s"snapshot v$v of '$table' references GC'd data versions " +
         s"${missing.toSeq.sorted.mkString(",")} — retention was lowered " +
         "after the snapshot committed")
-    readTable(spark, stateDir, m, table, None,
-      spark.emptyDataFrame).drop("bkt")
+    if (raw)
+      readTable(spark, stateDir, m, table, None,
+        spark.emptyDataFrame).drop("bkt")
+    else readWithDv(spark, stateDir, m, table, keyColsFor(table))
   }
 
   /** POINT LOOKUP (GET): the current rows of `keys` read through ONLY
@@ -359,7 +533,7 @@ object IngestIndex {
     * key column(s); its bucket assignment uses the SAME [[bucketCol]]
     * formula as every write, so probe and layout can never disagree. */
   def pointGet(spark: SparkSession, stateDir: String, table: String,
-      keyed: DataFrame): DataFrame = {
+      keyed: DataFrame, raw: Boolean = false): DataFrame = {
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = latestVersion(fs, stateDir).getOrElse(
@@ -377,9 +551,19 @@ object IngestIndex {
     // read, rows from nowhere (limit 0 prunes at planning)
     val shape = readTable(spark, stateDir, m, table, None,
       keyed.limit(0)).limit(0)
-    readTable(spark, stateDir, m, table, Some(wanted), shape).drop("bkt")
+    val base = readTable(spark, stateDir, m, table, Some(wanted), shape)
+      .drop("bkt")
       .join(graft.BroadcastBounds.bounded("point-get-keys")(keyed),
         keyed.columns.toSeq, "left_semi")
+    // the DV composes with the GET (r16): tombstones for the probe keys
+    // live in the DV table's covering buckets of those same keys (shared
+    // key registry), so the vector read is bucket-pruned to the probe
+    // too — the lookup stays O(probe keys) with or without a vector
+    dvSlice(spark, stateDir, m, table, Some(keyed)) match {
+      case Some(dv) if !raw =>
+        base.join(dv, keyColsFor(table), "left_anti")
+      case _ => base
+    }
   }
 
   /** DELETION VECTORS (r15) — the Delta/Iceberg soft-delete surface, the
@@ -407,6 +591,32 @@ object IngestIndex {
       next, tombstones,
       (cur, d) => cur.unionByName(d).distinct()))
 
+  /** The DV side table's rows relevant to a read of `table` through `m`
+    * — None when there is no vector to apply (no manifest entry, an
+    * empty vector, or a base table with no live data: anti-joining the
+    * empty zero-column read would fail to RESOLVE the key columns — the
+    * r15 review finding — and there is nothing for a vector to hide).
+    * `probe` (when set) bucket-prunes the vector read to the probe
+    * keys' covering DV buckets — the point-GET path. */
+  private def dvSlice(spark: SparkSession, stateDir: String, m: Manifest,
+      table: String, probe: Option[DataFrame] = None): Option[DataFrame] = {
+    if (!m.get(dvTable(table)).exists(_.exists(_._2.ver != EmptyVer))
+      || !m.get(table).exists(_.exists(_._2.ver != EmptyVer))) None
+    else {
+      val wanted = probe.map { k =>
+        assignBucket(k, dvTable(table), numBuckets(spark),
+          gensOf(m, dvTable(table)))
+          .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+      }
+      // DV-shaped empty frame: a probe whose covering DV buckets hold no
+      // tombstones must still anti-join cleanly (resolvable key columns)
+      val shape = readTable(spark, stateDir, m, dvTable(table), None,
+        null).limit(0)
+      Some(readTable(spark, stateDir, m, dvTable(table), wanted, shape)
+        .drop("bkt"))
+    }
+  }
+
   /** `table`'s current rows with the deletion vector APPLIED: the base
     * read minus rows whose key appears in the DV side table. No DV in
     * the manifest => the plain read (zero extra plan nodes). */
@@ -414,17 +624,9 @@ object IngestIndex {
       table: String, keyCols: Seq[String]): DataFrame = {
     val base = readTable(spark, stateDir, m, table, None,
       spark.emptyDataFrame).drop("bkt")
-    // an entry with zero live buckets is an empty vector (every tombstone
-    // bucket dropped) — same as no vector. Symmetrically, a table with
-    // no live data short-circuits to the plain (empty, zero-column)
-    // read: anti-joining it would fail to RESOLVE the key columns
-    // (r15 review finding) — there is nothing for a vector to hide
-    if (!m.get(dvTable(table)).exists(_.nonEmpty)
-      || !m.get(table).exists(_.exists(_._2.ver != EmptyVer))) base
-    else {
-      val dv = readTable(spark, stateDir, m, dvTable(table), None,
-        spark.emptyDataFrame).drop("bkt")
-      base.join(dv, keyCols, "left_anti")
+    dvSlice(spark, stateDir, m, table) match {
+      case Some(dv) => base.join(dv, keyCols, "left_anti")
+      case None => base
     }
   }
 
@@ -475,6 +677,25 @@ object IngestIndex {
     val keyed = assignBucket(delta, table, n, gens)
     val touched = touchedKnown.getOrElse(keyed.select("bkt").distinct()
       .collect().map(_.getInt(0)).toSet)
+    // a MERGE with NOT MATCHED BY SOURCE clauses acts on target rows the
+    // batch does NOT carry — running it against only the batch's touched
+    // buckets silently yields partial-sync semantics (rows in untouched
+    // buckets are never seen by the BY SOURCE arms). Enforce the pairing
+    // AT THE STORE ENTRY POINT instead of by doc comment (r15 advisor):
+    // such merges must pass a touched set covering every live data bucket
+    // (MergeOps.commitFullSync's contract).
+    combine match {
+      case mi: graft.operators.MergeInto if mi.requiresFullTarget =>
+        val liveData = entries.collect {
+          case (b, e) if e.ver != EmptyVer => b }.toSet
+        require(liveData.subsetOf(touched),
+          s"MERGE INTO '$table' has NOT MATCHED BY SOURCE clauses and " +
+            "must see every live target row: commit it with a " +
+            "full-target touched set (commitFullSync), not the batch's " +
+            s"touched buckets — unseen buckets: " +
+            s"${(liveData -- touched).toSeq.sorted.take(8).mkString(",")}")
+      case _ => ()
+    }
     if (touched.isEmpty) return entries
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -651,17 +872,30 @@ object IngestIndex {
           }.toSet
       }
     val protect = countProtect ++ ageProtect
-    val referenced = protect.toSeq.sorted
-      .flatMap(v => readManifest(fs, stateDir, v).values)
-      .flatMap(_.values.map(_.ver)).toSet ++ protect
-    val floor = protect.min
+    // a protected version must stay fully READABLE: its data-dir
+    // references survive, and (r16, delta manifests) so does every
+    // manifest file in its delta CHAIN — deleting a chain parent's dir
+    // would tear the resolution of a retained snapshot
+    val resolved = protect.toSeq.sorted
+      .flatMap(v => resolveManifest(fs, stateDir, v))
+    val referenced =
+      resolved.flatMap(_.m.values).flatMap(_.values.map(_.ver)).toSet ++
+        resolved.flatMap(_.chain).toSet ++ protect
     // v-?: compaction epoch dirs (negative versions) are GC'd by the
-    // same reference rule once a later epoch supersedes them
+    // same reference rule once a later epoch supersedes them. No floor
+    // term (r16, advisor fix): with a wall-clock window the oldest
+    // age-protected version used to shield every younger unreferenced
+    // dir from reclamation (dead required v < protect.min) — referenced
+    // ∪ protect IS the full live set, anything else is dead wherever it
+    // sits in the version order.
     val dead = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.matches("v-?\\d+")).map(_.drop(1).toLong)
-      .filter(v => v < floor && !referenced.contains(v))
+      .filter(v => !referenced.contains(v))
       .sorted.toSeq
-    dead.foreach(v => fs.delete(new Path(s"$stateDir/v$v"), true))
+    dead.foreach { v =>
+      fs.delete(new Path(s"$stateDir/v$v"), true)
+      manifestMemo.remove(memoKey(stateDir, v))
+    }
     dead
   }
 }

@@ -217,4 +217,32 @@ class LakeLayoutSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("owner markers record pid + JVM start time: live self is alive, " +
+    "a recycled-pid marker (wrong start time) reads dead, legacy " +
+    "pid-only markers keep the pid check") {
+    val d = java.nio.file.Files.createTempDirectory("graft-owner")
+    val marker = graft.queries.Layout.ownerMarker(d)
+    val self = ProcessHandle.current()
+    val start = self.info().startInstant()
+    assume(start.isPresent, "platform exposes no process start time")
+    // current format: pid TAB startMillis -> alive
+    java.nio.file.Files.writeString(marker,
+      s"${self.pid()}\t${start.get().toEpochMilli}")
+    assert(graft.queries.Layout.ownerAlive(d))
+    // same (live) pid but a different recorded start time = the marker's
+    // owner died and the pid was recycled -> dead
+    java.nio.file.Files.writeString(marker,
+      s"${self.pid()}\t${start.get().toEpochMilli - 123456}")
+    assert(!graft.queries.Layout.ownerAlive(d))
+    // legacy pid-only marker: pid-liveness alone decides
+    java.nio.file.Files.writeString(marker, self.pid().toString)
+    assert(graft.queries.Layout.ownerAlive(d))
+    // garbage / absent markers read dead
+    java.nio.file.Files.writeString(marker, "not-a-pid")
+    assert(!graft.queries.Layout.ownerAlive(d))
+    java.nio.file.Files.deleteIfExists(marker)
+    assert(!graft.queries.Layout.ownerAlive(d))
+    java.nio.file.Files.deleteIfExists(d)
+  }
 }

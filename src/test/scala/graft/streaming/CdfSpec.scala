@@ -234,6 +234,88 @@ class CdfSpec extends AnyFunSuite {
     val departed = delB.join(state, Seq("user_id"), "left_anti")
     assert(departed.count() > 0, "rig degenerate: every deleted user " +
       "re-inserted — the permanent-departure path never ran")
+    // PER-COMMIT NETTING (r16): one commit emits at most one change per
+    // key — a delete row never shares its (user, batch) with any other
+    // op (the same-batch upsert+delete nets to the single delete)
+    val mixed = feed.groupBy("user_id", "batch_id").agg(
+      sum(when(col("op") === "delete", 1L).otherwise(0L)).as("nd"),
+      count(lit(1)).as("n"))
+      .filter(col("nd") > 0 && col("n") > col("nd"))
+    assert(mixed.count() === 0L,
+      "a delete shared its commit with another change row for the same key")
+    // and the delete's image is the PRE-COMMIT row: it equals the user's
+    // previous insert/postimage exactly (Delta's removed-row contract)
+    val delRows = feed.filter(col("op") === "delete").as("d")
+    val prior = feed.filter(col("op") === "insert"
+      || col("op") === "update_postimage").as("q")
+    val matchedPrior = delRows.join(prior,
+        col("d.user_id") === col("q.user_id")
+          && col("q.batch_id") < col("d.batch_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d.user_id"), col("d.batch_id"))
+          .orderBy(col("q.batch_id").desc)))
+      .filter(col("rn") === 1)
+    assert(matchedPrior.count() === delRows.count(),
+      "every delete must trace to a stored pre-commit row")
+    val imageBad = matchedPrior.filter(
+      col("d.n_events") =!= col("q.n_events")
+        || col("d.last_ts") =!= col("q.last_ts")
+        || col("d.sum_value").cast(dec) =!= col("q.sum_value").cast(dec))
+    assert(imageBad.count() === 0L,
+      "a delete row's image diverged from the pre-commit row")
+  }
+
+  test("q129b: deletion vectors compose with every read verb — " +
+    "pointGet == filter(readWithDv), currentTable applies the vector, " +
+    "and the pre-delete snapshot still shows the rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dvverbs")
+    graft.queries.Layout.trackTemp(base.toString)
+    val state = s"$base/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val agg = graft.Q.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sum_value"))
+    val m1: IngestIndex.Manifest = Map("state" ->
+      IngestIndex.mergeCommit(spark, state, Map.empty, "state", 1L, agg,
+        (_, d) => d))
+    IngestIndex.writeManifest(fs, state, 1L, m1)
+    val tomb = agg.filter(pmod(col("user_id"), lit(5)) === 2)
+      .select("user_id")
+    val m2 = IngestIndex.deleteWithDv(spark, state, m1, "state", 2L, tomb)
+    IngestIndex.writeManifest(fs, state, 2L, m2)
+    // currentTable applies the vector; raw mode shows the base
+    val cur = key(IngestIndex.currentTable(spark, state, "state"))
+    val raw = key(IngestIndex.currentTable(spark, state, "state",
+      raw = true))
+    val wantGone = agg.filter(pmod(col("user_id"), lit(5)) === 2)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(wantGone.nonEmpty && cur.keySet.intersect(wantGone).isEmpty,
+      "currentTable served DV-deleted rows")
+    assert(raw.keySet === cur.keySet ++ wantGone,
+      "raw read must show exactly the tombstoned rows on top")
+    // time travel: the DV is part of the snapshot — v1 (pre-delete)
+    // shows the rows, v2 (post-delete) hides them
+    assert(key(IngestIndex.tableAt(spark, state, "state", 1L)).keySet
+      === raw.keySet)
+    assert(key(IngestIndex.tableAt(spark, state, "state", 2L)).keySet
+      === cur.keySet)
+    // the GET law: pointGet == filter(readWithDv) over a probe mixing
+    // survivors and tombstoned keys; tombstoned probes return nothing
+    val sp = spark
+    import sp.implicits._
+    val probe = (cur.keySet.toSeq.sorted.take(3)
+      ++ wantGone.toSeq.sorted.take(3)).toDF("user_id")
+    val got = key(IngestIndex.pointGet(spark, state, "state", probe))
+    val want = key(IngestIndex.readWithDv(spark, state, m2, "state",
+      Seq("user_id"))
+      .join(probe, Seq("user_id"), "left_semi"))
+    assert(got === want)
+    assert(got.keySet === cur.keySet.toSeq.sorted.take(3).toSet,
+      "the GET must return exactly the surviving probe keys")
   }
 
   test("q121: time-based retention through the stream — the wall-clock " +
