@@ -101,11 +101,29 @@ object Bench {
     // the one-time codegen compile out of the throughput number.
     val runs = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
+    // FULL-REPLAY billing convention (r16): these queries run a complete
+    // stream replay per invocation (the operator IS the stream, or the
+    // consumer replays the whole feed), so their cost is deterministic
+    // rig work — a third identical replay buys no steady-state
+    // information and costs ~1 min of bench wall at 147 queries (the
+    // wall must stay inside the harness budget). They time over
+    // min(runs, 2); min-of-fewer can only read HIGHER than min-of-3,
+    // never flatter, and outlier readings still certify through TimeOne
+    // (the established box-lottery workflow).
+    val fullReplay = Set(
+      "q33_streaming_tumbling", "q50_streaming_sessions",
+      "q53_streaming_neardup", "q81_streaming_enrich",
+      "q86_streaming_upsert", "q98_stream_stream_join",
+      "q104_streaming_ingest_dedup", "q111_streaming_heavy_hitters",
+      "q120_change_data_feed", "q125_streaming_cdc_view",
+      "q130_cdc_deletes", "q130b_cdc_delete_view",
+      "q132_erasure_stream_dv", "q133_cdc_catchup_view")
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       var failed = false
       val times = Seq.newBuilder[Double]
       var r = 0
-      while (r < runs && !failed) { // no point re-running a failed query
+      val nRuns = if (fullReplay(name)) math.min(runs, 2) else runs
+      while (r < nRuns && !failed) { // no point re-running a failed query
         val t0 = System.nanoTime()
         try { materialize(name); times += (System.nanoTime() - t0) / 1e9 }
         catch { case scala.util.control.NonFatal(e) =>

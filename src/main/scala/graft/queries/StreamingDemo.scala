@@ -685,7 +685,9 @@ object StreamingDemo {
     // Q130 CDC WITH DELETES (r15): the missing Delta-CDF op type — each
     // micro-batch's merge also REMOVES batch-active users whose id lands
     // on the batch under mod-29 (post-upsert), emitting `delete` rows
-    // with the removed image; removed users re-INSERT on their next
+    // with the removed row's pre-commit image — the feed is NETTED per
+    // commit (r16): at most one change per key per batch, Delta's
+    // contract; removed users re-INSERT on their next
     // activity (the re-crawl topology), and users deleted at the last
     // batch they ever appear in stay gone. The rule is batch-membership-
     // gated precisely so the chain stays SQL-reconstructible: a user's
@@ -738,6 +740,84 @@ object StreamingDemo {
         Layout.trackTemp(viewBase.toString)
         graft.streaming.CdfStream
           .maintainView(s2, s"$cdf/b*", d, s"$viewBase/view")
+          .filter(col("n_users") > 0)
+          .select(col("nation"), col("n_users"), col("n_events"),
+            col("sum_value")
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("nation")
+      },
+      Some(s"""WITH e AS (SELECT user_id, value, event_id % 4 AS b
+             |  FROM events),
+             |d AS (SELECT du.user_id,
+             |    CASE WHEN du.user_id % $CdcDeleteMod <= 3 AND EXISTS (
+             |        SELECT 1 FROM e e2 WHERE e2.user_id = du.user_id
+             |          AND e2.b = du.user_id % $CdcDeleteMod)
+             |      THEN du.user_id % $CdcDeleteMod ELSE -1 END AS dk
+             |  FROM (SELECT DISTINCT user_id FROM e) du),
+             |per AS (SELECT e.user_id, COUNT(*) AS n,
+             |    SUM(CAST(e.value AS DECIMAL(18,4))) AS sv
+             |  FROM e JOIN d ON d.user_id = e.user_id
+             |  WHERE e.b > d.dk GROUP BY e.user_id),
+             |dim AS (SELECT c_custkey AS user_id, n_name AS nation
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT nation, COUNT(*) AS n_users,
+             |  CAST(SUM(n) AS BIGINT) AS n_events,
+             |  CAST(CAST(SUM(sv) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM per JOIN dim USING (user_id)
+             |GROUP BY nation ORDER BY nation""".stripMargin)),
+
+    // Q132 STREAMING ERASURE OVER DELETION VECTORS (r16): the workload
+    // DVs exist for — right-to-be-forgotten requests trickling in
+    // against a store nothing else is touching. Each request batch
+    // commits ONLY its tombstone keys (write IO O(requests), zero base
+    // buckets rewritten — the eager path would pay full bucket rewrites
+    // per request); one materializeDeletes at the end is the OPTIMIZE
+    // rewrite amortizing the whole history. Mod-sliced requests (batch k
+    // erases users with user_id % 12 == k, 3 batches) keep the chain
+    // SQL-reconstructible: survivors are user_id % 12 >= 3.
+    QueryDef("q132_erasure_stream_dv",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft-q132run")
+        Layout.trackTemp(base.toString)
+        val s2 = streamSession(s)
+        graft.streaming.ErasureStream.stageRequests(s, d, s"$base/req")
+        graft.streaming.ErasureStream.runErasure(s2, d, s"$base/req",
+          s"$base/state")
+        graft.streaming.IngestIndex.currentTable(s, s"$base/state", "state")
+          .select(col("user_id"), col("n_events"),
+            col("sum_value")
+              .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${graft.Q.EVENTS_SQL})
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e
+             |WHERE user_id % 12 >= 3
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q133 CDC CATCH-UP CONSUMER (r16): Delta's startingVersion pattern
+    // — a consumer arriving mid-stream bootstraps from ONE snapshot read
+    // (tableAt at v0 = 2, the initial-snapshot half of readChangeFeed),
+    // then consumes only feed batches >= v0. The delta algebra is
+    // associative and the snapshot IS the fold of batches < v0, so
+    // bootstrap + tail telescopes to the full replay — across a boundary
+    // that splits DELETE chains (the rig is the q130 delete-bearing
+    // feed): users deleted before v0 are absent from the snapshot,
+    // deletes at >= v0 subtract images the bootstrap counted. The oracle
+    // is q130b's verbatim — the consumer's start position must not be
+    // observable in the result. At scale this is the only viable start:
+    // one pruned scan of the current table, not months of feed replay.
+    QueryDef("q133_cdc_catchup_view",
+      (s, d) => {
+        val s2 = streamSession(s)
+        val (state, cdf, _) = cdfDelRigFor(s, d)
+        val viewBase = java.nio.file.Files.createTempDirectory("graft-q133")
+        Layout.trackTemp(viewBase.toString)
+        graft.streaming.CdfStream
+          .maintainViewFrom(s2, s"$cdf/b*", d, state, s"$viewBase/view",
+            fromVersion = 2L)
           .filter(col("n_users") > 0)
           .select(col("nation"), col("n_users"), col("n_events"),
             col("sum_value")

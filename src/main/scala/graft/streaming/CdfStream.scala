@@ -137,7 +137,7 @@ object CdfStream {
                   .join(d, Seq("user_id"), "full_outer"))
             val changed = j.filter(col("n_events").isNotNull)
             // delete rule (q130): batch-active keys whose id lands on
-            // this batch under the mod — post-upsert image removed
+            // this batch under the mod are removed from the commit
             val delPred = deleteMod.map(m =>
                 pmod(col("user_id"), lit(m.toLong)) === lit(batchId))
               .getOrElse(lit(false))
@@ -216,8 +216,59 @@ object CdfStream {
     * into triggers — no replay-order pinning needed, unlike every
     * event-time rig. Returns the completed view. */
   def maintainView(spark: SparkSession, feedGlob: String, sfDir: String,
-      viewDir: String): DataFrame = {
+      viewDir: String): DataFrame =
+    maintainViewImpl(spark, feedGlob, sfDir, viewDir, seed = None,
+      fromBatch = 0L)
+
+  /** q133: CDC CATCH-UP consumer — Delta's `startingVersion` pattern. A
+    * consumer arriving mid-stream does NOT replay the whole feed: it
+    * bootstraps from ONE snapshot read of the upstream table AS OF
+    * version v0 ([[IngestIndex.tableAt]] — the initial-snapshot half of
+    * Delta's readChangeFeed contract), reduces it to the view shape,
+    * commits that as the view's first version, then consumes ONLY feed
+    * rows with `batch_id >= v0` (the changes the snapshot does not
+    * already contain — feed batch b is the merge that committed state
+    * v(b+1), so a v0 snapshot needs exactly batches b >= v0). Because
+    * the delta algebra is associative and the snapshot IS the fold of
+    * batches < v0, bootstrap + tail telescopes to the full replay — the
+    * law q133 pins with q130b's oracle verbatim, across a boundary that
+    * splits delete chains (users deleted before v0 are simply absent
+    * from the snapshot; deletes at >= v0 subtract images the bootstrap
+    * counted). At scale this is the only viable consumer start: the
+    * snapshot read costs one pruned scan of the CURRENT table, not a
+    * replay of months of feed. */
+  def maintainViewFrom(spark: SparkSession, feedGlob: String,
+      sfDir: String, stateDir: String, viewDir: String,
+      fromVersion: Long): DataFrame = {
     val dim = EventStream.userNationDim(spark, sfDir)
+    val snap = IngestIndex.tableAt(spark, stateDir, "state", fromVersion)
+      .join(dim, "user_id")
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("sum_value").cast(dec)).cast(dec).as("sum_value"))
+    maintainViewImpl(spark, feedGlob, sfDir, viewDir, seed = Some(snap),
+      fromBatch = fromVersion)
+  }
+
+  private def maintainViewImpl(spark: SparkSession, feedGlob: String,
+      sfDir: String, viewDir: String, seed: Option[DataFrame],
+      fromBatch: Long): DataFrame = {
+    val dim = EventStream.userNationDim(spark, sfDir)
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // catch-up bootstrap: the snapshot aggregate is the view's v1,
+    // committed BEFORE the stream starts (idempotent overwrite under
+    // restart — the stream's versions are offset past it)
+    val vOff = seed match {
+      case Some(s) =>
+        val m1: IngestIndex.Manifest = Map("view" ->
+          IngestIndex.mergeCommit(spark, viewDir, Map.empty, "view", 1L,
+            s, (_, d) => d))
+        IngestIndex.writeManifest(fs, viewDir, 1L, m1)
+        1L
+      case None => 0L
+    }
     val q = spark.readStream
       .schema(FeedSchema)
       .option("maxFilesPerTrigger", 1)
@@ -229,13 +280,17 @@ object CdfStream {
         // preimages AND deletes subtract (a delete carries the removed
         // row's image — the negative term that cancels its accumulated
         // contributions); inserts/postimages add. Feeds without deletes
-        // (q123/q125) see the identical algebra as before.
+        // (q123/q125) see the identical algebra as before. A catch-up
+        // consumer drops rows its bootstrap snapshot already contains
+        // (batch_id < fromBatch) — the file source still delivers the
+        // files, the filter nets their deltas to nothing.
         val sgn = when(col("op") === "update_preimage"
           || col("op") === "delete", lit(-1L)).otherwise(lit(1L))
         // delta columns carry the VIEW's names (they are signed deltas of
         // those columns) so mergeCommit's batch-shaped empty frame IS
         // view-shaped on the first trigger
         val delta = batch
+          .filter(col("batch_id") >= fromBatch)
           .join(dim, "user_id")
           .groupBy("nation")
           .agg(
@@ -245,10 +300,8 @@ object CdfStream {
             sum(sgn * col("n_events")).as("n_events"),
             sum((sgn.cast(dec) * col("sum_value").cast(dec)).cast(dec))
               .cast(dec).as("sum_value"))
-        val fs = new org.apache.hadoop.fs.Path(viewDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val m = IngestIndex.readManifest(fs, viewDir, batchId)
-        val next = batchId + 1
+        val m = IngestIndex.readManifest(fs, viewDir, batchId + vOff)
+        val next = batchId + vOff + 1
         val viewMap = IngestIndex.mergeCommit(spark, viewDir, m,
           "view", next, delta,
           (cur, d) => cur
@@ -265,7 +318,7 @@ object CdfStream {
                 .cast(dec).as("sum_value")))
         IngestIndex.writeManifest(fs, viewDir, next,
           Map("view" -> viewMap))
-        IngestIndex.gc(fs, viewDir, batchId, next)
+        IngestIndex.gc(fs, viewDir, batchId + vOff, next)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** STREAMING ERASURE over deletion vectors (q132) — the workload DVs
+  * exist for: right-to-be-forgotten requests trickle in against a store
+  * whose buckets NOTHING else is touching. The eager path (q114c) would
+  * rewrite every bucket a request's key hashes into — O(bucket bytes)
+  * per request, 128 MB to hide one row at the production target; this
+  * stream instead commits each request batch as tombstone keys into the
+  * `state__dv` side table ([[IngestIndex.deleteWithDv]]) — write IO
+  * O(requests), the base table untouched — while every read verb keeps
+  * serving the post-erasure view ([[IngestIndex]] applies the vector in
+  * `currentTable`/`tableAt`/`pointGet`). A single
+  * [[IngestIndex.materializeDeletes]] at the end is the OPTIMIZE step:
+  * one rewrite of only the tombstoned buckets amortizes the whole
+  * request history, which is exactly the Delta/Iceberg DV lifecycle.
+  *
+  * Replay contract: the store is pre-seeded at v1; request batch k reads
+  * manifest v(k+1) and overwrites v(k+2) (data + manifest at
+  * deterministic paths), and the DV combine (union + distinct of key
+  * rows) is deterministic — a replayed trigger rebuilds byte-identical
+  * state, the [[IngestIndex]] recipe unchanged.
+  *
+  * The request rule is mod-sliced (batch k erases active users with
+  * `user_id % mod == k`) so the DuckDB oracle reconstructs the erased
+  * set exactly: survivors are `user_id % mod >= nBatches`.
+  */
+object ErasureStream {
+
+  private val dec = DecimalType(18, 4)
+
+  /** One erasure-request batch per file: batch k holds the distinct
+    * user_ids with `user_id % mod == k`, replayed in k order. */
+  def stageRequests(spark: SparkSession, sfDir: String, replayDir: String,
+      nBatches: Int = 3, mod: Int = 12): Unit = {
+    val users = graft.Q.events(spark, sfDir).select("user_id").distinct()
+    val fs = new org.apache.hadoop.fs.Path(replayDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(replayDir))
+    (0 until nBatches).foreach { k =>
+      ReplayStage.stageSlice(fs, replayDir, k,
+        users.filter(pmod(col("user_id"), lit(mod)) === k))
+    }
+  }
+
+  /** The seeded aggregate (v1's contents): per-user (n_events,
+    * sum_value), the q127 state shape. */
+  def seedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Q.events(spark, sfDir).groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      sum(col("value").cast(dec)).cast(dec).as("sum_value"))
+
+  /** Seed the store, run the erasure stream to completion, then (when
+    * `materialize`) fold the accumulated vector through the one
+    * OPTIMIZE rewrite. Returns the final committed version. */
+  def runErasure(spark: SparkSession, sfDir: String, replayDir: String,
+      stateDir: String, materialize: Boolean = true): Long = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v1: the base table, committed once before any request arrives
+    val m1: IngestIndex.Manifest = Map("state" ->
+      IngestIndex.mergeCommit(spark, stateDir, Map.empty, "state", 1L,
+        seedAgg(spark, sfDir), (_, d) => d))
+    IngestIndex.writeManifest(fs, stateDir, 1L, m1)
+    var top = 1L
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(replayDir)
+      .writeStream
+      .option("checkpointLocation", s"$stateDir/_checkpoint")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val m = IngestIndex.readManifest(fs, stateDir, batchId + 1)
+          val next = batchId + 2
+          val nm = IngestIndex.deleteWithDv(spark, stateDir, m, "state",
+            next, batch.toDF())
+          IngestIndex.writeManifest(fs, stateDir, next, nm)
+          IngestIndex.gc(fs, stateDir, batchId + 1, next)
+          top = math.max(top, next)
+          ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (materialize) {
+      val m = IngestIndex.readManifest(fs, stateDir, top)
+      val nm = IngestIndex.materializeDeletes(spark, stateDir, m, "state",
+        top + 1, Seq("user_id"))
+      IngestIndex.writeManifest(fs, stateDir, top + 1, nm)
+      IngestIndex.gc(fs, stateDir, top, top + 1)
+      top += 1
+    }
+    top
+  }
+}

@@ -282,6 +282,13 @@ object IngestIndex {
           case _ => throw new IllegalStateException(
             s"torn delta-manifest header in $p: '$h'")
         }
+        // writers only ever chain DOWNWARD (parent = latest committed
+        // below v), so any other reference is corruption — and the
+        // strict descent makes the recursion provably terminate (no
+        // cycle can survive a corrupt header pointing upward/at itself)
+        if (parent >= v) throw new IllegalStateException(
+          s"corrupt delta-manifest header in $p: parent v$parent does " +
+            s"not precede v$v")
         val base = resolveManifest(fs, stateDir, parent).getOrElse(
           throw new IllegalStateException(
             s"torn manifest chain under $stateDir: v$v's delta " +
@@ -329,14 +336,27 @@ object IngestIndex {
       (b, e) <- bkts.toSeq.sortBy(_._1)
     } yield s"$t\t$b\t${e.ver}\t${e.gen}"
 
-  /** Overwrite version `v`'s manifest (deterministic content: sorted
+  /** Commit version `v`'s manifest (deterministic content: sorted
     * lines, so a replayed trigger rewrites byte-identical bytes) — as a
     * DELTA against the latest committed manifest below `v` when the
     * chain policy allows (see the delta-manifest doc above), else as a
     * full base. `foldEvery` <= 1 forces a base every commit (the pre-r16
-    * behavior). */
+    * behavior).
+    *
+    * OPTIMISTIC CONCURRENCY (r16): the write is ATOMIC (temp file +
+    * rename, so no reader or replayer ever sees a torn manifest), and an
+    * overwrite of an EXISTING version with DIFFERENT content fails
+    * loudly — the store's single-writer contract, enforced instead of
+    * assumed (Delta's version-conflict semantics: two writers racing the
+    * same version number must not silently last-write-win; the loser's
+    * data dirs would be referenced by nothing and its commit silently
+    * lost). A replayed trigger rewrites byte-identical content and
+    * passes; [[compact]]'s repoint of the top version is the one
+    * legitimate different-content rewrite and declares itself via
+    * `repoint = true`. */
   def writeManifest(fs: FileSystem, stateDir: String, v: Long,
-      m: Manifest, foldEvery: Int = DefaultManifestFoldEvery): Unit = {
+      m: Manifest, foldEvery: Int = DefaultManifestFoldEvery,
+      repoint: Boolean = false): Unit = {
     val full = baseLines(m)
     val lines: Seq[String] =
       if (foldEvery <= 1) full
@@ -367,9 +387,45 @@ object IngestIndex {
           case _ => full
         }
       }
-    val out = fs.create(manifestPath(stateDir, v), true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+    val p = manifestPath(stateDir, v)
+    if (!repoint && fs.exists(p)) {
+      val in = fs.open(p)
+      val existing = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString
+      finally in.close()
+      if (existing != new String(bytes, "UTF-8")) {
+        // one legitimate different-content overwrite exists WITHOUT the
+        // repoint flag: a crash landed between compact's repoint of the
+        // top manifest and the stream checkpoint commit, and the
+        // replayed trigger is rewriting its original (pre-compact)
+        // manifest — compact's documented recovery path ("the epoch dies
+        // at the next GC"). The repointed manifest has an unmistakable
+        // signature: every data reference is a negative epoch version
+        // (or the EmptyVer sentinel). Anything else is a genuine race.
+        val overCompaction = scala.util.Try(
+          resolveManifest(fs, stateDir, v).exists(
+            _.m.values.forall(_.values.forall(_.ver < 0))))
+          .getOrElse(false)
+        if (!overCompaction)
+          throw new IllegalStateException(
+            s"concurrent-writer conflict on $p: version v$v is already " +
+              "committed with different content — a second writer raced " +
+              "this commit (the store is single-writer per directory), " +
+              "or a replay diverged from the original trigger; refusing " +
+              "to silently overwrite the committed version")
+      }
+    }
+    // atomic commit: full write to a temp sibling, then rename — a crash
+    // mid-write can never leave a torn manifest for a reader or for the
+    // conflict check above
+    val tmp = new Path(s"$stateDir/v$v/.manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes)
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"manifest rename failed for $p")
     // refresh the memo under the new file stat so the next trigger's
     // read is a cache hit (steady-state read IO O(delta))
     manifestMemo.remove(memoKey(stateDir, v))
@@ -805,7 +861,9 @@ object IngestIndex {
           b -> (if (e.ver == EmptyVer) e else Bkt(epoch, e.gen)) }
       }
     }
-    writeManifest(fs, stateDir, top, nm)
+    // repoint = the one legitimate different-content rewrite of a
+    // committed version (see writeManifest's concurrency contract)
+    writeManifest(fs, stateDir, top, nm, repoint = true)
     // prev = top - 1: the PREVIOUS manifest's references (and dir) are
     // the crash-replay fallback for the batch that committed v(top) —
     // deleting them here would strand a resume whose checkpoint commit

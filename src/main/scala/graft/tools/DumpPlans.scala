@@ -413,6 +413,43 @@ object DumpPlans {
         |rewrote), which is the cost point q114c's eager rewrite cannot
         |reach; materializeDeletes amortizes them into one touched-bucket
         |rewrite later.""".stripMargin,
+    "q131_merge_ordered_clauses" ->
+      """The read-back after an ORDERED-clause-list MERGE (r16): the
+        |same one-full-outer-join frame as q127, but the clause
+        |projection is a chained first-match-wins CASE per family —
+        |N conditional UPDATE/DELETE arms for matched rows, two
+        |conditional INSERT arms for unmatched — plus the default-on
+        |cardinality window on the source (a count over the join key's
+        |own hash partitioning: no extra exchange on a pre-aggregated
+        |source, and a duplicate-key match raises a named error in the
+        |same pass). Clause ORDER is data-visible here; the oracle's
+        |CASE chain mirrors it arm for arm.""".stripMargin,
+    "q129b_dv_point_get" ->
+      """DV composed with the point GET (r16): the probe keys' covering
+        |buckets prune BOTH scans — the base table's manifest union AND
+        |the deletion-vector side table's (tombstones share the base
+        |key's bucket formula) — then the broadcast semi-join keeps the
+        |probe rows and the broadcast anti-join drops the tombstoned
+        |ones. O(probe keys) IO at any store size, vector or not; the
+        |read verbs can no longer serve deleted rows (CdfSpec pins
+        |pointGet == filter(readWithDv)).""".stripMargin,
+    "q132_erasure_stream_dv" ->
+      """The post-materialize read after the erasure stream: a plain
+        |bkt-pruned manifest union — the interesting plans already ran:
+        |each request batch committed ONLY tombstone keys into the
+        |state__dv side table (version dirs v2..v4 hold nothing else —
+        |ErasureStreamSpec pins it), reads mid-history applied the
+        |vector as a broadcast anti-join, and ONE materializeDeletes
+        |rewrote just the tombstoned buckets. O(requests) per trigger
+        |where the eager path pays O(bucket bytes) per request.""".stripMargin,
+    "q133_cdc_catchup_view" ->
+      """The catch-up consumer's final view read-back. The bootstrap ran
+        |ONE pruned snapshot scan (tableAt at v0) reduced through the
+        |broadcast dim; the tail consumed only feed rows with batch_id
+        |>= v0 through the same signed-delta merge as q125/q130b.
+        |Bootstrap + tail telescopes to the full replay (CdfSpec pins
+        |equality for every legal v0), so a consumer arriving after
+        |months of feed pays one table scan, not the feed's history.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution

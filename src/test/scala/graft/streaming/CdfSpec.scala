@@ -318,6 +318,31 @@ class CdfSpec extends AnyFunSuite {
       "the GET must return exactly the surviving probe keys")
   }
 
+  test("q133: catch-up consumer == full replay for EVERY start position " +
+    "over the delete-bearing feed (snapshot bootstrap + tail telescopes)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-catchup")
+    graft.queries.Layout.trackTemp(base.toString)
+    val replay = s"$base/replay"
+    CdfStream.stageModReplay(spark, sfDir, replay, nBatches = 4)
+    val top = CdfStream.runUpsertCdf(spark, replay, s"$base/state",
+      s"$base/cdf", retain = 8, deleteMod = Some(29))
+    assert(top === 4L)
+    def keyed(df: org.apache.spark.sql.DataFrame)
+        : Map[String, (Long, Long, BigDecimal)] =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3))))).toMap
+    val full = keyed(CdfStream.maintainView(spark, s"$base/cdf/b*", sfDir,
+      s"$base/viewfull"))
+    // every legal start position: v1 (tail = everything after batch 0)
+    // through v4 (tail = nothing — the view IS the final snapshot)
+    (1L to 4L).foreach { v0 =>
+      val got = keyed(CdfStream.maintainViewFrom(spark, s"$base/cdf/b*",
+        sfDir, s"$base/state", s"$base/view$v0", fromVersion = v0))
+      assert(got === full,
+        s"catch-up from v$v0 diverged from the full replay")
+    }
+  }
+
   test("q121: time-based retention through the stream — the wall-clock " +
     "window keeps every young snapshot readable past the count minimum") {
     // same crash-replay-minimum count floor as the loud-eviction twin

@@ -587,6 +587,44 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(r1 eq r2, "memo miss on an unchanged manifest")
   }
 
+  test("manifest commits are conflict-checked: a different-content " +
+    "commit of an existing version fails loudly; byte-identical replay " +
+    "and declared repoints pass") {
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-idx-conflict").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(state))
+    val a: IngestIndex.Manifest =
+      Map("state" -> Map(0 -> IngestIndex.Bkt(1L, 0)))
+    val b: IngestIndex.Manifest =
+      Map("state" -> Map(0 -> IngestIndex.Bkt(1L, 0),
+        1 -> IngestIndex.Bkt(1L, 0)))
+    IngestIndex.writeManifest(fs, state, 1L, a)
+    // byte-identical rewrite (the replay path) passes
+    IngestIndex.writeManifest(fs, state, 1L, a)
+    // a second writer committing DIFFERENT content at the same version
+    // is the silent-lost-commit race — it must fail loudly
+    val err = intercept[IllegalStateException] {
+      IngestIndex.writeManifest(fs, state, 1L, b)
+    }
+    assert(err.getMessage.contains("concurrent-writer conflict"),
+      err.getMessage)
+    assert(IngestIndex.readManifest(fs, state, 1L) === a,
+      "the losing writer must not have clobbered the committed version")
+    // a declared repoint (compaction's rewrite) is the exception
+    IngestIndex.writeManifest(fs, state, 1L, b, repoint = true)
+    assert(IngestIndex.readManifest(fs, state, 1L) === b)
+    // and the compact-crash-replay path: overwriting a manifest whose
+    // every ref is a negative epoch version (the repoint signature) with
+    // the replayed original passes without the flag
+    val epoch: IngestIndex.Manifest =
+      Map("state" -> Map(0 -> IngestIndex.Bkt(-1L, 0)))
+    IngestIndex.writeManifest(fs, state, 2L, epoch)
+    IngestIndex.writeManifest(fs, state, 2L, a) // replay over repoint
+    assert(IngestIndex.readManifest(fs, state, 2L) === a)
+  }
+
   test("delta manifests: gc keeps chain parents of retained snapshots " +
     "readable and reclaims them after a fold supersedes the chain") {
     val sp = spark
