@@ -311,6 +311,60 @@ object MergeOps {
              |  AND user_id % 5 <> 2
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Q134 RESTORE (r16): Delta's `RESTORE TABLE ... VERSION AS OF` on
+    // the bucketed store — the store reaches q127's post-merge state at
+    // v2, a DAMAGING commit at v3 drops every even user (the bad-job
+    // scenario RESTORE exists for), and the restore commits v4 whose
+    // manifest IS v2's: zero data copied (a one-file metadata write at
+    // any store size — the bucketed layout makes table-wide rollback
+    // O(manifest)), history preserved (the damaged v3 stays readable
+    // inside retention; MergeIntoSpec pins it). The oracle is q127's
+    // SQL verbatim: the read-back after the rollback must be exactly
+    // the pre-damage state, with the restore path unobservable.
+    QueryDef("q134_restore_version",
+      (s, d) => {
+        val (target, source) = q127Inputs(s, d)
+        val state = stateDirFor(s, "restore134", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val m1 = commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
+        val m2 = commit(s, state, m1, 2L, source, q127Merge)
+        // the damaging commit: a "bad job" drops every even user — a
+        // full-target rewrite (touched = all live buckets)
+        val live = m2("state").keySet
+        commit(s, state, m2, 3L, target.limit(1),
+          (cur, _) => cur.filter(pmod(col("user_id"), lit(2)) === 1),
+          touched = Some(live))
+        IngestIndex.restore(fs, state, 2L, 4L)
+        IngestIndex.currentTable(s, state, "state")
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |t AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+             |s AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 1 GROUP BY user_id),
+             |m AS (SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+             |    t.n_events AS tn, t.sum_value AS tv,
+             |    s.n_events AS sn, s.sum_value AS sv
+             |  FROM t FULL JOIN s ON t.user_id = s.user_id)
+             |SELECT user_id,
+             |  CASE WHEN tn IS NOT NULL AND sn IS NOT NULL THEN tn + sn
+             |       WHEN tn IS NOT NULL THEN tn ELSE sn END AS n_events,
+             |  CAST(CASE WHEN tn IS NOT NULL AND sn IS NOT NULL
+             |       THEN CAST(tv + sv AS DECIMAL(18,4))
+             |       WHEN tn IS NOT NULL THEN tv ELSE sv END
+             |    AS DOUBLE) AS sum_value
+             |FROM m
+             |WHERE NOT (tn IS NOT NULL AND sn IS NOT NULL AND sn > tn)
+             |ORDER BY user_id""".stripMargin)),
+
     // Q127 MERGE INTO (r14): the declarative multi-clause merge —
     // `MERGE INTO state USING source ON user_id WHEN MATCHED AND
     // s.n_events > t.n_events THEN DELETE WHEN MATCHED THEN UPDATE SET

@@ -701,6 +701,64 @@ object IngestIndex {
     m - dvTable(table) + (table -> cleaned)
   }
 
+  /** RESTORE (r16, q134) — Delta's `RESTORE TABLE ... VERSION AS OF`: roll
+    * the store back to snapshot `v` by committing a NEW version `next`
+    * whose manifest is `v`'s — ZERO data copied or moved (the restored
+    * commit REFERENCES the old version dirs; the bucketed layout makes a
+    * table-wide rollback a one-file metadata write at any store size).
+    * History is preserved: the rolled-back versions stay readable inside
+    * the retention window (`tableAt` of the damaged version still works),
+    * and because the restore is an ordinary commit, gc keeps the
+    * referenced data dirs alive exactly like any other manifest's.
+    * Fails loudly when `v` was never committed or its data was GC'd —
+    * the same eviction contract as [[tableAt]]. Returns the restored
+    * manifest. */
+  def restore(fs: FileSystem, stateDir: String, v: Long,
+      next: Long): Manifest = {
+    val r = resolveManifest(fs, stateDir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot RESTORE to v$v under $stateDir: the version was never " +
+          "committed or GC evicted its manifest past the retention " +
+          "window (raise the gc retain parameter to keep more)"))
+    val missing = r.m.toSeq.flatMap { case (t, bkts) =>
+      bkts.values.map(_.ver).filterNot(_ == EmptyVer)
+        .filterNot(ver => fs.exists(new Path(s"$stateDir/v$ver/$t")))
+        .map(t -> _)
+    }.toSet
+    require(missing.isEmpty,
+      s"cannot RESTORE to v$v: it references GC'd data versions " +
+        s"${missing.toSeq.sorted.mkString(",")} — retention was lowered " +
+        "after the snapshot committed")
+    writeManifest(fs, stateDir, next, r.m)
+    r.m
+  }
+
+  /** One DESCRIBE HISTORY row: a committed version, its manifest's
+    * delta depth (0 = full base), table count, live data-bearing bucket
+    * count, and the manifest file's mtime (the wall-clock retention
+    * input). */
+  case class HistoryRow(version: Long, deltaDepth: Int, tables: Int,
+      liveBuckets: Int, manifestMtime: Long)
+
+  /** DESCRIBE HISTORY (r16): every committed (still-retained) version of
+    * the store, newest first — the Delta ops surface for "what happened
+    * to this table". Metadata-only: one memoized manifest resolution per
+    * version, zero data IO; at a production store the cost is the
+    * retained-version count, not the data. */
+  def describeHistory(fs: FileSystem, stateDir: String): Seq[HistoryRow] = {
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v-?\\d+")).map(_.drop(1).toLong).sorted.reverse
+      .flatMap { v =>
+        resolveManifest(fs, stateDir, v).map { r =>
+          HistoryRow(v, r.depth, r.m.size,
+            r.m.values.map(_.count(_._2.ver != EmptyVer)).sum,
+            fs.getFileStatus(manifestPath(stateDir, v)).getModificationTime)
+        }
+      }.toSeq
+  }
+
   /** Live bytes of bucket `b`'s current copy (0 when the referenced dir
     * was never materialized — a split child that received no rows). */
   private def liveBytes(fs: FileSystem, stateDir: String, table: String,

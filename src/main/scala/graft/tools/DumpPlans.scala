@@ -450,6 +450,14 @@ object DumpPlans {
         |Bootstrap + tail telescopes to the full replay (CdfSpec pins
         |equality for every legal v0), so a consumer arriving after
         |months of feed pays one table scan, not the feed's history.""".stripMargin,
+    "q134_restore_version" ->
+      """The read-back after a RESTORE (r16): the manifest union again —
+        |note the version dirs it references PREDATE the restore commit
+        |(v4 holds only a manifest; the rollback copied zero data, which
+        |is the point: on the bucketed layout a table-wide rollback is a
+        |one-file metadata write at any store size). The damaged v3
+        |stays readable inside retention — RESTORE is a new commit, not
+        |history rewriting.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution

@@ -357,6 +357,39 @@ class MergeIntoSpec extends AnyFunSuite {
       "degenerate rig: no user hit the BY SOURCE UPDATE (tombstone) arm")
   }
 
+  test("q134 RESTORE: rollback == pre-damage snapshot; the damaged " +
+    "version stays readable; restoring an uncommitted version fails " +
+    "loudly; zero data copied") {
+    val spark = TestSpark.spark
+    val viaRestore = SparkEntry.queries("q134_restore_version")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = SparkEntry.queries("q127_merge_into")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaRestore === direct,
+      "the restored table diverged from the pre-damage state")
+    val state = MergeOps.stateDirFor(spark, "restore134", dir)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // history preserved: the damaged v3 is still readable and shows the
+    // damage (only odd users survive there)
+    val damaged = IngestIndex.tableAt(spark, state, "state", 3L)
+      .select("user_id").collect().map(_.getLong(0))
+    assert(damaged.nonEmpty && damaged.forall(_ % 2 == 1),
+      "v3 should hold exactly the damaged (odd-user) state")
+    assert(damaged.length < viaRestore.size)
+    // zero-copy: the restore commit's version dir holds ONLY the
+    // manifest — no data was rewritten
+    val v4Contents = fs.listStatus(new org.apache.hadoop.fs.Path(s"$state/v4"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).toSet
+    assert(v4Contents === Set("manifest"),
+      s"RESTORE materialized data: $v4Contents")
+    // restoring a version that never committed fails loudly
+    val err = intercept[IllegalArgumentException] {
+      IngestIndex.restore(fs, state, 99L, 5L)
+    }
+    assert(err.getMessage.contains("RESTORE"), err.getMessage)
+  }
+
   test("type widening across live versions fails loudly with the column and types named") {
     val spark = TestSpark.spark
     import spark.implicits._

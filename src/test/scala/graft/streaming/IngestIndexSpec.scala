@@ -587,6 +587,39 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(r1 eq r2, "memo miss on an unchanged manifest")
   }
 
+  test("describeHistory: every retained version listed newest-first " +
+    "with its delta depth and live-bucket count; evicted versions absent") {
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-idx-history").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    (0 until 5).foreach { k =>
+      val m = IngestIndex.readManifest(fs, state, k.toLong)
+      val stateMap = IngestIndex.mergeCommit(sp, state, m, "state",
+        k + 1L, Seq((k.toLong, 1L)).toDF("user_id", "cnt"),
+        (cur, d) => cur.unionByName(d).groupBy("user_id")
+          .agg(sum(col("cnt")).as("cnt")))
+      IngestIndex.writeManifest(fs, state, k + 1L, Map("state" -> stateMap))
+    }
+    val h = IngestIndex.describeHistory(fs, state)
+    assert(h.map(_.version) === Seq(5L, 4L, 3L, 2L, 1L),
+      s"history order: $h")
+    assert(h.last.deltaDepth === 0, "v1 must be a base")
+    assert(h.head.deltaDepth === 4, "v5 must be the 4th delta in chain")
+    // live buckets grow monotonically here (each batch adds a new key;
+    // 5 distinct keys may share buckets, so compare ends only)
+    assert(h.head.liveBuckets >= h.last.liveBuckets)
+    assert(h.forall(_.tables === 1))
+    assert(h.forall(_.manifestMtime > 0L))
+    // gc evicts old versions -> history shrinks to the retained window
+    IngestIndex.gc(fs, state, 4L, 5L)
+    val h2 = IngestIndex.describeHistory(fs, state)
+    assert(h2.map(_.version).toSet.subsetOf(Set(5L, 4L, 3L, 2L, 1L)))
+    assert(h2.map(_.version).contains(5L) && h2.map(_.version).contains(4L))
+  }
+
   test("manifest commits are conflict-checked: a different-content " +
     "commit of an existing version fails loudly; byte-identical replay " +
     "and declared repoints pass") {
