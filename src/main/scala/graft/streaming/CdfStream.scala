@@ -240,32 +240,44 @@ object CdfStream {
   def maintainViewFrom(spark: SparkSession, feedGlob: String,
       sfDir: String, stateDir: String, viewDir: String,
       fromVersion: Long): DataFrame = {
-    val dim = EventStream.userNationDim(spark, sfDir)
-    val snap = IngestIndex.tableAt(spark, stateDir, "state", fromVersion)
-      .join(dim, "user_id")
-      .groupBy("nation")
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("n_events")).as("n_events"),
-        sum(col("sum_value").cast(dec)).cast(dec).as("sum_value"))
+    // the snapshot read is a THUNK: it must only run when the view store
+    // is fresh — on a restart the upstream version may have aged past
+    // the producer's retention, and tableAt validates (and throws)
+    // EAGERLY at frame construction
+    val snap = () => {
+      val dim = EventStream.userNationDim(spark, sfDir)
+      IngestIndex.tableAt(spark, stateDir, "state", fromVersion)
+        .join(dim, "user_id")
+        .groupBy("nation")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("sum_value").cast(dec)).cast(dec).as("sum_value"))
+    }
     maintainViewImpl(spark, feedGlob, sfDir, viewDir, seed = Some(snap),
       fromBatch = fromVersion)
   }
 
   private def maintainViewImpl(spark: SparkSession, feedGlob: String,
-      sfDir: String, viewDir: String, seed: Option[DataFrame],
+      sfDir: String, viewDir: String, seed: Option[() => DataFrame],
       fromBatch: Long): DataFrame = {
     val dim = EventStream.userNationDim(spark, sfDir)
     val fs = new org.apache.hadoop.fs.Path(viewDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // catch-up bootstrap: the snapshot aggregate is the view's v1,
-    // committed BEFORE the stream starts (idempotent overwrite under
-    // restart — the stream's versions are offset past it)
+    // committed BEFORE the stream starts — and ONLY on a fresh view
+    // store (review fix): a restart must not re-read the upstream
+    // snapshot (its version may have aged past the producer's retention
+    // by then — the bootstrap is a one-time event, that's the point of
+    // catch-up) nor overwrite v1, a dir the view's newest manifest may
+    // still reference for untouched buckets
     val vOff = seed match {
       case Some(s) =>
-        val m1: IngestIndex.Manifest = Map("view" ->
-          IngestIndex.mergeCommit(spark, viewDir, Map.empty, "view", 1L,
-            s, (_, d) => d))
-        IngestIndex.writeManifest(fs, viewDir, 1L, m1)
+        if (IngestIndex.latestVersion(fs, viewDir).isEmpty) {
+          val m1: IngestIndex.Manifest = Map("view" ->
+            IngestIndex.mergeCommit(spark, viewDir, Map.empty, "view", 1L,
+              s(), (_, d) => d))
+          IngestIndex.writeManifest(fs, viewDir, 1L, m1)
+        }
         1L
       case None => 0L
     }

@@ -56,16 +56,28 @@ object ErasureStream {
 
   /** Seed the store, run the erasure stream to completion, then (when
     * `materialize`) fold the accumulated vector through the one
-    * OPTIMIZE rewrite. Returns the final committed version. */
+    * OPTIMIZE rewrite. Returns the final committed version.
+    *
+    * RESUMABLE (review fix): the seed commits only on a FRESH store (a
+    * restart must not overwrite v1 — a dir the current manifest may
+    * still reference for untouched buckets), and the post-stream top is
+    * recovered from the store rather than trusted to the in-memory
+    * counter (a resumed stream with no pending batches never fires
+    * foreachBatch, and materializing against v1's manifest would both
+    * miss the vector and trip the version-conflict guard). A second
+    * invocation after a completed materialize is a no-op returning the
+    * committed top. */
   def runErasure(spark: SparkSession, sfDir: String, replayDir: String,
       stateDir: String, materialize: Boolean = true): Long = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // v1: the base table, committed once before any request arrives
-    val m1: IngestIndex.Manifest = Map("state" ->
-      IngestIndex.mergeCommit(spark, stateDir, Map.empty, "state", 1L,
-        seedAgg(spark, sfDir), (_, d) => d))
-    IngestIndex.writeManifest(fs, stateDir, 1L, m1)
+    if (IngestIndex.latestVersion(fs, stateDir).isEmpty) {
+      // v1: the base table, committed once before any request arrives
+      val m1: IngestIndex.Manifest = Map("state" ->
+        IngestIndex.mergeCommit(spark, stateDir, Map.empty, "state", 1L,
+          seedAgg(spark, sfDir), (_, d) => d))
+      IngestIndex.writeManifest(fs, stateDir, 1L, m1)
+    }
     var top = 1L
     val q = spark.readStream
       .schema(StructType(Seq(StructField("user_id", LongType))))
@@ -88,8 +100,11 @@ object ErasureStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    if (materialize) {
-      val m = IngestIndex.readManifest(fs, stateDir, top)
+    // recover top from the STORE: a resumed stream with nothing pending
+    // never fires foreachBatch, so the in-memory counter still reads 1
+    top = math.max(top, IngestIndex.latestVersion(fs, stateDir).getOrElse(1L))
+    val m = IngestIndex.readManifest(fs, stateDir, top)
+    if (materialize && m.get(IngestIndex.dvTable("state")).exists(_.nonEmpty)) {
       val nm = IngestIndex.materializeDeletes(spark, stateDir, m, "state",
         top + 1, Seq("user_id"))
       IngestIndex.writeManifest(fs, stateDir, top + 1, nm)

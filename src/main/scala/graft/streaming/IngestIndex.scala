@@ -253,7 +253,13 @@ object IngestIndex {
 
   /** (dir, v) -> (manifest mtime, length, resolved) — stat-validated so
     * a replay's byte-identical rewrite (new mtime) just re-reads, and a
-    * compaction's repoint (new content) can never serve stale. */
+    * compaction's repoint (new content) can never serve stale.
+    *
+    * Memory: a delta's resolved map is built with persistent-map `+`/`-`
+    * on its parent's, so chain entries SHARE structure — a store's memo
+    * footprint is O(one base + the retained deltas), not O(versions ×
+    * buckets); [[gc]] evicts deleted versions' entries, bounding the
+    * per-store key count to the retention window. */
   private val manifestMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
       (Long, Long, Resolved)]()
@@ -321,9 +327,17 @@ object IngestIndex {
           .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
         Resolved(m, 0, Set(v))
     }
+    // the memo is a cache: correctness never depends on an entry (stat
+    // validation re-reads on any change), so a crude full clear past the
+    // cap is safe — it bounds what a long session of per-query temp
+    // stores can accumulate (review finding: only gc evicted entries,
+    // so stores torn down by shutdown hooks leaked theirs for the JVM)
+    if (manifestMemo.size >= MemoMaxEntries) manifestMemo.clear()
     manifestMemo.put(k, (st.getModificationTime, st.getLen, res))
     Some(res)
   }
+
+  private val MemoMaxEntries = 4096
 
   /** The manifest committed at version `v`; empty when none exists (the
     * batch-0 probe against an empty index). */
@@ -416,16 +430,26 @@ object IngestIndex {
               "to silently overwrite the committed version")
       }
     }
-    // atomic commit: full write to a temp sibling, then rename — a crash
-    // mid-write can never leave a torn manifest for a reader or for the
-    // conflict check above
+    // atomic commit: full write to a temp sibling, then RENAME WITH
+    // OVERWRITE (FileContext semantics — POSIX rename on the local fs) —
+    // a crash mid-write can never leave a torn OR missing manifest for a
+    // reader, the conflict check above, or a replayer (the review caught
+    // the delete-then-rename variant: its crash window left a committed
+    // version with NO manifest, which readManifest reads as an EMPTY
+    // store — silent data loss on the next commit + gc)
     val tmp = new Path(s"$stateDir/v$v/.manifest.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes)
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new IllegalStateException(s"manifest rename failed for $p")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, fs.getConf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"manifest rename failed for $p", e)
+    }
     // refresh the memo under the new file stat so the next trigger's
     // read is a cache hit (steady-state read IO O(delta))
     manifestMemo.remove(memoKey(stateDir, v))
@@ -614,11 +638,14 @@ object IngestIndex {
     // the DV composes with the GET (r16): tombstones for the probe keys
     // live in the DV table's covering buckets of those same keys (shared
     // key registry), so the vector read is bucket-pruned to the probe
-    // too — the lookup stays O(probe keys) with or without a vector
-    dvSlice(spark, stateDir, m, table, Some(keyed)) match {
-      case Some(dv) if !raw =>
-        base.join(dv, keyColsFor(table), "left_anti")
-      case _ => base
+    // too — the lookup stays O(probe keys) with or without a vector.
+    // raw short-circuits BEFORE dvSlice (review finding: the slice's
+    // probe-bucket assignment runs a driver-side collect — a Spark job
+    // a raw debug read must not pay only to discard)
+    if (raw) base
+    else dvSlice(spark, stateDir, m, table, Some(keyed)) match {
+      case Some(dv) => base.join(dv, keyColsFor(table), "left_anti")
+      case None => base
     }
   }
 

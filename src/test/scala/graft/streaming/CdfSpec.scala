@@ -341,6 +341,13 @@ class CdfSpec extends AnyFunSuite {
       assert(got === full,
         s"catch-up from v$v0 diverged from the full replay")
     }
+    // RESUME (review fix): re-invoking on a completed consumer is a
+    // no-op — the snapshot is NOT re-read (the bootstrap is a one-time
+    // event; on a real restart the upstream version may be past
+    // retention) and the view is unchanged
+    assert(keyed(CdfStream.maintainViewFrom(spark, s"$base/cdf/b*",
+      sfDir, s"$base/state", s"$base/view2", fromVersion = 2L)) === full,
+      "catch-up resume changed the committed view")
   }
 
   test("q121: time-based retention through the stream — the wall-clock " +

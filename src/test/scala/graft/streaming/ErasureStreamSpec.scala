@@ -98,5 +98,15 @@ class ErasureStreamSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         BigDecimal(r.getDecimal(2)))).toSet
     assert(gotAll === want)
+    // RESUME (review fix): re-invoking on the completed dirs is a no-op
+    // — the seed is not re-committed, the stream has nothing pending,
+    // top is recovered from the STORE (not the dead in-memory counter),
+    // and with the vector already materialized nothing new commits
+    val top2 = ErasureStream.runErasure(spark, sfDir, req, state,
+      materialize = true)
+    assert(top2 === 5L, s"resume returned $top2, not the committed top")
+    val after = IngestIndex.currentTable(spark, state, "state")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(after === survivors, "resume changed the committed state")
   }
 }
