@@ -587,6 +587,65 @@ class IngestIndexSpec extends AnyFunSuite {
     assert(r1 eq r2, "memo miss on an unchanged manifest")
   }
 
+  test("random verb interleavings: commits, compact, and RESTORE " +
+    "compose under delta manifests — read-back always equals the model") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(271)
+    for (trial <- 1 to 2) {
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft-idx-verbs$trial").toString + "/state"
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+      // the pure model: current contents + the full per-version history
+      var cur = Map.empty[Long, Long]
+      val hist = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+      var v = 0L
+      (1 to 12).foreach { step =>
+        val roll = rnd.nextInt(10)
+        if (roll < 6 || v < 2) {
+          // COMMIT a random keyed batch
+          val rows = Seq.fill(1 + rnd.nextInt(12))(
+            rnd.nextInt(20).toLong -> (1 + rnd.nextInt(4)).toLong)
+          val delta = rows.groupBy(_._1).view
+            .mapValues(_.map(_._2).sum).toSeq
+          delta.foreach { case (u, c) =>
+            cur = cur + (u -> (cur.getOrElse(u, 0L) + c))
+          }
+          val m = IngestIndex.readManifest(fs, state, v)
+          val stateMap = IngestIndex.mergeCommit(sp, state, m, "state",
+            v + 1, delta.toDF("user_id", "cnt"),
+            (c, d) => c.unionByName(d).groupBy("user_id")
+              .agg(sum(col("cnt")).as("cnt")))
+          IngestIndex.writeManifest(fs, state, v + 1,
+            Map("state" -> stateMap))
+          v += 1
+          hist(v) = cur
+        } else if (roll < 8) {
+          // COMPACT (retain everything: restore targets must survive)
+          IngestIndex.compact(sp, state, v, retain = 50)
+        } else {
+          // RESTORE to a random earlier version
+          val tv = 1L + rnd.nextInt(v.toInt - 1)
+          IngestIndex.restore(fs, state, tv, v + 1)
+          v += 1
+          cur = hist(tv)
+          hist(v) = cur
+        }
+        val got = IngestIndex.currentTable(sp, state, "state")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == cur,
+          s"trial $trial step $step (v=$v): read-back diverged from model")
+      }
+      // and the whole retained history still time-travels correctly
+      (1L to v).foreach { pv =>
+        val got = IngestIndex.tableAt(sp, state, "state", pv)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == hist(pv), s"trial $trial: snapshot v$pv diverged")
+      }
+    }
+  }
+
   test("describeHistory: every retained version listed newest-first " +
     "with its delta depth and live-bucket count; evicted versions absent") {
     val sp = spark
