@@ -109,4 +109,46 @@ class ErasureStreamSpec extends AnyFunSuite {
       .select("user_id").collect().map(_.getLong(0)).toSet
     assert(after === survivors, "resume changed the committed state")
   }
+
+  test("q132 under splitBytes=1: the DV side table splits like any " +
+    "store table and every read composes across its generations") {
+    val old = spark.conf.getOption("spark.graft.ingest.splitBytes")
+    spark.conf.set("spark.graft.ingest.splitBytes", "1")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft-erasplit")
+      graft.queries.Layout.trackTemp(base.toString)
+      val req = s"$base/req"
+      val state = s"$base/state"
+      ErasureStream.stageRequests(spark, sfDir, req)
+      val top = ErasureStream.runErasure(spark, sfDir, req, state,
+        materialize = false)
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m = IngestIndex.readManifest(fs, state, top)
+      // the stress actually engaged: the DV table advanced a generation
+      // (request batches re-touch shared tombstone buckets)
+      assert(IngestIndex.gensOf(m, IngestIndex.dvTable("state")).nonEmpty,
+        s"splitBytes=1 never split the DV table: " +
+          s"${m(IngestIndex.dvTable("state"))}")
+      val agg = ErasureStream.seedAgg(spark, sfDir)
+      val survivors = agg.filter(pmod(col("user_id"), lit(12)) >= 3)
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      // the vector-applied read composes across the split generations
+      val cur = IngestIndex.currentTable(spark, state, "state")
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(cur === survivors)
+      // and the materialize merge prunes through the multi-gen DV cover
+      val nm = IngestIndex.materializeDeletes(spark, state, m, "state",
+        top + 1, Seq("user_id"))
+      IngestIndex.writeManifest(fs, state, top + 1, nm)
+      val raw = IngestIndex.currentTable(spark, state, "state", raw = true)
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(raw === survivors)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.graft.ingest.splitBytes", v)
+        case None => spark.conf.unset("spark.graft.ingest.splitBytes")
+      }
+    }
+  }
 }
