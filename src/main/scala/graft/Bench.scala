@@ -19,6 +19,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       // scale-ready shuffle sizing: start high, let AQE coalesce down —
       // the same config that keeps a 1000-executor cluster busy
@@ -118,11 +119,22 @@ object Bench {
       "q120_change_data_feed", "q125_streaming_cdc_view",
       "q130_cdc_deletes", "q130b_cdc_delete_view",
       "q132_erasure_stream_dv", "q133_cdc_catchup_view")
+    // the name list is hand-maintained — validate it against the live
+    // query surface so a renamed/removed replay query fails LOUDLY here
+    // instead of silently re-gaining min-of-3 (r16 advisor fix); the
+    // per-query run counts are emitted in the JSON so the methodology
+    // is visible in recorded results
+    val unknownReplay = fullReplay -- SparkEntry.queries.keySet
+    require(unknownReplay.isEmpty,
+      s"Bench.fullReplay names unknown queries: ${unknownReplay.toSeq.sorted
+        .mkString(", ")} — sync the list with SparkEntry.queries")
+    def runsFor(name: String): Int =
+      if (fullReplay(name)) math.min(runs, 2) else runs
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       var failed = false
       val times = Seq.newBuilder[Double]
       var r = 0
-      val nRuns = if (fullReplay(name)) math.min(runs, 2) else runs
+      val nRuns = runsFor(name)
       while (r < nRuns && !failed) { // no point re-running a failed query
         val t0 = System.nanoTime()
         try { materialize(name); times += (System.nanoTime() - t0) / 1e9 }
@@ -158,7 +170,11 @@ object Bench {
     val breakdown = cat.toSeq.sortBy(_._1)
       .map { case (name, members) => s""""$name":${bucket(members)}""" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // methodology visibility: the default run count plus the queries
+    // timed over fewer runs (the full-replay min-of-2 convention)
+    val reduced = results.map(_._1).filter(n => runsFor(n) != runs)
+      .map(n => "\"" + n + "\":" + runsFor(n)).mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reduced_runs":$reduced,"queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // stdout (bare — build.sbt routes the forked JVM through StdoutOutput so
     // no "[info] " prefix corrupts the line) plus a file fallback for any
     // harness that prefers reading a path over scraping a process tail.

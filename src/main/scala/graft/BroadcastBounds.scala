@@ -120,6 +120,12 @@ object BroadcastBounds {
         "spark.graft.stream.dimBroadcastMaxRows (default 2^21 ~ 60 MB); " +
         "beyond the cap the stream-static join degrades to a keyed " +
         "shuffle on user_id (EventStreamSpec pins both plan regimes)"),
+    "merge-dv-slice" -> Bound(External,
+      "a table's LIVE deletion vector: O(accumulated tombstone keys) " +
+        "rows, bounded by the erasure-request volume since the last " +
+        "materializeDeletes (the OPTIMIZE cadence), never by the table — " +
+        "a vector large enough to strain a broadcast is past due for " +
+        "materialization, which is the format's own contract"),
     "dup-set-gated" -> Bound(Gated,
       "the df>=3 duplicated-line set is corpus-dependent (tiny for real " +
         "boilerplate rates, unbounded adversarially), so q94 MEASURES its " +

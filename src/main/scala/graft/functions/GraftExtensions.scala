@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     // no-op until spark.graft.rangeJoin.binWidth is set > 0
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    // SQL `MERGE INTO <registered graft store table>` (r17): Spark's own
+    // parser already yields MergeIntoTable; this rewrite routes it to the
+    // engine's MergeInto algebra over the bucketed store. Unregistered
+    // targets fall through untouched.
+    ext.injectResolutionRule(_ => graft.operators.GraftMergeSqlRule)
   }
 }

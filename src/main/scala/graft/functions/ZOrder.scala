@@ -46,4 +46,58 @@ object ZOrder {
   /** The z-value of two 16-bit coordinates: x on even bits, y on odd. */
   def interleave16(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** HILBERT index (r17, q107b) of two 16-bit coordinates — the
+    * locality-cliff-free alternative to the Morton interleave: a Morton
+    * curve jumps across the whole space at quadrant boundaries (the
+    * z-shape's diagonal stroke), so a file of consecutive z-values can
+    * straddle two far-apart regions; the Hilbert curve's consecutive
+    * indices are always GRID-ADJACENT cells, so every file covers one
+    * connected blob and its per-column min/max stats are as tight as a
+    * space-filling curve can make them.
+    *
+    * Implementation: the classic per-level fold (mask out the level bit
+    * of each coordinate, accumulate the quadrant's step count, reflect +
+    * transpose the frame for the next level — the standard xy2d
+    * formulation), expressed as `functions.aggregate` over the 16 level
+    * numbers with a (x, y, d) STRUCT accumulator. The lambda references
+    * the accumulator ONCE per level, so the expression stays O(levels)
+    * in size — a naive when()-chained unroll would re-inline the whole
+    * prior state into every branch and blow up exponentially. Pure
+    * Column arithmetic end to end (no UDF); same contract as
+    * [[interleave16]]: layout-only, NULL in -> NULL out (a NULL
+    * coordinate yields a NULL index via null propagation through the
+    * struct arithmetic). ZOrderSpec pins a plain-Scala reference
+    * (equality on random points), the bijection (inverse roundtrip) and
+    * the adjacency law (consecutive indices are grid neighbors — the
+    * property Morton lacks). */
+  def hilbert16(x: Column, y: Column): Column = {
+    // the fold's when().otherwise() arms swallow NULL (a NULL bit test
+    // takes the otherwise branch), so propagation is explicit
+    when(x.isNull || y.isNull, lit(null).cast(LongType))
+      .otherwise(hilbertFold(x, y))
+  }
+
+  private def hilbertFold(x: Column, y: Column): Column = {
+    val init = struct(x.cast(LongType).as("hx"), y.cast(LongType).as("hy"),
+      lit(0L).as("hd"))
+    val levels = sequence(lit(15), lit(0), lit(-1))
+    aggregate(levels, init, (acc, lvl) => {
+      val hx = acc.getField("hx")
+      val hy = acc.getField("hy")
+      val s = call_function("shiftleft", lit(1L), lvl.cast("int"))
+      val rx = when(hx.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(hy.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
+      val d2 = acc.getField("hd") +
+        (s * s * (lit(3L) * rx).bitwiseXOR(ry))
+      // frame rotation for the next level: reflect inside the FULL grid
+      // (n-1 = 65535) when rx==1, then transpose — only when ry==0
+      val fx = when(rx === 1, lit(65535L) - hx).otherwise(hx)
+      val fy = when(rx === 1, lit(65535L) - hy).otherwise(hy)
+      struct(
+        when(ry === 0, fy).otherwise(hx).as("hx"),
+        when(ry === 0, fx).otherwise(hy).as("hy"),
+        d2.as("hd"))
+    }).getField("hd")
+  }
 }

@@ -1,0 +1,374 @@
+package graft.operators
+
+import graft.streaming.IngestIndex
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** The SQL `MERGE INTO` entry point (r17) — the statement every lakehouse
+  * user actually types, wired to the engine's oracle-proven ordered-clause
+  * MERGE algebra ([[MergeInto]]) over the bucketed persistent store
+  * ([[IngestIndex]]).
+  *
+  * How it reaches `spark.sql(...)`: Spark's OWN parser already produces a
+  * [[MergeIntoTable]] logical plan for the statement (the full SQL:2023
+  * grammar — ordered WHEN clause lists, per-clause AND gates, all three
+  * families, `UPDATE SET *` / `INSERT *`), so nothing is re-parsed here;
+  * a resolution rule injected via [[graft.functions.GraftExtensions]]
+  * intercepts plans whose target names a REGISTERED graft store table and
+  * rewrites them to a [[GraftMergeIntoCommand]] — a runnable command the
+  * session executes eagerly, exactly like any native SQL DDL/DML. Targets
+  * not registered fall through untouched to Spark's own handling.
+  * [[sql]] is the extension-free twin (parse → same translation → run)
+  * for sessions built without `withExtensions`.
+  *
+  * Translation contract (SqlSurfaceSpec pins SQL == DataFrame row for
+  * row on the q127 AND q131 shapes):
+  *   - the ON condition must be the key equi-join `t.<key> = s.<key>`
+  *     (either order) — the store's merge law; anything else throws.
+  *   - clause gates/assignments reference columns QUALIFIED by the
+  *     target/source alias; they translate to the `t_<col>`/`s_<col>`
+  *     names [[MergeInto]] evaluates over its full-outer join. Key
+  *     references (either side, or bare) map to the shared join key.
+  *   - `WHEN NOT MATCHED BY SOURCE` gates/assignments may reference only
+  *     target columns (no source row exists) — enforced here, like the
+  *     standard.
+  *   - INSERT follows SQL/Delta NULL semantics: listed columns take
+  *     their VALUES expressions, unlisted payload columns insert NULL
+  *     (`INSERT *` takes every source column verbatim). The merge key
+  *     must be set from the source key.
+  *   - the source is normalized to the target's (key + payload) columns
+  *     by name before the merge (missing columns null-fill) — project
+  *     arbitrary sources in the USING subquery, which is the SQL-native
+  *     projection mechanism.
+  *
+  * Scale shape: identical to the DataFrame path — the command body IS
+  * `mergeCommitDv` (touched-bucket reads/writes, full-target only for BY
+  * SOURCE merges, DV composition, cardinality check riding the join's
+  * shuffle); the SQL layer adds parsing and a manifest read, nothing
+  * data-sized.
+  */
+object GraftSql {
+
+  /** A registered SQL-addressable store table. */
+  final case class StoreTarget(stateDir: String, table: String)
+
+  private val targets =
+    new java.util.concurrent.ConcurrentHashMap[String, StoreTarget]()
+
+  /** Make `IngestIndex` table `table` under `stateDir` addressable as
+    * `name` in SQL `MERGE INTO` statements (the catalog-registration
+    * analogue; names are case-insensitive). */
+  def registerTable(name: String, stateDir: String, table: String): Unit = {
+    targets.put(name.toLowerCase(java.util.Locale.ROOT),
+      StoreTarget(stateDir, table))
+    ()
+  }
+
+  def unregisterTable(name: String): Unit = {
+    targets.remove(name.toLowerCase(java.util.Locale.ROOT))
+    ()
+  }
+
+  private def lookup(parts: Seq[String]): Option[StoreTarget] =
+    Option(targets.get(
+      parts.mkString(".").toLowerCase(java.util.Locale.ROOT)))
+
+  /** (alias, unwrapped plan): `MERGE INTO t AS x` wraps the relation in
+    * a SubqueryAlias; alias defaults to the relation's last name part. */
+  private def unwrap(p: LogicalPlan): (Option[String], LogicalPlan) =
+    p match {
+      case sa: SubqueryAlias => (Some(sa.alias), sa.child)
+      case other => (None, other)
+    }
+
+  /** The registered store target of a parsed MERGE, if any — the rule's
+    * match gate, side-effect-free (analyzer rules run to fixed point). */
+  private[operators] def targetOf(m: MergeIntoTable)
+      : Option[(String, StoreTarget)] =
+    unwrap(m.targetTable)._2 match {
+      case r: UnresolvedRelation =>
+        lookup(r.multipartIdentifier)
+          .map(t => r.multipartIdentifier.mkString(".") -> t)
+      case _ => None
+    }
+
+  /** Translate a parsed MERGE whose target is registered into the
+    * runnable command. Throws on unsupported shapes (non-key ON
+    * condition, unqualified/foreign column references, key
+    * reassignment) with named errors. */
+  private[operators] def translate(m: MergeIntoTable): GraftMergeIntoCommand = {
+    val (name, tgt) = targetOf(m).getOrElse(throw new IllegalArgumentException(
+      s"MERGE INTO target is not a registered graft store table — " +
+        "GraftSql.registerTable(name, stateDir, table) first"))
+    val key = IngestIndex.keyColsFor(tgt.table) match {
+      case Seq(k) => k
+      case ks => throw new IllegalArgumentException(
+        s"SQL MERGE INTO supports single-column-key store tables; " +
+          s"'${tgt.table}' is keyed by (${ks.mkString(", ")})")
+    }
+    val tAlias = unwrap(m.targetTable)._1.getOrElse(name.split('.').last)
+    val sAlias = unwrap(m.sourceTable) match {
+      case (Some(a), _) => a
+      case (None, r: UnresolvedRelation) => r.multipartIdentifier.last
+      case _ => throw new IllegalArgumentException(
+        "MERGE INTO: alias the USING source (`USING (...) AS s`) so " +
+          "clause conditions can qualify its columns")
+    }
+    // ON must be the key equi-join, either order
+    def isKeyRef(e: Expression, alias: String): Boolean = e match {
+      case UnresolvedAttribute(Seq(q, c)) =>
+        q.equalsIgnoreCase(alias) && c.equalsIgnoreCase(key)
+      case _ => false
+    }
+    m.mergeCondition match {
+      case EqualTo(l, r)
+        if (isKeyRef(l, tAlias) && isKeyRef(r, sAlias)) ||
+          (isKeyRef(l, sAlias) && isKeyRef(r, tAlias)) => ()
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO '$name' requires the key equi-join ON " +
+          s"$tAlias.$key = $sAlias.$key (the store's merge law); got: " +
+          other.sql)
+    }
+    GraftMergeIntoCommand(name, tgt, m.sourceTable, tAlias, sAlias, key,
+      ParsedMergeActions(m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions))
+  }
+
+  /** Extension-free SQL entry: parse with Spark's own parser; a MERGE
+    * into a registered store executes through the engine (returning the
+    * committed version); everything else delegates to `spark.sql`. */
+  def sql(spark: SparkSession, text: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(text) match {
+      case m: MergeIntoTable if targetOf(m).isDefined =>
+        GraftSqlBridge.ofRows(spark, translate(m))
+      case _ => spark.sql(text)
+    }
+}
+
+/** The analyzer rule [[graft.functions.GraftExtensions]] injects: rewrite
+  * a parsed [[MergeIntoTable]] whose target names a registered graft
+  * store into the runnable [[GraftMergeIntoCommand]]. Top-level only
+  * (MERGE is a statement, not an operator), match-gated on the registry,
+  * side-effect-free, and a no-op once rewritten — fixed-point safe. */
+object GraftMergeSqlRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable if GraftSql.targetOf(m).isDefined =>
+      GraftSql.translate(m)
+    case _ => plan
+  }
+}
+
+/** The parsed clause families, held OUTSIDE the command's expression
+  * surface: MergeAction extends Expression, and `QueryPlan.expressions`
+  * collects Expression-typed (and Iterable-of-Expression) product
+  * elements — CheckAnalysis would then fail the command on the still-
+  * unresolved `t.<col>` references that only translate at run time. A
+  * plain non-Iterable holder is invisible to that walk (the same reason
+  * CreateViewCommand keeps its un-analyzed child out of `children`). */
+final case class ParsedMergeActions(
+    matched: Seq[MergeAction],
+    notMatched: Seq[MergeAction],
+    bySource: Seq[MergeAction])
+
+/** The executed MERGE statement: resolves the store's CURRENT schema,
+  * finishes clause translation against it, and commits one
+  * [[IngestIndex.mergeCommitDv]] transaction (manifest write `op =
+  * "merge-sql"`). Output: the committed version — what `spark.sql`
+  * returns, mirroring Delta's operation metrics row. */
+final case class GraftMergeIntoCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    source: LogicalPlan,
+    tAlias: String,
+    sAlias: String,
+    key: String,
+    acts: ParsedMergeActions) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  /** Rewrite alias-qualified references to the joined-frame names
+    * [[MergeInto]] evaluates over; `bySource` additionally forbids
+    * source references (the standard: no source row exists there). */
+  private def xlate(e: Expression, bySource: Boolean): Column = {
+    val t = e.transformUp {
+      // defensive: the analyzer's Resolution batch runs before the
+      // injected rule inside one fixed-point iteration, so SOURCE-side
+      // references may already be resolved (the target never resolves —
+      // it is the registered, catalog-less store). A resolved attribute
+      // therefore maps by name to the source side.
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if !a.qualifier.lastOption.exists(_.equalsIgnoreCase(tAlias)) =>
+        if (bySource) throw new IllegalArgumentException(
+          s"WHEN NOT MATCHED BY SOURCE clauses cannot reference the " +
+            s"source ('${a.name}'): no source row exists for those keys")
+        else if (a.name.equalsIgnoreCase(key))
+          UnresolvedAttribute(Seq(key))
+        else UnresolvedAttribute(Seq("s_" + a.name))
+      case UnresolvedAttribute(parts) => parts match {
+        case Seq(q, c) if q.equalsIgnoreCase(tAlias) =>
+          if (c.equalsIgnoreCase(key)) UnresolvedAttribute(Seq(key))
+          else UnresolvedAttribute(Seq("t_" + c))
+        case Seq(q, c) if q.equalsIgnoreCase(sAlias) =>
+          if (bySource) throw new IllegalArgumentException(
+            s"WHEN NOT MATCHED BY SOURCE clauses cannot reference the " +
+              s"source ('$q.$c'): no source row exists for those keys")
+          else if (c.equalsIgnoreCase(key)) UnresolvedAttribute(Seq(key))
+          else UnresolvedAttribute(Seq("s_" + c))
+        case Seq(c) if c.equalsIgnoreCase(key) =>
+          UnresolvedAttribute(Seq(key))
+        case other => throw new IllegalArgumentException(
+          s"MERGE INTO '$targetName' references " +
+            s"'${other.mkString(".")}' — qualify every non-key column " +
+            s"with the target ('$tAlias.') or source ('$sAlias.') alias")
+      }
+    }
+    GraftSqlBridge.column(t)
+  }
+
+  /** Assigned column name of `a` (optionally target-qualified). */
+  private def assignedCol(a: Assignment): String = a.key match {
+    case UnresolvedAttribute(Seq(c)) => c
+    case UnresolvedAttribute(Seq(q, c)) if q.equalsIgnoreCase(tAlias) => c
+    case other => throw new IllegalArgumentException(
+      s"MERGE INTO '$targetName': cannot assign to '${other.sql}' — " +
+        "assignments set target columns")
+  }
+
+  /** The assignment's value translates to exactly the source key. */
+  private def isSourceKey(a: Assignment): Boolean = a.value match {
+    case UnresolvedAttribute(Seq(q, c)) =>
+      q.equalsIgnoreCase(sAlias) && c.equalsIgnoreCase(key)
+    case UnresolvedAttribute(Seq(c)) => c.equalsIgnoreCase(key)
+    case _ => false
+  }
+
+  private def clauseOf(a: MergeAction, payload: Seq[String],
+      schema: StructType, family: String): MergeClause = {
+    val bySource = family == "by-source"
+    def payloadName(c: String): String =
+      payload.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE INTO '$targetName': '$c' is not a column of " +
+            s"'${target.table}' (payload: ${payload.mkString(", ")})"))
+    a match {
+      case DeleteAction(cond) =>
+        MergeClause.delete(cond.map(xlate(_, bySource)))
+      case UpdateAction(cond, assigns, _) =>
+        val set = assigns.flatMap { as =>
+          val c = assignedCol(as)
+          if (c.equalsIgnoreCase(key)) {
+            if (!isSourceKey(as) && family == "matched")
+              throw new IllegalArgumentException(
+                s"MERGE INTO '$targetName': reassigning the merge key " +
+                  s"'$key' is not supported")
+            None // identity assignment — the join key carries it
+          } else Some(payloadName(c) -> xlate(as.value, bySource))
+        }.toMap
+        MergeClause.update(set, cond.map(xlate(_, bySource)))
+      case UpdateStarAction(cond) =>
+        if (bySource) throw new IllegalArgumentException(
+          "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET * is not a MERGE " +
+            "clause: no source row exists to copy from")
+        MergeClause.update(
+          payload.map(c => c -> col(s"s_$c")).toMap,
+          cond.map(xlate(_, bySource)))
+      case InsertAction(cond, assigns) =>
+        // SQL/Delta NULL semantics: listed columns take their VALUES
+        // expressions, the key must come from the source key, and
+        // UNLISTED payload columns insert NULL (typed from the target)
+        var keySet = false
+        val listed = assigns.flatMap { as =>
+          val c = assignedCol(as)
+          if (c.equalsIgnoreCase(key)) {
+            if (!isSourceKey(as)) throw new IllegalArgumentException(
+              s"MERGE INTO '$targetName': INSERT must set the merge " +
+                s"key '$key' from the source key ($sAlias.$key)")
+            keySet = true
+            None
+          } else Some(payloadName(c) -> xlate(as.value, bySource))
+        }.toMap
+        if (!keySet) throw new IllegalArgumentException(
+          s"MERGE INTO '$targetName': INSERT must list the merge key " +
+            s"'$key' (set from $sAlias.$key)")
+        val set = payload.map { c =>
+          c -> listed.getOrElse(c, lit(null).cast(schema(c).dataType))
+        }.toMap
+        MergeClause.insert(cond.map(xlate(_, bySource)), set)
+      case InsertStarAction(cond) =>
+        // INSERT * = every source column verbatim — MergeClause.insert's
+        // own default
+        MergeClause.insert(cond.map(xlate(_, bySource)))
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO '$targetName': unsupported $family action $other")
+    }
+  }
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = IngestIndex.latestVersion(fs, target.stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"MERGE INTO '$targetName': the store under ${target.stateDir} " +
+          "has no committed version — stage the target table first"))
+    val m = IngestIndex.readManifest(fs, target.stateDir, top)
+    require(m.contains(target.table),
+      s"MERGE INTO '$targetName': table '${target.table}' absent from " +
+        s"manifest v$top under ${target.stateDir}")
+    val schema = IngestIndex
+      .currentTable(spark, target.stateDir, target.table, raw = true)
+      .schema
+    val payload = schema.fieldNames.toSeq.filterNot(_.equalsIgnoreCase(key))
+    val merge = MergeInto(
+      key = key,
+      payload = payload,
+      matched = acts.matched.map(clauseOf(_, payload, schema, "matched")),
+      notMatched =
+        acts.notMatched.map(clauseOf(_, payload, schema, "not-matched")),
+      notMatchedBySource =
+        acts.bySource.map(clauseOf(_, payload, schema, "by-source")))
+    // normalize the source to (key + payload) by name — missing payload
+    // columns null-fill (the SQL subquery is the projection mechanism
+    // for anything fancier)
+    val srcRaw = GraftSqlBridge.ofRows(spark, source)
+    require(srcRaw.columns.exists(_.equalsIgnoreCase(key)),
+      s"MERGE INTO '$targetName': the USING source carries no '$key' " +
+        s"column (source columns: ${srcRaw.columns.mkString(", ")})")
+    val src = srcRaw.select((key +: payload).map { c =>
+      srcRaw.columns.find(_.equalsIgnoreCase(c)) match {
+        case Some(have) => col(have).as(c)
+        case None => lit(null).cast(schema(c).dataType).as(c)
+      }
+    }: _*)
+    val next = top + 1
+    // BY SOURCE merges must see every live target row — the same
+    // full-target pairing commitFullSync makes on the DataFrame path
+    val touched: Option[Set[Int]] =
+      if (!merge.requiresFullTarget) None
+      else {
+        val n = IngestIndex.numBuckets(spark)
+        val gens = IngestIndex.gensOf(m, target.table)
+        val deltaBkts = IngestIndex
+          .assignBucket(src, target.table, n, gens)
+          .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+        Some(m.getOrElse(target.table,
+          Map.empty[Int, IngestIndex.Bkt]).keySet ++ deltaBkts)
+      }
+    val nm = IngestIndex.mergeCommitDv(spark, target.stateDir, m,
+      target.table, next, src, merge, touchedKnown = touched)
+    IngestIndex.writeManifest(fs, target.stateDir, next, nm,
+      op = "merge-sql")
+    Seq(Row(next))
+  }
+}

@@ -51,17 +51,29 @@ object Layout {
     * tables size this by target file size (~1 GB), not a constant. */
   val ZFiles = 16
 
-  /** Cluster `df` by the Z-curve over (x, y) scaled from the given
-    * ranges, writing `ZFiles` parquet files to `path`. The z column
-    * rides along in the files (file-level zv min/max documents the
-    * clustering; droppable). */
-  private[graft] def zOrderWrite(df: DataFrame, x: Column, y: Column,
-      xr: (Double, Double), yr: (Double, Double), path: String): Unit =
-    df.withColumn("zv", ZOrder.interleave16(
-        ZOrder.norm16(x, xr._1, xr._2), ZOrder.norm16(y, yr._1, yr._2)))
+  /** Cluster `df` by a space-filling curve over (x, y) scaled from the
+    * given ranges, writing `ZFiles` parquet files to `path`. The curve
+    * value rides along in the files as `zv` (file-level min/max
+    * documents the clustering; droppable). `hilbert` picks the Hilbert
+    * index (r17, q107b) over the Morton interleave — same contract,
+    * no locality cliffs at quadrant boundaries. */
+  private[graft] def curveWrite(df: DataFrame, x: Column, y: Column,
+      xr: (Double, Double), yr: (Double, Double), path: String,
+      hilbert: Boolean): Unit = {
+    val nx = ZOrder.norm16(x, xr._1, xr._2)
+    val ny = ZOrder.norm16(y, yr._1, yr._2)
+    df.withColumn("zv",
+        if (hilbert) ZOrder.hilbert16(nx, ny)
+        else ZOrder.interleave16(nx, ny))
       .repartitionByRange(ZFiles, col("zv"))
       .sortWithinPartitions("zv")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** The Morton (Z-order) clustering rewrite — see [[curveWrite]]. */
+  private[graft] def zOrderWrite(df: DataFrame, x: Column, y: Column,
+      xr: (Double, Double), yr: (Double, Double), path: String): Unit =
+    curveWrite(df, x, y, xr, yr, path, hilbert = false)
 
   /** The measured (min, max) of user_id and value — the clustering
     * ranges AND the box-bound inputs, shared with ZOrderSpec. */
@@ -423,39 +435,63 @@ object Layout {
     (parts.length.toLong, after, bytes)
   }
 
+  /** The shared q107/q107b body: curve-cluster the events, write the
+    * stats manifest, answer the 2-D box aggregate through manifest-
+    * pruned files. Layout INVARIANCE is the contract — both curves
+    * share one oracle. */
+  private def curveBoxQuery(s: SparkSession, d: String, kind: String,
+      hilbert: Boolean): DataFrame = {
+    val (ev, ur, vr) = eventRanges(s, d)
+    val path = stagePath(s, kind, d)
+    curveWrite(ev, col("user_id"), col("value"), ur, vr, path, hilbert)
+    writeManifest(s, path)
+    // file-level skipping via the manifest, THEN row-group skipping
+    // via footers, THEN the exact row filter — three nested sieves,
+    // identical results at each level (the oracle hash proves it)
+    boxFilter(manifestPrunedRead(s, path, ur, vr), ur, vr)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum4(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val CurveBoxOracle: String =
+    s"""WITH ev AS (${Q.EVENTS_SQL}),
+       |st AS (SELECT CAST(MIN(user_id) AS DOUBLE) AS ulo,
+       |    CAST(MAX(user_id) AS DOUBLE) AS uhi,
+       |    MIN(value) AS vlo, MAX(value) AS vhi FROM ev),
+       |box AS (SELECT ulo + 0.25 * (uhi - ulo) AS bul,
+       |    ulo + 0.375 * (uhi - ulo) AS buh,
+       |    vlo + 0.25 * (vhi - vlo) AS bvl,
+       |    vlo + 0.375 * (vhi - vlo) AS bvh FROM st)
+       |SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${SUM4("value")} AS sum_value
+       |FROM ev, box
+       |WHERE CAST(user_id AS DOUBLE) >= bul
+       |  AND CAST(user_id AS DOUBLE) < buh
+       |  AND value >= bvl AND value < bvh
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q107_zorder_layout",
-      (s, d) => {
-        val (ev, ur, vr) = eventRanges(s, d)
-        val path = stagePath(s, "zorder", d)
-        zOrderWrite(ev, col("user_id"), col("value"), ur, vr, path)
-        writeManifest(s, path)
-        // file-level skipping via the manifest, THEN row-group skipping
-        // via footers, THEN the exact row filter — three nested sieves,
-        // identical results at each level (the oracle hash proves it)
-        boxFilter(manifestPrunedRead(s, path, ur, vr), ur, vr)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"),
-            countDistinct(col("user_id")).as("n_users"),
-            sum4(col("value")).as("sum_value"))
-          .orderBy("event_type")
-      },
-      Some(s"""WITH ev AS (${Q.EVENTS_SQL}),
-             |st AS (SELECT CAST(MIN(user_id) AS DOUBLE) AS ulo,
-             |    CAST(MAX(user_id) AS DOUBLE) AS uhi,
-             |    MIN(value) AS vlo, MAX(value) AS vhi FROM ev),
-             |box AS (SELECT ulo + 0.25 * (uhi - ulo) AS bul,
-             |    ulo + 0.375 * (uhi - ulo) AS buh,
-             |    vlo + 0.25 * (vhi - vlo) AS bvl,
-             |    vlo + 0.375 * (vhi - vlo) AS bvh FROM st)
-             |SELECT event_type, COUNT(*) AS n_events,
-             |  COUNT(DISTINCT user_id) AS n_users,
-             |  ${SUM4("value")} AS sum_value
-             |FROM ev, box
-             |WHERE CAST(user_id AS DOUBLE) >= bul
-             |  AND CAST(user_id AS DOUBLE) < buh
-             |  AND value >= bvl AND value < bvh
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+      (s, d) => curveBoxQuery(s, d, "zorder", hilbert = false),
+      Some(CurveBoxOracle)),
+
+    // Q107b HILBERT LAYOUT (r17): the clustering family's second curve —
+    // Morton has locality cliffs at quadrant boundaries (consecutive
+    // z-values can jump across the space, widening a file's min/max
+    // envelope); the Hilbert index's consecutive cells are always grid-
+    // adjacent, so each range-partitioned file covers one connected
+    // blob. Same rewrite shape (one range shuffle + in-partition sort),
+    // same manifest, same three-sieve read. The oracle is q107's
+    // VERBATIM: clustering must be unobservable in results — only the
+    // skip profile may differ (ZOrderSpec measures both curves' pruned
+    // file counts side by side, plus the bijection/adjacency laws).
+    QueryDef("q107b_hilbert_layout",
+      (s, d) => curveBoxQuery(s, d, "hilbert", hilbert = true),
+      Some(CurveBoxOracle)),
 
     // The queryable contract of a compaction is INVARIANCE: the oracle
     // aggregates the ORIGINAL table while the query aggregates the

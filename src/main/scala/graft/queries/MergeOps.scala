@@ -41,7 +41,7 @@ object MergeOps {
     val map = IngestIndex.mergeCommit(s, state, m, "state", next, delta,
       combine, touchedKnown = touched)
     val nm: IngestIndex.Manifest = Map("state" -> map)
-    IngestIndex.writeManifest(fs, state, next, nm)
+    IngestIndex.writeManifest(fs, state, next, nm, op = "merge")
     nm
   }
 
@@ -177,6 +177,90 @@ object MergeOps {
     state
   }
 
+  /** The q127-shaped ADD combine shared by the interleaved rig: per-key
+    * full-outer add of (n_events, sum_value) — associative and exact,
+    * so any slicing of the event stream folds to the one-shot
+    * aggregate. */
+  private[graft] val addCombine: (DataFrame, DataFrame) => DataFrame =
+    (cur, dl) => cur
+      .select(col("user_id"), col("n_events").as("c_n"),
+        col("sum_value").as("c_s"))
+      .join(dl, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("c_n"), lit(0L))
+          + coalesce(col("n_events"), lit(0L))).as("n_events"),
+        (coalesce(col("c_s"), lit(0).cast(dec))
+          + coalesce(col("sum_value"), lit(0).cast(dec)))
+          .cast(dec).as("sum_value"))
+
+  /** Q132b INTERLEAVED UPSERT + ERASURE (r17): the production topology
+    * q132 stopped short of — ONE sequential committer alternating merge
+    * triggers and right-to-be-forgotten DV deletes on the SAME table.
+    * Version arithmetic is latestVersion-based (each verb commits
+    * top+1), upserts go through [[IngestIndex.mergeCommitDv]] so a
+    * merge against a live vector composes: the combine sees the
+    * post-delete slice, and a tombstoned user whose later activity
+    * re-inserts them becomes VISIBLE again with only their post-delete
+    * aggregate (the tombstone for a rewritten bucket is invalidated —
+    * the r16 advisor's resurrect/suppress hole, now closed and
+    * oracle-gated). Sequence: U(slice0), U(slice1), D(u%12==1),
+    * U(slice2), D(u%12==2), U(slice3) — a user's final row is the
+    * aggregate of their events in slices strictly after their delete
+    * point, which the DuckDB oracle states directly. Returns the state
+    * dir. */
+  private[graft] def runInterleaved(s: SparkSession, d: String): String = {
+    val ev = Q.events(s, d)
+    val state = stateDirFor(s, "inter132b", d)
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(state), true)
+    var m: IngestIndex.Manifest = Map.empty
+    var top = 0L
+    def upsert(i: Int): Unit = {
+      val delta = userAgg(ev.filter(pmod(col("event_id"), lit(4)) === i))
+      m = IngestIndex.mergeCommitDv(s, state, m, "state", top + 1, delta,
+        addCombine)
+      IngestIndex.writeManifest(fs, state, top + 1, m, op = "merge")
+      top += 1
+    }
+    def erase(k: Int): Unit = {
+      val t = ev.filter(pmod(col("user_id"), lit(12)) === k)
+        .select("user_id").distinct()
+      m = IngestIndex.deleteWithDv(s, state, m, "state", top + 1, t)
+      IngestIndex.writeManifest(fs, state, top + 1, m, op = "delete-dv")
+      top += 1
+    }
+    upsert(0); upsert(1); erase(1); upsert(2); erase(2); upsert(3)
+    state
+  }
+
+  /** Q124b's live stats store: the q86-shaped per-user aggregate built
+    * by 4 incremental commits (event_id mod 4 slices, add algebra), each
+    * commit also recording its WRITTEN buckets' stats rows
+    * ([[IngestIndex.writeBucketStats]] — stats IO O(touched), the
+    * incremental maintenance q118/q124's OPTIMIZE-built manifest lacked).
+    * Returns (stateDir, final manifest). */
+  private[graft] def runStatsStore(s: SparkSession, d: String)
+      : (String, IngestIndex.Manifest) = {
+    val ev = Q.events(s, d)
+    val state = stateDirFor(s, "stats124b", d)
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(state), true)
+    var m: IngestIndex.Manifest = Map.empty
+    for (i <- 0 until 4) {
+      val delta = userAgg(ev.filter(pmod(col("event_id"), lit(4)) === i))
+      val map = IngestIndex.mergeCommit(s, state, m, "state", i + 1L,
+        delta, addCombine)
+      m = Map("state" -> map)
+      IngestIndex.writeBucketStats(s, state, "state", i + 1L,
+        Seq("n_events", "sum_value"))
+      IngestIndex.writeManifest(fs, state, i + 1L, m, op = "merge")
+      IngestIndex.gc(fs, state, i.toLong, i + 1L)
+    }
+    (state, m)
+  }
+
   /** The q131 ordered-clause MERGE (r16): SQL:2023 allows an ordered
     * LIST of conditional clauses per family, first match wins — the r15
     * verdict's generality gap. Gates chosen so EVERY arm fires on real
@@ -221,6 +305,194 @@ object MergeOps {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // Q132b INTERLEAVED UPSERT + ERASURE (r17): see runInterleaved — the
+    // one-committer alternating-verb topology. The oracle recomputes
+    // every user's post-delete aggregate directly (u%12==1 counts only
+    // slices 2-3, u%12==2 only slice 3, everyone else everything): hash
+    // equality proves the DV composed with the merges (no resurrection,
+    // no suppression of re-inserts) across the whole interleaving.
+    QueryDef("q132b_interleaved_upsert_erasure",
+      (s, d) => {
+        val state = runInterleaved(s, d)
+        IngestIndex.currentTable(s, state, "state")
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL})
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e
+             |WHERE (event_id % 4) >= (CASE user_id % 12
+             |  WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 0 END)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q124b METADATA-ONLY COUNT ON THE LIVE STORE (r17): q124 answers
+    // box counts from an OPTIMIZE-built file manifest; this answers them
+    // from the streaming store's own per-bucket stats, maintained
+    // incrementally commit by commit (stats IO O(touched buckets) per
+    // commit — IngestIndex.writeBucketStats). Box 1 is the full range:
+    // every bucket's stats prove containment, COUNT(*) costs ZERO data
+    // IO on the live table (Delta's numRecords fast path; the spec pins
+    // bucketsScanned == 0). Boxes 2-3 are n_events ranges: hash buckets
+    // rarely prove containment for those (per-bucket min/max spans the
+    // global range — the honest hash-layout story; range-heavy
+    // workloads cluster with q107/q118), so straddling buckets scan
+    // with the exact residual filter. The oracle recomputes all three
+    // counts from raw events.
+    QueryDef("q124b_metadata_count_live_store",
+      (s, d) => {
+        val (state, m) = runStatsStore(s, d)
+        val boxes = Seq(
+          1 -> Seq(("n_events", 0.0, 1e15)),
+          2 -> Seq(("n_events", 66.0, 1e15)),
+          3 -> Seq(("n_events", 20.0, 50.0)))
+        val sp = s
+        import sp.implicits._
+        boxes.map { case (id, bs) =>
+          (id, IngestIndex.metadataCount(s, state, m, "state", bs)._1)
+        }.toDF("box_id", "n_rows").orderBy("box_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |agg AS (SELECT user_id, COUNT(*) AS n FROM e
+             |  GROUP BY user_id)
+             |SELECT CAST(1 AS INT) AS box_id, COUNT(*) AS n_rows FROM agg
+             |UNION ALL
+             |SELECT CAST(2 AS INT), COUNT(*) FROM agg WHERE n >= 66
+             |UNION ALL
+             |SELECT CAST(3 AS INT), COUNT(*) FROM agg
+             |  WHERE n >= 20 AND n < 50
+             |ORDER BY box_id""".stripMargin)),
+
+    // Q135 SQL MERGE INTO (r17, carried r15 task #5): q127's statement
+    // as the TEXT every lakehouse user types — `spark.sql("MERGE INTO
+    // ...")` parsed by Spark's own grammar, routed by the GraftSql
+    // surface to the same MergeInto algebra over the same store. The
+    // oracle is q127's SQL verbatim: the entry point must be
+    // unobservable in the result (SqlSurfaceSpec additionally pins SQL
+    // == DataFrame row-for-row and the guard rails).
+    QueryDef("q135_merge_sql_entry",
+      (s, d) => {
+        val (target, source) = q127Inputs(s, d)
+        val state = stateDirFor(s, "merge135", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(state), true)
+        commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
+        graft.operators.GraftSql.registerTable("graft_q135_state", state,
+          "state")
+        source.createOrReplaceTempView("graft_q135_src")
+        graft.operators.GraftSql.sql(s,
+          """MERGE INTO graft_q135_state AS t USING graft_q135_src AS s
+            |ON t.user_id = s.user_id
+            |WHEN MATCHED AND s.n_events > t.n_events THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET
+            |  n_events = t.n_events + s.n_events,
+            |  sum_value = CAST(t.sum_value + s.sum_value
+            |    AS DECIMAL(18,4))
+            |WHEN NOT MATCHED THEN INSERT (user_id, n_events, sum_value)
+            |  VALUES (s.user_id, s.n_events, s.sum_value)
+            |""".stripMargin)
+        graft.operators.GraftSql.unregisterTable("graft_q135_state")
+        IngestIndex.currentTable(s, state, "state")
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |t AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+             |s AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 1 GROUP BY user_id),
+             |m AS (SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+             |    t.n_events AS tn, t.sum_value AS tv,
+             |    s.n_events AS sn, s.sum_value AS sv
+             |  FROM t FULL JOIN s ON t.user_id = s.user_id)
+             |SELECT user_id,
+             |  CASE WHEN tn IS NOT NULL AND sn IS NOT NULL THEN tn + sn
+             |       WHEN tn IS NOT NULL THEN tn ELSE sn END AS n_events,
+             |  CAST(CASE WHEN tn IS NOT NULL AND sn IS NOT NULL
+             |       THEN CAST(tv + sv AS DECIMAL(18,4))
+             |       WHEN tn IS NOT NULL THEN tv ELSE sv END
+             |    AS DOUBLE) AS sum_value
+             |FROM m
+             |WHERE NOT (tn IS NOT NULL AND sn IS NOT NULL AND sn > tn)
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q136 SQL MERGE INTO, ORDERED CLAUSES (r17): q131's six-arm
+    // statement through the SQL parser — the ordered WHEN lists
+    // (overwrite-beats-delete-beats-accumulate, two INSERT arms
+    // including `INSERT *`) must round-trip through Spark's grammar
+    // into the same first-match-wins algebra. Oracle = q131's ordered
+    // CASE chain verbatim.
+    QueryDef("q136_merge_sql_ordered",
+      (s, d) => {
+        val (target, source) = q131Inputs(s, d)
+        val state = stateDirFor(s, "merge136", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(state), true)
+        commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
+        graft.operators.GraftSql.registerTable("graft_q136_state", state,
+          "state")
+        source.createOrReplaceTempView("graft_q136_src")
+        graft.operators.GraftSql.sql(s,
+          """MERGE INTO graft_q136_state AS t USING graft_q136_src AS s
+            |ON t.user_id = s.user_id
+            |WHEN MATCHED AND s.sum_value > t.sum_value THEN UPDATE SET
+            |  n_events = s.n_events, sum_value = s.sum_value
+            |WHEN MATCHED AND s.n_events < t.n_events - 4 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET
+            |  n_events = t.n_events + s.n_events,
+            |  sum_value = CAST(t.sum_value + s.sum_value
+            |    AS DECIMAL(18,4))
+            |WHEN NOT MATCHED AND s.user_id % 2 = 0 THEN INSERT *
+            |WHEN NOT MATCHED THEN INSERT (user_id, n_events, sum_value)
+            |  VALUES (s.user_id, s.n_events, CAST(0 AS DECIMAL(18,4)))
+            |""".stripMargin)
+        graft.operators.GraftSql.unregisterTable("graft_q136_state")
+        IngestIndex.currentTable(s, state, "state")
+          .select(col("user_id"), col("n_events"),
+            col("sum_value").cast(DoubleType).as("sum_value"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |t AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 0 AND user_id % 7 <> 0
+             |  GROUP BY user_id),
+             |s AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 1 AND user_id % 5 <> 0
+             |  GROUP BY user_id),
+             |m AS (SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+             |    t.n_events AS tn, t.sum_value AS tv,
+             |    s.n_events AS sn, s.sum_value AS sv
+             |  FROM t FULL JOIN s ON t.user_id = s.user_id)
+             |SELECT user_id,
+             |  CASE WHEN tn IS NOT NULL AND sn IS NOT NULL THEN
+             |         CASE WHEN sv > tv THEN sn ELSE tn + sn END
+             |       WHEN tn IS NOT NULL THEN tn
+             |       ELSE sn END AS n_events,
+             |  CAST(CASE WHEN tn IS NOT NULL AND sn IS NOT NULL THEN
+             |         CASE WHEN sv > tv THEN sv
+             |              ELSE CAST(tv + sv AS DECIMAL(18,4)) END
+             |       WHEN tn IS NOT NULL THEN tv
+             |       WHEN user_id % 2 = 0 THEN sv
+             |       ELSE CAST(0 AS DECIMAL(18,4)) END
+             |    AS DOUBLE) AS sum_value
+             |FROM m
+             |WHERE NOT (tn IS NOT NULL AND sn IS NOT NULL
+             |           AND NOT sv > tv AND sn < tn - 4)
+             |ORDER BY user_id""".stripMargin)),
+
     // Q131 ORDERED MULTI-CLAUSE MERGE (r16): the full SQL:2023 clause
     // algebra — N conditional clauses per family, first match wins —
     // through the bucketed store. The oracle replays the ordered CASE

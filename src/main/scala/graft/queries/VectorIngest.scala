@@ -111,6 +111,34 @@ object VectorIngest {
     probeOf(s, IngestIndex.currentTable(s, state, "vec"))
   }
 
+  /** Apply a tombstone batch as a DELETION VECTOR (r17, q114d): commit
+    * ONLY the tombstoned vec_ids into the `vec__dv` side table — write
+    * IO O(tombstones), ZERO index buckets rewritten (q114c's eager path
+    * rewrites every bucket a tombstone hashes into; at the production
+    * 128 MB bucket target that is 128 MB of IO to hide one vector).
+    * Every read verb applies the vector automatically, so the probe
+    * serves the post-delete index immediately;
+    * [[IngestIndex.materializeDeletes]] is the deferred OPTIMIZE. */
+  private[graft] def dvDeleteCommit(s: SparkSession, state: String,
+      fs: org.apache.hadoop.fs.FileSystem, top: Long,
+      tombstones: DataFrame): Unit = {
+    val m = IngestIndex.readManifest(fs, state, top)
+    val nm = IngestIndex.deleteWithDv(s, state, m, "vec", top + 1,
+      tombstones.select(col("vec_id")))
+    IngestIndex.writeManifest(fs, state, top + 1, nm, op = "delete-dv")
+    IngestIndex.gc(fs, state, top, top + 1)
+  }
+
+  /** Q114d: build, DV-DELETE the tombstone set, probe the survivors —
+    * the vector store's soft-delete verb (carried r15 task #7). */
+  private[graft] def dvDeleteProbe(s: SparkSession, d: String): DataFrame = {
+    val state = Layout.stagePath(s, "vecdvdel", d)
+    val fs = buildTwoPhase(s, d, state)
+    dvDeleteCommit(s, state, fs, 2L,
+      TextSearch.embNonNull(s, d).filter(deletedCond))
+    probeOf(s, IngestIndex.currentTable(s, state, "vec"))
+  }
+
   /** The q48 probe shape over an arbitrary (vec_id, cid, embedding, rn)
     * index frame: query = vec 0's IvfProbes nearest cells, candidates =
     * home-cell members, exact rounded cosine, top 5. */
@@ -211,5 +239,17 @@ object VectorIngest {
     // also pinned as a VectorIngestSpec law).
     QueryDef("q114c_vector_index_delete",
       (s, d) => deleteProbe(s, d),
+      Some(frozenCentroidOracle("vec_id % 7 <> 3"))),
+
+    // q114d DELETION-VECTOR DELETE (r17): the soft-delete verb q129
+    // gave the state store, now on the VECTOR index — the tombstone
+    // batch commits as a `vec__dv` side table (O(tombstones) IO, zero
+    // index buckets rewritten — VectorIngestSpec pins the IO claim),
+    // and the q48-shaped probe reads through the vector automatically
+    // (currentTable's r16 DV composition). Oracle = q114c's verbatim:
+    // the delete MECHANISM must be unobservable in the results — dv ==
+    // eager, which is the whole contract of the format feature.
+    QueryDef("q114d_vector_index_dv_delete",
+      (s, d) => dvDeleteProbe(s, d),
       Some(frozenCentroidOracle("vec_id % 7 <> 3"))))
 }

@@ -92,7 +92,8 @@ object ErasureStream {
           val next = batchId + 2
           val nm = IngestIndex.deleteWithDv(spark, stateDir, m, "state",
             next, batch.toDF())
-          IngestIndex.writeManifest(fs, stateDir, next, nm)
+          IngestIndex.writeManifest(fs, stateDir, next, nm,
+            op = "delete-dv")
           IngestIndex.gc(fs, stateDir, batchId + 1, next)
           top = math.max(top, next)
           ()
@@ -107,7 +108,8 @@ object ErasureStream {
     if (materialize && m.get(IngestIndex.dvTable("state")).exists(_.nonEmpty)) {
       val nm = IngestIndex.materializeDeletes(spark, stateDir, m, "state",
         top + 1, Seq("user_id"))
-      IngestIndex.writeManifest(fs, stateDir, top + 1, nm)
+      IngestIndex.writeManifest(fs, stateDir, top + 1, nm,
+        op = "materialize")
       IngestIndex.gc(fs, stateDir, top, top + 1)
       top += 1
     }

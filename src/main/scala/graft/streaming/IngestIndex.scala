@@ -246,25 +246,53 @@ object IngestIndex {
   val DefaultManifestFoldEvery: Int = 8
 
   /** A resolved manifest: the overlaid map, its delta depth (0 = base),
-    * and every version whose manifest file participates in the chain
-    * (v itself plus transitive parents) — what GC must keep alive. */
+    * every version whose manifest file participates in the chain
+    * (v itself plus transitive parents) — what GC must keep alive — and
+    * the commit's OPERATION tag (r17: DESCRIBE HISTORY provenance; old
+    * manifests without a `#op` header read back as "commit"). */
   private[streaming] case class Resolved(m: Manifest, depth: Int,
-      chain: Set[Long])
+      chain: Set[Long], op: String)
 
-  /** (dir, v) -> (manifest mtime, length, resolved) — stat-validated so
-    * a replay's byte-identical rewrite (new mtime) just re-reads, and a
-    * compaction's repoint (new content) can never serve stale.
+  /** Leading bytes of the manifest file stored alongside the memo entry
+    * (r17, advisor fix): (mtime, length) alone cannot distinguish a
+    * compaction repoint observed by an OUT-OF-BAND reader JVM on a
+    * filesystem with coarse mtime granularity when the lengths happen to
+    * coincide — the rewrite changes every data reference (and the `#op`
+    * tag), so the first bytes always differ. Validating the prefix costs
+    * one small read per resolution, negligible against the parse it
+    * saves on the (large) base. */
+  private val MemoPrefixBytes = 128
+
+  /** (dir, v) -> (manifest mtime, length, content prefix, resolved) —
+    * stat+prefix-validated so a replay's byte-identical rewrite (new
+    * mtime) just re-reads, and a compaction's repoint (new content) can
+    * never serve stale, even cross-JVM.
     *
     * Memory: a delta's resolved map is built with persistent-map `+`/`-`
     * on its parent's, so chain entries SHARE structure — a store's memo
     * footprint is O(one base + the retained deltas), not O(versions ×
-    * buckets); [[gc]] evicts deleted versions' entries, bounding the
-    * per-store key count to the retention window. */
-  private val manifestMemo =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (Long, Long, Resolved)]()
+    * buckets). Eviction is LRU per entry (r17, was a global clear): a
+    * hot production store's resolutions survive any number of cold
+    * per-query temp stores churning through the cache; [[gc]] still
+    * evicts deleted versions' entries eagerly. */
+  private val manifestMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        (Long, Long, Array[Byte], Resolved)](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            (Long, Long, Array[Byte], Resolved)]): Boolean =
+        size() > MemoMaxEntries
+    })
+
+  /** Whether (dir, v) currently has a live memo entry — spec
+    * observability for the LRU law; never used by the engine itself. */
+  private[streaming] def memoCached(stateDir: String, v: Long): Boolean =
+    manifestMemo.containsKey(memoKey(stateDir, v))
 
   private def memoKey(stateDir: String, v: Long) = s"$stateDir#v$v"
+
+  private def prefixOf(bytes: Array[Byte]): Array[Byte] =
+    bytes.take(MemoPrefixBytes)
 
   /** Resolve version `v`'s manifest through its delta chain; None when
     * no manifest file exists at `v`. */
@@ -276,11 +304,33 @@ object IngestIndex {
     val k = memoKey(stateDir, v)
     val hit = manifestMemo.get(k)
     if (hit != null && hit._1 == st.getModificationTime
-      && hit._2 == st.getLen) return Some(hit._3)
+      && hit._2 == st.getLen) {
+      // stat matched — confirm the content prefix before serving (an
+      // out-of-band repoint can preserve (mtime, length) on a coarse
+      // filesystem; it cannot preserve the leading bytes)
+      val want = math.min(hit._2, MemoPrefixBytes.toLong).toInt
+      val buf = new Array[Byte](want)
+      val in = fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      if (java.util.Arrays.equals(buf, hit._3)) return Some(hit._4)
+    }
     val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val raw = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { bos.write(b, 0, n); n = in.read(b) }
+      bos.toByteArray
+    } finally in.close()
+    val text = new String(raw, "UTF-8")
+    val all = text.linesIterator.filter(_.nonEmpty).toSeq
+    // `#op <tag>` (r17): commit provenance for DESCRIBE HISTORY. Old
+    // manifests carry no tag and read back as "commit"; the tag line is
+    // part of the committed bytes, so a replayed trigger (same verb)
+    // rewrites it identically.
+    val op = all.headOption.filter(_.startsWith("#op\t"))
+      .map(_.stripPrefix("#op\t")).getOrElse(DefaultOp)
+    val lines = all.filterNot(_.startsWith("#op\t"))
     val res = lines.headOption match {
       case Some(h) if h.startsWith("#delta\t") =>
         val (parent, depth) = h.split('\t') match {
@@ -313,7 +363,7 @@ object IngestIndex {
               s"torn delta-manifest line in $p: '$line'")
           }
         }
-        Resolved(m, depth, base.chain + v)
+        Resolved(m, depth, base.chain + v, op)
       case _ =>
         val m = lines.map { line =>
           line.split('\t') match {
@@ -325,19 +375,17 @@ object IngestIndex {
           }
         }.groupBy(_._1)
           .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
-        Resolved(m, 0, Set(v))
+        Resolved(m, 0, Set(v), op)
     }
-    // the memo is a cache: correctness never depends on an entry (stat
-    // validation re-reads on any change), so a crude full clear past the
-    // cap is safe — it bounds what a long session of per-query temp
-    // stores can accumulate (review finding: only gc evicted entries,
-    // so stores torn down by shutdown hooks leaked theirs for the JVM)
-    if (manifestMemo.size >= MemoMaxEntries) manifestMemo.clear()
-    manifestMemo.put(k, (st.getModificationTime, st.getLen, res))
+    manifestMemo.put(k,
+      (st.getModificationTime, st.getLen, prefixOf(raw), res))
     Some(res)
   }
 
   private val MemoMaxEntries = 4096
+
+  /** The operation tag legacy (pre-r17) manifests read back as. */
+  val DefaultOp = "commit"
 
   /** The manifest committed at version `v`; empty when none exists (the
     * batch-0 probe against an empty index). */
@@ -350,27 +398,54 @@ object IngestIndex {
       (b, e) <- bkts.toSeq.sortBy(_._1)
     } yield s"$t\t$b\t${e.ver}\t${e.gen}"
 
+  /** Strip the `#op` header for conflict-equality comparison: the
+    * provenance tag is metadata about the commit, not the commit — a
+    * replay by r17+ code of a trigger originally committed by pre-tag
+    * code must still read as byte-equivalent. */
+  private def sansOp(text: String): String =
+    text.linesIterator.filterNot(_.startsWith("#op\t")).mkString("\n")
+
+  /** STRIPED in-process commit locks: same-JVM committers racing one
+    * (store, version) fully serialize through the adjudication, so the
+    * cross-process CAS below is only ever exercised by genuinely
+    * separate writers. A fixed stripe count (vs a per-key map) bounds
+    * the footprint by construction — two distinct stores sharing a
+    * stripe merely over-serialize, never mis-serialize. */
+  private val commitLocks = Array.fill(64)(new Object)
+  private def commitLock(key: String): Object =
+    commitLocks(math.floorMod(key.hashCode, commitLocks.length))
+
   /** Commit version `v`'s manifest (deterministic content: sorted
     * lines, so a replayed trigger rewrites byte-identical bytes) — as a
     * DELTA against the latest committed manifest below `v` when the
     * chain policy allows (see the delta-manifest doc above), else as a
     * full base. `foldEvery` <= 1 forces a base every commit (the pre-r16
-    * behavior).
+    * behavior). `op` is the commit's operation tag (r17), surfaced by
+    * [[describeHistory]] — part of the committed bytes, so a replayed
+    * trigger (same verb) rewrites it identically.
     *
-    * OPTIMISTIC CONCURRENCY (r16): the write is ATOMIC (temp file +
-    * rename, so no reader or replayer ever sees a torn manifest), and an
-    * overwrite of an EXISTING version with DIFFERENT content fails
-    * loudly — the store's single-writer contract, enforced instead of
-    * assumed (Delta's version-conflict semantics: two writers racing the
-    * same version number must not silently last-write-win; the loser's
-    * data dirs would be referenced by nothing and its commit silently
-    * lost). A replayed trigger rewrites byte-identical content and
-    * passes; [[compact]]'s repoint of the top version is the one
-    * legitimate different-content rewrite and declares itself via
-    * `repoint = true`. */
+    * TRUE CAS CONCURRENCY (r17; r16 was check-then-act): the commit
+    * primitive for a NOT-YET-COMMITTED version is atomic
+    * fail-if-destination-exists — a hard link on the local scheme
+    * (link(2) returns EEXIST atomically in the kernel) and
+    * rename-without-OVERWRITE elsewhere — so two genuinely concurrent
+    * writers racing a first commit cannot both win: exactly one lands,
+    * the loser falls into the adjudication below. Same-JVM racers
+    * additionally serialize on a per-(store, version) monitor.
+    * Adjudication (the failure/overwrite path): byte-equal content
+    * (modulo the op tag) is a replay and re-commits idempotently via
+    * rename-with-OVERWRITE (refreshing the mtime, which can only EXTEND
+    * wall-clock retention); [[compact]]'s repoint declares itself via
+    * `repoint = true`; a replayed trigger overwriting a crashed
+    * compaction's repointed manifest is recognized by the repoint's
+    * all-negative-epoch signature; anything else throws — Delta's
+    * version-conflict semantics: the loser's data dirs would be
+    * referenced by nothing and its commit silently lost. */
   def writeManifest(fs: FileSystem, stateDir: String, v: Long,
       m: Manifest, foldEvery: Int = DefaultManifestFoldEvery,
-      repoint: Boolean = false): Unit = {
+      repoint: Boolean = false, op: String = DefaultOp): Unit = {
+    require(!op.contains('\n') && !op.contains('\t'),
+      s"manifest op tag must be a plain token: '$op'")
     val full = baseLines(m)
     val lines: Seq[String] =
       if (foldEvery <= 1) full
@@ -401,14 +476,19 @@ object IngestIndex {
           case _ => full
         }
       }
-    val bytes = (lines.mkString("\n") + "\n").getBytes("UTF-8")
+    val bytes = ((s"#op\t$op" +: lines).mkString("\n") + "\n")
+      .getBytes("UTF-8")
     val p = manifestPath(stateDir, v)
-    if (!repoint && fs.exists(p)) {
+
+    // loser/overwrite-path adjudication — throws on a genuine conflict,
+    // returns normally when an overwrite of the existing file is legal
+    def adjudicate(): Unit = {
+      if (repoint) return
       val in = fs.open(p)
       val existing = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString
       finally in.close()
-      if (existing != new String(bytes, "UTF-8")) {
+      if (sansOp(existing) != sansOp(new String(bytes, "UTF-8"))) {
         // one legitimate different-content overwrite exists WITHOUT the
         // repoint flag: a crash landed between compact's repoint of the
         // top manifest and the stream checkpoint commit, and the
@@ -430,30 +510,80 @@ object IngestIndex {
               "to silently overwrite the committed version")
       }
     }
-    // atomic commit: full write to a temp sibling, then RENAME WITH
-    // OVERWRITE (FileContext semantics — POSIX rename on the local fs) —
-    // a crash mid-write can never leave a torn OR missing manifest for a
-    // reader, the conflict check above, or a replayer (the review caught
-    // the delete-then-rename variant: its crash window left a committed
+
+    // atomic overwrite commit: RENAME WITH OVERWRITE (FileContext
+    // semantics — POSIX rename on the local fs). A crash mid-write can
+    // never leave a torn OR missing manifest (the r16 review caught the
+    // delete-then-rename variant: its crash window left a committed
     // version with NO manifest, which readManifest reads as an EMPTY
-    // store — silent data loss on the next commit + gc)
-    val tmp = new Path(s"$stateDir/v$v/.manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(bytes)
-    finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, fs.getConf)
-      fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case e: Exception => throw new IllegalStateException(
-        s"manifest rename failed for $p", e)
+    // store — silent data loss on the next commit + gc).
+    def renameOverwrite(tmp: Path): Unit =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, fs.getConf)
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"manifest rename failed for $p", e)
+      }
+
+    // atomic CAS commit of a first write: returns false when the
+    // destination already exists (this writer lost the race). Local
+    // scheme: link(2) — kernel-atomic fail-if-exists; elsewhere:
+    // rename-without-OVERWRITE (atomic where the store provides it,
+    // e.g. HDFS; best-effort narrow window on stores that don't).
+    def casRename(tmp: Path): Boolean =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, fs.getConf)
+        fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException
+            if scala.util.Try(fs.exists(p)).getOrElse(false) => false
+      }
+    def casCommit(tmp: Path): Boolean =
+      if (fs.getScheme == "file") {
+        val src = java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath)
+        val dst = java.nio.file.Paths.get(
+          fs.makeQualified(p).toUri.getPath)
+        try { java.nio.file.Files.createLink(dst, src); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // a local mount without hard-link support degrades to the
+          // rename-without-OVERWRITE primitive (still fail-if-exists,
+          // just not kernel-CAS) rather than failing the commit
+          case _: UnsupportedOperationException => casRename(tmp)
+          case _: java.nio.file.FileSystemException => casRename(tmp)
+        }
+      } else casRename(tmp)
+
+    commitLock(memoKey(stateDir, v)).synchronized {
+      // unique temp sibling per attempt: two racing writers must never
+      // clobber each other's staging bytes before the CAS decides
+      val tmp = new Path(s"$stateDir/v$v/.manifest.tmp." +
+        s"${Thread.currentThread().getId}.${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes)
+      finally out.close()
+      try {
+        if (fs.exists(p)) { adjudicate(); renameOverwrite(tmp) }
+        else if (!casCommit(tmp)) {
+          // lost a cross-process race: the rival's commit is now the
+          // committed content — adjudicate against it (replay passes
+          // and re-commits idempotently; divergence throws)
+          adjudicate(); renameOverwrite(tmp)
+        }
+      } finally fs.delete(tmp, false)
+      // refresh the memo under the new file stat so the next trigger's
+      // read is a cache hit (steady-state read IO O(delta))
+      manifestMemo.remove(memoKey(stateDir, v))
+      resolveManifest(fs, stateDir, v)
     }
-    // refresh the memo under the new file stat so the next trigger's
-    // read is a cache hit (steady-state read IO O(delta))
-    manifestMemo.remove(memoKey(stateDir, v))
-    resolveManifest(fs, stateDir, v)
     ()
   }
 
@@ -724,8 +854,84 @@ object IngestIndex {
     val dvKeys = readTable(spark, stateDir, m, dvTable(table), None,
       spark.emptyDataFrame).drop("bkt").select(keyCols.map(col): _*)
     val cleaned = mergeCommit(spark, stateDir, m, table, next, dvKeys,
-      (cur, d) => cur.join(d, keyCols, "left_anti"))
+      (cur, d) => cur.join(d, keyCols, "left_anti"), composeDv = true)
     m - dvTable(table) + (table -> cleaned)
+  }
+
+  /** DV-COMPOSED MERGE (r17, advisor fix): [[mergeCommit]] semantics on
+    * a table that may carry a LIVE deletion vector. Two obligations the
+    * raw merge cannot meet:
+    *   1. the combine must see the POST-DELETE slice (a tombstoned row
+    *      must not feed the merge arithmetic or be resurrected into the
+    *      rewritten bucket), so `cur` is read through the vector — the
+    *      same broadcast anti-join every read verb applies;
+    *   2. tombstones whose keys fall in the REWRITTEN buckets are now
+    *      stale (the hidden rows are physically gone; a NOT-MATCHED
+    *      re-insert of such a key is a legitimately NEW row Delta's
+    *      file-scoped DVs would never hide) — they are dropped from the
+    *      DV side table under the same version, O(stale tombstones) IO.
+    * Tombstones in UNTOUCHED buckets stay: their rows are still
+    * physically present. Returns the FULL updated manifest (base entry
+    * plus the updated-or-dropped DV entry). A table with no live vector
+    * degrades to exactly [[mergeCommit]] (zero extra jobs). */
+  def mergeCommitDv(spark: SparkSession, stateDir: String, m: Manifest,
+      table: String, next: Long, delta: DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame,
+      planName: Option[String] = None,
+      touchedKnown: Option[Set[Int]] = None): Manifest = {
+    val dvLive = m.get(dvTable(table)).exists(_.exists(_._2.ver != EmptyVer))
+    if (!dvLive)
+      return m + (table -> mergeCommit(spark, stateDir, m, table, next,
+        delta, combine, planName, touchedKnown))
+    val keyCols = keyColsFor(table)
+    val n = numBuckets(spark)
+    val gens = gensOf(m, table)
+    // the batch's touched buckets, computed once and shared by the base
+    // commit and the stale-tombstone detection (same assignment law)
+    val touched = touchedKnown.getOrElse(
+      assignBucket(delta, table, n, gens)
+        .select("bkt").distinct().collect().map(_.getInt(0)).toSet)
+    // the DV wrapper hides the combine's class from mergeCommit's
+    // BY-SOURCE guard — re-assert the full-target pairing here, same law
+    combine match {
+      case mi: graft.operators.MergeInto if mi.requiresFullTarget =>
+        val liveData = m.getOrElse(table, Map.empty[Int, Bkt])
+          .collect { case (b, e) if e.ver != EmptyVer => b }.toSet
+        require(liveData.subsetOf(touched),
+          s"MERGE INTO '$table' has NOT MATCHED BY SOURCE clauses and " +
+            "must see every live target row: commit it with a " +
+            "full-target touched set — unseen buckets: " +
+            s"${(liveData -- touched).toSeq.sorted.take(8).mkString(",")}")
+      case _ => ()
+    }
+    // an empty batch rewrites nothing — no slice read, no tombstone to
+    // invalidate, the manifest is unchanged (checked AFTER the BY-SOURCE
+    // guard: an empty-source full-sync merge must still name its error)
+    if (touched.isEmpty) return m
+    val dvAll = readTable(spark, stateDir, m, dvTable(table), None,
+      spark.emptyDataFrame).drop("bkt")
+    val dvB = graft.BroadcastBounds.bounded("merge-dv-slice")(dvAll)
+    val composed: (DataFrame, DataFrame) => DataFrame =
+      (cur, d) => combine(cur.join(dvB, keyCols, "left_anti"), d)
+    val baseMap = mergeCommit(spark, stateDir, m, table, next, delta,
+      composed, planName, Some(touched), composeDv = true)
+    // tombstones covering REWRITTEN base buckets are stale — assignment
+    // under the PRE-SPLIT base topology, the space `touched` lives in
+    // (keys of split children map to the parent id there)
+    val stale = assignBucket(dvAll, table, n, gens)
+      .filter(col("bkt").isInCollection(touched.toSeq))
+      .drop("bkt").select(keyCols.map(col): _*)
+    val nm = m + (table -> baseMap)
+    if (stale.isEmpty) nm
+    else {
+      val dvMap = mergeCommit(spark, stateDir, nm, dvTable(table), next,
+        stale, (cur, d) => cur.join(d, keyCols, "left_anti"))
+      // a fully-emptied vector drops its manifest entry; all-sentinel
+      // (gen>0 live-but-empty) maps stay for split-tree closure — every
+      // read verb already skips sentinel entries
+      if (dvMap.isEmpty) nm - dvTable(table)
+      else nm + (dvTable(table) -> dvMap)
+    }
   }
 
   /** RESTORE (r16, q134) — Delta's `RESTORE TABLE ... VERSION AS OF`: roll
@@ -756,22 +962,24 @@ object IngestIndex {
       s"cannot RESTORE to v$v: it references GC'd data versions " +
         s"${missing.toSeq.sorted.mkString(",")} — retention was lowered " +
         "after the snapshot committed")
-    writeManifest(fs, stateDir, next, r.m)
+    writeManifest(fs, stateDir, next, r.m, op = s"restore(v$v)")
     r.m
   }
 
-  /** One DESCRIBE HISTORY row: a committed version, its manifest's
-    * delta depth (0 = full base), table count, live data-bearing bucket
-    * count, and the manifest file's mtime (the wall-clock retention
-    * input). */
-  case class HistoryRow(version: Long, deltaDepth: Int, tables: Int,
-      liveBuckets: Int, manifestMtime: Long)
+  /** One DESCRIBE HISTORY row: a committed version, its OPERATION tag
+    * (r17 — what the commit was: merge / delete-dv / restore / compact /
+    * ...; pre-r17 manifests read "commit"), its manifest's delta depth
+    * (0 = full base), table count, live data-bearing bucket count, and
+    * the manifest file's mtime (the wall-clock retention input). */
+  case class HistoryRow(version: Long, operation: String, deltaDepth: Int,
+      tables: Int, liveBuckets: Int, manifestMtime: Long)
 
-  /** DESCRIBE HISTORY (r16): every committed (still-retained) version of
-    * the store, newest first — the Delta ops surface for "what happened
-    * to this table". Metadata-only: one memoized manifest resolution per
-    * version, zero data IO; at a production store the cost is the
-    * retained-version count, not the data. */
+  /** DESCRIBE HISTORY (r16; operation provenance r17): every committed
+    * (still-retained) version of the store, newest first — the Delta ops
+    * surface for "what happened to this table", now naming the operation
+    * like Delta's history does. Metadata-only: one memoized manifest
+    * resolution per version, zero data IO; at a production store the
+    * cost is the retained-version count, not the data. */
   def describeHistory(fs: FileSystem, stateDir: String): Seq[HistoryRow] = {
     val root = new Path(stateDir)
     if (!fs.exists(root)) return Nil
@@ -779,7 +987,7 @@ object IngestIndex {
       .filter(_.matches("v-?\\d+")).map(_.drop(1).toLong).sorted.reverse
       .flatMap { v =>
         resolveManifest(fs, stateDir, v).map { r =>
-          HistoryRow(v, r.depth, r.m.size,
+          HistoryRow(v, r.op, r.depth, r.m.size,
             r.m.values.map(_.count(_._2.ver != EmptyVer)).sum,
             fs.getFileStatus(manifestPath(stateDir, v)).getModificationTime)
         }
@@ -811,7 +1019,21 @@ object IngestIndex {
       table: String, next: Long, delta: DataFrame,
       combine: (DataFrame, DataFrame) => DataFrame,
       planName: Option[String] = None,
-      touchedKnown: Option[Set[Int]] = None): Map[Int, Bkt] = {
+      touchedKnown: Option[Set[Int]] = None,
+      composeDv: Boolean = false): Map[Int, Bkt] = {
+    // LIVE-DV GUARD (r17, advisor fix): a merge that reads its slice RAW
+    // while a deletion vector is live would (a) resurrect tombstoned
+    // rows into the rewritten buckets and (b) leave the key-scoped DV
+    // suppressing legitimately re-inserted keys — unlike Delta, whose
+    // file-scoped DVs never hide newly written files. The composing
+    // entry point is [[mergeCommitDv]] (which reads through the vector
+    // and invalidates tombstones for rewritten buckets);
+    // [[materializeDeletes]] is the one caller that composes by hand.
+    require(composeDv || table.endsWith(DvSuffix) ||
+      !m.get(dvTable(table)).exists(_.exists(_._2.ver != EmptyVer)),
+      s"mergeCommit on '$table' with a LIVE deletion vector: the raw " +
+        "slice read would resurrect tombstoned rows — commit through " +
+        "mergeCommitDv (DV-composed merge) or materializeDeletes first")
     val n = numBuckets(spark)
     val gens = gensOf(m, table)
     val entries = m.getOrElse(table, Map.empty[Int, Bkt])
@@ -894,6 +1116,129 @@ object IngestIndex {
     }
   }
 
+  /** INCREMENTAL STATS MANIFEST (r17, carried r15 stretch #8): per-bucket
+    * (min, max, count) statistics maintained COMMIT BY COMMIT on the live
+    * streaming store — the Delta add-file-stats idea on the bucketed
+    * layout, where q118/q124's file manifest had to be rebuilt by a full
+    * OPTIMIZE pass. After a [[mergeCommit]] writes its touched buckets
+    * under `v(next)`, [[writeBucketStats]] records one stats row per
+    * WRITTEN bucket (min/max of each stats column + row count) as
+    * `v(next)/<table>.stats` — stats IO is O(touched buckets' data),
+    * which the commit just paid anyway, never O(store). A reader
+    * assembles the LIVE stats view exactly like the data itself: each
+    * live bucket's stats row comes from the version dir its manifest
+    * entry points at ([[bucketStats]]); [[metadataCount]] then answers
+    * COUNT(*)-under-predicate queries from stats alone for buckets whose
+    * ranges prove containment, scanning only straddling buckets.
+    *
+    * Hash-layout honesty: buckets are KEY-HASH partitions, so per-bucket
+    * min/max of a payload column spans most of the global range — range
+    * predicates prune buckets only when genuinely selective thresholds
+    * clear a bucket's max (and the FULL-range count is always
+    * metadata-only, Delta's numRecords fast path). Range-heavy workloads
+    * cluster with q107/q118's z-order layout instead; this surface is
+    * the LIVE-store complement, not a replacement. */
+
+  /** Record per-bucket stats of `table`'s buckets written under
+    * `v(next)`: one row per bucket dir with `<c>__min`/`<c>__max` per
+    * stats column plus `cnt`. No-op when the version wrote no buckets.
+    * Deterministic content at deterministic paths — replay-safe like
+    * the data write it describes. */
+  def writeBucketStats(spark: SparkSession, stateDir: String,
+      table: String, next: Long, statsCols: Seq[String]): Unit = {
+    val path = s"$stateDir/v$next/$table"
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))) :+
+      count(lit(1)).as("cnt")
+    spark.read.parquet(path)
+      .groupBy(col("bkt"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/v$next/$table.stats")
+  }
+
+  /** The LIVE stats view of `table` through manifest `m`: one row per
+    * live data-bearing bucket, sourced from the version its manifest
+    * entry references (the same resolution law as [[readTable]]). None
+    * when no live bucket carries stats (a store that never recorded
+    * them). Buckets whose version predates stats recording are absent —
+    * callers treat absence as "must scan". */
+  def bucketStats(spark: SparkSession, stateDir: String, m: Manifest,
+      table: String): Option[DataFrame] = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = m.getOrElse(table, Map.empty[Int, Bkt])
+      .filter(_._2.ver != EmptyVer)
+    val byVer = live.groupBy(_._2.ver).toSeq.sortBy(_._1)
+      .filter { case (ver, _) =>
+        fs.exists(new Path(s"$stateDir/v$ver/$table.stats")) }
+    if (byVer.isEmpty) None
+    else Some(byVer.map { case (ver, bkts) =>
+      spark.read.parquet(s"$stateDir/v$ver/$table.stats")
+        .filter(col("bkt").isin(bkts.keys.toSeq: _*))
+    }.reduce(_.unionByName(_)))
+  }
+
+  /** METADATA-ONLY COUNT on the live store (r17, q124b): COUNT(*) under
+    * closed-open interval predicates `boxes` (col -> [lo, hi) in double
+    * space), answered from [[bucketStats]] for every bucket whose stats
+    * prove FULL containment, scanning only straddling buckets (with the
+    * exact residual filter). Returns (count, bucketsMetaCounted,
+    * bucketsScanned, bucketsTotal). Buckets without stats rows scan. */
+  def metadataCount(spark: SparkSession, stateDir: String, m: Manifest,
+      table: String, boxes: Seq[(String, Double, Double)])
+      : (Long, Long, Long, Long) = {
+    val live = m.getOrElse(table, Map.empty[Int, Bkt])
+      .filter(_._2.ver != EmptyVer)
+    val stats = bucketStats(spark, stateDir, m, table)
+    val rows = stats.map { st =>
+      val inter = boxes.map { case (c, lo, hi) =>
+        col(s"${c}__max").cast(org.apache.spark.sql.types.DoubleType) >= lo &&
+          col(s"${c}__min").cast(org.apache.spark.sql.types.DoubleType) < hi
+      }.reduce(_ && _)
+      val full = boxes.map { case (c, lo, hi) =>
+        col(s"${c}__min").cast(org.apache.spark.sql.types.DoubleType) >= lo &&
+          col(s"${c}__max").cast(org.apache.spark.sql.types.DoubleType) < hi
+      }.reduce(_ && _)
+      st.filter(inter)
+        .select(col("bkt"), col("cnt"), full.as("full")).collect()
+    }.getOrElse(Array.empty)
+    val metaCnt = rows.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+    val metaBkts = rows.count(_.getBoolean(2)).toLong
+    // scan: straddling buckets + any live bucket with no stats row that
+    // might intersect (no stats row after the inter-filter means either
+    // pruned or stat-less — stat-less buckets are those absent from the
+    // FULL stats view, conservatively scanned)
+    val statAll = stats.map(_.select("bkt").collect()
+      .map(_.getInt(0)).toSet).getOrElse(Set.empty)
+    val scanBkts = rows.filterNot(_.getBoolean(2)).map(_.getInt(0)).toSet ++
+      (live.keySet -- statAll)
+    val scanned =
+      if (scanBkts.isEmpty) 0L
+      else {
+        val df = readTable(spark, stateDir, m, table, Some(scanBkts),
+          spark.emptyDataFrame)
+        df.filter(boxes.map { case (c, lo, hi) =>
+          import org.apache.spark.sql.types._
+          val exact = col(c).cast(DoubleType) >= lo &&
+            col(c).cast(DoubleType) < hi
+          df.schema(c).dataType match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              // widened raw-typed superset guard so the scan still skips
+              // row groups (the CAST hides the attribute from stats)
+              col(c) >= lit(math.floor(lo).toLong) &&
+                col(c) < lit(math.ceil(hi).toLong) && exact
+            case _ => exact
+          }
+        }.reduce(_ && _)).count()
+      }
+    (metaCnt + scanned, metaBkts, scanBkts.size.toLong,
+      live.size.toLong)
+  }
+
   /** Fold the version tail: rewrite EVERY live bucket of every table
     * into one consolidated COMPACTION EPOCH, repoint the manifest AT THE
     * CURRENT TOP VERSION at it, and GC the now-unreferenced tail. Safe
@@ -948,7 +1293,7 @@ object IngestIndex {
     }
     // repoint = the one legitimate different-content rewrite of a
     // committed version (see writeManifest's concurrency contract)
-    writeManifest(fs, stateDir, top, nm, repoint = true)
+    writeManifest(fs, stateDir, top, nm, repoint = true, op = "compact")
     // prev = top - 1: the PREVIOUS manifest's references (and dir) are
     // the crash-replay fallback for the batch that committed v(top) —
     // deleting them here would strand a resume whose checkpoint commit

@@ -458,6 +458,58 @@ object DumpPlans {
         |one-file metadata write at any store size). The damaged v3
         |stays readable inside retention — RESTORE is a new commit, not
         |history rewriting.""".stripMargin,
+    "q135_merge_sql_entry" ->
+      """The read-back after the SQL `MERGE INTO` statement (r17): the
+        |plan is IDENTICAL to q127's — the SQL layer is Spark's own
+        |parser producing MergeIntoTable, a resolution rule routing it
+        |to the SAME MergeInto combine over the SAME store commit
+        |(mergeCommitDv), nothing data-sized added. That identity is the
+        |design claim: the statement every lakehouse user types costs
+        |exactly what the DataFrame verb costs — one full-outer equi-
+        |join over the touched buckets plus a codegen'd clause
+        |projection.""".stripMargin,
+    "q132b_interleaved_upsert_erasure" ->
+      """The read-back after SIX alternating verbs on one store (merge,
+        |merge, DV-delete, merge, DV-delete, merge): a plain bkt-pruned
+        |manifest union — no anti-join, because the final merge's
+        |mergeCommitDv invalidated every tombstone whose bucket it
+        |rewrote (the rows are physically gone or legitimately
+        |re-inserted). Mid-history the interesting shapes ran: each
+        |DV-delete wrote O(requests) tombstone keys and ZERO base
+        |buckets; each following merge read its slice THROUGH the
+        |vector (one broadcast anti-join of the tiny DV) and dropped
+        |the now-stale tombstones under the same version. The oracle's
+        |per-user cutoff algebra proves no resurrection and no
+        |suppression survived the interleaving.""".stripMargin,
+    "q124b_metadata_count_live_store" ->
+      """Three box counts over the LIVE streaming store answered from
+        |per-bucket stats maintained commit-by-commit: the full-range
+        |box sums manifest stats rows — ZERO data buckets scanned, the
+        |Delta numRecords fast path with no OPTIMIZE pass; the range
+        |boxes scan only straddling buckets with the exact residual
+        |filter plus a widened raw-typed guard (so parquet row-group
+        |stats still prune inside the scanned buckets). Stats IO per
+        |commit is O(touched buckets) — IngestIndexSpec pins a one-user
+        |commit writing ONE stats row.""".stripMargin,
+    "q107b_hilbert_layout" ->
+      """Same three-sieve read as q107 (manifest file pruning, then
+        |parquet row-group stats, then the exact filter) over the
+        |HILBERT-clustered copy: one functions.aggregate fold computes
+        |the index (pure Column arithmetic, O(levels) expression size),
+        |one range shuffle + in-partition sort writes it. Consecutive
+        |Hilbert cells are grid-adjacent — no Morton quadrant cliffs —
+        |so every file's (user_id, value) envelope is one connected
+        |blob; ZOrderSpec measures the skip side by side with
+        |Morton.""".stripMargin,
+    "q114d_vector_index_dv_delete" ->
+      """The q48-shaped probe after a DELETION-VECTOR delete on the
+        |vector index: the index read anti-joins the tiny vec__dv side
+        |table (AQE broadcasts it) before the cell join — the delete
+        |wrote O(tombstones) and rewrote ZERO index buckets
+        |(VectorIngestSpec pins the version dir holds only the side
+        |table), where q114c's eager path rewrites every bucket a
+        |tombstone hashes into. dv == eager row for row; materialize
+        |amortizes later.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution

@@ -1,0 +1,22 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal `private[sql]` bridge for graft's SQL entry points (the same
+  * pattern as [[org.apache.spark.sql.execution.GraftWrite]]): the public
+  * Column API wraps expressions in ColumnNodes since Spark 4, and the
+  * converters live behind `private[sql]` — re-exported here instead of
+  * copied.
+  */
+object GraftSqlBridge {
+
+  /** A [[Column]] over a raw Catalyst expression (the Spark-4 spelling
+    * of the old `new Column(expr)`). */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** A DataFrame over a logical plan — analysis (and for commands,
+    * execution) happens at construction, exactly like `spark.sql`. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

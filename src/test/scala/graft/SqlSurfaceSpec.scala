@@ -108,4 +108,198 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(out.keys.toSeq.sorted == (0 until out.size),
       "depths must be contiguous from 0")
   }
+
+  // ---- SQL MERGE INTO (r17): the statement reaches the store ----
+
+  /** Stage a fresh store with `target` committed at v1; returns its dir. */
+  private def stageStore(target: org.apache.spark.sql.DataFrame): String = {
+    val spark = TestSpark.spark
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-sqlmerge").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = graft.streaming.IngestIndex.mergeCommit(spark, state,
+      Map.empty, "state", 1L, target, (_, d) => d)
+    graft.streaming.IngestIndex.writeManifest(fs, state, 1L,
+      Map("state" -> m1))
+    state
+  }
+
+  private def stateRows(state: String): Seq[(Long, Long, BigDecimal)] = {
+    val spark = TestSpark.spark
+    graft.streaming.IngestIndex.currentTable(spark, state, "state")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2)))).toSeq.sortBy(_._1)
+  }
+
+  test("spark.sql MERGE INTO == the DataFrame MergeInto on q127's " +
+    "three-clause shape (delete / update / insert), via the injected " +
+    "resolution rule") {
+    val spark = TestSpark.spark
+    val (target, source) = graft.queries.MergeOps.q127Inputs(spark, dir)
+    // DataFrame path
+    val dfState = stageStore(target)
+    val fs = new org.apache.hadoop.fs.Path(dfState)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = graft.streaming.IngestIndex.readManifest(fs, dfState, 1L)
+    val m2 = graft.streaming.IngestIndex.mergeCommit(spark, dfState, m1,
+      "state", 2L, source, graft.queries.MergeOps.q127Merge)
+    graft.streaming.IngestIndex.writeManifest(fs, dfState, 2L,
+      Map("state" -> m2))
+    // SQL path — the genuine spark.sql entry on the extensions session
+    val sqlState = stageStore(target)
+    graft.operators.GraftSql.registerTable("merge_sql_q127", sqlState,
+      "state")
+    source.createOrReplaceTempView("src127")
+    val out = spark.sql(
+      """MERGE INTO merge_sql_q127 AS t USING src127 AS s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED AND s.n_events > t.n_events THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET
+        |  n_events = t.n_events + s.n_events,
+        |  sum_value = CAST(t.sum_value + s.sum_value AS DECIMAL(18,4))
+        |WHEN NOT MATCHED THEN INSERT (user_id, n_events, sum_value)
+        |  VALUES (s.user_id, s.n_events, s.sum_value)
+        |""".stripMargin).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L),
+      "MERGE returns the committed version")
+    assert(stateRows(sqlState) === stateRows(dfState),
+      "SQL MERGE and DataFrame MergeInto disagree on q127")
+    // the commit is tagged in DESCRIBE HISTORY
+    val sfs = new org.apache.hadoop.fs.Path(sqlState)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.streaming.IngestIndex.describeHistory(sfs, sqlState)
+      .find(_.version == 2L).map(_.operation) === Some("merge-sql"))
+    graft.operators.GraftSql.unregisterTable("merge_sql_q127")
+  }
+
+  test("spark.sql MERGE INTO: q131's ordered clause lists round-trip " +
+    "through Spark's parser — first-match-wins order preserved") {
+    val spark = TestSpark.spark
+    val (target, source) = graft.queries.MergeOps.q131Inputs(spark, dir)
+    val dfState = stageStore(target)
+    val fs = new org.apache.hadoop.fs.Path(dfState)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = graft.streaming.IngestIndex.readManifest(fs, dfState, 1L)
+    val m2 = graft.streaming.IngestIndex.mergeCommit(spark, dfState, m1,
+      "state", 2L, source, graft.queries.MergeOps.q131Merge)
+    graft.streaming.IngestIndex.writeManifest(fs, dfState, 2L,
+      Map("state" -> m2))
+    val sqlState = stageStore(target)
+    graft.operators.GraftSql.registerTable("merge_sql_q131", sqlState,
+      "state")
+    source.createOrReplaceTempView("src131")
+    spark.sql(
+      """MERGE INTO merge_sql_q131 AS t USING src131 AS s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED AND s.sum_value > t.sum_value THEN UPDATE SET
+        |  n_events = s.n_events, sum_value = s.sum_value
+        |WHEN MATCHED AND s.n_events < t.n_events - 4 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET
+        |  n_events = t.n_events + s.n_events,
+        |  sum_value = CAST(t.sum_value + s.sum_value AS DECIMAL(18,4))
+        |WHEN NOT MATCHED AND s.user_id % 2 = 0 THEN INSERT *
+        |WHEN NOT MATCHED THEN INSERT (user_id, n_events, sum_value)
+        |  VALUES (s.user_id, s.n_events, CAST(0 AS DECIMAL(18,4)))
+        |""".stripMargin).collect()
+    assert(stateRows(sqlState) === stateRows(dfState),
+      "SQL MERGE and DataFrame MergeInto disagree on q131's six arms")
+    graft.operators.GraftSql.unregisterTable("merge_sql_q131")
+  }
+
+  test("spark.sql MERGE INTO: WHEN NOT MATCHED BY SOURCE (q127b's " +
+    "full-sync shape) — the full-target pairing is made automatically") {
+    val spark = TestSpark.spark
+    val (target, source) = graft.queries.MergeOps.q127bInputs(spark, dir)
+    val dfState = stageStore(target)
+    val fs = new org.apache.hadoop.fs.Path(dfState)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = graft.streaming.IngestIndex.readManifest(fs, dfState, 1L)
+    graft.queries.MergeOps.commitFullSync(spark, dfState, m1, 2L, source,
+      graft.queries.MergeOps.q127bMerge)
+    val sqlState = stageStore(target)
+    graft.operators.GraftSql.registerTable("merge_sql_q127b", sqlState,
+      "state")
+    source.createOrReplaceTempView("src127b")
+    spark.sql(
+      s"""MERGE INTO merge_sql_q127b AS t USING src127b AS s
+         |ON t.user_id = s.user_id
+         |WHEN MATCHED THEN UPDATE SET
+         |  n_events = s.n_events, sum_value = s.sum_value
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND
+         |  t.n_events < ${graft.queries.MergeOps.SyncStaleFloor}
+         |  THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+         |  sum_value = CAST(0 AS DECIMAL(18,4))
+         |""".stripMargin).collect()
+    assert(stateRows(sqlState) === stateRows(dfState),
+      "SQL MERGE and DataFrame MergeInto disagree on q127b full-sync")
+    graft.operators.GraftSql.unregisterTable("merge_sql_q127b")
+  }
+
+  test("SQL MERGE INTO guard rails: unregistered target fails as an " +
+    "unresolved table; a non-key ON condition and unqualified columns " +
+    "fail with named errors; GraftSql.sql works without extensions") {
+    val spark = TestSpark.spark
+    val (target, source) = graft.queries.MergeOps.q127Inputs(spark, dir)
+    source.createOrReplaceTempView("src_rails")
+    // unregistered target: our rule stays silent, Spark reports the
+    // missing table
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """MERGE INTO not_a_graft_table AS t USING src_rails AS s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    val state = stageStore(target)
+    graft.operators.GraftSql.registerTable("merge_sql_rails", state,
+      "state")
+    // non-key ON condition
+    val e1 = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO merge_sql_rails AS t USING src_rails AS s
+          |ON t.n_events = s.n_events
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("key equi-join"), e1.getMessage)
+    // unqualified payload reference
+    val e2 = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO merge_sql_rails AS t USING src_rails AS s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED AND n_events > 3 THEN DELETE""".stripMargin)
+        .collect()
+    }
+    assert(e2.getMessage.contains("qualify every non-key column"),
+      e2.getMessage)
+    // BY SOURCE clauses cannot reference the source
+    val e3 = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO merge_sql_rails AS t USING src_rails AS s
+          |ON t.user_id = s.user_id
+          |WHEN NOT MATCHED BY SOURCE AND s.n_events > 3 THEN DELETE
+          |""".stripMargin).collect()
+    }
+    assert(e3.getMessage.contains("cannot reference the source"),
+      e3.getMessage)
+    // the extension-free twin: GraftSql.sql parses with the same parser
+    // and runs the same translation — a subset DELETE merge applies
+    val sub = source.filter(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lit(3)) === 0)
+    sub.createOrReplaceTempView("src_rails_sub")
+    val before = stateRows(state).size
+    graft.operators.GraftSql.sql(spark,
+      """MERGE INTO merge_sql_rails AS t USING src_rails_sub AS s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val after = stateRows(state)
+    assert(after.size < before && after.nonEmpty,
+      "matched keys deleted, unmatched target rows kept")
+    assert(after.map(_._1).toSet.intersect(
+      sub.select("user_id").collect().map(_.getLong(0)).toSet).isEmpty)
+    graft.operators.GraftSql.unregisterTable("merge_sql_rails")
+  }
 }

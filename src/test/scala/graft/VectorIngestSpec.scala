@@ -156,4 +156,52 @@ class VectorIngestSpec extends AnyFunSuite {
         s"index under $k-slice replay diverged from the two-phase build")
     }
   }
+
+  test("q114d DV-delete law (r17): dv-delete == eager delete read for " +
+    "read; the DV commit writes NO index bucket (O(tombstones) IO); " +
+    "materialize converges to the eager state and clears the vector") {
+    val sp = spark
+    graft.functions.GraftFunctions.register(sp)
+    // eager-path reference state (q114c's rig)
+    VectorIngest.deleteProbe(sp, dir).collect()
+    val eagerState = graft.queries.Layout.stagePath(sp, "vecdel", dir)
+    def rows(st: String): Set[Seq[Any]] =
+      IngestIndex.currentTable(sp, st, "vec")
+        .select("vec_id", "cid", "rn").collect().map(_.toSeq).toSet
+    val eager = rows(eagerState)
+    // DV path on its own store
+    VectorIngest.dvDeleteProbe(sp, dir).collect()
+    val dvState = graft.queries.Layout.stagePath(sp, "vecdvdel", dir)
+    assert(rows(dvState) == eager,
+      "DV-composed read diverged from the eager delete")
+    // IO claim: the DV commit's version dir holds ONLY the vec__dv side
+    // table — zero base buckets rewritten
+    val fs = new org.apache.hadoop.fs.Path(dvState)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val top = IngestIndex.latestVersion(fs, dvState).get
+    val children = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dvState/v$top"))
+      .map(_.getPath.getName).filter(!_.startsWith(".")).toSet
+    assert(children == Set("manifest", "vec__dv"),
+      s"the DV commit's version dir must hold only the side table: " +
+        s"$children")
+    // probe plans still read through the manifest (no full-store union
+    // of dead versions): the read-with-dv == eager equality above plus
+    // the side-table-only dir IS the cost contract; finish the
+    // lifecycle — materialize rewrites only tombstoned buckets and
+    // drops the vector
+    val m = IngestIndex.readManifest(fs, dvState, top)
+    val nm = IngestIndex.materializeDeletes(sp, dvState, m, "vec",
+      top + 1, Seq("vec_id"))
+    IngestIndex.writeManifest(fs, dvState, top + 1, nm,
+      op = "materialize")
+    assert(!nm.contains(IngestIndex.dvTable("vec")),
+      "materialize must clear the vector from the manifest")
+    assert(rows(dvState) == eager,
+      "post-materialize state diverged from the eager delete")
+    // DESCRIBE HISTORY provenance reads the verbs back
+    val ops = IngestIndex.describeHistory(fs, dvState)
+      .map(h => h.version -> h.operation).toMap
+    assert(ops(top) == "delete-dv" && ops(top + 1) == "materialize", ops)
+  }
 }

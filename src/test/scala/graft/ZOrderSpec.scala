@@ -165,4 +165,121 @@ class ZOrderSpec extends AnyFunSuite {
         s"z-order scan should read under half the table: $zRead of $total")
     }
   }
+
+  // ---- Hilbert curve (r17, q107b) ----
+
+  /** Plain-Scala xy2d reference (16-bit grid): mask per level, step
+    * count, reflect-in-full-grid + transpose — the algorithm
+    * ZOrder.hilbert16 expresses as one aggregate() fold. */
+  private def hilbertRef(x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 32768L
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 65535L - x; y = 65535L - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Reference inverse (d2xy): rotate with the LEVEL size, then offset —
+    * the Wikipedia pairing of hilbertRef. */
+  private def hilbertInv(d0: Long): (Long, Long) = {
+    var (x, y, t) = (0L, 0L, d0)
+    var s = 1L
+    while (s < 65536L) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
+  test("hilbert16 matches the plain-Scala reference; the reference is a " +
+    "bijection with GRID-ADJACENT consecutive indices (the locality " +
+    "property Morton lacks)") {
+    val rnd = new scala.util.Random(43)
+    // reference self-consistency: inverse roundtrip (bijection) and
+    // adjacency |dx|+|dy| == 1 for consecutive d — the Hilbert law
+    (1 to 2000).foreach { _ =>
+      val d = math.abs(rnd.nextLong()) % (65536L * 65536L - 1)
+      val (x, y) = hilbertInv(d)
+      assert(hilbertRef(x, y) == d, s"roundtrip broke at d=$d")
+      val (x2, y2) = hilbertInv(d + 1)
+      assert(math.abs(x2 - x) + math.abs(y2 - y) == 1,
+        s"consecutive indices not grid-adjacent at d=$d: " +
+          s"($x,$y) -> ($x2,$y2)")
+    }
+    // the Column implementation == the reference
+    val pts = Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L),
+      (1L, 2L)) ++ (1 to 200).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val sp = spark
+    import sp.implicits._
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.hilbert16(col("x"), col("y")).as("hv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == hilbertRef(x, y),
+        s"hilbert16($x, $y): ${got((x, y))} != ${hilbertRef(x, y)}")
+    }
+    // NULL propagation (the norm16 contract carries through)
+    val nul = Seq((Some(1L), Option.empty[Long]))
+      .toDF("x", "y")
+      .select(ZOrder.hilbert16(col("x"), col("y")).as("hv"))
+      .collect().head
+    assert(nul.isNullAt(0), "NULL coordinate must yield NULL index")
+  }
+
+  test("measured skip, Hilbert vs Morton: both curves prune most files " +
+    "for the q107 box; layout invariance holds for both") {
+    withTempDir { tmp =>
+      val (ev, ur, vr) = Layout.eventRanges(spark, dir)
+      Layout.curveWrite(ev, col("user_id"), col("value"), ur, vr,
+        s"$tmp/morton", hilbert = false)
+      Layout.curveWrite(ev, col("user_id"), col("value"), ur, vr,
+        s"$tmp/hilbert", hilbert = true)
+      Layout.writeManifest(spark, s"$tmp/morton")
+      Layout.writeManifest(spark, s"$tmp/hilbert")
+      val (mKeep, mTotal) =
+        Layout.manifestPrunedFiles(spark, s"$tmp/morton", ur, vr)
+      val (hKeep, hTotal) =
+        Layout.manifestPrunedFiles(spark, s"$tmp/hilbert", ur, vr)
+      info(s"q107 box file skip — morton keeps ${mKeep.size}/$mTotal, " +
+        s"hilbert keeps ${hKeep.size}/$hTotal")
+      // both curves must genuinely skip (the box covers 1/64 of the 2-D
+      // space; a curve that keeps over half the files is not clustering)
+      assert(hKeep.size * 2 <= hTotal,
+        s"hilbert pruned too little: kept ${hKeep.size} of $hTotal")
+      assert(mKeep.size * 2 <= mTotal,
+        s"morton pruned too little: kept ${mKeep.size} of $mTotal")
+      // hilbert has no quadrant cliffs: it must be at least as tight as
+      // morton up to one file of slack on this box
+      assert(hKeep.size <= mKeep.size + 1,
+        s"hilbert (${hKeep.size}) much looser than morton " +
+          s"(${mKeep.size}) — check the curve arithmetic")
+      // layout invariance: identical box results from both layouts
+      val mRows = Layout.boxFilter(
+        spark.read.parquet(s"$tmp/morton"), ur, vr)
+        .drop("zv").collect().map(_.toSeq).toSet
+      val hRows = Layout.boxFilter(
+        spark.read.parquet(s"$tmp/hilbert"), ur, vr)
+        .drop("zv").collect().map(_.toSeq).toSet
+      assert(mRows == hRows, "the two layouts disagree on box contents")
+    }
+  }
 }

@@ -151,4 +151,74 @@ class ErasureStreamSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q132b interleaving law (r17): alternating merge and DV-delete " +
+    "verbs on ONE store — every intermediate version time-travels to " +
+    "the model state, deletes never resurface, re-inserts surface") {
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-inter-law").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    // small deterministic world: 24 users, 6 slices of (user, +1) rows
+    val rnd = new scala.util.Random(97)
+    val slices: Seq[Seq[Long]] =
+      Seq.fill(6)(Seq.fill(16)(rnd.nextInt(24).toLong))
+    val deletes: Seq[Set[Long]] =
+      Seq(Set(1L, 5L, 9L), Set(2L, 5L, 14L), Set(9L, 23L))
+    // interleave U D U D U D U U-like: U0 U1 D0 U2 D1 U3 D2 U4 U5
+    sealed trait Verb
+    case class U(i: Int) extends Verb
+    case class D(i: Int) extends Verb
+    val seq: Seq[Verb] = Seq(U(0), U(1), D(0), U(2), D(1), U(3), D(2),
+      U(4), U(5))
+    var m: IngestIndex.Manifest = Map.empty
+    var top = 0L
+    // the pure model: per-user count, erased-set applied
+    var model = Map.empty[Long, Long]
+    val modelAt = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+    val combine: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (cur, d) => cur.select(col("user_id"), col("cnt").as("c"))
+        .join(d, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("cnt"), lit(0L)))
+            .as("cnt"))
+    seq.foreach {
+      case U(i) =>
+        val delta = slices(i).groupBy(identity).view
+          .mapValues(_.size.toLong).toSeq.toDF("user_id", "cnt")
+        m = IngestIndex.mergeCommitDv(sp, state, m, "state", top + 1,
+          delta, combine)
+        IngestIndex.writeManifest(fs, state, top + 1, m, op = "merge")
+        top += 1
+        slices(i).groupBy(identity).foreach { case (u, g) =>
+          model += u -> (model.getOrElse(u, 0L) + g.size)
+        }
+        modelAt(top) = model
+      case D(i) =>
+        m = IngestIndex.deleteWithDv(sp, state, m, "state", top + 1,
+          deletes(i).toSeq.toDF("user_id"))
+        IngestIndex.writeManifest(fs, state, top + 1, m, op = "delete-dv")
+        top += 1
+        model = model -- deletes(i)
+        modelAt(top) = model
+    }
+    // no gc ran: every version must time-travel to the model exactly —
+    // deleted users hidden AS OF their delete, re-inserted users visible
+    // with only their post-delete counts
+    (1L to top).foreach { v =>
+      val got = IngestIndex.tableAt(sp, state, "state", v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == modelAt(v), s"v$v diverged:\n$got\nvs\n${modelAt(v)}")
+    }
+    // provenance: the verb sequence reads back from DESCRIBE HISTORY
+    val ops = IngestIndex.describeHistory(fs, state)
+      .sortBy(_.version).map(_.operation)
+    assert(ops == seq.map {
+      case U(_) => "merge"
+      case D(_) => "delete-dv"
+    }, ops.toString)
+  }
 }

@@ -544,8 +544,13 @@ class IngestIndexSpec extends AnyFunSuite {
       v -> IngestIndex.resolveManifest(fs, state, v).get.depth).toMap
     assert(depths.values.max === foldEvery - 1, s"depths: $depths")
     assert(depths.values.count(_ == 0) >= 2, s"no fold happened: $depths")
-    assert((1L to 9L).exists(v => manifestBytes(v).startsWith("#delta")),
+    // (the #op provenance header precedes the #delta header since r17)
+    assert((1L to 9L).exists(v => manifestBytes(v).linesIterator
+        .exists(_.startsWith("#delta"))),
       "no delta file was ever written")
+    assert((1L to 9L).forall(v =>
+        manifestBytes(v).startsWith("#op\t")),
+      "every r17 manifest carries its operation tag header")
     // replay byte-identity: rewriting any version with the same map
     // yields the same bytes
     (1L to 9L).foreach { v =>
@@ -761,5 +766,269 @@ class IngestIndexSpec extends AnyFunSuite {
       .flatMap(_.values.map(_.ver)).toSet
     assert(dirs.subsetOf(chainNow ++ referencedNow ++ Set(9L, 10L)),
       s"unreachable dirs survive: ${dirs -- chainNow -- referencedNow}")
+  }
+
+  test("true CAS commit (r17): two genuinely interleaved committers " +
+    "racing one version — exactly one wins, the loser fails loudly, " +
+    "and the committed content is the winner's") {
+    (1 to 5).foreach { trial =>
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft-idx-cas$trial").toString + "/state"
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(state))
+      val a: IngestIndex.Manifest =
+        Map("state" -> Map(0 -> IngestIndex.Bkt(1L, 0)))
+      val b: IngestIndex.Manifest =
+        Map("state" -> Map(1 -> IngestIndex.Bkt(1L, 0)))
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val outcomes =
+        new java.util.concurrent.ConcurrentLinkedQueue[
+          Either[Throwable, String]]()
+      def committer(m: IngestIndex.Manifest, tag: String): Thread = {
+        val t = new Thread(() => {
+          gate.await()
+          try {
+            IngestIndex.writeManifest(fs, state, 1L, m)
+            outcomes.add(Right(tag)); ()
+          } catch { case e: Throwable => outcomes.add(Left(e)); () }
+        })
+        t.start(); t
+      }
+      val ts = Seq(committer(a, "a"), committer(b, "b"))
+      ts.foreach(_.join(30000))
+      val (losers, winners) = {
+        import scala.jdk.CollectionConverters._
+        outcomes.asScala.toSeq.partition(_.isLeft)
+      }
+      assert(winners.size == 1 && losers.size == 1,
+        s"trial $trial: expected exactly one winner/loser, got $outcomes")
+      val loserErr = losers.head.left.toOption.get
+      assert(loserErr.isInstanceOf[IllegalStateException] &&
+        loserErr.getMessage.contains("concurrent-writer conflict"),
+        s"trial $trial: loser's error: $loserErr")
+      val committed = IngestIndex.readManifest(fs, state, 1L)
+      val winner = winners.head.toOption.get
+      assert(committed === (if (winner == "a") a else b),
+        s"trial $trial: committed content is not the winner's")
+      // the winner's replay (byte-identical rewrite) still passes
+      IngestIndex.writeManifest(fs, state, 1L,
+        if (winner == "a") a else b)
+    }
+  }
+
+  test("operation provenance (r17): a commit/DV-delete/restore/compact " +
+    "sequence reads back with the right DESCRIBE HISTORY tags; legacy " +
+    "untagged manifests read as 'commit'") {
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-idx-optags").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    def commit(v: Long, rows: Seq[(Long, Long)], op: String): Unit = {
+      val m = IngestIndex.readManifest(fs, state, v - 1)
+      val sm = IngestIndex.mergeCommit(sp, state, m, "state", v,
+        rows.toDF("user_id", "cnt"),
+        (cur, d) => cur.unionByName(d).groupBy("user_id")
+          .agg(sum(col("cnt")).as("cnt")))
+      IngestIndex.writeManifest(fs, state, v, Map("state" -> sm), op = op)
+    }
+    commit(1L, Seq(1L -> 1L, 2L -> 1L, 3L -> 1L), "merge")
+    val m1 = IngestIndex.readManifest(fs, state, 1L)
+    val m2 = IngestIndex.deleteWithDv(sp, state, m1, "state", 2L,
+      Seq(2L).toDF("user_id"))
+    IngestIndex.writeManifest(fs, state, 2L, m2, op = "delete-dv")
+    IngestIndex.restore(fs, state, 1L, 3L)
+    IngestIndex.compact(sp, state, 3L, retain = 50)
+    val tags = IngestIndex.describeHistory(fs, state)
+      .map(h => h.version -> h.operation).toMap
+    assert(tags(1L) === "merge", tags.toString)
+    assert(tags(2L) === "delete-dv", tags.toString)
+    assert(tags(3L) === "compact",
+      s"the compact repoints the TOP manifest: $tags")
+    // restore provenance survives where the restore commit is not later
+    // repointed: re-run restore to a fresh version
+    IngestIndex.restore(fs, state, 1L, 4L)
+    val tags2 = IngestIndex.describeHistory(fs, state)
+      .map(h => h.version -> h.operation).toMap
+    assert(tags2(4L) === "restore(v1)", tags2.toString)
+    // legacy compatibility: a manifest written without the #op header
+    // (pre-r17 bytes, hand-staged) reads back as "commit", and a tagged
+    // replay over it passes the conflict check (op excluded from the
+    // equality domain)
+    val legacyDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-legacy").toString + "/state"
+    val lfs = new org.apache.hadoop.fs.Path(legacyDir)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    lfs.mkdirs(new org.apache.hadoop.fs.Path(s"$legacyDir/v1"))
+    val out = lfs.create(
+      new org.apache.hadoop.fs.Path(s"$legacyDir/v1/manifest"), true)
+    out.write("state\t0\t1\t0\n".getBytes("UTF-8")); out.close()
+    val lh = IngestIndex.describeHistory(lfs, legacyDir)
+    assert(lh.map(_.operation) === Seq("commit"), lh.toString)
+    IngestIndex.writeManifest(lfs, legacyDir, 1L,
+      Map("state" -> Map(0 -> IngestIndex.Bkt(1L, 0))), op = "merge")
+    assert(IngestIndex.describeHistory(lfs, legacyDir)
+      .map(_.operation) === Seq("merge"))
+  }
+
+  test("manifest memo is LRU (r17): a hot store's entry survives " +
+    "thousands of cold-store resolutions when it keeps being touched") {
+    val hot = java.nio.file.Files
+      .createTempDirectory("graft-idx-lruhot").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(hot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(hot))
+    val hm: IngestIndex.Manifest =
+      Map("state" -> Map(0 -> IngestIndex.Bkt(1L, 0)))
+    IngestIndex.writeManifest(fs, hot, 1L, hm)
+    assert(IngestIndex.memoCached(hot, 1L))
+    val cold = java.nio.file.Files
+      .createTempDirectory("graft-idx-lrucold").toString
+    // churn >4096 distinct cold entries through the memo, touching the
+    // hot entry periodically — the pre-r17 global clear wiped it; LRU
+    // keeps any entry that stays in the working set
+    (1 to 4200).foreach { i =>
+      val dir = s"$cold/s$i"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      IngestIndex.writeManifest(fs, dir, 1L, hm)
+      if (i % 256 == 0)
+        assert(IngestIndex.readManifest(fs, hot, 1L) === hm)
+    }
+    assert(IngestIndex.memoCached(hot, 1L),
+      "the hot store's entry was evicted despite being in the LRU " +
+        "working set")
+    assert(IngestIndex.readManifest(fs, hot, 1L) === hm)
+  }
+
+  test("incremental bucket stats (r17, q124b): the full-range count is " +
+    "metadata-only (zero buckets scanned), straddling boxes scan only " +
+    "their buckets, counts equal direct filters, and a skewed commit's " +
+    "stats file holds ONLY its touched buckets") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (state, m) = graft.queries.MergeOps.runStatsStore(sp, dir)
+    val direct = IngestIndex.currentTable(sp, state, "state")
+    val total = direct.count()
+    // box 1: full range — answered entirely from stats
+    val (c1, meta1, scan1, tot1) = IngestIndex.metadataCount(sp, state, m,
+      "state", Seq(("n_events", 0.0, 1e15)))
+    assert(c1 == total && scan1 == 0L && meta1 == tot1,
+      s"full-range count must be metadata-only: ($c1, $meta1, $scan1, " +
+        s"$tot1) vs $total")
+    // boxes 2-3: straddling ranges — exact counts, bounded scans
+    Seq((66.0, 1e15), (20.0, 50.0)).foreach { case (lo, hi) =>
+      val (c, _, scanned, totB) = IngestIndex.metadataCount(sp, state, m,
+        "state", Seq(("n_events", lo, hi)))
+      val want = direct.filter(
+        col("n_events").cast("double") >= lo &&
+          col("n_events").cast("double") < hi).count()
+      assert(c == want, s"box [$lo,$hi): $c != $want")
+      assert(scanned <= totB)
+    }
+    // incremental IO: one more commit touching a single user writes a
+    // stats file covering ONLY that user's bucket
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val one = Seq((42L, 1L, BigDecimal(1.0)))
+      .toDF("user_id", "n_events", "sum_value")
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast(org.apache.spark.sql.types
+          .DecimalType(18, 4)).as("sum_value"))
+    val map5 = IngestIndex.mergeCommit(sp, state, m, "state", 5L, one,
+      graft.queries.MergeOps.addCombine)
+    IngestIndex.writeBucketStats(sp, state, "state", 5L,
+      Seq("n_events", "sum_value"))
+    val m5: IngestIndex.Manifest = Map("state" -> map5)
+    IngestIndex.writeManifest(fs, state, 5L, m5, op = "merge")
+    val statRows = sp.read.parquet(s"$state/v5/state.stats").count()
+    assert(statRows == 1L,
+      s"a one-user commit must write one bucket's stats row: $statRows")
+    // and the live stats view still answers the full count exactly
+    val (c5, _, scan5, _) = IngestIndex.metadataCount(sp, state, m5,
+      "state", Seq(("n_events", 0.0, 1e15)))
+    assert(c5 == IngestIndex.currentTable(sp, state, "state").count()
+      && scan5 == 0L)
+  }
+
+  test("live-DV guard (r17): a raw mergeCommit on a table with a live " +
+    "deletion vector fails loudly; mergeCommitDv composes — tombstoned " +
+    "rows do not feed the combine, a re-inserted tombstoned key is " +
+    "VISIBLE, and untouched buckets keep their tombstones") {
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-idx-dvmerge").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val seed = (0L until 32L).map(u => u -> 10L)
+    val m1map = IngestIndex.mergeCommit(sp, state, Map.empty, "state", 1L,
+      seed.toDF("user_id", "cnt"), (_, d) => d)
+    IngestIndex.writeManifest(fs, state, 1L, Map("state" -> m1map))
+    val m1 = IngestIndex.readManifest(fs, state, 1L)
+    // DV-delete users 3 and 17
+    val m2 = IngestIndex.deleteWithDv(sp, state, m1, "state", 2L,
+      Seq(3L, 17L).toDF("user_id"))
+    IngestIndex.writeManifest(fs, state, 2L, m2, op = "delete-dv")
+    // raw mergeCommit now throws — the advisor's resurrect scenario
+    val err = intercept[IllegalArgumentException] {
+      IngestIndex.mergeCommit(sp, state, m2, "state", 3L,
+        Seq(3L -> 1L).toDF("user_id", "cnt"),
+        (cur, d) => cur.unionByName(d))
+    }
+    assert(err.getMessage.contains("LIVE deletion vector"), err.getMessage)
+    // mergeCommitDv: batch touches key 3 (tombstoned, re-inserted) and
+    // key 5 (live) — the upsert algebra adds counts
+    val combine: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (cur, d) => cur.select(col("user_id"), col("cnt").as("c"))
+        .join(d, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("cnt"), lit(0L)))
+            .as("cnt"))
+    val m3 = IngestIndex.mergeCommitDv(sp, state, m2, "state", 3L,
+      Seq(3L -> 1L, 5L -> 1L).toDF("user_id", "cnt"), combine)
+    IngestIndex.writeManifest(fs, state, 3L, m3, op = "merge")
+    val got = IngestIndex.currentTable(sp, state, "state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 3: tombstone invalidated by the rewrite, re-inserted FRESH
+    // (the DV-filtered slice had no row 3, so 0 + 1); key 17: bucket
+    // untouched unless it shares a bucket with the batch — model both
+    val n = IngestIndex.numBuckets(sp)
+    val touchedBkts = Seq(3L, 5L).map(u =>
+      IngestIndex.assignBucket(Seq(u).toDF("user_id"), "state", n,
+        Map.empty).select("bkt").head().getInt(0)).toSet
+    val b17 = IngestIndex.assignBucket(Seq(17L).toDF("user_id"), "state",
+      n, Map.empty).select("bkt").head().getInt(0)
+    val expect = (0L until 32L).flatMap { u =>
+      if (u == 3L) Some(u -> 1L) // re-inserted fresh, tombstone cleared
+      else if (u == 5L) Some(u -> 11L)
+      else if (u == 17L) None // still deleted (DV or physical rewrite)
+      else Some(u -> 10L)
+    }.toMap
+    assert(got === expect, s"touched=$touchedBkts b17=$b17")
+    // the 17-tombstone: dropped from the DV iff its bucket was rewritten
+    // (then the row is physically gone); kept otherwise
+    val dvLive = m3.get(IngestIndex.dvTable("state"))
+      .exists(_.exists(_._2.ver != IngestIndex.EmptyVer))
+    if (touchedBkts.contains(b17))
+      assert(!dvLive, "17's tombstone should have materialized away")
+    else {
+      assert(dvLive, "17's tombstone must survive an unrelated rewrite")
+      // ... and equals exactly {17}
+      val dvKeys = IngestIndex.currentTable(sp, state,
+        IngestIndex.dvTable("state"), raw = true)
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(dvKeys === Set(17L))
+    }
+    // a later materialize yields the identical table (composition law)
+    val m4 = IngestIndex.materializeDeletes(sp, state, m3, "state", 4L,
+      Seq("user_id"))
+    IngestIndex.writeManifest(fs, state, 4L, m4, op = "materialize")
+    val got4 = IngestIndex.currentTable(sp, state, "state")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got4 === expect)
   }
 }
