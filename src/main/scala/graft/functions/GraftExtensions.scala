@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // engine's MergeInto algebra over the bucketed store. Unregistered
     // targets fall through untouched.
     ext.injectResolutionRule(_ => graft.operators.GraftMergeSqlRule)
+    // the lakehouse verbs Spark's grammar does not carry — DESCRIBE
+    // HISTORY / RESTORE ... VERSION AS OF / VACUUM ... RETAIN N VERSIONS
+    // — via a delegating parser (the Delta-extension pattern): three
+    // anchored regex probes per statement, everything else delegates
+    ext.injectParser((_, delegate) =>
+      new graft.operators.GraftSqlParser(delegate))
   }
 }

@@ -142,15 +142,57 @@ object GraftSql {
         m.notMatchedBySourceActions))
   }
 
-  /** Extension-free SQL entry: parse with Spark's own parser; a MERGE
-    * into a registered store executes through the engine (returning the
-    * committed version); everything else delegates to `spark.sql`. */
+  /** Extension-free SQL entry: the lakehouse-verb statements
+    * (DESCRIBE HISTORY / RESTORE / VACUUM) and MERGE into a registered
+    * store execute through the engine; everything else delegates to
+    * `spark.sql`. */
   def sql(spark: SparkSession, text: String): DataFrame =
-    spark.sessionState.sqlParser.parsePlan(text) match {
-      case m: MergeIntoTable if targetOf(m).isDefined =>
-        GraftSqlBridge.ofRows(spark, translate(m))
-      case _ => spark.sql(text)
+    parseVerb(text) match {
+      case Some(cmd) => GraftSqlBridge.ofRows(spark, cmd)
+      case None =>
+        spark.sessionState.sqlParser.parsePlan(text) match {
+          case m: MergeIntoTable if targetOf(m).isDefined =>
+            GraftSqlBridge.ofRows(spark, translate(m))
+          case _ => spark.sql(text)
+        }
     }
+
+  // ---- lakehouse verb statements Spark's grammar does not carry ----
+  // (Delta ships these through its own parser extension — the same
+  // pattern here: GraftSqlParser intercepts, everything else delegates)
+
+  private val DescribeHistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  private val RestoreRe =
+    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS""" +
+      """\s+OF\s+(\d+)\s*;?\s*""").r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+
+  private def registered(name: String): StoreTarget = {
+    val clean = name.replace("`", "")
+    lookup(Seq(clean)).getOrElse(throw new IllegalArgumentException(
+      s"'$clean' is not a registered graft store table — " +
+        "GraftSql.registerTable(name, stateDir, table) first"))
+  }
+
+  /** The statement as a runnable command when it is one of the graft
+    * lakehouse verbs; None hands the text to Spark's parser. A matching
+    * SHAPE with an unregistered name throws (none of these statements
+    * exist in Spark's grammar, so nothing valid is shadowed). */
+  private[operators] def parseVerb(text: String)
+      : Option[LogicalPlan] = text match {
+    case DescribeHistoryRe(name) =>
+      Some(GraftDescribeHistoryCommand(name.replace("`", ""),
+        registered(name)))
+    case RestoreRe(name, v) =>
+      Some(GraftRestoreCommand(name.replace("`", ""), registered(name),
+        v.toLong))
+    case VacuumRe(name, k) =>
+      Some(GraftVacuumCommand(name.replace("`", ""), registered(name),
+        k.toInt))
+    case _ => None
+  }
 }
 
 /** The analyzer rule [[graft.functions.GraftExtensions]] injects: rewrite
@@ -371,4 +413,132 @@ final case class GraftMergeIntoCommand(
       op = "merge-sql")
     Seq(Row(next))
   }
+}
+
+/** `DESCRIBE HISTORY <registered table>` — Delta's ops surface as SQL:
+  * one row per retained version, newest first, with the r17 operation
+  * tag. Metadata-only (memoized manifest resolutions, zero data IO). */
+final case class GraftDescribeHistoryCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("delta_depth",
+      org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("tables",
+      org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("live_buckets",
+      org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("manifest_mtime", LongType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IngestIndex.describeHistory(fs, target.stateDir).map(h =>
+      Row(h.version, h.operation, h.deltaDepth, h.tables, h.liveBuckets,
+        h.manifestMtime))
+  }
+}
+
+/** `RESTORE TABLE <registered table> [TO] VERSION AS OF <v>` — Delta's
+  * rollback verb as SQL: commits a new version whose manifest is `v`'s
+  * (zero data copied — the q134 semantics) and returns it. */
+final case class GraftRestoreCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    version: Long) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = IngestIndex.latestVersion(fs, target.stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"RESTORE '$targetName': the store under ${target.stateDir} " +
+          "has no committed version"))
+    IngestIndex.restore(fs, target.stateDir, version, top + 1)
+    Seq(Row(top + 1))
+  }
+}
+
+/** `VACUUM <registered table> RETAIN <k> VERSIONS` — the gc verb as
+  * SQL: reclaims version dirs no retained manifest references, keeping
+  * the newest `k` snapshots fully readable (k clamps to the
+  * crash-replay minimum of 2). Returns the deleted versions. */
+final case class GraftVacuumCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    retain: Int) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_version", LongType,
+      nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = IngestIndex.latestVersion(fs, target.stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"VACUUM '$targetName': the store under ${target.stateDir} " +
+          "has no committed version"))
+    IngestIndex.gc(fs, target.stateDir, math.max(1L, top - 1), top,
+      retain).map(Row(_))
+  }
+}
+
+/** The injected parser (the Delta-extension pattern): intercept the
+  * lakehouse-verb statements Spark's grammar does not carry, delegate
+  * EVERYTHING else — three anchored regex probes per statement, so the
+  * overhead on ordinary SQL is nanoseconds. MERGE INTO needs no parser
+  * work (Spark parses it natively; the resolution rule routes it). */
+final class GraftSqlParser(
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSql.parseVerb(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    GraftSql.parseVerb(sqlText)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseExpression(sqlText: String)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    delegate.parseExpression(sqlText)
+
+  override def parseTableIdentifier(sqlText: String)
+      : org.apache.spark.sql.catalyst.TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+
+  override def parseFunctionIdentifier(sqlText: String)
+      : org.apache.spark.sql.catalyst.FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+
+  override def parseRoutineParam(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+
+  override def parseTableSchema(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
 }

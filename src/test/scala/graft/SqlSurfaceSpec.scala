@@ -302,4 +302,61 @@ class SqlSurfaceSpec extends AnyFunSuite {
       sub.select("user_id").collect().map(_.getLong(0)).toSet).isEmpty)
     graft.operators.GraftSql.unregisterTable("merge_sql_rails")
   }
+
+  test("lakehouse verb statements via the injected parser (r17): " +
+    "DESCRIBE HISTORY, RESTORE VERSION AS OF, and VACUUM run through " +
+    "spark.sql; ordinary SQL delegates untouched") {
+    val spark = TestSpark.spark
+    val (target, source) = graft.queries.MergeOps.q127Inputs(spark, dir)
+    val state = stageStore(target)
+    graft.operators.GraftSql.registerTable("verbs_t", state, "state")
+    source.createOrReplaceTempView("verbs_src")
+    spark.sql(
+      """MERGE INTO verbs_t AS t USING verbs_src AS s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED AND s.n_events > t.n_events THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET
+        |  n_events = t.n_events + s.n_events,
+        |  sum_value = CAST(t.sum_value + s.sum_value AS DECIMAL(18,4))
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val v2 = stateRows(state)
+    // DESCRIBE HISTORY: versions newest-first with operation tags
+    val hist = spark.sql("DESCRIBE HISTORY verbs_t").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(hist.toSeq == Seq(2L -> "merge-sql", 1L -> "commit"),
+      hist.mkString(","))
+    // RESTORE: roll back to v1, returns the new version
+    val restored = spark
+      .sql("RESTORE TABLE verbs_t TO VERSION AS OF 1").collect()
+    assert(restored.map(_.getLong(0)).toSeq == Seq(3L))
+    val v3 = stateRows(state)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v3 == v1's contents (the rollback), v2 still readable
+    val v1rows = graft.streaming.IngestIndex
+      .tableAt(spark, state, "state", 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v3.map(r => (r._1, r._2)).toSet == v1rows)
+    assert(v3 != v2)
+    // VACUUM: retain 2 — v2 (prev) and v3 keep their data; the verb
+    // reports what it deleted (possibly nothing: all dirs referenced)
+    val deleted = spark.sql("VACUUM verbs_t RETAIN 2 VERSIONS").collect()
+      .map(_.getLong(0)).toSet
+    assert(graft.streaming.IngestIndex.latestVersion(fs, state)
+      .contains(3L))
+    assert(stateRows(state) == v3, s"VACUUM changed contents ($deleted)")
+    // ordinary SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+    // unregistered names in verb shapes throw the registration error
+    val e = intercept[Throwable] {
+      spark.sql("DESCRIBE HISTORY not_registered_tbl")
+    }
+    assert(e.getMessage.contains("not a registered graft store table"),
+      e.getMessage)
+    // the extension-free twin routes the same verbs
+    val hist2 = graft.operators.GraftSql.sql(spark,
+      "DESCRIBE HISTORY verbs_t").collect()
+    assert(hist2.map(_.getLong(0)).contains(3L))
+    graft.operators.GraftSql.unregisterTable("verbs_t")
+  }
 }
