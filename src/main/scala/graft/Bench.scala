@@ -119,17 +119,28 @@ object Bench {
       "q120_change_data_feed", "q125_streaming_cdc_view",
       "q130_cdc_deletes", "q130b_cdc_delete_view",
       "q132_erasure_stream_dv", "q133_cdc_catchup_view")
-    // the name list is hand-maintained — validate it against the live
-    // query surface so a renamed/removed replay query fails LOUDLY here
-    // instead of silently re-gaining min-of-3 (r16 advisor fix); the
-    // per-query run counts are emitted in the JSON so the methodology
-    // is visible in recorded results
-    val unknownReplay = fullReplay -- SparkEntry.queries.keySet
+    // RIG-REPLAY tier (r17, the r16 forward note's wall control): these
+    // queries rebuild their ENTIRE store/layout from scratch on every
+    // invocation (the operator IS the rig — multi-commit stores, full
+    // clustered rewrites), so like the stream replays their cost is
+    // deterministic rig work and a third identical rebuild buys no
+    // steady-state information. Genuinely shared-state batch queries
+    // stay min-of-3 (r3's phantom-regression lesson).
+    val rigReplay = Set(
+      "q114d_vector_index_dv_delete", "q124b_metadata_count_live_store",
+      "q132b_interleaved_upsert_erasure", "q107b_hilbert_layout")
+    // the name lists are hand-maintained — validate them against the
+    // live query surface so a renamed/removed replay query fails LOUDLY
+    // here instead of silently re-gaining min-of-3 (r16 advisor fix);
+    // the per-query run counts are emitted in the JSON so the
+    // methodology is visible in recorded results
+    val unknownReplay = (fullReplay ++ rigReplay) -- SparkEntry.queries.keySet
     require(unknownReplay.isEmpty,
-      s"Bench.fullReplay names unknown queries: ${unknownReplay.toSeq.sorted
-        .mkString(", ")} — sync the list with SparkEntry.queries")
+      s"Bench.fullReplay/rigReplay names unknown queries: " +
+        s"${unknownReplay.toSeq.sorted.mkString(", ")} — sync the lists " +
+        "with SparkEntry.queries")
     def runsFor(name: String): Int =
-      if (fullReplay(name)) math.min(runs, 2) else runs
+      if (fullReplay(name) || rigReplay(name)) math.min(runs, 2) else runs
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       var failed = false
       val times = Seq.newBuilder[Double]

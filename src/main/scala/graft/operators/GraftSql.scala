@@ -168,6 +168,9 @@ object GraftSql {
       """\s+OF\s+(\d+)\s*;?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val OptimizeRe =
+    ("""(?is)\s*OPTIMIZE\s+([\w.`]+)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
 
   private def registered(name: String): StoreTarget = {
     val clean = name.replace("`", "")
@@ -177,20 +180,26 @@ object GraftSql {
   }
 
   /** The statement as a runnable command when it is one of the graft
-    * lakehouse verbs; None hands the text to Spark's parser. A matching
-    * SHAPE with an unregistered name throws (none of these statements
-    * exist in Spark's grammar, so nothing valid is shadowed). */
+    * lakehouse verbs; None hands the text to Spark's parser. RESTORE /
+    * VACUUM / OPTIMIZE shapes with an unregistered name throw (no such
+    * statements exist in Spark's grammar, so nothing valid is
+    * shadowed); DESCRIBE HISTORY only intercepts REGISTERED names —
+    * `DESCRIBE history <col>` is a valid Spark statement describing a
+    * column of a table named `history`, and must delegate. */
   private[operators] def parseVerb(text: String)
       : Option[LogicalPlan] = text match {
     case DescribeHistoryRe(name) =>
-      Some(GraftDescribeHistoryCommand(name.replace("`", ""),
-        registered(name)))
+      lookup(Seq(name.replace("`", ""))).map(t =>
+        GraftDescribeHistoryCommand(name.replace("`", ""), t))
     case RestoreRe(name, v) =>
       Some(GraftRestoreCommand(name.replace("`", ""), registered(name),
         v.toLong))
     case VacuumRe(name, k) =>
       Some(GraftVacuumCommand(name.replace("`", ""), registered(name),
         k.toInt))
+    case OptimizeRe(name, k) =>
+      Some(GraftOptimizeCommand(name.replace("`", ""), registered(name),
+        Option(k).map(_.toInt).getOrElse(8)))
     case _ => None
   }
 }
@@ -541,4 +550,43 @@ final class GraftSqlParser(
   override def parseDataType(sqlText: String)
       : org.apache.spark.sql.types.DataType =
     delegate.parseDataType(sqlText)
+}
+
+/** `OPTIMIZE <registered table> [RETAIN <k> VERSIONS]` — the maintenance
+  * verb as SQL: materialize any accumulated deletion vector (the
+  * Delta REORG/PURGE half — one rewrite of only tombstoned buckets),
+  * then fold the version tail into one compaction epoch (the OPTIMIZE
+  * half), keeping `k` snapshots (default 8) time-travelable. Returns
+  * (version, purged_tombstones). */
+final case class GraftOptimizeCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    retain: Int) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("purged_tombstones",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var top = IngestIndex.latestVersion(fs, target.stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"OPTIMIZE '$targetName': the store under ${target.stateDir} " +
+          "has no committed version"))
+    val m = IngestIndex.readManifest(fs, target.stateDir, top)
+    val dvLive = m.get(IngestIndex.dvTable(target.table))
+      .exists(_.exists(_._2.ver != IngestIndex.EmptyVer))
+    if (dvLive) {
+      val nm = IngestIndex.materializeDeletes(spark, target.stateDir, m,
+        target.table, top + 1, IngestIndex.keyColsFor(target.table))
+      IngestIndex.writeManifest(fs, target.stateDir, top + 1, nm,
+        op = "materialize")
+      top += 1
+    }
+    IngestIndex.compact(spark, target.stateDir, top, retain = retain)
+    Seq(Row(top, dvLive))
+  }
 }

@@ -347,16 +347,66 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(stateRows(state) == v3, s"VACUUM changed contents ($deleted)")
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
-    // unregistered names in verb shapes throw the registration error
-    val e = intercept[Throwable] {
-      spark.sql("DESCRIBE HISTORY not_registered_tbl")
+    // unregistered DESCRIBE HISTORY DELEGATES (Spark's `DESCRIBE
+    // history <col>` statement on a table named `history` must keep
+    // working) — the delegate then fails on the missing table
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DESCRIBE HISTORY not_registered_tbl").collect()
     }
-    assert(e.getMessage.contains("not a registered graft store table"),
-      e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("history"), e.getMessage)
+    // unregistered RESTORE/VACUUM shapes (statements Spark's grammar
+    // does not carry at all) throw the registration error
+    val e2 = intercept[Throwable] {
+      spark.sql("VACUUM not_registered_tbl RETAIN 3 VERSIONS")
+    }
+    assert(e2.getMessage.contains("not a registered graft store table"),
+      e2.getMessage)
     // the extension-free twin routes the same verbs
     val hist2 = graft.operators.GraftSql.sql(spark,
       "DESCRIBE HISTORY verbs_t").collect()
     assert(hist2.map(_.getLong(0)).contains(3L))
     graft.operators.GraftSql.unregisterTable("verbs_t")
+  }
+
+  test("OPTIMIZE statement (r17): materializes a live deletion vector " +
+    "and folds the version tail; contents unchanged; history tagged") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val (target, _) = graft.queries.MergeOps.q127Inputs(spark, dir)
+    val state = stageStore(target)
+    graft.operators.GraftSql.registerTable("opt_t", state, "state")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // DV-delete a stripe, then OPTIMIZE through SQL
+    val m1 = graft.streaming.IngestIndex.readManifest(fs, state, 1L)
+    val tomb = target.filter(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lit(4)) === 1)
+      .select("user_id")
+    val m2 = graft.streaming.IngestIndex.deleteWithDv(spark, state, m1,
+      "state", 2L, tomb)
+    graft.streaming.IngestIndex.writeManifest(fs, state, 2L, m2,
+      op = "delete-dv")
+    val want = stateRows(state) // DV-applied view pre-OPTIMIZE
+    val out = spark.sql("OPTIMIZE opt_t RETAIN 4 VERSIONS").collect()
+    assert(out.length == 1 && out.head.getBoolean(1),
+      "OPTIMIZE must report the tombstone purge")
+    val top = out.head.getLong(0)
+    // vector cleared, contents identical, raw == visible now
+    val m = graft.streaming.IngestIndex.readManifest(fs, state, top)
+    assert(!m.contains(graft.streaming.IngestIndex.dvTable("state")))
+    assert(stateRows(state) == want, "OPTIMIZE changed visible contents")
+    val hist = spark.sql("DESCRIBE HISTORY opt_t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist(top) == "compact",
+      s"the fold repoints the top manifest: $hist")
+    // an OPTIMIZE with no live vector reports purged=false and still
+    // compacts idempotently
+    val out2 = spark.sql("OPTIMIZE opt_t RETAIN 4 VERSIONS").collect()
+    assert(!out2.head.getBoolean(1))
+    assert(stateRows(state) == want)
+    graft.operators.GraftSql.unregisterTable("opt_t")
   }
 }
