@@ -31,7 +31,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parser already yields MergeIntoTable; this rewrite routes it to the
     // engine's MergeInto algebra over the bucketed store. Unregistered
     // targets fall through untouched.
+    // ORDER INVARIANT: the MERGE rule must precede the store-read rule —
+    // both run sequentially per fixed-point iteration, and the MERGE
+    // target must still be an UnresolvedRelation when the merge rule
+    // matches (the read rule would otherwise resolve it into a snapshot
+    // scan and break the statement); once the merge rule has rewritten
+    // the plan into its command, the read rule only ever resolves
+    // genuine reads (including the MERGE's own USING source, which the
+    // command analyzes at execution).
     ext.injectResolutionRule(_ => graft.operators.GraftMergeSqlRule)
+    // SQL READ surface (r17): SELECT ... FROM <registered store table>
+    // [VERSION AS OF v] — Spark parses the time-travel clause natively;
+    // temp views/catalog tables with the same name win (builtin
+    // resolution runs first), so nothing valid is shadowed.
+    ext.injectResolutionRule(session =>
+      graft.operators.GraftStoreReadRule(session))
     // the lakehouse verbs Spark's grammar does not carry — DESCRIBE
     // HISTORY / RESTORE ... VERSION AS OF / VACUUM ... RETAIN N VERSIONS
     // — via a delegating parser (the Delta-extension pattern): three

@@ -81,6 +81,10 @@ object GraftSql {
     Option(targets.get(
       parts.mkString(".").toLowerCase(java.util.Locale.ROOT)))
 
+  /** Registry lookup for the sibling rules/commands. */
+  private[operators] def lookupTarget(parts: Seq[String])
+      : Option[StoreTarget] = lookup(parts)
+
   /** (alias, unwrapped plan): `MERGE INTO t AS x` wraps the relation in
     * a SubqueryAlias; alias defaults to the relation's last name part. */
   private def unwrap(p: LogicalPlan): (Option[String], LogicalPlan) =
@@ -215,6 +219,47 @@ object GraftMergeSqlRule extends Rule[LogicalPlan] {
       GraftSql.translate(m)
     case _ => plan
   }
+}
+
+/** The SQL READ surface for registered store tables (r17): `SELECT ...
+  * FROM <registered name>` resolves to the store's CURRENT snapshot
+  * (`IngestIndex.currentTable` — manifest union, bucket pruning, the
+  * deletion vector applied), and `FROM <name> VERSION AS OF <v>` to the
+  * retained snapshot (`tableAt` — Spark parses the time-travel clause
+  * natively into [[RelationTimeTravel]]; no parser work needed).
+  *
+  * Layering: Spark's own ResolveRelations runs BEFORE injected rules in
+  * each fixed-point iteration, so temp views and catalog tables with the
+  * same name win — this rule only sees names nothing else could resolve.
+  * Streaming relations are left alone. The substituted subtree is the
+  * ALREADY-ANALYZED store read wrapped in a SubqueryAlias carrying the
+  * registered name, so qualified references (`t.user_id`) resolve. */
+final case class GraftStoreReadRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+
+  private def storeRead(parts: Seq[String], version: Option[Long])
+      : Option[LogicalPlan] =
+    GraftSql.lookupTarget(parts).map { t =>
+      val df = version match {
+        case Some(v) =>
+          IngestIndex.tableAt(spark, t.stateDir, t.table, v)
+        case None =>
+          IngestIndex.currentTable(spark, t.stateDir, t.table)
+      }
+      SubqueryAlias(parts.last, GraftSqlBridge.analyzedPlan(df))
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case RelationTimeTravel(
+          UnresolvedRelation(parts, _, false), None, Some(v))
+          if v.forall(_.isDigit) && GraftSql.lookupTarget(parts).isDefined =>
+        storeRead(parts, Some(v.toLong)).get
+      case r @ UnresolvedRelation(parts, _, false)
+          if GraftSql.lookupTarget(parts).isDefined =>
+        storeRead(parts, None).getOrElse(r)
+    }
 }
 
 /** The parsed clause families, held OUTSIDE the command's expression

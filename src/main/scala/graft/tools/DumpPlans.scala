@@ -510,6 +510,14 @@ object DumpPlans {
         |table), where q114c's eager path rewrites every bucket a
         |tombstone hashes into. dv == eager row for row; materialize
         |amortizes later.""".stripMargin,
+    "q137_sql_time_travel_read" ->
+      """`SELECT ... FROM <store> VERSION AS OF 1` through spark.sql:
+        |the injected read rule substitutes the ALREADY-ANALYZED tableAt
+        |snapshot (the same bkt-pruned manifest union every store read
+        |plans), so the SQL layer adds zero plan nodes — Catalyst pushes
+        |the projection/ORDER straight into it. Reading an old version
+        |costs the same pruned scan as reading the current one; the
+        |manifest IS the snapshot.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution

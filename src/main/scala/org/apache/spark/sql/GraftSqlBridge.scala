@@ -19,4 +19,9 @@ object GraftSqlBridge {
     * execution) happens at construction, exactly like `spark.sql`. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The ANALYZED logical plan of a DataFrame — what a resolution rule
+    * substitutes for an unresolved relation it owns. */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }

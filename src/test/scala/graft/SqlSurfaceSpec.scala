@@ -368,6 +368,65 @@ class SqlSurfaceSpec extends AnyFunSuite {
     graft.operators.GraftSql.unregisterTable("verbs_t")
   }
 
+  test("SQL READ surface (r17): SELECT from a registered store == " +
+    "currentTable; VERSION AS OF == tableAt; temp views shadow; " +
+    "MERGE can USE a store table as its source") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val (target, source) = graft.queries.MergeOps.q127Inputs(spark, dir)
+    val state = stageStore(target)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = graft.streaming.IngestIndex.readManifest(fs, state, 1L)
+    val m2 = graft.streaming.IngestIndex.mergeCommit(spark, state, m1,
+      "state", 2L, source, graft.queries.MergeOps.q127Merge)
+    graft.streaming.IngestIndex.writeManifest(fs, state, 2L,
+      Map("state" -> m2))
+    graft.operators.GraftSql.registerTable("read_t", state, "state")
+    // current read == currentTable
+    val viaSql = spark.sql("SELECT * FROM read_t ORDER BY user_id")
+      .collect().map(_.toSeq).toSeq
+    val direct = graft.streaming.IngestIndex
+      .currentTable(spark, state, "state")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(viaSql == direct, "SELECT over the store != currentTable")
+    // VERSION AS OF 1 == tableAt(1) (the pre-merge snapshot)
+    val v1Sql = spark.sql(
+      "SELECT user_id, n_events FROM read_t VERSION AS OF 1 " +
+        "ORDER BY user_id").collect().map(_.toSeq).toSeq
+    val v1Direct = graft.streaming.IngestIndex
+      .tableAt(spark, state, "state", 1L)
+      .select("user_id", "n_events").orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    assert(v1Sql == v1Direct && v1Sql != viaSql.map(_.take(2)),
+      "VERSION AS OF 1 must be the pre-merge snapshot")
+    // predicates/aggregates/qualified refs compose over the read
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM read_t t WHERE t.user_id % 2 = 0")
+      .collect().head.getLong(0)
+    assert(n == direct.count(_.head.asInstanceOf[Long] % 2 == 0))
+    // a temp view with the same name SHADOWS the store (builtin
+    // resolution runs before the injected rule)
+    Seq(Tuple1(-42L)).toDF("user_id").createOrReplaceTempView("read_t")
+    val shadowed = spark.sql("SELECT user_id FROM read_t").collect()
+    assert(shadowed.map(_.getLong(0)).toSeq == Seq(-42L),
+      "temp views must win over the registry")
+    spark.catalog.dropTempView("read_t")
+    // MERGE INTO one store USING another registered store as source
+    val srcState = stageStore(source)
+    graft.operators.GraftSql.registerTable("read_src", srcState, "state")
+    spark.sql(
+      """MERGE INTO read_t AS t USING read_src AS s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET n_events = t.n_events + s.n_events
+        |""".stripMargin).collect()
+    assert(graft.streaming.IngestIndex
+      .latestVersion(fs, state).contains(3L))
+    graft.operators.GraftSql.unregisterTable("read_t")
+    graft.operators.GraftSql.unregisterTable("read_src")
+  }
+
   test("OPTIMIZE statement (r17): materializes a live deletion vector " +
     "and folds the version tail; contents unchanged; history tagged") {
     val spark = TestSpark.spark
