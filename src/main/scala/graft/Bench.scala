@@ -121,14 +121,18 @@ object Bench {
       "q132_erasure_stream_dv", "q133_cdc_catchup_view")
     // RIG-REPLAY tier (r17, the r16 forward note's wall control): these
     // queries rebuild their ENTIRE store/layout from scratch on every
-    // invocation (the operator IS the rig — multi-commit stores, full
-    // clustered rewrites), so like the stream replays their cost is
-    // deterministic rig work and a third identical rebuild buys no
-    // steady-state information. Genuinely shared-state batch queries
-    // stay min-of-3 (r3's phantom-regression lesson).
+    // invocation (the operator IS the rig — multi-commit stores), so
+    // like the stream replays their cost is deterministic rig work and
+    // a third identical rebuild buys no steady-state information.
+    // MEMBERSHIP RULE (review fix): a query with a directly-compared
+    // SIBLING (q107b↔q107, q114d↔q114c) must share its sibling's run
+    // count — min over more runs is systematically <= min over fewer,
+    // and a billing asymmetry would bias the new feature to read slower
+    // than its baseline in recorded results. Genuinely shared-state
+    // batch queries stay min-of-3 (r3's phantom-regression lesson).
     val rigReplay = Set(
-      "q114d_vector_index_dv_delete", "q124b_metadata_count_live_store",
-      "q132b_interleaved_upsert_erasure", "q107b_hilbert_layout")
+      "q124b_metadata_count_live_store",
+      "q132b_interleaved_upsert_erasure")
     // the name lists are hand-maintained — validate them against the
     // live query surface so a renamed/removed replay query fails LOUDLY
     // here instead of silently re-gaining min-of-3 (r16 advisor fix);

@@ -154,12 +154,29 @@ object GraftSql {
     parseVerb(text) match {
       case Some(cmd) => GraftSqlBridge.ofRows(spark, cmd)
       case None =>
+        // ONE parse (review fix: the fallthrough used to re-parse via
+        // spark.sql); ofRows analyzes — and for commands executes —
+        // exactly like spark.sql
         spark.sessionState.sqlParser.parsePlan(text) match {
           case m: MergeIntoTable if targetOf(m).isDefined =>
             GraftSqlBridge.ofRows(spark, translate(m))
-          case _ => spark.sql(text)
+          case plan => GraftSqlBridge.ofRows(spark, plan)
         }
     }
+
+  /** Shared command preamble: the store's filesystem handle and current
+    * TOP version, failing with the verb's name when nothing committed. */
+  private[operators] def storeTop(spark: SparkSession,
+      target: StoreTarget, verb: String, name: String)
+      : (org.apache.hadoop.fs.FileSystem, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = IngestIndex.latestVersion(fs, target.stateDir).getOrElse(
+      throw new IllegalStateException(
+        s"$verb '$name': the store under ${target.stateDir} has no " +
+          "committed version — stage the target table first"))
+    (fs, top)
+  }
 
   // ---- lakehouse verb statements Spark's grammar does not carry ----
   // (Delta ships these through its own parser extension — the same
@@ -364,7 +381,12 @@ final case class GraftMergeIntoCommand(
         val set = assigns.flatMap { as =>
           val c = assignedCol(as)
           if (c.equalsIgnoreCase(key)) {
-            if (!isSourceKey(as) && family == "matched")
+            // only the MATCHED identity assignment (key = source key) is
+            // droppable; anything else — including ANY key assignment in
+            // a BY SOURCE clause, where no source exists — is a key
+            // rewrite the store's merge law cannot express (review fix:
+            // this used to silently no-op outside the matched family)
+            if (bySource || !isSourceKey(as))
               throw new IllegalArgumentException(
                 s"MERGE INTO '$targetName': reassigning the merge key " +
                   s"'$key' is not supported")
@@ -412,12 +434,8 @@ final case class GraftMergeIntoCommand(
 
   override def run(ss: SparkSession): Seq[Row] = {
     val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val fs = new Path(target.stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val top = IngestIndex.latestVersion(fs, target.stateDir).getOrElse(
-      throw new IllegalStateException(
-        s"MERGE INTO '$targetName': the store under ${target.stateDir} " +
-          "has no committed version — stage the target table first"))
+    val (fs, top) = GraftSql.storeTop(spark, target, "MERGE INTO",
+      targetName)
     val m = IngestIndex.readManifest(fs, target.stateDir, top)
     require(m.contains(target.table),
       s"MERGE INTO '$targetName': table '${target.table}' absent from " +
@@ -511,12 +529,7 @@ final case class GraftRestoreCommand(
 
   override def run(ss: SparkSession): Seq[Row] = {
     val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val fs = new Path(target.stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val top = IngestIndex.latestVersion(fs, target.stateDir).getOrElse(
-      throw new IllegalStateException(
-        s"RESTORE '$targetName': the store under ${target.stateDir} " +
-          "has no committed version"))
+    val (fs, top) = GraftSql.storeTop(spark, target, "RESTORE", targetName)
     IngestIndex.restore(fs, target.stateDir, version, top + 1)
     Seq(Row(top + 1))
   }
@@ -537,12 +550,7 @@ final case class GraftVacuumCommand(
 
   override def run(ss: SparkSession): Seq[Row] = {
     val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val fs = new Path(target.stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val top = IngestIndex.latestVersion(fs, target.stateDir).getOrElse(
-      throw new IllegalStateException(
-        s"VACUUM '$targetName': the store under ${target.stateDir} " +
-          "has no committed version"))
+    val (fs, top) = GraftSql.storeTop(spark, target, "VACUUM", targetName)
     IngestIndex.gc(fs, target.stateDir, math.max(1L, top - 1), top,
       retain).map(Row(_))
   }
@@ -615,12 +623,9 @@ final case class GraftOptimizeCommand(
 
   override def run(ss: SparkSession): Seq[Row] = {
     val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val fs = new Path(target.stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var top = IngestIndex.latestVersion(fs, target.stateDir).getOrElse(
-      throw new IllegalStateException(
-        s"OPTIMIZE '$targetName': the store under ${target.stateDir} " +
-          "has no committed version"))
+    val (fs, top0) = GraftSql.storeTop(spark, target, "OPTIMIZE",
+      targetName)
+    var top = top0
     val m = IngestIndex.readManifest(fs, target.stateDir, top)
     val dvLive = m.get(IngestIndex.dvTable(target.table))
       .exists(_.exists(_._2.ver != IngestIndex.EmptyVer))

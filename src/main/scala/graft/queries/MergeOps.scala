@@ -383,7 +383,9 @@ object MergeOps {
         graft.operators.GraftSql.registerTable("graft_q135_state", state,
           "state")
         source.createOrReplaceTempView("graft_q135_src")
-        graft.operators.GraftSql.sql(s,
+        // try/finally (review fix): a failed statement must not leak the
+        // process-global registration for the JVM lifetime
+        try graft.operators.GraftSql.sql(s,
           """MERGE INTO graft_q135_state AS t USING graft_q135_src AS s
             |ON t.user_id = s.user_id
             |WHEN MATCHED AND s.n_events > t.n_events THEN DELETE
@@ -394,7 +396,7 @@ object MergeOps {
             |WHEN NOT MATCHED THEN INSERT (user_id, n_events, sum_value)
             |  VALUES (s.user_id, s.n_events, s.sum_value)
             |""".stripMargin)
-        graft.operators.GraftSql.unregisterTable("graft_q135_state")
+        finally graft.operators.GraftSql.unregisterTable("graft_q135_state")
         IngestIndex.currentTable(s, state, "state")
           .select(col("user_id"), col("n_events"),
             col("sum_value").cast(DoubleType).as("sum_value"))
@@ -441,7 +443,7 @@ object MergeOps {
         graft.operators.GraftSql.registerTable("graft_q136_state", state,
           "state")
         source.createOrReplaceTempView("graft_q136_src")
-        graft.operators.GraftSql.sql(s,
+        try graft.operators.GraftSql.sql(s,
           """MERGE INTO graft_q136_state AS t USING graft_q136_src AS s
             |ON t.user_id = s.user_id
             |WHEN MATCHED AND s.sum_value > t.sum_value THEN UPDATE SET
@@ -455,7 +457,7 @@ object MergeOps {
             |WHEN NOT MATCHED THEN INSERT (user_id, n_events, sum_value)
             |  VALUES (s.user_id, s.n_events, CAST(0 AS DECIMAL(18,4)))
             |""".stripMargin)
-        graft.operators.GraftSql.unregisterTable("graft_q136_state")
+        finally graft.operators.GraftSql.unregisterTable("graft_q136_state")
         IngestIndex.currentTable(s, state, "state")
           .select(col("user_id"), col("n_events"),
             col("sum_value").cast(DoubleType).as("sum_value"))
@@ -512,13 +514,12 @@ object MergeOps {
         commit(s, state, m1, 2L, source, q127Merge)
         graft.operators.GraftSql.registerTable("graft_q137_state", state,
           "state")
-        val out = s.sql(
+        try s.sql(
           """SELECT user_id, n_events,
             |  CAST(sum_value AS DOUBLE) AS sum_value
             |FROM graft_q137_state VERSION AS OF 1
             |ORDER BY user_id""".stripMargin)
-        graft.operators.GraftSql.unregisterTable("graft_q137_state")
-        out
+        finally graft.operators.GraftSql.unregisterTable("graft_q137_state")
       },
       Some(s"""WITH e AS (${Q.EVENTS_SQL})
              |SELECT user_id, COUNT(*) AS n_events,

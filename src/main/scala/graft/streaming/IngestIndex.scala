@@ -579,6 +579,20 @@ object IngestIndex {
           adjudicate(); renameOverwrite(tmp)
         }
       } finally fs.delete(tmp, false)
+      // reclaim CRASH-ORPHANED temp manifests (review fix: the unique
+      // tmp names no longer self-overwrite on retry like the old fixed
+      // name did, so a committer that died mid-write leaks its file
+      // until the version dir itself dies — which never happens for the
+      // TOP version). Age-gated: a live cross-process committer's
+      // in-flight tmp is at most seconds old; ten minutes is orders of
+      // magnitude past any real commit.
+      try {
+        val cutoff = System.currentTimeMillis() - 10L * 60 * 1000
+        fs.listStatus(new Path(s"$stateDir/v$v"))
+          .filter(st => st.getPath.getName.startsWith(".manifest.tmp.")
+            && st.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, false))
+      } catch { case _: java.io.IOException => () }
       // refresh the memo under the new file stat so the next trigger's
       // read is a cache hit (steady-state read IO O(delta))
       manifestMemo.remove(memoKey(stateDir, v))
@@ -1187,12 +1201,29 @@ object IngestIndex {
     * space), answered from [[bucketStats]] for every bucket whose stats
     * prove FULL containment, scanning only straddling buckets (with the
     * exact residual filter). Returns (count, bucketsMetaCounted,
-    * bucketsScanned, bucketsTotal). Buckets without stats rows scan. */
+    * bucketsScanned, bucketsTotal). Buckets without stats rows scan.
+    *
+    * DELETION VECTORS COMPOSE here too (r17 review fix — the same class
+    * of hole the mergeCommit guard closed): stats rows describe the
+    * bucket AS WRITTEN, so a bucket that may hold tombstoned rows must
+    * not be metadata-counted. The tombstones' covering buckets (the
+    * shared key formula — O(tombstones) to compute) are forced into the
+    * SCAN set, and the scan reads through the vector like every other
+    * read verb; DV-free buckets keep the pure-metadata fast path. */
   def metadataCount(spark: SparkSession, stateDir: String, m: Manifest,
       table: String, boxes: Seq[(String, Double, Double)])
       : (Long, Long, Long, Long) = {
     val live = m.getOrElse(table, Map.empty[Int, Bkt])
       .filter(_._2.ver != EmptyVer)
+    // live-DV composition: dvBuckets cannot be metadata-counted (their
+    // written cnt includes hidden rows); the scan applies the vector
+    val keyCols = keyColsFor(table)
+    val dv: Option[DataFrame] = dvSlice(spark, stateDir, m, table)
+    val dvBuckets: Set[Int] = dv.map { d =>
+      assignBucket(d.select(keyCols.map(col): _*), table,
+        numBuckets(spark), gensOf(m, table))
+        .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+    }.getOrElse(Set.empty)
     val stats = bucketStats(spark, stateDir, m, table)
     val rows = stats.map { st =>
       val inter = boxes.map { case (c, lo, hi) =>
@@ -1206,21 +1237,31 @@ object IngestIndex {
       st.filter(inter)
         .select(col("bkt"), col("cnt"), full.as("full")).collect()
     }.getOrElse(Array.empty)
-    val metaCnt = rows.filter(_.getBoolean(2)).map(_.getLong(1)).sum
-    val metaBkts = rows.count(_.getBoolean(2)).toLong
+    val metaCnt = rows.filter(r =>
+      r.getBoolean(2) && !dvBuckets(r.getInt(0))).map(_.getLong(1)).sum
+    val metaBkts = rows.count(r =>
+      r.getBoolean(2) && !dvBuckets(r.getInt(0))).toLong
     // scan: straddling buckets + any live bucket with no stats row that
     // might intersect (no stats row after the inter-filter means either
     // pruned or stat-less — stat-less buckets are those absent from the
-    // FULL stats view, conservatively scanned)
+    // FULL stats view, conservatively scanned) + buckets a live DV may
+    // hide rows in (their stats overcount)
     val statAll = stats.map(_.select("bkt").collect()
       .map(_.getInt(0)).toSet).getOrElse(Set.empty)
-    val scanBkts = rows.filterNot(_.getBoolean(2)).map(_.getInt(0)).toSet ++
+    val scanBkts = rows.filter(r =>
+        !r.getBoolean(2) || dvBuckets(r.getInt(0)))
+      .map(_.getInt(0)).toSet ++
       (live.keySet -- statAll)
     val scanned =
       if (scanBkts.isEmpty) 0L
       else {
-        val df = readTable(spark, stateDir, m, table, Some(scanBkts),
-          spark.emptyDataFrame)
+        val base = readTable(spark, stateDir, m, table, Some(scanBkts),
+          spark.emptyDataFrame).drop("bkt")
+        // the scan half reads like every other verb: vector applied
+        val df = dv match {
+          case Some(d) => base.join(d, keyCols, "left_anti")
+          case None => base
+        }
         df.filter(boxes.map { case (c, lo, hi) =>
           import org.apache.spark.sql.types._
           val exact = col(c).cast(DoubleType) >= lo &&

@@ -283,6 +283,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("cannot reference the source"),
       e3.getMessage)
+    // reassigning the merge key throws in EVERY family (review fix: a
+    // BY SOURCE key assignment used to silently no-op)
+    val e4 = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO merge_sql_rails AS t USING src_rails AS s
+          |ON t.user_id = s.user_id
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET user_id = 0
+          |""".stripMargin).collect()
+    }
+    assert(e4.getMessage.contains("reassigning the merge key"),
+      e4.getMessage)
+    val e5 = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO merge_sql_rails AS t USING src_rails AS s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED THEN UPDATE SET user_id = s.user_id + 1
+          |""".stripMargin).collect()
+    }
+    assert(e5.getMessage.contains("reassigning the merge key"),
+      e5.getMessage)
     // the extension-free twin: GraftSql.sql parses with the same parser
     // and runs the same translation — a subset DELETE merge applies
     val sub = source.filter(

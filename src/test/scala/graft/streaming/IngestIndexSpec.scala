@@ -951,6 +951,23 @@ class IngestIndexSpec extends AnyFunSuite {
       "state", Seq(("n_events", 0.0, 1e15)))
     assert(c5 == IngestIndex.currentTable(sp, state, "state").count()
       && scan5 == 0L)
+    // DELETION VECTORS COMPOSE with the metadata count (r17 review
+    // fix): a live DV's covering buckets must fall out of the pure-
+    // metadata fast path (their written cnt includes hidden rows) and
+    // the scan must read through the vector — the count equals the
+    // SURVIVOR count, not the written count
+    val tomb = IngestIndex.currentTable(sp, state, "state")
+      .filter(pmod(col("user_id"), lit(5)) === 2).select("user_id")
+    val m6 = IngestIndex.deleteWithDv(sp, state, m5, "state", 6L, tomb)
+    IngestIndex.writeManifest(fs, state, 6L, m6, op = "delete-dv")
+    val survivors = IngestIndex.currentTable(sp, state, "state").count()
+    assert(survivors < c5, "the DV delete must hide rows")
+    val (c6, _, scan6, tot6) = IngestIndex.metadataCount(sp, state, m6,
+      "state", Seq(("n_events", 0.0, 1e15)))
+    assert(c6 == survivors,
+      s"metadataCount served tombstoned rows: $c6 != $survivors")
+    assert(scan6 > 0L && scan6 <= tot6,
+      "DV-covered buckets must scan, not metadata-count")
   }
 
   test("live-DV guard (r17): a raw mergeCommit on a table with a live " +
