@@ -29,6 +29,7 @@ object IngestIo {
     // split-topology assignment through the broadcast map)
     val bcastMinIds = if (args.length > 4) args(4).toInt else 65536
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -13,6 +13,7 @@ object PyramidBench {
     val chunk = if (args.length >= 4) args(3).toInt else 128
     val levels = if (args.length >= 5) args(4).toInt else 3
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

@@ -23,6 +23,7 @@ object ScaleUp {
     val factor = if (args.length > 2) args(2).toInt else 10
     val hotSize = if (args.length > 3) args(3).toInt else 20000
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

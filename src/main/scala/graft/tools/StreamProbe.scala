@@ -10,6 +10,7 @@ object StreamProbe {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val parts = if (args.length > 1) args(1) else "32"
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,6 +15,7 @@ object TimeOne {
     val reps =
       if (args.length > 2 && !args(2).contains("=")) args(2).toInt else 3
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
