@@ -152,13 +152,11 @@ class ErasureStreamSpec extends AnyFunSuite {
     }
   }
 
-  test("q132b interleaving law (r17): alternating merge and DV-delete " +
-    "verbs on ONE store — every intermediate version time-travels to " +
-    "the model state, deletes never resurface, re-inserts surface") {
+  private def interleavingLaw(tag: String): Unit = {
     val sp = spark
     import sp.implicits._
     val state = java.nio.file.Files
-      .createTempDirectory("graft-inter-law").toString + "/state"
+      .createTempDirectory(s"graft-inter-law$tag").toString + "/state"
     val fs = new org.apache.hadoop.fs.Path(state)
       .getFileSystem(sp.sparkContext.hadoopConfiguration)
     // small deterministic world: 24 users, 6 slices of (user, +1) rows
@@ -220,5 +218,23 @@ class ErasureStreamSpec extends AnyFunSuite {
       case U(_) => "merge"
       case D(_) => "delete-dv"
     }, ops.toString)
+  }
+
+  test("q132b interleaving law (r17): alternating merge and DV-delete " +
+    "verbs on ONE store — every intermediate version time-travels to " +
+    "the model state, deletes never resurface, re-inserts surface") {
+    interleavingLaw("base")
+  }
+
+  test("q132b interleaving law under splitBytes=1: every touched bucket " +
+    "splits every commit — DV composition, tombstone invalidation, and " +
+    "time travel hold across mixed generations") {
+    val old = spark.conf.getOption("spark.graft.ingest.splitBytes")
+    spark.conf.set("spark.graft.ingest.splitBytes", "1")
+    try interleavingLaw("split")
+    finally old match {
+      case Some(v) => spark.conf.set("spark.graft.ingest.splitBytes", v)
+      case None => spark.conf.unset("spark.graft.ingest.splitBytes")
+    }
   }
 }
