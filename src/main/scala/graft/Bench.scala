@@ -130,9 +130,15 @@ object Bench {
     // and a billing asymmetry would bias the new feature to read slower
     // than its baseline in recorded results. Genuinely shared-state
     // batch queries stay min-of-3 (r3's phantom-regression lesson).
+    // r18 additions: q118/q118b enter TOGETHER (the pair-billing rule —
+    // q118b is q118's direct sibling, and q118 rebuilds its whole
+    // fragment+optimize rig per invocation, so it was always rig work);
+    // q124c joins its sibling q124b; q138 rebuilds a store per
+    // invocation with no sibling. q137b stays min-of-3 beside q137.
     val rigReplay = Set(
-      "q124b_metadata_count_live_store",
-      "q132b_interleaved_upsert_erasure")
+      "q118_optimize_layout", "q118b_optimize_hilbert",
+      "q124b_metadata_count_live_store", "q124c_metadata_aggregate",
+      "q132b_interleaved_upsert_erasure", "q138_sql_create_insert")
     // the name lists are hand-maintained — validate them against the
     // live query surface so a renamed/removed replay query fails LOUDLY
     // here instead of silently re-gaining min-of-3 (r16 advisor fix);

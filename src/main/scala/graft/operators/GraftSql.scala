@@ -32,7 +32,9 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * Translation contract (SqlSurfaceSpec pins SQL == DataFrame row for
   * row on the q127 AND q131 shapes):
   *   - the ON condition must be the key equi-join `t.<key> = s.<key>`
-  *     (either order) — the store's merge law; anything else throws.
+  *     (either order; for COMPOSITE-key tables (r18) a conjunction of
+  *     one such equality per key column) — the store's merge law;
+  *     anything else throws.
   *   - clause gates/assignments reference columns QUALIFIED by the
   *     target/source alias; they translate to the `t_<col>`/`s_<col>`
   *     names [[MergeInto]] evaluates over its full-outer join. Key
@@ -85,6 +87,78 @@ object GraftSql {
   private[operators] def lookupTarget(parts: Seq[String])
       : Option[StoreTarget] = lookup(parts)
 
+  /** Registered parquet LAYOUT tables (r18) — plain clustered-parquet
+    * directories (the q107/q118 layout family), addressable by the
+    * `OPTIMIZE <name> ZORDER|HILBERT BY (x, y)` statement. A separate
+    * registry from store tables: a layout is one directory of data
+    * files + `_manifest`, not a versioned bucketed store. */
+  private val layouts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Make parquet layout dir `path` addressable as `name` in the
+    * OPTIMIZE statement. */
+  def registerLayout(name: String, path: String): Unit = {
+    layouts.put(name.toLowerCase(java.util.Locale.ROOT), path)
+    ()
+  }
+
+  def unregisterLayout(name: String): Unit = {
+    layouts.remove(name.toLowerCase(java.util.Locale.ROOT))
+    ()
+  }
+
+  private[operators] def lookupLayout(name: String): Option[String] =
+    Option(layouts.get(name.toLowerCase(java.util.Locale.ROOT)))
+
+  // ---- SQL-created store tables (r18): CREATE TABLE ... USING graft ----
+
+  /** A SQL-created table's durable identity: its inner store-table name,
+    * key columns, and declared schema — persisted as a small `_graft_
+    * meta_<table>` file beside the version dirs (gc only touches `v*`
+    * dirs, so the meta survives any retention policy), so a FRESH JVM
+    * can re-register the table and an INSERT can map positional columns
+    * without a committed version to read the schema from. */
+  private[operators] final case class TableMeta(table: String,
+      keys: Seq[String], schema: StructType)
+
+  private[operators] def metaPath(stateDir: String, table: String): Path =
+    new Path(s"$stateDir/_graft_meta_$table")
+
+  private[operators] def readMeta(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, table: String): Option[TableMeta] = {
+    val p = metaPath(stateDir, table)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val kv = text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(k, v) = l.split("\t", 2); k -> v
+    }.toMap
+    Some(TableMeta(kv("table"), kv("keys").split(",").toSeq,
+      StructType.fromDDL(kv("schema"))))
+  }
+
+  private[operators] def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String, meta: TableMeta): Unit = {
+    val p = metaPath(stateDir, meta.table)
+    val tmp = new Path(p.toString + s".tmp.${System.nanoTime()}")
+    val bytes = (s"table\t${meta.table}\n" +
+      s"keys\t${meta.keys.mkString(",")}\n" +
+      s"schema\t${meta.schema.toDDL}\n").getBytes("UTF-8")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    require(fs.rename(tmp, p), s"could not install table meta at $p")
+  }
+
+  /** The declared schema of a registered SQL-created table, when one
+    * exists (the empty-read shape and the INSERT positional target). */
+  private[operators] def declaredMeta(spark: SparkSession,
+      t: StoreTarget): Option[TableMeta] = {
+    val fs = new Path(t.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMeta(fs, t.stateDir, t.table)
+  }
+
   /** (alias, unwrapped plan): `MERGE INTO t AS x` wraps the relation in
     * a SubqueryAlias; alias defaults to the relation's last name part. */
   private def unwrap(p: LogicalPlan): (Option[String], LogicalPlan) =
@@ -112,12 +186,10 @@ object GraftSql {
     val (name, tgt) = targetOf(m).getOrElse(throw new IllegalArgumentException(
       s"MERGE INTO target is not a registered graft store table — " +
         "GraftSql.registerTable(name, stateDir, table) first"))
-    val key = IngestIndex.keyColsFor(tgt.table) match {
-      case Seq(k) => k
-      case ks => throw new IllegalArgumentException(
-        s"SQL MERGE INTO supports single-column-key store tables; " +
-          s"'${tgt.table}' is keyed by (${ks.mkString(", ")})")
-    }
+    // composite merge keys (r18): the ON condition is a CONJUNCTION of
+    // per-key equalities covering every key column of the store table
+    // — the statement is key-arity-generic like the DataFrame algebra
+    val keys = IngestIndex.keyColsFor(tgt.table)
     val tAlias = unwrap(m.targetTable)._1.getOrElse(name.split('.').last)
     val sAlias = unwrap(m.sourceTable) match {
       case (Some(a), _) => a
@@ -126,22 +198,41 @@ object GraftSql {
         "MERGE INTO: alias the USING source (`USING (...) AS s`) so " +
           "clause conditions can qualify its columns")
     }
-    // ON must be the key equi-join, either order
-    def isKeyRef(e: Expression, alias: String): Boolean = e match {
-      case UnresolvedAttribute(Seq(q, c)) =>
-        q.equalsIgnoreCase(alias) && c.equalsIgnoreCase(key)
-      case _ => false
+    // ON must be the key equi-join (every key, each equality in either
+    // order); the canonical key name from the registry is returned so
+    // coverage is case-insensitive
+    def keyOf(e: Expression, alias: String): Option[String] = e match {
+      case UnresolvedAttribute(Seq(q, c)) if q.equalsIgnoreCase(alias) =>
+        keys.find(_.equalsIgnoreCase(c))
+      case _ => None
     }
-    m.mergeCondition match {
-      case EqualTo(l, r)
-        if (isKeyRef(l, tAlias) && isKeyRef(r, sAlias)) ||
-          (isKeyRef(l, sAlias) && isKeyRef(r, tAlias)) => ()
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val wantOn = keys.map(k => s"$tAlias.$k = $sAlias.$k").mkString(" AND ")
+    val covered = conjuncts(m.mergeCondition).map {
+      case EqualTo(l, r) =>
+        (keyOf(l, tAlias), keyOf(r, sAlias)) match {
+          case (Some(k1), Some(k2)) if k1 == k2 => k1
+          case _ => (keyOf(l, sAlias), keyOf(r, tAlias)) match {
+            case (Some(k1), Some(k2)) if k1 == k2 => k1
+            case _ => throw new IllegalArgumentException(
+              s"MERGE INTO '$name' requires the key equi-join ON " +
+                s"$wantOn (the store's merge law); got conjunct: " +
+                s"${EqualTo(l, r).sql}")
+          }
+        }
       case other => throw new IllegalArgumentException(
-        s"MERGE INTO '$name' requires the key equi-join ON " +
-          s"$tAlias.$key = $sAlias.$key (the store's merge law); got: " +
-          other.sql)
+        s"MERGE INTO '$name' requires the key equi-join ON $wantOn " +
+          s"(the store's merge law); got: ${other.sql}")
     }
-    GraftMergeIntoCommand(name, tgt, m.sourceTable, tAlias, sAlias, key,
+    if (covered.toSet != keys.toSet) throw new IllegalArgumentException(
+      s"MERGE INTO '$name' requires the key equi-join ON $wantOn — " +
+        s"the ON condition covers (${covered.distinct.mkString(", ")}) " +
+        s"but '${tgt.table}' is keyed by (${keys.mkString(", ")})")
+    GraftMergeIntoCommand(name, tgt, m.sourceTable, tAlias, sAlias, keys,
       ParsedMergeActions(m.matchedActions, m.notMatchedActions,
         m.notMatchedBySourceActions))
   }
@@ -160,6 +251,11 @@ object GraftSql {
         spark.sessionState.sqlParser.parsePlan(text) match {
           case m: MergeIntoTable if targetOf(m).isDefined =>
             GraftSqlBridge.ofRows(spark, translate(m))
+          // INSERT INTO a registered store (r18) — same translation the
+          // injected rule makes, so the twin stays statement-complete
+          case i: org.apache.spark.sql.catalyst.plans.logical
+              .InsertIntoStatement =>
+            GraftSqlBridge.ofRows(spark, GraftMergeSqlRule(i))
           case plan => GraftSqlBridge.ofRows(spark, plan)
         }
     }
@@ -184,13 +280,24 @@ object GraftSql {
 
   private val DescribeHistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+  // CREATE TABLE <n> (<cols..., PRIMARY KEY (k...)>) USING graft
+  // LOCATION '<stateDir>' — only the graft provider is intercepted;
+  // every other CREATE TABLE delegates to Spark untouched
+  private val CreateTableRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """([\w.`]+)\s*\((.+)\)\s*USING\s+GRAFT\s+""" +
+      """LOCATION\s+'([^']+)'\s*;?\s*""").r
+  private val PrimaryKeyRe =
+    """(?i),?\s*PRIMARY\s+KEY\s*\(([^)]*)\)""".r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS""" +
       """\s+OF\s+(\d+)\s*;?\s*""").r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+""" +
+      """(VERSIONS|HOURS)\s*;?\s*""").r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+([\w.`]+)""" +
+      """(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
 
   private def registered(name: String): StoreTarget = {
@@ -209,31 +316,92 @@ object GraftSql {
     * column of a table named `history`, and must delegate. */
   private[operators] def parseVerb(text: String)
       : Option[LogicalPlan] = text match {
+    case CreateTableRe(ifNot, name, colsText, location) =>
+      val clean = name.replace("`", "")
+      val keys = PrimaryKeyRe.findFirstMatchIn(colsText) match {
+        case Some(mk) => mk.group(1).split(",").toSeq
+          .map(_.trim.replace("`", "")).filter(_.nonEmpty)
+        case None => throw new IllegalArgumentException(
+          s"CREATE TABLE $clean USING graft: declare PRIMARY KEY " +
+            "(col[, col...]) — the store is keyed (its bucket layout, " +
+            "MERGE law and deletion vectors all hash the key)")
+      }
+      val ddl = PrimaryKeyRe.replaceFirstIn(colsText, "").trim
+        .stripSuffix(",").stripPrefix(",").trim
+      val schema = StructType.fromDDL(ddl)
+      val canonKeys = keys.map { k =>
+        schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE TABLE $clean: PRIMARY KEY column '$k' is not in " +
+              s"the column list (${schema.fieldNames.mkString(", ")})"))
+      }
+      Some(GraftCreateTableCommand(clean, location,
+        clean.split('.').last, schema, canonKeys, ifNot != null))
     case DescribeHistoryRe(name) =>
       lookup(Seq(name.replace("`", ""))).map(t =>
         GraftDescribeHistoryCommand(name.replace("`", ""), t))
     case RestoreRe(name, v) =>
       Some(GraftRestoreCommand(name.replace("`", ""), registered(name),
         v.toLong))
-    case VacuumRe(name, k) =>
+    case VacuumRe(name, k, unit) =>
       Some(GraftVacuumCommand(name.replace("`", ""), registered(name),
-        k.toInt))
-    case OptimizeRe(name, k) =>
-      Some(GraftOptimizeCommand(name.replace("`", ""), registered(name),
-        Option(k).map(_.toInt).getOrElse(8)))
+        k.toInt, hours = unit.equalsIgnoreCase("HOURS")))
+    case OptimizeRe(name, curve, x, y, k) =>
+      val clean = name.replace("`", "")
+      if (curve == null)
+        Some(GraftOptimizeCommand(clean, registered(name),
+          Option(k).map(_.toInt).getOrElse(8)))
+      else {
+        // the curve clause addresses a registered parquet LAYOUT — a
+        // hash-bucketed store's physical order is its key hash, so
+        // curve-clustering one is a named contract error, not a typo
+        require(k == null,
+          s"OPTIMIZE $clean: RETAIN ... VERSIONS applies to store " +
+            "tables; a parquet layout has no version history")
+        lookupLayout(clean) match {
+          case Some(path) => Some(GraftOptimizeLayoutCommand(clean, path,
+            hilbert = curve.equalsIgnoreCase("HILBERT"),
+            x = x, y = y))
+          case None if lookup(Seq(clean)).isDefined =>
+            throw new IllegalArgumentException(
+              s"OPTIMIZE $clean ${curve.toUpperCase} BY: '$clean' is a " +
+                "graft STORE table (hash-bucketed by key) — " +
+                "curve-clustering applies to parquet layouts " +
+                "(GraftSql.registerLayout); the store form is " +
+                s"OPTIMIZE $clean [RETAIN k VERSIONS]")
+          case None => throw new IllegalArgumentException(
+            s"'$clean' is not a registered graft layout — " +
+              "GraftSql.registerLayout(name, path) first")
+        }
+      }
     case _ => None
   }
 }
 
 /** The analyzer rule [[graft.functions.GraftExtensions]] injects: rewrite
   * a parsed [[MergeIntoTable]] whose target names a registered graft
-  * store into the runnable [[GraftMergeIntoCommand]]. Top-level only
-  * (MERGE is a statement, not an operator), match-gated on the registry,
-  * side-effect-free, and a no-op once rewritten — fixed-point safe. */
+  * store into the runnable [[GraftMergeIntoCommand]], and (r18) a parsed
+  * `INSERT INTO` statement over one into [[GraftInsertCommand]]. Top
+  * level only (both are statements, not operators), match-gated on the
+  * registry, side-effect-free, and a no-op once rewritten — fixed-point
+  * safe. Ordering invariant: this rule precedes [[GraftStoreReadRule]],
+  * so the statement target is still an UnresolvedRelation here (the
+  * read rule would otherwise resolve it into a snapshot scan). */
 object GraftMergeSqlRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable if GraftSql.targetOf(m).isDefined =>
       GraftSql.translate(m)
+    case i @ InsertIntoStatement(
+        r: UnresolvedRelation, _, _, _, _, _, _)
+        if GraftSql.lookupTarget(r.multipartIdentifier).isDefined =>
+      val name = r.multipartIdentifier.mkString(".")
+      val t = GraftSql.lookupTarget(r.multipartIdentifier).get
+      require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+        s"INSERT INTO '$name': graft store tables are hash-bucketed — " +
+          "PARTITION specs do not apply")
+      GraftInsertCommand(name, t, i.userSpecifiedCols, i.query,
+        i.overwrite, i.byName)
     case _ => plan
   }
 }
@@ -262,17 +430,81 @@ final case class GraftStoreReadRule(spark: SparkSession)
         case Some(v) =>
           IngestIndex.tableAt(spark, t.stateDir, t.table, v)
         case None =>
-          IngestIndex.currentTable(spark, t.stateDir, t.table)
+          try IngestIndex.currentTable(spark, t.stateDir, t.table)
+          catch {
+            // a CREATEd-but-never-INSERTed table has no committed
+            // version yet (r18): SELECT reads an empty frame with the
+            // DECLARED schema, like any freshly created SQL table
+            case e: IllegalStateException
+                if e.getMessage.contains("no committed index version") =>
+              GraftSql.declaredMeta(spark, t) match {
+                case Some(meta) => spark.createDataFrame(
+                  java.util.Collections.emptyList[Row](), meta.schema)
+                case None => throw e
+              }
+          }
       }
       SubqueryAlias(parts.last, GraftSqlBridge.analyzedPlan(df))
     }
 
+  /** `TIMESTAMP AS OF <e>` as epoch millis (r18): an INTEGRAL literal is
+    * epoch millis verbatim (the form rigs emit — no timezone in play);
+    * anything else folds through a session-timezone CAST to TIMESTAMP
+    * (string / timestamp / date literals — Delta's accepted forms). */
+  private def tsMillisOf(name: String, e: Expression): Long = {
+    require(e.resolved && e.foldable, s"FROM $name TIMESTAMP AS OF " +
+      s"${e.sql}: the timestamp must be a literal expression")
+    e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        e.eval() match {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"FROM $name TIMESTAMP AS OF ${e.sql}: null timestamp ($other)")
+        }
+      case _ =>
+        val micros = org.apache.spark.sql.catalyst.expressions
+          .Cast(e, org.apache.spark.sql.types.TimestampType,
+            Some(conf.sessionLocalTimeZone)).eval()
+        require(micros != null, s"FROM $name TIMESTAMP AS OF ${e.sql} " +
+          "does not evaluate to a timestamp")
+        Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      // time travel over a registered store: VERSION AS OF <digits> is
+      // tableAt; TIMESTAMP AS OF <literal> (r18) resolves through the
+      // manifest mtimes (versionAt — Delta's rule, newest version at or
+      // before the instant); any OTHER travel spec on a registered name
+      // throws a NAMED error here (r17 judge finding: leaving it
+      // unresolved read as TABLE_OR_VIEW_NOT_FOUND for a table that IS
+      // registered).
       case RelationTimeTravel(
-          UnresolvedRelation(parts, _, false), None, Some(v))
-          if v.forall(_.isDigit) && GraftSql.lookupTarget(parts).isDefined =>
-        storeRead(parts, Some(v.toLong)).get
+          UnresolvedRelation(parts, _, false), ts, ver)
+          if GraftSql.lookupTarget(parts).isDefined =>
+        val name = parts.mkString(".")
+        (ts, ver) match {
+          case (None, Some(v)) if v.nonEmpty && v.forall(_.isDigit) =>
+            storeRead(parts, Some(v.toLong)).get
+          case (Some(e), None) =>
+            val t = GraftSql.lookupTarget(parts).get
+            val fs = new Path(t.stateDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            storeRead(parts, Some(IngestIndex.versionAt(fs, t.stateDir,
+              tsMillisOf(name, e)))).get
+          case (None, Some(v)) => throw new IllegalArgumentException(
+            s"FROM $name VERSION AS OF '$v': graft store versions are " +
+              "the integers DESCRIBE HISTORY lists — a non-numeric " +
+              "version is not supported")
+          case other => throw new IllegalArgumentException(
+            s"FROM $name: unsupported time-travel spec $other on a " +
+              "registered graft store table (supported: VERSION AS OF " +
+              "<int>, TIMESTAMP AS OF <literal> — see DESCRIBE HISTORY)")
+        }
       case r @ UnresolvedRelation(parts, _, false)
           if GraftSql.lookupTarget(parts).isDefined =>
         storeRead(parts, None).getOrElse(r)
@@ -302,13 +534,18 @@ final case class GraftMergeIntoCommand(
     source: LogicalPlan,
     tAlias: String,
     sAlias: String,
-    key: String,
+    keys: Seq[String],
     acts: ParsedMergeActions) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  /** The canonical key name `c` refers to, if it is one (composite keys
+    * r18: every key column maps to the shared join-key name). */
+  private def keyNamed(c: String): Option[String] =
+    keys.find(_.equalsIgnoreCase(c))
 
   /** Rewrite alias-qualified references to the joined-frame names
     * [[MergeInto]] evaluates over; `bySource` additionally forbids
@@ -325,21 +562,26 @@ final case class GraftMergeIntoCommand(
         if (bySource) throw new IllegalArgumentException(
           s"WHEN NOT MATCHED BY SOURCE clauses cannot reference the " +
             s"source ('${a.name}'): no source row exists for those keys")
-        else if (a.name.equalsIgnoreCase(key))
-          UnresolvedAttribute(Seq(key))
-        else UnresolvedAttribute(Seq("s_" + a.name))
+        else keyNamed(a.name) match {
+          case Some(k) => UnresolvedAttribute(Seq(k))
+          case None => UnresolvedAttribute(Seq("s_" + a.name))
+        }
       case UnresolvedAttribute(parts) => parts match {
         case Seq(q, c) if q.equalsIgnoreCase(tAlias) =>
-          if (c.equalsIgnoreCase(key)) UnresolvedAttribute(Seq(key))
-          else UnresolvedAttribute(Seq("t_" + c))
+          keyNamed(c) match {
+            case Some(k) => UnresolvedAttribute(Seq(k))
+            case None => UnresolvedAttribute(Seq("t_" + c))
+          }
         case Seq(q, c) if q.equalsIgnoreCase(sAlias) =>
           if (bySource) throw new IllegalArgumentException(
             s"WHEN NOT MATCHED BY SOURCE clauses cannot reference the " +
               s"source ('$q.$c'): no source row exists for those keys")
-          else if (c.equalsIgnoreCase(key)) UnresolvedAttribute(Seq(key))
-          else UnresolvedAttribute(Seq("s_" + c))
-        case Seq(c) if c.equalsIgnoreCase(key) =>
-          UnresolvedAttribute(Seq(key))
+          else keyNamed(c) match {
+            case Some(k) => UnresolvedAttribute(Seq(k))
+            case None => UnresolvedAttribute(Seq("s_" + c))
+          }
+        case Seq(c) if keyNamed(c).isDefined =>
+          UnresolvedAttribute(Seq(keyNamed(c).get))
         case other => throw new IllegalArgumentException(
           s"MERGE INTO '$targetName' references " +
             s"'${other.mkString(".")}' — qualify every non-key column " +
@@ -358,13 +600,15 @@ final case class GraftMergeIntoCommand(
         "assignments set target columns")
   }
 
-  /** The assignment's value translates to exactly the source key. */
-  private def isSourceKey(a: Assignment): Boolean = a.value match {
-    case UnresolvedAttribute(Seq(q, c)) =>
-      q.equalsIgnoreCase(sAlias) && c.equalsIgnoreCase(key)
-    case UnresolvedAttribute(Seq(c)) => c.equalsIgnoreCase(key)
-    case _ => false
-  }
+  /** The assignment's value translates to exactly the source's SAME key
+    * column `k`. */
+  private def isSourceKey(a: Assignment, k: String): Boolean =
+    a.value match {
+      case UnresolvedAttribute(Seq(q, c)) =>
+        q.equalsIgnoreCase(sAlias) && c.equalsIgnoreCase(k)
+      case UnresolvedAttribute(Seq(c)) => c.equalsIgnoreCase(k)
+      case _ => false
+    }
 
   private def clauseOf(a: MergeAction, payload: Seq[String],
       schema: StructType, family: String): MergeClause = {
@@ -380,18 +624,21 @@ final case class GraftMergeIntoCommand(
       case UpdateAction(cond, assigns, _) =>
         val set = assigns.flatMap { as =>
           val c = assignedCol(as)
-          if (c.equalsIgnoreCase(key)) {
-            // only the MATCHED identity assignment (key = source key) is
-            // droppable; anything else — including ANY key assignment in
-            // a BY SOURCE clause, where no source exists — is a key
-            // rewrite the store's merge law cannot express (review fix:
-            // this used to silently no-op outside the matched family)
-            if (bySource || !isSourceKey(as))
-              throw new IllegalArgumentException(
-                s"MERGE INTO '$targetName': reassigning the merge key " +
-                  s"'$key' is not supported")
-            None // identity assignment — the join key carries it
-          } else Some(payloadName(c) -> xlate(as.value, bySource))
+          keyNamed(c) match {
+            case Some(k) =>
+              // only the MATCHED identity assignment (key = source's
+              // same key) is droppable; anything else — including ANY
+              // key assignment in a BY SOURCE clause, where no source
+              // exists — is a key rewrite the store's merge law cannot
+              // express (review fix: this used to silently no-op
+              // outside the matched family)
+              if (bySource || !isSourceKey(as, k))
+                throw new IllegalArgumentException(
+                  s"MERGE INTO '$targetName': reassigning the merge " +
+                    s"key '$k' is not supported")
+              None // identity assignment — the join key carries it
+            case None => Some(payloadName(c) -> xlate(as.value, bySource))
+          }
         }.toMap
         MergeClause.update(set, cond.map(xlate(_, bySource)))
       case UpdateStarAction(cond) =>
@@ -403,22 +650,26 @@ final case class GraftMergeIntoCommand(
           cond.map(xlate(_, bySource)))
       case InsertAction(cond, assigns) =>
         // SQL/Delta NULL semantics: listed columns take their VALUES
-        // expressions, the key must come from the source key, and
-        // UNLISTED payload columns insert NULL (typed from the target)
-        var keySet = false
+        // expressions, every key must come from the source's same key,
+        // and UNLISTED payload columns insert NULL (typed from the
+        // target)
+        val keysSet = scala.collection.mutable.Set.empty[String]
         val listed = assigns.flatMap { as =>
           val c = assignedCol(as)
-          if (c.equalsIgnoreCase(key)) {
-            if (!isSourceKey(as)) throw new IllegalArgumentException(
-              s"MERGE INTO '$targetName': INSERT must set the merge " +
-                s"key '$key' from the source key ($sAlias.$key)")
-            keySet = true
-            None
-          } else Some(payloadName(c) -> xlate(as.value, bySource))
+          keyNamed(c) match {
+            case Some(k) =>
+              if (!isSourceKey(as, k)) throw new IllegalArgumentException(
+                s"MERGE INTO '$targetName': INSERT must set the merge " +
+                  s"key '$k' from the source key ($sAlias.$k)")
+              keysSet += k
+              None
+            case None => Some(payloadName(c) -> xlate(as.value, bySource))
+          }
         }.toMap
-        if (!keySet) throw new IllegalArgumentException(
-          s"MERGE INTO '$targetName': INSERT must list the merge key " +
-            s"'$key' (set from $sAlias.$key)")
+        if (keysSet.size != keys.size) throw new IllegalArgumentException(
+          s"MERGE INTO '$targetName': INSERT must list every merge key " +
+            s"(${keys.mkString(", ")}), each set from its $sAlias.<key>; " +
+            s"missing: ${keys.filterNot(keysSet).mkString(", ")}")
         val set = payload.map { c =>
           c -> listed.getOrElse(c, lit(null).cast(schema(c).dataType))
         }.toMap
@@ -443,9 +694,10 @@ final case class GraftMergeIntoCommand(
     val schema = IngestIndex
       .currentTable(spark, target.stateDir, target.table, raw = true)
       .schema
-    val payload = schema.fieldNames.toSeq.filterNot(_.equalsIgnoreCase(key))
+    val payload = schema.fieldNames.toSeq
+      .filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
     val merge = MergeInto(
-      key = key,
+      keys = keys,
       payload = payload,
       matched = acts.matched.map(clauseOf(_, payload, schema, "matched")),
       notMatched =
@@ -456,10 +708,31 @@ final case class GraftMergeIntoCommand(
     // columns null-fill (the SQL subquery is the projection mechanism
     // for anything fancier)
     val srcRaw = GraftSqlBridge.ofRows(spark, source)
-    require(srcRaw.columns.exists(_.equalsIgnoreCase(key)),
-      s"MERGE INTO '$targetName': the USING source carries no '$key' " +
-        s"column (source columns: ${srcRaw.columns.mkString(", ")})")
-    val src = srcRaw.select((key +: payload).map { c =>
+    keys.foreach { k =>
+      require(srcRaw.columns.exists(_.equalsIgnoreCase(k)),
+        s"MERGE INTO '$targetName': the USING source carries no '$k' " +
+          s"column (source columns: ${srcRaw.columns.mkString(", ")})")
+    }
+    // STAR actions copy "every source column" — a source missing a
+    // payload column (a typo'd USING projection) must be a named error,
+    // not a silent NULL write (r17 advisor finding; Delta and the SQL
+    // standard raise unresolved-column here). NULL-fill remains correct
+    // only for the LISTED-column INSERT path, where unlisted columns
+    // take NULL by SQL semantics.
+    val hasStar = (acts.matched ++ acts.notMatched).exists {
+      case _: UpdateStarAction | _: InsertStarAction => true
+      case _ => false
+    }
+    if (hasStar) {
+      val missing = payload.filterNot(c =>
+        srcRaw.columns.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty,
+        s"MERGE INTO '$targetName': UPDATE SET * / INSERT * require the " +
+          s"USING source to carry every target payload column; missing: " +
+          s"${missing.mkString(", ")} (source columns: " +
+          s"${srcRaw.columns.mkString(", ")})")
+    }
+    val src = srcRaw.select((keys ++ payload).map { c =>
       srcRaw.columns.find(_.equalsIgnoreCase(c)) match {
         case Some(have) => col(have).as(c)
         case None => lit(null).cast(schema(c).dataType).as(c)
@@ -483,6 +756,194 @@ final case class GraftMergeIntoCommand(
       target.table, next, src, merge, touchedKnown = touched)
     IngestIndex.writeManifest(fs, target.stateDir, next, nm,
       op = "merge-sql")
+    Seq(Row(next))
+  }
+}
+
+/** `CREATE TABLE <n> (cols..., PRIMARY KEY (k...)) USING graft LOCATION
+  * '<stateDir>'` (r18) — the DDL half of the SQL surface: persists the
+  * table's identity (inner table name, keys, declared schema) as the
+  * store's meta file, registers the key columns with the engine's
+  * shared key registry (ONE bucket formula for every verb), and
+  * registers the name for SQL addressing. Creates NO data version — the
+  * first INSERT/MERGE commits v1; a SELECT before that reads an empty
+  * frame with the declared schema. `IF NOT EXISTS` re-registers from
+  * the EXISTING meta (the durable identity wins over the statement's
+  * column list — re-running a setup script cannot silently rebind). */
+final case class GraftCreateTableCommand(
+    targetName: String,
+    stateDir: String,
+    table: String,
+    declared: StructType,
+    keys: Seq[String],
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = GraftSql.readMeta(fs, stateDir, table)
+    val meta = existing match {
+      case Some(m) if !ifNotExists =>
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $targetName: a graft table '${m.table}' " +
+            s"already exists under $stateDir (keyed by " +
+            s"${m.keys.mkString(", ")}) — use CREATE TABLE IF NOT " +
+            "EXISTS to re-register it")
+      case Some(m) => m
+      case None =>
+        val m = GraftSql.TableMeta(table, keys, declared)
+        fs.mkdirs(new Path(stateDir))
+        GraftSql.writeMeta(fs, stateDir, m)
+        m
+    }
+    graft.streaming.IngestIndex.registerKeyCols(meta.table, meta.keys)
+    GraftSql.registerTable(targetName, stateDir, meta.table)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO [OVERWRITE semantics via the overwrite flag] <registered
+  * store table> [(cols)] SELECT ...` (r18) — the bulk-load half of the
+  * SQL surface. Semantics:
+  *   - plain INSERT INTO appends rows under the table's PRIMARY KEY:
+  *     a duplicate key (within the batch, or against a live stored row)
+  *     raises a named error AT EXECUTION — the guard rides the same
+  *     touched-bucket join the commit pays anyway, no extra pass;
+  *   - INSERT OVERWRITE replaces the table's contents (the rig-seeding
+  *     verb as SQL): touched = every live bucket + the batch's, combine
+  *     ignores the current slice; a live deletion vector composes (its
+  *     tombstones are invalidated with the rewrite, so re-inserted keys
+  *     surface — mergeCommitDv's law);
+  *   - a column LIST maps by name, unlisted payload columns take NULL
+  *     (every key must be listed); no list = positional against the
+  *     declared schema (arity-checked), each column CAST to the
+  *     declared type.
+  * Cost geometry is the store's: O(batch + touched buckets) per
+  * statement, one manifest write (`op = insert`/`insert-overwrite`).
+  * Returns the committed version. */
+final case class GraftInsertCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    userCols: Seq[String],
+    query: LogicalPlan,
+    overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    import graft.streaming.IngestIndex
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = IngestIndex.latestVersion(fs, target.stateDir)
+    val m = top.map(IngestIndex.readManifest(fs, target.stateDir, _))
+      .getOrElse(Map.empty: IngestIndex.Manifest)
+    val schema: StructType =
+      GraftSql.declaredMeta(spark, target).map(_.schema).getOrElse {
+        require(m.contains(target.table),
+          s"INSERT INTO '$targetName': table '${target.table}' has " +
+            s"neither a meta file nor a committed version under " +
+            s"${target.stateDir} — CREATE TABLE ... USING graft first")
+        IngestIndex.currentTable(spark, target.stateDir, target.table,
+          raw = true).schema
+      }
+    val keys = IngestIndex.keyColsFor(target.table)
+    val src0 = GraftSqlBridge.ofRows(spark, query)
+    // column mapping: BY NAME / column list map by name (keys
+    // mandatory, unlisted payload -> NULL); default is positional
+    val src =
+      if (byName || userCols.nonEmpty) {
+        val provided: Map[String, Column] =
+          if (userCols.nonEmpty) {
+            require(userCols.size == src0.columns.length,
+              s"INSERT INTO '$targetName' lists ${userCols.size} " +
+                s"columns but the query produces " +
+                s"${src0.columns.length}")
+            userCols.zip(src0.columns).map { case (tc, sc) =>
+              val canon = schema.fieldNames
+                .find(_.equalsIgnoreCase(tc)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"INSERT INTO '$targetName': '$tc' is not a " +
+                      s"column (${schema.fieldNames.mkString(", ")})"))
+              canon -> col(sc)
+            }.toMap
+          } else src0.columns.flatMap { sc =>
+            schema.fieldNames.find(_.equalsIgnoreCase(sc))
+              .map(_ -> col(sc))
+          }.toMap
+        keys.foreach(k => require(provided.contains(k),
+          s"INSERT INTO '$targetName': the merge key '$k' must be " +
+            "among the inserted columns"))
+        src0.select(schema.fields.map { f =>
+          provided.get(f.name) match {
+            case Some(c) => c.cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toSeq: _*)
+      } else {
+        require(src0.columns.length == schema.fields.length,
+          s"INSERT INTO '$targetName' (positional): the query " +
+            s"produces ${src0.columns.length} columns, the table has " +
+            s"${schema.fields.length} (${schema.fieldNames
+              .mkString(", ")})")
+        src0.select(schema.fields.zipWithIndex.map { case (f, i) =>
+          col(src0.columns(i)).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      }
+    // PRIMARY KEY guard, batch-internal half: a duplicate key within
+    // the inserted rows raises at execution (rides the key window)
+    val keyStr = concat_ws(",", keys.map(k => col(k).cast("string")): _*)
+    val delta = src.select((schema.fieldNames.map(col) :+
+      when(count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)) > 1,
+        raise_error(concat(
+          lit(s"INSERT INTO '$targetName': duplicate PRIMARY KEY ("),
+          keyStr, lit(") within the inserted rows"))).isNotNull)
+        .otherwise(lit(true)).as("__pk")).toSeq: _*)
+      .filter(col("__pk")).drop("__pk")
+    val combine: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      if (overwrite) (_, d) => d
+      else (cur, d) => {
+        // stored half of the PK guard: any live row matching an
+        // inserted key raises — evaluated on the touched slice the
+        // merge reads anyway
+        val hits = d.select(keys.map(col): _*)
+          .withColumn("__hit", lit(true))
+        cur.join(hits, keys, "left")
+          .select((schema.fieldNames.map(col) :+
+            when(col("__hit"),
+              raise_error(concat(
+                lit(s"INSERT INTO '$targetName': PRIMARY KEY ("),
+                keyStr, lit(") already exists — use MERGE INTO to " +
+                  "upsert"))).isNotNull)
+              .otherwise(lit(true)).as("__pk")).toSeq: _*)
+          .filter(col("__pk")).drop("__pk")
+          .unionByName(d)
+      }
+    val touched: Option[Set[Int]] =
+      if (!overwrite) None
+      else {
+        val n = IngestIndex.numBuckets(spark)
+        val gens = IngestIndex.gensOf(m, target.table)
+        val deltaBkts = IngestIndex
+          .assignBucket(delta, target.table, n, gens)
+          .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+        Some(m.getOrElse(target.table,
+          Map.empty[Int, IngestIndex.Bkt]).keySet ++ deltaBkts)
+      }
+    val next = top.getOrElse(0L) + 1
+    val nm = IngestIndex.mergeCommitDv(spark, target.stateDir, m,
+      target.table, next, delta, combine, touchedKnown = touched)
+    IngestIndex.writeManifest(fs, target.stateDir, next, nm,
+      op = if (overwrite) "insert-overwrite" else "insert")
     Seq(Row(next))
   }
 }
@@ -535,14 +996,19 @@ final case class GraftRestoreCommand(
   }
 }
 
-/** `VACUUM <registered table> RETAIN <k> VERSIONS` — the gc verb as
-  * SQL: reclaims version dirs no retained manifest references, keeping
-  * the newest `k` snapshots fully readable (k clamps to the
-  * crash-replay minimum of 2). Returns the deleted versions. */
+/** `VACUUM <registered table> RETAIN <k> VERSIONS | HOURS` — the gc
+  * verb as SQL: reclaims version dirs no retained manifest references.
+  * The VERSIONS form keeps the newest `k` snapshots fully readable (k
+  * clamps to the crash-replay minimum of 2); the HOURS form (r18) is
+  * the production wall-clock window (Delta's
+  * `deletedFileRetentionDuration`): every version whose manifest mtime
+  * is younger than `k` hours stays fully readable, with the count floor
+  * at the crash-replay minimum. Returns the deleted versions. */
 final case class GraftVacuumCommand(
     targetName: String,
     target: GraftSql.StoreTarget,
-    retain: Int) extends LeafRunnableCommand {
+    retain: Int,
+    hours: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_version", LongType,
@@ -551,8 +1017,14 @@ final case class GraftVacuumCommand(
   override def run(ss: SparkSession): Seq[Row] = {
     val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val (fs, top) = GraftSql.storeTop(spark, target, "VACUUM", targetName)
-    IngestIndex.gc(fs, target.stateDir, math.max(1L, top - 1), top,
-      retain).map(Row(_))
+    val deleted =
+      if (hours)
+        IngestIndex.gc(fs, target.stateDir, math.max(1L, top - 1), top,
+          retain = 2, retainMillis = retain * 3600L * 1000L)
+      else
+        IngestIndex.gc(fs, target.stateDir, math.max(1L, top - 1), top,
+          retain)
+    deleted.map(Row(_))
   }
 }
 
@@ -611,6 +1083,62 @@ final class GraftSqlParser(
   * then fold the version tail into one compaction epoch (the OPTIMIZE
   * half), keeping `k` snapshots (default 8) time-travelable. Returns
   * (version, purged_tombstones). */
+/** `OPTIMIZE <registered layout> ZORDER|HILBERT BY (x, y)` (r18) — the
+  * Delta OPTIMIZE ZORDER statement over a plain parquet layout dir:
+  * bin-pack + curve-cluster + stats manifest in one read/shuffle/write
+  * ([[graft.queries.Layout.optimize]]'s shape), swapped IN PLACE so the
+  * table path is stable for readers. The manifest is written AFTER the
+  * swap (its file column holds absolute paths — written before, every
+  * row would point at the staging dir). Crash window: between the
+  * delete and the rename the dir is briefly absent — acceptable for a
+  * maintenance STATEMENT (the streaming store's commit path never uses
+  * this; it has the manifest protocol). Returns (files_before,
+  * files_after). */
+final case class GraftOptimizeLayoutCommand(
+    targetName: String,
+    path: String,
+    hilbert: Boolean,
+    x: String,
+    y: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"OPTIMIZE $targetName: no layout at $path")
+    def parquetFiles(d: Path): Long =
+      fs.listStatus(d).count(st =>
+        st.getPath.getName.endsWith(".parquet")).toLong
+    val before = parquetFiles(p)
+    val df = spark.read.parquet(path)
+    Seq(x, y).foreach(c => require(df.columns.contains(c),
+      s"OPTIMIZE $targetName: no column '$c' in the layout " +
+        s"(columns: ${df.columns.mkString(", ")})"))
+    val st = df.agg(
+      min(col(x)).cast(org.apache.spark.sql.types.DoubleType),
+      max(col(x)).cast(org.apache.spark.sql.types.DoubleType),
+      min(col(y)).cast(org.apache.spark.sql.types.DoubleType),
+      max(col(y)).cast(org.apache.spark.sql.types.DoubleType)).head
+    val tmp = new Path(path + ".optimizing")
+    fs.delete(tmp, true)
+    graft.queries.Layout.curveWrite(df, col(x), col(y),
+      (st.getDouble(0), st.getDouble(1)),
+      (st.getDouble(2), st.getDouble(3)), tmp.toString, hilbert)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p),
+      s"OPTIMIZE $targetName: could not install the rewritten layout " +
+        s"at $path (rewrite staged at $tmp)")
+    graft.queries.Layout.writeStatsManifest(spark, path,
+      Seq(x, y, "zv"))
+    Seq(Row(before, parquetFiles(p)))
+  }
+}
+
 final case class GraftOptimizeCommand(
     targetName: String,
     target: GraftSql.StoreTarget,

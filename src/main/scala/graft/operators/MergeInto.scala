@@ -50,7 +50,9 @@ object MergeClause {
   *
   * Conditions and assignments reference the target row's columns as
   * `t_<col>` and the source row's as `s_<col>` (both sides must carry
-  * `key` plus every `payload` column; BY SOURCE conditions/assignments
+  * every `keys` column — COMPOSITE merge keys are one equi-join on the
+  * key tuple (r18) — plus every `payload` column; BY SOURCE
+  * conditions/assignments
   * may only reference `t_<col>` — no source row exists for those keys).
   * A gate evaluating to NULL reads as "does not fire" (SQL's
   * unknown-is-false for MERGE clause conditions).
@@ -76,7 +78,7 @@ object MergeClause {
   * full-target-scan cost Delta documents for the clause family.
   */
 final case class MergeInto(
-    key: String,
+    keys: Seq[String],
     payload: Seq[String],
     matched: Seq[MergeClause] = Nil,
     notMatched: Seq[MergeClause] = Nil,
@@ -84,6 +86,7 @@ final case class MergeInto(
     checkCardinality: Boolean = true)
     extends ((DataFrame, DataFrame) => DataFrame) {
 
+  require(keys.nonEmpty, "MERGE INTO requires at least one merge key")
   require(notMatched.forall(!_.delete),
     "WHEN NOT MATCHED THEN DELETE is not a MERGE clause: no target row " +
       "exists for an unmatched source key")
@@ -98,15 +101,15 @@ final case class MergeInto(
     * the slice's post-merge rows (`key` + `payload` columns). */
   def apply(target: DataFrame, source: DataFrame): DataFrame = {
     val t = target.select(
-      (col(key) +: payload.map(c => col(c).as(s"t_$c"))) :+
+      (keys.map(col) ++ payload.map(c => col(c).as(s"t_$c"))) :+
         lit(true).as("t_present"): _*)
     val s0 = source.select(
-      (col(key) +: payload.map(c => col(c).as(s"s_$c"))) :+
+      (keys.map(col) ++ payload.map(c => col(c).as(s"s_$c"))) :+
         lit(true).as("s_present"): _*)
     val s =
       if (checkCardinality)
         s0.withColumn("__s_dup",
-          count(lit(1)).over(Window.partitionBy(col(key))))
+          count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
       else s0.withColumn("__s_dup", lit(1L))
     val tp = coalesce(col("t_present"), lit(false))
     val sp = coalesce(col("s_present"), lit(false))
@@ -145,12 +148,12 @@ final case class MergeInto(
       else when(matchedRow && col("__s_dup") > 1,
         raise_error(concat(
           lit("MERGE INTO cardinality violation: target key "),
-          col(key).cast("string"),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*),
           lit(" matches multiple source rows"))).isNotNull)
         .otherwise(lit(true))
-    t.join(s, Seq(key), "full_outer")
+    t.join(s, keys, "full_outer")
       .filter(cardinalityOk && !deleted && !skippedInsert)
-      .select(col(key) +: payload.map { c =>
+      .select(keys.map(col) ++ payload.map { c =>
         when(matchedRow, familyValue(matched, c, col(s"t_$c")))
           .when(tp, familyValue(notMatchedBySource, c, col(s"t_$c")))
           .otherwise(familyValue(notMatched, c, col(s"s_$c"))).as(c)
@@ -172,7 +175,7 @@ object MergeInto {
       notMatchedBySourceDeleteWhen: Option[Column] = None,
       notMatchedBySourceSet: Map[String, Column] = Map.empty): MergeInto =
     MergeInto(
-      key = key,
+      keys = Seq(key),
       payload = payload,
       matched =
         matchedDeleteWhen.map(c => MergeClause.delete(Some(c))).toSeq :+

@@ -243,7 +243,8 @@ object Layout {
     * (Delta OPTIMIZE ZORDER BY). Returns the measured (x, y) ranges —
     * the clustering inputs and the box-bound inputs downstream. */
   private[graft] def optimize(s: SparkSession, inPath: String,
-      outPath: String, x: String, y: String, statsCols: Seq[String])
+      outPath: String, x: String, y: String, statsCols: Seq[String],
+      hilbert: Boolean = false)
       : ((Double, Double), (Double, Double)) = {
     val df = s.read.parquet(inPath)
     val st = df.agg(
@@ -251,7 +252,7 @@ object Layout {
       min(col(y)).cast(DoubleType), max(col(y)).cast(DoubleType)).head
     val xr = (st.getDouble(0), st.getDouble(1))
     val yr = (st.getDouble(2), st.getDouble(3))
-    zOrderWrite(df, col(x), col(y), xr, yr, outPath)
+    curveWrite(df, col(x), col(y), xr, yr, outPath, hilbert)
     writeStatsManifest(s, outPath, statsCols :+ "zv")
     (xr, yr)
   }
@@ -456,6 +457,50 @@ object Layout {
       .orderBy("event_type")
   }
 
+  /** The shared q118/q118b body: fragment the events into 150 small
+    * files, OPTIMIZE (bin-pack + curve-cluster + stats manifest in one
+    * read/shuffle/write — [[optimize]]), answer the 2-D box aggregate
+    * reading only manifest-intersecting files. The curve is a
+    * parameter; the oracle runs on the ORIGINAL table either way. */
+  private def optimizeBoxQuery(s: SparkSession, d: String, kind: String,
+      hilbert: Boolean): DataFrame = {
+    val ev = Q.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val base = stagePath(s, kind, d)
+    ev.repartition(150)
+      .write.mode("overwrite").parquet(s"$base/frag")
+    val (er, vr) = optimize(s, s"$base/frag", s"$base/out",
+      "event_id", "value", Seq("event_id", "value"), hilbert)
+    val (bel, beh, bvl, bvh) = boxBounds(er, vr)
+    boxFilterOn(statsPrunedRead(s, s"$base/out",
+        Seq(("event_id", bel, beh), ("value", bvl, bvh))),
+        "event_id", "value", er, vr)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum4(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val OptimizeBoxOracle: String =
+    s"""WITH ev AS (${Q.EVENTS_SQL}),
+       |st AS (SELECT CAST(MIN(event_id) AS DOUBLE) AS elo,
+       |    CAST(MAX(event_id) AS DOUBLE) AS ehi,
+       |    MIN(value) AS vlo, MAX(value) AS vhi FROM ev),
+       |box AS (SELECT elo + 0.25 * (ehi - elo) AS bel,
+       |    elo + 0.375 * (ehi - elo) AS beh,
+       |    vlo + 0.25 * (vhi - vlo) AS bvl,
+       |    vlo + 0.375 * (vhi - vlo) AS bvh FROM st)
+       |SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${SUM4("value")} AS sum_value
+       |FROM ev, box
+       |WHERE CAST(event_id AS DOUBLE) >= bel
+       |  AND CAST(event_id AS DOUBLE) < beh
+       |  AND value >= bvl AND value < bvh
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val CurveBoxOracle: String =
     s"""WITH ev AS (${Q.EVENTS_SQL}),
        |st AS (SELECT CAST(MIN(user_id) AS DOUBLE) AS ulo,
@@ -533,41 +578,20 @@ object Layout {
     // proves the full loop (fragment, compact, cluster, prune) lost,
     // duplicated and corrupted nothing.
     QueryDef("q118_optimize_layout",
-      (s, d) => {
-        val ev = Q.events(s, d)
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"))
-        val base = stagePath(s, "optimize", d)
-        ev.repartition(150)
-          .write.mode("overwrite").parquet(s"$base/frag")
-        val (er, vr) = optimize(s, s"$base/frag", s"$base/out",
-          "event_id", "value", Seq("event_id", "value"))
-        val (bel, beh, bvl, bvh) = boxBounds(er, vr)
-        boxFilterOn(statsPrunedRead(s, s"$base/out",
-            Seq(("event_id", bel, beh), ("value", bvl, bvh))),
-            "event_id", "value", er, vr)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"),
-            countDistinct(col("user_id")).as("n_users"),
-            sum4(col("value")).as("sum_value"))
-          .orderBy("event_type")
-      },
-      Some(s"""WITH ev AS (${Q.EVENTS_SQL}),
-             |st AS (SELECT CAST(MIN(event_id) AS DOUBLE) AS elo,
-             |    CAST(MAX(event_id) AS DOUBLE) AS ehi,
-             |    MIN(value) AS vlo, MAX(value) AS vhi FROM ev),
-             |box AS (SELECT elo + 0.25 * (ehi - elo) AS bel,
-             |    elo + 0.375 * (ehi - elo) AS beh,
-             |    vlo + 0.25 * (vhi - vlo) AS bvl,
-             |    vlo + 0.375 * (vhi - vlo) AS bvh FROM st)
-             |SELECT event_type, COUNT(*) AS n_events,
-             |  COUNT(DISTINCT user_id) AS n_users,
-             |  ${SUM4("value")} AS sum_value
-             |FROM ev, box
-             |WHERE CAST(event_id AS DOUBLE) >= bel
-             |  AND CAST(event_id AS DOUBLE) < beh
-             |  AND value >= bvl AND value < bvh
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+      (s, d) => optimizeBoxQuery(s, d, "optimize", hilbert = false),
+      Some(OptimizeBoxOracle)),
+
+    // Q118b OPTIMIZE THROUGH THE HILBERT CURVE (r18): the full
+    // maintenance loop (fragment -> bin-pack + cluster + stats manifest
+    // -> manifest-pruned box read) with the Hilbert index as the
+    // clustering curve — q107b proved the curve, this proves OPTIMIZE
+    // is curve-generic. Oracle = q118's VERBATIM (the curve must be
+    // unobservable in results; only the skip profile may differ —
+    // ZOrderSpec measures the quadrant-straddling box where Hilbert's
+    // lack of locality cliffs genuinely wins).
+    QueryDef("q118b_optimize_hilbert",
+      (s, d) => optimizeBoxQuery(s, d, "optimizeh", hilbert = true),
+      Some(OptimizeBoxOracle)),
 
     // Q124 METADATA-ONLY COUNT (r14): COUNT(*) under a 2-D box answered
     // from the file-stats manifest — fully-contained files contribute

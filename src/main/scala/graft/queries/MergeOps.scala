@@ -240,10 +240,11 @@ object MergeOps {
     * ([[IngestIndex.writeBucketStats]] — stats IO O(touched), the
     * incremental maintenance q118/q124's OPTIMIZE-built manifest lacked).
     * Returns (stateDir, final manifest). */
-  private[graft] def runStatsStore(s: SparkSession, d: String)
+  private[graft] def runStatsStore(s: SparkSession, d: String,
+      kind: String = "stats124b", sumCols: Seq[String] = Nil)
       : (String, IngestIndex.Manifest) = {
     val ev = Q.events(s, d)
-    val state = stateDirFor(s, "stats124b", d)
+    val state = stateDirFor(s, kind, d)
     val fs = new Path(state)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new Path(state), true)
@@ -254,7 +255,7 @@ object MergeOps {
         delta, addCombine)
       m = Map("state" -> map)
       IngestIndex.writeBucketStats(s, state, "state", i + 1L,
-        Seq("n_events", "sum_value"))
+        Seq("n_events", "sum_value"), sumCols)
       IngestIndex.writeManifest(fs, state, i + 1L, m, op = "merge")
       IngestIndex.gc(fs, state, i.toLong, i + 1L)
     }
@@ -271,7 +272,7 @@ object MergeOps {
     * verbatim, odd ones insert with the sum ZEROED (the second,
     * conditional INSERT clause). */
   private[graft] val q131Merge = MergeInto(
-    key = "user_id",
+    keys = Seq("user_id"),
     payload = Seq("n_events", "sum_value"),
     matched = Seq(
       graft.operators.MergeClause.update(
@@ -364,6 +365,52 @@ object MergeOps {
              |SELECT CAST(3 AS INT), COUNT(*) FROM agg
              |  WHERE n >= 20 AND n < 50
              |ORDER BY box_id""".stripMargin)),
+
+    // Q124c METADATA-ONLY MIN/MAX/SUM (r18): Delta's stats path beyond
+    // COUNT — with per-bucket sums recorded commit-by-commit
+    // (writeBucketStats sumCols, stats IO still O(touched)), full-range
+    // MIN/MAX/SUM/COUNT answers from stats alone with ZERO data buckets
+    // scanned (the spec pins bucketsScanned == 0 for box 1), and
+    // interval boxes compose exactly: contained buckets contribute
+    // stats, straddlers contribute one residual-filtered scan row.
+    // Decimal sums ride the stats in Spark's exact SUM type, so the
+    // composition is bit-exact against the oracle's one-shot aggregate.
+    QueryDef("q124c_metadata_aggregate",
+      (s, d) => {
+        val (state, m) = runStatsStore(s, d, "stats124c",
+          sumCols = Seq("n_events", "sum_value"))
+        val boxSets: Seq[(Int, Seq[(String, Double, Double)])] = Seq(
+          1 -> Nil, // full range: pure metadata
+          2 -> Seq(("n_events", 40.0, 70.0)), // straddles: composes
+          3 -> Seq(("n_events", 66.0, 1e15)))
+        val sp = s
+        import sp.implicits._
+        boxSets.map { case (id, bs) =>
+          val (df, _, _, _) = IngestIndex.metadataAggregate(s, state, m,
+            "state", bs, Seq("n_events"), Seq("n_events", "sum_value"))
+          val r = df.head()
+          (id, r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(2),
+            r.getDecimal(3).doubleValue)
+        }.toDF("box_id", "min_n", "max_n", "n_rows", "sum_n",
+          "sum_value").orderBy("box_id")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |agg AS (SELECT user_id, COUNT(*) AS n,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |      AS DECIMAL(18,4)) AS sv
+             |  FROM e GROUP BY user_id),
+             |b AS (
+             |  SELECT 1 AS box_id, MIN(n) AS mn, MAX(n) AS mx,
+             |    COUNT(*) AS c, SUM(n) AS sn, SUM(sv) AS sval FROM agg
+             |  UNION ALL SELECT 2, MIN(n), MAX(n), COUNT(*), SUM(n),
+             |    SUM(sv) FROM agg WHERE n >= 40 AND n < 70
+             |  UNION ALL SELECT 3, MIN(n), MAX(n), COUNT(*), SUM(n),
+             |    SUM(sv) FROM agg WHERE n >= 66)
+             |SELECT CAST(box_id AS INT) AS box_id,
+             |  CAST(mn AS BIGINT) AS min_n, CAST(mx AS BIGINT) AS max_n,
+             |  CAST(c AS BIGINT) AS n_rows, CAST(sn AS BIGINT) AS sum_n,
+             |  CAST(sval AS DOUBLE) AS sum_value
+             |FROM b ORDER BY box_id""".stripMargin)),
 
     // Q135 SQL MERGE INTO (r17, carried r15 task #5): q127's statement
     // as the TEXT every lakehouse user types — `spark.sql("MERGE INTO
@@ -527,6 +574,93 @@ object MergeOps {
              |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
              |FROM e WHERE event_id % 2 = 0
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q137b SQL TIMESTAMP TRAVEL (r18): the wall-clock half of the SQL
+    // time-travel surface — `FROM <store> TIMESTAMP AS OF <instant>`
+    // resolves through the manifest mtimes (IngestIndex.versionAt:
+    // newest version at or before the instant, Delta's rule, with the
+    // mtime as the commit timestamp — the same input DESCRIBE HISTORY
+    // and the wall-clock gc window already use). The rig commits v1
+    // (pre-merge) then v2 (the q127 merge) and asks for the instant
+    // JUST BEFORE v2's commit: the read must be the v1 snapshot, which
+    // the oracle recomputes directly (q137's oracle verbatim — version
+    // and timestamp travel to the same snapshot must agree).
+    QueryDef("q137b_sql_timestamp_travel",
+      (s, d) => {
+        val (target, source) = q127Inputs(s, d)
+        val state = stateDirFor(s, "read137b", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(state), true)
+        val m1 = commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
+        commit(s, state, m1, 2L, source, q127Merge)
+        val mt2 = IngestIndex.describeHistory(fs, state)
+          .find(_.version == 2L).map(_.manifestMtime).get
+        graft.operators.GraftSql.registerTable("graft_q137b_state", state,
+          "state")
+        // epoch-millis literal: commits are Spark jobs apart, so
+        // (v2 mtime - 1) is always >= v1's mtime and < v2's
+        try s.sql(
+          s"""SELECT user_id, n_events,
+             |  CAST(sum_value AS DOUBLE) AS sum_value
+             |FROM graft_q137b_state TIMESTAMP AS OF ${mt2 - 1}
+             |ORDER BY user_id""".stripMargin)
+        finally graft.operators.GraftSql.unregisterTable(
+          "graft_q137b_state")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL})
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e WHERE event_id % 2 = 0
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Q138 SQL CREATE TABLE + INSERT INTO (r18): the DDL/bulk-load half
+    // of the SQL surface — a user CREATEs a keyed store table and loads
+    // it with two INSERT commits entirely through spark.sql (no Scala
+    // seeding), then reads it back through the same SQL surface. The
+    // two inserts partition the users (even/odd), so the PRIMARY KEY
+    // append law holds and the final table is every user's aggregate —
+    // which the oracle recomputes directly from raw events. One INSERT
+    // is positional, the other lists its columns (both mapping paths
+    // oracle-gated); SqlSurfaceSpec pins the guard rails (duplicate-key
+    // errors, IF NOT EXISTS, empty-table reads, OVERWRITE, meta
+    // durability).
+    QueryDef("q138_sql_create_insert",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val state = stateDirFor(s, "create138", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(state), true)
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 0))
+          .createOrReplaceTempView("graft_q138_even")
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 1))
+          .createOrReplaceTempView("graft_q138_odd")
+        try {
+          s.sql(
+            s"""CREATE TABLE graft_q138_users (
+               |  user_id BIGINT, n_events BIGINT,
+               |  sum_value DECIMAL(18,4),
+               |  PRIMARY KEY (user_id)
+               |) USING graft LOCATION '$state'""".stripMargin)
+          s.sql("INSERT INTO graft_q138_users " +
+            "SELECT user_id, n_events, sum_value FROM graft_q138_even")
+          s.sql("INSERT INTO graft_q138_users " +
+            "(user_id, n_events, sum_value) " +
+            "SELECT user_id, n_events, sum_value FROM graft_q138_odd")
+          s.sql(
+            """SELECT user_id, n_events,
+              |  CAST(sum_value AS DOUBLE) AS sum_value
+              |FROM graft_q138_users ORDER BY user_id""".stripMargin)
+        } finally graft.operators.GraftSql.unregisterTable(
+          "graft_q138_users")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL})
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     // Q131 ORDERED MULTI-CLAUSE MERGE (r16): the full SQL:2023 clause
     // algebra — N conditional clauses per family, first match wins —

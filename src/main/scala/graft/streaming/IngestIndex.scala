@@ -113,7 +113,9 @@ object IngestIndex {
 
   /** The key column(s) of each store table — the bucket hash input, the
     * MERGE key, and the deletion-vector join key, from ONE registry so
-    * they can never disagree. */
+    * they can never disagree. Built-in table names are compile-time;
+    * SQL-created tables (r18, `CREATE TABLE ... USING graft`) register
+    * through [[registerKeyCols]]. */
   def keyColsFor(table: String): Seq[String] = table match {
     case "fp" => Seq("fp")
     case "band" => Seq("b", "bv")
@@ -125,8 +127,38 @@ object IngestIndex {
     // a deletion-vector side table is keyed by ITS BASE TABLE's key, so
     // a tombstone and the row it hides always share a bucket formula
     case dv if dv.endsWith(DvSuffix) => keyColsFor(dv.stripSuffix(DvSuffix))
-    case other => throw new IllegalArgumentException(
-      s"unknown ingest-index table: $other")
+    case other => Option(dynamicKeyCols.get(other)).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown ingest-index table: $other"))
+  }
+
+  /** Built-in table names whose keys are compile-time facts above —
+    * dynamic registration must never shadow them. */
+  private val BuiltinTables =
+    Set("fp", "band", "sig", "state", "vec", "view", "dim")
+
+  private val dynamicKeyCols =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Register a SQL-created table's key columns (r18). Idempotent for
+    * equal keys; refuses to shadow a built-in name or REBIND a live
+    * name to different keys — every reader/writer of a table must use
+    * one bucket formula, or probes and layouts silently disagree. */
+  def registerKeyCols(table: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, s"table '$table' needs at least one key column")
+    require(!BuiltinTables(table) && !table.endsWith(DvSuffix),
+      s"'$table' is a built-in store table name (or a DV suffix) — " +
+        "SQL-created tables must use a fresh name")
+    val prev = dynamicKeyCols.putIfAbsent(table, keys)
+    require(prev == null || prev == keys,
+      s"table '$table' is already registered with keys " +
+        s"(${Option(prev).getOrElse(Nil).mkString(", ")}) — cannot " +
+        s"rebind to (${keys.mkString(", ")}) in one process")
+  }
+
+  def unregisterKeyCols(table: String): Unit = {
+    dynamicKeyCols.remove(table)
+    ()
   }
 
   private def hashFor(table: String): Column =
@@ -305,6 +337,16 @@ object IngestIndex {
     val hit = manifestMemo.get(k)
     if (hit != null && hit._1 == st.getModificationTime
       && hit._2 == st.getLen) {
+      // the prefix probe exists for OBJECT STORES whose mtime is too
+      // coarse to distinguish an out-of-band repoint that preserved
+      // (mtime, length) — there it costs one small GET per resolution,
+      // negligible against the base parse it saves. On the local scheme
+      // mtime is millisecond-precise and every rewrite runs Spark jobs
+      // apart, so (mtime, length) already invalidates correctly —
+      // probing would pay an open+read on EVERY steady-state hit for
+      // nothing (r17 advisor finding). HDFS mtime is ms-precise too.
+      if (fs.getScheme == "file" || fs.getScheme == "hdfs")
+        return Some(hit._4)
       // stat matched — confirm the content prefix before serving (an
       // out-of-band repoint can preserve (mtime, length) on a coarse
       // filesystem; it cannot preserve the leading bytes)
@@ -386,6 +428,11 @@ object IngestIndex {
 
   /** The operation tag legacy (pre-r17) manifests read back as. */
   val DefaultOp = "commit"
+
+  /** This JVM's process token, embedded in manifest staging names so the
+    * orphan sweep can distinguish its own in-flight files from a rival
+    * process's (r18, advisor fix). */
+  private val jvmToken = s"p${ProcessHandle.current().pid()}"
 
   /** The manifest committed at version `v`; empty when none exists (the
     * batch-0 probe against an empty index). */
@@ -480,10 +527,16 @@ object IngestIndex {
       .getBytes("UTF-8")
     val p = manifestPath(stateDir, v)
 
-    // loser/overwrite-path adjudication — throws on a genuine conflict,
-    // returns normally when an overwrite of the existing file is legal
-    def adjudicate(): Unit = {
-      if (repoint) return
+    // loser/overwrite-path adjudication — throws on a genuine conflict;
+    // otherwise returns the bytes the overwrite must install. On a
+    // replay (content equal modulo the op tag) the COMMITTED op tag is
+    // carried forward (r17 advisor finding: installing the replayer's
+    // own tag — e.g. the default 'commit' from a generic re-driver —
+    // would silently relabel a 'merge' commit's DESCRIBE HISTORY
+    // provenance; the committed version's operation is a fact about the
+    // original commit, not about whoever replays it).
+    def adjudicate(): Array[Byte] = {
+      if (repoint) return bytes
       val in = fs.open(p)
       val existing = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString
@@ -508,6 +561,18 @@ object IngestIndex {
               "this commit (the store is single-writer per directory), " +
               "or a replay diverged from the original trigger; refusing " +
               "to silently overwrite the committed version")
+        bytes // replay over a crashed compaction: install the original
+      } else {
+        // carry only an ACTUAL committed tag forward; a legacy untagged
+        // manifest takes the replayer's tag (the r17 upgrade path: the
+        // replaying trigger knows its verb, pre-tag bytes recorded none)
+        existing.linesIterator
+          .find(_.startsWith("#op\t")).map(_.stripPrefix("#op\t")) match {
+          case Some(exOp) if exOp != op =>
+            ((s"#op\t$exOp" +: lines).mkString("\n") + "\n")
+              .getBytes("UTF-8")
+          case _ => bytes
+        }
       }
     }
 
@@ -564,32 +629,46 @@ object IngestIndex {
 
     commitLock(memoKey(stateDir, v)).synchronized {
       // unique temp sibling per attempt: two racing writers must never
-      // clobber each other's staging bytes before the CAS decides
-      val tmp = new Path(s"$stateDir/v$v/.manifest.tmp." +
+      // clobber each other's staging bytes before the CAS decides. The
+      // name leads with this JVM's process token so the orphan sweep
+      // below can tell its own staging from a rival's.
+      val tmp = new Path(s"$stateDir/v$v/.manifest.tmp.$jvmToken." +
         s"${Thread.currentThread().getId}.${System.nanoTime()}")
-      val out = fs.create(tmp, true)
-      try out.write(bytes)
-      finally out.close()
+      def stage(b: Array[Byte]): Unit = {
+        val out = fs.create(tmp, true)
+        try out.write(b)
+        finally out.close()
+      }
       try {
-        if (fs.exists(p)) { adjudicate(); renameOverwrite(tmp) }
-        else if (!casCommit(tmp)) {
-          // lost a cross-process race: the rival's commit is now the
-          // committed content — adjudicate against it (replay passes
-          // and re-commits idempotently; divergence throws)
-          adjudicate(); renameOverwrite(tmp)
+        if (fs.exists(p)) { stage(adjudicate()); renameOverwrite(tmp) }
+        else {
+          stage(bytes)
+          if (!casCommit(tmp)) {
+            // lost a cross-process race: the rival's commit is now the
+            // committed content — adjudicate against it (replay passes
+            // and re-commits idempotently, carrying the committed op
+            // tag forward; divergence throws)
+            stage(adjudicate()); renameOverwrite(tmp)
+          }
         }
       } finally fs.delete(tmp, false)
       // reclaim CRASH-ORPHANED temp manifests (review fix: the unique
       // tmp names no longer self-overwrite on retry like the old fixed
       // name did, so a committer that died mid-write leaks its file
       // until the version dir itself dies — which never happens for the
-      // TOP version). Age-gated: a live cross-process committer's
-      // in-flight tmp is at most seconds old; ten minutes is orders of
-      // magnitude past any real commit.
+      // TOP version). Scoped (r17 advisor finding): only RIVAL
+      // processes' tmps are swept — this JVM's own in-flight staging
+      // (another thread's, under a different stripe) is never eligible
+      // however old — and the age gate is an hour: a cross-process
+      // committer stalled longer than that between staging and its
+      // rename has lost its liveness claim (the same assumption every
+      // lease-less janitor makes; a swept straggler fails LOUDLY with
+      // 'manifest rename failed', never silently corrupts).
       try {
-        val cutoff = System.currentTimeMillis() - 10L * 60 * 1000
+        val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
         fs.listStatus(new Path(s"$stateDir/v$v"))
           .filter(st => st.getPath.getName.startsWith(".manifest.tmp.")
+            && !st.getPath.getName.startsWith(s".manifest.tmp.$jvmToken.")
             && st.getModificationTime < cutoff)
           .foreach(st => fs.delete(st.getPath, false))
       } catch { case _: java.io.IOException => () }
@@ -683,6 +762,35 @@ object IngestIndex {
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       .filter(v => fs.exists(manifestPath(stateDir, v)))
     if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** TIMESTAMP-TRAVEL resolution (r18): the newest committed version whose
+    * manifest mtime is <= `tsMillis` — Delta's timestamp-travel rule with
+    * the manifest file's mtime as the commit timestamp (the SAME input
+    * the wall-clock gc window and [[describeHistory]] already use, so the
+    * three surfaces can never disagree about when a version "happened").
+    * A replayed trigger refreshes its version's mtime, which can only
+    * move the version LATER in timestamp space — the same direction
+    * replay moves retention (extend, never shrink), so a timestamp that
+    * resolved to v before a replay resolves to v or an ancestor after,
+    * never to a version the caller had not yet seen. Fails loudly naming
+    * the readable range when `tsMillis` predates every retained commit
+    * (the [[tableAt]] eviction contract, in time space). */
+  def versionAt(fs: FileSystem, stateDir: String, tsMillis: Long): Long = {
+    val root = new Path(stateDir)
+    require(fs.exists(root), s"no committed index version under $stateDir")
+    val vs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .filter(v => fs.exists(manifestPath(stateDir, v)))
+      .map(v => v ->
+        fs.getFileStatus(manifestPath(stateDir, v)).getModificationTime)
+    require(vs.nonEmpty, s"no committed index version under $stateDir")
+    val ok = vs.filter(_._2 <= tsMillis)
+    require(ok.nonEmpty,
+      s"TIMESTAMP AS OF $tsMillis precedes every retained commit under " +
+        s"$stateDir (earliest manifest mtime: ${vs.map(_._2).min}; GC " +
+        "may have evicted older snapshots — raise the retain window)")
+    ok.map(_._1).max
   }
 
   /** Current contents of `table` at the latest committed version — the
@@ -1155,17 +1263,22 @@ object IngestIndex {
 
   /** Record per-bucket stats of `table`'s buckets written under
     * `v(next)`: one row per bucket dir with `<c>__min`/`<c>__max` per
-    * stats column plus `cnt`. No-op when the version wrote no buckets.
-    * Deterministic content at deterministic paths — replay-safe like
-    * the data write it describes. */
+    * stats column, `<c>__sum` per sum column (r18 — the Delta
+    * per-file-sums extension [[metadataAggregate]] composes; sums keep
+    * the column's Spark SUM type, so decimal sums stay exact), plus
+    * `cnt`. No-op when the version wrote no buckets. Deterministic
+    * content at deterministic paths — replay-safe like the data write
+    * it describes. */
   def writeBucketStats(spark: SparkSession, stateDir: String,
-      table: String, next: Long, statsCols: Seq[String]): Unit = {
+      table: String, next: Long, statsCols: Seq[String],
+      sumCols: Seq[String] = Nil): Unit = {
     val path = s"$stateDir/v$next/$table"
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))) :+
+      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))) ++
+      sumCols.map(c => sum(col(c)).as(s"${c}__sum")) :+
       count(lit(1)).as("cnt")
     spark.read.parquet(path)
       .groupBy(col("bkt"))
@@ -1193,7 +1306,10 @@ object IngestIndex {
     else Some(byVer.map { case (ver, bkts) =>
       spark.read.parquet(s"$stateDir/v$ver/$table.stats")
         .filter(col("bkt").isin(bkts.keys.toSeq: _*))
-    }.reduce(_.unionByName(_)))
+    // allowMissingColumns (r18): a store that started recording sum
+    // columns mid-life unions older sum-less stats as NULL — readers
+    // treat a NULL sum as "must scan", never as zero
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   /** METADATA-ONLY COUNT on the live store (r17, q124b): COUNT(*) under
@@ -1210,6 +1326,43 @@ object IngestIndex {
     * shared key formula — O(tombstones) to compute) are forced into the
     * SCAN set, and the scan reads through the vector like every other
     * read verb; DV-free buckets keep the pure-metadata fast path. */
+  /** The stats-row predicate "this bucket INTERSECTS the boxes" (may
+    * hold qualifying rows); empty boxes = full range = always true. */
+  private def boxInter(boxes: Seq[(String, Double, Double)]): Column =
+    if (boxes.isEmpty) lit(true)
+    else boxes.map { case (c, lo, hi) =>
+      col(s"${c}__max").cast(org.apache.spark.sql.types.DoubleType) >= lo &&
+        col(s"${c}__min").cast(org.apache.spark.sql.types.DoubleType) < hi
+    }.reduce(_ && _)
+
+  /** The stats-row predicate "this bucket is FULLY CONTAINED in the
+    * boxes" (every row qualifies — stats alone answer for it). */
+  private def boxFull(boxes: Seq[(String, Double, Double)]): Column =
+    if (boxes.isEmpty) lit(true)
+    else boxes.map { case (c, lo, hi) =>
+      col(s"${c}__min").cast(org.apache.spark.sql.types.DoubleType) >= lo &&
+        col(s"${c}__max").cast(org.apache.spark.sql.types.DoubleType) < hi
+    }.reduce(_ && _)
+
+  /** The exact residual row filter of `boxes` over `df`, with the
+    * widened raw-typed superset guard on integral columns so the scan
+    * still skips row groups (the CAST hides the attribute from parquet
+    * stats). Empty boxes = no filter. */
+  private def boxResidual(df: DataFrame,
+      boxes: Seq[(String, Double, Double)]): DataFrame =
+    if (boxes.isEmpty) df
+    else df.filter(boxes.map { case (c, lo, hi) =>
+      import org.apache.spark.sql.types._
+      val exact = col(c).cast(DoubleType) >= lo &&
+        col(c).cast(DoubleType) < hi
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(c) >= lit(math.floor(lo).toLong) &&
+            col(c) < lit(math.ceil(hi).toLong) && exact
+        case _ => exact
+      }
+    }.reduce(_ && _))
+
   def metadataCount(spark: SparkSession, stateDir: String, m: Manifest,
       table: String, boxes: Seq[(String, Double, Double)])
       : (Long, Long, Long, Long) = {
@@ -1226,16 +1379,9 @@ object IngestIndex {
     }.getOrElse(Set.empty)
     val stats = bucketStats(spark, stateDir, m, table)
     val rows = stats.map { st =>
-      val inter = boxes.map { case (c, lo, hi) =>
-        col(s"${c}__max").cast(org.apache.spark.sql.types.DoubleType) >= lo &&
-          col(s"${c}__min").cast(org.apache.spark.sql.types.DoubleType) < hi
-      }.reduce(_ && _)
-      val full = boxes.map { case (c, lo, hi) =>
-        col(s"${c}__min").cast(org.apache.spark.sql.types.DoubleType) >= lo &&
-          col(s"${c}__max").cast(org.apache.spark.sql.types.DoubleType) < hi
-      }.reduce(_ && _)
-      st.filter(inter)
-        .select(col("bkt"), col("cnt"), full.as("full")).collect()
+      st.filter(boxInter(boxes))
+        .select(col("bkt"), col("cnt"), boxFull(boxes).as("full"))
+        .collect()
     }.getOrElse(Array.empty)
     val metaCnt = rows.filter(r =>
       r.getBoolean(2) && !dvBuckets(r.getInt(0))).map(_.getLong(1)).sum
@@ -1262,23 +1408,208 @@ object IngestIndex {
           case Some(d) => base.join(d, keyCols, "left_anti")
           case None => base
         }
-        df.filter(boxes.map { case (c, lo, hi) =>
-          import org.apache.spark.sql.types._
-          val exact = col(c).cast(DoubleType) >= lo &&
-            col(c).cast(DoubleType) < hi
-          df.schema(c).dataType match {
-            case ByteType | ShortType | IntegerType | LongType =>
-              // widened raw-typed superset guard so the scan still skips
-              // row groups (the CAST hides the attribute from stats)
-              col(c) >= lit(math.floor(lo).toLong) &&
-                col(c) < lit(math.ceil(hi).toLong) && exact
-            case _ => exact
-          }
-        }.reduce(_ && _)).count()
+        boxResidual(df, boxes).count()
       }
     (metaCnt + scanned, metaBkts, scanBkts.size.toLong,
       live.size.toLong)
   }
+
+  /** METADATA-ONLY MIN/MAX/SUM on the live store (r18, q124c) — the
+    * Delta stats-query path beyond COUNT: under interval predicates
+    * `boxes`, the aggregate of each requested column composes from
+    *   - the per-bucket stats rows of every FULLY-CONTAINED bucket
+    *     (min of mins / max of maxes / sum of sums — ZERO data IO; sums
+    *     ride the stats in their exact Spark SUM type, so decimal sums
+    *     compose exactly), and
+    *   - an exact residual-filtered scan of only the STRADDLING buckets
+    *     (plus buckets without usable stats, plus any bucket a live
+    *     deletion vector may hide rows in — the same DV composition as
+    *     [[metadataCount]]).
+    * The full-range query (empty or always-true boxes) on a DV-free
+    * fully-statted store therefore answers MIN/MAX/SUM/COUNT with zero
+    * data buckets scanned. A bucket whose stats predate sum recording
+    * (NULL `<c>__sum`) scans — NULL never reads as zero.
+    *
+    * Returns (one-row DataFrame with `<c>__min`/`<c>__max` per
+    * `minMaxCols`, `<c>__sum` per `sumCols`, and `cnt`;
+    * bucketsMetaCounted, bucketsScanned, bucketsTotal). The driver-side
+    * work is one stats collect — O(live buckets) METADATA, the same
+    * budget every manifest operation already has. */
+  def metadataAggregate(spark: SparkSession, stateDir: String,
+      m: Manifest, table: String, boxes: Seq[(String, Double, Double)],
+      minMaxCols: Seq[String], sumCols: Seq[String])
+      : (DataFrame, Long, Long, Long) = {
+    val live = m.getOrElse(table, Map.empty[Int, Bkt])
+      .filter(_._2.ver != EmptyVer)
+    val keyCols = keyColsFor(table)
+    val dv: Option[DataFrame] = dvSlice(spark, stateDir, m, table)
+    val dvBuckets: Set[Int] = dv.map { d =>
+      assignBucket(d.select(keyCols.map(col): _*), table,
+        numBuckets(spark), gensOf(m, table))
+        .select("bkt").distinct().collect().map(_.getInt(0)).toSet
+    }.getOrElse(Set.empty)
+    // a bucket is metadata-answerable only when its stats row carries
+    // every column this aggregate needs (box columns for containment,
+    // min/max/sum contributions), all non-NULL
+    val needStats = (boxes.map(_._1) ++ minMaxCols).distinct
+      .flatMap(c => Seq(s"${c}__min", s"${c}__max")) ++
+      sumCols.map(c => s"${c}__sum")
+    val stats = bucketStats(spark, stateDir, m, table)
+      .filter(st => needStats.forall(st.columns.contains))
+    val statsOk = needStats.map(col(_).isNotNull)
+      .foldLeft(lit(true))(_ && _)
+    val rows = stats.map { st =>
+      st.filter(boxInter(boxes))
+        .select(col("bkt"), (boxFull(boxes) && statsOk).as("full"))
+        .collect()
+    }.getOrElse(Array.empty)
+    val metaBkts = rows.filter(r =>
+      r.getBoolean(1) && !dvBuckets(r.getInt(0))).map(_.getInt(0)).toSet
+    val statAll = stats.map(_.select("bkt").collect()
+      .map(_.getInt(0)).toSet).getOrElse(Set.empty)
+    val scanBkts = rows.filter(r =>
+        !r.getBoolean(1) || dvBuckets(r.getInt(0)))
+      .map(_.getInt(0)).toSet ++ (live.keySet -- statAll)
+    val outMinMax = minMaxCols.flatMap(c => Seq(s"${c}__min", s"${c}__max"))
+    val outSums = sumCols.map(c => s"${c}__sum")
+    val outCols = outMinMax ++ outSums :+ "cnt"
+    // per-bucket metadata contributions (reads only the tiny stats
+    // files) ...
+    val metaDf: Option[DataFrame] =
+      if (metaBkts.isEmpty) None
+      else stats.map(_.filter(col("bkt").isInCollection(metaBkts.toSeq))
+        .select(outCols.map(col): _*))
+    // ... plus ONE aggregated contribution row from the residual scan
+    // of the straddlers (shape from the full read so an empty scan set
+    // still resolves the columns)
+    val scanDf: DataFrame = {
+      val shape = readTable(spark, stateDir, m, table, None,
+        spark.emptyDataFrame).drop("bkt").limit(0)
+      val base =
+        if (scanBkts.isEmpty) shape
+        else readTable(spark, stateDir, m, table, Some(scanBkts), shape)
+          .drop("bkt")
+      val read = dv match {
+        case Some(d) if scanBkts.nonEmpty =>
+          base.join(d, keyCols, "left_anti")
+        case _ => base
+      }
+      val aggs = minMaxCols.flatMap(c => Seq(
+        min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))) ++
+        sumCols.map(c => sum(col(c)).as(s"${c}__sum")) :+
+        count(lit(1)).as("cnt")
+      boxResidual(read, boxes).agg(aggs.head, aggs.tail: _*)
+    }
+    val parts = metaDf.toSeq :+ scanDf
+    val union = parts.reduce(_.unionByName(_))
+    val finalAggs = minMaxCols.flatMap(c => Seq(
+      min(col(s"${c}__min")).as(s"${c}__min"),
+      max(col(s"${c}__max")).as(s"${c}__max"))) ++
+      sumCols.map(c => sum(col(s"${c}__sum")).as(s"${c}__sum")) :+
+      sum(col("cnt")).as("cnt")
+    (union.agg(finalAggs.head, finalAggs.tail: _*),
+      metaBkts.size.toLong, scanBkts.size.toLong, live.size.toLong)
+  }
+
+  /** OPTIMISTIC COMMIT RETRY (r18) — the Delta commit loop: a full store
+    * transaction (resolve top → DV-composed merge at top+1 → manifest
+    * commit) that, on losing a version race to a rival writer, REBASES
+    * instead of failing: re-read the new top, re-run the combine against
+    * it, commit at the next version — bounded by `maxAttempts`. Rebase
+    * is only legal when the rival's write footprint is DISJOINT from
+    * ours: the conflict check compares each manifest's (table, bucket)
+    * diff against the shared parent, Delta's file-level conflict
+    * adjudication with the bucket as the file group. Overlapping
+    * footprints throw the named conflict — the rival rewrote buckets
+    * this transaction's combine already read, so a rebase would need
+    * the merge re-run anyway and the caller must decide.
+    *
+    * Concurrency domains, honestly stated:
+    *   - SAME-JVM committers on one store FULLY SERIALIZE here (one
+    *     per-store transaction monitor around read-merge-commit): both
+    *     land at successive versions and the content equals sequential
+    *     execution — racing the DATA write would be unsafe (each
+    *     version's table dir is a whole-dir overwrite, deterministic
+    *     paths being the replay contract), so serialization, not
+    *     adjudication, is the correct same-process tool.
+    *   - CROSS-PROCESS rivals are decided by the manifest CAS; the
+    *     loser lands here, checks footprint disjointness and rebases.
+    *     The data-dir caveat is unchanged from the store's single-
+    *     writer contract: two processes writing the SAME next version's
+    *     table dir concurrently can clobber each other's files before
+    *     the CAS decides (Delta avoids this with per-commit unique file
+    *     names; this store's deterministic paths are what make replay
+    *     byte-identical) — the retry loop removes the WASTED WORK of a
+    *     sequential-divergence loss, not that contract.
+    * Returns the committed version. */
+  def commitRetry(spark: SparkSession, stateDir: String, table: String,
+      delta: DataFrame, combine: (DataFrame, DataFrame) => DataFrame,
+      op: String = DefaultOp, maxAttempts: Int = 3): Long = {
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    txLock(stateDir).synchronized {
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val m = latestVersion(fs, stateDir)
+          .map(readManifest(fs, stateDir, _)).getOrElse(Map.empty)
+        val next = latestVersion(fs, stateDir).getOrElse(0L) + 1
+        val nm = mergeCommitDv(spark, stateDir, m, table, next, delta,
+          combine)
+        commitRetryTestHook(next)
+        try {
+          writeManifest(fs, stateDir, next, nm, op = op)
+          return next
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("concurrent-writer conflict") =>
+            if (attempt >= maxAttempts) throw e
+            val rival = readManifest(fs, stateDir, next)
+            val overlap = conflictingBuckets(m, nm, rival)
+            if (overlap.nonEmpty) throw new IllegalStateException(
+              s"commit conflict on $stateDir v$next: a rival writer's " +
+                s"footprint overlaps this transaction's (shared " +
+                s"buckets: ${overlap.toSeq.sortBy(b => (b._1, b._2))
+                  .take(8).mkString(", ")}) — the combine read state " +
+                "the rival rewrote; re-run the transaction", e)
+            // disjoint: loop — re-read the new top (the rival's commit)
+            // and re-run the merge against it at the next version
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** Test-only interleaving hook: invoked between a [[commitRetry]]
+    * attempt's merge and its manifest commit, so a spec can land a
+    * rival commit deterministically inside the race window. */
+  private[streaming] var commitRetryTestHook: Long => Unit = _ => ()
+
+  /** The (table, bucket) cells where BOTH `ours` and `rival` diverge
+    * from the shared `parent` — the footprint overlap that forbids a
+    * rebase. A cell changed by only one side composes; a cell changed
+    * by both (including drops) conflicts. */
+  private[streaming] def conflictingBuckets(parent: Manifest,
+      ours: Manifest, rival: Manifest): Set[(String, Int)] = {
+    def diff(m: Manifest): Set[(String, Int)] = {
+      val tables = m.keySet ++ parent.keySet
+      tables.flatMap { t =>
+        val pm = parent.getOrElse(t, Map.empty[Int, Bkt])
+        val mm = m.getOrElse(t, Map.empty[Int, Bkt])
+        (pm.keySet ++ mm.keySet).collect {
+          case b if pm.get(b) != mm.get(b) => t -> b
+        }
+      }
+    }
+    diff(ours) intersect diff(rival)
+  }
+
+  /** Per-store transaction monitors for [[commitRetry]] — striped like
+    * [[commitLocks]], keyed by store dir alone (the whole transaction
+    * spans versions). */
+  private val txLocks = Array.fill(64)(new Object)
+  private def txLock(stateDir: String): Object =
+    txLocks(math.floorMod(stateDir.hashCode, txLocks.length))
 
   /** Fold the version tail: rewrite EVERY live bucket of every table
     * into one consolidated COMPACTION EPOCH, repoint the manifest AT THE

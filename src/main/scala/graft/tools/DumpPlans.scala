@@ -518,6 +518,41 @@ object DumpPlans {
         |the projection/ORDER straight into it. Reading an old version
         |costs the same pruned scan as reading the current one; the
         |manifest IS the snapshot.""".stripMargin,
+    "q137b_sql_timestamp_travel" ->
+      """`TIMESTAMP AS OF <epoch-millis>` (r18): the rule folds the
+        |literal, resolves it to a VERSION through the manifest mtimes
+        |(versionAt — newest commit at or before the instant, metadata
+        |only), and the plan is then EXACTLY q137's snapshot read: zero
+        |added nodes, the timestamp arithmetic never touches the
+        |executed plan. Version travel and timestamp travel to the same
+        |snapshot are the same scan.""".stripMargin,
+    "q124c_metadata_aggregate" ->
+      """MIN/MAX/SUM/COUNT from per-bucket stats (r18): the result rows
+        |are driver-composed from a LocalTableScan-sized stats read —
+        |the full-range box aggregates PURE METADATA (zero data buckets;
+        |IngestIndexSpec pins it), straddling boxes add one residual-
+        |filtered scan of only their buckets, unioned as a single
+        |contribution row. Decimal sums ride the stats in Spark's exact
+        |SUM type, so the two-stage composition is bit-exact against
+        |the oracle's one-shot aggregate.""".stripMargin,
+    "q118b_optimize_hilbert" ->
+      """q118's one-pass OPTIMIZE with the Hilbert index as the
+        |clustering curve (r18): the same single read + range shuffle +
+        |ZFiles write, the curve value computed by ONE
+        |functions.aggregate fold (O(levels) expression, no UDF). The
+        |read-back is the same manifest-pruned three-sieve scan; only
+        |the skip PROFILE differs (ZOrderSpec: on a quadrant-straddling
+        |box Hilbert keeps strictly fewer files — no Morton locality
+        |cliff).""".stripMargin,
+    "q138_sql_create_insert" ->
+      """The SQL read-back after CREATE TABLE ... USING graft + two
+        |INSERT INTO commits (r18): a plain bkt-pruned manifest union —
+        |the DDL wrote only a meta file (no data version), each INSERT
+        |committed one touched-bucket merge whose PRIMARY-KEY guards
+        |rode the commit's own key window and slice join (no extra
+        |exchanges: the raise_error projections are free riders on the
+        |shuffle the union/merge already pays). The whole lifecycle —
+        |create, load, read — ran through spark.sql.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution

@@ -145,7 +145,7 @@ class MergeIntoSpec extends AnyFunSuite {
         (4L, 0L, 4.0), (9L, 5L, 9.0), (10L, 1L, 8.0))
       .toDF("user_id", "n_events", "sum_value")
     val merge = graft.operators.MergeInto(
-      key = "user_id",
+      keys = Seq("user_id"),
       payload = Seq("n_events", "sum_value"),
       matched = Seq(
         // clause 1: source doubled the count -> take the source verbatim
@@ -204,7 +204,7 @@ class MergeIntoSpec extends AnyFunSuite {
       val bcs = clauses(rnd.nextInt(3))
       val ics = clauses(rnd.nextInt(3)).map(_.copy(delete = false))
       val merge = MI(
-        key = "k", payload = Seq("n", "v"),
+        keys = Seq("k"), payload = Seq("n", "v"),
         matched = mcs.map(c => MergeClause(
           c.thr.map(th => col("s_n") - col("t_n") > th), c.delete,
           if (c.delete) Map.empty

@@ -303,6 +303,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(e5.getMessage.contains("reassigning the merge key"),
       e5.getMessage)
+    // STAR actions on a source missing a payload column are a named
+    // error, not a silent NULL write (r18, advisor fix); the
+    // LISTED-column INSERT path keeps SQL's NULL-fill semantics
+    source.select("user_id", "n_events")
+      .createOrReplaceTempView("src_rails_thin")
+    val e6 = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO merge_sql_rails AS t USING src_rails_thin AS s
+          |ON t.user_id = s.user_id
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(e6.getMessage.contains("every target payload column") &&
+      e6.getMessage.contains("sum_value"), e6.getMessage)
+    val e7 = intercept[Throwable] {
+      spark.sql(
+        """MERGE INTO merge_sql_rails AS t USING src_rails_thin AS s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    }
+    assert(e7.getMessage.contains("every target payload column"),
+      e7.getMessage)
+    // the same thin source through a LISTED INSERT still null-fills
+    spark.sql(
+      """MERGE INTO merge_sql_rails AS t USING src_rails_thin AS s
+        |ON t.user_id = s.user_id
+        |WHEN NOT MATCHED AND s.user_id % 50 = 7 THEN
+        |  INSERT (user_id, n_events) VALUES (s.user_id, s.n_events)
+        |""".stripMargin).collect()
     // the extension-free twin: GraftSql.sql parses with the same parser
     // and runs the same translation — a subset DELETE merge applies
     val sub = source.filter(
@@ -445,6 +473,349 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .latestVersion(fs, state).contains(3L))
     graft.operators.GraftSql.unregisterTable("read_t")
     graft.operators.GraftSql.unregisterTable("read_src")
+  }
+
+  test("CREATE TABLE ... USING graft + INSERT INTO (r18): DDL + " +
+    "bulk-load through spark.sql — empty reads, PRIMARY KEY guards, " +
+    "IF NOT EXISTS, OVERWRITE, meta durability across re-registration") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-sqlcreate").toString + "/users"
+    try {
+      spark.sql(
+        s"""CREATE TABLE ct_users (
+           |  user_id BIGINT, n_events BIGINT, score DOUBLE,
+           |  PRIMARY KEY (user_id)
+           |) USING graft LOCATION '$state'""".stripMargin)
+      // empty read with the DECLARED schema, before any commit
+      val empty = spark.sql("SELECT * FROM ct_users")
+      assert(empty.columns.toSeq == Seq("user_id", "n_events", "score"))
+      assert(empty.count() == 0L)
+      // CREATE again: named error; IF NOT EXISTS: no-op re-register
+      val e0 = intercept[Throwable] {
+        spark.sql(s"CREATE TABLE ct_users (x BIGINT, PRIMARY KEY (x)) " +
+          s"USING graft LOCATION '$state'")
+      }
+      assert(e0.getMessage.contains("already exists"), e0.getMessage)
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS ct_users (x BIGINT,
+        |PRIMARY KEY (x)) USING graft LOCATION '$state'""".stripMargin)
+      // positional INSERT
+      Seq((1L, 10L, 0.5), (2L, 20L, 0.7))
+        .toDF("a", "b", "c").createOrReplaceTempView("ct_src1")
+      val v1 = spark.sql(
+        "INSERT INTO ct_users SELECT a, b, c FROM ct_src1")
+        .collect().head.getLong(0)
+      assert(v1 == 1L)
+      // column-list INSERT, unlisted payload -> NULL
+      Seq((3L, 30L)).toDF("u", "n")
+        .createOrReplaceTempView("ct_src2")
+      spark.sql("INSERT INTO ct_users (user_id, n_events) " +
+        "SELECT u, n FROM ct_src2").collect()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, score FROM ct_users ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)))).toSeq
+      assert(rows == Seq((1L, 10L, Some(0.5)), (2L, 20L, Some(0.7)),
+        (3L, 30L, None)), rows.toString)
+      // PK violation vs the store: named error pointing at MERGE
+      val e1 = intercept[Throwable] {
+        spark.sql("INSERT INTO ct_users SELECT a, b, c FROM ct_src1")
+          .collect()
+      }
+      assert(e1.getMessage.contains("already exists — use MERGE INTO"),
+        e1.getMessage)
+      // PK violation within the batch: named error
+      Seq((9L, 1L, 0.0), (9L, 2L, 0.0)).toDF("a", "b", "c")
+        .createOrReplaceTempView("ct_dup")
+      val e2 = intercept[Throwable] {
+        spark.sql("INSERT INTO ct_users SELECT a, b, c FROM ct_dup")
+          .collect()
+      }
+      assert(e2.getMessage.contains("duplicate PRIMARY KEY"),
+        e2.getMessage)
+      // arity mismatch: named error
+      val e3 = intercept[Throwable] {
+        spark.sql("INSERT INTO ct_users SELECT a, b FROM ct_src1")
+          .collect()
+      }
+      assert(e3.getMessage.contains("positional"), e3.getMessage)
+      // column list missing the key: named error
+      val e4 = intercept[Throwable] {
+        spark.sql("INSERT INTO ct_users (n_events, score) " +
+          "SELECT b, c FROM ct_src1").collect()
+      }
+      assert(e4.getMessage.contains("merge key 'user_id'"),
+        e4.getMessage)
+      // INSERT OVERWRITE replaces contents
+      spark.sql("INSERT OVERWRITE ct_users SELECT a + 100, b, c " +
+        "FROM ct_src1").collect()
+      val after = spark.sql("SELECT user_id FROM ct_users ORDER BY 1")
+        .collect().map(_.getLong(0)).toSeq
+      assert(after == Seq(101L, 102L), after.toString)
+      // history carries the verb provenance
+      val hist = spark.sql("DESCRIBE HISTORY ct_users").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist(1L) == "insert" && hist(3L) == "insert-overwrite",
+        hist.toString)
+      // meta durability: unregister, re-register via IF NOT EXISTS
+      // (a fresh process's setup script), contents intact
+      graft.operators.GraftSql.unregisterTable("ct_users")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT * FROM ct_users").collect()
+      }
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS ct_users (
+        |user_id BIGINT, PRIMARY KEY (user_id))
+        |USING graft LOCATION '$state'""".stripMargin)
+      assert(spark.sql("SELECT user_id FROM ct_users ORDER BY 1")
+        .collect().map(_.getLong(0)).toSeq == Seq(101L, 102L))
+      // the SQL-created table MERGEs like any registered store
+      Seq((101L, 5L, 1.0), (200L, 7L, 2.0)).toDF("user_id", "n_events",
+        "score").createOrReplaceTempView("ct_merge_src")
+      spark.sql(
+        """MERGE INTO ct_users AS t USING ct_merge_src AS s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED THEN UPDATE SET n_events = t.n_events + s.n_events
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val merged = spark.sql(
+        "SELECT user_id, n_events FROM ct_users ORDER BY 1").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      assert(merged == Seq(101L -> 15L, 102L -> 20L, 200L -> 7L),
+        merged.toString)
+    } finally graft.operators.GraftSql.unregisterTable("ct_users")
+  }
+
+  test("OPTIMIZE <layout> ZORDER|HILBERT BY (r18): curve-clusters a " +
+    "registered parquet layout in place — invariant contents, fewer " +
+    "files, a usable stats manifest; store targets reject the clause") {
+    val spark = TestSpark.spark
+    val (ev, ur, vr) = graft.queries.Layout.eventRanges(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sqlopt").toString + "/events"
+    ev.repartition(40).write.mode("overwrite").parquet(path)
+    graft.operators.GraftSql.registerLayout("opt_lay", path)
+    try {
+      val before = ev.collect().map(_.toSeq).toSet
+      val out = spark.sql(
+        "OPTIMIZE opt_lay HILBERT BY (user_id, value)").collect()
+      assert(out.length == 1 &&
+        out.head.getLong(1) < out.head.getLong(0),
+        s"bin-packing must reduce the file count: ${out.toSeq}")
+      val after = spark.read.parquet(path).drop("zv")
+        .collect().map(_.toSeq).toSet
+      assert(after == before, "OPTIMIZE changed the layout's contents")
+      // the manifest landed at the FINAL path and prunes
+      val (keep, total) = graft.queries.Layout
+        .manifestPrunedFiles(spark, path, ur, vr)
+      assert(keep.size < total.toInt,
+        s"the q107 box must prune the optimized layout: $keep/$total")
+      // a store target rejects the curve clause with a named error
+      val (target, _) = graft.queries.MergeOps.q127Inputs(spark, dir)
+      val st = stageStore(target)
+      graft.operators.GraftSql.registerTable("opt_store18", st, "state")
+      val e = intercept[Throwable] {
+        spark.sql("OPTIMIZE opt_store18 ZORDER BY (user_id, n_events)")
+      }
+      assert(e.getMessage.contains("hash-bucketed"), e.getMessage)
+      graft.operators.GraftSql.unregisterTable("opt_store18")
+      // unregistered layout: named registration error
+      val e2 = intercept[Throwable] {
+        spark.sql("OPTIMIZE nope_lay ZORDER BY (a, b)")
+      }
+      assert(e2.getMessage.contains("registerLayout"), e2.getMessage)
+    } finally graft.operators.GraftSql.unregisterLayout("opt_lay")
+  }
+
+  test("VACUUM ... RETAIN n HOURS (r18): the wall-clock window — a " +
+    "young version survives where the version-count form would " +
+    "reclaim it") {
+    val spark = TestSpark.spark
+    val (target, _) = graft.queries.MergeOps.q127Inputs(spark, dir)
+    val state = stageStore(target)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // three more full-overwrite commits: every version supersedes every
+    // bucket, so old version dirs are unreferenced — exactly what a
+    // count-based vacuum reclaims
+    (2L to 4L).foreach { v =>
+      val m = graft.streaming.IngestIndex.readManifest(fs, state, v - 1)
+      val nm = graft.streaming.IngestIndex.mergeCommit(spark, state, m,
+        "state", v, target, (_, d) => d)
+      graft.streaming.IngestIndex.writeManifest(fs, state, v,
+        Map("state" -> nm))
+    }
+    graft.operators.GraftSql.registerTable("vac_t", state, "state")
+    try {
+      // hours form: every version's mtime is seconds old — NOTHING dies,
+      // v1 stays time-travelable despite the aggressive count
+      val del1 = spark.sql("VACUUM vac_t RETAIN 1 HOURS").collect()
+      assert(del1.isEmpty, s"young versions reclaimed: ${del1.toSeq}")
+      assert(graft.streaming.IngestIndex
+        .tableAt(spark, state, "state", 1L).count() > 0)
+      // the CONTRAST: the version-count form at the same store reclaims
+      // the unreferenced tail (proving the hours run's survival was the
+      // wall-clock window, not data referencing)
+      val del2 = spark.sql("VACUUM vac_t RETAIN 2 VERSIONS").collect()
+        .map(_.getLong(0)).toSet
+      assert(del2.contains(1L), s"count vacuum kept v1: $del2")
+      intercept[Throwable] {
+        graft.streaming.IngestIndex
+          .tableAt(spark, state, "state", 1L).count()
+      }
+    } finally graft.operators.GraftSql.unregisterTable("vac_t")
+  }
+
+  test("TIMESTAMP AS OF (r18): epoch-millis and string-literal forms " +
+    "resolve through manifest mtimes; unsupported travel specs on a " +
+    "registered name throw NAMED errors, not table-not-found") {
+    val spark = TestSpark.spark
+    val (target, source) = graft.queries.MergeOps.q127Inputs(spark, dir)
+    val state = stageStore(target)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = graft.streaming.IngestIndex.readManifest(fs, state, 1L)
+    val m2 = graft.streaming.IngestIndex.mergeCommit(spark, state, m1,
+      "state", 2L, source, graft.queries.MergeOps.q127Merge)
+    graft.streaming.IngestIndex.writeManifest(fs, state, 2L,
+      Map("state" -> m2))
+    graft.operators.GraftSql.registerTable("tt_t", state, "state")
+    try {
+      val hist = graft.streaming.IngestIndex.describeHistory(fs, state)
+        .map(h => h.version -> h.manifestMtime).toMap
+      val v1 = graft.streaming.IngestIndex
+        .tableAt(spark, state, "state", 1L)
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      // epoch-millis form, instant just before v2's commit -> v1
+      val viaMillis = spark.sql(
+        s"SELECT * FROM tt_t TIMESTAMP AS OF ${hist(2L) - 1} " +
+          "ORDER BY user_id").collect().map(_.toSeq).toSeq
+      assert(viaMillis == v1, "millis timestamp travel != tableAt(1)")
+      // string-literal form (session tz is UTC): the same instant
+      val iso = java.time.Instant.ofEpochMilli(hist(2L) - 1)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val viaString = spark.sql(
+        s"SELECT * FROM tt_t TIMESTAMP AS OF '$iso' ORDER BY user_id")
+        .collect().map(_.toSeq).toSeq
+      assert(viaString == v1, "string timestamp travel != tableAt(1)")
+      // an instant at/after v2's commit reads the CURRENT snapshot
+      val now = spark.sql(
+        s"SELECT * FROM tt_t TIMESTAMP AS OF ${hist(2L)} " +
+          "ORDER BY user_id").collect().map(_.toSeq).toSeq
+      assert(now == graft.streaming.IngestIndex
+        .currentTable(spark, state, "state")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq)
+      // too-early: named range error, not table-not-found
+      val e1 = intercept[Throwable] {
+        spark.sql("SELECT * FROM tt_t TIMESTAMP AS OF 1000").collect()
+      }
+      assert(e1.getMessage.contains("precedes every retained commit"),
+        e1.getMessage)
+      // non-numeric version: named error
+      val e2 = intercept[Throwable] {
+        spark.sql("SELECT * FROM tt_t VERSION AS OF 'abc'").collect()
+      }
+      assert(e2.getMessage.contains("non-numeric"), e2.getMessage)
+      // current_timestamp() is CONSTANT-FOLDED by the analyzer before
+      // the rule sees it — it legitimately travels to "now" (= latest)
+      val nowRead = spark.sql(
+        "SELECT * FROM tt_t TIMESTAMP AS OF current_timestamp() " +
+          "ORDER BY user_id").collect().map(_.toSeq).toSeq
+      assert(nowRead == now, "TIMESTAMP AS OF current_timestamp() must " +
+        "read the latest snapshot")
+      // a genuinely non-literal timestamp: named error
+      val e3 = intercept[Throwable] {
+        spark.sql("SELECT * FROM tt_t TIMESTAMP AS OF rand()").collect()
+      }
+      assert(e3.getMessage.contains("literal"), e3.getMessage)
+    } finally graft.operators.GraftSql.unregisterTable("tt_t")
+  }
+
+  test("composite-key SQL MERGE (r18): a two-key store table MERGEs " +
+    "via SQL == the DataFrame MergeInto row for row; partial-key ON " +
+    "throws a named coverage error") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    // 'band' is the registry's two-key table: keyed by (b, bv)
+    val target = Seq((0, 10L, 1L), (0, 11L, 2L), (1, 10L, 3L),
+      (2, 20L, 4L)).toDF("b", "bv", "cnt")
+    val source = Seq((0, 10L, 5L), (1, 10L, 6L), (3, 30L, 7L),
+      (0, 99L, 8L)).toDF("b", "bv", "cnt")
+    def stage(): String = {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft-ckmerge").toString + "/state"
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m1 = graft.streaming.IngestIndex.mergeCommit(spark, state,
+        Map.empty, "band", 1L, target, (_, d) => d)
+      graft.streaming.IngestIndex.writeManifest(fs, state, 1L,
+        Map("band" -> m1))
+      state
+    }
+    def rows(state: String): Seq[(Int, Long, Long)] =
+      graft.streaming.IngestIndex.currentTable(spark, state, "band")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    // DataFrame twin
+    val dfState = stage()
+    val fs = new org.apache.hadoop.fs.Path(dfState)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = graft.streaming.IngestIndex.readManifest(fs, dfState, 1L)
+    val merge = graft.operators.MergeInto(
+      keys = Seq("b", "bv"), payload = Seq("cnt"),
+      matched = Seq(graft.operators.MergeClause.update(
+        Map("cnt" -> (org.apache.spark.sql.functions.col("t_cnt") +
+          org.apache.spark.sql.functions.col("s_cnt"))))),
+      notMatched = Seq(graft.operators.MergeClause.insert()))
+    val m2 = graft.streaming.IngestIndex.mergeCommit(spark, dfState, m1,
+      "band", 2L, source, merge)
+    graft.streaming.IngestIndex.writeManifest(fs, dfState, 2L,
+      Map("band" -> m2))
+    // SQL path
+    val sqlState = stage()
+    graft.operators.GraftSql.registerTable("ck_t", sqlState, "band")
+    source.createOrReplaceTempView("ck_src")
+    try {
+      spark.sql(
+        """MERGE INTO ck_t AS t USING ck_src AS s
+          |ON t.b = s.b AND t.bv = s.bv
+          |WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.cnt
+          |WHEN NOT MATCHED THEN INSERT (b, bv, cnt)
+          |  VALUES (s.b, s.bv, s.cnt)""".stripMargin).collect()
+      assert(rows(sqlState) === rows(dfState),
+        "composite-key SQL MERGE != DataFrame MergeInto")
+      // sanity: both matched adds and both inserts landed
+      assert(rows(sqlState).toSet ===
+        Set((0, 10L, 6L), (0, 11L, 2L), (1, 10L, 9L), (2, 20L, 4L),
+          (3, 30L, 7L), (0, 99L, 8L)))
+      // partial-key ON: named coverage error
+      val e1 = intercept[Throwable] {
+        spark.sql(
+          """MERGE INTO ck_t AS t USING ck_src AS s
+            |ON t.b = s.b
+            |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+      }
+      assert(e1.getMessage.contains("keyed by"), e1.getMessage)
+      // INSERT listing only one key: named error
+      val e2 = intercept[Throwable] {
+        spark.sql(
+          """MERGE INTO ck_t AS t USING ck_src AS s
+            |ON t.b = s.b AND t.bv = s.bv
+            |WHEN NOT MATCHED THEN INSERT (b, cnt) VALUES (s.b, s.cnt)
+            |""".stripMargin).collect()
+      }
+      assert(e2.getMessage.contains("every merge key"), e2.getMessage)
+      // INSERT * round-trips the composite key verbatim
+      spark.sql(
+        """MERGE INTO ck_t AS t USING ck_src AS s
+          |ON t.b = s.b AND t.bv = s.bv
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      assert(rows(sqlState) === rows(dfState),
+        "INSERT *-only merge of already-present keys must be a no-op")
+    } finally graft.operators.GraftSql.unregisterTable("ck_t")
   }
 
   test("OPTIMIZE statement (r17): materializes a live deletion vector " +

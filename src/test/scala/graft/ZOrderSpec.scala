@@ -282,4 +282,50 @@ class ZOrderSpec extends AnyFunSuite {
       assert(mRows == hRows, "the two layouts disagree on box contents")
     }
   }
+
+  test("quadrant-straddling box (r18): Morton's locality cliff — a box " +
+    "crossing the x midline keeps MORE files under Morton than under " +
+    "Hilbert, whose consecutive cells are always grid-adjacent") {
+    withTempDir { tmp =>
+      val (ev, ur, vr) = Layout.eventRanges(spark, dir)
+      Layout.curveWrite(ev, col("user_id"), col("value"), ur, vr,
+        s"$tmp/morton", hilbert = false)
+      Layout.curveWrite(ev, col("user_id"), col("value"), ur, vr,
+        s"$tmp/hilbert", hilbert = true)
+      Layout.writeManifest(spark, s"$tmp/morton")
+      Layout.writeManifest(spark, s"$tmp/hilbert")
+      // a THIN box straddling the x midline inside the lower y half:
+      // Morton's z-value jumps across half the key space at the x-mid
+      // bit flip, so the box's rows land in two DISTANT z-ranges (two
+      // groups of files); Hilbert crosses that seam through adjacent
+      // cells. Exact-binary fractions.
+      def frac(r: (Double, Double), f: Double): Double =
+        r._1 + f * (r._2 - r._1)
+      val boxes = Seq(
+        ("user_id", frac(ur, 0.4375), frac(ur, 0.5625)),
+        ("value", frac(vr, 0.25), frac(vr, 0.3125)))
+      val (mKeep, mTotal) =
+        Layout.statsPrunedFiles(spark, s"$tmp/morton", boxes)
+      val (hKeep, hTotal) =
+        Layout.statsPrunedFiles(spark, s"$tmp/hilbert", boxes)
+      info(s"straddle box — morton keeps ${mKeep.size}/$mTotal, " +
+        s"hilbert keeps ${hKeep.size}/$hTotal")
+      assert(hKeep.size < mKeep.size,
+        s"hilbert (${hKeep.size}) must beat morton (${mKeep.size}) on " +
+          "the quadrant-straddling box — the curve's whole advantage")
+      // both layouts agree on the box CONTENTS (invariance)
+      val m = Layout.statsPrunedRead(spark, s"$tmp/morton", boxes)
+      val h = Layout.statsPrunedRead(spark, s"$tmp/hilbert", boxes)
+      def rows(df: org.apache.spark.sql.DataFrame) = {
+        val (bul, buh) = (boxes(0)._2, boxes(0)._3)
+        val (bvl, bvh) = (boxes(1)._2, boxes(1)._3)
+        df.filter(col("user_id").cast("double") >= bul &&
+            col("user_id").cast("double") < buh &&
+            col("value") >= bvl && col("value") < bvh)
+          .drop("zv").collect().map(_.toSeq).toSet
+      }
+      assert(rows(m) == rows(h),
+        "the two layouts disagree on straddle-box contents")
+    }
+  }
 }

@@ -817,6 +817,132 @@ class IngestIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("optimistic commit retry (r18): two threaded committers with " +
+    "disjoint key sets BOTH land, serialized — content == sequential " +
+    "execution in either order") {
+    val sp = spark
+    import sp.implicits._
+    val addC = graft.queries.MergeOps.addCombine
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    def frame(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("user_id", "n_events", "sum_value")
+        .select(col("user_id"), col("n_events"),
+          col("sum_value").cast(dec).as("sum_value"))
+    val a = Seq((1L, 2L, 1.0), (2L, 3L, 2.0), (17L, 1L, 3.0))
+    val b = Seq((100L, 4L, 4.0), (101L, 5L, 5.0), (999L, 2L, 6.0))
+    def contentOf(state: String): Map[Long, (Long, BigDecimal)] =
+      IngestIndex.currentTable(sp, state, "state").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2))))
+        .toMap
+    // sequential reference, order A;B
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-idx-retryref").toString + "/state"
+    IngestIndex.commitRetry(sp, ref, "state", frame(a), addC, op = "merge")
+    IngestIndex.commitRetry(sp, ref, "state", frame(b), addC, op = "merge")
+    val want = contentOf(ref)
+    (1 to 3).foreach { trial =>
+      val state = java.nio.file.Files
+        .createTempDirectory(s"graft-idx-retry$trial").toString + "/state"
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def committer(rows: Seq[(Long, Long, Double)]): Thread = {
+        val t = new Thread(() => {
+          gate.await()
+          try {
+            IngestIndex.commitRetry(sp, state, "state", frame(rows),
+              addC, op = "merge")
+            ()
+          } catch { case e: Throwable => errs.add(e); () }
+        })
+        t.start(); t
+      }
+      val ts = Seq(committer(a), committer(b))
+      ts.foreach(_.join(120000))
+      assert(errs.isEmpty, s"trial $trial: a committer failed: " +
+        s"${Option(errs.peek()).map(_.toString)}")
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(sp.sparkContext.hadoopConfiguration)
+      assert(IngestIndex.latestVersion(fs, state).contains(2L),
+        "both committers must land at successive versions")
+      assert(contentOf(state) == want,
+        s"trial $trial: threaded content != sequential reference")
+    }
+  }
+
+  test("commit retry conflict path (r18): a rival landing the same " +
+    "version mid-transaction triggers a rebase when footprints are " +
+    "disjoint and a NAMED conflict when they overlap") {
+    val sp = spark
+    import sp.implicits._
+    val addC = graft.queries.MergeOps.addCombine
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    def frame(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("user_id", "n_events", "sum_value")
+        .select(col("user_id"), col("n_events"),
+          col("sum_value").cast(dec).as("sum_value"))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-idx-retryx").toString + "/state"
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    // v1: one row
+    IngestIndex.commitRetry(sp, state, "state",
+      frame(Seq((1L, 1L, 1.0))), addC, op = "merge")
+    val m1 = IngestIndex.readManifest(fs, state, 1L)
+    // DISJOINT rival: between the merge and the manifest write of the
+    // next transaction, land a manifest-only rival at the same version
+    // touching a bucket the transaction's delta does not (its entry
+    // repoints an EXISTING v1 bucket — data-valid, different bytes)
+    val rivalCell = m1("state").head._1
+    var fired = false
+    IngestIndex.commitRetryTestHook = { next =>
+      if (!fired) {
+        fired = true
+        IngestIndex.writeManifest(fs, state, next,
+          Map("state" -> (m1("state") +
+            (rivalCell -> m1("state")(rivalCell)) +
+            ((rivalCell + 1000) -> IngestIndex.Bkt(1L, 0)))),
+          op = "rival")
+      }
+    }
+    try {
+      // the delta's key hashes to SOME bucket; the rival touched cell
+      // rivalCell+1000, which no real key maps to — footprints disjoint
+      val v = IngestIndex.commitRetry(sp, state, "state",
+        frame(Seq((2L, 2L, 2.0))), addC, op = "merge")
+      assert(v == 3L, s"the loser must rebase to v3, landed v$v")
+      assert(fired)
+      val got = IngestIndex.currentTable(sp, state, "state")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L), s"rebased content wrong: $got")
+    } finally IngestIndex.commitRetryTestHook = _ => ()
+    // OVERLAPPING rival: same trick, but the rival rewrites exactly the
+    // bucket the delta touches — named conflict, no silent rebase
+    val m3 = IngestIndex.readManifest(fs, state, 3L)
+    val deltaBkt = IngestIndex
+      .assignBucket(frame(Seq((7L, 1L, 7.0))), "state",
+        IngestIndex.numBuckets(sp), Map.empty)
+      .select("bkt").head().getInt(0)
+    var fired2 = false
+    IngestIndex.commitRetryTestHook = { next =>
+      if (!fired2) {
+        fired2 = true
+        // the rival's entry must DIFFER from the parent's for the cell
+        // to count as its footprint: point it at a version no parent
+        // entry can hold (nothing reads this manifest after the error)
+        IngestIndex.writeManifest(fs, state, next,
+          Map("state" -> (m3("state") +
+            (deltaBkt -> IngestIndex.Bkt(-99L, 0)))), op = "rival")
+      }
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        IngestIndex.commitRetry(sp, state, "state",
+          frame(Seq((7L, 1L, 7.0))), addC, op = "merge")
+      }
+      assert(e.getMessage.contains("footprint overlaps"), e.getMessage)
+    } finally IngestIndex.commitRetryTestHook = _ => ()
+  }
+
   test("operation provenance (r17): a commit/DV-delete/restore/compact " +
     "sequence reads back with the right DESCRIBE HISTORY tags; legacy " +
     "untagged manifests read as 'commit'") {
@@ -871,6 +997,20 @@ class IngestIndexSpec extends AnyFunSuite {
       Map("state" -> Map(0 -> IngestIndex.Bkt(1L, 0))), op = "merge")
     assert(IngestIndex.describeHistory(lfs, legacyDir)
       .map(_.operation) === Seq("merge"))
+    // ... but a COMMITTED tag is never relabeled by a replay (r18,
+    // advisor fix): a generic re-driver replaying the same content with
+    // the default op keeps the original 'merge' provenance, and the
+    // mtime still refreshes (wall-clock retention extends on replay)
+    val mtBefore = lfs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$legacyDir/v1/manifest")).getModificationTime
+    Thread.sleep(5)
+    IngestIndex.writeManifest(lfs, legacyDir, 1L,
+      Map("state" -> Map(0 -> IngestIndex.Bkt(1L, 0))))
+    assert(IngestIndex.describeHistory(lfs, legacyDir)
+      .map(_.operation) === Seq("merge"),
+      "a default-op replay must not relabel committed provenance")
+    assert(lfs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$legacyDir/v1/manifest")).getModificationTime >= mtBefore)
   }
 
   test("manifest memo is LRU (r17): a hot store's entry survives " +
@@ -968,6 +1108,75 @@ class IngestIndexSpec extends AnyFunSuite {
       s"metadataCount served tombstoned rows: $c6 != $survivors")
     assert(scan6 > 0L && scan6 <= tot6,
       "DV-covered buckets must scan, not metadata-count")
+  }
+
+  test("metadata aggregate (r18, q124c): full-range MIN/MAX/SUM/COUNT " +
+    "is metadata-only; straddling boxes compose exactly; sum-less " +
+    "stats force a scan (NULL never reads as zero); DVs compose") {
+    val sp = spark
+    import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (state, m) = graft.queries.MergeOps.runStatsStore(sp, dir,
+      "stats124c-spec", sumCols = Seq("n_events", "sum_value"))
+    val direct = IngestIndex.currentTable(sp, state, "state")
+    def want(df: org.apache.spark.sql.DataFrame)
+        : (Long, Long, Long, java.math.BigDecimal, Long) = {
+      val r = df.agg(min(col("n_events")), max(col("n_events")),
+        sum(col("n_events")), sum(col("sum_value")),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3),
+        r.getLong(4))
+    }
+    def got(mm: IngestIndex.Manifest,
+        boxes: Seq[(String, Double, Double)])
+        : ((Long, Long, Long, java.math.BigDecimal, Long), Long, Long) = {
+      val (df, _, scanned, tot) = IngestIndex.metadataAggregate(sp,
+        state, mm, "state", boxes, Seq("n_events"),
+        Seq("n_events", "sum_value"))
+      val r = df.head()
+      ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3),
+        r.getLong(4)), scanned, tot)
+    }
+    // full range: pure metadata, exact values
+    val (g1, scan1, _) = got(m, Nil)
+    assert(g1._1 == want(direct)._1 && g1._2 == want(direct)._2 &&
+      g1._3 == want(direct)._3 &&
+      g1._4.compareTo(want(direct)._4) == 0 &&
+      g1._5 == want(direct)._5, s"$g1 != ${want(direct)}")
+    assert(scan1 == 0L, s"full-range aggregate scanned $scan1 buckets")
+    // straddling box: exact composition, bounded scan
+    val box = Seq(("n_events", 40.0, 70.0))
+    val filt = direct.filter(col("n_events") >= 40L &&
+      col("n_events") < 70L)
+    val (g2, scan2, tot2) = got(m, box)
+    val w2 = want(filt)
+    assert(g2._1 == w2._1 && g2._2 == w2._2 && g2._3 == w2._3 &&
+      g2._4.compareTo(w2._4) == 0 && g2._5 == w2._5, s"$g2 != $w2")
+    assert(scan2 <= tot2)
+    // a store whose stats carry NO sums: every bucket scans for a sum
+    // aggregate, values still exact
+    val (state0, m0) = graft.queries.MergeOps.runStatsStore(sp, dir,
+      "stats124c-nosums")
+    val (df0, meta0, scan0, tot0) = IngestIndex.metadataAggregate(sp,
+      state0, m0, "state", Nil, Seq("n_events"),
+      Seq("n_events", "sum_value"))
+    assert(meta0 == 0L && scan0 == tot0,
+      s"sum-less stats must scan: ($meta0, $scan0, $tot0)")
+    assert(df0.head().getLong(4) ==
+      IngestIndex.currentTable(sp, state0, "state").count())
+    // DV composition: full-range values equal the SURVIVOR aggregate
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val tomb = direct.filter(pmod(col("user_id"), lit(5)) === 2)
+      .select("user_id")
+    val m6 = IngestIndex.deleteWithDv(sp, state, m, "state", 6L, tomb)
+    IngestIndex.writeManifest(fs, state, 6L, m6, op = "delete-dv")
+    val (g3, scan3, _) = got(m6, Nil)
+    val w3 = want(IngestIndex.currentTable(sp, state, "state"))
+    assert(g3._1 == w3._1 && g3._2 == w3._2 && g3._3 == w3._3 &&
+      g3._4.compareTo(w3._4) == 0 && g3._5 == w3._5,
+      s"DV-composed aggregate served tombstoned rows: $g3 != $w3")
+    assert(scan3 > 0L, "DV-covered buckets must scan")
   }
 
   test("live-DV guard (r17): a raw mergeCommit on a table with a live " +
