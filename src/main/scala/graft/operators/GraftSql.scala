@@ -168,13 +168,25 @@ object GraftSql {
     }
 
   /** The registered store target of a parsed MERGE, if any — the rule's
-    * match gate, side-effect-free (analyzer rules run to fixed point). */
+    * match gate, side-effect-free (analyzer rules run to fixed point).
+    * Flat registry names stay UnresolvedRelations (nothing else can
+    * resolve them); DSv2 catalog names (r18) resolve to a
+    * DataSourceV2Relation over [[GraftTable]] BEFORE this rule runs. */
   private[operators] def targetOf(m: MergeIntoTable)
       : Option[(String, StoreTarget)] =
     unwrap(m.targetTable)._2 match {
       case r: UnresolvedRelation =>
-        lookup(r.multipartIdentifier)
+        // flat registry names AND catalog-prefixed names (r18): the
+        // injected parser rewrites catalog MERGEs at PARSE time —
+        // Spark's own RewriteMergeIntoTable throws for resolved
+        // non-row-level v2 targets BEFORE extension rules run, so the
+        // race must be won before the analyzer starts
+        resolveStore(r.multipartIdentifier.mkString("."))
           .map(t => r.multipartIdentifier.mkString(".") -> t)
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        Some(t.name() -> t.storeTarget)
       case _ => None
     }
 
@@ -191,9 +203,23 @@ object GraftSql {
     // — the statement is key-arity-generic like the DataFrame algebra
     val keys = IngestIndex.keyColsFor(tgt.table)
     val tAlias = unwrap(m.targetTable)._1.getOrElse(name.split('.').last)
+    // a RESOLVED (catalog) target's references arrive as
+    // AttributeReferences — membership in these exprId sets decides the
+    // side; flat-registry targets never resolve, so the sets are empty
+    // and the alias-qualified translation below carries the load
+    val tgtIds: Set[Long] = unwrap(m.targetTable)._2 match {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r.output.map(_.exprId.id).toSet
+      case _ => Set.empty
+    }
+    val srcIds: Set[Long] =
+      if (m.sourceTable.resolved)
+        m.sourceTable.outputSet.toSeq.map(_.exprId.id).toSet
+      else Set.empty
     val sAlias = unwrap(m.sourceTable) match {
       case (Some(a), _) => a
       case (None, r: UnresolvedRelation) => r.multipartIdentifier.last
+      case _ if srcIds.nonEmpty => "__src"
       case _ => throw new IllegalArgumentException(
         "MERGE INTO: alias the USING source (`USING (...) AS s`) so " +
           "clause conditions can qualify its columns")
@@ -201,9 +227,17 @@ object GraftSql {
     // ON must be the key equi-join (every key, each equality in either
     // order); the canonical key name from the registry is returned so
     // coverage is case-insensitive
-    def keyOf(e: Expression, alias: String): Option[String] = e match {
+    def stripCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        stripCast(c.child)
+      case other => other
+    }
+    def keyOf(e: Expression, alias: String,
+        ids: Set[Long]): Option[String] = stripCast(e) match {
       case UnresolvedAttribute(Seq(q, c)) if q.equalsIgnoreCase(alias) =>
         keys.find(_.equalsIgnoreCase(c))
+      case a: AttributeReference if ids(a.exprId.id) =>
+        keys.find(_.equalsIgnoreCase(a.name))
       case _ => None
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -214,15 +248,16 @@ object GraftSql {
     val wantOn = keys.map(k => s"$tAlias.$k = $sAlias.$k").mkString(" AND ")
     val covered = conjuncts(m.mergeCondition).map {
       case EqualTo(l, r) =>
-        (keyOf(l, tAlias), keyOf(r, sAlias)) match {
+        (keyOf(l, tAlias, tgtIds), keyOf(r, sAlias, srcIds)) match {
           case (Some(k1), Some(k2)) if k1 == k2 => k1
-          case _ => (keyOf(l, sAlias), keyOf(r, tAlias)) match {
-            case (Some(k1), Some(k2)) if k1 == k2 => k1
-            case _ => throw new IllegalArgumentException(
-              s"MERGE INTO '$name' requires the key equi-join ON " +
-                s"$wantOn (the store's merge law); got conjunct: " +
-                s"${EqualTo(l, r).sql}")
-          }
+          case _ =>
+            (keyOf(l, sAlias, srcIds), keyOf(r, tAlias, tgtIds)) match {
+              case (Some(k1), Some(k2)) if k1 == k2 => k1
+              case _ => throw new IllegalArgumentException(
+                s"MERGE INTO '$name' requires the key equi-join ON " +
+                  s"$wantOn (the store's merge law); got conjunct: " +
+                  s"${EqualTo(l, r).sql}")
+            }
         }
       case other => throw new IllegalArgumentException(
         s"MERGE INTO '$name' requires the key equi-join ON $wantOn " +
@@ -234,7 +269,7 @@ object GraftSql {
         s"but '${tgt.table}' is keyed by (${keys.mkString(", ")})")
     GraftMergeIntoCommand(name, tgt, m.sourceTable, tAlias, sAlias, keys,
       ParsedMergeActions(m.matchedActions, m.notMatchedActions,
-        m.notMatchedBySourceActions))
+        m.notMatchedBySourceActions), tgtIds)
   }
 
   /** Extension-free SQL entry: the lakehouse-verb statements
@@ -251,11 +286,18 @@ object GraftSql {
         spark.sessionState.sqlParser.parsePlan(text) match {
           case m: MergeIntoTable if targetOf(m).isDefined =>
             GraftSqlBridge.ofRows(spark, translate(m))
-          // INSERT INTO a registered store (r18) — same translation the
-          // injected rule makes, so the twin stays statement-complete
+          // INSERT INTO / DELETE FROM / UPDATE over a registered store
+          // (r18) — same translation the injected rule makes, so the
+          // twin stays statement-complete
           case i: org.apache.spark.sql.catalyst.plans.logical
               .InsertIntoStatement =>
             GraftSqlBridge.ofRows(spark, GraftMergeSqlRule(i))
+          case d: org.apache.spark.sql.catalyst.plans.logical
+              .DeleteFromTable =>
+            GraftSqlBridge.ofRows(spark, GraftMergeSqlRule(d))
+          case u: org.apache.spark.sql.catalyst.plans.logical
+              .UpdateTable =>
+            GraftSqlBridge.ofRows(spark, GraftMergeSqlRule(u))
           case plan => GraftSqlBridge.ofRows(spark, plan)
         }
     }
@@ -300,11 +342,36 @@ object GraftSql {
       """(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?""" +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""").r
 
+  /** Resolve a (possibly dotted) statement name to its store: the flat
+    * registry first, then a DSv2 graft CATALOG prefix (r18) — so the
+    * lakehouse verbs (DESCRIBE HISTORY / RESTORE / VACUUM / OPTIMIZE)
+    * accept `<catalog>.<ns...>.<table>` names too. */
+  private[operators] def resolveStore(name: String)
+      : Option[StoreTarget] = {
+    val parts = name.replace("`", "").split('.').toSeq
+    lookup(parts).orElse {
+      if (parts.length < 2) None
+      else GraftSqlBridge.catalogPlugin(
+          org.apache.spark.sql.SparkSession.active, parts.head) match {
+        case Some(c: GraftCatalog) =>
+          val ident = org.apache.spark.sql.connector.catalog.Identifier
+            .of(parts.tail.init.toArray, parts.last)
+          try Some(c.loadTable(ident).asInstanceOf[GraftTable].storeTarget)
+          catch {
+            case _: org.apache.spark.sql.catalyst.analysis
+                .NoSuchTableException => None
+          }
+        case _ => None
+      }
+    }
+  }
+
   private def registered(name: String): StoreTarget = {
     val clean = name.replace("`", "")
-    lookup(Seq(clean)).getOrElse(throw new IllegalArgumentException(
+    resolveStore(clean).getOrElse(throw new IllegalArgumentException(
       s"'$clean' is not a registered graft store table — " +
-        "GraftSql.registerTable(name, stateDir, table) first"))
+        "GraftSql.registerTable(name, stateDir, table) first (or " +
+        "address it through a graft catalog: <catalog>.<ns>.<table>)"))
   }
 
   /** The statement as a runnable command when it is one of the graft
@@ -338,7 +405,7 @@ object GraftSql {
       Some(GraftCreateTableCommand(clean, location,
         clean.split('.').last, schema, canonKeys, ifNot != null))
     case DescribeHistoryRe(name) =>
-      lookup(Seq(name.replace("`", ""))).map(t =>
+      resolveStore(name.replace("`", "")).map(t =>
         GraftDescribeHistoryCommand(name.replace("`", ""), t))
     case RestoreRe(name, v) =>
       Some(GraftRestoreCommand(name.replace("`", ""), registered(name),
@@ -388,7 +455,7 @@ object GraftSql {
   * so the statement target is still an UnresolvedRelation here (the
   * read rule would otherwise resolve it into a snapshot scan). */
 object GraftMergeSqlRule extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, UpdateTable}
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable if GraftSql.targetOf(m).isDefined =>
       GraftSql.translate(m)
@@ -402,6 +469,17 @@ object GraftMergeSqlRule extends Rule[LogicalPlan] {
           "PARTITION specs do not apply")
       GraftInsertCommand(name, t, i.userSpecifiedCols, i.query,
         i.overwrite, i.byName)
+    // row-level DML verbs (r18): DELETE FROM -> deletion-vector
+    // tombstones; UPDATE -> touched-bucket copy-on-write merge.
+    // Unregistered targets fall through to Spark's own handling.
+    case DeleteFromTable(tgt, cond)
+        if GraftDml.targetOf(tgt).isDefined =>
+      val (name, alias, t) = GraftDml.targetOf(tgt).get
+      GraftDeleteCommand(name, t, alias, ParsedDml(Some(cond), Nil))
+    case UpdateTable(tgt, assigns, cond)
+        if GraftDml.targetOf(tgt).isDefined =>
+      val (name, alias, t) = GraftDml.targetOf(tgt).get
+      GraftUpdateCommand(name, t, alias, ParsedDml(cond, assigns))
     case _ => plan
   }
 }
@@ -426,24 +504,30 @@ final case class GraftStoreReadRule(spark: SparkSession)
   private def storeRead(parts: Seq[String], version: Option[Long])
       : Option[LogicalPlan] =
     GraftSql.lookupTarget(parts).map { t =>
-      val df = version match {
-        case Some(v) =>
-          IngestIndex.tableAt(spark, t.stateDir, t.table, v)
-        case None =>
-          try IngestIndex.currentTable(spark, t.stateDir, t.table)
-          catch {
-            // a CREATEd-but-never-INSERTed table has no committed
-            // version yet (r18): SELECT reads an empty frame with the
-            // DECLARED schema, like any freshly created SQL table
-            case e: IllegalStateException
-                if e.getMessage.contains("no committed index version") =>
-              GraftSql.declaredMeta(spark, t) match {
-                case Some(meta) => spark.createDataFrame(
-                  java.util.Collections.emptyList[Row](), meta.schema)
-                case None => throw e
-              }
-          }
-      }
+      val df =
+        try version match {
+          case Some(v) =>
+            IngestIndex.tableAt(spark, t.stateDir, t.table, v)
+          case None =>
+            IngestIndex.currentTable(spark, t.stateDir, t.table)
+        } catch {
+          // a CREATEd-but-never-INSERTed table has no committed version
+          // yet, and a TRUNCATEd one (r18, `DELETE FROM t` with no
+          // WHERE) has a manifest with no entry for it (a fully-empty
+          // gen-0 table drops its buckets — the store's absent=empty
+          // law): both read as an empty frame with the DECLARED schema,
+          // like any freshly created SQL table
+          case e @ (_: IllegalStateException
+              | _: IllegalArgumentException)
+              if (e.getMessage.contains("no committed index version") ||
+                  e.getMessage.contains("absent from manifest") ||
+                  e.getMessage.contains("no readable snapshot of")) =>
+            GraftSql.declaredMeta(spark, t) match {
+              case Some(meta) => spark.createDataFrame(
+                java.util.Collections.emptyList[Row](), meta.schema)
+              case None => throw e
+            }
+        }
       SubqueryAlias(parts.last, GraftSqlBridge.analyzedPlan(df))
     }
 
@@ -508,6 +592,66 @@ final case class GraftStoreReadRule(spark: SparkSession)
       case r @ UnresolvedRelation(parts, _, false)
           if GraftSql.lookupTarget(parts).isDefined =>
         storeRead(parts, None).getOrElse(r)
+      // DSv2 CATALOG tables (r18): Spark's own ResolveRelations turns
+      // `graft.ns.t` into a DataSourceV2Relation over [[GraftTable]]
+      // (loadTable carries any VERSION/TIMESTAMP AS OF pin). The table
+      // deliberately does NOT implement SupportsRead — this rule
+      // substitutes the engine's ALREADY-ANALYZED snapshot read,
+      // re-aliased to the relation's ORIGINAL exprIds (upstream
+      // references resolved against the relation in the same pass must
+      // keep binding), so catalog reads are PLAN-IDENTICAL to the
+      // DataFrame verbs plus one collapsing Project. Write/DML plans
+      // never reach here: V2WriteCommand holds its table outside
+      // `children`, and [[GraftMergeSqlRule]] (which runs FIRST) has
+      // already rewritten MERGE/UPDATE/DELETE into commands.
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val df =
+          try t.pinnedVersion match {
+            case Some(v) =>
+              IngestIndex.tableAt(spark, t.stateDir, t.meta.table, v)
+            case None =>
+              IngestIndex.currentTable(spark, t.stateDir, t.meta.table)
+          } catch {
+            // CREATEd-but-never-loaded or TRUNCATEd: an empty frame in
+            // the RELATION's shape (same contract as flat names)
+            case e @ (_: IllegalStateException
+                | _: IllegalArgumentException)
+                if (e.getMessage.contains("no committed index version") ||
+                    e.getMessage.contains("absent from manifest") ||
+                    e.getMessage.contains("no readable snapshot of")) =>
+              spark.createDataFrame(
+                java.util.Collections.emptyList[Row](),
+                org.apache.spark.sql.types.StructType(r.output.map(a =>
+                  org.apache.spark.sql.types.StructField(
+                    a.name, a.dataType, a.nullable))))
+          }
+        val analyzed = GraftSqlBridge.analyzedPlan(df)
+        val byName = analyzed.output.map(a =>
+          a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          r.output.map { a =>
+            byName.get(a.name.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(src) =>
+                val value: Expression =
+                  if (src.dataType == a.dataType) src
+                  else org.apache.spark.sql.catalyst.expressions.Cast(
+                    src, a.dataType)
+                org.apache.spark.sql.catalyst.expressions.Alias(
+                  value, a.name)(
+                  exprId = a.exprId, qualifier = a.qualifier)
+              case None =>
+                // a time-travel read BEFORE a schema-evolution commit:
+                // the snapshot lacks a column the CURRENT schema (the
+                // relation's) carries — surface it as NULL, Delta's
+                // read-old-data-under-new-schema semantics
+                org.apache.spark.sql.catalyst.expressions.Alias(
+                  org.apache.spark.sql.catalyst.expressions.Literal
+                    .create(null, a.dataType), a.name)(
+                  exprId = a.exprId, qualifier = a.qualifier)
+            }
+          }, analyzed)
     }
 }
 
@@ -535,7 +679,8 @@ final case class GraftMergeIntoCommand(
     tAlias: String,
     sAlias: String,
     keys: Seq[String],
-    acts: ParsedMergeActions) extends LeafRunnableCommand {
+    acts: ParsedMergeActions,
+    tgtIds: Set[Long] = Set.empty) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -552,14 +697,20 @@ final case class GraftMergeIntoCommand(
     * source references (the standard: no source row exists there). */
   private def xlate(e: Expression, bySource: Boolean): Column = {
     val t = e.transformUp {
-      // defensive: the analyzer's Resolution batch runs before the
-      // injected rule inside one fixed-point iteration, so SOURCE-side
-      // references may already be resolved (the target never resolves —
-      // it is the registered, catalog-less store). A resolved attribute
-      // therefore maps by name to the source side.
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
-          if !a.qualifier.lastOption.exists(_.equalsIgnoreCase(tAlias)) =>
-        if (bySource) throw new IllegalArgumentException(
+      // the analyzer's Resolution batch runs before the injected rule
+      // inside one fixed-point iteration, so references may already be
+      // resolved. A flat-registry target NEVER resolves (tgtIds empty
+      // — a resolved attribute is source-side by construction); a DSv2
+      // catalog target (r18) resolves, and membership in its exprId
+      // set decides the side.
+      case a: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference =>
+        if (tgtIds(a.exprId.id))
+          keyNamed(a.name) match {
+            case Some(k) => UnresolvedAttribute(Seq(k))
+            case None => UnresolvedAttribute(Seq("t_" + a.name))
+          }
+        else if (bySource) throw new IllegalArgumentException(
           s"WHEN NOT MATCHED BY SOURCE clauses cannot reference the " +
             s"source ('${a.name}'): no source row exists for those keys")
         else keyNamed(a.name) match {
@@ -591,10 +742,13 @@ final case class GraftMergeIntoCommand(
     GraftSqlBridge.column(t)
   }
 
-  /** Assigned column name of `a` (optionally target-qualified). */
+  /** Assigned column name of `a` (optionally target-qualified; a
+    * resolved catalog target's keys arrive as AttributeReferences). */
   private def assignedCol(a: Assignment): String = a.key match {
     case UnresolvedAttribute(Seq(c)) => c
     case UnresolvedAttribute(Seq(q, c)) if q.equalsIgnoreCase(tAlias) => c
+    case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference
+        if tgtIds.isEmpty || tgtIds(ar.exprId.id) => ar.name
     case other => throw new IllegalArgumentException(
       s"MERGE INTO '$targetName': cannot assign to '${other.sql}' — " +
         "assignments set target columns")
@@ -607,6 +761,21 @@ final case class GraftMergeIntoCommand(
       case UnresolvedAttribute(Seq(q, c)) =>
         q.equalsIgnoreCase(sAlias) && c.equalsIgnoreCase(k)
       case UnresolvedAttribute(Seq(c)) => c.equalsIgnoreCase(k)
+      case ar: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference =>
+        !tgtIds(ar.exprId.id) && ar.name.equalsIgnoreCase(k)
+      case _ => false
+    }
+
+  /** The assignment's value is the TARGET's same key column `k` — the
+    * identity no-op analyzer alignment can emit on resolved targets. */
+  private def isTargetKey(a: Assignment, k: String): Boolean =
+    a.value match {
+      case ar: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference =>
+        tgtIds(ar.exprId.id) && ar.name.equalsIgnoreCase(k)
+      case UnresolvedAttribute(Seq(q, c)) =>
+        q.equalsIgnoreCase(tAlias) && c.equalsIgnoreCase(k)
       case _ => false
     }
 
@@ -626,13 +795,16 @@ final case class GraftMergeIntoCommand(
           val c = assignedCol(as)
           keyNamed(c) match {
             case Some(k) =>
-              // only the MATCHED identity assignment (key = source's
-              // same key) is droppable; anything else — including ANY
-              // key assignment in a BY SOURCE clause, where no source
-              // exists — is a key rewrite the store's merge law cannot
-              // express (review fix: this used to silently no-op
-              // outside the matched family)
-              if (bySource || !isSourceKey(as, k))
+              // only IDENTITY key assignments are droppable: key =
+              // source's same key in a MATCHED clause, or key = the
+              // TARGET's own key (the no-op analyzer alignment emits on
+              // resolved catalog targets — legal in any family).
+              // Anything else is a key rewrite the store's merge law
+              // cannot express (review fix: this used to silently
+              // no-op outside the matched family)
+              val identity = isTargetKey(as, k) ||
+                (!bySource && isSourceKey(as, k))
+              if (!identity)
                 throw new IllegalArgumentException(
                   s"MERGE INTO '$targetName': reassigning the merge " +
                     s"key '$k' is not supported")
@@ -688,12 +860,18 @@ final case class GraftMergeIntoCommand(
     val (fs, top) = GraftSql.storeTop(spark, target, "MERGE INTO",
       targetName)
     val m = IngestIndex.readManifest(fs, target.stateDir, top)
-    require(m.contains(target.table),
-      s"MERGE INTO '$targetName': table '${target.table}' absent from " +
-        s"manifest v$top under ${target.stateDir}")
-    val schema = IngestIndex
-      .currentTable(spark, target.stateDir, target.table, raw = true)
-      .schema
+    // a TRUNCATEd table (live-but-empty, no manifest entry) merges like
+    // an empty one — every source row is NOT MATCHED; the declared meta
+    // carries the schema the clauses translate against
+    val schema =
+      if (m.contains(target.table))
+        IngestIndex
+          .currentTable(spark, target.stateDir, target.table, raw = true)
+          .schema
+      else GraftSql.readMeta(fs, target.stateDir, target.table)
+        .map(_.schema).getOrElse(throw new IllegalArgumentException(
+          s"MERGE INTO '$targetName': table '${target.table}' absent " +
+            s"from manifest v$top under ${target.stateDir}"))
     val payload = schema.fieldNames.toSeq
       .filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
     val merge = MergeInto(
@@ -897,10 +1075,34 @@ final case class GraftInsertCommand(
           col(src0.columns(i)).cast(f.dataType).as(f.name)
         }.toSeq: _*)
       }
+    Seq(Row(GraftInsertCommand.insertAligned(spark, targetName, target,
+      src, overwrite)))
+  }
+}
+
+object GraftInsertCommand {
+
+  /** The shared commit body for an ALREADY schema-aligned source — the
+    * statement path maps columns first; the DSv2 catalog's V1-write
+    * fallback ([[GraftWriteBuilder]]) hands a frame Spark aligned.
+    * PRIMARY KEY guards ride the commit's own key window and slice
+    * join (no extra passes); OVERWRITE replaces contents and composes
+    * with a live deletion vector. Returns the committed version. */
+  def insertAligned(spark: org.apache.spark.sql.classic.SparkSession,
+      targetName: String, target: GraftSql.StoreTarget,
+      src: org.apache.spark.sql.DataFrame, overwrite: Boolean): Long = {
+    import graft.streaming.IngestIndex
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = IngestIndex.latestVersion(fs, target.stateDir)
+    val m = top.map(IngestIndex.readManifest(fs, target.stateDir, _))
+      .getOrElse(Map.empty: IngestIndex.Manifest)
+    val keys = IngestIndex.keyColsFor(target.table)
+    val cols = src.columns.toSeq
     // PRIMARY KEY guard, batch-internal half: a duplicate key within
     // the inserted rows raises at execution (rides the key window)
     val keyStr = concat_ws(",", keys.map(k => col(k).cast("string")): _*)
-    val delta = src.select((schema.fieldNames.map(col) :+
+    val delta = src.select((cols.map(col) :+
       when(count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)) > 1,
         raise_error(concat(
@@ -918,7 +1120,7 @@ final case class GraftInsertCommand(
         val hits = d.select(keys.map(col): _*)
           .withColumn("__hit", lit(true))
         cur.join(hits, keys, "left")
-          .select((schema.fieldNames.map(col) :+
+          .select((cols.map(col) :+
             when(col("__hit"),
               raise_error(concat(
                 lit(s"INSERT INTO '$targetName': PRIMARY KEY ("),
@@ -944,7 +1146,286 @@ final case class GraftInsertCommand(
       target.table, next, delta, combine, touchedKnown = touched)
     IngestIndex.writeManifest(fs, target.stateDir, next, nm,
       op = if (overwrite) "insert-overwrite" else "insert")
-    Seq(Row(next))
+    next
+  }
+}
+
+/** The parsed row-level-DML pieces, held OUTSIDE the command's
+  * expression surface for the same reason as [[ParsedMergeActions]]:
+  * `Assignment` and the WHERE condition are Expressions, and
+  * CheckAnalysis would fail the command on references that only
+  * translate against the store's schema at run time. */
+final case class ParsedDml(
+    cond: Option[Expression],
+    sets: Seq[Assignment])
+
+/** Shared translation for the row-level DML verbs (r18, `DELETE FROM` /
+  * `UPDATE`): rewrite parsed target-column references to the snapshot's
+  * canonical column names, with named errors for typos, foreign
+  * qualifiers, and subquery conditions (the Delta restriction — a
+  * correlated source belongs in `MERGE INTO ... USING`). */
+private[operators] object GraftDml {
+
+  def canon(verb: String, targetName: String, schema: StructType)
+      (c: String): String =
+    schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$verb '$targetName': '$c' is not a column of the table " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+
+  /** The parsed expression as a Column over the snapshot's columns. */
+  def xlate(verb: String, targetName: String, tAlias: String,
+      schema: StructType)(e: Expression): Column = {
+    require(!e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"$verb '$targetName': subqueries in the condition are not " +
+        "supported — express a correlated condition as MERGE INTO " +
+        "with a USING source")
+    val name = canon(verb, targetName, schema) _
+    val t = e.transformUp {
+      // defensive: builtin resolution runs before the injected rule in
+      // each fixed-point pass; a reference it somehow resolved still
+      // maps by name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        UnresolvedAttribute(Seq(name(a.name)))
+      case UnresolvedAttribute(parts) => parts match {
+        case Seq(c) => UnresolvedAttribute(Seq(name(c)))
+        case Seq(q, c) if q.equalsIgnoreCase(tAlias) =>
+          UnresolvedAttribute(Seq(name(c)))
+        case other => throw new IllegalArgumentException(
+          s"$verb '$targetName' references '${other.mkString(".")}' — " +
+            s"only the target table's columns (optionally qualified " +
+            s"by '$tAlias.') are in scope")
+      }
+    }
+    GraftSqlBridge.column(t)
+  }
+
+  /** (name, alias, target) when a DML statement's target plan names a
+    * registered store table (optionally aliased); None falls through
+    * to Spark's own handling. */
+  def targetOf(p: LogicalPlan)
+      : Option[(String, String, GraftSql.StoreTarget)] = {
+    val (alias, inner) = p match {
+      case sa: SubqueryAlias => (Some(sa.alias), sa.child)
+      case other => (None, other)
+    }
+    inner match {
+      case r: UnresolvedRelation =>
+        // flat registry names AND catalog-prefixed names (r18 — the
+        // injected parser rewrites DML before the analyzer can race)
+        GraftSql.resolveStore(r.multipartIdentifier.mkString("."))
+          .map { t =>
+            val name = r.multipartIdentifier.mkString(".")
+            (name, alias.getOrElse(r.multipartIdentifier.last), t)
+          }
+      // DSv2 catalog tables reaching the RESOLUTION rule (the
+      // extension-free twin's path): match the resolved relation
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        Some((t.name(), alias.getOrElse(t.ident.name), t.storeTarget))
+      case _ => None
+    }
+  }
+
+  /** Shared preamble: manifest + current RAW schema, or None when the
+    * table was CREATEd but never loaded (row-level DML on an empty
+    * table is a no-op, like Delta's). Throws when nothing identifies
+    * the table at all. */
+  def snapshotOf(spark: org.apache.spark.sql.classic.SparkSession,
+      verb: String, targetName: String, target: GraftSql.StoreTarget)
+      : Option[(org.apache.hadoop.fs.FileSystem, Long,
+          IngestIndex.Manifest, StructType)] = {
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IngestIndex.latestVersion(fs, target.stateDir) match {
+      case None =>
+        // no committed version: a CREATEd-but-empty table no-ops; a
+        // target with no meta either is a broken registration
+        if (GraftSql.readMeta(fs, target.stateDir, target.table).isEmpty)
+          throw new IllegalStateException(
+            s"$verb '$targetName': the store under ${target.stateDir} " +
+              "has no committed version and no table meta — stage or " +
+              "CREATE the table first")
+        None
+      case Some(top) =>
+        val m = IngestIndex.readManifest(fs, target.stateDir, top)
+        if (!m.contains(target.table)) {
+          // a TRUNCATEd table (live-but-empty, no manifest entry):
+          // row-level DML no-ops when the declared meta identifies it
+          if (GraftSql.readMeta(fs, target.stateDir, target.table)
+              .isDefined) None
+          else throw new IllegalArgumentException(
+            s"$verb '$targetName': table '${target.table}' absent from " +
+              s"manifest v$top under ${target.stateDir}")
+        } else {
+          val schema = IngestIndex.currentTable(spark, target.stateDir,
+            target.table, raw = true).schema
+          Some((fs, top, m, schema))
+        }
+    }
+  }
+}
+
+/** `DELETE FROM <registered store table> [AS a] [WHERE <cond>]` (r18) —
+  * the row-level delete verb as SQL, riding the store's deletion-vector
+  * machinery: matched keys commit as TOMBSTONES into the `__dv` side
+  * table (write IO O(matched keys), zero base buckets rewritten — the
+  * q114d/q129b cost point; OPTIMIZE materializes later), and every read
+  * verb hides them immediately. The matching scan is ONE pass over the
+  * current snapshot with the predicate pushed into the parquet scans
+  * and only the key (+ predicate) columns read. `DELETE FROM t` with no
+  * WHERE (or WHERE true) is the TRUNCATE shape instead: one overwrite
+  * commit whose combine drops every live row — O(live buckets) empty
+  * writes, no table-sized tombstone list. Returns the committed
+  * version; a CREATEd-but-never-loaded table no-ops at version 0. */
+final case class GraftDeleteCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    tAlias: String,
+    dml: ParsedDml) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    GraftDml.snapshotOf(spark, "DELETE FROM", targetName, target) match {
+      case None => Seq(Row(0L))
+      case Some((fs, top, m, schema)) =>
+        val keys = IngestIndex.keyColsFor(target.table)
+        val next = top + 1
+        val truncate = dml.cond.forall {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(true, org.apache.spark.sql.types.BooleanType) => true
+          case _ => false
+        }
+        val nm =
+          if (truncate) {
+            // a fully-emptied gen-0 table drops out of the manifest
+            // (the store's absent=empty law) — only the DECLARED meta
+            // of a SQL-created table keeps it readable afterwards, so
+            // the truncate form requires one
+            require(GraftSql.readMeta(fs, target.stateDir, target.table)
+                .isDefined,
+              s"DELETE FROM '$targetName' with no WHERE (truncate) " +
+                "requires a SQL-created table (CREATE TABLE ... USING " +
+                "graft) — the declared schema is what keeps the " +
+                "emptied table readable; add a WHERE for row-level " +
+                "deletes")
+            val live = m.getOrElse(target.table,
+              Map.empty[Int, IngestIndex.Bkt]).keySet
+            if (live.isEmpty) return Seq(Row(top))
+            val empty = spark.createDataFrame(
+              java.util.Collections.emptyList[Row](), schema)
+            IngestIndex.mergeCommitDv(spark, target.stateDir, m,
+              target.table, next, empty, (_, d) => d,
+              touchedKnown = Some(live))
+          } else {
+            val cond = GraftDml.xlate("DELETE FROM", targetName, tAlias,
+              schema)(dml.cond.get)
+            val snap = IngestIndex.currentTable(spark, target.stateDir,
+              target.table)
+            val tombstones = snap.where(cond)
+              .select(keys.map(col): _*)
+            IngestIndex.deleteWithDv(spark, target.stateDir, m,
+              target.table, next, tombstones)
+          }
+        IngestIndex.writeManifest(fs, target.stateDir, next, nm,
+          op = if (truncate) "truncate-sql" else "delete-sql")
+        Seq(Row(next))
+    }
+  }
+}
+
+/** `UPDATE <registered store table> [AS a] SET c = e[, ...] [WHERE
+  * <cond>]` (r18) — the row-level update verb as SQL: matched rows are
+  * rewritten in place through the store's touched-bucket merge (Delta's
+  * copy-on-write UPDATE — find the matched rows with one predicate-
+  * pushed snapshot scan, rewrite ONLY the buckets holding them). The
+  * merge key cannot be reassigned (the store's merge law — a key
+  * rewrite is a DELETE + INSERT, which MERGE INTO expresses); a live
+  * deletion vector composes (tombstoned rows neither match nor
+  * resurrect — [[IngestIndex.mergeCommitDv]]'s law). Returns the
+  * committed version; a CREATEd-but-never-loaded table no-ops at 0. */
+final case class GraftUpdateCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    tAlias: String,
+    dml: ParsedDml) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    GraftDml.snapshotOf(spark, "UPDATE", targetName, target) match {
+      case None => Seq(Row(0L))
+      case Some((fs, top, m, schema)) =>
+        val keys = IngestIndex.keyColsFor(target.table)
+        val name = GraftDml.canon("UPDATE", targetName, schema) _
+        val xl = GraftDml.xlate("UPDATE", targetName, tAlias, schema) _
+        val sets: Map[String, Column] = {
+          val pairs = dml.sets.flatMap { as =>
+            val c = as.key match {
+              case UnresolvedAttribute(Seq(c0)) => c0
+              case UnresolvedAttribute(Seq(q, c0))
+                  if q.equalsIgnoreCase(tAlias) => c0
+              // catalog targets resolve before the rule runs (r18)
+              case a: org.apache.spark.sql.catalyst.expressions
+                  .AttributeReference => a.name
+              case other => throw new IllegalArgumentException(
+                s"UPDATE '$targetName': cannot assign to " +
+                  s"'${other.sql}' — assignments set target columns")
+            }
+            keys.find(_.equalsIgnoreCase(c)) match {
+              case Some(k) =>
+                // the IDENTITY assignment (key = key) is a no-op, not a
+                // key rewrite — analyzer alignment emits one per
+                // unassigned column on resolved targets
+                val identity = as.value match {
+                  case a: org.apache.spark.sql.catalyst.expressions
+                      .AttributeReference => a.name.equalsIgnoreCase(k)
+                  case UnresolvedAttribute(parts) =>
+                    parts.last.equalsIgnoreCase(k)
+                  case _ => false
+                }
+                if (identity) None
+                else throw new IllegalArgumentException(
+                  s"UPDATE '$targetName': reassigning the merge key " +
+                    s"'$k' is not supported — a key rewrite is a " +
+                    "DELETE + INSERT (express it with MERGE INTO)")
+              case None => Some(name(c) -> xl(as.value))
+            }
+          }
+          val dup = pairs.groupBy(_._1).collect {
+            case (c, vs) if vs.size > 1 => c }
+          require(dup.isEmpty, s"UPDATE '$targetName': column" +
+            s"(s) assigned more than once: ${dup.mkString(", ")}")
+          pairs.toMap
+        }
+        require(sets.nonEmpty,
+          s"UPDATE '$targetName': no assignments")
+        val snap = IngestIndex.currentTable(spark, target.stateDir,
+          target.table)
+        val matched = dml.cond.map(c => snap.where(xl(c))).getOrElse(snap)
+        val updated = matched.select(schema.fields.map { f =>
+          sets.get(f.name) match {
+            case Some(c) => c.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+        val combine: (DataFrame, DataFrame) => DataFrame = (cur, d) =>
+          cur.join(d.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(d)
+        val next = top + 1
+        val nm = IngestIndex.mergeCommitDv(spark, target.stateDir, m,
+          target.table, next, updated, combine)
+        IngestIndex.writeManifest(fs, target.stateDir, next, nm,
+          op = "update-sql")
+        Seq(Row(next))
+    }
   }
 }
 
@@ -1037,14 +1518,25 @@ final class GraftSqlParser(
     delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
 
+  /** DML statements over graft tables rewrite AT PARSE TIME (r18): a
+    * MERGE/UPDATE/DELETE whose target is a registered flat name or a
+    * graft-CATALOG name becomes the runnable command while every
+    * reference is still unresolved — Spark's own RewriteMergeIntoTable
+    * throws for resolved non-row-level v2 targets EARLIER in the
+    * Resolution batch than injected rules run, so the analyzer race
+    * cannot be won post-parse. [[GraftMergeSqlRule]] is idempotent and
+    * returns other plans unchanged; INSERTs over catalog names stay
+    * native (the DSv2 V1-write fallback handles column mapping). */
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSql.parseVerb(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSql.parseVerb(sqlText)
+      .getOrElse(GraftMergeSqlRule(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
       : LogicalPlan =
     GraftSql.parseVerb(sqlText)
-      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+      .getOrElse(GraftMergeSqlRule(
+        delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseExpression(sqlText: String)
       : org.apache.spark.sql.catalyst.expressions.Expression =

@@ -662,6 +662,155 @@ object MergeOps {
              |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
              |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Q139 SQL DELETE FROM (r18): the row-level delete verb as SQL,
+    // riding the deletion-vector machinery — each statement is ONE
+    // predicate-pushed snapshot scan plus an O(matched keys) tombstone
+    // commit, zero base buckets rewritten (q114d's cost point; OPTIMIZE
+    // materializes later). TWO statements compose (their vectors union
+    // distinct), one keyed on the merge key, one on a payload column —
+    // the oracle states the surviving rows' aggregates directly from
+    // raw events. SqlSurfaceSpec pins the guard rails (truncate form,
+    // foreign-qualifier and subquery named errors, empty-table no-op,
+    // unregistered fall-through).
+    QueryDef("q139_sql_delete",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val state = stateDirFor(s, "delete139", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(state), true)
+        commit(s, state, Map.empty, 1L, userAgg(ev), (_, dl) => dl)
+        graft.operators.GraftSql.registerTable("graft_q139_state", state,
+          "state")
+        try {
+          s.sql("DELETE FROM graft_q139_state " +
+            s"WHERE user_id % 3 = 0 OR n_events > ${SyncStaleFloor}")
+          s.sql("DELETE FROM graft_q139_state WHERE user_id % 5 = 1")
+          s.sql(
+            """SELECT user_id, n_events,
+              |  CAST(sum_value AS DOUBLE) AS sum_value
+              |FROM graft_q139_state ORDER BY user_id""".stripMargin)
+        } finally graft.operators.GraftSql.unregisterTable(
+          "graft_q139_state")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |a AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, n_events, CAST(sum_value AS DOUBLE)
+             |    AS sum_value
+             |FROM a
+             |WHERE NOT (user_id % 3 = 0 OR n_events > $SyncStaleFloor)
+             |  AND NOT user_id % 5 = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q140 SQL UPDATE (r18): the row-level update verb as SQL — Delta's
+    // copy-on-write shape (one predicate-pushed scan finds the matched
+    // rows; ONLY the buckets holding them rewrite), COMPOSED with a live
+    // deletion vector: a prior DELETE hides the user_id % 4 = 2 rows,
+    // then the UPDATE doubles every remaining EVEN user's sum (its
+    // predicate overlaps the deleted keys — they must neither match nor
+    // resurrect, mergeCommitDv's law). The oracle applies the CASE
+    // arithmetic to the surviving aggregates directly.
+    QueryDef("q140_sql_update",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val state = stateDirFor(s, "update140", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(state), true)
+        commit(s, state, Map.empty, 1L, userAgg(ev), (_, dl) => dl)
+        graft.operators.GraftSql.registerTable("graft_q140_state", state,
+          "state")
+        try {
+          s.sql("DELETE FROM graft_q140_state WHERE user_id % 4 = 2")
+          s.sql("UPDATE graft_q140_state SET n_events = n_events + 10, " +
+            "sum_value = CAST(sum_value * 2 AS DECIMAL(18,4)) " +
+            "WHERE user_id % 2 = 0")
+          s.sql(
+            """SELECT user_id, n_events,
+              |  CAST(sum_value AS DOUBLE) AS sum_value
+              |FROM graft_q140_state ORDER BY user_id""".stripMargin)
+        } finally graft.operators.GraftSql.unregisterTable(
+          "graft_q140_state")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |a AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id,
+             |  CASE WHEN user_id % 2 = 0 THEN n_events + 10
+             |       ELSE n_events END AS n_events,
+             |  CAST(CASE WHEN user_id % 2 = 0
+             |         THEN CAST(sum_value * 2 AS DECIMAL(18,4))
+             |         ELSE sum_value END AS DOUBLE) AS sum_value
+             |FROM a
+             |WHERE NOT user_id % 4 = 2
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q141 DSv2 CATALOG LIFECYCLE (r18): graft store tables as
+    // Spark-native catalog objects — `spark.sql.catalog.<name> =
+    // GraftCatalog` makes every standard statement work over THREE-PART
+    // names with no registration calls at all: CREATE TABLE with
+    // Spark 4's native PRIMARY KEY constraint grammar, two INSERT
+    // commits through the DSv2 V1-write fallback, a DELETE (DV
+    // tombstones) and an UPDATE (copy-on-write, DV-composed) through
+    // the parse-time DML rewrite, and a read whose plan is IDENTICAL to
+    // the DataFrame verbs (the read rule substitutes the analyzed
+    // snapshot re-aliased to the relation's exprIds). The oracle
+    // recomputes the four-verb pipeline directly from raw events.
+    QueryDef("q141_catalog_sql_lifecycle",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val wh = s"${Layout.stagePath(s, "catalog141", d)}/warehouse"
+        val fs = new Path(wh)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(wh), true)
+        // one catalog name per input dir: the catalog manager caches
+        // the plugin WITH its options at first use, so the location
+        // must never change under a cached name
+        val cat = "gq141_" + Integer.toHexString(d.hashCode & 0x7fffffff)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.operators.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.location", wh)
+        s.sql(
+          s"""CREATE TABLE $cat.llm.users (
+             |  user_id BIGINT, n_events BIGINT,
+             |  sum_value DECIMAL(18,4),
+             |  PRIMARY KEY (user_id)
+             |)""".stripMargin)
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 0))
+          .createOrReplaceTempView("graft_q141_even")
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 1))
+          .createOrReplaceTempView("graft_q141_odd")
+        s.sql(s"INSERT INTO $cat.llm.users " +
+          "SELECT user_id, n_events, sum_value FROM graft_q141_even")
+        s.sql(s"INSERT INTO $cat.llm.users " +
+          "SELECT user_id, n_events, sum_value FROM graft_q141_odd")
+        s.sql(s"DELETE FROM $cat.llm.users WHERE user_id % 5 = 3")
+        s.sql(s"UPDATE $cat.llm.users " +
+          "SET sum_value = CAST(sum_value * 2 AS DECIMAL(18,4)) " +
+          "WHERE user_id % 2 = 0")
+        s.sql(
+          s"""SELECT user_id, n_events,
+             |  CAST(sum_value AS DOUBLE) AS sum_value
+             |FROM $cat.llm.users ORDER BY user_id""".stripMargin)
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |a AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, n_events,
+             |  CAST(CASE WHEN user_id % 2 = 0
+             |         THEN CAST(sum_value * 2 AS DECIMAL(18,4))
+             |         ELSE sum_value END AS DOUBLE) AS sum_value
+             |FROM a
+             |WHERE NOT user_id % 5 = 3
+             |ORDER BY user_id""".stripMargin)),
+
     // Q131 ORDERED MULTI-CLAUSE MERGE (r16): the full SQL:2023 clause
     // algebra — N conditional clauses per family, first match wins —
     // through the bucketed store. The oracle replays the ordered CASE

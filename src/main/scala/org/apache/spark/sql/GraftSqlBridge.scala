@@ -24,4 +24,17 @@ object GraftSqlBridge {
     * substitutes for an unresolved relation it owns. */
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** The session's registered catalog plugin `name`, when one exists —
+    * `sessionState.catalogManager` is private[sql], re-exported here so
+    * graft's lakehouse-verb statements can resolve `<catalog>.<ns>.<t>`
+    * names through a [[org.apache.spark.sql.connector.catalog
+    * .TableCatalog]]. */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] =
+    try {
+      val cm = spark.asInstanceOf[classic.SparkSession]
+        .sessionState.catalogManager
+      if (cm.isCatalogRegistered(name)) Some(cm.catalog(name)) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

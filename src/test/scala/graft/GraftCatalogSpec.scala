@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 session catalog (r18): graft store tables as Spark-native
+  * catalog objects — standard DDL/DML/read statements over three-part
+  * names, reads plan-identical to the DataFrame verbs, writes through
+  * the store's guarded commits.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val root: String = {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-catalog").toString
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.operators.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.location", dir)
+    dir
+  }
+
+  test("catalog lifecycle: CREATE (native PRIMARY KEY grammar), SHOW " +
+    "TABLES, empty read, INSERT, SELECT, DESCRIBE, DROP") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    root // force catalog registration
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns1")
+    spark.sql(
+      """CREATE TABLE gcat.ns1.users (
+        |  user_id BIGINT, n_events BIGINT, score DOUBLE,
+        |  PRIMARY KEY (user_id)
+        |)""".stripMargin)
+    try {
+      // catalog visibility
+      val shown = spark.sql("SHOW TABLES IN gcat.ns1").collect()
+        .map(_.getString(1)).toSeq
+      assert(shown == Seq("users"), shown.toString)
+      // empty read with the declared schema
+      val empty = spark.sql("SELECT * FROM gcat.ns1.users")
+      assert(empty.columns.toSeq == Seq("user_id", "n_events", "score"))
+      assert(empty.count() == 0L)
+      // CREATE again: catalog-standard error; IF NOT EXISTS: no-op
+      intercept[Throwable] { spark.sql(
+        "CREATE TABLE gcat.ns1.users (x BIGINT, PRIMARY KEY (x))") }
+      spark.sql("CREATE TABLE IF NOT EXISTS gcat.ns1.users " +
+        "(x BIGINT, PRIMARY KEY (x))")
+      // PRIMARY KEY required (the pre-constraint path names the fix)
+      val e0 = intercept[Throwable] { spark.sql(
+        "CREATE TABLE gcat.ns1.nokeys (x BIGINT)") }
+      assert(e0.getMessage.contains("PRIMARY KEY"), e0.getMessage)
+      // INSERT INTO through the DSv2 V1-write fallback (positional)
+      Seq((1L, 10L, 0.5), (2L, 20L, 0.7), (3L, 30L, 0.9))
+        .toDF("a", "b", "c").createOrReplaceTempView("gcat_src")
+      spark.sql("INSERT INTO gcat.ns1.users SELECT * FROM gcat_src")
+      val rows = spark.sql(
+        "SELECT user_id, n_events, score FROM gcat.ns1.users ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      assert(rows == Seq((1L, 10L, 0.5), (2L, 20L, 0.7), (3L, 30L, 0.9)),
+        rows.toString)
+      // PK guard fires through the catalog write path too
+      val e1 = intercept[Throwable] {
+        spark.sql("INSERT INTO gcat.ns1.users SELECT * FROM gcat_src")
+          .collect()
+      }
+      assert(e1.getMessage.contains("already exists"), e1.getMessage)
+      // INSERT OVERWRITE replaces contents
+      spark.sql("INSERT OVERWRITE gcat.ns1.users " +
+        "SELECT a + 100, b, c FROM gcat_src")
+      val after = spark.sql(
+        "SELECT user_id FROM gcat.ns1.users ORDER BY 1")
+        .collect().map(_.getLong(0)).toSeq
+      assert(after == Seq(101L, 102L, 103L), after.toString)
+      // DESCRIBE TABLE shows the declared columns
+      val desc = spark.sql("DESCRIBE TABLE gcat.ns1.users").collect()
+        .map(_.getString(0)).toSeq
+      assert(desc.contains("user_id") && desc.contains("score"), desc)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.ns1.users")
+      graft.streaming.IngestIndex.unregisterKeyCols("users")
+    }
+    // dropped: gone from the catalog and unreadable
+    assert(spark.sql("SHOW TABLES IN gcat.ns1").collect().isEmpty)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gcat.ns1.users").collect()
+    }
+  }
+
+  test("catalog DML: MERGE INTO / UPDATE / DELETE FROM / time travel / " +
+    "lakehouse verbs over three-part names") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns2")
+    spark.sql(
+      """CREATE TABLE gcat.ns2.accounts (
+        |  user_id BIGINT, n_events BIGINT, score DOUBLE,
+        |  PRIMARY KEY (user_id)
+        |)""".stripMargin)
+    try {
+      (1L to 6L).map(i => (i, i * 10L, i * 0.5))
+        .toDF("user_id", "n_events", "score")
+        .createOrReplaceTempView("gcat_seed")
+      spark.sql("INSERT INTO gcat.ns2.accounts SELECT * FROM gcat_seed")
+      // MERGE INTO over the catalog ident (resolved v2 target):
+      // matched adds, unmatched inserts
+      Seq((5L, 1L, 0.0), (6L, 2L, 0.0), (7L, 70L, 3.5))
+        .toDF("user_id", "n_events", "score")
+        .createOrReplaceTempView("gcat_delta")
+      spark.sql(
+        """MERGE INTO gcat.ns2.accounts AS t
+          |USING gcat_delta AS s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED THEN UPDATE SET n_events = t.n_events + s.n_events
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val merged = spark.sql(
+        "SELECT user_id, n_events FROM gcat.ns2.accounts ORDER BY 1")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      assert(merged == Seq(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L,
+        5L -> 51L, 6L -> 62L, 7L -> 70L), merged.toString)
+      // DELETE (DV tombstones) + UPDATE (copy-on-write) over the ident
+      spark.sql("DELETE FROM gcat.ns2.accounts WHERE user_id % 3 = 0")
+      spark.sql("UPDATE gcat.ns2.accounts SET score = score + 1.0 " +
+        "WHERE user_id > 4")
+      val rows = spark.sql(
+        "SELECT user_id, score FROM gcat.ns2.accounts ORDER BY 1")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      assert(rows == Seq(1L -> 0.5, 2L -> 1.0, 4L -> 2.0, 5L -> 3.5,
+        7L -> 4.5), rows.toString)
+      // VERSION AS OF routes through the catalog's loadTable overload;
+      // v1 is the seed commit
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM gcat.ns2.accounts VERSION AS OF 1")
+        .collect().head.getLong(0) == 6L)
+      // TIMESTAMP AS OF resolves to the NEWEST commit at or before the
+      // instant (Delta's rule) — probe just before v3's commit, which
+      // lands on v2 (commits are Spark jobs apart, so v3.mtime - 1 is
+      // always >= v2's mtime — the q137b argument)
+      val hist = spark.sql("DESCRIBE HISTORY gcat.ns2.accounts")
+        .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+      // Spark's native v2 travel path evaluates the literal AS A
+      // TIMESTAMP (an integer would be epoch SECONDS) — format the
+      // instant in the session timezone (UTC in TestSpark)
+      val preV3 = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(hist(3L) - 1))
+      val atV2 = spark.sql("SELECT COUNT(*) FROM gcat.ns2.accounts " +
+        s"TIMESTAMP AS OF '$preV3'").collect().head.getLong(0)
+      assert(atV2 == 7L, s"TIMESTAMP AS OF pre-v3 ($preV3) read $atV2")
+      // history carries every verb's provenance
+      val ops = spark.sql("DESCRIBE HISTORY gcat.ns2.accounts")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ops(1L) == "insert" && ops(2L) == "merge-sql" &&
+        ops(3L) == "delete-sql" && ops(4L) == "update-sql", ops.toString)
+      // RESTORE to the pre-delete state via the verb statement
+      spark.sql("RESTORE TABLE gcat.ns2.accounts TO VERSION AS OF 2")
+      assert(spark.sql("SELECT COUNT(*) FROM gcat.ns2.accounts")
+        .collect().head.getLong(0) == 7L)
+      // key reassignment stays a named error through the catalog path
+      val e = intercept[Throwable] { spark.sql(
+        "UPDATE gcat.ns2.accounts SET user_id = user_id + 1") }
+      assert(e.getMessage.contains("reassigning the merge key"),
+        e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.ns2.accounts")
+      graft.streaming.IngestIndex.unregisterKeyCols("accounts")
+    }
+  }
+}

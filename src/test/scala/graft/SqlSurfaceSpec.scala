@@ -586,6 +586,104 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally graft.operators.GraftSql.unregisterTable("ct_users")
   }
 
+  test("DELETE FROM / UPDATE (r18): row-level DML through spark.sql — " +
+    "DV tombstones, copy-on-write update, truncate form, no-op on an " +
+    "empty table, guard rails, extension-free twin") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-sqldml").toString + "/users"
+    try {
+      spark.sql(
+        s"""CREATE TABLE dml_users (
+           |  user_id BIGINT, n_events BIGINT, score DOUBLE,
+           |  PRIMARY KEY (user_id)
+           |) USING graft LOCATION '$state'""".stripMargin)
+      // DML on a CREATEd-but-never-loaded table: Delta-like no-op at v0
+      assert(spark.sql("DELETE FROM dml_users WHERE user_id = 1")
+        .collect().head.getLong(0) == 0L)
+      assert(spark.sql("UPDATE dml_users SET score = 0.0")
+        .collect().head.getLong(0) == 0L)
+      (1L to 8L).map(i => (i, i * 10L, i * 0.5))
+        .toDF("a", "b", "c").createOrReplaceTempView("dml_src")
+      spark.sql("INSERT INTO dml_users SELECT a, b, c FROM dml_src")
+      // DELETE: payload + key predicates; write side is TOMBSTONES (the
+      // op tag pins the path; q114d pins dv == eager)
+      val v2 = spark.sql(
+        "DELETE FROM dml_users WHERE n_events > 60 OR user_id = 1")
+        .collect().head.getLong(0)
+      assert(v2 == 2L)
+      assert(spark.sql("SELECT user_id FROM dml_users ORDER BY 1")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 5L, 6L))
+      // zero matched rows: the commit is a harmless no-op version
+      spark.sql("DELETE FROM dml_users WHERE user_id = 999").collect()
+      // UPDATE with alias-qualified references; deleted keys (1,7,8)
+      // overlap the predicate but are hidden — they must not resurrect
+      val v4 = spark.sql(
+        "UPDATE dml_users AS t SET score = t.score + 1.0, " +
+          "n_events = t.n_events * 2 WHERE t.user_id % 2 = 1")
+        .collect().head.getLong(0)
+      assert(v4 == 4L)
+      val rows = spark.sql(
+        "SELECT user_id, n_events, score FROM dml_users ORDER BY 1")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq((2L, 20L, 1.0), (3L, 60L, 2.5), (4L, 40L, 2.0),
+        (5L, 100L, 3.5), (6L, 60L, 3.0)), rows.toString)
+      // provenance: each verb tagged; time travel pre-delete still
+      // shows the full table (the DV is part of each snapshot)
+      val hist = spark.sql("DESCRIBE HISTORY dml_users").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist(2L) == "delete-sql" && hist(4L) == "update-sql",
+        hist.toString)
+      assert(spark.sql(
+        "SELECT COUNT(*) AS c FROM dml_users VERSION AS OF 1")
+        .collect().head.getLong(0) == 8L)
+      // guard rails, each a named error
+      val e1 = intercept[Throwable] { spark.sql(
+        "UPDATE dml_users SET user_id = user_id + 1") }
+      assert(e1.getMessage.contains("reassigning the merge key"),
+        e1.getMessage)
+      val e2 = intercept[Throwable] { spark.sql(
+        "DELETE FROM dml_users WHERE nope = 1").collect() }
+      assert(e2.getMessage.contains("not a column"), e2.getMessage)
+      val e3 = intercept[Throwable] { spark.sql(
+        "DELETE FROM dml_users AS t WHERE x.user_id = 1").collect() }
+      assert(e3.getMessage.contains("only the target table's columns"),
+        e3.getMessage)
+      val e4 = intercept[Throwable] { spark.sql(
+        "DELETE FROM dml_users WHERE user_id IN " +
+          "(SELECT user_id FROM dml_users)").collect() }
+      assert(e4.getMessage.contains("subqueries in the condition"),
+        e4.getMessage)
+      val e5 = intercept[Throwable] { spark.sql(
+        "UPDATE dml_users SET score = 1.0, score = 2.0").collect() }
+      assert(e5.getMessage.contains("assigned more than once"),
+        e5.getMessage)
+      // extension-free twin routes the same statements
+      graft.operators.GraftSql.sql(spark,
+        "UPDATE dml_users SET score = 9.9 WHERE user_id = 2").collect()
+      assert(graft.operators.GraftSql.sql(spark,
+        "SELECT score FROM dml_users WHERE user_id = 2")
+        .collect().head.getDouble(0) == 9.9)
+      // TRUNCATE form: DELETE with no WHERE — one overwrite commit, no
+      // table-sized tombstone list; schema survives
+      spark.sql("DELETE FROM dml_users").collect()
+      val t = spark.sql("SELECT * FROM dml_users")
+      assert(t.count() == 0L &&
+        t.columns.toSeq == Seq("user_id", "n_events", "score"))
+      val hist2 = spark.sql("DESCRIBE HISTORY dml_users").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist2.values.exists(_ == "truncate-sql"), hist2.toString)
+      // an unregistered target falls through to Spark's own handling
+      spark.range(3).createOrReplaceTempView("dml_plain")
+      val e6 = intercept[Throwable] { spark.sql(
+        "DELETE FROM dml_plain WHERE id = 1") }
+      assert(!e6.getMessage.contains("graft"), e6.getMessage)
+    } finally graft.operators.GraftSql.unregisterTable("dml_users")
+  }
+
   test("OPTIMIZE <layout> ZORDER|HILBERT BY (r18): curve-clusters a " +
     "registered parquet layout in place — invariant contents, fewer " +
     "files, a usable stats manifest; store targets reject the clause") {
