@@ -140,7 +140,8 @@ object Bench {
       "q124b_metadata_count_live_store", "q124c_metadata_aggregate",
       "q132b_interleaved_upsert_erasure", "q138_sql_create_insert",
       // r18 DML verbs: each rebuilds + registers a store per invocation
-      "q139_sql_delete", "q140_sql_update", "q141_catalog_sql_lifecycle")
+      "q139_sql_delete", "q140_sql_update", "q141_catalog_sql_lifecycle",
+      "q142_table_changes")
     // the name lists are hand-maintained — validate them against the
     // live query surface so a renamed/removed replay query fails LOUDLY
     // here instead of silently re-gaining min-of-3 (r16 advisor fix);

@@ -126,6 +126,11 @@ object BroadcastBounds {
         "materializeDeletes (the OPTIMIZE cadence), never by the table — " +
         "a vector large enough to strain a broadcast is past due for " +
         "materialization, which is the format's own contract"),
+    "cdc-dv" -> Bound(External,
+      "a snapshot's deletion vector applied to a changesBetween step " +
+        "slice: the same O(accumulated tombstone keys) bound as " +
+        "merge-dv-slice — erasure-request volume since the last " +
+        "materializeDeletes, never the table"),
     "dup-set-gated" -> Bound(Gated,
       "the df>=3 duplicated-line set is corpus-dependent (tiny for real " +
         "boilerplate rates, unbounded adversarially), so q94 MEASURES its " +

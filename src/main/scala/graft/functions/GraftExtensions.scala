@@ -27,6 +27,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     // no-op until spark.graft.rangeJoin.binWidth is set > 0
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
+    // store-native CDC as a TABLE-VALUED function (r18, Delta parity):
+    // SELECT * FROM table_changes('<store>', v1, v2) — resolved by
+    // Spark's own TVF machinery; the builder returns the engine's
+    // analyzed changesBetween plan (per-step reads restricted to the
+    // commits' own bucket footprints)
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.operators.GraftSql.getClass.getName,
+        "table_changes"),
+      (exprs: Seq[Expression]) =>
+        graft.operators.GraftSql.tableChangesPlan(exprs)))
     // SQL `MERGE INTO <registered graft store table>` (r17): Spark's own
     // parser already yields MergeIntoTable; this rewrite routes it to the
     // engine's MergeInto algebra over the bucketed store. Unregistered

@@ -302,6 +302,39 @@ object GraftSql {
         }
     }
 
+  /** The `table_changes('<store>', v1, v2)` TABLE-VALUED function body
+    * (r18): Spark's TVF resolution hands the literal arguments; the
+    * returned plan is the engine's analyzed [[IngestIndex
+    * .changesBetween]] — per-step reads restricted to each commit's own
+    * bucket footprint, never O(table). The name resolves like every
+    * verb statement (flat registry, then graft catalogs). */
+  def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "table_changes(<store name>, <from version>, <to version>) " +
+        s"takes 3 arguments; got ${args.length}")
+    def lit(i: Int, what: String): Any = args(i) match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        l.value
+      case other => throw new IllegalArgumentException(
+        s"table_changes: the $what must be a literal; got ${other.sql}")
+    }
+    val name = String.valueOf(lit(0, "store name"))
+    def ver(i: Int, what: String): Long = lit(i, what) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"table_changes: the $what must be an integer version " +
+          s"(DESCRIBE HISTORY lists them); got $other")
+    }
+    val t = resolveStore(name).getOrElse(throw new IllegalArgumentException(
+      s"table_changes: '$name' is not a registered graft store table — " +
+        "GraftSql.registerTable first, or address it through a graft " +
+        "catalog (<catalog>.<ns>.<table>)"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val df = IngestIndex.changesBetween(spark, t.stateDir, t.table,
+      ver(1, "from version"), ver(2, "to version"))
+    SubqueryAlias("table_changes", GraftSqlBridge.analyzedPlan(df))
+  }
+
   /** Shared command preamble: the store's filesystem handle and current
     * TOP version, failing with the verb's name when nothing committed. */
   private[operators] def storeTop(spark: SparkSession,

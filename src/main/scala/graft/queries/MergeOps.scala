@@ -811,6 +811,93 @@ object MergeOps {
              |WHERE NOT user_id % 5 = 3
              |ORDER BY user_id""".stripMargin)),
 
+    // Q142 STORE-NATIVE CDC: table_changes TVF (r18): Delta's
+    // `table_changes` computed retroactively from the store's OWN
+    // version layout — no feed artifact (the q120/q130 CDF family is a
+    // sink the WRITER maintains; this answers "what changed in (v1,v2]"
+    // for any retained range, reading only the buckets each commit
+    // touched). The rig drives all three change sources through one
+    // store: v2 is the q127 MERGE (deletes + updates + inserts in one
+    // commit), v3 is a DELETION-VECTOR delete (zero base buckets
+    // written — visibility changes must still surface as deletes). The
+    // oracle restates every change row from the merge algebra directly;
+    // ChangesSpec pins the apply-law (v1 + changes == v2 snapshot),
+    // cancellation (unchanged rows in rewritten buckets emit nothing)
+    // and TVF == DataFrame.
+    QueryDef("q142_table_changes",
+      (s, d) => {
+        val (target, source) = q127Inputs(s, d)
+        val ev = Q.events(s, d)
+        val state = stateDirFor(s, "cdc142", d)
+        val fs = new Path(state)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(state), true)
+        val m1 = commit(s, state, Map.empty, 1L, target, (_, dl) => dl)
+        val m2 = commit(s, state, m1, 2L, source, q127Merge)
+        val t3 = ev.filter(pmod(col("user_id"), lit(7)) === 1)
+          .select("user_id").distinct()
+        val m3 = IngestIndex.deleteWithDv(s, state, m2, "state", 3L, t3)
+        IngestIndex.writeManifest(fs, state, 3L, m3, op = "delete-dv")
+        graft.operators.GraftSql.registerTable("graft_q142_state", state,
+          "state")
+        try s.sql(
+          """SELECT user_id, n_events,
+            |  CAST(sum_value AS DOUBLE) AS sum_value,
+            |  _change_type, _commit_version
+            |FROM table_changes('graft_q142_state', 1, 3)
+            |ORDER BY _commit_version, user_id, _change_type""".stripMargin)
+        finally graft.operators.GraftSql.unregisterTable(
+          "graft_q142_state")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |t AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 0 GROUP BY user_id),
+             |s AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e WHERE event_id % 2 = 1 GROUP BY user_id),
+             |m AS (SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+             |    t.n_events AS tn, t.sum_value AS tv,
+             |    s.n_events AS sn, s.sum_value AS sv
+             |  FROM t FULL JOIN s ON t.user_id = s.user_id),
+             |v2 AS (
+             |  SELECT user_id, tn AS n_events, tv AS sum_value,
+             |      'delete' AS _change_type, 2 AS _commit_version
+             |  FROM m WHERE tn IS NOT NULL AND sn IS NOT NULL AND sn > tn
+             |  UNION ALL
+             |  SELECT user_id, tn, tv, 'update_preimage', 2
+             |  FROM m WHERE tn IS NOT NULL AND sn IS NOT NULL
+             |    AND NOT sn > tn
+             |  UNION ALL
+             |  SELECT user_id, tn + sn,
+             |    CAST(tv + sv AS DECIMAL(18,4)), 'update_postimage', 2
+             |  FROM m WHERE tn IS NOT NULL AND sn IS NOT NULL
+             |    AND NOT sn > tn
+             |  UNION ALL
+             |  SELECT user_id, sn, sv, 'insert', 2
+             |  FROM m WHERE tn IS NULL),
+             |live2 AS (
+             |  SELECT user_id, tn AS n_events, tv AS sum_value
+             |  FROM m WHERE sn IS NULL
+             |  UNION ALL
+             |  SELECT user_id, tn + sn, CAST(tv + sv AS DECIMAL(18,4))
+             |  FROM m WHERE tn IS NOT NULL AND sn IS NOT NULL
+             |    AND NOT sn > tn
+             |  UNION ALL
+             |  SELECT user_id, sn, sv FROM m WHERE tn IS NULL),
+             |v3 AS (
+             |  SELECT user_id, n_events, sum_value,
+             |      'delete' AS _change_type, 3 AS _commit_version
+             |  FROM live2 WHERE user_id % 7 = 1)
+             |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(sum_value AS DOUBLE) AS sum_value, _change_type,
+             |  CAST(_commit_version AS BIGINT) AS _commit_version
+             |FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+             |ORDER BY _commit_version, user_id, _change_type"""
+        .stripMargin)),
+
     // Q131 ORDERED MULTI-CLAUSE MERGE (r16): the full SQL:2023 clause
     // algebra — N conditional clauses per family, first match wins —
     // through the bucketed store. The oracle replays the ordered CASE

@@ -553,6 +553,36 @@ object DumpPlans {
         |exchanges: the raise_error projections are free riders on the
         |shuffle the union/merge already pays). The whole lifecycle —
         |create, load, read — ran through spark.sql.""".stripMargin,
+    "q139_sql_delete" ->
+      """The read-back after two SQL `DELETE FROM ... WHERE` statements
+        |(r18): the bkt-pruned manifest union anti-joined against the
+        |state__dv side table (AQE broadcasts the tiny vector). Each
+        |DELETE ran one predicate-pushed snapshot scan and committed
+        |ONLY the matched keys as tombstones — zero base buckets
+        |rewritten (the q114d cost point; the two vectors union
+        |distinct). OPTIMIZE materializes later; until then every read
+        |pays one broadcast hash probe, never a rewrite.""".stripMargin,
+    "q140_sql_update" ->
+      """The read-back after DELETE + UPDATE on one store (r18): a plain
+        |bkt-pruned union again — the UPDATE's copy-on-write merge
+        |(mergeCommitDv) rewrote ONLY the buckets holding matched rows,
+        |read its current slice THROUGH the live deletion vector (one
+        |broadcast anti-join, so hidden rows neither matched nor
+        |resurrected), and invalidated the tombstones its rewrite made
+        |stale. The WHERE found its rows with one predicate-pushed
+        |scan — Delta's two-pass UPDATE shape on the bucketed
+        |layout.""".stripMargin,
+    "q141_catalog_sql_lifecycle" ->
+      """The read-back over a THREE-PART catalog name (r18): the
+        |injected rule replaced the DataSourceV2Relation with the
+        |engine's analyzed snapshot read re-aliased to the relation's
+        |original exprIds — the one extra Project collapses, leaving
+        |exactly the flat-name plan (bkt-pruned union + broadcast DV
+        |anti-join). CREATE wrote a meta file; the INSERTs committed
+        |through the DSv2 V1-write fallback with the same guarded
+        |commit body as the statement path; DELETE/UPDATE rewrote at
+        |parse time. The catalog layer never touches the data
+        |plan.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution

@@ -1,0 +1,178 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Store-native CDC (r18): `changesBetween` computed from the version
+  * layout — the apply-law (snapshot + changes == later snapshot),
+  * cancellation (unchanged rows in rewritten buckets emit nothing),
+  * deletion-vector visibility changes, schema evolution, and the
+  * `table_changes` TVF == the DataFrame verb.
+  */
+class ChangesSpec extends AnyFunSuite {
+
+  private val dec = DecimalType(18, 4)
+
+  private def stage(kind: String): String = {
+    val p = java.nio.file.Files
+      .createTempDirectory(s"graft-changes-$kind").toString + "/state"
+    p
+  }
+
+  private def commit(state: String, m: IngestIndex.Manifest, next: Long,
+      delta: DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame)
+      : IngestIndex.Manifest = {
+    val s = TestSpark.spark
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val map = IngestIndex.mergeCommit(s, state, m, "state", next, delta,
+      combine)
+    val nm: IngestIndex.Manifest = m + ("state" -> map)
+    IngestIndex.writeManifest(fs, state, next, nm)
+    nm
+  }
+
+  private def seedRows(n: Int): DataFrame = {
+    val s = TestSpark.spark
+    val sp = s
+    import sp.implicits._
+    (1 to n).map(i => (i.toLong, i * 10L, BigDecimal(i) * 2))
+      .toDF("user_id", "n_events", "sum_value")
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast(dec).as("sum_value"))
+  }
+
+  test("cancellation: a merge touching ONE key emits exactly its " +
+    "update pair — unchanged rows sharing the rewritten buckets cancel") {
+    val s = TestSpark.spark
+    val state = stage("cancel")
+    val m1 = commit(state, Map.empty, 1L, seedRows(8), (_, d) => d)
+    // update only user 2 (adds 5 events); every other user in user 2's
+    // bucket is rewritten byte-identically and must NOT surface
+    val delta = seedRows(8).filter(col("user_id") === 2)
+      .withColumn("n_events", lit(5L))
+    commit(state, m1, 2L, delta, (cur, d) => {
+      val keys = d.select("user_id").withColumn("__hit", lit(true))
+      cur.join(keys, Seq("user_id"), "left")
+        .withColumn("n_events",
+          when(col("__hit"), col("n_events") + lit(5L))
+            .otherwise(col("n_events")))
+        .drop("__hit")
+    })
+    val ch = IngestIndex.changesBetween(s, state, "state", 1, 2)
+      .orderBy("_change_type").collect()
+    assert(ch.length == 2, ch.mkString("; "))
+    assert(ch.map(_.getAs[String]("_change_type")).toSeq ==
+      Seq("update_postimage", "update_preimage"))
+    assert(ch.forall(_.getAs[Long]("user_id") == 2L))
+    val byType = ch.map(r =>
+      r.getAs[String]("_change_type") -> r.getAs[Long]("n_events")).toMap
+    assert(byType("update_preimage") == 20L &&
+      byType("update_postimage") == 25L, byType.toString)
+  }
+
+  test("deletion-vector commits surface as deletes (zero base buckets " +
+    "written); from-v1 changes of a fresh store are all inserts") {
+    val s = TestSpark.spark
+    val state = stage("dv")
+    val sp = s
+    import sp.implicits._
+    val m1 = commit(state, Map.empty, 1L, seedRows(6), (_, d) => d)
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val m2 = IngestIndex.deleteWithDv(s, state, m1, "state", 2L,
+      Seq(3L, 5L).toDF("user_id"))
+    IngestIndex.writeManifest(fs, state, 2L, m2)
+    // v0 -> v1: the seed commit is all inserts
+    val step1 = IngestIndex.changesBetween(s, state, "state", 0, 1)
+      .collect()
+    assert(step1.length == 6 &&
+      step1.forall(_.getAs[String]("_change_type") == "insert"))
+    // v1 -> v2: DV-only commit — two deletes carrying the hidden values
+    val step2 = IngestIndex.changesBetween(s, state, "state", 1, 2)
+      .orderBy("user_id").collect()
+    assert(step2.length == 2, step2.mkString("; "))
+    assert(step2.forall(_.getAs[String]("_change_type") == "delete"))
+    assert(step2.map(_.getAs[Long]("user_id")).toSeq == Seq(3L, 5L))
+    assert(step2.map(_.getAs[Long]("n_events")).toSeq == Seq(30L, 50L))
+  }
+
+  test("apply-law across schema evolution: snapshot(v1) + " +
+    "changesBetween(1,4) == snapshot(v4) on the q128 evolving fold") {
+    val s = TestSpark.spark
+    val state =
+      graft.queries.MergeOps.runEvolvingFold(s, "/root/testdata/sf0.001")
+    val finalDf = IngestIndex.tableAt(s, state, "state", 4)
+    val cols = finalDf.columns.toSeq
+    def rowsOf(df: DataFrame): Map[Long, Seq[Any]] =
+      df.collect().map { r =>
+        r.getAs[Long]("user_id") -> cols.map(c =>
+          if (df.columns.contains(c)) r.getAs[Any](c) else null)
+      }.toMap
+    val changes = IngestIndex.changesBetween(s, state, "state", 1, 4)
+    var cur = rowsOf(IngestIndex.tableAt(s, state, "state", 1))
+    changes.orderBy("_commit_version").collect()
+      .groupBy(_.getAs[Long]("_commit_version")).toSeq.sortBy(_._1)
+      .foreach { case (_, rows) =>
+        rows.foreach { r =>
+          val k = r.getAs[Long]("user_id")
+          r.getAs[String]("_change_type") match {
+            case "delete" | "update_preimage" => cur -= k
+            case _ => ()
+          }
+        }
+        rows.foreach { r =>
+          val k = r.getAs[Long]("user_id")
+          r.getAs[String]("_change_type") match {
+            case "insert" | "update_postimage" =>
+              cur += k -> cols.map(c => r.getAs[Any](c))
+            case _ => ()
+          }
+        }
+      }
+    val want = rowsOf(finalDf)
+    assert(cur.keySet == want.keySet,
+      s"key drift: extra=${(cur.keySet -- want.keySet).take(5)} " +
+        s"missing=${(want.keySet -- cur.keySet).take(5)}")
+    val bad = want.collect {
+      case (k, v) if cur(k) != v => (k, cur(k), v) }.take(3)
+    assert(bad.isEmpty, s"value drift: $bad")
+  }
+
+  test("table_changes TVF == the DataFrame verb; literal/arity/name " +
+    "guard rails") {
+    val s = TestSpark.spark
+    val state = stage("tvf")
+    val m1 = commit(state, Map.empty, 1L, seedRows(5), (_, d) => d)
+    commit(state, m1, 2L,
+      seedRows(5).filter(col("user_id") <= 2)
+        .withColumn("sum_value", (col("sum_value") * 3).cast(dec)),
+      (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+        "left_anti").unionByName(d))
+    graft.operators.GraftSql.registerTable("changes_tvf_state", state,
+      "state")
+    try {
+      val viaSql = s.sql(
+        """SELECT * FROM table_changes('changes_tvf_state', 1, 2)
+          |ORDER BY user_id, _change_type""".stripMargin).collect().toSeq
+      val viaDf = IngestIndex.changesBetween(s, state, "state", 1, 2)
+        .orderBy("user_id", "_change_type").collect().toSeq
+      assert(viaSql == viaDf)
+      assert(viaSql.length == 4) // two updated keys x (pre + post)
+      val e1 = intercept[Throwable] {
+        s.sql("SELECT * FROM table_changes('nope_no_such', 1, 2)")
+      }
+      assert(e1.getMessage.contains("not a registered graft store"),
+        e1.getMessage)
+      val e2 = intercept[Throwable] {
+        s.sql("SELECT * FROM table_changes('changes_tvf_state', 1)")
+      }
+      assert(e2.getMessage.contains("3 arguments"), e2.getMessage)
+    } finally graft.operators.GraftSql.unregisterTable("changes_tvf_state")
+  }
+}
