@@ -583,6 +583,17 @@ object DumpPlans {
         |commit body as the statement path; DELETE/UPDATE rewrote at
         |parse time. The catalog layer never touches the data
         |plan.""".stripMargin,
+    "q142_table_changes" ->
+      """Store-native CDC (r18): the per-step change rows are built from
+        |pre/post reads RESTRICTED to each commit's own bucket footprint
+        |(the manifests name the diff — no snapshot-wide scan), a
+        |row-level EXCEPT cancels unchanged rows in rewritten buckets,
+        |and one full-outer key join classifies the survivors into
+        |insert/update_pre/update_post/delete. The v3 step reads ZERO
+        |data files of its own — a deletion-vector commit — yet its
+        |hidden rows surface as deletes through the tombstone keys'
+        |covering buckets. The TVF layer is Spark's own table-function
+        |resolution; the plan below IS the DataFrame verb's.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution
