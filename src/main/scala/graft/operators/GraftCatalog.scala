@@ -79,6 +79,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def stateDirOf(ident: Identifier): String =
     nsDir(ident.namespace.toIndexedSeq) + "/" + ident.name
 
+  /** The INNER store-table name of a catalog table is NAMESPACE-
+    * QUALIFIED (review fix): the engine's key registry is keyed by the
+    * inner name process-wide, so `cat.a.users` and `cat.b.users` must
+    * register distinct names to carry distinct keys — and a namespaced
+    * name can never shadow a built-in store table. (Two CATALOGS
+    * mapping the same <ns>.<name> to different keys still collide in
+    * one JVM — the registry's documented one-binding law.) */
+  private def innerName(ident: Identifier): String =
+    (ident.namespace.toIndexedSeq :+ ident.name).mkString(".")
+
   // ---- tables ----
 
   override def listTables(ns: Array[String]): Array[Identifier] = {
@@ -88,13 +98,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.exists(p)) throw new NoSuchNamespaceException(
       catName +: ns.toIndexedSeq)
     fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(t => fs.exists(GraftSql.metaPath(s"$dir/$t", t)))
+      .filter(t => fs.exists(GraftSql.metaPath(s"$dir/$t",
+        innerName(Identifier.of(ns, t)))))
       .sorted.map(Identifier.of(ns, _))
   }
 
   override def tableExists(ident: Identifier): Boolean = {
     val sd = stateDirOf(ident)
-    fsOf(sd).exists(GraftSql.metaPath(sd, ident.name))
+    fsOf(sd).exists(GraftSql.metaPath(sd, innerName(ident)))
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -127,7 +138,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def loadPinned(ident: Identifier,
       version: Option[Long]): GraftTable = {
     val sd = stateDirOf(ident)
-    val meta = GraftSql.readMeta(fsOf(sd), sd, ident.name).getOrElse(
+    val meta = GraftSql.readMeta(fsOf(sd), sd, innerName(ident))
+      .getOrElse(
       throw new NoSuchTableException(
         (catName +: ident.namespace.toIndexedSeq) :+ ident.name))
     // the shared key registry — ONE bucket formula for every verb
@@ -157,10 +169,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       (catName +: ident.namespace.toIndexedSeq) :+ ident.name)
     val sd = stateDirOf(ident)
     val fs = fsOf(sd)
+    val inner = innerName(ident)
+    // register first (review fix): a registry conflict must not leave
+    // an orphaned meta file for a table that can never load
+    IngestIndex.registerKeyCols(inner, canonKeys)
     fs.mkdirs(new Path(sd))
     GraftSql.writeMeta(fs, sd,
-      GraftSql.TableMeta(ident.name, canonKeys, schema))
-    IngestIndex.registerKeyCols(ident.name, canonKeys)
+      GraftSql.TableMeta(inner, canonKeys, schema))
     loadTable(ident)
   }
 
@@ -183,9 +198,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val sd = stateDirOf(ident)
     val fs = fsOf(sd)
-    if (!fs.exists(GraftSql.metaPath(sd, ident.name))) false
+    if (!fs.exists(GraftSql.metaPath(sd, innerName(ident)))) false
     else {
-      IngestIndex.unregisterKeyCols(ident.name)
+      IngestIndex.unregisterKeyCols(innerName(ident))
       fs.delete(new Path(sd), true)
     }
   }
@@ -198,19 +213,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- namespaces: directories under the warehouse root ----
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val fs = fsOf(root)
-    val p = new Path(root)
+  /** Child directories of `ns` that are NOT table dirs (a table dir
+    * carries its qualified `_graft_meta_*` file) — review fix: the old
+    * listing reported root-level TABLE dirs as namespaces and hid
+    * nested namespaces entirely. */
+  private def childNamespaces(ns: Seq[String]): Array[String] = {
+    val dir = nsDir(ns)
+    val fs = fsOf(dir)
+    val p = new Path(dir)
     if (!fs.exists(p)) Array.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .sorted.map(Array(_))
+      .filterNot(c => fs.exists(
+        GraftSql.metaPath(s"$dir/$c", (ns :+ c).mkString("."))))
+      .sorted
   }
+
+  override def listNamespaces(): Array[Array[String]] =
+    childNamespaces(Nil).map(Array(_))
 
   override def listNamespaces(ns: Array[String])
       : Array[Array[String]] = {
-    if (ns.isEmpty) listNamespaces()
-    else if (namespaceExists(ns)) Array.empty
-    else throw new NoSuchNamespaceException(catName +: ns.toIndexedSeq)
+    if (ns.nonEmpty && !namespaceExists(ns))
+      throw new NoSuchNamespaceException(catName +: ns.toIndexedSeq)
+    childNamespaces(ns.toIndexedSeq)
+      .map(c => (ns.toIndexedSeq :+ c).toArray)
   }
 
   override def namespaceExists(ns: Array[String]): Boolean =

@@ -534,33 +534,39 @@ final case class GraftStoreReadRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
 
+  /** A CREATEd-but-never-INSERTed table has no committed version yet,
+    * and a TRUNCATEd one (r18, `DELETE FROM t` with no WHERE) has a
+    * manifest with no entry for it (a fully-empty gen-0 table drops its
+    * buckets — the store's absent=empty law): both read as an empty
+    * frame with the DECLARED schema, like any freshly created SQL
+    * table. ONE shared matcher for both the flat and the catalog read
+    * branches (review fix: the message contract was duplicated). */
+  private def readOrEmpty(read: => org.apache.spark.sql.DataFrame,
+      emptySchema: => Option[StructType])
+      : org.apache.spark.sql.DataFrame =
+    try read catch {
+      case e @ (_: IllegalStateException | _: IllegalArgumentException)
+          if (e.getMessage.contains("no committed index version") ||
+              e.getMessage.contains("absent from manifest") ||
+              e.getMessage.contains("no readable snapshot of")) =>
+        emptySchema match {
+          case Some(s) => spark.createDataFrame(
+            java.util.Collections.emptyList[Row](), s)
+          case None => throw e
+        }
+    }
+
   private def storeRead(parts: Seq[String], version: Option[Long])
       : Option[LogicalPlan] =
     GraftSql.lookupTarget(parts).map { t =>
-      val df =
-        try version match {
+      val df = readOrEmpty(
+        version match {
           case Some(v) =>
             IngestIndex.tableAt(spark, t.stateDir, t.table, v)
           case None =>
             IngestIndex.currentTable(spark, t.stateDir, t.table)
-        } catch {
-          // a CREATEd-but-never-INSERTed table has no committed version
-          // yet, and a TRUNCATEd one (r18, `DELETE FROM t` with no
-          // WHERE) has a manifest with no entry for it (a fully-empty
-          // gen-0 table drops its buckets — the store's absent=empty
-          // law): both read as an empty frame with the DECLARED schema,
-          // like any freshly created SQL table
-          case e @ (_: IllegalStateException
-              | _: IllegalArgumentException)
-              if (e.getMessage.contains("no committed index version") ||
-                  e.getMessage.contains("absent from manifest") ||
-                  e.getMessage.contains("no readable snapshot of")) =>
-            GraftSql.declaredMeta(spark, t) match {
-              case Some(meta) => spark.createDataFrame(
-                java.util.Collections.emptyList[Row](), meta.schema)
-              case None => throw e
-            }
-        }
+        },
+        GraftSql.declaredMeta(spark, t).map(_.schema))
       SubqueryAlias(parts.last, GraftSqlBridge.analyzedPlan(df))
     }
 
@@ -640,26 +646,18 @@ final case class GraftStoreReadRule(spark: SparkSession)
       case r: org.apache.spark.sql.execution.datasources.v2
           .DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
-        val df =
-          try t.pinnedVersion match {
+        // CREATEd-but-never-loaded or TRUNCATEd: an empty frame in
+        // the RELATION's shape (same contract as flat names)
+        val df = readOrEmpty(
+          t.pinnedVersion match {
             case Some(v) =>
               IngestIndex.tableAt(spark, t.stateDir, t.meta.table, v)
             case None =>
               IngestIndex.currentTable(spark, t.stateDir, t.meta.table)
-          } catch {
-            // CREATEd-but-never-loaded or TRUNCATEd: an empty frame in
-            // the RELATION's shape (same contract as flat names)
-            case e @ (_: IllegalStateException
-                | _: IllegalArgumentException)
-                if (e.getMessage.contains("no committed index version") ||
-                    e.getMessage.contains("absent from manifest") ||
-                    e.getMessage.contains("no readable snapshot of")) =>
-              spark.createDataFrame(
-                java.util.Collections.emptyList[Row](),
-                org.apache.spark.sql.types.StructType(r.output.map(a =>
-                  org.apache.spark.sql.types.StructField(
-                    a.name, a.dataType, a.nullable))))
-          }
+          },
+          Some(org.apache.spark.sql.types.StructType(r.output.map(a =>
+            org.apache.spark.sql.types.StructField(
+              a.name, a.dataType, a.nullable)))))
         val analyzed = GraftSqlBridge.analyzedPlan(df)
         val byName = analyzed.output.map(a =>
           a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
@@ -1056,15 +1054,20 @@ final case class GraftInsertCommand(
     val top = IngestIndex.latestVersion(fs, target.stateDir)
     val m = top.map(IngestIndex.readManifest(fs, target.stateDir, _))
       .getOrElse(Map.empty: IngestIndex.Manifest)
+    // the CURRENT raw schema wins over the declared meta when a version
+    // is committed (review fix): a store that evolved in place (q128)
+    // must map inserts — and rewrite touched buckets — under the
+    // evolved width, not the stale CREATE-time declaration; the meta
+    // schema is only the empty-table bootstrap
     val schema: StructType =
-      GraftSql.declaredMeta(spark, target).map(_.schema).getOrElse {
-        require(m.contains(target.table),
-          s"INSERT INTO '$targetName': table '${target.table}' has " +
-            s"neither a meta file nor a committed version under " +
-            s"${target.stateDir} — CREATE TABLE ... USING graft first")
+      if (m.contains(target.table))
         IngestIndex.currentTable(spark, target.stateDir, target.table,
           raw = true).schema
-      }
+      else GraftSql.declaredMeta(spark, target).map(_.schema).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT INTO '$targetName': table '${target.table}' has " +
+            s"neither a meta file nor a committed version under " +
+            s"${target.stateDir} — CREATE TABLE ... USING graft first"))
     val keys = IngestIndex.keyColsFor(target.table)
     val src0 = GraftSqlBridge.ofRows(spark, query)
     // column mapping: BY NAME / column list map by name (keys
@@ -1109,7 +1112,7 @@ final case class GraftInsertCommand(
         }.toSeq: _*)
       }
     Seq(Row(GraftInsertCommand.insertAligned(spark, targetName, target,
-      src, overwrite)))
+      src, overwrite, resolved = Some((fs, top, m)))))
   }
 }
 
@@ -1123,13 +1126,21 @@ object GraftInsertCommand {
     * with a live deletion vector. Returns the committed version. */
   def insertAligned(spark: org.apache.spark.sql.classic.SparkSession,
       targetName: String, target: GraftSql.StoreTarget,
-      src: org.apache.spark.sql.DataFrame, overwrite: Boolean): Long = {
+      src: org.apache.spark.sql.DataFrame, overwrite: Boolean,
+      resolved: Option[(org.apache.hadoop.fs.FileSystem, Option[Long],
+        graft.streaming.IngestIndex.Manifest)] = None): Long = {
     import graft.streaming.IngestIndex
-    val fs = new Path(target.stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val top = IngestIndex.latestVersion(fs, target.stateDir)
-    val m = top.map(IngestIndex.readManifest(fs, target.stateDir, _))
-      .getOrElse(Map.empty: IngestIndex.Manifest)
+    // the statement path already resolved (fs, top, manifest) for its
+    // column mapping — don't pay the directory listing twice (review
+    // fix: latestVersion is an unmemoized LIST per call)
+    val (fs, top, m) = resolved.getOrElse {
+      val fs0 = new Path(target.stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val top0 = IngestIndex.latestVersion(fs0, target.stateDir)
+      (fs0, top0,
+        top0.map(IngestIndex.readManifest(fs0, target.stateDir, _))
+          .getOrElse(Map.empty: IngestIndex.Manifest))
+    }
     val keys = IngestIndex.keyColsFor(target.table)
     val cols = src.columns.toSeq
     // PRIMARY KEY guard, batch-internal half: a duplicate key within
@@ -1644,20 +1655,15 @@ final case class GraftOptimizeLayoutCommand(
     Seq(x, y).foreach(c => require(df.columns.contains(c),
       s"OPTIMIZE $targetName: no column '$c' in the layout " +
         s"(columns: ${df.columns.mkString(", ")})"))
-    val st = df.agg(
-      min(col(x)).cast(org.apache.spark.sql.types.DoubleType),
-      max(col(x)).cast(org.apache.spark.sql.types.DoubleType),
-      min(col(y)).cast(org.apache.spark.sql.types.DoubleType),
-      max(col(y)).cast(org.apache.spark.sql.types.DoubleType)).head
     val tmp = new Path(path + ".optimizing")
     fs.delete(tmp, true)
-    graft.queries.Layout.curveWrite(df, col(x), col(y),
-      (st.getDouble(0), st.getDouble(1)),
-      (st.getDouble(2), st.getDouble(3)), tmp.toString, hilbert)
+    graft.queries.Layout.clusterInto(spark, df, x, y, tmp.toString,
+      hilbert)
     fs.delete(p, true)
     require(fs.rename(tmp, p),
       s"OPTIMIZE $targetName: could not install the rewritten layout " +
         s"at $path (rewrite staged at $tmp)")
+    // AFTER the swap: the stats manifest records absolute file paths
     graft.queries.Layout.writeStatsManifest(spark, path,
       Seq(x, y, "zv"))
     Seq(Row(before, parquetFiles(p)))

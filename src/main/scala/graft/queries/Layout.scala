@@ -242,19 +242,34 @@ object Layout {
     * pass; at 100 TB this is the nightly OPTIMIZE job's exact shape
     * (Delta OPTIMIZE ZORDER BY). Returns the measured (x, y) ranges —
     * the clustering inputs and the box-bound inputs downstream. */
-  private[graft] def optimize(s: SparkSession, inPath: String,
-      outPath: String, x: String, y: String, statsCols: Seq[String],
-      hilbert: Boolean = false)
+  /** Measure the (x, y) ranges of `df` and curve-cluster it into
+    * `outPath` — the shared body of [[optimize]] and the SQL OPTIMIZE
+    * command's in-place rewrite (review fix: the range agg + curveWrite
+    * pair used to live in both). Returns the measured ranges. The
+    * STATS MANIFEST is the caller's job: it records absolute file
+    * paths (`input_file_name`), so an in-place rewrite must write it
+    * AFTER installing the directory at its final name. */
+  private[graft] def clusterInto(s: SparkSession,
+      df: org.apache.spark.sql.DataFrame, x: String, y: String,
+      outPath: String, hilbert: Boolean)
       : ((Double, Double), (Double, Double)) = {
-    val df = s.read.parquet(inPath)
     val st = df.agg(
       min(col(x)).cast(DoubleType), max(col(x)).cast(DoubleType),
       min(col(y)).cast(DoubleType), max(col(y)).cast(DoubleType)).head
     val xr = (st.getDouble(0), st.getDouble(1))
     val yr = (st.getDouble(2), st.getDouble(3))
     curveWrite(df, col(x), col(y), xr, yr, outPath, hilbert)
-    writeStatsManifest(s, outPath, statsCols :+ "zv")
     (xr, yr)
+  }
+
+  private[graft] def optimize(s: SparkSession, inPath: String,
+      outPath: String, x: String, y: String, statsCols: Seq[String],
+      hilbert: Boolean = false)
+      : ((Double, Double), (Double, Double)) = {
+    val ranges = clusterInto(s, s.read.parquet(inPath), x, y, outPath,
+      hilbert)
+    writeStatsManifest(s, outPath, statsCols :+ "zv")
+    ranges
   }
 
   /** Staging dirs this JVM created — deleted by one shutdown hook, so

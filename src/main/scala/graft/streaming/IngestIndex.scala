@@ -1118,12 +1118,20 @@ object IngestIndex {
       s"changesBetween($fromV, $toV): need 0 <= from < to")
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // GC'd ranges fail LOUDLY like tableAt — readManifest's empty-map
+    // default would otherwise silently misread an evicted step as "the
+    // table appeared from nothing" (every live row an insert)
+    def manifestAt(v: Long): Manifest =
+      if (v == 0) Map.empty
+      else resolveManifest(fs, stateDir, v).map(_.m).getOrElse(
+        throw new IllegalArgumentException(
+          s"changesBetween($fromV, $toV) under $stateDir: version v$v " +
+            "was never committed or GC evicted its manifest past the " +
+            "retention window — DESCRIBE HISTORY lists the readable " +
+            "range"))
     val steps = ((fromV + 1) to toV).map { v =>
-      val mPrev: Manifest =
-        if (v == 1) Map.empty
-        else readManifest(fs, stateDir, v - 1)
-      changesAt(spark, stateDir, table, mPrev,
-        readManifest(fs, stateDir, v), v)
+      changesAt(spark, stateDir, table, manifestAt(v - 1),
+        manifestAt(v), v)
     }
     // steps straddling a schema-evolution commit carry different
     // payload widths — pre-evolution change rows null-fill the added
@@ -1188,8 +1196,22 @@ object IngestIndex {
             .select(keyCols.map(col): _*)),
         keyCols, "left_anti")
     }
-    // post defines the step's schema; pre null-fills evolved columns
-    val postShape = readTable(spark, stateDir, mCur, table, None,
+    // the step's row shape: the post side when it has live buckets,
+    // else the PRE side (a truncate/full-erasure commit leaves no post
+    // entry — its rows must still surface as deletes, review fix); a
+    // step where NEITHER side holds the table contributes nothing
+    val postLive = mCur.get(table).exists(_.exists(_._2.ver != EmptyVer))
+    val preLive = mPrev.get(table).exists(_.exists(_._2.ver != EmptyVer))
+    if (!postLive && !preLive)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    val shapeM = if (postLive) mCur else mPrev
+    val postShape = readTable(spark, stateDir, shapeM, table, None,
       spark.emptyDataFrame).drop("bkt").limit(0)
     val post = slice(mCur,
       dataDiff ++ dvTouched.getOrElse(mCur, Set.empty), postShape)

@@ -586,6 +586,51 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally graft.operators.GraftSql.unregisterTable("ct_users")
   }
 
+  test("INSERT INTO maps against the EVOLVED schema, not the stale " +
+    "declared meta, and rewritten buckets keep evolved columns " +
+    "(review fix)") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-sqlevo").toString + "/t"
+    spark.sql(
+      s"""CREATE TABLE evo_ins (
+         |  user_id BIGINT, a BIGINT, PRIMARY KEY (user_id)
+         |) USING graft LOCATION '$state'""".stripMargin)
+    try {
+      Seq((1L, 10L), (2L, 20L)).toDF("u", "n")
+        .createOrReplaceTempView("evo_src1")
+      spark.sql("INSERT INTO evo_ins SELECT * FROM evo_src1") // v1
+      // the store evolves IN PLACE (the q128 path): an engine commit
+      // brings column b — the declared meta still says two columns
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m1 = graft.streaming.IngestIndex.readManifest(fs, state, 1L)
+      val evolved = Seq((3L, 30L, 99L)).toDF("user_id", "a", "b")
+      val map = graft.streaming.IngestIndex.mergeCommit(spark, state,
+        m1, "evo_ins", 2L, evolved,
+        (cur, d) => cur.unionByName(d, allowMissingColumns = true))
+      graft.streaming.IngestIndex.writeManifest(fs, state, 2L,
+        m1 + ("evo_ins" -> map))
+      // a positional INSERT now takes THREE columns (current schema,
+      // not the stale 2-column declaration)...
+      Seq((4L, 40L, 77L)).toDF("u", "n", "b")
+        .createOrReplaceTempView("evo_src2")
+      spark.sql("INSERT INTO evo_ins SELECT * FROM evo_src2")
+      // ...and the rewrite of user 3's bucket must NOT have dropped b
+      val rows = spark.sql(
+        "SELECT user_id, a, b FROM evo_ins ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)))).toSeq
+      assert(rows == Seq((1L, 10L, None), (2L, 20L, None),
+        (3L, 30L, Some(99L)), (4L, 40L, Some(77L))), rows.toString)
+    } finally {
+      graft.operators.GraftSql.unregisterTable("evo_ins")
+      graft.streaming.IngestIndex.unregisterKeyCols("evo_ins")
+    }
+  }
+
   test("DELETE FROM / UPDATE (r18): row-level DML through spark.sql — " +
     "DV tombstones, copy-on-write update, truncate form, no-op on an " +
     "empty table, guard rails, extension-free twin") {

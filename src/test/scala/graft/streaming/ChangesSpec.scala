@@ -144,6 +144,41 @@ class ChangesSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"value drift: $bad")
   }
 
+  test("truncate commits surface as deletes; an uncommitted/GC'd " +
+    "range fails loudly instead of misreading as inserts (review fix)") {
+    val s = TestSpark.spark
+    val sp = s
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-changes-trunc").toString + "/t"
+    s.sql(
+      s"""CREATE TABLE changes_trunc (
+         |  user_id BIGINT, n_events BIGINT, PRIMARY KEY (user_id)
+         |) USING graft LOCATION '$state'""".stripMargin)
+    try {
+      (1L to 4L).map(i => (i, i * 10L)).toDF("u", "n")
+        .createOrReplaceTempView("changes_trunc_src")
+      s.sql("INSERT INTO changes_trunc SELECT * FROM changes_trunc_src")
+      s.sql("DELETE FROM changes_trunc") // truncate: v2 drops the table
+      val ch = IngestIndex.changesBetween(s, state, "changes_trunc",
+        1, 2).orderBy("user_id").collect()
+      assert(ch.length == 4 &&
+        ch.forall(_.getAs[String]("_change_type") == "delete"),
+        ch.mkString("; "))
+      assert(ch.map(_.getAs[Long]("n_events")).toSeq ==
+        Seq(10L, 20L, 30L, 40L))
+      // a range past the committed top names the eviction contract —
+      // readManifest's empty-map default must NOT read as "the table
+      // appeared from nothing"
+      val e = intercept[IllegalArgumentException] {
+        IngestIndex.changesBetween(s, state, "changes_trunc", 0, 9)
+          .collect()
+      }
+      assert(e.getMessage.contains("never committed or GC evicted"),
+        e.getMessage)
+    } finally graft.operators.GraftSql.unregisterTable("changes_trunc")
+  }
+
   test("table_changes TVF == the DataFrame verb; literal/arity/name " +
     "guard rails") {
     val s = TestSpark.spark
