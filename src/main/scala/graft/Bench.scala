@@ -141,7 +141,7 @@ object Bench {
       "q132b_interleaved_upsert_erasure", "q138_sql_create_insert",
       // r18 DML verbs: each rebuilds + registers a store per invocation
       "q139_sql_delete", "q140_sql_update", "q141_catalog_sql_lifecycle",
-      "q142_table_changes")
+      "q142_table_changes", "q143_alter_add_column")
     // the name lists are hand-maintained — validate them against the
     // live query surface so a renamed/removed replay query fails LOUDLY
     // here instead of silently re-gaining min-of-3 (r16 advisor fix);

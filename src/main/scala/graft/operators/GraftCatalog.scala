@@ -189,11 +189,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"CREATE TABLE $catName.$ident: declare PRIMARY KEY (col[, " +
         "col...]) in the column list — graft store tables are keyed")
 
+  /** `ALTER TABLE <cat>.<ns>.<t> ADD COLUMNS (...)` (r18): appends the
+    * columns to the DECLARED meta schema — a metadata-only write; NO
+    * committed file rewrites (the q128 in-place-evolution law: the
+    * added column reads NULL until data carries it, and every write
+    * verb widens its slice). Anything beyond top-level ADD — drop,
+    * rename, retype, reposition — is a named error: the store's
+    * schema-evolution contract is column ADDITION only. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE $catName.$ident: graft store schemas evolve " +
-        "through commits (in-place mergeSchema — see q128), not DDL")
+      changes: TableChange*): Table = {
+    val sd = stateDirOf(ident)
+    val fs = fsOf(sd)
+    val meta = GraftSql.readMeta(fs, sd, innerName(ident)).getOrElse(
+      throw new NoSuchTableException(
+        (catName +: ident.namespace.toIndexedSeq) :+ ident.name))
+    val added = changes.map {
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames().length == 1,
+          s"ALTER TABLE $catName.$ident: nested column additions are " +
+            s"not supported (got ${ac.fieldNames().mkString(".")})")
+        require(ac.position() == null,
+          s"ALTER TABLE $catName.$ident: FIRST/AFTER positions are " +
+            "not supported — added columns APPEND (the store widens " +
+            "in place, it never rewrites committed files)")
+        val n = ac.fieldNames().head
+        require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"ALTER TABLE $catName.$ident: column '$n' already exists")
+        org.apache.spark.sql.types.StructField(n, ac.dataType(),
+          nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE $catName.$ident: only ADD COLUMNS is supported " +
+          s"(got $other) — the store's schema evolution is column " +
+          "ADDITION only (q128's law); drops/renames/retypes need a " +
+          "rewrite under the new shape (CREATE + INSERT ... SELECT)")
+    }
+    GraftSql.writeMeta(fs, sd, meta.copy(schema =
+      StructType(meta.schema.fields ++ added)))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val sd = stateDirOf(ident)
@@ -308,8 +341,15 @@ final case class GraftTable(
       case Some(v)
           if IngestIndex.readManifest(fs, stateDir, v)
             .contains(meta.table) =>
-        IngestIndex.currentTable(spark, stateDir, meta.table, raw = true)
-          .schema
+        // committed width PLUS declared columns data doesn't carry yet
+        // (ALTER TABLE ADD COLUMNS, r18) — the read rule NULL-fills
+        // relation columns the snapshot lacks
+        val raw = IngestIndex
+          .currentTable(spark, stateDir, meta.table, raw = true).schema
+        val have = raw.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        StructType(raw.fields ++ meta.schema.fields.filterNot(f =>
+          have(f.name.toLowerCase(java.util.Locale.ROOT))))
       case _ => meta.schema
     }
   }

@@ -147,6 +147,12 @@ object GraftSql {
       s"schema\t${meta.schema.toDDL}\n").getBytes("UTF-8")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    // Hadoop rename does not overwrite: an UPDATE of the meta (r18,
+    // ALTER TABLE ADD COLUMNS) deletes the old file first. DDL is
+    // single-writer by contract; the delete->rename window can only
+    // make a concurrent reader see the PRE-alter declaration, never a
+    // torn file (the bytes install atomically from tmp).
+    if (fs.exists(p)) fs.delete(p, false)
     require(fs.rename(tmp, p), s"could not install table meta at $p")
   }
 
@@ -157,6 +163,39 @@ object GraftSql {
     val fs = new Path(t.stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     readMeta(fs, t.stateDir, t.table)
+  }
+
+  /** `df` widened to the DECLARED meta schema: fields the meta carries
+    * that `df` lacks append as typed NULLs (r18, `ALTER TABLE ... ADD
+    * COLUMNS` — the added column is visible immediately, reads NULL
+    * until data carries it, and commits write it forward; the committed
+    * files never rewrite, the q128 in-place-evolution law). No meta, or
+    * nothing missing => `df` unchanged. */
+  private[operators] def widenToMeta(spark: SparkSession,
+      t: StoreTarget, df: DataFrame): DataFrame =
+    declaredMeta(spark, t) match {
+      case Some(meta) =>
+        val have = df.columns
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val extra = meta.schema.fields.filterNot(f =>
+          have(f.name.toLowerCase(java.util.Locale.ROOT)))
+        if (extra.isEmpty) df
+        else df.select((df.columns.toSeq.map(col) ++ extra.toSeq.map(f =>
+          lit(null).cast(f.dataType).as(f.name))): _*)
+      case None => df
+    }
+
+  /** The widened SCHEMA (same law as [[widenToMeta]], no frame). */
+  private[operators] def widenSchemaToMeta(spark: SparkSession,
+      t: StoreTarget, schema: StructType): StructType = {
+    val have = schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    declaredMeta(spark, t) match {
+      case Some(meta) => StructType(schema.fields ++
+        meta.schema.fields.filterNot(f =>
+          have(f.name.toLowerCase(java.util.Locale.ROOT))))
+      case None => schema
+    }
   }
 
   /** (alias, unwrapped plan): `MERGE INTO t AS x` wraps the relation in
@@ -364,6 +403,13 @@ object GraftSql {
       """LOCATION\s+'([^']+)'\s*;?\s*""").r
   private val PrimaryKeyRe =
     """(?i),?\s*PRIMARY\s+KEY\s*\(([^)]*)\)""".r
+  // ALTER TABLE <flat registered name> ADD COLUMN[S] (<ddl>) — only
+  // REGISTERED FLAT names intercept; catalog names delegate to Spark's
+  // own AlterTableAddColumns -> GraftCatalog.alterTable, and everything
+  // else is Spark's statement untouched
+  private val AlterAddRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMNS?\s*""" +
+      """\((.+)\)\s*;?\s*""").r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS""" +
       """\s+OF\s+(\d+)\s*;?\s*""").r
@@ -437,6 +483,10 @@ object GraftSql {
       }
       Some(GraftCreateTableCommand(clean, location,
         clean.split('.').last, schema, canonKeys, ifNot != null))
+    case AlterAddRe(name, ddl) =>
+      val clean = name.replace("`", "")
+      lookup(clean.split('.').toSeq).map(t =>
+        GraftAlterAddCommand(clean, t, ddl))
     case DescribeHistoryRe(name) =>
       resolveStore(name.replace("`", "")).map(t =>
         GraftDescribeHistoryCommand(name.replace("`", ""), t))
@@ -564,7 +614,10 @@ final case class GraftStoreReadRule(spark: SparkSession)
           case Some(v) =>
             IngestIndex.tableAt(spark, t.stateDir, t.table, v)
           case None =>
-            IngestIndex.currentTable(spark, t.stateDir, t.table)
+            // ALTERed-but-unwritten columns surface as NULL on the
+            // CURRENT read (widenToMeta); snapshots keep their width
+            GraftSql.widenToMeta(spark, t,
+              IngestIndex.currentTable(spark, t.stateDir, t.table))
         },
         GraftSql.declaredMeta(spark, t).map(_.schema))
       SubqueryAlias(parts.last, GraftSqlBridge.analyzedPlan(df))
@@ -896,9 +949,9 @@ final case class GraftMergeIntoCommand(
     // carries the schema the clauses translate against
     val schema =
       if (m.contains(target.table))
-        IngestIndex
+        GraftSql.widenSchemaToMeta(spark, target, IngestIndex
           .currentTable(spark, target.stateDir, target.table, raw = true)
-          .schema
+          .schema)
       else GraftSql.readMeta(fs, target.stateDir, target.table)
         .map(_.schema).getOrElse(throw new IllegalArgumentException(
           s"MERGE INTO '$targetName': table '${target.table}' absent " +
@@ -912,7 +965,9 @@ final case class GraftMergeIntoCommand(
       notMatched =
         acts.notMatched.map(clauseOf(_, payload, schema, "not-matched")),
       notMatchedBySource =
-        acts.bySource.map(clauseOf(_, payload, schema, "by-source")))
+        acts.bySource.map(clauseOf(_, payload, schema, "by-source")),
+      // buckets predating an ALTER widening null-fill in the combine
+      widenTo = Some(schema))
     // normalize the source to (key + payload) by name — missing payload
     // columns null-fill (the SQL subquery is the projection mechanism
     // for anything fancier)
@@ -1061,8 +1116,9 @@ final case class GraftInsertCommand(
     // schema is only the empty-table bootstrap
     val schema: StructType =
       if (m.contains(target.table))
-        IngestIndex.currentTable(spark, target.stateDir, target.table,
-          raw = true).schema
+        GraftSql.widenSchemaToMeta(spark, target,
+          IngestIndex.currentTable(spark, target.stateDir, target.table,
+            raw = true).schema)
       else GraftSql.declaredMeta(spark, target).map(_.schema).getOrElse(
         throw new IllegalArgumentException(
           s"INSERT INTO '$targetName': table '${target.table}' has " +
@@ -1160,10 +1216,20 @@ object GraftInsertCommand {
       else (cur, d) => {
         // stored half of the PK guard: any live row matching an
         // inserted key raises — evaluated on the touched slice the
-        // merge reads anyway
+        // merge reads anyway. Buckets predating an ALTER widening
+        // null-fill the added columns first (q128's law).
+        val haveCur = cur.columns
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val extra = d.schema.fields.filterNot(f =>
+          haveCur(f.name.toLowerCase(java.util.Locale.ROOT)))
+        val curW =
+          if (extra.isEmpty) cur
+          else cur.select((cur.columns.toSeq.map(col) ++
+            extra.toSeq.map(f =>
+              lit(null).cast(f.dataType).as(f.name))): _*)
         val hits = d.select(keys.map(col): _*)
           .withColumn("__hit", lit(true))
-        cur.join(hits, keys, "left")
+        curW.join(hits, keys, "left")
           .select((cols.map(col) :+
             when(col("__hit"),
               raise_error(concat(
@@ -1304,8 +1370,9 @@ private[operators] object GraftDml {
             s"$verb '$targetName': table '${target.table}' absent from " +
               s"manifest v$top under ${target.stateDir}")
         } else {
-          val schema = IngestIndex.currentTable(spark, target.stateDir,
-            target.table, raw = true).schema
+          val schema = GraftSql.widenSchemaToMeta(spark, target,
+            IngestIndex.currentTable(spark, target.stateDir,
+              target.table, raw = true).schema)
           Some((fs, top, m, schema))
         }
     }
@@ -1369,8 +1436,9 @@ final case class GraftDeleteCommand(
           } else {
             val cond = GraftDml.xlate("DELETE FROM", targetName, tAlias,
               schema)(dml.cond.get)
-            val snap = IngestIndex.currentTable(spark, target.stateDir,
-              target.table)
+            val snap = GraftSql.widenToMeta(spark, target,
+              IngestIndex.currentTable(spark, target.stateDir,
+                target.table))
             val tombstones = snap.where(cond)
               .select(keys.map(col): _*)
             IngestIndex.deleteWithDv(spark, target.stateDir, m,
@@ -1451,8 +1519,8 @@ final case class GraftUpdateCommand(
         }
         require(sets.nonEmpty,
           s"UPDATE '$targetName': no assignments")
-        val snap = IngestIndex.currentTable(spark, target.stateDir,
-          target.table)
+        val snap = GraftSql.widenToMeta(spark, target,
+          IngestIndex.currentTable(spark, target.stateDir, target.table))
         val matched = dml.cond.map(c => snap.where(xl(c))).getOrElse(snap)
         val updated = matched.select(schema.fields.map { f =>
           sets.get(f.name) match {
@@ -1461,8 +1529,10 @@ final case class GraftUpdateCommand(
           }
         }.toSeq: _*)
         val combine: (DataFrame, DataFrame) => DataFrame = (cur, d) =>
+          // allowMissingColumns: buckets predating an ALTER widening
+          // carry fewer columns than the widened delta (q128's law)
           cur.join(d.select(keys.map(col): _*), keys, "left_anti")
-            .unionByName(d)
+            .unionByName(d, allowMissingColumns = true)
         val next = top + 1
         val nm = IngestIndex.mergeCommitDv(spark, target.stateDir, m,
           target.table, next, updated, combine)
@@ -1470,6 +1540,41 @@ final case class GraftUpdateCommand(
           op = "update-sql")
         Seq(Row(next))
     }
+  }
+}
+
+/** `ALTER TABLE <flat registered name> ADD COLUMNS (<ddl>)` (r18): the
+  * widening half of the store's schema-evolution contract as DDL — a
+  * metadata-only append to the DECLARED meta schema; no committed file
+  * rewrites (q128's law: the added column reads NULL until data carries
+  * it, every write verb widens its slice). Catalog names take Spark's
+  * native path into [[GraftCatalog.alterTable]] instead. */
+final case class GraftAlterAddCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    ddl: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = GraftSql.readMeta(fs, target.stateDir, target.table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE '$targetName': no declared meta under " +
+          s"${target.stateDir} — ADD COLUMNS widens the DECLARED " +
+          "schema, so it requires a SQL-created table (CREATE TABLE " +
+          "... USING graft); engine-seeded stores evolve through " +
+          "commits (mergeSchema, q128)"))
+    val add = StructType.fromDDL(ddl)
+    add.fields.foreach(f =>
+      require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"ALTER TABLE '$targetName': column '${f.name}' already exists"))
+    GraftSql.writeMeta(fs, target.stateDir, meta.copy(schema =
+      StructType(meta.schema.fields ++ add.fields.map(_.copy(
+        nullable = true)))))
+    Seq.empty
   }
 }
 

@@ -83,7 +83,8 @@ final case class MergeInto(
     matched: Seq[MergeClause] = Nil,
     notMatched: Seq[MergeClause] = Nil,
     notMatchedBySource: Seq[MergeClause] = Nil,
-    checkCardinality: Boolean = true)
+    checkCardinality: Boolean = true,
+    widenTo: Option[org.apache.spark.sql.types.StructType] = None)
     extends ((DataFrame, DataFrame) => DataFrame) {
 
   require(keys.nonEmpty, "MERGE INTO requires at least one merge key")
@@ -100,10 +101,26 @@ final case class MergeInto(
     * slice, when run through the store), `source` = the batch. Returns
     * the slice's post-merge rows (`key` + `payload` columns). */
   def apply(target: DataFrame, source: DataFrame): DataFrame = {
-    val t = target.select(
+    // schema-adaptive (r18, ALTER TABLE ADD COLUMNS): a side whose
+    // stored buckets predate a declared-schema widening null-fills the
+    // missing payload columns, typed from `widenTo` — the q128
+    // read-old-under-new law applied to the merge's own slice read
+    def fill(df: DataFrame): DataFrame = widenTo match {
+      case Some(sch) =>
+        val have = df.columns
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val extra = sch.fields.filter(f =>
+          payload.exists(_.equalsIgnoreCase(f.name)) &&
+            !have(f.name.toLowerCase(java.util.Locale.ROOT)))
+        if (extra.isEmpty) df
+        else df.select((df.columns.toSeq.map(col) ++ extra.toSeq.map(f =>
+          lit(null).cast(f.dataType).as(f.name))): _*)
+      case None => df
+    }
+    val t = fill(target).select(
       (keys.map(col) ++ payload.map(c => col(c).as(s"t_$c"))) :+
         lit(true).as("t_present"): _*)
-    val s0 = source.select(
+    val s0 = fill(source).select(
       (keys.map(col) ++ payload.map(c => col(c).as(s"s_$c"))) :+
         lit(true).as("s_present"): _*)
     val s =

@@ -898,6 +898,61 @@ object MergeOps {
              |ORDER BY _commit_version, user_id, _change_type"""
         .stripMargin)),
 
+    // Q143 ALTER TABLE ADD COLUMNS (r18): the widening half of the
+    // schema-evolution contract as DDL — a metadata-only append to the
+    // declared schema (ZERO committed files rewrite). The rig proves
+    // the whole composition: a 2-column INSERT commits, the ALTER adds
+    // `sum_value`, an UPDATE then WRITES the new column for a subset
+    // (only their buckets rewrite — widened; untouched buckets keep
+    // their 2-column files and read NULL), and a post-ALTER INSERT
+    // carries all three columns positionally. The oracle restates the
+    // final three-way value rule directly.
+    QueryDef("q143_alter_add_column",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val dir = s"${Layout.stagePath(s, "alter143", d)}/users"
+        val fs = new Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(dir), true)
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 0))
+          .select("user_id", "n_events")
+          .createOrReplaceTempView("graft_q143_even")
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 1))
+          .createOrReplaceTempView("graft_q143_odd")
+        try {
+          s.sql(
+            s"""CREATE TABLE graft_q143_users (
+               |  user_id BIGINT, n_events BIGINT,
+               |  PRIMARY KEY (user_id)
+               |) USING graft LOCATION '$dir'""".stripMargin)
+          s.sql("INSERT INTO graft_q143_users " +
+            "SELECT user_id, n_events FROM graft_q143_even")
+          s.sql("ALTER TABLE graft_q143_users " +
+            "ADD COLUMNS (sum_value DECIMAL(18,4))")
+          s.sql("UPDATE graft_q143_users " +
+            "SET sum_value = CAST(n_events AS DECIMAL(18,4)) " +
+            "WHERE user_id % 3 = 0")
+          s.sql("INSERT INTO graft_q143_users " +
+            "SELECT user_id, n_events, sum_value FROM graft_q143_odd")
+          s.sql(
+            """SELECT user_id, n_events,
+              |  CAST(sum_value AS DOUBLE) AS sum_value
+              |FROM graft_q143_users ORDER BY user_id""".stripMargin)
+        } finally graft.operators.GraftSql.unregisterTable(
+          "graft_q143_users")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |a AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+             |      AS sum_value
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, n_events,
+             |  CAST(CASE WHEN user_id % 2 = 0 AND user_id % 3 = 0
+             |         THEN CAST(n_events AS DECIMAL(18,4))
+             |       WHEN user_id % 2 = 1 THEN sum_value
+             |       ELSE NULL END AS DOUBLE) AS sum_value
+             |FROM a ORDER BY user_id""".stripMargin)),
+
     // Q131 ORDERED MULTI-CLAUSE MERGE (r16): the full SQL:2023 clause
     // algebra — N conditional clauses per family, first match wins —
     // through the bucketed store. The oracle replays the ordered CASE

@@ -78,12 +78,61 @@ class GraftCatalogSpec extends AnyFunSuite {
       assert(desc.contains("user_id") && desc.contains("score"), desc)
     } finally {
       spark.sql("DROP TABLE IF EXISTS gcat.ns1.users")
-      graft.streaming.IngestIndex.unregisterKeyCols("users")
+      graft.streaming.IngestIndex.unregisterKeyCols("ns1.users")
     }
     // dropped: gone from the catalog and unreadable
     assert(spark.sql("SHOW TABLES IN gcat.ns1").collect().isEmpty)
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM gcat.ns1.users").collect()
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMNS (r18): metadata-only widening — added " +
+    "columns read NULL, writes carry them, drops/renames are named " +
+    "errors") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns3")
+    spark.sql(
+      """CREATE TABLE gcat.ns3.widen (
+        |  user_id BIGINT, a BIGINT, PRIMARY KEY (user_id)
+        |)""".stripMargin)
+    try {
+      Seq((1L, 10L), (2L, 20L)).toDF("u", "n")
+        .createOrReplaceTempView("widen_src")
+      spark.sql("INSERT INTO gcat.ns3.widen SELECT * FROM widen_src")
+      spark.sql("ALTER TABLE gcat.ns3.widen ADD COLUMNS (b DOUBLE)")
+      // visible immediately, NULL until data carries it — no files
+      // rewrote (metadata-only: the commit count is unchanged)
+      val afterAlter = spark.sql(
+        "SELECT user_id, b FROM gcat.ns3.widen ORDER BY 1").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toSeq
+      assert(afterAlter == Seq(1L -> None, 2L -> None), afterAlter)
+      assert(spark.sql("DESCRIBE HISTORY gcat.ns3.widen")
+        .collect().length == 1) // still just the INSERT commit
+      // writes carry the new column: a 3-col INSERT and an UPDATE
+      Seq((3L, 30L, 0.5)).toDF("u", "n", "b")
+        .createOrReplaceTempView("widen_src3")
+      spark.sql("INSERT INTO gcat.ns3.widen SELECT * FROM widen_src3")
+      spark.sql("UPDATE gcat.ns3.widen SET b = 9.0 WHERE user_id = 1")
+      val rows = spark.sql(
+        "SELECT user_id, a, b FROM gcat.ns3.widen ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)))).toSeq
+      assert(rows == Seq((1L, 10L, Some(9.0)), (2L, 20L, None),
+        (3L, 30L, Some(0.5))), rows.toString)
+      // guard rails
+      val e1 = intercept[Throwable] { spark.sql(
+        "ALTER TABLE gcat.ns3.widen ADD COLUMNS (a BIGINT)") }
+      assert(e1.getMessage.contains("already exists"), e1.getMessage)
+      val e2 = intercept[Throwable] { spark.sql(
+        "ALTER TABLE gcat.ns3.widen DROP COLUMN a") }
+      assert(e2.getMessage.contains("only ADD COLUMNS"), e2.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.ns3.widen")
+      graft.streaming.IngestIndex.unregisterKeyCols("ns3.widen")
     }
   }
 
@@ -166,7 +215,7 @@ class GraftCatalogSpec extends AnyFunSuite {
         e.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS gcat.ns2.accounts")
-      graft.streaming.IngestIndex.unregisterKeyCols("accounts")
+      graft.streaming.IngestIndex.unregisterKeyCols("ns2.accounts")
     }
   }
 }
