@@ -594,6 +594,15 @@ object DumpPlans {
         |hidden rows surface as deletes through the tombstone keys'
         |covering buckets. The TVF layer is Spark's own table-function
         |resolution; the plan below IS the DataFrame verb's.""".stripMargin,
+    "q143_alter_add_column" ->
+      """The read-back after ALTER TABLE ADD COLUMNS + one widening
+        |UPDATE + a 3-column INSERT (r18): the bkt-pruned manifest
+        |union with allowMissingColumns — buckets written BEFORE the
+        |ALTER surface the added column as NULL (their 2-column files
+        |never rewrote; the ALTER was one meta-file write), buckets the
+        |UPDATE/INSERT touched carry it. The widening is declared-
+        |schema metadata composed at read and write planning; no data
+        |moved for the DDL itself.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution
