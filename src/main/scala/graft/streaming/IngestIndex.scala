@@ -1161,9 +1161,17 @@ object IngestIndex {
     // side's own topology — a tiny job over metadata-sized DV rows
     def dvKeys(m: Manifest): Option[DataFrame] =
       if (dvDiff.isEmpty || !m.contains(dvTable(table))) None
-      else Some(readTable(spark, stateDir, m, dvTable(table),
-        Some(dvDiff), spark.emptyDataFrame).drop("bkt")
-        .select(keyCols.map(col): _*))
+      else {
+        // an ALL-SENTINEL vector (split children left live-but-empty,
+        // EmptyVer entries) holds no tombstones — and reads as the
+        // shapeless empty frame, so the key projection must not run
+        val full = readTable(spark, stateDir, m, dvTable(table), None,
+          spark.emptyDataFrame)
+        if (full.columns.isEmpty) None
+        else Some(readTable(spark, stateDir, m, dvTable(table),
+          Some(dvDiff), full.limit(0)).drop("bkt")
+          .select(keyCols.map(col): _*))
+      }
     val dvTouched: Map[Manifest, Set[Int]] =
       if (dvDiff.isEmpty) Map.empty
       else {

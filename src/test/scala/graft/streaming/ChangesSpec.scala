@@ -179,6 +179,103 @@ class ChangesSpec extends AnyFunSuite {
     } finally graft.operators.GraftSql.unregisterTable("changes_trunc")
   }
 
+  test("randomized verb interleaving under splitBytes=1: the apply-law " +
+    "holds at every step and over the whole range — upserts and DV " +
+    "deletes across bucket splits") {
+    val s = TestSpark.spark
+    val sp = s
+    import sp.implicits._
+    val old = s.conf.getOption("spark.graft.ingest.splitBytes")
+    s.conf.set("spark.graft.ingest.splitBytes", "1")
+    try {
+      val state = stage("rand")
+      val fs = new Path(state)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val rnd = new scala.util.Random(1417)
+      var cur = Map.empty[Long, Long] // the pure model
+      val hist = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+      hist(0L) = Map.empty
+      var v = 0L
+      (1 to 8).foreach { _ =>
+        val m = IngestIndex.readManifest(fs, state, v)
+        if (rnd.nextInt(10) < 7 || cur.isEmpty) {
+          // UPSERT: add counts for random keys (through mergeCommitDv,
+          // so a live vector composes)
+          val rows = Seq.fill(1 + rnd.nextInt(8))(
+            rnd.nextInt(14).toLong -> (1 + rnd.nextInt(3)).toLong)
+          val delta = rows.groupBy(_._1).view
+            .mapValues(_.map(_._2).sum).toSeq
+          delta.foreach { case (k, c) =>
+            cur += k -> (cur.getOrElse(k, 0L) + c) }
+          val nm = IngestIndex.mergeCommitDv(s, state, m, "state",
+            v + 1, delta.toDF("user_id", "cnt"),
+            (c, d) => c.unionByName(d).groupBy("user_id")
+              .agg(sum(col("cnt")).as("cnt")))
+          IngestIndex.writeManifest(fs, state, v + 1, nm)
+        } else {
+          // DV DELETE a random nonempty subset of live keys
+          val doomed = cur.keys.toSeq
+            .filter(_ => rnd.nextBoolean()) match {
+            case Nil => Seq(cur.keys.head)
+            case ks => ks
+          }
+          cur --= doomed
+          val nm = IngestIndex.deleteWithDv(s, state, m, "state",
+            v + 1, doomed.toDF("user_id"))
+          IngestIndex.writeManifest(fs, state, v + 1, nm)
+        }
+        v += 1
+        hist(v) = cur
+        // per-step apply-law: hist(v-1) + changes(v-1, v) == hist(v)
+        val step = IngestIndex.changesBetween(s, state, "state",
+          v - 1, v).collect()
+        var m2 = hist(v - 1)
+        step.foreach { r =>
+          r.getAs[String]("_change_type") match {
+            case "delete" | "update_preimage" =>
+              m2 -= r.getAs[Long]("user_id")
+            case _ => ()
+          }
+        }
+        step.foreach { r =>
+          r.getAs[String]("_change_type") match {
+            case "insert" | "update_postimage" =>
+              m2 += r.getAs[Long]("user_id") -> r.getAs[Long]("cnt")
+            case _ => ()
+          }
+        }
+        assert(m2 == cur, s"step to v$v: applied changes diverge " +
+          s"(extra=${(m2.keySet -- cur.keySet).take(5)}, " +
+          s"missing=${(cur.keySet -- m2.keySet).take(5)})")
+      }
+      // whole-range apply-law across every split/DV interleaving
+      var acc = Map.empty[Long, Long]
+      IngestIndex.changesBetween(s, state, "state", 0, v)
+        .orderBy("_commit_version").collect()
+        .groupBy(_.getAs[Long]("_commit_version")).toSeq.sortBy(_._1)
+        .foreach { case (_, rows) =>
+          rows.foreach { r =>
+            r.getAs[String]("_change_type") match {
+              case "delete" | "update_preimage" =>
+                acc -= r.getAs[Long]("user_id")
+              case _ => ()
+            }
+          }
+          rows.foreach { r =>
+            r.getAs[String]("_change_type") match {
+              case "insert" | "update_postimage" =>
+                acc += r.getAs[Long]("user_id") -> r.getAs[Long]("cnt")
+              case _ => ()
+            }
+          }
+        }
+      assert(acc == cur, "whole-range apply diverged from the model")
+    } finally old match {
+      case Some(x) => s.conf.set("spark.graft.ingest.splitBytes", x)
+      case None => s.conf.unset("spark.graft.ingest.splitBytes")
+    }
+  }
+
   test("table_changes TVF == the DataFrame verb; literal/arity/name " +
     "guard rails") {
     val s = TestSpark.spark
