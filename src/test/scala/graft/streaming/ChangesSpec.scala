@@ -74,6 +74,39 @@ class ChangesSpec extends AnyFunSuite {
       r.getAs[String]("_change_type") -> r.getAs[Long]("n_events")).toMap
     assert(byType("update_preimage") == 20L &&
       byType("update_postimage") == 25L, byType.toString)
+    // IO-FOOTPRINT LAW: the step's scans READ only the commit's own
+    // bucket (both sides) — every executed FileSourceScan over the
+    // store carries the bkt partition filter and selects at most ONE
+    // file (the seed wrote 7+ bucket files; an unpruned scan would
+    // read them all). Asserted on executed-plan METRICS, so a pruning
+    // regression fails here rather than as a wall-clock drift.
+    val step = IngestIndex.changesBetween(s, state, "state", 1, 2)
+    step.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => scans(q.plan)
+        case r: org.apache.spark.sql.execution.exchange
+            .ReusedExchangeExec => scans(r.child)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f)
+        case other => other.children.flatMap(scans) ++
+          other.subqueries.flatMap(scans)
+      }
+    val storeScans = scans(step.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("/state")))
+    assert(storeScans.nonEmpty, "no store scans found in the step plan")
+    storeScans.foreach { f =>
+      assert(f.partitionFilters.exists(_.toString.contains("bkt")),
+        s"store scan without a bkt partition filter: ${f.simpleString(5)}")
+      assert(f.metrics("numFiles").value <= 1,
+        s"store scan read ${f.metrics("numFiles").value} files — the " +
+          "footprint is the ONE touched bucket")
+    }
   }
 
   test("deletion-vector commits surface as deletes (zero base buckets " +
