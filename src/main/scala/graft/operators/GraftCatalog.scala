@@ -203,25 +203,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val meta = GraftSql.readMeta(fs, sd, innerName(ident)).getOrElse(
       throw new NoSuchTableException(
         (catName +: ident.namespace.toIndexedSeq) :+ ident.name))
+    // typed ANALYSIS exceptions (r18 verdict note): callers matching on
+    // Spark error classes (UNSUPPORTED_FEATURE.TABLE_OPERATION /
+    // FIELD_ALREADY_EXISTS) see the same taxonomy the built-in catalogs
+    // surface, not bare require/UnsupportedOperation errors
+    def unsupported(what: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+        Map("tableName" -> s"$catName.$ident", "operation" -> what))
     val added = changes.map {
       case ac: TableChange.AddColumn =>
-        require(ac.fieldNames().length == 1,
-          s"ALTER TABLE $catName.$ident: nested column additions are " +
-            s"not supported (got ${ac.fieldNames().mkString(".")})")
-        require(ac.position() == null,
-          s"ALTER TABLE $catName.$ident: FIRST/AFTER positions are " +
-            "not supported — added columns APPEND (the store widens " +
-            "in place, it never rewrites committed files)")
+        if (ac.fieldNames().length != 1) unsupported(
+          s"nested column addition (${ac.fieldNames().mkString(".")})" +
+            " — the store's schema evolution adds TOP-LEVEL columns")
+        if (ac.position() != null) unsupported(
+          "ADD COLUMNS with FIRST/AFTER — added columns APPEND (the " +
+            "store widens in place, it never rewrites committed files)")
         val n = ac.fieldNames().head
-        require(!meta.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
-          s"ALTER TABLE $catName.$ident: column '$n' already exists")
+        if (meta.schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+          throw new org.apache.spark.sql.AnalysisException(
+            "FIELD_ALREADY_EXISTS", Map("op" -> "add",
+              "fieldNames" -> s"`$n`",
+              "struct" -> meta.schema.toDDL))
         org.apache.spark.sql.types.StructField(n, ac.dataType(),
           nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE $catName.$ident: only ADD COLUMNS is supported " +
-          s"(got $other) — the store's schema evolution is column " +
-          "ADDITION only (q128's law); drops/renames/retypes need a " +
-          "rewrite under the new shape (CREATE + INSERT ... SELECT)")
+      case other => unsupported(
+        s"$other — the store's schema evolution is column ADDITION " +
+          "only (q128's law); drops/renames/retypes need a rewrite " +
+          "under the new shape (CREATE + INSERT ... SELECT)")
     }
     GraftSql.writeMeta(fs, sd, meta.copy(schema =
       StructType(meta.schema.fields ++ added)))
@@ -303,6 +312,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (!cascade && fs.listStatus(p).nonEmpty)
         throw new IllegalStateException(
           s"namespace ${ns.mkString(".")} is not empty — DROP ... CASCADE")
+      // CASCADE must unregister every inner table it deletes (r18
+      // advisor fix): dropTable does, and skipping it here left stale
+      // key-registry bindings — re-creating a same-named table with a
+      // different PRIMARY KEY in the same JVM then failed with a
+      // spurious "already registered ... cannot rebind". Recurse
+      // through nested namespaces too (CASCADE deletes them all).
+      if (cascade) {
+        def unregisterUnder(cur: Seq[String]): Unit = {
+          listTables(cur.toArray).foreach(id =>
+            IngestIndex.unregisterKeyCols(innerName(id)))
+          childNamespaces(cur).foreach(c => unregisterUnder(cur :+ c))
+        }
+        unregisterUnder(ns.toIndexedSeq)
+      }
       fs.delete(p, true)
     }
   }
@@ -361,9 +384,16 @@ final case class GraftTable(
       meta.keys.map(k => org.apache.spark.sql.connector.expressions
         .Expressions.column(k)).toArray).build())
 
+  // TRUNCATE (not OVERWRITE_BY_FILTER) is what INSERT OVERWRITE needs:
+  // Spark plans it as OverwriteByExpression(AlwaysTrue), which the
+  // capability check admits under TRUNCATE alone. Advertising
+  // OVERWRITE_BY_FILTER would let a FILTERED overwrite
+  // (DataFrameWriterV2.overwrite(cond)) pass analysis and die at
+  // execution in the V1 fallback (r18 advisor fix) — without it, Spark
+  // itself rejects the statement at analysis with its named error.
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this)

@@ -87,6 +87,72 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP NAMESPACE CASCADE unregisters the tables it deletes " +
+    "(r19 advisor fix): re-creating a same-named table with a " +
+    "DIFFERENT primary key in the same JVM succeeds") {
+    val spark = TestSpark.spark
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.nsd")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.nsd.inner")
+    try {
+      spark.sql("CREATE TABLE gcat.nsd.t (a BIGINT, b BIGINT, " +
+        "PRIMARY KEY (a))")
+      // a table inside a NESTED namespace must unregister too
+      spark.sql("CREATE TABLE gcat.nsd.inner.t2 (x BIGINT, y BIGINT, " +
+        "PRIMARY KEY (x))")
+      spark.sql("DROP NAMESPACE gcat.nsd CASCADE")
+      // rebinding both names to different keys now succeeds — the
+      // cascade delete released the key-registry bindings like
+      // dropTable does
+      spark.sql("CREATE NAMESPACE gcat.nsd")
+      spark.sql("CREATE NAMESPACE gcat.nsd.inner")
+      spark.sql("CREATE TABLE gcat.nsd.t (a BIGINT, b BIGINT, " +
+        "PRIMARY KEY (b))")
+      spark.sql("CREATE TABLE gcat.nsd.inner.t2 (x BIGINT, y BIGINT, " +
+        "PRIMARY KEY (y))")
+      assert(graft.streaming.IngestIndex.keyColsFor("nsd.t") == Seq("b"))
+      assert(graft.streaming.IngestIndex.keyColsFor("nsd.inner.t2")
+        == Seq("y"))
+    } finally {
+      spark.sql("DROP NAMESPACE IF EXISTS gcat.nsd CASCADE")
+      graft.streaming.IngestIndex.unregisterKeyCols("nsd.t")
+      graft.streaming.IngestIndex.unregisterKeyCols("nsd.inner.t2")
+    }
+  }
+
+  test("a FILTERED overwrite is rejected at ANALYSIS with Spark's " +
+    "named error (r19 advisor fix): the table advertises TRUNCATE, " +
+    "not OVERWRITE_BY_FILTER") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.nsf")
+    spark.sql("CREATE TABLE gcat.nsf.t (a BIGINT, b BIGINT, " +
+      "PRIMARY KEY (a))")
+    try {
+      Seq((1L, 10L)).toDF("a", "b")
+        .writeTo("gcat.nsf.t").append()
+      // full overwrite (INSERT OVERWRITE -> AlwaysTrue filter) works
+      // through TRUNCATE
+      spark.sql("INSERT OVERWRITE gcat.nsf.t VALUES (2, 20)")
+      assert(spark.sql("SELECT a FROM gcat.nsf.t").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L))
+      // a non-trivial overwrite filter dies at ANALYSIS, not deep in
+      // the V1 write path at execution
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        Seq((3L, 30L)).toDF("a", "b")
+          .writeTo("gcat.nsf.t")
+          .overwrite(org.apache.spark.sql.functions.col("a") === 2L)
+      }
+      assert(e.getMessage.toLowerCase.contains("overwrite"),
+        e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.nsf.t")
+      graft.streaming.IngestIndex.unregisterKeyCols("nsf.t")
+    }
+  }
+
   test("ALTER TABLE ADD COLUMNS (r18): metadata-only widening — added " +
     "columns read NULL, writes carry them, drops/renames are named " +
     "errors") {
@@ -123,13 +189,18 @@ class GraftCatalogSpec extends AnyFunSuite {
           Option(r.get(2)))).toSeq
       assert(rows == Seq((1L, 10L, Some(9.0)), (2L, 20L, None),
         (3L, 30L, Some(0.5))), rows.toString)
-      // guard rails
-      val e1 = intercept[Throwable] { spark.sql(
-        "ALTER TABLE gcat.ns3.widen ADD COLUMNS (a BIGINT)") }
+      // guard rails — TYPED analysis errors (r19): callers matching on
+      // Spark error classes see the built-in catalogs' taxonomy
+      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("ALTER TABLE gcat.ns3.widen ADD COLUMNS (a BIGINT)") }
+      assert(e1.getCondition == "FIELD_ALREADY_EXISTS", e1.getMessage)
       assert(e1.getMessage.contains("already exists"), e1.getMessage)
-      val e2 = intercept[Throwable] { spark.sql(
-        "ALTER TABLE gcat.ns3.widen DROP COLUMN a") }
-      assert(e2.getMessage.contains("only ADD COLUMNS"), e2.getMessage)
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("ALTER TABLE gcat.ns3.widen DROP COLUMN a") }
+      assert(e2.getCondition == "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+        e2.getMessage)
+      assert(e2.getMessage.contains("column ADDITION only"),
+        e2.getMessage)
     } finally {
       spark.sql("DROP TABLE IF EXISTS gcat.ns3.widen")
       graft.streaming.IngestIndex.unregisterKeyCols("ns3.widen")
