@@ -147,13 +147,25 @@ object GraftSql {
       s"schema\t${meta.schema.toDDL}\n").getBytes("UTF-8")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    // Hadoop rename does not overwrite: an UPDATE of the meta (r18,
-    // ALTER TABLE ADD COLUMNS) deletes the old file first. DDL is
-    // single-writer by contract; the delete->rename window can only
-    // make a concurrent reader see the PRE-alter declaration, never a
-    // torn file (the bytes install atomically from tmp).
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"could not install table meta at $p")
+    // FileSystem.rename does not overwrite, and a delete-then-rename
+    // leaves a window where the meta is ABSENT — a concurrent reader
+    // (catalog loadTable / declaredMeta) mid-ALTER would see
+    // NoSuchTable, not merely the pre-alter declaration (r18 advisor
+    // fix). FileContext.rename(OVERWRITE) installs atomically on
+    // file:// and HDFS; object stores without atomic rename degrade to
+    // the same copy-window every writer there has, with the tmp bytes
+    // still torn-proof.
+    try org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+        fs.getConf).rename(tmp, p,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: UnsupportedOperationException |
+          _: java.io.FileNotFoundException =>
+        // no FileContext binding for this scheme (some test FS stubs):
+        // fall back to the delete->rename pair, accepting the window
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"could not install table meta at $p")
+    }
   }
 
   /** The declared schema of a registered SQL-created table, when one
@@ -195,6 +207,32 @@ object GraftSql {
         meta.schema.fields.filterNot(f =>
           have(f.name.toLowerCase(java.util.Locale.ROOT))))
       case None => schema
+    }
+  }
+
+  /** The schema a READ of the store serves right now (r19, shared with
+    * the streaming CDC source): the CURRENT raw schema widened to the
+    * declared meta when a version is committed, else the declared meta
+    * alone — exactly [[GraftTable.schema]]'s rule for catalog tables.
+    * Fails with a named error when the store has neither (nothing was
+    * ever declared or committed, so no read shape exists). */
+  private[graft] def readableSchema(spark: SparkSession,
+      t: StoreTarget): StructType = {
+    val fs = new Path(t.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = graft.streaming.IngestIndex
+      .latestVersion(fs, t.stateDir)
+      .filter(v => graft.streaming.IngestIndex
+        .readManifest(fs, t.stateDir, v).contains(t.table))
+    committed match {
+      case Some(_) => widenSchemaToMeta(spark, t,
+        graft.streaming.IngestIndex
+          .currentTable(spark, t.stateDir, t.table, raw = true).schema)
+      case None => declaredMeta(spark, t).map(_.schema).getOrElse(
+        throw new IllegalArgumentException(
+          s"table '${t.table}' has neither a meta file nor a " +
+            s"committed version under ${t.stateDir} — CREATE TABLE " +
+            "... USING graft, or commit a first version"))
     }
   }
 
@@ -349,28 +387,59 @@ object GraftSql {
     * verb statement (flat registry, then graft catalogs). */
   def tableChangesPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 3,
-      "table_changes(<store name>, <from version>, <to version>) " +
-        s"takes 3 arguments; got ${args.length}")
-    def lit(i: Int, what: String): Any = args(i) match {
-      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
-        l.value
-      case other => throw new IllegalArgumentException(
-        s"table_changes: the $what must be a literal; got ${other.sql}")
-    }
-    val name = String.valueOf(lit(0, "store name"))
-    def ver(i: Int, what: String): Long = lit(i, what) match {
-      case n: java.lang.Number => n.longValue()
-      case other => throw new IllegalArgumentException(
-        s"table_changes: the $what must be an integer version " +
-          s"(DESCRIBE HISTORY lists them); got $other")
-    }
+      "table_changes(<store name>, <from version|timestamp>, " +
+        s"<to version|timestamp>) takes 3 arguments; got ${args.length}")
+    def lit(i: Int, what: String)
+        : org.apache.spark.sql.catalyst.expressions.Literal =
+      args(i) match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+        case other => throw new IllegalArgumentException(
+          s"table_changes: the $what must be a literal; got ${other.sql}")
+      }
+    val name = String.valueOf(lit(0, "store name").value)
     val t = resolveStore(name).getOrElse(throw new IllegalArgumentException(
       s"table_changes: '$name' is not a registered graft store table — " +
         "GraftSql.registerTable first, or address it through a graft " +
         "catalog (<catalog>.<ns>.<table>)"))
     val spark = org.apache.spark.sql.SparkSession.active
+    // a range bound is either an INTEGER version, or (r19) a
+    // string/timestamp/date literal resolved to a version through
+    // [[IngestIndex.versionAt]] — the SAME rule as every other travel
+    // surface (newest commit at or before the instant), so
+    // table_changes(t, ts1, ts2) == "changes since the snapshot you'd
+    // read AS OF ts1, through the snapshot AS OF ts2" (the exclusive /
+    // inclusive bounds exactly matching the ChangesSpec apply-law). An
+    // instant preceding every retained commit throws versionAt's named
+    // retention error.
+    def bound(i: Int, what: String): Long = {
+      val l = lit(i, what)
+      l.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType =>
+          l.value match {
+            case n: java.lang.Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"table_changes: the $what must be an integer version " +
+                s"(DESCRIBE HISTORY lists them) or a timestamp " +
+                s"literal; got $other")
+          }
+        case _ =>
+          val micros = org.apache.spark.sql.catalyst.expressions
+            .Cast(l, org.apache.spark.sql.types.TimestampType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+          require(micros != null,
+            s"table_changes: the $what ${l.sql} is neither an " +
+              "integer version nor a timestamp literal")
+          val fs = new Path(t.stateDir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          IngestIndex.versionAt(fs, t.stateDir,
+            Math.floorDiv(micros.asInstanceOf[Long], 1000L))
+      }
+    }
     val df = IngestIndex.changesBetween(spark, t.stateDir, t.table,
-      ver(1, "from version"), ver(2, "to version"))
+      bound(1, "from bound"), bound(2, "to bound"))
     SubqueryAlias("table_changes", GraftSqlBridge.analyzedPlan(df))
   }
 
@@ -401,6 +470,13 @@ object GraftSql {
     ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
       """([\w.`]+)\s*\((.+)\)\s*USING\s+GRAFT\s+""" +
       """LOCATION\s+'([^']+)'\s*;?\s*""").r
+  // CTAS (r19): CREATE TABLE <n> (PRIMARY KEY (k...)) USING graft
+  // LOCATION '<dir>' AS <query> — schema INFERRED from the query (the
+  // standard CTAS contract), so the column group declares only the key
+  private val CtasRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" +
+      """([\w.`]+)\s*\((.+?)\)\s*USING\s+GRAFT\s+""" +
+      """LOCATION\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*""").r
   private val PrimaryKeyRe =
     """(?i),?\s*PRIMARY\s+KEY\s*\(([^)]*)\)""".r
   // ALTER TABLE <flat registered name> ADD COLUMN[S] (<ddl>) — only
@@ -425,7 +501,7 @@ object GraftSql {
     * registry first, then a DSv2 graft CATALOG prefix (r18) — so the
     * lakehouse verbs (DESCRIBE HISTORY / RESTORE / VACUUM / OPTIMIZE)
     * accept `<catalog>.<ns...>.<table>` names too. */
-  private[operators] def resolveStore(name: String)
+  private[graft] def resolveStore(name: String)
       : Option[StoreTarget] = {
     val parts = name.replace("`", "").split('.').toSeq
     lookup(parts).orElse {
@@ -462,6 +538,23 @@ object GraftSql {
     * column of a table named `history`, and must delegate. */
   private[operators] def parseVerb(text: String)
       : Option[LogicalPlan] = text match {
+    case CtasRe(ifNot, name, colsText, location, query) =>
+      val clean = name.replace("`", "")
+      val keys = PrimaryKeyRe.findFirstMatchIn(colsText) match {
+        case Some(mk) => mk.group(1).split(",").toSeq
+          .map(_.trim.replace("`", "")).filter(_.nonEmpty)
+        case None => throw new IllegalArgumentException(
+          s"CREATE TABLE $clean USING graft ... AS SELECT: declare " +
+            "PRIMARY KEY (col[, col...]) — the store is keyed")
+      }
+      val rest = PrimaryKeyRe.replaceFirstIn(colsText, "").trim
+        .stripSuffix(",").stripPrefix(",").trim
+      require(rest.isEmpty,
+        s"CREATE TABLE $clean ... AS SELECT infers the schema from " +
+          s"the query — declare ONLY the PRIMARY KEY in the column " +
+          s"group (got: $rest)")
+      Some(GraftCtasCommand(clean, location, clean.split('.').last,
+        keys, ifNot != null, query))
     case CreateTableRe(ifNot, name, colsText, location) =>
       val clean = name.replace("`", "")
       val keys = PrimaryKeyRe.findFirstMatchIn(colsText) match {
@@ -1184,7 +1277,8 @@ object GraftInsertCommand {
       targetName: String, target: GraftSql.StoreTarget,
       src: org.apache.spark.sql.DataFrame, overwrite: Boolean,
       resolved: Option[(org.apache.hadoop.fs.FileSystem, Option[Long],
-        graft.streaming.IngestIndex.Manifest)] = None): Long = {
+        graft.streaming.IngestIndex.Manifest)] = None,
+      opTag: Option[String] = None): Long = {
     import graft.streaming.IngestIndex
     // the statement path already resolved (fs, top, manifest) for its
     // column mapping — don't pay the directory listing twice (review
@@ -1255,8 +1349,80 @@ object GraftInsertCommand {
     val nm = IngestIndex.mergeCommitDv(spark, target.stateDir, m,
       target.table, next, delta, combine, touchedKnown = touched)
     IngestIndex.writeManifest(fs, target.stateDir, next, nm,
-      op = if (overwrite) "insert-overwrite" else "insert")
+      op = opTag.getOrElse(if (overwrite) "insert-overwrite"
+        else "insert"))
     next
+  }
+}
+
+/** `CREATE TABLE <n> (PRIMARY KEY (k...)) USING graft LOCATION '<dir>'
+  * AS <query>` (r19) — the one DDL form r18 left out: CTAS. Schema is
+  * INFERRED from the query (the standard CTAS contract — the column
+  * group declares only the key); the statement is the composition of
+  * [[GraftCreateTableCommand]]'s identity write and
+  * [[GraftInsertCommand.insertAligned]]'s guarded seed commit, in that
+  * order (atomic-ish: meta first, seed as v1 — a seed failure leaves a
+  * valid EMPTY table, never a keyless data dir). The seed rides the
+  * commit's own shuffles with the PRIMARY KEY guards live: a CTAS
+  * whose query yields duplicate keys raises the named batch-internal
+  * error. History reads `create-as-select` at v1.
+  *
+  * `IF NOT EXISTS` is WHOLE-STATEMENT no-op when the table already
+  * exists (Delta's CTAS rule): the existing identity re-registers, the
+  * query is not run, the data is untouched — re-running a setup script
+  * cannot clobber a live table. Returns the seeded (or current)
+  * version. */
+final case class GraftCtasCommand(
+    targetName: String,
+    stateDir: String,
+    table: String,
+    keys: Seq[String],
+    ifNotExists: Boolean,
+    queryText: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    import graft.streaming.IngestIndex
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GraftSql.readMeta(fs, stateDir, table) match {
+      case Some(m) if !ifNotExists =>
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $targetName AS SELECT: a graft table " +
+            s"'${m.table}' already exists under $stateDir (keyed by " +
+            s"${m.keys.mkString(", ")}) — CTAS never replaces a live " +
+            "table; use CREATE TABLE IF NOT EXISTS ... AS SELECT to " +
+            "no-op, or DROP it first")
+      case Some(m) =>
+        // IF NOT EXISTS: re-register the DURABLE identity, run nothing
+        IngestIndex.registerKeyCols(m.table, m.keys)
+        GraftSql.registerTable(targetName, stateDir, m.table)
+        Seq(Row(IngestIndex.latestVersion(fs, stateDir).getOrElse(0L)))
+      case None =>
+        // the query parses with the SESSION parser (not the verb
+        // matcher — CTAS sources are plain queries) and analyzes here
+        val src = GraftSqlBridge.ofRows(spark,
+          spark.sessionState.sqlParser.parsePlan(queryText))
+        val schema = src.schema
+        val canonKeys = keys.map { k =>
+          schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+            throw new IllegalArgumentException(
+              s"CREATE TABLE $targetName AS SELECT: PRIMARY KEY " +
+                s"column '$k' is not among the query's columns " +
+                s"(${schema.fieldNames.mkString(", ")})"))
+        }
+        IngestIndex.registerKeyCols(table, canonKeys)
+        fs.mkdirs(new Path(stateDir))
+        GraftSql.writeMeta(fs, stateDir,
+          GraftSql.TableMeta(table, canonKeys, schema))
+        GraftSql.registerTable(targetName, stateDir, table)
+        Seq(Row(GraftInsertCommand.insertAligned(spark, targetName,
+          GraftSql.StoreTarget(stateDir, table), src,
+          overwrite = false, opTag = Some("create-as-select"))))
+    }
   }
 }
 
@@ -1495,12 +1661,19 @@ final case class GraftUpdateCommand(
               case Some(k) =>
                 // the IDENTITY assignment (key = key) is a no-op, not a
                 // key rewrite — analyzer alignment emits one per
-                // unassigned column on resolved targets
+                // unassigned column on resolved targets. An unresolved
+                // RHS only counts as identity when its qualifier (if
+                // any) is the TARGET's alias (r18 advisor fix):
+                // `SET user_id = foo.user_id` is a genuine key
+                // reassignment from a foreign source and must raise,
+                // not silently no-op.
                 val identity = as.value match {
                   case a: org.apache.spark.sql.catalyst.expressions
                       .AttributeReference => a.name.equalsIgnoreCase(k)
                   case UnresolvedAttribute(parts) =>
-                    parts.last.equalsIgnoreCase(k)
+                    parts.last.equalsIgnoreCase(k) &&
+                      (parts.length == 1 || (parts.length == 2 &&
+                        parts.head.equalsIgnoreCase(tAlias)))
                   case _ => false
                 }
                 if (identity) None

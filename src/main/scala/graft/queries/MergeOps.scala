@@ -662,6 +662,83 @@ object MergeOps {
              |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
              |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Q145 CTAS (r19): `CREATE TABLE ... USING graft ... AS SELECT` —
+    // the one DDL form r18 left out. The law this rig hash-gates:
+    //   (a) CTAS == CREATE + INSERT, row for row (both variants read
+    //       back against ONE recompute, tagged);
+    //   (b) IF NOT EXISTS CTAS is a WHOLE-STATEMENT no-op — the rig
+    //       re-runs the CTAS with +1000000-shifted keys, and the
+    //       read-back proving the table untouched IS the gated result;
+    //   (c) the seed commit's provenance is pinned OBSERVABLY: each
+    //       variant's row carries its v1 operation tag from DESCRIBE
+    //       HISTORY ('create-as-select' vs 'insert'), which the oracle
+    //       hardcodes.
+    QueryDef("q145_sql_ctas",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val dirA = stateDirFor(s, "ctas145a", d)
+        val dirB = stateDirFor(s, "ctas145b", d)
+        val fs = new Path(dirA)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(dirA), true)
+        fs.delete(new Path(dirB), true)
+        userAgg(ev).createOrReplaceTempView("graft_q145_src")
+        try {
+          s.sql(
+            s"""CREATE TABLE graft_q145_ctas (PRIMARY KEY (user_id))
+               |USING graft LOCATION '$dirA' AS
+               |SELECT user_id, n_events, sum_value
+               |FROM graft_q145_src""".stripMargin)
+          // IF NOT EXISTS on a live table: the query must NOT run —
+          // shifted keys appearing in the read-back would hash-fail
+          s.sql(
+            s"""CREATE TABLE IF NOT EXISTS graft_q145_ctas
+               |(PRIMARY KEY (user_id))
+               |USING graft LOCATION '$dirA' AS
+               |SELECT user_id + 1000000 AS user_id, n_events,
+               |  sum_value
+               |FROM graft_q145_src""".stripMargin)
+          // the CREATE + INSERT twin
+          s.sql(
+            s"""CREATE TABLE graft_q145_ci (
+               |  user_id BIGINT, n_events BIGINT,
+               |  sum_value DECIMAL(18,4),
+               |  PRIMARY KEY (user_id)
+               |) USING graft LOCATION '$dirB'""".stripMargin)
+          s.sql("INSERT INTO graft_q145_ci " +
+            "SELECT user_id, n_events, sum_value FROM graft_q145_src")
+          def shaped(name: String, tag: String) = {
+            val op = s.sql(s"DESCRIBE HISTORY $name")
+              .filter(col("version") === 1L)
+              .select("operation").collect().head.getString(0)
+            s.sql(s"SELECT user_id, n_events, sum_value FROM $name")
+              .select(lit(tag).as("variant"), lit(op).as("v1_op"),
+                col("user_id"), col("n_events"),
+                col("sum_value")
+                  .cast(org.apache.spark.sql.types.DoubleType)
+                  .as("sum_value"))
+          }
+          shaped("graft_q145_ctas", "ctas")
+            .unionByName(shaped("graft_q145_ci", "create-insert"))
+            .orderBy("variant", "user_id")
+        } finally {
+          graft.operators.GraftSql.unregisterTable("graft_q145_ctas")
+          graft.operators.GraftSql.unregisterTable("graft_q145_ci")
+        }
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |a AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,4)))
+             |      AS DECIMAL(18,4)) AS sum_value
+             |  FROM e GROUP BY user_id)
+             |SELECT t.variant, t.v1_op, a.user_id, a.n_events,
+             |  CAST(a.sum_value AS DOUBLE) AS sum_value
+             |FROM a CROSS JOIN (VALUES
+             |    ('create-insert', 'insert'),
+             |    ('ctas', 'create-as-select'))
+             |  AS t(variant, v1_op)
+             |ORDER BY variant, user_id""".stripMargin)),
+
     // Q139 SQL DELETE FROM (r18): the row-level delete verb as SQL,
     // riding the deletion-vector machinery — each statement is ONE
     // predicate-pushed snapshot scan plus an O(matched keys) tombstone
@@ -770,33 +847,45 @@ object MergeOps {
         fs.delete(new Path(wh), true)
         // one catalog name per input dir: the catalog manager caches
         // the plugin WITH its options at first use, so the location
-        // must never change under a cached name
+        // must never change under a cached name. The conf itself is
+        // finally-unset below (r18 verdict hygiene note) — re-setting
+        // the SAME values next invocation re-resolves the same cached
+        // plugin, and a long-lived session no longer accumulates one
+        // conf pair per input dir.
         val cat = "gq141_" + Integer.toHexString(d.hashCode & 0x7fffffff)
         s.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.operators.GraftCatalog].getName)
         s.conf.set(s"spark.sql.catalog.$cat.location", wh)
-        s.sql(
-          s"""CREATE TABLE $cat.llm.users (
-             |  user_id BIGINT, n_events BIGINT,
-             |  sum_value DECIMAL(18,4),
-             |  PRIMARY KEY (user_id)
-             |)""".stripMargin)
-        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 0))
-          .createOrReplaceTempView("graft_q141_even")
-        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 1))
-          .createOrReplaceTempView("graft_q141_odd")
-        s.sql(s"INSERT INTO $cat.llm.users " +
-          "SELECT user_id, n_events, sum_value FROM graft_q141_even")
-        s.sql(s"INSERT INTO $cat.llm.users " +
-          "SELECT user_id, n_events, sum_value FROM graft_q141_odd")
-        s.sql(s"DELETE FROM $cat.llm.users WHERE user_id % 5 = 3")
-        s.sql(s"UPDATE $cat.llm.users " +
-          "SET sum_value = CAST(sum_value * 2 AS DECIMAL(18,4)) " +
-          "WHERE user_id % 2 = 0")
-        s.sql(
-          s"""SELECT user_id, n_events,
-             |  CAST(sum_value AS DOUBLE) AS sum_value
-             |FROM $cat.llm.users ORDER BY user_id""".stripMargin)
+        try {
+          s.sql(
+            s"""CREATE TABLE $cat.llm.users (
+               |  user_id BIGINT, n_events BIGINT,
+               |  sum_value DECIMAL(18,4),
+               |  PRIMARY KEY (user_id)
+               |)""".stripMargin)
+          userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 0))
+            .createOrReplaceTempView("graft_q141_even")
+          userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 1))
+            .createOrReplaceTempView("graft_q141_odd")
+          s.sql(s"INSERT INTO $cat.llm.users " +
+            "SELECT user_id, n_events, sum_value FROM graft_q141_even")
+          s.sql(s"INSERT INTO $cat.llm.users " +
+            "SELECT user_id, n_events, sum_value FROM graft_q141_odd")
+          s.sql(s"DELETE FROM $cat.llm.users WHERE user_id % 5 = 3")
+          s.sql(s"UPDATE $cat.llm.users " +
+            "SET sum_value = CAST(sum_value * 2 AS DECIMAL(18,4)) " +
+            "WHERE user_id % 2 = 0")
+          // the SELECT analyzes HERE (the read rule substitutes the
+          // snapshot plan at analysis), so unsetting the conf after
+          // this point cannot affect the returned frame's execution
+          s.sql(
+            s"""SELECT user_id, n_events,
+               |  CAST(sum_value AS DOUBLE) AS sum_value
+               |FROM $cat.llm.users ORDER BY user_id""".stripMargin)
+        } finally {
+          s.conf.unset(s"spark.sql.catalog.$cat")
+          s.conf.unset(s"spark.sql.catalog.$cat.location")
+        }
       },
       Some(s"""WITH e AS (${Q.EVENTS_SQL}),
              |a AS (SELECT user_id, COUNT(*) AS n_events,

@@ -1111,9 +1111,26 @@ object IngestIndex {
     * post schema added (reading old data under the new schema — the
     * same contract as every other read verb). Retention applies: a
     * step whose version dirs were GC'd fails loudly like [[tableAt]].
+    *
+    * PLAN-SIZE BOUND (r19, the r18 verdict's scale note): the plan has
+    * one Union branch per version step, so a months-long range on a
+    * high-frequency store would stress the driver/analyzer before any
+    * data is read (Delta reads a stored feed instead). The cost is
+    * plan size, never IO — per-step IO stays pinned — so the caller's
+    * remedy is CHUNKING: consume [(from, from+K], (from+K, from+2K],
+    * ...] as separate calls (the streaming `graft-cdc` source does
+    * exactly this with `maxVersionsPerTrigger`, one bounded call per
+    * micro-batch). A range wider than 512 steps throws a named error
+    * pointing there rather than silently building a degenerate plan.
     */
   def changesBetween(spark: SparkSession, stateDir: String, table: String,
       fromV: Long, toV: Long): DataFrame = {
+    require(toV - fromV <= 512,
+      s"changesBetween($fromV, $toV): ${toV - fromV} version steps " +
+        "build one Union branch each — beyond 512 the PLAN (not the " +
+        "IO) degenerates; chunk the range into consecutive calls, or " +
+        "consume it through the graft-cdc streaming source with " +
+        "maxVersionsPerTrigger")
     require(toV > fromV && fromV >= 0,
       s"changesBetween($fromV, $toV): need 0 <= from < to")
     val fs = new Path(stateDir)

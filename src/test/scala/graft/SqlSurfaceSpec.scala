@@ -631,6 +631,91 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS (r19): CREATE TABLE ... USING graft AS SELECT — schema " +
+    "inferred, seed committed as v1 with create-as-select provenance, " +
+    "IF NOT EXISTS whole-statement no-op, guard rails") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-ctas").toString + "/t"
+    (1L to 6L).map(i => (i, i * 2L, s"u$i"))
+      .toDF("user_id", "n", "tag")
+      .createOrReplaceTempView("ctas_src")
+    try {
+      val v = spark.sql(
+        s"""CREATE TABLE ctas_t (PRIMARY KEY (user_id)) USING graft
+           |LOCATION '$state' AS
+           |SELECT user_id, n, tag FROM ctas_src WHERE user_id <= 4
+           |""".stripMargin).collect().head.getLong(0)
+      assert(v == 1L, s"CTAS seeded v$v, expected v1")
+      // schema inferred from the query; contents == the query
+      val rows = spark.sql(
+        "SELECT user_id, n, tag FROM ctas_t ORDER BY 1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(rows == (1L to 4L).map(i => (i, i * 2L, s"u$i")), rows)
+      // provenance: v1 reads create-as-select
+      val hist = spark.sql("DESCRIBE HISTORY ctas_t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist(1L) == "create-as-select", hist.toString)
+      // plain CTAS on a live table: named error, table untouched
+      val e0 = intercept[Throwable] { spark.sql(
+        s"CREATE TABLE ctas_t (PRIMARY KEY (user_id)) USING graft " +
+          s"LOCATION '$state' AS SELECT * FROM ctas_src") }
+      assert(e0.getMessage.contains("never replaces a live table"),
+        e0.getMessage)
+      // IF NOT EXISTS: whole-statement no-op — the shifted query must
+      // NOT run, and the verbs still compose on the re-registration
+      spark.sql(
+        s"CREATE TABLE IF NOT EXISTS ctas_t (PRIMARY KEY (user_id)) " +
+          s"USING graft LOCATION '$state' AS " +
+          "SELECT user_id + 100 AS user_id, n, tag FROM ctas_src")
+      assert(spark.sql("SELECT MAX(user_id) AS m FROM ctas_t")
+        .collect().head.getLong(0) == 4L, "IF NOT EXISTS ran its query")
+      spark.sql("INSERT INTO ctas_t " +
+        "SELECT user_id, n, tag FROM ctas_src WHERE user_id > 4")
+      assert(spark.sql("SELECT COUNT(*) AS c FROM ctas_t")
+        .collect().head.getLong(0) == 6L)
+      // guard rails: a column list beyond the key; a key not in the
+      // query; duplicate keys in the seed (the PK guard rides the
+      // commit); all named
+      val e1 = intercept[Throwable] { spark.sql(
+        "CREATE TABLE ctas_t2 (x BIGINT, PRIMARY KEY (x)) USING " +
+          "graft LOCATION '/tmp/ctas-no' AS SELECT 1 AS x") }
+      assert(e1.getMessage.contains("ONLY the PRIMARY KEY"),
+        e1.getMessage)
+      val e2 = intercept[Throwable] { spark.sql(
+        "CREATE TABLE ctas_t3 (PRIMARY KEY (nope)) USING graft " +
+          "LOCATION '/tmp/ctas-no' AS SELECT user_id FROM ctas_src") }
+      assert(e2.getMessage.contains("not among the query's columns"),
+        e2.getMessage)
+      val dup = java.nio.file.Files
+        .createTempDirectory("graft-ctasdup").toString + "/t"
+      val e3 = intercept[Throwable] { spark.sql(
+        s"CREATE TABLE ctas_dup (PRIMARY KEY (k)) USING graft " +
+          s"LOCATION '$dup' AS SELECT user_id % 2 AS k FROM ctas_src") }
+      assert(e3.getMessage.contains("duplicate PRIMARY KEY"),
+        e3.getMessage)
+      graft.operators.GraftSql.unregisterTable("ctas_dup")
+      // extension-free twin routes the same statement
+      val state2 = java.nio.file.Files
+        .createTempDirectory("graft-ctas2").toString + "/t"
+      graft.operators.GraftSql.sql(spark,
+        s"CREATE TABLE ctas_twin (PRIMARY KEY (user_id)) USING graft " +
+          s"LOCATION '$state2' AS SELECT user_id, n FROM ctas_src")
+        .collect()
+      assert(graft.operators.GraftSql.sql(spark,
+        "SELECT COUNT(*) AS c FROM ctas_twin")
+        .collect().head.getLong(0) == 6L)
+      graft.operators.GraftSql.unregisterTable("ctas_twin")
+    } finally {
+      graft.operators.GraftSql.unregisterTable("ctas_t")
+      graft.streaming.IngestIndex.unregisterKeyCols("ctas_t")
+      graft.streaming.IngestIndex.unregisterKeyCols("ctas_dup")
+      graft.streaming.IngestIndex.unregisterKeyCols("ctas_twin")
+    }
+  }
+
   test("DELETE FROM / UPDATE (r18): row-level DML through spark.sql — " +
     "DV tombstones, copy-on-write update, truncate form, no-op on an " +
     "empty table, guard rails, extension-free twin") {
@@ -690,6 +775,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "UPDATE dml_users SET user_id = user_id + 1") }
       assert(e1.getMessage.contains("reassigning the merge key"),
         e1.getMessage)
+      // a FOREIGN-qualified RHS is a genuine reassignment, not the
+      // identity no-op (r19 advisor fix): `SET user_id = foo.user_id`
+      // must raise, never silently drop
+      val e1b = intercept[Throwable] { spark.sql(
+        "UPDATE dml_users AS t SET user_id = foo.user_id") }
+      assert(e1b.getMessage.contains("reassigning the merge key"),
+        e1b.getMessage)
+      // ... while the TARGET-qualified identity stays a no-op
+      spark.sql(
+        "UPDATE dml_users AS t SET user_id = t.user_id, score = score")
+        .collect()
       val e2 = intercept[Throwable] { spark.sql(
         "DELETE FROM dml_users WHERE nope = 1").collect() }
       assert(e2.getMessage.contains("not a column"), e2.getMessage)

@@ -340,4 +340,75 @@ class ChangesSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("3 arguments"), e2.getMessage)
     } finally graft.operators.GraftSql.unregisterTable("changes_tvf_state")
   }
+
+  test("table_changes TIMESTAMP bounds (r19): string/timestamp " +
+    "literals resolve through versionAt (the one travel rule), mixed " +
+    "forms compose, pre-history instants throw the named error") {
+    val s = TestSpark.spark
+    val state = stage("tvfts")
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val m1 = commit(state, Map.empty, 1L, seedRows(5), (_, d) => d)
+    commit(state, m1, 2L,
+      seedRows(5).filter(col("user_id") === 1)
+        .withColumn("n_events", lit(77L)),
+      (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+        "left_anti").unionByName(d))
+    graft.operators.GraftSql.registerTable("changes_ts_state", state,
+      "state")
+    try {
+      val hist = IngestIndex.describeHistory(fs, state)
+        .map(h => h.version -> h.manifestMtime).toMap
+      def iso(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val expect = s.sql(
+        """SELECT * FROM table_changes('changes_ts_state', 1, 2)
+          |ORDER BY user_id, _change_type""".stripMargin)
+        .collect().toSeq
+      // string bounds: an instant in [v1, v2) resolves to 1, an
+      // instant at/after v2's commit resolves to 2 — the SAME rule as
+      // TIMESTAMP AS OF (versionAt), so the surfaces cannot disagree
+      val viaTs = s.sql(
+        s"""SELECT * FROM table_changes('changes_ts_state',
+           |  '${iso(hist(2L) - 1)}', '${iso(hist(2L))}')
+           |ORDER BY user_id, _change_type""".stripMargin)
+        .collect().toSeq
+      assert(viaTs == expect, "timestamp bounds != version bounds")
+      // mixed: integer from-version + timestamp to-bound
+      val mixed = s.sql(
+        s"""SELECT * FROM table_changes('changes_ts_state', 1,
+           |  '${iso(hist(2L))}')
+           |ORDER BY user_id, _change_type""".stripMargin)
+        .collect().toSeq
+      assert(mixed == expect, "mixed bounds != version bounds")
+      // pre-history instant: versionAt's named retention error
+      val e = intercept[Throwable] {
+        s.sql("SELECT * FROM table_changes('changes_ts_state', " +
+          "'1970-01-02 00:00:00', 2)")
+      }
+      assert(e.getMessage.contains("precedes every retained commit"),
+        e.getMessage)
+      // equal resolved bounds: the changesBetween contract error (a
+      // named from<to requirement, not a silent empty result)
+      val e2 = intercept[Throwable] {
+        s.sql(s"SELECT * FROM table_changes('changes_ts_state', " +
+          s"'${iso(hist(2L))}', '${iso(hist(2L))}')")
+      }
+      assert(e2.getMessage.contains("need 0 <= from < to"),
+        e2.getMessage)
+    } finally graft.operators.GraftSql.unregisterTable("changes_ts_state")
+  }
+
+  test("changesBetween range bound (r19): a >512-step range throws the " +
+    "named chunking error instead of building a degenerate plan") {
+    val s = TestSpark.spark
+    val state = stage("bound")
+    commit(state, Map.empty, 1L, seedRows(3), (_, d) => d)
+    val e = intercept[IllegalArgumentException] {
+      IngestIndex.changesBetween(s, state, "state", 0L, 600L)
+    }
+    assert(e.getMessage.contains("chunk the range"), e.getMessage)
+  }
 }
