@@ -844,6 +844,100 @@ object StreamingDemo {
              |FROM per JOIN dim USING (user_id)
              |GROUP BY nation ORDER BY nation""".stripMargin)),
 
+    // Q144 STREAMING SOURCE OVER THE STORE (r19): the `graft-cdc`
+    // readStream surface — Delta's readChangeFeed-streaming equivalent
+    // with NO feed artifact anywhere: the producer only commits store
+    // versions; each consumer micro-batch IS the store's retroactive
+    // change computation (changesBetween — per-step reads restricted to
+    // each commit's bucket footprint). The rig builds the q130
+    // delete-bearing store in TWO stages to pin the mid-stream seam:
+    //   1. replay batches 0-1 commit v1-v2;
+    //   2. consumer "catchup" STARTS here — snapshot bootstrap at v2
+    //      (the source emits the v2 snapshot as its first batch's
+    //      inserts: q133's rule, now inside the source);
+    //   3. replay batches 2-3 commit v3-v4;
+    //   4. consumer "tail" reads startingVersion=1 (the full history
+    //      as changes), and "catchup" RESUMES on its checkpoint,
+    //      consuming exactly (v2, v4] — across delete chains the
+    //      boundary splits.
+    // Both consumers' views must hash-equal the direct recompute
+    // (q130b's oracle, duplicated per consumer tag) — the consumer's
+    // start position and the snapshot/tail seam are unobservable.
+    QueryDef("q144_cdc_source_stream",
+      (s, d) => {
+        val s2 = streamSession(s)
+        val base = java.nio.file.Files.createTempDirectory("graft-q144")
+        Layout.trackTemp(base.toString)
+        val replay = s"$base/replay"
+        val state = s"$base/state"
+        val events = graft.Q.events(s, d)
+        val fs = new org.apache.hadoop.fs.Path(replay)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(replay))
+        def stage(k: Int): Unit = graft.streaming.ReplayStage
+          .stageSlice(fs, replay, k,
+            events.filter(pmod(col("event_id"), lit(4)) === k))
+        stage(0); stage(1)
+        graft.streaming.CdfStream.runUpsertCdf(s2, replay, state,
+          s"$base/cdf", retain = 8, deleteMod = Some(CdcDeleteMod))
+        graft.operators.GraftSql.registerTable("graft_q144_state",
+          state, "state")
+        try {
+          // catch-up consumer, phase 1: snapshot bootstrap at v2
+          graft.streaming.CdfStream.maintainViewFromCdc(s2,
+            "graft_q144_state", d, s"$base/viewB",
+            startingVersion = None)
+          // the store advances AFTER that consumer's first run
+          stage(2); stage(3)
+          graft.streaming.CdfStream.runUpsertCdf(s2, replay, state,
+            s"$base/cdf", retain = 8, deleteMod = Some(CdcDeleteMod))
+          // full-history tail consumer: version 1's own changes first
+          val tail = graft.streaming.CdfStream.maintainViewFromCdc(s2,
+            "graft_q144_state", d, s"$base/viewA",
+            startingVersion = Some(1L))
+          // catch-up consumer, phase 2: resumes its checkpoint, reads
+          // exactly the commits that landed in between
+          val catchup = graft.streaming.CdfStream.maintainViewFromCdc(
+            s2, "graft_q144_state", d, s"$base/viewB",
+            startingVersion = None)
+          def shaped(v: org.apache.spark.sql.DataFrame, tag: String) =
+            v.filter(col("n_users") > 0)
+              .select(lit(tag).as("consumer"), col("nation"),
+                col("n_users"), col("n_events"),
+                col("sum_value")
+                  .cast(org.apache.spark.sql.types.DoubleType)
+                  .as("sum_value"))
+          shaped(tail, "tail").unionByName(shaped(catchup, "catchup"))
+            .orderBy("consumer", "nation")
+        } finally graft.operators.GraftSql.unregisterTable(
+          "graft_q144_state")
+      },
+      Some(s"""WITH e AS (SELECT user_id, value, event_id % 4 AS b
+             |  FROM events),
+             |d AS (SELECT du.user_id,
+             |    CASE WHEN du.user_id % $CdcDeleteMod <= 3 AND EXISTS (
+             |        SELECT 1 FROM e e2 WHERE e2.user_id = du.user_id
+             |          AND e2.b = du.user_id % $CdcDeleteMod)
+             |      THEN du.user_id % $CdcDeleteMod ELSE -1 END AS dk
+             |  FROM (SELECT DISTINCT user_id FROM e) du),
+             |per AS (SELECT e.user_id, COUNT(*) AS n,
+             |    SUM(CAST(e.value AS DECIMAL(18,4))) AS sv
+             |  FROM e JOIN d ON d.user_id = e.user_id
+             |  WHERE e.b > d.dk GROUP BY e.user_id),
+             |dim AS (SELECT c_custkey AS user_id, n_name AS nation
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             |v AS (SELECT nation, COUNT(*) AS n_users,
+             |    CAST(SUM(n) AS BIGINT) AS n_events,
+             |    CAST(CAST(SUM(sv) AS DECIMAL(18,4)) AS DOUBLE)
+             |      AS sum_value
+             |  FROM per JOIN dim USING (user_id)
+             |  GROUP BY nation)
+             |SELECT c.consumer, v.nation, v.n_users, v.n_events,
+             |  v.sum_value
+             |FROM v CROSS JOIN (VALUES ('catchup'), ('tail'))
+             |  AS c(consumer)
+             |ORDER BY consumer, nation""".stripMargin)),
+
     // Q125 STREAMING CDC CONSUMER (r14): q123's view maintained by a
     // SECOND STREAM reading the q120 feed as a file source — the
     // downstream half of a chained CDC pipeline (table -> change feed ->

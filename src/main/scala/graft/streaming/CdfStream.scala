@@ -257,6 +257,95 @@ object CdfStream {
       fromBatch = fromVersion)
   }
 
+  /** One trigger's change slice reduced to SIGNED per-nation deltas —
+    * the fold both view consumers share: preimages AND deletes subtract
+    * (a delete carries the removed image — the negative term that
+    * cancels its accumulated contributions); inserts/postimages add.
+    * `opCol` names the op column (`op` in the feed artifact,
+    * `_change_type` from the graft-cdc source — same vocabulary). */
+  private def signedNationDelta(batch: DataFrame, dim: DataFrame,
+      opCol: String): DataFrame = {
+    val op = col(opCol)
+    val sgn = when(op === "update_preimage" || op === "delete",
+      lit(-1L)).otherwise(lit(1L))
+    batch.join(dim, "user_id")
+      .groupBy("nation")
+      .agg(
+        sum(when(op === "insert", 1L)
+          .when(op === "delete", -1L).otherwise(0L)).as("n_users"),
+        sum(sgn * col("n_events")).as("n_events"),
+        sum((sgn.cast(dec) * col("sum_value").cast(dec)).cast(dec))
+          .cast(dec).as("sum_value"))
+  }
+
+  /** MERGE a signed per-nation delta into the view store as version
+    * `next` (reads the manifest at `next - 1`) — the associative
+    * accumulate both consumers commit per trigger. */
+  private def commitViewDelta(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, viewDir: String,
+      next: Long, delta: DataFrame): Unit = {
+    val m = IngestIndex.readManifest(fs, viewDir, next - 1)
+    val viewMap = IngestIndex.mergeCommit(spark, viewDir, m,
+      "view", next, delta,
+      (cur, d) => cur
+        .select(col("nation"), col("n_users").as("c_u"),
+          col("n_events").as("c_e"), col("sum_value").as("c_v"))
+        .join(d, Seq("nation"), "full_outer")
+        .select(col("nation"),
+          (coalesce(col("c_u"), lit(0L))
+            + coalesce(col("n_users"), lit(0L))).as("n_users"),
+          (coalesce(col("c_e"), lit(0L))
+            + coalesce(col("n_events"), lit(0L))).as("n_events"),
+          (coalesce(col("c_v"), lit(0).cast(dec))
+            + coalesce(col("sum_value"), lit(0).cast(dec)))
+            .cast(dec).as("sum_value")))
+    IngestIndex.writeManifest(fs, viewDir, next,
+      Map("view" -> viewMap))
+    IngestIndex.gc(fs, viewDir, next - 1, next)
+  }
+
+  /** q144: the view maintained from the STORE'S OWN VERSIONS through
+    * the `graft-cdc` streaming source ([[GraftCdcSource]]) — no feed
+    * artifact anywhere: the producer only commits store versions, and
+    * the consumer's micro-batches ARE the store's retroactive change
+    * rows (`changesBetween`, per-step reads restricted to each commit's
+    * bucket footprint). Two start modes, both exercised by q144:
+    * `startingVersion = Some(v)` tails the history from version v;
+    * `None` bootstraps from ONE snapshot read at stream start (the
+    * source emits it as the first batch's `insert` rows — q133's
+    * catch-up rule, now INSIDE the source, so the consumer's algebra is
+    * start-mode-agnostic). Resuming with the same `viewDir` continues
+    * from the checkpoint — a later call catches up on commits that
+    * landed in between (the mid-stream-arrival seam q144 pins).
+    * Returns the completed view. */
+  def maintainViewFromCdc(spark: SparkSession, storeName: String,
+      sfDir: String, viewDir: String,
+      startingVersion: Option[Long]): DataFrame = {
+    val dim = EventStream.userNationDim(spark, sfDir)
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.format("graft-cdc")
+      .option("name", storeName)
+    startingVersion.foreach(v =>
+      reader.option("startingVersion", v.toString))
+    val q = reader.load()
+      .writeStream
+      .option("checkpointLocation", s"$viewDir/_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitViewDelta(spark, fs, viewDir, batchId + 1,
+          signedNationDelta(batch, dim, "_change_type"))
+        ()
+      }
+      // ProcessingTime(0) + processAllAvailable, NOT AvailableNow: the
+      // AvailableNow wrapper for generic V1 sources pins ONE end offset
+      // at start, which would collapse the per-version batches (and
+      // any rate limit) into a single batch
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    IngestIndex.currentTable(spark, viewDir, "view")
+  }
+
   private def maintainViewImpl(spark: SparkSession, feedGlob: String,
       sfDir: String, viewDir: String, seed: Option[() => DataFrame],
       fromBatch: Long): DataFrame = {
@@ -289,48 +378,16 @@ object CdfStream {
       .writeStream
       .option("checkpointLocation", s"$viewDir/_checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // preimages AND deletes subtract (a delete carries the removed
-        // row's image — the negative term that cancels its accumulated
-        // contributions); inserts/postimages add. Feeds without deletes
-        // (q123/q125) see the identical algebra as before. A catch-up
-        // consumer drops rows its bootstrap snapshot already contains
-        // (batch_id < fromBatch) — the file source still delivers the
-        // files, the filter nets their deltas to nothing.
-        val sgn = when(col("op") === "update_preimage"
-          || col("op") === "delete", lit(-1L)).otherwise(lit(1L))
-        // delta columns carry the VIEW's names (they are signed deltas of
-        // those columns) so mergeCommit's batch-shaped empty frame IS
-        // view-shaped on the first trigger
-        val delta = batch
-          .filter(col("batch_id") >= fromBatch)
-          .join(dim, "user_id")
-          .groupBy("nation")
-          .agg(
-            sum(when(col("op") === "insert", 1L)
-              .when(col("op") === "delete", -1L).otherwise(0L))
-              .as("n_users"),
-            sum(sgn * col("n_events")).as("n_events"),
-            sum((sgn.cast(dec) * col("sum_value").cast(dec)).cast(dec))
-              .cast(dec).as("sum_value"))
-        val m = IngestIndex.readManifest(fs, viewDir, batchId + vOff)
-        val next = batchId + vOff + 1
-        val viewMap = IngestIndex.mergeCommit(spark, viewDir, m,
-          "view", next, delta,
-          (cur, d) => cur
-            .select(col("nation"), col("n_users").as("c_u"),
-              col("n_events").as("c_e"), col("sum_value").as("c_v"))
-            .join(d, Seq("nation"), "full_outer")
-            .select(col("nation"),
-              (coalesce(col("c_u"), lit(0L))
-                + coalesce(col("n_users"), lit(0L))).as("n_users"),
-              (coalesce(col("c_e"), lit(0L))
-                + coalesce(col("n_events"), lit(0L))).as("n_events"),
-              (coalesce(col("c_v"), lit(0).cast(dec))
-                + coalesce(col("sum_value"), lit(0).cast(dec)))
-                .cast(dec).as("sum_value")))
-        IngestIndex.writeManifest(fs, viewDir, next,
-          Map("view" -> viewMap))
-        IngestIndex.gc(fs, viewDir, batchId + vOff, next)
+        // the shared signed fold ([[signedNationDelta]] — delta columns
+        // carry the VIEW's names so mergeCommit's batch-shaped empty
+        // frame IS view-shaped on the first trigger). Feeds without
+        // deletes (q123/q125) see the identical algebra as before. A
+        // catch-up consumer drops rows its bootstrap snapshot already
+        // contains (batch_id < fromBatch) — the file source still
+        // delivers the files, the filter nets their deltas to nothing.
+        commitViewDelta(spark, fs, viewDir, batchId + vOff + 1,
+          signedNationDelta(
+            batch.filter(col("batch_id") >= fromBatch), dim, "op"))
         ()
       }
       .trigger(Trigger.AvailableNow())

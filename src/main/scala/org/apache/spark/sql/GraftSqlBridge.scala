@@ -25,6 +25,22 @@ object GraftSqlBridge {
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** `df`'s plan re-issued as a STREAMING DataFrame (r19): the V1
+    * streaming Source contract requires `getBatch` to return a frame
+    * with `isStreaming = true`, but a change-computation plan over
+    * batch parquet leaves is not one. Delta's source solves this by
+    * building its batch frame through `internalCreateDataFrame(rdd,
+    * schema, isStreaming = true)` — the same `private[sql]` door
+    * re-exported here. The RDD is `queryExecution.toRdd`, which is
+    * LAZY: the whole distributed plan (joins, excepts, pruned scans)
+    * executes only when the micro-batch's sink consumes it — nothing
+    * is collected or materialized at wrap time. */
+  def streamingFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
   /** The session's registered catalog plugin `name`, when one exists —
     * `sessionState.catalogManager` is private[sql], re-exported here so
     * graft's lakehouse-verb statements can resolve `<catalog>.<ns>.<t>`

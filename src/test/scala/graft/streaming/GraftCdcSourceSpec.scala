@@ -1,0 +1,223 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graft-cdc` streaming source (r19): store versions as streaming
+  * offsets — one batch per version under the rate limit, each batch ==
+  * `changesBetween` verbatim (whose per-step IO footprint ChangesSpec
+  * pins on executed-plan metrics), snapshot bootstrap persisted across
+  * restarts, named errors for the contract edges.
+  */
+class GraftCdcSourceSpec extends AnyFunSuite {
+
+  private val dec = DecimalType(18, 4)
+
+  private def stage(kind: String): String =
+    java.nio.file.Files
+      .createTempDirectory(s"graft-cdcsrc-$kind").toString + "/state"
+
+  private def commit(state: String, m: IngestIndex.Manifest, next: Long,
+      delta: DataFrame,
+      combine: (DataFrame, DataFrame) => DataFrame)
+      : IngestIndex.Manifest = {
+    val s = TestSpark.spark
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val map = IngestIndex.mergeCommit(s, state, m, "state", next, delta,
+      combine)
+    val nm: IngestIndex.Manifest = m + ("state" -> map)
+    IngestIndex.writeManifest(fs, state, next, nm)
+    nm
+  }
+
+  private def seedRows(n: Int): DataFrame = {
+    val s = TestSpark.spark
+    val sp = s
+    import sp.implicits._
+    (1 to n).map(i => (i.toLong, i * 10L, BigDecimal(i) * 2))
+      .toDF("user_id", "n_events", "sum_value")
+      .select(col("user_id"), col("n_events"),
+        col("sum_value").cast(dec).as("sum_value"))
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select(df.columns.sorted.toSeq.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+
+  /** Run a graft-cdc stream to exhaustion, collecting each micro-batch
+    * (batchId -> canonical rows). `checkpoint` empty => fresh dir. */
+  private def drain(name: String, checkpoint: String,
+      options: Map[String, String])
+      : scala.collection.mutable.ArrayBuffer[(Long, Seq[String])] = {
+    val s = TestSpark.spark
+    val got =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    var reader = s.readStream.format("graft-cdc").option("name", name)
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        got.synchronized { got += id -> canon(b.toDF()); () }
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    got
+  }
+
+  test("startingVersion + maxVersionsPerTrigger=1: ONE micro-batch per " +
+    "store version, each batch == changesBetween of exactly that step") {
+    val s = TestSpark.spark
+    val state = stage("tail")
+    val m1 = commit(state, Map.empty, 1L, seedRows(6), (_, d) => d)
+    // v2 updates one key; v3 deletes two via a deletion vector
+    val m2 = commit(state, m1, 2L,
+      seedRows(6).filter(col("user_id") === 2)
+        .withColumn("n_events", lit(99L)),
+      (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+        "left_anti").unionByName(d))
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sp = s
+    import sp.implicits._
+    val m3 = IngestIndex.deleteWithDv(s, state, m2, "state", 3L,
+      Seq(3L, 5L).toDF("user_id"))
+    IngestIndex.writeManifest(fs, state, 3L, m3)
+    graft.operators.GraftSql.registerTable("cdcsrc_tail", state, "state")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("cdcsrc-ckpt").toString
+      val got = drain("cdcsrc_tail", ckpt,
+        Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "1"))
+      assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L), got.map(_._1))
+      (1 to 3).foreach { v =>
+        val expect = canon(IngestIndex.changesBetween(s, state, "state",
+          v - 1L, v.toLong))
+        assert(got(v - 1)._2 == expect,
+          s"batch ${v - 1} != changes(${v - 1}, $v)")
+      }
+      // nothing new: a re-drained checkpoint emits no batches
+      val again = drain("cdcsrc_tail", ckpt,
+        Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "1"))
+      assert(again.isEmpty, again.toString)
+    } finally graft.operators.GraftSql.unregisterTable("cdcsrc_tail")
+  }
+
+  test("snapshot bootstrap: first batch is the CURRENT snapshot as " +
+    "inserts (bootstrap version persisted in the checkpoint); a resumed " +
+    "stream consumes exactly the commits that landed in between") {
+    val s = TestSpark.spark
+    val state = stage("boot")
+    val m1 = commit(state, Map.empty, 1L, seedRows(5), (_, d) => d)
+    val m2 = commit(state, m1, 2L,
+      seedRows(5).filter(col("user_id") === 1)
+        .withColumn("n_events", lit(42L)),
+      (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+        "left_anti").unionByName(d))
+    graft.operators.GraftSql.registerTable("cdcsrc_boot", state, "state")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("cdcsrc-boot").toString
+      val phase1 = drain("cdcsrc_boot", ckpt, Map.empty)
+      assert(phase1.size == 1, phase1.map(_._1))
+      val snapAsInserts = canon(
+        IngestIndex.tableAt(s, state, "state", 2L)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(2L)))
+      assert(phase1.head._2 == snapAsInserts,
+        "bootstrap batch != snapshot-as-inserts")
+      // the bootstrap is a one-time event, recorded in the checkpoint
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$ckpt/sources/0/graft-cdc-bootstrap")))
+      // the store advances while the consumer is down...
+      commit(state, m2, 3L,
+        seedRows(7).filter(col("user_id") > 5), // inserts 6, 7
+        (cur, d) => cur.unionByName(d))
+      // ...and the resumed stream reads exactly (2, 3]
+      val phase2 = drain("cdcsrc_boot", ckpt, Map.empty)
+      assert(phase2.size == 1, phase2.map(_._1))
+      assert(phase2.head._2 ==
+        canon(IngestIndex.changesBetween(s, state, "state", 2L, 3L)),
+        "catch-up batch != changes(2, 3)")
+    } finally graft.operators.GraftSql.unregisterTable("cdcsrc_boot")
+  }
+
+  test("offsets: json round-trip, SerializedOffset acceptance, named " +
+    "errors for bad options and unknown names") {
+    val o = GraftCdcOffset(7L, 2L)
+    assert(GraftCdcOffset.parse(o.json) == o)
+    assert(GraftCdcOffset.of(
+      org.apache.spark.sql.execution.streaming.runtime
+        .SerializedOffset(o.json)) == o)
+    intercept[IllegalArgumentException] {
+      GraftCdcOffset.parse("{\"nope\":1}") }
+    val s = TestSpark.spark
+    val e1 = intercept[Exception] {
+      s.readStream.format("graft-cdc")
+        .option("name", "cdcsrc_no_such").load() }
+    assert(e1.getMessage.contains("not a registered graft store"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      s.readStream.format("graft-cdc").load() }
+    assert(e2.getMessage.contains("option"), e2.getMessage)
+  }
+
+  test("schema widening: a LIVE stream crossing it fails with the " +
+    "named restart error; a RESTART (and a fresh stream) adopts the " +
+    "widened schema and null-fills pre-widening steps") {
+    val s = TestSpark.spark
+    val state = stage("widen")
+    val m1 = commit(state, Map.empty, 1L, seedRows(4), (_, d) => d)
+    graft.operators.GraftSql.registerTable("cdcsrc_widen", state,
+      "state")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("cdcsrc-widen").toString
+      // phase 1 fixes this lineage's first batches at the 3-col shape
+      drain("cdcsrc_widen", ckpt, Map("startingVersion" -> "1"))
+      // v2 widens in place (q128's law: only touched buckets carry the
+      // new column)
+      commit(state, m1, 2L,
+        seedRows(4).filter(col("user_id") === 1)
+          .withColumn("tag", lit("x")),
+        (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+          "left_anti").withColumn("tag", lit(null)
+            .cast(org.apache.spark.sql.types.StringType))
+          .unionByName(d))
+      // a LIVE stream instance declared pre-widening hits the named
+      // error when its next batch carries the new column (the align
+      // guard — exercised directly: a running query's source instance
+      // keeps its creation-time schema)
+      val narrow = org.apache.spark.sql.types.StructType(
+        seedRows(1).schema.fields.toSeq ++ GraftCdcSource.ChangeFields)
+      val e = intercept[IllegalStateException] {
+        GraftCdcSource.align("cdcsrc_widen",
+          IngestIndex.changesBetween(s, state, "state", 1L, 2L),
+          narrow)
+      }
+      assert(e.getMessage.contains("restart the stream"), e.getMessage)
+      // the RESTART adopts: the resumed lineage re-declares from the
+      // store's current (widened) schema and consumes (1, 2] with tag
+      val resumed = drain("cdcsrc_widen", ckpt,
+        Map("startingVersion" -> "1"))
+      assert(resumed.size == 1, resumed.map(_._1))
+      // a fresh stream replays the whole history under the widened
+      // schema; the v1 step's rows null-fill `tag` (read-old-under-new)
+      val fresh = drain("cdcsrc_widen", java.nio.file.Files
+        .createTempDirectory("cdcsrc-widen2").toString,
+        Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "1"))
+      assert(fresh.size == 2, fresh.map(_._1))
+      // every v1-step row carries a null (the null-filled tag; no
+      // other column of the seed is nullable-null)
+      assert(fresh.head._2.nonEmpty &&
+        fresh.head._2.forall(_.contains("null")),
+        fresh.head._2.mkString("; "))
+    } finally graft.operators.GraftSql.unregisterTable("cdcsrc_widen")
+  }
+}
