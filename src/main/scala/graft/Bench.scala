@@ -93,6 +93,18 @@ object Bench {
           s"(streaming queries will retry lazily): $e")
     }
 
+    // BOX-CALIBRATION ANCHOR (r19): the pinned CPU + shuffle pair, timed
+    // after warmup and emitted in the JSON — certified bands are RATIOS
+    // to this denominator, so a judge can adjudicate movers across box
+    // states without rebuilding old code (graft.tools.Anchor's doc).
+    val (anchorCpu, anchorShuffle) =
+      try { graft.tools.Anchor.warm(spark); graft.tools.Anchor.run(spark) }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] anchor failed (ratios unavailable " +
+          s"this run): $e")
+        (-1.0, -1.0)
+      }
+
     // a failed query is reported as -1, never as a plausible duration —
     // a regression must not read as a speedup. Each query is timed over
     // BENCH_RUNS runs (default 3) and the minimum reported: min-of-N is
@@ -118,7 +130,10 @@ object Bench {
       "q104_streaming_ingest_dedup", "q111_streaming_heavy_hitters",
       "q120_change_data_feed", "q125_streaming_cdc_view",
       "q130_cdc_deletes", "q130b_cdc_delete_view",
-      "q132_erasure_stream_dv", "q133_cdc_catchup_view")
+      "q132_erasure_stream_dv", "q133_cdc_catchup_view",
+      // r19: producer replay + three consumer stream runs per
+      // invocation — deterministic rig work end to end
+      "q144_cdc_source_stream")
     // RIG-REPLAY tier (r17, the r16 forward note's wall control): these
     // queries rebuild their ENTIRE store/layout from scratch on every
     // invocation (the operator IS the rig — multi-commit stores), so
@@ -141,7 +156,9 @@ object Bench {
       "q132b_interleaved_upsert_erasure", "q138_sql_create_insert",
       // r18 DML verbs: each rebuilds + registers a store per invocation
       "q139_sql_delete", "q140_sql_update", "q141_catalog_sql_lifecycle",
-      "q142_table_changes", "q143_alter_add_column")
+      "q142_table_changes", "q143_alter_add_column",
+      // r19: two stores created + seeded per invocation
+      "q145_sql_ctas")
     // the name lists are hand-maintained — validate them against the
     // live query surface so a renamed/removed replay query fails LOUDLY
     // here instead of silently re-gaining min-of-3 (r16 advisor fix);
@@ -198,7 +215,8 @@ object Bench {
     // timed over fewer runs (the full-replay min-of-2 convention)
     val reduced = results.map(_._1).filter(n => runsFor(n) != runs)
       .map(n => "\"" + n + "\":" + runsFor(n)).mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reduced_runs":$reduced,"queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val anchor = s"""{"cpu":$anchorCpu,"shuffle":$anchorShuffle,"total":${anchorCpu + anchorShuffle}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reduced_runs":$reduced,"anchor":$anchor,"queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // stdout (bare — build.sbt routes the forked JVM through StdoutOutput so
     // no "[info] " prefix corrupts the line) plus a file fallback for any
     // harness that prefers reading a path over scraping a process tail.

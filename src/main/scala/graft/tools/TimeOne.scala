@@ -27,6 +27,12 @@ object TimeOne {
       println(s"[time] conf $k=$v")
       spark.conf.set(k, v)
     }
+    // box-calibration anchor (r19): print the denominator so readings
+    // from different box states compare as ratios (Anchor's doc)
+    Anchor.warm(spark)
+    val (ac, as) = Anchor.run(spark)
+    println(f"[time] anchor cpu=$ac%.2f shuffle=$as%.2f " +
+      f"total=${ac + as}%.2f s")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
