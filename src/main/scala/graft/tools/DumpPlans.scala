@@ -594,6 +594,30 @@ object DumpPlans {
         |hidden rows surface as deletes through the tombstone keys'
         |covering buckets. The TVF layer is Spark's own table-function
         |resolution; the plan below IS the DataFrame verb's.""".stripMargin,
+    "q144_cdc_source_stream" ->
+      """The two CDC-source consumers' view read-back (r19) — the plan
+        |below is two bkt-pruned view-store unions tagged and
+        |concatenated. The interesting plans ran inside the stream:
+        |each micro-batch of the `graft-cdc` source IS
+        |changesBetween's footprint-restricted diff (q142's pinned
+        |shape — per-step scans carry the bkt partition filter; the
+        |ChangesSpec IO law asserts <= 1 file per one-bucket step on
+        |executed metrics), wrapped lazily via queryExecution.toRdd +
+        |internalCreateDataFrame(isStreaming=true) — Delta's own V1
+        |Source architecture, nothing collected or staged. The
+        |snapshot-bootstrap batch is ONE pruned tableAt scan; the
+        |consumer folds signed per-nation deltas through a broadcast
+        |dim join into O(nations)-sized view commits.""".stripMargin,
+    "q145_sql_ctas" ->
+      """CTAS read-back (r19): both variants' stores read as the same
+        |bkt-pruned manifest union — the CTAS seed commit reused
+        |insertAligned verbatim (PK guards riding the commit's own key
+        |window + slice join), so CREATE+seed vs CREATE+INSERT are
+        |plan-identical by construction; only the v1 op tag differs
+        |(create-as-select), emitted here as a literal column the
+        |oracle hardcodes. The IF-NOT-EXISTS re-run contributed
+        |NOTHING to this plan — the statement no-ops before its query
+        |analyzes.""".stripMargin,
     "q143_alter_add_column" ->
       """The read-back after ALTER TABLE ADD COLUMNS + one widening
         |UPDATE + a 3-column INSERT (r18): the bkt-pruned manifest
