@@ -133,7 +133,10 @@ object Bench {
       "q132_erasure_stream_dv", "q133_cdc_catchup_view",
       // r19: producer replay + three consumer stream runs per
       // invocation — deterministic rig work end to end
-      "q144_cdc_source_stream")
+      "q144_cdc_source_stream",
+      // r19: one full source->replica replication stream per
+      // invocation (the source store itself is memoized rig)
+      "q146_cdc_replication")
     // RIG-REPLAY tier (r17, the r16 forward note's wall control): these
     // queries rebuild their ENTIRE store/layout from scratch on every
     // invocation (the operator IS the rig — multi-commit stores), so

@@ -870,13 +870,24 @@ object StreamingDemo {
         Layout.trackTemp(base.toString)
         val replay = s"$base/replay"
         val state = s"$base/state"
-        val events = graft.Q.events(s, d)
         val fs = new org.apache.hadoop.fs.Path(replay)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.mkdirs(new org.apache.hadoop.fs.Path(replay))
-        def stage(k: Int): Unit = graft.streaming.ReplayStage
-          .stageSlice(fs, replay, k,
-            events.filter(pmod(col("event_id"), lit(4)) === k))
+        // the SLICES are memoized rig staging (one events scan per
+        // sfDir, like cdfReplayFor); the per-invocation two-STAGE
+        // arrival is a byte copy of the staged files — the seam the
+        // query pins is WHEN each slice becomes visible, not how its
+        // bytes were produced
+        val staged = cdfReplayFor(s, d)
+        def stage(k: Int): Unit = {
+          val src = new org.apache.hadoop.fs.Path(
+            staged, f"batch-$k%04d.parquet")
+          val dst = new org.apache.hadoop.fs.Path(
+            replay, f"batch-$k%04d.parquet")
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+            s.sparkContext.hadoopConfiguration)
+          graft.streaming.ReplayStage.pinFile(fs, dst, k)
+        }
         stage(0); stage(1)
         graft.streaming.CdfStream.runUpsertCdf(s2, replay, state,
           s"$base/cdf", retain = 8, deleteMod = Some(CdcDeleteMod))
@@ -937,6 +948,70 @@ object StreamingDemo {
              |FROM v CROSS JOIN (VALUES ('catchup'), ('tail'))
              |  AS c(consumer)
              |ORDER BY consumer, nation""".stripMargin)),
+
+    // Q146 STORE-TO-STORE CDC REPLICATION (r19): the q144 source piped
+    // into the q146 sink with NO user code and no feed artifact on
+    // either side — readStream.format("graft-cdc") over the
+    // delete-bearing source store, writeStream.format("graft-upsert")
+    // into a fresh replica store, one statement. maxVersionsPerTrigger
+    // = 1 makes the replica's version chain MIRROR the source's (batch
+    // k applies source version k+1 as replica version k+1 — the sink's
+    // exactly-once law), across inserts, update chains and deletes
+    // (removed users re-insert on later activity; the apply order is
+    // the version order). The gated result is the REPLICA's final
+    // contents — which must hash-equal the source's direct recompute
+    // (q130's oracle verbatim): replication is unobservable.
+    QueryDef("q146_cdc_replication",
+      (s, d) => {
+        val s2 = streamSession(s)
+        val (srcState, _, _) = cdfDelRigFor(s, d)
+        val base = java.nio.file.Files.createTempDirectory("graft-q146")
+        Layout.trackTemp(base.toString)
+        val replica = s"$base/replica"
+        graft.operators.GraftSql.registerTable("graft_q146_src",
+          srcState, "state")
+        graft.operators.GraftSql.registerTable("graft_q146_replica",
+          replica, "state")
+        try {
+          val q = s2.readStream.format("graft-cdc")
+            .option("name", "graft_q146_src")
+            .option("startingVersion", "1")
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.format("graft-upsert")
+            .option("name", "graft_q146_replica")
+            .option("checkpointLocation", s"$base/ckpt")
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          graft.streaming.IngestIndex
+            .currentTable(s, replica, "state")
+            .select(col("user_id"), col("n_events"),
+              unix_micros(col("last_ts")).as("last_ts_us"),
+              col("sum_value")
+                .cast(org.apache.spark.sql.types.DoubleType)
+                .as("sum_value"))
+            .orderBy("user_id")
+        } finally {
+          graft.operators.GraftSql.unregisterTable("graft_q146_src")
+          graft.operators.GraftSql.unregisterTable("graft_q146_replica")
+        }
+      },
+      Some(s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    value, event_id % 4 AS b FROM events),
+             |d AS (SELECT du.user_id,
+             |    CASE WHEN du.user_id % $CdcDeleteMod <= 3 AND EXISTS (
+             |        SELECT 1 FROM e e2 WHERE e2.user_id = du.user_id
+             |          AND e2.b = du.user_id % $CdcDeleteMod)
+             |      THEN du.user_id % $CdcDeleteMod ELSE -1 END AS dk
+             |  FROM (SELECT DISTINCT user_id FROM e) du)
+             |SELECT e.user_id, COUNT(*) AS n_events,
+             |  epoch_us(MAX(e.ts)) AS last_ts_us,
+             |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4)))
+             |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+             |FROM e JOIN d ON d.user_id = e.user_id
+             |WHERE e.b > d.dk
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)),
 
     // Q125 STREAMING CDC CONSUMER (r14): q123's view maintained by a
     // SECOND STREAM reading the q120 feed as a file source — the

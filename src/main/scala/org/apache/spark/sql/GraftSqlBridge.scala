@@ -41,6 +41,17 @@ object GraftSqlBridge {
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
 
+  /** The V1 Sink twin of [[streamingFrame]]: a sink's `addBatch`
+    * receives the micro-batch with a STREAMING plan, on which batch
+    * actions (joins, windows, writes) are illegal — re-issue it as a
+    * batch frame over the same lazy RDD, exactly what Spark's own
+    * ForeachBatchSink does before handing the user their frame. */
+  def batchFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
   /** The session's registered catalog plugin `name`, when one exists —
     * `sessionState.catalogManager` is private[sql], re-exported here so
     * graft's lakehouse-verb statements can resolve `<catalog>.<ns>.<t>`
