@@ -153,12 +153,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * grammar, not a provider-specific property. */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val schema = info.schema()
+    // the key arrives as a PRIMARY KEY constraint (Spark 4's native
+    // grammar on plain CREATE TABLE) or — r19, the CTAS path, whose
+    // grammar has no column list so CreateTableAsSelectExec builds a
+    // TableInfo with columns + properties only — as the 'primary_key'
+    // table property
     val keys = info.constraints().collectFirst { case pk: PrimaryKey =>
       pk.columns().map(_.fieldNames().mkString(".")).toSeq
-    }.getOrElse(throw new IllegalArgumentException(
-      s"CREATE TABLE $catName.$ident: declare PRIMARY KEY (col[, " +
-        "col...]) — the store is keyed (its bucket layout, MERGE law " +
-        "and deletion vectors all hash the key)"))
+    }.orElse(Option(info.properties().get("primary_key"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $catName.$ident: declare the key — PRIMARY " +
+          "KEY (col[, col...]) in the column list, or for CTAS (no " +
+          "column list in the grammar) TBLPROPERTIES " +
+          "('primary_key' = 'col[, col...]') — the store is keyed " +
+          "(its bucket layout, MERGE law and deletion vectors all " +
+          "hash the key)"))
     val canonKeys = keys.map { k =>
       schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(
@@ -179,15 +189,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  /** The pre-constraint createTable signature — only reachable from a
-    * caller that cannot carry constraints, so the PRIMARY KEY
-    * requirement is unmeetable by construction: name the fix. */
+  /** The pre-constraint createTable signature — a legacy caller path;
+    * delegates to the TableInfo overload, whose key resolution (PK
+    * constraint, else the 'primary_key' table property — the CTAS
+    * spelling) applies unchanged. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    throw new IllegalArgumentException(
-      s"CREATE TABLE $catName.$ident: declare PRIMARY KEY (col[, " +
-        "col...]) in the column list — graft store tables are keyed")
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"CREATE TABLE $catName.$ident: graft store tables are " +
+        "hash-bucketed by their PRIMARY KEY — PARTITIONED BY does " +
+        "not apply")
+    createTable(ident, new TableInfo.Builder()
+      .withColumns(schema.fields.map(f =>
+        org.apache.spark.sql.connector.catalog.Column
+          .create(f.name, f.dataType, f.nullable)))
+      .withProperties(properties)
+      .build())
+  }
 
   /** `ALTER TABLE <cat>.<ns>.<t> ADD COLUMNS (...)` (r18): appends the
     * columns to the DECLARED meta schema — a metadata-only write; NO

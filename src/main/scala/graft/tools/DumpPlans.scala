@@ -608,6 +608,16 @@ object DumpPlans {
         |snapshot-bootstrap batch is ONE pruned tableAt scan; the
         |consumer folds signed per-nation deltas through a broadcast
         |dim join into O(nations)-sized view commits.""".stripMargin,
+    "q146_cdc_replication" ->
+      """Replica read-back after one-statement store-to-store CDC
+        |replication (r19): the plan is a plain bkt-pruned union of
+        |the REPLICA's manifest — structurally identical to reading
+        |the source, which is the point (replication is unobservable;
+        |the oracle proves contents). Inside the stream each trigger
+        |was: one footprint-restricted changesBetween batch (q142's
+        |pinned shape) -> per-key chain netting (one key window) ->
+        |one touched-bucket commit; version chain mirrors the
+        |source's.""".stripMargin,
     "q145_sql_ctas" ->
       """CTAS read-back (r19): both variants' stores read as the same
         |bkt-pruned manifest union — the CTAS seed commit reused

@@ -87,6 +87,49 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog CTAS (r19): CREATE TABLE cat.ns.t USING graft " +
+    "TBLPROPERTIES('primary_key'=...) AS SELECT — Spark's native DSv2 " +
+    "CTAS path creates + seeds through the V1-write fallback") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.nsc")
+    Seq((1L, 10L, 0.5), (2L, 20L, 0.7), (2L, 21L, 0.9))
+      .toDF("user_id", "n_events", "score")
+      .createOrReplaceTempView("gcat_ctas_src")
+    try {
+      spark.sql(
+        """CREATE TABLE gcat.nsc.agg USING graft
+          |TBLPROPERTIES ('primary_key' = 'user_id')
+          |AS SELECT user_id, SUM(n_events) AS n_events,
+          |  COUNT(*) AS n
+          |FROM gcat_ctas_src GROUP BY user_id""".stripMargin)
+      val rows = spark.sql(
+        "SELECT user_id, n_events, n FROM gcat.nsc.agg ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(rows == Seq((1L, 10L, 1L), (2L, 41L, 2L)), rows)
+      // the created identity is a real keyed store: the PK guard holds
+      val e = intercept[Throwable] { spark.sql(
+        "INSERT INTO gcat.nsc.agg VALUES (1, 5, 1)").collect() }
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+      // every verb composes on the CTAS-created table
+      spark.sql("DELETE FROM gcat.nsc.agg WHERE user_id = 1")
+      assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.nsc.agg")
+        .collect().head.getLong(0) == 1L)
+      // no primary_key property and no constraint: the error names
+      // BOTH fixes
+      val e2 = intercept[Throwable] { spark.sql(
+        "CREATE TABLE gcat.nsc.nokeys USING graft AS " +
+          "SELECT 1L AS x") }
+      assert(e2.getMessage.contains("primary_key"), e2.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.nsc.agg")
+      graft.streaming.IngestIndex.unregisterKeyCols("nsc.agg")
+    }
+  }
+
   test("DROP NAMESPACE CASCADE unregisters the tables it deletes " +
     "(r19 advisor fix): re-creating a same-named table with a " +
     "DIFFERENT primary key in the same JVM succeeds") {
