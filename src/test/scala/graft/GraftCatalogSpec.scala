@@ -130,6 +130,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE OR REPLACE TABLE (r19): the non-staging drop+create " +
+    "path composes — the replaced table may even change its PRIMARY " +
+    "KEY (dropTable releases the binding)") {
+    val spark = TestSpark.spark
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.nsr")
+    try {
+      spark.sql("CREATE TABLE gcat.nsr.t (a BIGINT, b BIGINT, " +
+        "PRIMARY KEY (a))")
+      spark.sql("INSERT INTO gcat.nsr.t VALUES (1, 10)")
+      // REPLACE: new schema, DIFFERENT key; contents reset
+      spark.sql("CREATE OR REPLACE TABLE gcat.nsr.t (a BIGINT, " +
+        "b BIGINT, c STRING, PRIMARY KEY (b))")
+      assert(graft.streaming.IngestIndex.keyColsFor("nsr.t") == Seq("b"))
+      val t = spark.sql("SELECT * FROM gcat.nsr.t")
+      assert(t.columns.toSeq == Seq("a", "b", "c") && t.count() == 0L)
+      spark.sql("INSERT INTO gcat.nsr.t VALUES (1, 10, 'x')")
+      // the key is b now: a duplicate b collides, a duplicate a is fine
+      spark.sql("INSERT INTO gcat.nsr.t VALUES (1, 11, 'y')")
+      val e = intercept[Throwable] { spark.sql(
+        "INSERT INTO gcat.nsr.t VALUES (9, 10, 'z')").collect() }
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.nsr.t")
+      graft.streaming.IngestIndex.unregisterKeyCols("nsr.t")
+    }
+  }
+
   test("DROP NAMESPACE CASCADE unregisters the tables it deletes " +
     "(r19 advisor fix): re-creating a same-named table with a " +
     "DIFFERENT primary key in the same JVM succeeds") {
