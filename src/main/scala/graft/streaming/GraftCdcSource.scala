@@ -71,6 +71,7 @@ class GraftCdcSource(
     table: String,
     metadataPath: String,
     startingVersion: Option[Long],
+    endingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Long],
     declared: StructType) extends Source {
 
@@ -112,6 +113,14 @@ class GraftCdcSource(
       }
   }
 
+  // a bound BELOW the bootstrap snapshot cannot be served in snapshot
+  // mode (the first batch would already exceed it) — a bounded
+  // HISTORICAL range is startingVersion's job
+  require(endingVersion.forall(e => bootstrapV < 0 || e >= bootstrapV),
+    s"graft-cdc '$name': endingVersion (${endingVersion.getOrElse(0L)}) " +
+      s"precedes the stream's bootstrap snapshot (v$bootstrapV) — use " +
+      "startingVersion for a bounded historical range")
+
   /** Rate-limit floor: the highest version offered or replayed so far.
     * None on a fresh instance — the first offer then goes straight to
     * the store's latest (never BELOW a committed offset after restart,
@@ -122,7 +131,13 @@ class GraftCdcSource(
   override def schema: StructType = declared
 
   override def getOffset: Option[OffsetV1] = {
-    val latest = IngestIndex.latestVersion(fs, stateDir).getOrElse(0L)
+    // endingVersion (r19): a BOUNDED tail — offers stop at the bound
+    // (inclusive), so a backfill/replication job over a fixed range
+    // completes under processAllAvailable/AvailableNow instead of
+    // idling forever; commits past the bound never arrive
+    val latest = math.min(
+      IngestIndex.latestVersion(fs, stateDir).getOrElse(0L),
+      endingVersion.getOrElse(Long.MaxValue))
     val floor: Option[Long] = highestSeen.orElse {
       // fresh-start floors; a RESTARTED instance has highestSeen==None
       // too, but its first offer (min vs latest) can only land at or
@@ -300,6 +315,15 @@ class GraftCdcSourceProvider extends StreamSourceProvider
         s"graft-cdc '$name': startingVersion must be an integer " +
           s"version (DESCRIBE HISTORY lists them); got '$s'"))
     }
+    val ev = parameters.get("endingVersion").map { s =>
+      val v = s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-cdc '$name': endingVersion must be an integer " +
+          s"version (DESCRIBE HISTORY lists them); got '$s'"))
+      require(v >= 1 && sv.forall(v >= _),
+        s"graft-cdc '$name': endingVersion ($v) must be >= 1 and >= " +
+          s"startingVersion (${sv.getOrElse(1L)})")
+      v
+    }
     val mvpt = parameters.get("maxVersionsPerTrigger").map { s =>
       val k = s.toLongOption.getOrElse(-1L)
       require(k >= 1, s"graft-cdc '$name': maxVersionsPerTrigger " +
@@ -307,6 +331,6 @@ class GraftCdcSourceProvider extends StreamSourceProvider
       k
     }
     new GraftCdcSource(sqlContext, name, t.stateDir, t.table,
-      metadataPath, sv, mvpt, declared)
+      metadataPath, sv, ev, mvpt, declared)
   }
 }

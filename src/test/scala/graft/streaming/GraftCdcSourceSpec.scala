@@ -106,6 +106,24 @@ class GraftCdcSourceSpec extends AnyFunSuite {
       val again = drain("cdcsrc_tail", ckpt,
         Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "1"))
       assert(again.isEmpty, again.toString)
+      // endingVersion (r19): a BOUNDED backfill — fresh checkpoint,
+      // range [1, 2]: exactly versions 1 and 2 arrive, v3 never does,
+      // and the drained stream completes instead of idling
+      val bounded = drain("cdcsrc_tail", java.nio.file.Files
+        .createTempDirectory("cdcsrc-bounded").toString,
+        Map("startingVersion" -> "1", "endingVersion" -> "2",
+          "maxVersionsPerTrigger" -> "1"))
+      assert(bounded.size == 2, bounded.map(_._1))
+      (1 to 2).foreach { v =>
+        assert(bounded(v - 1)._2 == canon(IngestIndex.changesBetween(
+          s, state, "state", v - 1L, v.toLong)))
+      }
+      val eBad = intercept[Exception] {
+        drain("cdcsrc_tail", java.nio.file.Files
+          .createTempDirectory("cdcsrc-badend").toString,
+          Map("startingVersion" -> "3", "endingVersion" -> "2"))
+      }
+      assert(eBad.getMessage.contains("endingVersion"), eBad.getMessage)
     } finally graft.operators.GraftSql.unregisterTable("cdcsrc_tail")
   }
 
