@@ -161,7 +161,11 @@ object Bench {
       "q139_sql_delete", "q140_sql_update", "q141_catalog_sql_lifecycle",
       "q142_table_changes", "q143_alter_add_column",
       // r19: two stores created + seeded per invocation
-      "q145_sql_ctas")
+      "q145_sql_ctas",
+      // r20: store created + seeded + DV + retype rewrite per invocation
+      "q147_alter_retype",
+      // r20: store created + seeded + one 4-statement txn per invocation
+      "q148_sql_transaction")
     // the name lists are hand-maintained — validate them against the
     // live query surface so a renamed/removed replay query fails LOUDLY
     // here instead of silently re-gaining min-of-3 (r16 advisor fix);
@@ -174,7 +178,12 @@ object Bench {
         "with SparkEntry.queries")
     def runsFor(name: String): Int =
       if (fullReplay(name) || rigReplay(name)) math.min(runs, 2) else runs
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // PER-REP times are kept and emitted beside the min (r19 verdict
+    // task #1): min-of-N hides WHICH rep was slow, so an in-session box
+    // stall (one poisoned rep) and a real elevation (all reps high) read
+    // identically in the recorded artifact — r19's q115 carried a
+    // 126.7 s official number whose own reps could have exonerated it.
+    val perRep = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       var failed = false
       val times = Seq.newBuilder[Double]
       var r = 0
@@ -190,11 +199,17 @@ object Bench {
         }
         r += 1
       }
-      name -> (if (failed) -1.0 else times.result().min)
+      name -> (if (failed) Seq.empty[Double] else times.result())
+    }
+    val results = perRep.map { case (name, ts) =>
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val reps = perRep.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // buckets by module membership, not name ranges
     def names(defs: Seq[graft.QueryDef]) = defs.map(_.name).toSet
@@ -218,8 +233,21 @@ object Bench {
     // timed over fewer runs (the full-replay min-of-2 convention)
     val reduced = results.map(_._1).filter(n => runsFor(n) != runs)
       .map(n => "\"" + n + "\":" + runsFor(n)).mkString("{", ",", "}")
-    val anchor = s"""{"cpu":$anchorCpu,"shuffle":$anchorShuffle,"total":${anchorCpu + anchorShuffle}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reduced_runs":$reduced,"anchor":$anchor,"queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // TAIL ANCHOR (r19 verdict task #1): the head anchor is measured
+    // once, BEFORE any query runs — load arriving mid-session is
+    // invisible to it (r19's internally-inconsistent artifact: fastest
+    // head anchor on record beside the slowest rig readings). A second
+    // anchor at the END of the run brackets the session: head ≈ tail ⇒
+    // the box state held and ratios are trustworthy; head ≪ tail ⇒ load
+    // arrived mid-run and elevated absolute readings are suspect.
+    val (tailCpu, tailShuffle) =
+      try graft.tools.Anchor.run(spark)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] tail anchor failed: $e")
+        (-1.0, -1.0)
+      }
+    val anchor = s"""{"cpu":$anchorCpu,"shuffle":$anchorShuffle,"total":${anchorCpu + anchorShuffle},"tail_cpu":$tailCpu,"tail_shuffle":$tailShuffle,"tail_total":${tailCpu + tailShuffle}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"reduced_runs":$reduced,"anchor":$anchor,"reps":$reps,"queries":$qs,"breakdown":$breakdown,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // stdout (bare — build.sbt routes the forked JVM through StdoutOutput so
     // no "[info] " prefix corrupts the line) plus a file fallback for any
     // harness that prefers reading a path over scraping a process tail.

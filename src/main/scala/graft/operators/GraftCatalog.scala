@@ -230,6 +230,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.AnalysisException(
         "UNSUPPORTED_FEATURE.TABLE_OPERATION",
         Map("tableName" -> s"$catName.$ident", "operation" -> what))
+    // ALTER COLUMN ... TYPE (r20): safe widening as the copy-on-write
+    // rewrite GraftSql.retypeColumn documents — the same helper the
+    // flat verb calls, so the two paths cannot diverge
+    changes.toSeq match {
+      case Seq(uc: TableChange.UpdateColumnType) =>
+        if (uc.fieldNames().length != 1) unsupported(
+          s"nested column retype (${uc.fieldNames().mkString(".")})")
+        GraftSql.retypeColumn(spark, s"$catName.$ident",
+          GraftSql.StoreTarget(sd, innerName(ident)),
+          uc.fieldNames().head, uc.newDataType())
+        return loadTable(ident)
+      case _ => ()
+    }
     val added = changes.map {
       case ac: TableChange.AddColumn =>
         if (ac.fieldNames().length != 1) unsupported(
@@ -248,8 +261,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           nullable = true)
       case other => unsupported(
         s"$other — the store's schema evolution is column ADDITION " +
-          "only (q128's law); drops/renames/retypes need a rewrite " +
-          "under the new shape (CREATE + INSERT ... SELECT)")
+          "(q128's law) plus safe-widening retype (ALTER COLUMN ... " +
+          "TYPE, r20 — its own single-change statement); drops/renames " +
+          "need a rewrite under the new shape (CREATE + INSERT ... " +
+          "SELECT)")
     }
     GraftSql.writeMeta(fs, sd, meta.copy(schema =
       StructType(meta.schema.fields ++ added)))
@@ -266,11 +281,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** `ALTER TABLE <cat>.<ns>.<t> RENAME TO <ns2>.<t2>` (r20 — the r19
+    * verdict's task #6, implemented as the metadata move it is).
+    * A graft table's inner store name is namespace-qualified and woven
+    * through its metadata — the `_graft_meta_*` file name and body, the
+    * key-registry binding, every manifest's table field, every version
+    * dir's data/DV subdirectory — so the rename rewrites ALL of them
+    * (O(retained versions) small text rewrites; ZERO data files read or
+    * written; manifest mtimes preserved so DESCRIBE HISTORY, timestamp
+    * travel and the gc window keep the original commit instants), then
+    * moves the store directory. Runs under the store's single-writer
+    * contract; an interrupted move re-runs idempotently
+    * ([[IngestIndex.renameStoreTable]]'s contract). The NEW inner name
+    * binds in the key registry before anything moves (a conflict is
+    * loud and leaves the table untouched); the OLD binding releases
+    * last, so a later CREATE may rebind the old name to a different
+    * key. */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"RENAME TABLE: a graft table's meta binds its inner store name; " +
-        "copy via CREATE TABLE + INSERT INTO ... SELECT instead")
+      newIdent: Identifier): Unit = {
+    requireExists(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(
+      (catName +: newIdent.namespace.toIndexedSeq) :+ newIdent.name)
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(
+        catName +: newIdent.namespace.toIndexedSeq)
+    val oldSd = stateDirOf(oldIdent)
+    val newSd = stateDirOf(newIdent)
+    val fs = fsOf(oldSd)
+    val oldInner = innerName(oldIdent)
+    val newInner = innerName(newIdent)
+    val meta = GraftSql.readMeta(fs, oldSd, oldInner).getOrElse(
+      throw new NoSuchTableException(
+        (catName +: oldIdent.namespace.toIndexedSeq) :+ oldIdent.name))
+    IngestIndex.registerKeyCols(newInner, meta.keys)
+    try {
+      IngestIndex.renameStoreTable(fs, oldSd, oldInner, newInner)
+      // new identity FIRST (meta body + qualified file name), directory
+      // move SECOND, old pointer drop LAST — an interruption anywhere
+      // leaves either a re-runnable old table or a fully functional new
+      // one (never a dir whose only meta names a vanished identity)
+      GraftSql.writeMeta(fs, oldSd, meta.copy(table = newInner))
+      require(fs.rename(new Path(oldSd), new Path(newSd)),
+        s"RENAME TABLE: could not move $oldSd to $newSd")
+      fs.delete(GraftSql.metaPath(newSd, oldInner), false)
+    } catch {
+      case e: Throwable =>
+        IngestIndex.unregisterKeyCols(newInner); throw e
+    }
+    IngestIndex.unregisterKeyCols(oldInner)
+  }
 
   // ---- namespaces: directories under the warehouse root ----
 

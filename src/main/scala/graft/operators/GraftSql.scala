@@ -159,13 +159,130 @@ object GraftSql {
         fs.getConf).rename(tmp, p,
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     catch {
+      // UnsupportedFileSystemException is what getFileContext ACTUALLY
+      // throws for a scheme with no AbstractFileSystem binding (r19
+      // advisor fix — it is an IOException, so the old two-case catch
+      // crashed on exactly the case this fallback documents)
       case _: UnsupportedOperationException |
+          _: org.apache.hadoop.fs.UnsupportedFileSystemException |
           _: java.io.FileNotFoundException =>
         // no FileContext binding for this scheme (some test FS stubs):
         // fall back to the delete->rename pair, accepting the window
         if (fs.exists(p)) fs.delete(p, false)
         require(fs.rename(tmp, p), s"could not install table meta at $p")
     }
+  }
+
+  /** Safe type WIDENINGS (r20, `ALTER TABLE ... ALTER COLUMN ... TYPE`):
+    * every value of `from` maps losslessly onto `to` by a plain cast —
+    * integral up-casts, float→double, and same-scale decimal precision
+    * growth. Everything else (narrowing, cross-family, string⇄numeric,
+    * scale changes) is NOT a widening: it can lose or reinterpret data,
+    * so it stays q128's named rewrite-under-a-new-shape error. */
+  private[operators] def widens(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      // integral -> decimal with enough INTEGER digits for every value
+      // of the source type (byte 3, short 5, int 10, long 19)
+      case (ByteType | ShortType | IntegerType | LongType,
+          b: DecimalType) =>
+        val digits = from match {
+          case ByteType => 3
+          case ShortType => 5
+          case IntegerType => 10
+          case _ => 19
+        }
+        b.precision - b.scale >= digits
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN <c> TYPE <t>` for a store table (r20,
+    * the r18 verdict's carried stretch): SAFE WIDENING ONLY, as an
+    * explicit COPY-ON-WRITE rewrite — unlike ADD COLUMNS (metadata-only,
+    * q128's in-place law), a retype rewrites every live bucket once at a
+    * new version (`op = retype`, the OPTIMIZE machinery's shape: a live
+    * deletion vector materializes first, then one full-footprint commit
+    * casts the column), so:
+    *   - the CURRENT snapshot carries the new type in every file — no
+    *     reader ever sees a mixed-type union;
+    *   - TIME TRAVEL reads each snapshot's own type (old versions' files
+    *     are untouched — history is immutable);
+    *   - the rewrite is one commit: rollback = RESTORE, like any other.
+    * The PRIMARY KEY may not retype: the bucket layout hashes the key's
+    * BYTES, and `xxhash64(int x)` != `xxhash64(long x)` — a key retype
+    * would silently orphan every row's bucket assignment; the named
+    * error says to copy via CREATE + INSERT instead. Narrowing and
+    * cross-family changes raise the q128-style named error. */
+  private[operators] def retypeColumn(spark: SparkSession,
+      targetName: String, t: StoreTarget, colName: String,
+      newType: org.apache.spark.sql.types.DataType): Unit = {
+    import graft.streaming.IngestIndex
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(t.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(fs, t.stateDir, t.table).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $targetName ALTER COLUMN: the store under " +
+          s"${t.stateDir} carries no _graft_meta (not a SQL-created " +
+          "table) — the declared schema is what a retype rewrites"))
+    val f = meta.schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE $targetName ALTER COLUMN: no column '$colName' " +
+          s"(columns: ${meta.schema.fieldNames.mkString(", ")})"))
+    require(!meta.keys.exists(_.equalsIgnoreCase(f.name)),
+      s"ALTER TABLE $targetName: cannot retype PRIMARY KEY column " +
+        s"'${f.name}' — the bucket layout hashes the key's bytes, so a " +
+        "key retype orphans every row's bucket assignment; copy via " +
+        "CREATE TABLE (new key type) + INSERT INTO ... SELECT")
+    if (f.dataType == newType) return // no-op retype
+    if (!widens(f.dataType, newType))
+      throw new org.apache.spark.sql.AnalysisException(
+        "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+        Map("tableName" -> targetName,
+          "operation" -> (s"ALTER COLUMN ${f.name} TYPE " +
+            s"${newType.sql} from ${f.dataType.sql} — only safe " +
+            "widenings rewrite in place (byte/short/int→bigint, " +
+            "float→double, same-scale decimal precision growth); " +
+            "anything lossy needs a rewrite under the new shape " +
+            "(CREATE + INSERT ... SELECT), q128's contract")))
+    IngestIndex.latestVersion(fs, t.stateDir).foreach { top0 =>
+      var top = top0
+      var m = IngestIndex.readManifest(fs, t.stateDir, top)
+      if (m.get(IngestIndex.dvTable(t.table))
+        .exists(_.exists(_._2.ver != IngestIndex.EmptyVer))) {
+        m = IngestIndex.materializeDeletes(classic, t.stateDir, m,
+          t.table, top + 1, IngestIndex.keyColsFor(t.table))
+        IngestIndex.writeManifest(fs, t.stateDir, top + 1, m,
+          op = "materialize")
+        top += 1
+      }
+      val live = m.getOrElse(t.table, Map.empty[Int, IngestIndex.Bkt])
+        .collect { case (b, e) if e.ver != IngestIndex.EmptyVer => b }
+        .toSet
+      if (live.nonEmpty) {
+        val emptyDelta = IngestIndex.currentTable(classic, t.stateDir,
+          t.table, raw = true).limit(0)
+        val map = IngestIndex.mergeCommit(classic, t.stateDir, m,
+          t.table, top + 1, emptyDelta,
+          (cur, _) => cur.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast(newType)),
+          touchedKnown = Some(live))
+        IngestIndex.writeManifest(fs, t.stateDir, top + 1,
+          m + (t.table -> map), op = "retype")
+      }
+    }
+    writeMeta(fs, t.stateDir, meta.copy(schema =
+      org.apache.spark.sql.types.StructType(meta.schema.fields.map(x =>
+        if (x.name == f.name) x.copy(dataType = newType) else x))))
   }
 
   /** The declared schema of a registered SQL-created table, when one
@@ -486,6 +603,43 @@ object GraftSql {
   private val AlterAddRe =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMNS?\s*""" +
       """\((.+)\)\s*;?\s*""").r
+  // ALTER TABLE <flat name> ALTER COLUMN <c> TYPE <t> (r20): safe
+  // widening as a copy-on-write rewrite; registered flat names only —
+  // catalog names ride Spark's native AlterColumn -> alterTable
+  private val AlterRetypeRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ALTER\s+COLUMN\s+""" +
+      """`?(\w+)`?\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*;?\s*""").r
+  // BEGIN; <dml>; ...; COMMIT (r20): several DML statements batched
+  // into ONE store commit — one version, one footprint
+  private val TxnRe =
+    """(?is)\s*BEGIN\s*;(.*;)\s*COMMIT\s*;?\s*""".r
+
+  /** Split a transaction body on ';' OUTSIDE single-quoted literals
+    * (a WHERE clause may legitimately carry `';'`). */
+  private[operators] def splitStatements(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    body.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  // DROP TABLE [IF EXISTS] <flat registered name> (r20, the r18
+  // verdict's carried task #7) — only FLAT-REGISTERED names intercept
+  // (the DESCRIBE HISTORY shadowing discipline: DROP TABLE is a valid
+  // Spark statement, so an unregistered name must delegate untouched;
+  // catalog names delegate too — Spark's native DSv2 path routes them
+  // to GraftCatalog.dropTable)
+  private val DropTableRe =
+    ("""(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?""" +
+      """([\w.`]+)\s*;?\s*""").r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS""" +
       """\s+OF\s+(\d+)\s*;?\s*""").r
@@ -538,6 +692,16 @@ object GraftSql {
     * column of a table named `history`, and must delegate. */
   private[operators] def parseVerb(text: String)
       : Option[LogicalPlan] = text match {
+    case TxnRe(body) =>
+      // each inner statement parses through the ACTIVE session's parser
+      // and normalizes through GraftMergeSqlRule (idempotent), so the
+      // extension-installed and extension-free paths hand the command
+      // the same typed statement list
+      val spark = org.apache.spark.sql.SparkSession.active
+      val stmts = splitStatements(body).map { s =>
+        GraftMergeSqlRule(spark.sessionState.sqlParser.parsePlan(s))
+      }
+      Some(GraftTransactionCommand(stmts))
     case CtasRe(ifNot, name, colsText, location, query) =>
       val clean = name.replace("`", "")
       val keys = PrimaryKeyRe.findFirstMatchIn(colsText) match {
@@ -580,9 +744,18 @@ object GraftSql {
       val clean = name.replace("`", "")
       lookup(clean.split('.').toSeq).map(t =>
         GraftAlterAddCommand(clean, t, ddl))
+    case AlterRetypeRe(name, cn, ddl) =>
+      val clean = name.replace("`", "")
+      lookup(clean.split('.').toSeq).map(t =>
+        GraftAlterRetypeCommand(clean, t, cn,
+          org.apache.spark.sql.types.DataType.fromDDL(ddl)))
     case DescribeHistoryRe(name) =>
       resolveStore(name.replace("`", "")).map(t =>
         GraftDescribeHistoryCommand(name.replace("`", ""), t))
+    case DropTableRe(ifExists, name) =>
+      val clean = name.replace("`", "")
+      lookup(clean.split('.').toSeq).map(t =>
+        GraftDropTableCommand(clean, t, ifExists != null))
     case RestoreRe(name, v) =>
       Some(GraftRestoreCommand(name.replace("`", ""), registered(name),
         v.toLong))
@@ -1162,6 +1335,54 @@ final case class GraftCreateTableCommand(
   }
 }
 
+/** `DROP TABLE [IF EXISTS] <flat registered name>` (r20 — closes the r18
+  * verdict's carried task #7: the catalog path has had DSv2 `dropTable`
+  * since r18, but a FLAT-registered table could only be dropped from
+  * Scala). Removes, in order: the key-registry binding (so a later
+  * CREATE may rebind the inner name to a DIFFERENT primary key), the
+  * store directory (meta file + every version dir), and the SQL-name
+  * registration — the exact inverse of [[GraftCreateTableCommand]], and
+  * the same semantics as [[GraftCatalog.dropTable]].
+  *
+  * OWNERSHIP GUARD: only a SQL-CREATED table (its `_graft_meta_*` file
+  * present) may be dropped — a hand-registered store directory was not
+  * created through this surface, and DROP deleting it would destroy
+  * data SQL never owned; the named error points at
+  * `GraftSql.unregisterTable`, which removes only the registration.
+  * `IF EXISTS` additionally tolerates a registered name whose meta/data
+  * are ALREADY gone (an interrupted earlier drop): the registration is
+  * cleaned up and the statement no-ops. */
+final case class GraftDropTableCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    ifExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val fs = new Path(target.stateDir)
+      .getFileSystem(ss.sparkContext.hadoopConfiguration)
+    GraftSql.readMeta(fs, target.stateDir, target.table) match {
+      case Some(_) =>
+        graft.streaming.IngestIndex.unregisterKeyCols(target.table)
+        fs.delete(new Path(target.stateDir), true)
+        GraftSql.unregisterTable(targetName)
+      case None if ifExists =>
+        // an earlier drop deleted meta + data but died before
+        // unregistering — finish the cleanup, no-op otherwise
+        GraftSql.unregisterTable(targetName)
+      case None =>
+        throw new IllegalArgumentException(
+          s"DROP TABLE $targetName: the store under " +
+            s"${target.stateDir} carries no _graft_meta — it was " +
+            "registered by hand, not created through SQL, so DROP " +
+            "will not delete data this surface never owned; " +
+            "GraftSql.unregisterTable removes just the registration")
+    }
+    Seq.empty
+  }
+}
+
 /** `INSERT INTO [OVERWRITE semantics via the overwrite flag] <registered
   * store table> [(cols)] SELECT ...` (r18) — the bulk-load half of the
   * SQL surface. Semantics:
@@ -1218,54 +1439,64 @@ final case class GraftInsertCommand(
             s"neither a meta file nor a committed version under " +
             s"${target.stateDir} — CREATE TABLE ... USING graft first"))
     val keys = IngestIndex.keyColsFor(target.table)
-    val src0 = GraftSqlBridge.ofRows(spark, query)
-    // column mapping: BY NAME / column list map by name (keys
-    // mandatory, unlisted payload -> NULL); default is positional
-    val src =
-      if (byName || userCols.nonEmpty) {
-        val provided: Map[String, Column] =
-          if (userCols.nonEmpty) {
-            require(userCols.size == src0.columns.length,
-              s"INSERT INTO '$targetName' lists ${userCols.size} " +
-                s"columns but the query produces " +
-                s"${src0.columns.length}")
-            userCols.zip(src0.columns).map { case (tc, sc) =>
-              val canon = schema.fieldNames
-                .find(_.equalsIgnoreCase(tc)).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"INSERT INTO '$targetName': '$tc' is not a " +
-                      s"column (${schema.fieldNames.mkString(", ")})"))
-              canon -> col(sc)
-            }.toMap
-          } else src0.columns.flatMap { sc =>
-            schema.fieldNames.find(_.equalsIgnoreCase(sc))
-              .map(_ -> col(sc))
-          }.toMap
-        keys.foreach(k => require(provided.contains(k),
-          s"INSERT INTO '$targetName': the merge key '$k' must be " +
-            "among the inserted columns"))
-        src0.select(schema.fields.map { f =>
-          provided.get(f.name) match {
-            case Some(c) => c.cast(f.dataType).as(f.name)
-            case None => lit(null).cast(f.dataType).as(f.name)
-          }
-        }.toSeq: _*)
-      } else {
-        require(src0.columns.length == schema.fields.length,
-          s"INSERT INTO '$targetName' (positional): the query " +
-            s"produces ${src0.columns.length} columns, the table has " +
-            s"${schema.fields.length} (${schema.fieldNames
-              .mkString(", ")})")
-        src0.select(schema.fields.zipWithIndex.map { case (f, i) =>
-          col(src0.columns(i)).cast(f.dataType).as(f.name)
-        }.toSeq: _*)
-      }
+    val src = GraftInsertCommand.alignSource(spark, targetName, schema,
+      keys, userCols, query, byName)
     Seq(Row(GraftInsertCommand.insertAligned(spark, targetName, target,
       src, overwrite, resolved = Some((fs, top, m)))))
   }
 }
 
 object GraftInsertCommand {
+
+  /** Column mapping shared by the statement path and the transaction
+    * path (r20): BY NAME / column list map by name (keys mandatory,
+    * unlisted payload -> NULL); default is positional, arity-checked,
+    * each column CAST to the declared type. */
+  private[operators] def alignSource(
+      spark: org.apache.spark.sql.classic.SparkSession,
+      targetName: String, schema: StructType, keys: Seq[String],
+      userCols: Seq[String], query: LogicalPlan, byName: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val src0 = GraftSqlBridge.ofRows(spark, query)
+    if (byName || userCols.nonEmpty) {
+      val provided: Map[String, Column] =
+        if (userCols.nonEmpty) {
+          require(userCols.size == src0.columns.length,
+            s"INSERT INTO '$targetName' lists ${userCols.size} " +
+              s"columns but the query produces " +
+              s"${src0.columns.length}")
+          userCols.zip(src0.columns).map { case (tc, sc) =>
+            val canon = schema.fieldNames
+              .find(_.equalsIgnoreCase(tc)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"INSERT INTO '$targetName': '$tc' is not a " +
+                    s"column (${schema.fieldNames.mkString(", ")})"))
+            canon -> col(sc)
+          }.toMap
+        } else src0.columns.flatMap { sc =>
+          schema.fieldNames.find(_.equalsIgnoreCase(sc))
+            .map(_ -> col(sc))
+        }.toMap
+      keys.foreach(k => require(provided.contains(k),
+        s"INSERT INTO '$targetName': the merge key '$k' must be " +
+          "among the inserted columns"))
+      src0.select(schema.fields.map { f =>
+        provided.get(f.name) match {
+          case Some(c) => c.cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq: _*)
+    } else {
+      require(src0.columns.length == schema.fields.length,
+        s"INSERT INTO '$targetName' (positional): the query " +
+          s"produces ${src0.columns.length} columns, the table has " +
+          s"${schema.fields.length} (${schema.fieldNames
+            .mkString(", ")})")
+      src0.select(schema.fields.zipWithIndex.map { case (f, i) =>
+        col(src0.columns(i)).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
+  }
 
   /** The shared commit body for an ALREADY schema-aligned source — the
     * statement path maps columns first; the DSv2 catalog's V1-write
@@ -1477,6 +1708,62 @@ private[operators] object GraftDml {
     GraftSqlBridge.column(t)
   }
 
+  /** UPDATE assignment translation, shared by the statement and the
+    * transaction paths (r20): canonical column names, the identity-key
+    * no-op rule (with the r18 foreign-qualifier guard), the key-rewrite
+    * rejection, and the duplicate-assignment check. */
+  def updateSets(targetName: String, tAlias: String, schema: StructType,
+      keys: Seq[String], assigns: Seq[Assignment])
+      : Map[String, Column] = {
+    val name = canon("UPDATE", targetName, schema) _
+    val xl = xlate("UPDATE", targetName, tAlias, schema) _
+    val pairs = assigns.flatMap { as =>
+      val c = as.key match {
+        case UnresolvedAttribute(Seq(c0)) => c0
+        case UnresolvedAttribute(Seq(q, c0))
+            if q.equalsIgnoreCase(tAlias) => c0
+        // catalog targets resolve before the rule runs (r18)
+        case a: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference => a.name
+        case other => throw new IllegalArgumentException(
+          s"UPDATE '$targetName': cannot assign to " +
+            s"'${other.sql}' — assignments set target columns")
+      }
+      keys.find(_.equalsIgnoreCase(c)) match {
+        case Some(k) =>
+          // the IDENTITY assignment (key = key) is a no-op, not a
+          // key rewrite — analyzer alignment emits one per
+          // unassigned column on resolved targets. An unresolved
+          // RHS only counts as identity when its qualifier (if
+          // any) is the TARGET's alias (r18 advisor fix):
+          // `SET user_id = foo.user_id` is a genuine key
+          // reassignment from a foreign source and must raise,
+          // not silently no-op.
+          val identity = as.value match {
+            case a: org.apache.spark.sql.catalyst.expressions
+                .AttributeReference => a.name.equalsIgnoreCase(k)
+            case UnresolvedAttribute(parts) =>
+              parts.last.equalsIgnoreCase(k) &&
+                (parts.length == 1 || (parts.length == 2 &&
+                  parts.head.equalsIgnoreCase(tAlias)))
+            case _ => false
+          }
+          if (identity) None
+          else throw new IllegalArgumentException(
+            s"UPDATE '$targetName': reassigning the merge key " +
+              s"'$k' is not supported — a key rewrite is a " +
+              "DELETE + INSERT (express it with MERGE INTO)")
+        case None => Some(name(c) -> xl(as.value))
+      }
+    }
+    val dup = pairs.groupBy(_._1).collect {
+      case (c, vs) if vs.size > 1 => c }
+    require(dup.isEmpty, s"UPDATE '$targetName': column" +
+      s"(s) assigned more than once: ${dup.mkString(", ")}")
+    require(pairs.nonEmpty, s"UPDATE '$targetName': no assignments")
+    pairs.toMap
+  }
+
   /** (name, alias, target) when a DML statement's target plan names a
     * registered store table (optionally aliased); None falls through
     * to Spark's own handling. */
@@ -1642,56 +1929,9 @@ final case class GraftUpdateCommand(
       case None => Seq(Row(0L))
       case Some((fs, top, m, schema)) =>
         val keys = IngestIndex.keyColsFor(target.table)
-        val name = GraftDml.canon("UPDATE", targetName, schema) _
         val xl = GraftDml.xlate("UPDATE", targetName, tAlias, schema) _
-        val sets: Map[String, Column] = {
-          val pairs = dml.sets.flatMap { as =>
-            val c = as.key match {
-              case UnresolvedAttribute(Seq(c0)) => c0
-              case UnresolvedAttribute(Seq(q, c0))
-                  if q.equalsIgnoreCase(tAlias) => c0
-              // catalog targets resolve before the rule runs (r18)
-              case a: org.apache.spark.sql.catalyst.expressions
-                  .AttributeReference => a.name
-              case other => throw new IllegalArgumentException(
-                s"UPDATE '$targetName': cannot assign to " +
-                  s"'${other.sql}' — assignments set target columns")
-            }
-            keys.find(_.equalsIgnoreCase(c)) match {
-              case Some(k) =>
-                // the IDENTITY assignment (key = key) is a no-op, not a
-                // key rewrite — analyzer alignment emits one per
-                // unassigned column on resolved targets. An unresolved
-                // RHS only counts as identity when its qualifier (if
-                // any) is the TARGET's alias (r18 advisor fix):
-                // `SET user_id = foo.user_id` is a genuine key
-                // reassignment from a foreign source and must raise,
-                // not silently no-op.
-                val identity = as.value match {
-                  case a: org.apache.spark.sql.catalyst.expressions
-                      .AttributeReference => a.name.equalsIgnoreCase(k)
-                  case UnresolvedAttribute(parts) =>
-                    parts.last.equalsIgnoreCase(k) &&
-                      (parts.length == 1 || (parts.length == 2 &&
-                        parts.head.equalsIgnoreCase(tAlias)))
-                  case _ => false
-                }
-                if (identity) None
-                else throw new IllegalArgumentException(
-                  s"UPDATE '$targetName': reassigning the merge key " +
-                    s"'$k' is not supported — a key rewrite is a " +
-                    "DELETE + INSERT (express it with MERGE INTO)")
-              case None => Some(name(c) -> xl(as.value))
-            }
-          }
-          val dup = pairs.groupBy(_._1).collect {
-            case (c, vs) if vs.size > 1 => c }
-          require(dup.isEmpty, s"UPDATE '$targetName': column" +
-            s"(s) assigned more than once: ${dup.mkString(", ")}")
-          pairs.toMap
-        }
-        require(sets.nonEmpty,
-          s"UPDATE '$targetName': no assignments")
+        val sets: Map[String, Column] = GraftDml.updateSets(targetName,
+          tAlias, schema, keys, dml.sets)
         val snap = GraftSql.widenToMeta(spark, target,
           IngestIndex.currentTable(spark, target.stateDir, target.table))
         val matched = dml.cond.map(c => snap.where(xl(c))).getOrElse(snap)
@@ -1713,6 +1953,180 @@ final case class GraftUpdateCommand(
           op = "update-sql")
         Seq(Row(next))
     }
+  }
+}
+
+/** `BEGIN; <dml>; ...; COMMIT` (r20, the r18 verdict's carried stretch)
+  * — MULTI-STATEMENT TRANSACTIONS: several row-level DML statements over
+  * ONE registered store table batched into ONE store commit. Semantics:
+  *   - statements run against a VIRTUAL running state (read-your-writes:
+  *     an INSERT sees prior DELETEs/UPDATEs in the same transaction, so
+  *     delete-then-reinsert of a key works; the PK guard checks each
+  *     INSERT against the running state, not the stale snapshot);
+  *   - the store commits ONCE (`op = txn`): one version, one footprint —
+  *     the union of every statement's touched buckets, written via the
+  *     same key-window replace the other verbs use; deleted keys drop
+  *     copy-on-write in the same rewrite (their buckets are being
+  *     rewritten anyway, so no tombstone is cheaper);
+  *   - ATOMIC: any statement's guard failing (duplicate key, bad column,
+  *     key reassignment) aborts the WHOLE transaction before anything is
+  *     written — the store's version count is unchanged;
+  *   - a racing writer hits [[IngestIndex.writeManifest]]'s divergence
+  *     law exactly like every single-statement verb (single-writer
+  *     contract; the CAS commit adjudicates byte-identical replays).
+  * Scope (named errors otherwise): INSERT INTO (positional or column
+  * list; no OVERWRITE — a replace inside a multi-statement transaction
+  * is a rig-seeding verb, run it standalone), DELETE FROM ... WHERE,
+  * UPDATE ... SET ... WHERE, all over the SAME flat-registered or
+  * catalog store table; MERGE INTO runs standalone (its clause algebra
+  * already IS a multi-verb batch over one commit). Cost geometry: the
+  * per-statement guards run one bounded probe each; the commit itself is
+  * O(affected keys + touched buckets) — N statements cost ONE manifest
+  * write and ONE version instead of N. */
+final case class GraftTransactionCommand(
+    stmts: Seq[LogicalPlan]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    import graft.streaming.IngestIndex
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    require(stmts.nonEmpty, "BEGIN ... COMMIT: empty transaction")
+    // typed extraction; everything else is out of scope BY NAME
+    val targets: Seq[(String, GraftSql.StoreTarget)] = stmts.map {
+      case c: GraftInsertCommand =>
+        require(!c.overwrite,
+          s"BEGIN ... COMMIT: INSERT OVERWRITE '${c.targetName}' does " +
+            "not compose into a transaction — a full replace is a " +
+            "standalone statement")
+        (c.targetName, c.target)
+      case c: GraftDeleteCommand => (c.targetName, c.target)
+      case c: GraftUpdateCommand => (c.targetName, c.target)
+      case other => throw new IllegalArgumentException(
+        "BEGIN ... COMMIT composes INSERT INTO / DELETE FROM / UPDATE " +
+          "over ONE registered graft store table; got: " +
+          other.nodeName + " (MERGE INTO runs standalone — its clause " +
+          "algebra is already a multi-verb batch in one commit)")
+    }
+    val (name0, t) = targets.head
+    require(targets.forall(_._2 == t),
+      s"BEGIN ... COMMIT: one transaction commits ONE table — got " +
+        targets.map(_._1).distinct.mkString(", "))
+    val fs = new Path(t.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val top = IngestIndex.latestVersion(fs, t.stateDir)
+    val m = top.map(IngestIndex.readManifest(fs, t.stateDir, _))
+      .getOrElse(Map.empty: IngestIndex.Manifest)
+    val keys = IngestIndex.keyColsFor(t.table)
+    val schema: StructType =
+      if (m.contains(t.table))
+        GraftSql.widenSchemaToMeta(spark, t,
+          IngestIndex.currentTable(spark, t.stateDir, t.table,
+            raw = true).schema)
+      else GraftSql.declaredMeta(spark, t).map(_.schema).getOrElse(
+        throw new IllegalStateException(
+          s"BEGIN ... COMMIT over '$name0': the store under " +
+            s"${t.stateDir} has neither a meta file nor a committed " +
+            "version — CREATE TABLE ... USING graft first"))
+    // the virtual running state + the affected-key accumulator
+    var running: org.apache.spark.sql.DataFrame =
+      if (m.contains(t.table))
+        GraftSql.widenToMeta(spark, t,
+          IngestIndex.currentTable(spark, t.stateDir, t.table))
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+    val keyShape = running.select(keys.map(col): _*).limit(0)
+    var affected: org.apache.spark.sql.DataFrame = keyShape
+    stmts.foreach {
+      case i: GraftInsertCommand =>
+        val src = GraftInsertCommand.alignSource(spark, i.targetName,
+          schema, keys, i.userCols, i.query, i.byName)
+        // eager PK guards against the RUNNING state (read-your-writes):
+        // bounded probes, evaluated BEFORE anything commits — a failing
+        // statement aborts the whole transaction with nothing written
+        val dup = src.groupBy(keys.map(col): _*)
+          .count().filter(col("count") > 1)
+          .select(keys.map(col): _*).take(1)
+        require(dup.isEmpty,
+          s"BEGIN ... COMMIT: INSERT INTO '${i.targetName}' carries a " +
+            s"duplicate PRIMARY KEY (${dup.mkString(", ")}) within " +
+            "the inserted rows")
+        val clash = src.select(keys.map(col): _*)
+          .join(running.select(keys.map(col): _*), keys, "left_semi")
+          .take(1)
+        require(clash.isEmpty,
+          s"BEGIN ... COMMIT: INSERT INTO '${i.targetName}': PRIMARY " +
+            s"KEY (${clash.mkString(", ")}) already exists in the " +
+            "transaction's running state — use UPDATE, or DELETE it " +
+            "first (read-your-writes applies)")
+        running = running.unionByName(src, allowMissingColumns = true)
+        affected = affected
+          .unionByName(src.select(keys.map(col): _*))
+      case dcmd: GraftDeleteCommand =>
+        val truncate = dcmd.dml.cond.forall {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(true, org.apache.spark.sql.types.BooleanType) =>
+            true
+          case _ => false
+        }
+        val matched =
+          if (truncate) running.select(keys.map(col): _*)
+          else {
+            val cond = GraftDml.xlate("DELETE FROM", dcmd.targetName,
+              dcmd.tAlias, schema)(dcmd.dml.cond.get)
+            running.where(cond).select(keys.map(col): _*)
+          }
+        running = running.join(matched, keys, "left_anti")
+        affected = affected.unionByName(matched)
+      case u: GraftUpdateCommand =>
+        val xl = GraftDml.xlate("UPDATE", u.targetName, u.tAlias,
+          schema) _
+        val sets = GraftDml.updateSets(u.targetName, u.tAlias, schema,
+          keys, u.dml.sets)
+        val matched = u.dml.cond.map(c => running.where(xl(c)))
+          .getOrElse(running)
+        val updated = matched.select(schema.fields.map { f =>
+          sets.get(f.name) match {
+            case Some(c) => c.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+        running = running
+          .join(updated.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(updated)
+        affected = affected
+          .unionByName(updated.select(keys.map(col): _*))
+      case _ => () // unreachable: typed above
+    }
+    // ONE commit: the final rows of every affected key, plus drop-tagged
+    // tombstone rows for keys the transaction net-DELETED — the tag
+    // keeps the whole delta shuffle-joinable (no driver-side key list,
+    // no broadcast): per touched bucket the combine replaces the
+    // affected keys' rows and simply does not re-add the dropped ones
+    val affectedD = affected.distinct()
+    val drop = "__txn_drop"
+    val finalRows = running.join(affectedD, keys, "left_semi")
+      .withColumn(drop, lit(false))
+    val dropped = affectedD
+      .join(running.select(keys.map(col): _*), keys, "left_anti")
+      .select(schema.fields.map { f =>
+        if (keys.exists(_.equalsIgnoreCase(f.name))) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+      .withColumn(drop, lit(true))
+    val delta = finalRows.unionByName(dropped)
+    val combine: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (cur, d) => cur
+        .join(d.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(d.filter(!col(drop)).drop(drop),
+          allowMissingColumns = true)
+    val next = top.getOrElse(0L) + 1
+    val nm = IngestIndex.mergeCommitDv(spark, t.stateDir, m, t.table,
+      next, delta, combine)
+    IngestIndex.writeManifest(fs, t.stateDir, next, nm, op = "txn")
+    Seq(Row(next))
   }
 }
 
@@ -1747,6 +2161,26 @@ final case class GraftAlterAddCommand(
     GraftSql.writeMeta(fs, target.stateDir, meta.copy(schema =
       StructType(meta.schema.fields ++ add.fields.map(_.copy(
         nullable = true)))))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <flat name> ALTER COLUMN <c> TYPE <t>` (r20): safe type
+  * widening as the copy-on-write rewrite [[GraftSql.retypeColumn]]
+  * documents — the flat-registry twin of the catalog's
+  * `TableChange.UpdateColumnType` path (both call the same helper, so
+  * the widening rules and the rewrite shape can never diverge). */
+final case class GraftAlterRetypeCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    column: String,
+    newType: org.apache.spark.sql.types.DataType)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    GraftSql.retypeColumn(ss, targetName, target, column, newType)
     Seq.empty
   }
 }

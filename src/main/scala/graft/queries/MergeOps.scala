@@ -1042,6 +1042,120 @@ object MergeOps {
              |       ELSE NULL END AS DOUBLE) AS sum_value
              |FROM a ORDER BY user_id""".stripMargin)),
 
+    // Q147 ALTER COLUMN TYPE safe widening (r20): the OTHER half of the
+    // schema-evolution contract — where ADD COLUMNS is metadata-only
+    // (q143/q128), a retype is an explicit COPY-ON-WRITE rewrite: one
+    // commit (`op = retype`) re-casts every live bucket, so the current
+    // snapshot carries the new type in every file while old snapshots
+    // keep theirs (time travel reads each version's own type — the spec
+    // pins that; the oracle here pins the VALUES). The rig crosses the
+    // two hard seams on purpose: a LIVE deletion vector at retype time
+    // (materializes first, the OPTIMIZE shape) and post-widening rows
+    // that EXCEED the old type's range — only a genuinely widened
+    // column holds them, so a silently-skipped rewrite cannot pass.
+    QueryDef("q147_alter_retype",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val dir = s"${Layout.stagePath(s, "retype147", d)}/users"
+        val fs = new Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(dir), true)
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 0))
+          .select(col("user_id"),
+            col("n_events").cast("int").as("n_events"))
+          .createOrReplaceTempView("graft_q147_even")
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 1))
+          .select("user_id", "n_events")
+          .createOrReplaceTempView("graft_q147_odd")
+        try {
+          s.sql(
+            s"""CREATE TABLE graft_q147_users (
+               |  user_id BIGINT, n_events INT,
+               |  PRIMARY KEY (user_id)
+               |) USING graft LOCATION '$dir'""".stripMargin)
+          s.sql("INSERT INTO graft_q147_users " +
+            "SELECT user_id, n_events FROM graft_q147_even")
+          // a LIVE deletion vector crosses the retype: it materializes
+          // into the rewrite (v3 = materialize, v4 = retype)
+          s.sql("DELETE FROM graft_q147_users WHERE user_id % 5 = 0")
+          s.sql("ALTER TABLE graft_q147_users " +
+            "ALTER COLUMN n_events TYPE BIGINT")
+          s.sql("INSERT INTO graft_q147_users " +
+            "SELECT user_id, n_events + 4000000000 FROM graft_q147_odd")
+          s.sql("SELECT user_id, n_events FROM graft_q147_users " +
+            "ORDER BY user_id")
+        } finally graft.operators.GraftSql.unregisterTable(
+          "graft_q147_users")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |a AS (SELECT user_id, COUNT(*) AS n_events
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id,
+             |  CASE WHEN user_id % 2 = 0 THEN n_events
+             |       ELSE n_events + 4000000000 END AS n_events
+             |FROM a
+             |WHERE NOT (user_id % 2 = 0 AND user_id % 5 = 0)
+             |ORDER BY user_id""".stripMargin)),
+
+    // Q148 MULTI-STATEMENT TRANSACTION (r20): `BEGIN; <dml>; ...;
+    // COMMIT` batches several row-level DML statements into ONE store
+    // commit — one version, one footprint, read-your-writes between the
+    // statements (GraftTransactionCommand's contract). The rig seeds
+    // even users as v1, then runs INSERT(odd) + UPDATE(%3 +1000) +
+    // DELETE(%7) + INSERT(two synthetic rows) in one transaction — the
+    // store lands at exactly v2 (the spec pins the version count; this
+    // oracle pins the VALUES: hash-equal to DuckDB replaying the four
+    // statements sequentially — batched == sequential, the transaction
+    // is semantically unobservable).
+    QueryDef("q148_sql_transaction",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val dir = s"${Layout.stagePath(s, "txn148", d)}/users"
+        val fs = new Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(dir), true)
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 0))
+          .select("user_id", "n_events")
+          .createOrReplaceTempView("graft_q148_even")
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 1))
+          .select("user_id", "n_events")
+          .createOrReplaceTempView("graft_q148_odd")
+        try {
+          s.sql(
+            s"""CREATE TABLE graft_q148_users (
+               |  user_id BIGINT, n_events BIGINT,
+               |  PRIMARY KEY (user_id)
+               |) USING graft LOCATION '$dir'""".stripMargin)
+          s.sql("INSERT INTO graft_q148_users " +
+            "SELECT user_id, n_events FROM graft_q148_even")
+          s.sql(
+            """BEGIN;
+              |INSERT INTO graft_q148_users
+              |  SELECT user_id, n_events FROM graft_q148_odd;
+              |UPDATE graft_q148_users SET n_events = n_events + 1000
+              |  WHERE user_id % 3 = 0;
+              |DELETE FROM graft_q148_users WHERE user_id % 7 = 0;
+              |INSERT INTO graft_q148_users VALUES
+              |  (900000001, 1), (900000002, 2);
+              |COMMIT""".stripMargin)
+          s.sql("SELECT user_id, n_events FROM graft_q148_users " +
+            "ORDER BY user_id")
+        } finally graft.operators.GraftSql.unregisterTable(
+          "graft_q148_users")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |a AS (SELECT user_id, COUNT(*) AS n_events
+             |  FROM e GROUP BY user_id),
+             |s1 AS (SELECT user_id,
+             |    CASE WHEN user_id % 3 = 0 THEN n_events + 1000
+             |         ELSE n_events END AS n_events
+             |  FROM a WHERE user_id % 7 <> 0)
+             |SELECT user_id, CAST(n_events AS BIGINT) AS n_events
+             |FROM (SELECT * FROM s1
+             |      UNION ALL SELECT 900000001, 1
+             |      UNION ALL SELECT 900000002, 2)
+             |ORDER BY user_id""".stripMargin)),
+
     // Q131 ORDERED MULTI-CLAUSE MERGE (r16): the full SQL:2023 clause
     // algebra — N conditional clauses per family, first match wins —
     // through the bucketed store. The oracle replays the ordered CASE

@@ -336,10 +336,13 @@ object CdfStream {
           signedNationDelta(batch, dim, "_change_type"))
         ()
       }
-      // ProcessingTime(0) + processAllAvailable, NOT AvailableNow: the
-      // AvailableNow wrapper for generic V1 sources pins ONE end offset
-      // at start, which would collapse the per-version batches (and
-      // any rate limit) into a single batch
+      // ProcessingTime(0) + processAllAvailable — the test-rig idiom
+      // (synchronous drain). Production backfills can use
+      // Trigger.AvailableNow instead: the source implements
+      // SupportsTriggerAvailableNow (r20), so per-version batching and
+      // the rate limit survive it (GraftCdcSourceSpec pins the law);
+      // before r20 the generic V1 wrapper would have collapsed them
+      // into a single batch.
       .start()
     q.processAllAvailable()
     q.stop()

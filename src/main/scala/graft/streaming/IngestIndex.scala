@@ -589,6 +589,16 @@ object IngestIndex {
         fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       } catch {
+        // a scheme with no AbstractFileSystem binding (r19 advisor:
+        // getFileContext throws UnsupportedFileSystemException, an
+        // IOException — the exact no-binding case) degrades to the
+        // delete->rename pair, accepting that store's own non-atomic
+        // window rather than making every commit there impossible
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p)) throw new IllegalStateException(
+            s"manifest rename failed for $p (no FileContext binding, " +
+              "and the FileSystem fallback rename returned false)")
         case e: Exception => throw new IllegalStateException(
           s"manifest rename failed for $p", e)
       }
@@ -607,6 +617,12 @@ object IngestIndex {
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // no FileContext binding for this scheme (r19 advisor): emulate
+        // fail-if-exists through the FileSystem API — a narrower
+        // guarantee (check+rename, not kernel-CAS), the same best-effort
+        // window the comment above already accepts for such stores
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          !fs.exists(p) && fs.rename(tmp, p)
         case _: java.io.IOException
             if scala.util.Try(fs.exists(p)).getOrElse(false) => false
       }
@@ -762,6 +778,108 @@ object IngestIndex {
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       .filter(v => fs.exists(manifestPath(stateDir, v)))
     if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Latest committed version, probing UPWARD from a version the caller
+    * already knows is committed — versions are consecutive integers that
+    * only grow (`next = top + 1`; RESTORE rolls back by committing a NEW
+    * higher version, gc evicts only old ones), so the current top is
+    * found by probing `from+1, from+2, ...` until the first absent
+    * manifest. A per-trigger poller (the `graft-cdc` source) pays ONE
+    * existence check on an unchanged store instead of [[latestVersion]]'s
+    * O(retained versions) directory listing — the r19 verdict's
+    * per-trigger driver-cost note (Delta's `_last_checkpoint` pointer
+    * serves the same purpose; a probe needs no extra write per commit). */
+  def latestVersionAbove(fs: FileSystem, stateDir: String,
+      from: Long): Long = {
+    var top = from
+    while (fs.exists(manifestPath(stateDir, top + 1))) top += 1
+    top
+  }
+
+  /** RENAME support (r20, the r19 verdict's task #6): rewrite a store's
+    * INNER table name in place — every retained manifest's table field
+    * (base lines, delta lines and tombstones; the DV side table follows
+    * its base) and every version dir's `<table>`/`<table>__dv` data
+    * subdirectory. A rename is a METADATA MOVE: no data file is read or
+    * rewritten, and each manifest's mtime is RESTORED after its rewrite
+    * (timestamp travel, the gc wall-clock window and DESCRIBE HISTORY
+    * all read commit instants from manifest mtimes — a rename must not
+    * shift history into "now"). Cost: O(retained versions) small text
+    * rewrites + directory renames.
+    *
+    * Caller contract (the single-writer discipline, same as gc): no
+    * concurrent reader or writer during the move; the caller owns the
+    * meta file, the key registry, and the store-directory rename. NOT
+    * crash-atomic across files — an interrupted rename is repaired by
+    * re-running it (each step is idempotent: already-renamed dirs and
+    * already-rewritten manifests no longer match `oldTable`). */
+  def renameStoreTable(fs: FileSystem, stateDir: String,
+      oldTable: String, newTable: String): Unit = {
+    require(oldTable != newTable && newTable.nonEmpty,
+      s"renameStoreTable: need distinct non-empty names, got " +
+        s"'$oldTable' -> '$newTable'")
+    val root = new Path(stateDir)
+    if (!fs.exists(root)) return
+    val oldDv = dvTable(oldTable)
+    val newDv = dvTable(newTable)
+    val vdirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.matches("v\\d+"))
+    vdirs.foreach { vd =>
+      Seq(oldTable -> newTable, oldDv -> newDv).foreach { case (o, n) =>
+        val od = new Path(vd, o)
+        if (fs.exists(od)) {
+          require(fs.rename(od, new Path(vd, n)),
+            s"renameStoreTable: could not move $od")
+        }
+      }
+      val mp = new Path(vd, "manifest")
+      if (fs.exists(mp)) {
+        val st = fs.getFileStatus(mp)
+        val in = fs.open(mp)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        def swap(t: String): String =
+          if (t == oldTable) newTable
+          else if (t == oldDv) newDv
+          else t
+        val out = text.linesIterator.filter(_.nonEmpty).map { line =>
+          if (line.startsWith("#")) line
+          else line.split('\t') match {
+            case f if f.length >= 3 =>
+              require(f(0) != newTable && f(0) != newDv,
+                s"renameStoreTable: '$newTable' already exists in " +
+                  s"manifest $mp — the store hosts a table by the " +
+                  "target name")
+              (swap(f(0)) +: f.tail.toSeq).mkString("\t")
+            case _ => line
+          }
+        }.mkString("\n") + "\n"
+        if (out != text) {
+          // tmp + overwrite-rename: the manifest is never absent or
+          // torn mid-rewrite (the writeMeta discipline)
+          val tmp = new Path(vd, s".manifest.rename.${System.nanoTime()}")
+          val os = fs.create(tmp, true)
+          try os.write(out.getBytes("UTF-8")) finally os.close()
+          try org.apache.hadoop.fs.FileContext
+            .getFileContext(mp.toUri, fs.getConf)
+            .rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          catch {
+            case _: UnsupportedOperationException |
+                _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              fs.delete(mp, false)
+              require(fs.rename(tmp, mp),
+                s"renameStoreTable: could not install $mp")
+          }
+          // restore the commit instant: rename must not move history
+          fs.setTimes(mp, st.getModificationTime, -1)
+        }
+      }
+      // drop this version's memo entry: the store's resolution cache
+      // must never serve the pre-rename map for a post-rename path
+      // recreated later at the same location
+      manifestMemo.remove(memoKey(stateDir, vd.getName.drop(1).toLong))
+    }
   }
 
   /** TIMESTAMP-TRAVEL resolution (r18): the newest committed version whose
@@ -1123,9 +1241,14 @@ object IngestIndex {
     * micro-batch). A range wider than 512 steps throws a named error
     * pointing there rather than silently building a degenerate plan.
     */
+  /** Widest version range one [[changesBetween]] call will plan — the
+    * named-cap boundary the streaming source's offers clamp to, so an
+    * offered micro-batch can never exceed what getBatch can compute. */
+  val MaxChangeSteps: Long = 512L
+
   def changesBetween(spark: SparkSession, stateDir: String, table: String,
       fromV: Long, toV: Long): DataFrame = {
-    require(toV - fromV <= 512,
+    require(toV - fromV <= MaxChangeSteps,
       s"changesBetween($fromV, $toV): ${toV - fromV} version steps " +
         "build one Union branch each — beyond 512 the PLAN (not the " +
         "IO) degenerates; chunk the range into consecutive calls, or " +

@@ -191,6 +191,105 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("RENAME TABLE (r20): a metadata move — contents, DESCRIBE " +
+    "HISTORY (ops AND commit instants), and VERSION AS OF survive; the " +
+    "old name releases its key binding; guard rails for existing / " +
+    "missing targets") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    root // force catalog registration
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.nsr")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.nsr2")
+    spark.sql("CREATE TABLE gcat.nsr.src (user_id BIGINT, " +
+      "n_events BIGINT, PRIMARY KEY (user_id))")
+    try {
+      Seq((1L, 10L), (2L, 20L)).toDF("a", "b")
+        .createOrReplaceTempView("ren_src1")
+      Seq((3L, 30L), (4L, 40L)).toDF("a", "b")
+        .createOrReplaceTempView("ren_src2")
+      spark.sql("INSERT INTO gcat.nsr.src SELECT * FROM ren_src1")
+      spark.sql("INSERT INTO gcat.nsr.src SELECT * FROM ren_src2")
+      spark.sql("DELETE FROM gcat.nsr.src WHERE user_id = 4")
+      def canon(sqlText: String): Seq[(Long, Long)] =
+        spark.sql(sqlText).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val before = canon(
+        "SELECT user_id, n_events FROM gcat.nsr.src ORDER BY 1")
+      val beforeV1 = canon("SELECT user_id, n_events FROM gcat.nsr.src " +
+        "VERSION AS OF 1 ORDER BY 1")
+      val histBefore = spark.sql("DESCRIBE HISTORY gcat.nsr.src")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val mtimesBefore = graft.streaming.IngestIndex.describeHistory(
+        new org.apache.hadoop.fs.Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        s"$root/nsr/src").map(h => h.version -> h.manifestMtime).toMap
+      spark.sql("ALTER TABLE gcat.nsr.src RENAME TO nsr.tgt")
+      // the old name is gone everywhere
+      val shown = spark.sql("SHOW TABLES IN gcat.nsr").collect()
+        .map(_.getString(1)).toSeq
+      assert(shown == Seq("tgt"), shown.toString)
+      intercept[Throwable] {
+        spark.sql("SELECT * FROM gcat.nsr.src").collect() }
+      // contents, history (operations AND commit instants) and time
+      // travel all survive — the rename moved metadata, not history
+      assert(canon("SELECT user_id, n_events FROM gcat.nsr.tgt " +
+        "ORDER BY 1") == before)
+      assert(canon("SELECT user_id, n_events FROM gcat.nsr.tgt " +
+        "VERSION AS OF 1 ORDER BY 1") == beforeV1)
+      val histAfter = spark.sql("DESCRIBE HISTORY gcat.nsr.tgt")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(histAfter == histBefore, s"$histAfter != $histBefore")
+      val mtimesAfter = graft.streaming.IngestIndex.describeHistory(
+        new org.apache.hadoop.fs.Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        s"$root/nsr/tgt").map(h => h.version -> h.manifestMtime).toMap
+      assert(mtimesAfter == mtimesBefore,
+        "manifest mtimes (commit instants) shifted across the rename")
+      // DML composes under the new name; the PK guard fires on it
+      spark.sql("INSERT INTO gcat.nsr.tgt SELECT a + 100, b " +
+        "FROM ren_src1")
+      val e1 = intercept[Throwable] {
+        spark.sql("INSERT INTO gcat.nsr.tgt SELECT * FROM ren_src1")
+          .collect() }
+      assert(e1.getMessage.contains("already exists"), e1.getMessage)
+      // the OLD name's key binding released: re-CREATE with a
+      // DIFFERENT primary key
+      spark.sql("CREATE TABLE gcat.nsr.src (n_events BIGINT, " +
+        "user_id BIGINT, PRIMARY KEY (n_events))")
+      spark.sql("INSERT INTO gcat.nsr.src SELECT b, a FROM ren_src1")
+      assert(spark.sql("SELECT COUNT(*) AS c FROM gcat.nsr.src")
+        .collect().head.getLong(0) == 2L)
+      // guard rails: rename onto a live table / from a missing one
+      intercept[org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException] {
+        spark.sessionState.catalogManager.catalog("gcat")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog
+            .TableCatalog]
+          .renameTable(
+            org.apache.spark.sql.connector.catalog.Identifier
+              .of(Array("nsr"), "src"),
+            org.apache.spark.sql.connector.catalog.Identifier
+              .of(Array("nsr"), "tgt"))
+      }
+      intercept[Throwable] {
+        spark.sql("ALTER TABLE gcat.nsr.no_such RENAME TO nsr.x") }
+      // CROSS-NAMESPACE move: the same metadata move into another dir
+      spark.sql("ALTER TABLE gcat.nsr.tgt RENAME TO nsr2.tgt2")
+      assert(canon("SELECT user_id, n_events FROM gcat.nsr2.tgt2 " +
+        "WHERE user_id <= 4 ORDER BY 1") == before)
+      assert(spark.sql("SHOW TABLES IN gcat.nsr").collect()
+        .map(_.getString(1)).toSeq == Seq("src"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.nsr.src")
+      spark.sql("DROP TABLE IF EXISTS gcat.nsr.tgt")
+      spark.sql("DROP TABLE IF EXISTS gcat.nsr2.tgt2")
+      graft.streaming.IngestIndex.unregisterKeyCols("nsr.src")
+      graft.streaming.IngestIndex.unregisterKeyCols("nsr.tgt")
+      graft.streaming.IngestIndex.unregisterKeyCols("nsr2.tgt2")
+    }
+  }
+
   test("a FILTERED overwrite is rejected at ANALYSIS with Spark's " +
     "named error (r19 advisor fix): the table advertises TRUNCATE, " +
     "not OVERWRITE_BY_FILTER") {
@@ -270,8 +369,35 @@ class GraftCatalogSpec extends AnyFunSuite {
         spark.sql("ALTER TABLE gcat.ns3.widen DROP COLUMN a") }
       assert(e2.getCondition == "UNSUPPORTED_FEATURE.TABLE_OPERATION",
         e2.getMessage)
-      assert(e2.getMessage.contains("column ADDITION only"),
+      assert(e2.getMessage.contains("column ADDITION"),
         e2.getMessage)
+      // ALTER COLUMN TYPE through the CATALOG path (r20): the same
+      // shared helper as the flat verb — safe widening rewrites, the
+      // schema updates, and a narrowing raises the typed error
+      spark.sql("ALTER TABLE gcat.ns3.widen ALTER COLUMN b TYPE DOUBLE")
+      // (no-op: already DOUBLE — nothing committed)
+      val before = spark.sql("DESCRIBE HISTORY gcat.ns3.widen")
+        .collect().map(_.getLong(0)).max
+      spark.sql("ALTER TABLE gcat.ns3.widen ALTER COLUMN a TYPE " +
+        "DECIMAL(38,0)")
+      // narrowing on the catalog path is rejected TWICE over: Spark's
+      // own analyzer guard (canUpCast -> NOT_SUPPORTED_CHANGE_COLUMN)
+      // fires first; the engine's widens() guard backstops paths that
+      // bypass the analyzer (the flat verb's spec pins its message)
+      val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("ALTER TABLE gcat.ns3.widen ALTER COLUMN a TYPE " +
+          "BIGINT") }
+      assert(e3.getCondition == "NOT_SUPPORTED_CHANGE_COLUMN" ||
+        (e3.getCondition == "UNSUPPORTED_FEATURE.TABLE_OPERATION" &&
+          e3.getMessage.contains("safe widenings")), e3.getMessage)
+      assert(spark.sql("SELECT * FROM gcat.ns3.widen").schema("a")
+        .dataType == org.apache.spark.sql.types.DecimalType(38, 0))
+      assert(spark.sql("DESCRIBE HISTORY gcat.ns3.widen").collect()
+        .map(_.getLong(0)).max == before + 1, "retype should be ONE " +
+        "copy-on-write commit")
+      val sum = spark.sql("SELECT CAST(SUM(a) AS BIGINT) AS s " +
+        "FROM gcat.ns3.widen").collect().head.getLong(0)
+      assert(sum == 60L, s"values survived the retype rewrite: $sum")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gcat.ns3.widen")
       graft.streaming.IngestIndex.unregisterKeyCols("ns3.widen")

@@ -716,6 +716,256 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP TABLE (r20): a flat-registered SQL-created table drops " +
+    "meta + data + registry + key binding (a re-CREATE may rebind a " +
+    "DIFFERENT key); IF EXISTS; unregistered names delegate to Spark; " +
+    "hand-registered stores are refused by name") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sqldrop").toString
+    val state = root + "/droptbl"
+    Seq((1L, 10L)).toDF("a", "b").createOrReplaceTempView("drop_src")
+    try {
+      spark.sql(s"CREATE TABLE drop_t (k BIGINT, v BIGINT, " +
+        s"PRIMARY KEY (k)) USING graft LOCATION '$state'")
+      spark.sql("INSERT INTO drop_t SELECT a, b FROM drop_src").collect()
+      assert(spark.sql("SELECT * FROM drop_t").count() == 1L)
+      spark.sql("DROP TABLE drop_t")
+      // registry gone (the name no longer resolves anywhere) and the
+      // store directory — meta file + version dirs — deleted
+      assert(graft.operators.GraftSql.resolveStore("drop_t").isEmpty)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(state)), "store dir survived DROP")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT * FROM drop_t").collect()
+      }
+      // key binding released: the SAME inner name re-CREATEs keyed by a
+      // DIFFERENT column, and the PK guard fires on the NEW key
+      spark.sql(s"CREATE TABLE drop_t (v BIGINT, k BIGINT, " +
+        s"PRIMARY KEY (v)) USING graft LOCATION '$state'")
+      spark.sql("INSERT INTO drop_t SELECT b, a FROM drop_src").collect()
+      val eDup = intercept[Throwable] {
+        spark.sql("INSERT INTO drop_t SELECT b, a + 9 FROM drop_src")
+          .collect()
+      }
+      assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+      // IF EXISTS composes with a live registered table too
+      spark.sql("DROP TABLE IF EXISTS drop_t")
+      assert(graft.operators.GraftSql.resolveStore("drop_t").isEmpty)
+      // unregistered name: DELEGATES to Spark untouched — IF EXISTS
+      // no-ops there, the bare form fails with Spark's own error
+      spark.sql("DROP TABLE IF EXISTS drop_no_such_flat")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("DROP TABLE drop_no_such_flat")
+      }
+      // a hand-registered store (no _graft_meta): DROP refuses by name
+      // — SQL never owned that data — and points at unregisterTable
+      val hand = root + "/hand"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(hand))
+      graft.operators.GraftSql.registerTable("drop_hand", hand, "state")
+      val eHand = intercept[Throwable] {
+        spark.sql("DROP TABLE drop_hand")
+      }
+      assert(eHand.getMessage.contains("unregisterTable"),
+        eHand.getMessage)
+      // the refusal deleted nothing and kept the registration
+      assert(graft.operators.GraftSql.resolveStore("drop_hand").isDefined)
+      // extension-free twin routes the same statement
+      val state2 = root + "/twin"
+      graft.operators.GraftSql.sql(spark,
+        s"CREATE TABLE drop_twin (x BIGINT, PRIMARY KEY (x)) " +
+          s"USING graft LOCATION '$state2'").collect()
+      graft.operators.GraftSql.sql(spark, "DROP TABLE drop_twin")
+        .collect()
+      assert(graft.operators.GraftSql.resolveStore("drop_twin").isEmpty)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(state2)))
+    } finally {
+      graft.operators.GraftSql.unregisterTable("drop_t")
+      graft.operators.GraftSql.unregisterTable("drop_hand")
+      graft.operators.GraftSql.unregisterTable("drop_twin")
+      graft.streaming.IngestIndex.unregisterKeyCols("drop_t")
+      graft.streaming.IngestIndex.unregisterKeyCols("drop_twin")
+    }
+  }
+
+  test("ALTER COLUMN TYPE (r20): safe widening rewrites copy-on-write " +
+    "— the current snapshot carries the new type in EVERY file, time " +
+    "travel reads each snapshot's own type, a live DV materializes " +
+    "first; key retype / narrowing / cross-family are named errors; " +
+    "the catalog path shares the helper") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-retype").toString + "/t"
+    Seq((1L, 10), (2L, 20), (3L, 30), (5L, 50)).toDF("a", "b")
+      .createOrReplaceTempView("rt_src")
+    try {
+      spark.sql(s"CREATE TABLE rt_t (user_id BIGINT, n INT, " +
+        s"PRIMARY KEY (user_id)) USING graft LOCATION '$state'")
+      spark.sql("INSERT INTO rt_t SELECT a, b FROM rt_src")
+      def typeOf(sqlText: String) = spark.sql(sqlText).schema("n").dataType
+      assert(typeOf("SELECT * FROM rt_t") == IntegerType)
+      // a LIVE deletion vector crosses the retype
+      spark.sql("DELETE FROM rt_t WHERE user_id = 3")
+      spark.sql("ALTER TABLE rt_t ALTER COLUMN n TYPE BIGINT")
+      // current snapshot: new type, same values, tombstone honored
+      assert(typeOf("SELECT * FROM rt_t") == LongType)
+      val rows = spark.sql("SELECT user_id, n FROM rt_t ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 10L), (2L, 20L), (5L, 50L)), rows)
+      // provenance: materialize then retype
+      val hist = spark.sql("DESCRIBE HISTORY rt_t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist(3L) == "materialize" && hist(4L) == "retype", hist)
+      // TIME TRAVEL reads each snapshot's OWN type (history immutable:
+      // v1's files were never rewritten)
+      assert(typeOf("SELECT * FROM rt_t VERSION AS OF 1") == IntegerType)
+      assert(spark.sql("SELECT user_id, n FROM rt_t VERSION AS OF 1 " +
+        "ORDER BY 1").collect().map(r => (r.getLong(0), r.getInt(1)))
+        .toSeq == Seq((1L, 10), (2L, 20), (3L, 30), (5L, 50)))
+      // the widened column now holds values the old type could not
+      spark.sql("INSERT INTO rt_t VALUES (9, 4000000001)")
+      assert(spark.sql("SELECT n FROM rt_t WHERE user_id = 9")
+        .collect().head.getLong(0) == 4000000001L)
+      // no-op retype: same type, no new version
+      val top = spark.sql("DESCRIBE HISTORY rt_t").collect()
+        .map(_.getLong(0)).max
+      spark.sql("ALTER TABLE rt_t ALTER COLUMN n TYPE BIGINT")
+      assert(spark.sql("DESCRIBE HISTORY rt_t").collect()
+        .map(_.getLong(0)).max == top, "no-op retype committed")
+      // guard rails, all named: narrowing, cross-family, key retype,
+      // unknown column
+      val e1 = intercept[Throwable] {
+        spark.sql("ALTER TABLE rt_t ALTER COLUMN n TYPE INT") }
+      assert(e1.getMessage.contains("safe widenings"), e1.getMessage)
+      val e2 = intercept[Throwable] {
+        spark.sql("ALTER TABLE rt_t ALTER COLUMN n TYPE STRING") }
+      assert(e2.getMessage.contains("safe widenings"), e2.getMessage)
+      val e3 = intercept[Throwable] {
+        spark.sql("ALTER TABLE rt_t ALTER COLUMN user_id TYPE DECIMAL(38,0)") }
+      assert(e3.getMessage.contains("PRIMARY KEY"), e3.getMessage)
+      val e4 = intercept[Throwable] {
+        spark.sql("ALTER TABLE rt_t ALTER COLUMN nope TYPE BIGINT") }
+      assert(e4.getMessage.contains("no column"), e4.getMessage)
+    } finally {
+      graft.operators.GraftSql.unregisterTable("rt_t")
+      graft.streaming.IngestIndex.unregisterKeyCols("rt_t")
+    }
+  }
+
+  test("BEGIN...COMMIT transactions (r20): N statements, ONE version " +
+    "(op = txn); read-your-writes (delete-then-reinsert works, the PK " +
+    "guard sees the running state); batched == sequential; a failing " +
+    "statement aborts the WHOLE transaction; scope guard rails") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-txn").toString
+    def create(name: String): Unit =
+      spark.sql(s"CREATE TABLE $name (user_id BIGINT, n BIGINT, " +
+        s"PRIMARY KEY (user_id)) USING graft LOCATION '$root/$name'")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (7L, 70L)).toDF("a", "b")
+      .createOrReplaceTempView("txn_seed")
+    try {
+      create("txn_t")
+      spark.sql("INSERT INTO txn_t SELECT a, b FROM txn_seed")
+      val v = spark.sql(
+        """BEGIN;
+          |UPDATE txn_t SET n = n + 100 WHERE user_id <= 2;
+          |DELETE FROM txn_t WHERE user_id = 7;
+          |INSERT INTO txn_t VALUES (7, 777), (9, 90);
+          |COMMIT""".stripMargin).collect().head.getLong(0)
+      // ONE version for three statements, op = txn; read-your-writes:
+      // user 7 was deleted THEN re-inserted in the same transaction
+      assert(v == 2L, s"txn committed v$v, expected ONE version v2")
+      val hist = spark.sql("DESCRIBE HISTORY txn_t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist == Map(1L -> "insert", 2L -> "txn"), hist.toString)
+      val rows = spark.sql("SELECT user_id, n FROM txn_t ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 110L), (2L, 120L), (3L, 30L),
+        (7L, 777L), (9L, 90L)), rows.toString)
+      // batched == sequential: the same statements one at a time land
+      // the same contents (but three versions)
+      create("txn_seq")
+      spark.sql("INSERT INTO txn_seq SELECT a, b FROM txn_seed")
+      spark.sql("UPDATE txn_seq SET n = n + 100 WHERE user_id <= 2")
+      spark.sql("DELETE FROM txn_seq WHERE user_id = 7")
+      spark.sql("INSERT INTO txn_seq VALUES (7, 777), (9, 90)")
+      val seq = spark.sql("SELECT user_id, n FROM txn_seq ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(seq == rows, s"batched $rows != sequential $seq")
+      // ATOMIC: a failing guard (PK clash with the RUNNING state)
+      // aborts the whole transaction — version count unchanged, the
+      // earlier statement's update NOT applied
+      val e1 = intercept[Throwable] { spark.sql(
+        """BEGIN;
+          |UPDATE txn_t SET n = 0 WHERE user_id = 3;
+          |INSERT INTO txn_t VALUES (9, 1);
+          |COMMIT""".stripMargin).collect() }
+      assert(e1.getMessage.contains("already exists"), e1.getMessage)
+      assert(spark.sql("DESCRIBE HISTORY txn_t").collect()
+        .map(_.getLong(0)).max == 2L, "aborted txn committed a version")
+      assert(spark.sql("SELECT n FROM txn_t WHERE user_id = 3")
+        .collect().head.getLong(0) == 30L,
+        "aborted txn applied an earlier statement")
+      // in-batch duplicate inside one INSERT: named
+      val e2 = intercept[Throwable] { spark.sql(
+        "BEGIN; INSERT INTO txn_t VALUES (50, 1), (50, 2); COMMIT")
+        .collect() }
+      assert(e2.getMessage.contains("duplicate PRIMARY KEY"),
+        e2.getMessage)
+      // scope guard rails, all named: two tables; MERGE; OVERWRITE
+      val e3 = intercept[Throwable] { spark.sql(
+        """BEGIN;
+          |DELETE FROM txn_t WHERE user_id = 1;
+          |DELETE FROM txn_seq WHERE user_id = 1;
+          |COMMIT""".stripMargin).collect() }
+      assert(e3.getMessage.contains("ONE table"), e3.getMessage)
+      val e4 = intercept[Throwable] { spark.sql(
+        """BEGIN;
+          |MERGE INTO txn_t AS t
+          |USING (SELECT a AS user_id, b FROM txn_seed) AS s
+          |ON t.user_id = s.user_id
+          |WHEN MATCHED THEN UPDATE SET n = s.b;
+          |COMMIT""".stripMargin).collect() }
+      assert(e4.getMessage.contains("standalone"), e4.getMessage)
+      val e5 = intercept[Throwable] { spark.sql(
+        "BEGIN; INSERT OVERWRITE txn_t SELECT a, b FROM txn_seed; " +
+          "COMMIT").collect() }
+      assert(e5.getMessage.contains("OVERWRITE"), e5.getMessage)
+      // quoted-literal splitting: a ';' inside a string literal does
+      // not split the statement
+      create("txn_q")
+      spark.sql("ALTER TABLE txn_q ADD COLUMNS (tag STRING)")
+      spark.sql(
+        """BEGIN;
+          |INSERT INTO txn_q VALUES (1, 1, 'a;b');
+          |UPDATE txn_q SET tag = 'x;y' WHERE user_id = 1;
+          |COMMIT""".stripMargin).collect()
+      assert(spark.sql("SELECT tag FROM txn_q").collect()
+        .head.getString(0) == "x;y")
+      // extension-free twin routes the same block
+      val v2 = graft.operators.GraftSql.sql(spark,
+        "BEGIN; DELETE FROM txn_q WHERE user_id = 1; COMMIT")
+        .collect().head.getLong(0)
+      assert(v2 == 2L && spark.sql("SELECT COUNT(*) AS c FROM txn_q")
+        .collect().head.getLong(0) == 0L)
+    } finally {
+      Seq("txn_t", "txn_seq", "txn_q").foreach { n =>
+        graft.operators.GraftSql.unregisterTable(n)
+        graft.streaming.IngestIndex.unregisterKeyCols(n)
+      }
+    }
+  }
+
   test("DELETE FROM / UPDATE (r18): row-level DML through spark.sql — " +
     "DV tombstones, copy-on-write update, truncate form, no-op on an " +
     "empty table, guard rails, extension-free twin") {

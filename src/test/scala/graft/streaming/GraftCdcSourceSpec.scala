@@ -166,6 +166,160 @@ class GraftCdcSourceSpec extends AnyFunSuite {
     } finally graft.operators.GraftSql.unregisterTable("cdcsrc_boot")
   }
 
+  /** Drain under Trigger.AvailableNow — the production backfill
+    * trigger: the query must TERMINATE on its own once the pinned end
+    * is reached (no processAllAvailable). */
+  private def drainAvailableNow(name: String, checkpoint: String,
+      options: Map[String, String])
+      : scala.collection.mutable.ArrayBuffer[(Long, Seq[String])] = {
+    val s = TestSpark.spark
+    val got =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    var reader = s.readStream.format("graft-cdc").option("name", name)
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: Long) =>
+        got.synchronized { got += id -> canon(b.toDF()); () }
+      }
+      .start()
+    try assert(q.awaitTermination(180000L),
+      "AvailableNow query did not terminate — the pinned end was " +
+        "never reached (or the source kept offering)")
+    finally q.stop()
+    got
+  }
+
+  test("restart with NEW versions under startingVersion + " +
+    "maxVersionsPerTrigger (q146's replication config): the resumed " +
+    "stream never offers below its committed offset — batches continue " +
+    "exactly where the checkpoint stopped (r19 advisor scenario)") {
+    val s = TestSpark.spark
+    val state = stage("restart")
+    var m = commit(state, Map.empty, 1L, seedRows(4), (_, d) => d)
+    (2 to 3).foreach { v =>
+      m = commit(state, m, v.toLong,
+        seedRows(4).filter(col("user_id") === 1)
+          .withColumn("n_events", lit(v.toLong * 100)),
+        (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+          "left_anti").unionByName(d))
+    }
+    graft.operators.GraftSql.registerTable("cdcsrc_restart", state,
+      "state")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("cdcsrc-restart").toString
+      val opts = Map("startingVersion" -> "1",
+        "maxVersionsPerTrigger" -> "1")
+      assert(drain("cdcsrc_restart", ckpt, opts).size == 3)
+      // the store advances while the stream is DOWN — a fresh source
+      // instance's in-memory floor is gone; only the engine contracts
+      // (admission-control start offset / getBatch re-init) carry it
+      (4 to 5).foreach { v =>
+        m = commit(state, m, v.toLong,
+          seedRows(4).filter(col("user_id") === 2)
+            .withColumn("n_events", lit(v.toLong * 1000)),
+          (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+            "left_anti").unionByName(d))
+      }
+      val resumed = drain("cdcsrc_restart", ckpt, opts)
+      assert(resumed.size == 2, resumed.map(_._1))
+      Seq(4L, 5L).zipWithIndex.foreach { case (v, i) =>
+        assert(resumed(i)._2 == canon(IngestIndex.changesBetween(
+          s, state, "state", v - 1L, v)),
+          s"resumed batch $i != changes(${v - 1}, $v)")
+      }
+    } finally graft.operators.GraftSql.unregisterTable("cdcsrc_restart")
+  }
+
+  test("Trigger.AvailableNow: per-version batches and the rate limit " +
+    "SURVIVE it (SupportsTriggerAvailableNow, r20) — mvpt=1 over a " +
+    "3-version store yields 3 batches then terminates, results == " +
+    "processAllAvailable's; endingVersion composes") {
+    val s = TestSpark.spark
+    val state = stage("avnow")
+    var m = commit(state, Map.empty, 1L, seedRows(5), (_, d) => d)
+    (2 to 3).foreach { v =>
+      m = commit(state, m, v.toLong,
+        seedRows(5).filter(col("user_id") === v)
+          .withColumn("n_events", lit(v.toLong * 7)),
+        (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+          "left_anti").unionByName(d))
+    }
+    graft.operators.GraftSql.registerTable("cdcsrc_avnow", state, "state")
+    try {
+      val opts = Map("startingVersion" -> "1",
+        "maxVersionsPerTrigger" -> "1")
+      val got = drainAvailableNow("cdcsrc_avnow", java.nio.file.Files
+        .createTempDirectory("cdcsrc-avnow").toString, opts)
+      // one batch PER VERSION — the generic V1 AvailableNow wrapper
+      // would have collapsed these into one
+      assert(got.size == 3, got.map(_._1))
+      val viaPaa = drain("cdcsrc_avnow", java.nio.file.Files
+        .createTempDirectory("cdcsrc-avnow-paa").toString, opts)
+      assert(got.map(_._2) == viaPaa.map(_._2),
+        "AvailableNow batches != processAllAvailable batches")
+      // endingVersion composes: the pinned end is min(latest, bound)
+      val bounded = drainAvailableNow("cdcsrc_avnow",
+        java.nio.file.Files
+          .createTempDirectory("cdcsrc-avnow-b").toString,
+        opts + ("endingVersion" -> "2"))
+      assert(bounded.size == 2, bounded.map(_._1))
+      (1 to 2).foreach { v =>
+        assert(bounded(v - 1)._2 == canon(IngestIndex.changesBetween(
+          s, state, "state", v - 1L, v.toLong)))
+      }
+    } finally graft.operators.GraftSql.unregisterTable("cdcsrc_avnow")
+  }
+
+  test("offer decision laws (pure): plan-cap clamp keeps every offer " +
+    "within MaxChangeSteps of the floor (r19 advisor wedge); rate " +
+    "limit and floors unchanged") {
+    import GraftCdcSource.decideOffer
+    val cap = IngestIndex.MaxChangeSteps
+    // un-rate-limited stream 600 versions behind: offers arrive in
+    // plan-capped chunks, never a range changesBetween would refuse
+    assert(decideOffer(600L, None, Some(1L), -1L, None) == Some(cap))
+    assert(decideOffer(600L, Some(cap), Some(1L), -1L, None) ==
+      Some(600L))
+    // snapshot bootstrap far behind latest: first offer caps at
+    // bootstrap + MaxChangeSteps (the batch is snapshot + (b, t])
+    assert(decideOffer(600L, None, None, 3L, None) == Some(3L + cap))
+    // rate limit still binds tighter than the cap
+    assert(decideOffer(600L, Some(10L), Some(1L), -1L, Some(5L)) ==
+      Some(15L))
+    // rate-limited snapshot mode: bootstrap batch alone
+    assert(decideOffer(600L, None, None, 3L, Some(2L)) == Some(3L))
+    // nothing new
+    assert(decideOffer(5L, Some(5L), Some(1L), -1L, Some(1L)).isEmpty)
+    assert(decideOffer(0L, None, None, 0L, None).isEmpty)
+  }
+
+  test("latestVersionAbove: upward probe from a known committed top " +
+    "matches the full listing as the store advances (the O(1)-per-" +
+    "trigger poll path)") {
+    val s = TestSpark.spark
+    val state = stage("probe")
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    var m = commit(state, Map.empty, 1L, seedRows(3), (_, d) => d)
+    assert(IngestIndex.latestVersionAbove(fs, state, 1L) == 1L)
+    (2 to 4).foreach { v =>
+      m = commit(state, m, v.toLong,
+        seedRows(3).filter(col("user_id") === 1)
+          .withColumn("n_events", lit(v.toLong)),
+        (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+          "left_anti").unionByName(d))
+    }
+    assert(IngestIndex.latestVersionAbove(fs, state, 1L) == 4L)
+    assert(IngestIndex.latestVersionAbove(fs, state, 4L) == 4L)
+    assert(IngestIndex.latestVersionAbove(fs, state, 4L) ==
+      IngestIndex.latestVersion(fs, state).get)
+  }
+
   test("offsets: json round-trip, SerializedOffset acceptance, named " +
     "errors for bad options and unknown names") {
     val o = GraftCdcOffset(7L, 2L)

@@ -104,6 +104,86 @@ class GraftUpsertSinkSpec extends AnyFunSuite {
     } finally graft.operators.GraftSql.unregisterTable("sink_plain_t")
   }
 
+  test("replication across schema evolution (r20): the source table " +
+    "WIDENS mid-replication; the restarted stream adopts the widened " +
+    "schema, pre-widening replica buckets null-fill, and the replica " +
+    "still equals the source's direct recompute") {
+    val s = TestSpark.spark
+    val sp = s
+    import sp.implicits._
+    val src = freshStore("evo-src")
+    val dst = freshStore("evo-dst")
+    val fs = new Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def commit(m: IngestIndex.Manifest, next: Long, delta: DataFrame,
+        combine: (DataFrame, DataFrame) => DataFrame)
+        : IngestIndex.Manifest = {
+      val map = IngestIndex.mergeCommit(s, src, m, "state", next,
+        delta, combine)
+      val nm: IngestIndex.Manifest = m + ("state" -> map)
+      IngestIndex.writeManifest(fs, src, next, nm)
+      nm
+    }
+    def canon(df: DataFrame): Seq[String] =
+      df.select(df.columns.sorted.toSeq.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    val seed = (1 to 4).map(i => (i.toLong, i * 10L))
+      .toDF("user_id", "n_events")
+    val m1 = commit(Map.empty, 1L, seed, (_, d) => d)
+    val m2 = commit(m1, 2L,
+      seed.filter(col("user_id") === 2).withColumn("n_events", lit(77L)),
+      (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+        "left_anti").unionByName(d))
+    graft.operators.GraftSql.registerTable("sink_evo_src", src, "state")
+    graft.operators.GraftSql.registerTable("sink_evo_dst", dst, "state")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sink-evo-ckpt").toString
+    def replicate(): Unit = {
+      val q = s.readStream.format("graft-cdc")
+        .option("name", "sink_evo_src")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("graft-upsert")
+        .option("name", "sink_evo_dst")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      replicate() // phase 1: the 2-column shape reaches the replica
+      assert(rows(dst) == Seq((1L, 10L), (2L, 77L), (3L, 30L),
+        (4L, 40L)))
+      // the SOURCE widens while the stream is down (q128's in-place
+      // evolution: only the touched bucket carries `tag`)
+      commit(m2, 3L,
+        seed.filter(col("user_id") === 1)
+          .withColumn("n_events", lit(11L))
+          .withColumn("tag", lit("x")),
+        (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+          "left_anti")
+          .withColumn("tag", lit(null)
+            .cast(org.apache.spark.sql.types.StringType))
+          .unionByName(d))
+      // the RESTART adopts: the resumed lineage re-declares from the
+      // source's current (widened) schema, the sink's combine unions
+      // with allowMissingColumns, and the replica's untouched buckets
+      // null-fill under the widened read — replica == recompute
+      replicate()
+      val got = canon(IngestIndex.currentTable(s, dst, "state"))
+      val want = canon(IngestIndex.currentTable(s, src, "state"))
+      assert(got == want, s"replica != source after widening:\n" +
+        s"got  $got\nwant $want")
+      assert(got.exists(_.contains("x")), "widened column never arrived")
+      // version mirroring held across the seam: 3 source versions ->
+      // 3 replica commits
+      assert(IngestIndex.latestVersion(fs, dst).contains(3L))
+    } finally {
+      graft.operators.GraftSql.unregisterTable("sink_evo_src")
+      graft.operators.GraftSql.unregisterTable("sink_evo_dst")
+    }
+  }
+
   test("end-to-end: graft-cdc source piped into the graft-upsert sink " +
     "replicates a store through a delete; replica == source snapshot") {
     val s = TestSpark.spark
