@@ -2064,39 +2064,55 @@ final case class GraftTransactionCommand(
         affected = affected
           .unionByName(src.select(keys.map(col): _*))
       case dcmd: GraftDeleteCommand =>
+        // DELETE and UPDATE apply as SINGLE-PASS filters/projections on
+        // the running state, never as self-joins: a join-based rewrite
+        // (running anti-join running.where(cond)) references the running
+        // plan TWICE, doubling the base-scan multiplicity per statement
+        // — O(2^statements) scans in the final delta. The predicates are
+        // deterministic xlate'd columns, so filter/when-projection are
+        // semantically identical and keep the plan LINEAR: one base
+        // scan + one operator per statement.
         val truncate = dcmd.dml.cond.forall {
           case org.apache.spark.sql.catalyst.expressions
               .Literal(true, org.apache.spark.sql.types.BooleanType) =>
             true
           case _ => false
         }
-        val matched =
-          if (truncate) running.select(keys.map(col): _*)
-          else {
-            val cond = GraftDml.xlate("DELETE FROM", dcmd.targetName,
-              dcmd.tAlias, schema)(dcmd.dml.cond.get)
-            running.where(cond).select(keys.map(col): _*)
-          }
-        running = running.join(matched, keys, "left_anti")
-        affected = affected.unionByName(matched)
+        if (truncate) {
+          affected = affected
+            .unionByName(running.select(keys.map(col): _*))
+          running = running.limit(0)
+        } else {
+          val cond = GraftDml.xlate("DELETE FROM", dcmd.targetName,
+            dcmd.tAlias, schema)(dcmd.dml.cond.get)
+          affected = affected.unionByName(
+            running.where(cond).select(keys.map(col): _*))
+          // rows where cond is FALSE or NULL survive (SQL DELETE
+          // removes only cond = TRUE)
+          running = running.where(coalesce(!cond, lit(true)))
+        }
       case u: GraftUpdateCommand =>
         val xl = GraftDml.xlate("UPDATE", u.targetName, u.tAlias,
           schema) _
         val sets = GraftDml.updateSets(u.targetName, u.tAlias, schema,
           keys, u.dml.sets)
-        val matched = u.dml.cond.map(c => running.where(xl(c)))
-          .getOrElse(running)
-        val updated = matched.select(schema.fields.map { f =>
+        val condOpt = u.dml.cond.map(xl)
+        affected = affected.unionByName(
+          condOpt.map(c => running.where(c)).getOrElse(running)
+            .select(keys.map(col): _*))
+        // conditional projection, simultaneous assignment semantics
+        // (RHS expressions read PRE-update values)
+        running = running.select(schema.fields.map { f =>
           sets.get(f.name) match {
-            case Some(c) => c.cast(f.dataType).as(f.name)
+            case Some(e) => condOpt match {
+              case Some(c) =>
+                when(c, e.cast(f.dataType))
+                  .otherwise(col(f.name)).as(f.name)
+              case None => e.cast(f.dataType).as(f.name)
+            }
             case None => col(f.name)
           }
         }.toSeq: _*)
-        running = running
-          .join(updated.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(updated)
-        affected = affected
-          .unionByName(updated.select(keys.map(col): _*))
       case _ => () // unreachable: typed above
     }
     // ONE commit: the final rows of every affected key, plus drop-tagged
@@ -2115,7 +2131,13 @@ final case class GraftTransactionCommand(
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
       .withColumn(drop, lit(true))
-    val delta = finalRows.unionByName(dropped)
+    // materialize the netted delta ONCE (flat-stats localCheckpoint,
+    // the graft-upsert sink's discipline): the commit evaluates the
+    // delta for its touched-bucket set and again inside the bucket
+    // writes — without the pin, the whole transaction's composed plan
+    // would re-run per evaluation
+    val delta = org.apache.spark.sql.execution.GraftCheckpoint
+      .localCheckpointFlatStats(finalRows.unionByName(dropped))
     val combine: (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
       (cur, d) => cur

@@ -637,6 +637,31 @@ object DumpPlans {
         |UPDATE/INSERT touched carry it. The widening is declared-
         |schema metadata composed at read and write planning; no data
         |moved for the DDL itself.""".stripMargin,
+    "q147_alter_retype" ->
+      """Read-back after ALTER COLUMN TYPE safe widening (r20): the
+        |bkt-pruned manifest union where EVERY live bucket carries the
+        |widened column — the retype was ONE copy-on-write commit
+        |(op=retype) re-casting every live bucket, preceded by a
+        |materialize commit folding the rig's live deletion vector in
+        |(the OPTIMIZE shape). No mixed-type union can appear in this
+        |plan by construction; old versions' files are untouched, so
+        |VERSION AS OF reads each snapshot's own type (spec-pinned).
+        |The post-widening INSERT's >int-range values sit in the same
+        |files — a silently-skipped rewrite could not produce this
+        |plan's single BIGINT read schema.""".stripMargin,
+    "q148_sql_transaction" ->
+      """Read-back after a 4-statement BEGIN...COMMIT transaction
+        |(r20): the same bkt-pruned manifest union as any store read —
+        |the transaction left ONE extra version (op=txn), not four.
+        |Inside the commit: statements applied to a VIRTUAL running
+        |state as a LINEAR plan (filters and conditional projections,
+        |never self-joins — a join-based rewrite would double the
+        |base-scan multiplicity per statement), the netted delta
+        |materialized once (flat-stats localCheckpoint, the
+        |graft-upsert sink's discipline), then one key-window replace
+        |over the union of the statements' touched buckets with
+        |net-deleted keys dropped copy-on-write via drop-tagged rows
+        |(shuffle-joinable — no driver key list, no broadcast).""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution
