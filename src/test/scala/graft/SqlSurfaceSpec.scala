@@ -958,8 +958,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .collect().head.getLong(0)
       assert(v2 == 2L && spark.sql("SELECT COUNT(*) AS c FROM txn_q")
         .collect().head.getLong(0) == 0L)
+      // FOOTPRINT LAW: a transaction touching ONE key commits only
+      // that key's bucket — the manifest diff of the txn version
+      // names exactly one changed data-bucket entry (the scale
+      // property: txn cost is O(affected keys + touched buckets),
+      // never O(table))
+      create("txn_fp")
+      Seq.tabulate(64)(i => (i.toLong + 1, i.toLong)).toDF("a", "b")
+        .createOrReplaceTempView("txn_fp_seed")
+      spark.sql("INSERT INTO txn_fp SELECT a, b FROM txn_fp_seed")
+      spark.sql(
+        """BEGIN;
+          |UPDATE txn_fp SET n = 999 WHERE user_id = 17;
+          |DELETE FROM txn_fp WHERE user_id = 17;
+          |INSERT INTO txn_fp VALUES (17, 1000);
+          |COMMIT""".stripMargin).collect()
+      val fs = new org.apache.hadoop.fs.Path(s"$root/txn_fp")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m1 = graft.streaming.IngestIndex
+        .readManifest(fs, s"$root/txn_fp", 1L)
+      val m2 = graft.streaming.IngestIndex
+        .readManifest(fs, s"$root/txn_fp", 2L)
+      val changed = (m1.keySet ++ m2.keySet).flatMap { t =>
+        val a = m1.getOrElse(t, Map.empty)
+        val b = m2.getOrElse(t, Map.empty)
+        (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
+          .map(t -> _)
+      }
+      assert(changed.size == 1 && changed.head._1 == "txn_fp",
+        s"one-key txn touched ${changed.size} bucket entries: $changed")
+      assert(spark.sql("SELECT n FROM txn_fp WHERE user_id = 17")
+        .collect().head.getLong(0) == 1000L)
     } finally {
-      Seq("txn_t", "txn_seq", "txn_q").foreach { n =>
+      Seq("txn_t", "txn_seq", "txn_q", "txn_fp").foreach { n =>
         graft.operators.GraftSql.unregisterTable(n)
         graft.streaming.IngestIndex.unregisterKeyCols(n)
       }
