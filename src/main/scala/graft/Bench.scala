@@ -165,7 +165,10 @@ object Bench {
       // r20: store created + seeded + DV + retype rewrite per invocation
       "q147_alter_retype",
       // r20: store created + seeded + one 4-statement txn per invocation
-      "q148_sql_transaction")
+      "q148_sql_transaction",
+      // r20: store created + seeded + DV + two copy-on-write rewrites
+      // (rename-column, drop-column) per invocation
+      "q149_alter_drop_rename")
     // the name lists are hand-maintained — validate them against the
     // live query surface so a renamed/removed replay query fails LOUDLY
     // here instead of silently re-gaining min-of-3 (r16 advisor fix);

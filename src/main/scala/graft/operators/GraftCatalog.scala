@@ -241,6 +241,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           GraftSql.StoreTarget(sd, innerName(ident)),
           uc.fieldNames().head, uc.newDataType())
         return loadTable(ident)
+      // DROP COLUMN / RENAME COLUMN (r20): copy-on-write rewrites —
+      // the same helpers the flat verbs call, so the guards (no key
+      // drop/rename, collision, unknown column) and the rewrite shape
+      // cannot diverge between the two paths
+      case Seq(dc: TableChange.DeleteColumn) =>
+        if (dc.fieldNames().length != 1) unsupported(
+          s"nested column drop (${dc.fieldNames().mkString(".")})")
+        GraftSql.dropColumn(spark, s"$catName.$ident",
+          GraftSql.StoreTarget(sd, innerName(ident)),
+          dc.fieldNames().head)
+        return loadTable(ident)
+      case Seq(rc: TableChange.RenameColumn) =>
+        if (rc.fieldNames().length != 1) unsupported(
+          s"nested column rename (${rc.fieldNames().mkString(".")})")
+        GraftSql.renameColumn(spark, s"$catName.$ident",
+          GraftSql.StoreTarget(sd, innerName(ident)),
+          rc.fieldNames().head, rc.newName())
+        return loadTable(ident)
       case _ => ()
     }
     val added = changes.map {
@@ -261,10 +279,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           nullable = true)
       case other => unsupported(
         s"$other — the store's schema evolution is column ADDITION " +
-          "(q128's law) plus safe-widening retype (ALTER COLUMN ... " +
-          "TYPE, r20 — its own single-change statement); drops/renames " +
-          "need a rewrite under the new shape (CREATE + INSERT ... " +
-          "SELECT)")
+          "(q128's law, metadata-only) plus the copy-on-write rewrites " +
+          "(each its own single-change statement, r20): safe-widening " +
+          "ALTER COLUMN ... TYPE, DROP COLUMN, RENAME COLUMN; column " +
+          "repositioning and nested changes need a rewrite under the " +
+          "new shape (CREATE + INSERT ... SELECT)")
     }
     GraftSql.writeMeta(fs, sd, meta.copy(schema =
       StructType(meta.schema.fields ++ added)))
@@ -425,7 +444,8 @@ final case class GraftTable(
     ident: Identifier,
     stateDir: String,
     meta: GraftSql.TableMeta,
-    pinnedVersion: Option[Long]) extends Table with SupportsWrite {
+    pinnedVersion: Option[Long]) extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String =
     ((catalogName +: ident.namespace.toIndexedSeq) :+ ident.name)
@@ -475,6 +495,18 @@ final case class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this)
+
+  /** `TRUNCATE TABLE <cat>.<ns>.<t>` through Spark's native DSv2
+    * TruncateTableExec (r20): the same shared commit as the flat verb
+    * and the no-WHERE DELETE ([[GraftSql.truncateStore]] — one
+    * `truncate-sql` version; history keeps old snapshots readable). */
+  override def truncateTable(): Boolean = {
+    GraftSql.truncateStore(
+      SparkSession.active
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      "TRUNCATE TABLE", name(), storeTarget)
+    true
+  }
 }
 
 /** INSERT INTO / INSERT OVERWRITE a catalog table through the DSv2 V1

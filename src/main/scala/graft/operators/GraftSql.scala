@@ -254,6 +254,34 @@ object GraftSql {
             "float→double, same-scale decimal precision growth); " +
             "anything lossy needs a rewrite under the new shape " +
             "(CREATE + INSERT ... SELECT), q128's contract")))
+    copyOnWriteRewrite(classic, t, op = "retype",
+      cur => cur.withColumn(f.name,
+        org.apache.spark.sql.functions.col(f.name).cast(newType)))
+    writeMeta(fs, t.stateDir, meta.copy(schema =
+      org.apache.spark.sql.types.StructType(meta.schema.fields.map(x =>
+        if (x.name == f.name) x.copy(dataType = newType) else x))))
+  }
+
+  /** The shared COPY-ON-WRITE rewrite skeleton behind the
+    * schema-changing ALTER verbs (retype q147, DROP COLUMN and RENAME
+    * COLUMN r20): a live deletion vector MATERIALIZES first (the
+    * OPTIMIZE shape — a raw-slice rewrite under a live DV would
+    * resurrect tombstoned rows, mergeCommit's guard), then ONE
+    * op-tagged commit rewrites every live bucket through `xform`. Old
+    * versions' files are untouched — TIME TRAVEL reads each snapshot's
+    * own shape, and RESTORE rolls the rewrite back like any commit. A
+    * store with no live data commits nothing (the caller's meta write
+    * is the whole change). At 100 TB the rewrite is one full-table
+    * pass — exactly what the operation costs anywhere — but it is ONE
+    * commit with normal rollback, and readers of the old snapshot are
+    * never blocked. */
+  private def copyOnWriteRewrite(
+      classic: org.apache.spark.sql.classic.SparkSession,
+      t: StoreTarget, op: String,
+      xform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Unit = {
+    val fs = new Path(t.stateDir)
+      .getFileSystem(classic.sparkContext.hadoopConfiguration)
     IngestIndex.latestVersion(fs, t.stateDir).foreach { top0 =>
       var top = top0
       var m = IngestIndex.readManifest(fs, t.stateDir, top)
@@ -273,17 +301,139 @@ object GraftSql {
           t.table, raw = true).limit(0)
         val map = IngestIndex.mergeCommit(classic, t.stateDir, m,
           t.table, top + 1, emptyDelta,
-          (cur, _) => cur.withColumn(f.name,
-            org.apache.spark.sql.functions.col(f.name).cast(newType)),
+          (cur, _) => xform(cur),
           touchedKnown = Some(live))
         IngestIndex.writeManifest(fs, t.stateDir, top + 1,
-          m + (t.table -> map), op = "retype")
+          m + (t.table -> map), op = op)
       }
     }
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN <c>` for a store table (r20): the
+    * narrowing half of the schema-evolution contract, as an explicit
+    * COPY-ON-WRITE rewrite (one `op = drop-column` commit through
+    * [[copyOnWriteRewrite]]) — NOT a metadata-only remap. Delta's
+    * metadata-only drop needs column MAPPING (unique physical ids) to
+    * stop a later same-name ADD COLUMNS from resurrecting the old
+    * bytes; this store's columns are physical parquet names, so the
+    * honest drop physically removes the column from every live bucket
+    * — a later `ADD COLUMNS (c ...)` reads NULL, never stale values.
+    * The PRIMARY KEY may not drop (it IS the bucket layout and the
+    * row identity). CDF NOTE: the drop step emits ZERO change rows —
+    * projected to the post-drop shape, the rewritten rows equal their
+    * preimages ([[IngestIndex.changesBetween]]'s post-shape
+    * alignment), Delta's "schema change, no row change" reading. */
+  private[operators] def dropColumn(spark: SparkSession,
+      targetName: String, t: StoreTarget, colName: String): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(t.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(fs, t.stateDir, t.table).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $targetName DROP COLUMN: the store under " +
+          s"${t.stateDir} carries no _graft_meta (not a SQL-created " +
+          "table) — the declared schema is what a drop narrows"))
+    val f = meta.schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE $targetName DROP COLUMN: no column '$colName' " +
+          s"(columns: ${meta.schema.fieldNames.mkString(", ")})"))
+    require(!meta.keys.exists(_.equalsIgnoreCase(f.name)),
+      s"ALTER TABLE $targetName: cannot drop PRIMARY KEY column " +
+        s"'${f.name}' — the key is the bucket layout and the row " +
+        "identity; copy via CREATE TABLE (new key) + INSERT INTO " +
+        "... SELECT")
+    copyOnWriteRewrite(classic, t, op = "drop-column",
+      cur => cur.drop(f.name))
+    writeMeta(fs, t.stateDir, meta.copy(schema =
+      org.apache.spark.sql.types.StructType(
+        meta.schema.fields.filterNot(_.name == f.name))))
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN <a> TO <b>` for a store table
+    * (r20): a payload-column rename as a COPY-ON-WRITE rewrite (one
+    * `op = rename-column` commit) — the same no-column-mapping honesty
+    * as [[dropColumn]]: the physical parquet column renames in every
+    * live bucket, old snapshots keep the old name (time travel reads
+    * each version's own shape). The PRIMARY KEY may not rename: its
+    * name is woven through the key registry, the DV side table and
+    * every retained version's key column — a key rename would break
+    * `changesBetween`'s cross-version EXCEPT at the seam; the named
+    * error points at CREATE + INSERT. CDF NOTE: the rename step
+    * surfaces as a FULL-TABLE update whose preimages carry NULL for
+    * the renamed column (the old name is gone from the post shape) —
+    * the rewrite IS the operation, and a downstream replica applying
+    * postimages still converges; consumers adopt the new name on
+    * restart (the graft-cdc widened-schema restart contract). */
+  private[operators] def renameColumn(spark: SparkSession,
+      targetName: String, t: StoreTarget, oldName: String,
+      newName: String): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(t.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMeta(fs, t.stateDir, t.table).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER TABLE $targetName RENAME COLUMN: the store under " +
+          s"${t.stateDir} carries no _graft_meta (not a SQL-created " +
+          "table) — the declared schema is what a rename rewrites"))
+    val f = meta.schema.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE $targetName RENAME COLUMN: no column " +
+          s"'$oldName' (columns: ${meta.schema.fieldNames.mkString(", ")})"))
+    require(!meta.keys.exists(_.equalsIgnoreCase(f.name)),
+      s"ALTER TABLE $targetName: cannot rename PRIMARY KEY column " +
+        s"'${f.name}' — the key name is woven through the key " +
+        "registry, the DV side table and every retained version; " +
+        "copy via CREATE TABLE (new key name) + INSERT INTO ... SELECT")
+    if (f.name == newName) return // no-op rename
+    if (meta.schema.fields.exists(x => x.name != f.name &&
+        x.name.equalsIgnoreCase(newName)))
+      throw new org.apache.spark.sql.AnalysisException(
+        "FIELD_ALREADY_EXISTS", Map("op" -> "rename",
+          "fieldNames" -> s"`$newName`",
+          "struct" -> meta.schema.toDDL))
+    copyOnWriteRewrite(classic, t, op = "rename-column",
+      cur => cur.withColumnRenamed(f.name, newName))
     writeMeta(fs, t.stateDir, meta.copy(schema =
       org.apache.spark.sql.types.StructType(meta.schema.fields.map(x =>
-        if (x.name == f.name) x.copy(dataType = newType) else x))))
+        if (x.name == f.name) x.copy(name = newName) else x))))
   }
+
+  /** TRUNCATE for a store table — ONE metadata-shaped commit (`op =
+    * truncate-sql`) that empties every live bucket; history keeps the
+    * old snapshots, so time travel still reads pre-truncate contents
+    * and RESTORE rolls it back. Shared by `DELETE FROM <t>` with no
+    * WHERE, the flat `TRUNCATE TABLE` verb (r20) and the catalog's
+    * DSv2 [[org.apache.spark.sql.connector.catalog.TruncatableTable]]
+    * path, so the three spellings cannot diverge. A fully-emptied
+    * gen-0 table drops out of the manifest (the store's absent=empty
+    * law) — only the DECLARED meta of a SQL-created table keeps it
+    * readable afterwards, so the verb requires one. Returns the
+    * committed version (the prior top when already empty, 0 when no
+    * version was ever committed). */
+  private[operators] def truncateStore(
+      spark: org.apache.spark.sql.classic.SparkSession,
+      verb: String, targetName: String, target: StoreTarget): Long =
+    GraftDml.snapshotOf(spark, verb, targetName, target) match {
+      case None => 0L
+      case Some((fs, top, m, schema)) =>
+        require(readMeta(fs, target.stateDir, target.table).isDefined,
+          s"$verb '$targetName' requires a SQL-created table (CREATE TABLE " +
+            "... USING graft) — the declared schema is what keeps " +
+            "the emptied table readable; use row-level DELETE FROM " +
+            "... WHERE on engine-seeded stores")
+        val live = m.getOrElse(target.table,
+          Map.empty[Int, IngestIndex.Bkt]).keySet
+        if (live.isEmpty) return top
+        val next = top + 1
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), schema)
+        val nm = IngestIndex.mergeCommitDv(spark, target.stateDir, m,
+          target.table, next, empty, (_, d) => d,
+          touchedKnown = Some(live))
+        IngestIndex.writeManifest(fs, target.stateDir, next, nm,
+          op = "truncate-sql")
+        next
+    }
 
   /** The declared schema of a registered SQL-created table, when one
     * exists (the empty-read shape and the INSERT positional target). */
@@ -609,6 +759,16 @@ object GraftSql {
   private val AlterRetypeRe =
     ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+ALTER\s+COLUMN\s+""" +
       """`?(\w+)`?\s+(?:SET\s+DATA\s+)?TYPE\s+(.+?)\s*;?\s*""").r
+  // ALTER TABLE <flat name> DROP COLUMN <c> / RENAME COLUMN <a> TO <b>
+  // (r20): copy-on-write rewrites (dropColumn/renameColumn's contract);
+  // registered flat names only — catalog names ride Spark's native
+  // DropColumns/RenameColumn -> GraftCatalog.alterTable
+  private val AlterDropColRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+""" +
+      """`?(\w+)`?\s*;?\s*""").r
+  private val AlterRenameColRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+COLUMN\s+""" +
+      """`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*""").r
   // BEGIN; <dml>; ...; COMMIT (r20): several DML statements batched
   // into ONE store commit — one version, one footprint
   private val TxnRe =
@@ -640,12 +800,30 @@ object GraftSql {
   private val DropTableRe =
     ("""(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?""" +
       """([\w.`]+)\s*;?\s*""").r
+  // TRUNCATE TABLE <flat registered name> (r20): sugar over the shared
+  // truncateStore commit (the same path as DELETE FROM with no WHERE
+  // and the catalog's DSv2 TruncatableTable); only REGISTERED flat
+  // names intercept — TRUNCATE TABLE is a valid Spark statement, so an
+  // unregistered name must delegate untouched
+  private val TruncateTableRe =
+    """(?is)\s*TRUNCATE\s+TABLE\s+([\w.`]+)\s*;?\s*""".r
+  // SHOW CREATE TABLE <flat registered name> (r20): reconstructs the
+  // round-trippable CREATE statement from the declared meta; same
+  // shadowing discipline (valid Spark statement)
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.`]+)\s*;?\s*""".r
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS""" +
       """\s+OF\s+(\d+)\s*;?\s*""").r
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+""" +
-      """(VERSIONS|HOURS)\s*;?\s*""").r
+      """(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*;?\s*""").r
+  // DESCRIBE DETAIL <name> (r20): Delta's one-row table summary —
+  // REGISTERED names only (the DESCRIBE HISTORY shadowing discipline:
+  // `DESCRIBE DETAIL <col>` is a valid Spark statement describing a
+  // column of a table named DETAIL, and must delegate)
+  private val DescribeDetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([\w.`]+)\s*;?\s*""".r
   private val OptimizeRe =
     ("""(?is)\s*OPTIMIZE\s+([\w.`]+)""" +
       """(?:\s+(ZORDER|HILBERT)\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?""" +
@@ -749,6 +927,14 @@ object GraftSql {
       lookup(clean.split('.').toSeq).map(t =>
         GraftAlterRetypeCommand(clean, t, cn,
           org.apache.spark.sql.types.DataType.fromDDL(ddl)))
+    case AlterDropColRe(name, cn) =>
+      val clean = name.replace("`", "")
+      lookup(clean.split('.').toSeq).map(t =>
+        GraftAlterDropColumnCommand(clean, t, cn))
+    case AlterRenameColRe(name, a, b) =>
+      val clean = name.replace("`", "")
+      lookup(clean.split('.').toSeq).map(t =>
+        GraftAlterRenameColumnCommand(clean, t, a, b))
     case DescribeHistoryRe(name) =>
       resolveStore(name.replace("`", "")).map(t =>
         GraftDescribeHistoryCommand(name.replace("`", ""), t))
@@ -756,12 +942,24 @@ object GraftSql {
       val clean = name.replace("`", "")
       lookup(clean.split('.').toSeq).map(t =>
         GraftDropTableCommand(clean, t, ifExists != null))
+    case TruncateTableRe(name) =>
+      val clean = name.replace("`", "")
+      lookup(clean.split('.').toSeq).map(t =>
+        GraftTruncateTableCommand(clean, t))
+    case ShowCreateRe(name) =>
+      val clean = name.replace("`", "")
+      lookup(clean.split('.').toSeq).map(t =>
+        GraftShowCreateTableCommand(clean, t))
     case RestoreRe(name, v) =>
       Some(GraftRestoreCommand(name.replace("`", ""), registered(name),
         v.toLong))
-    case VacuumRe(name, k, unit) =>
+    case VacuumRe(name, k, unit, dry) =>
       Some(GraftVacuumCommand(name.replace("`", ""), registered(name),
-        k.toInt, hours = unit.equalsIgnoreCase("HOURS")))
+        k.toInt, hours = unit.equalsIgnoreCase("HOURS"),
+        dryRun = dry != null))
+    case DescribeDetailRe(name) =>
+      resolveStore(name.replace("`", "")).map(t =>
+        GraftDescribeDetailCommand(name.replace("`", ""), t))
     case OptimizeRe(name, curve, x, y, k) =>
       val clean = name.replace("`", "")
       if (curve == null)
@@ -1855,50 +2053,30 @@ final case class GraftDeleteCommand(
 
   override def run(ss: SparkSession): Seq[Row] = {
     val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val truncate = dml.cond.forall {
+      case org.apache.spark.sql.catalyst.expressions
+          .Literal(true, org.apache.spark.sql.types.BooleanType) => true
+      case _ => false
+    }
+    if (truncate)
+      return Seq(Row(GraftSql.truncateStore(spark,
+        "DELETE FROM (no WHERE = truncate)", targetName, target)))
     GraftDml.snapshotOf(spark, "DELETE FROM", targetName, target) match {
       case None => Seq(Row(0L))
       case Some((fs, top, m, schema)) =>
         val keys = IngestIndex.keyColsFor(target.table)
         val next = top + 1
-        val truncate = dml.cond.forall {
-          case org.apache.spark.sql.catalyst.expressions
-              .Literal(true, org.apache.spark.sql.types.BooleanType) => true
-          case _ => false
-        }
-        val nm =
-          if (truncate) {
-            // a fully-emptied gen-0 table drops out of the manifest
-            // (the store's absent=empty law) — only the DECLARED meta
-            // of a SQL-created table keeps it readable afterwards, so
-            // the truncate form requires one
-            require(GraftSql.readMeta(fs, target.stateDir, target.table)
-                .isDefined,
-              s"DELETE FROM '$targetName' with no WHERE (truncate) " +
-                "requires a SQL-created table (CREATE TABLE ... USING " +
-                "graft) — the declared schema is what keeps the " +
-                "emptied table readable; add a WHERE for row-level " +
-                "deletes")
-            val live = m.getOrElse(target.table,
-              Map.empty[Int, IngestIndex.Bkt]).keySet
-            if (live.isEmpty) return Seq(Row(top))
-            val empty = spark.createDataFrame(
-              java.util.Collections.emptyList[Row](), schema)
-            IngestIndex.mergeCommitDv(spark, target.stateDir, m,
-              target.table, next, empty, (_, d) => d,
-              touchedKnown = Some(live))
-          } else {
-            val cond = GraftDml.xlate("DELETE FROM", targetName, tAlias,
-              schema)(dml.cond.get)
-            val snap = GraftSql.widenToMeta(spark, target,
-              IngestIndex.currentTable(spark, target.stateDir,
-                target.table))
-            val tombstones = snap.where(cond)
-              .select(keys.map(col): _*)
-            IngestIndex.deleteWithDv(spark, target.stateDir, m,
-              target.table, next, tombstones)
-          }
+        val cond = GraftDml.xlate("DELETE FROM", targetName, tAlias,
+          schema)(dml.cond.get)
+        val snap = GraftSql.widenToMeta(spark, target,
+          IngestIndex.currentTable(spark, target.stateDir,
+            target.table))
+        val tombstones = snap.where(cond)
+          .select(keys.map(col): _*)
+        val nm = IngestIndex.deleteWithDv(spark, target.stateDir, m,
+          target.table, next, tombstones)
         IngestIndex.writeManifest(fs, target.stateDir, next, nm,
-          op = if (truncate) "truncate-sql" else "delete-sql")
+          op = "delete-sql")
         Seq(Row(next))
     }
   }
@@ -2207,6 +2385,99 @@ final case class GraftAlterRetypeCommand(
   }
 }
 
+/** `ALTER TABLE <flat name> DROP COLUMN <c>` (r20): the narrowing half
+  * of schema evolution as the copy-on-write rewrite
+  * [[GraftSql.dropColumn]] documents — the flat-registry twin of the
+  * catalog's `TableChange.DeleteColumn` path (same helper). */
+final case class GraftAlterDropColumnCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    column: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    GraftSql.dropColumn(ss, targetName, target, column)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE <flat name> RENAME COLUMN <a> TO <b>` (r20): a payload
+  * rename as the copy-on-write rewrite [[GraftSql.renameColumn]]
+  * documents — the flat-registry twin of the catalog's
+  * `TableChange.RenameColumn` path (same helper). */
+final case class GraftAlterRenameColumnCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget,
+    oldName: String,
+    newName: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    GraftSql.renameColumn(ss, targetName, target, oldName, newName)
+    Seq.empty
+  }
+}
+
+/** `TRUNCATE TABLE <flat registered name>` (r20): ONE commit that
+  * empties every live bucket ([[GraftSql.truncateStore]] — the same
+  * shared path as `DELETE FROM <t>` with no WHERE and the catalog's
+  * DSv2 `TruncatableTable`); history keeps the old snapshots, so time
+  * travel reads pre-truncate contents and RESTORE rolls it back.
+  * Returns the committed version. */
+final case class GraftTruncateTableCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    Seq(Row(GraftSql.truncateStore(spark, "TRUNCATE TABLE",
+      targetName, target)))
+  }
+}
+
+/** `SHOW CREATE TABLE <flat registered name>` (r20): Spark's
+  * one-string-row shape (`createtab_stmt`), reconstructed from the
+  * DECLARED meta so the emitted statement ROUND-TRIPS through the
+  * engine's own `CREATE TABLE ... USING graft` verb — columns, the
+  * PRIMARY KEY clause, and the LOCATION. Engine-seeded stores without
+  * a meta raise a named error (SQL never owned their schema). */
+final case class GraftShowCreateTableCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = GraftSql.readMeta(fs, target.stateDir, target.table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"SHOW CREATE TABLE '$targetName': the store under " +
+          s"${target.stateDir} carries no _graft_meta (not a " +
+          "SQL-created table) — its schema lives in its commits, not " +
+          "a declaration"))
+    val cols = meta.schema.fields
+      .map(f => s"  ${quoteIfNeeded(f.name)} ${f.dataType.sql}" +
+        (if (f.nullable) "" else " NOT NULL"))
+    val pk = s"  PRIMARY KEY (${meta.keys.map(quoteIfNeeded).mkString(", ")})"
+    val stmt = s"CREATE TABLE $targetName (\n" +
+      (cols :+ pk).mkString(",\n") +
+      s"\n) USING graft\nLOCATION '${target.stateDir}'"
+    Seq(Row(stmt))
+  }
+
+  private def quoteIfNeeded(n: String): String =
+    if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n else s"`$n`"
+}
+
 /** `DESCRIBE HISTORY <registered table>` — Delta's ops surface as SQL:
   * one row per retained version, newest first, with the r17 operation
   * tag. Metadata-only (memoized manifest resolutions, zero data IO). */
@@ -2267,11 +2538,13 @@ final case class GraftVacuumCommand(
     targetName: String,
     target: GraftSql.StoreTarget,
     retain: Int,
-    hours: Boolean = false) extends LeafRunnableCommand {
+    hours: Boolean = false,
+    dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
-    Seq(AttributeReference("deleted_version", LongType,
-      nullable = false)())
+    Seq(AttributeReference(
+      if (dryRun) "reclaimable_version" else "deleted_version",
+      LongType, nullable = false)())
 
   override def run(ss: SparkSession): Seq[Row] = {
     val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -2279,11 +2552,66 @@ final case class GraftVacuumCommand(
     val deleted =
       if (hours)
         IngestIndex.gc(fs, target.stateDir, math.max(1L, top - 1), top,
-          retain = 2, retainMillis = retain * 3600L * 1000L)
+          retain = 2, retainMillis = retain * 3600L * 1000L,
+          dryRun = dryRun)
       else
         IngestIndex.gc(fs, target.stateDir, math.max(1L, top - 1), top,
-          retain)
+          retain, dryRun = dryRun)
     deleted.map(Row(_))
+  }
+}
+
+/** `DESCRIBE DETAIL <registered store | catalog name>` (r20): Delta's
+  * one-row table summary — format, name, location, primary key, the
+  * current version, retained version count, live data-bucket count,
+  * live bytes, and the latest commit instant. Metadata-only except the
+  * per-live-bucket size listing (O(live buckets) — exactly what
+  * Delta's numFiles/sizeInBytes listing costs). */
+final case class GraftDescribeDetailCommand(
+    targetName: String,
+    target: GraftSql.StoreTarget) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("name",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("location",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("primary_key",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("current_version", LongType, nullable = false)(),
+    AttributeReference("retained_versions",
+      org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("live_buckets",
+      org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("last_modified", LongType, nullable = false)())
+
+  override def run(ss: SparkSession): Seq[Row] = {
+    val spark = ss.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fs = new Path(target.stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = IngestIndex.keyColsFor(target.table).mkString(", ")
+    IngestIndex.latestVersion(fs, target.stateDir) match {
+      case None =>
+        // CREATEd-but-never-loaded: the declared table, zero data
+        Seq(Row("graft", targetName, target.stateDir, keys, 0L, 0, 0,
+          0L, 0L))
+      case Some(top) =>
+        val hist = IngestIndex.describeHistory(fs, target.stateDir)
+        val m = IngestIndex.readManifest(fs, target.stateDir, top)
+        val live = m.getOrElse(target.table,
+          Map.empty[Int, IngestIndex.Bkt])
+          .filter(_._2.ver != IngestIndex.EmptyVer)
+        val bytes = live.iterator.map { case (b, e) =>
+          IngestIndex.liveBytes(fs, target.stateDir, target.table, b,
+            e.ver)
+        }.sum
+        Seq(Row("graft", targetName, target.stateDir, keys, top,
+          hist.length, live.size, bytes,
+          hist.headOption.map(_.manifestMtime).getOrElse(0L)))
+    }
   }
 }
 

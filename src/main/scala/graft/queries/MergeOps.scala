@@ -1156,6 +1156,72 @@ object MergeOps {
              |      UNION ALL SELECT 900000002, 2)
              |ORDER BY user_id""".stripMargin)),
 
+    // Q149 DROP COLUMN + RENAME COLUMN (r20): the remaining two
+    // schema-evolution verbs, each a COPY-ON-WRITE rewrite commit
+    // (GraftSql.dropColumn/renameColumn via copyOnWriteRewrite — no
+    // column mapping, so the honest drop physically removes the bytes
+    // and a rename physically renames them in every live bucket; old
+    // snapshots keep their own shape). The rig crosses the hard seams
+    // on purpose: a LIVE deletion vector at rewrite time (materializes
+    // first), a RENAME then a DROP stacked on one table, and a
+    // post-rewrite INSERT whose positional alignment must follow the
+    // NEW declared shape — a skipped rewrite or a stale meta cannot
+    // hash. The spec pins time travel (old versions read the old
+    // shape), provenance tags, the key/collision guards and the CDF
+    // seam; this oracle pins the VALUES.
+    QueryDef("q149_alter_drop_rename",
+      (s, d) => {
+        val ev = Q.events(s, d)
+        val dir = s"${Layout.stagePath(s, "colalter149", d)}/users"
+        val fs = new Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new Path(dir), true)
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 0))
+          .select("user_id", "n_events")
+          .createOrReplaceTempView("graft_q149_even")
+        userAgg(ev.filter(pmod(col("user_id"), lit(2)) === 1))
+          .select("user_id", "n_events")
+          .createOrReplaceTempView("graft_q149_odd")
+        try {
+          s.sql(
+            s"""CREATE TABLE graft_q149_users (
+               |  user_id BIGINT, n_events BIGINT,
+               |  tag STRING, note DOUBLE,
+               |  PRIMARY KEY (user_id)
+               |) USING graft LOCATION '$dir'""".stripMargin)
+          s.sql("INSERT INTO graft_q149_users " +
+            "SELECT user_id, n_events, " +
+            "concat('u', CAST(user_id % 10 AS STRING)) AS tag, " +
+            "n_events * 0.5 AS note FROM graft_q149_even")
+          // a LIVE deletion vector crosses BOTH rewrites: it
+          // materializes before the first (v3 = materialize,
+          // v4 = rename-column, v5 = drop-column)
+          s.sql("DELETE FROM graft_q149_users WHERE user_id % 5 = 0")
+          s.sql("ALTER TABLE graft_q149_users RENAME COLUMN tag TO label")
+          s.sql("ALTER TABLE graft_q149_users DROP COLUMN note")
+          // the post-rewrite INSERT aligns positionally against the
+          // NEW declared shape (user_id, n_events, label)
+          s.sql("INSERT INTO graft_q149_users " +
+            "SELECT user_id, n_events, " +
+            "concat('v', CAST(user_id % 10 AS STRING)) AS label " +
+            "FROM graft_q149_odd")
+          s.sql("SELECT user_id, n_events, label " +
+            "FROM graft_q149_users ORDER BY user_id")
+        } finally graft.operators.GraftSql.unregisterTable(
+          "graft_q149_users")
+      },
+      Some(s"""WITH e AS (${Q.EVENTS_SQL}),
+             |a AS (SELECT user_id, COUNT(*) AS n_events
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, n_events,
+             |  CASE WHEN user_id % 2 = 0
+             |       THEN 'u' || CAST(user_id % 10 AS VARCHAR)
+             |       ELSE 'v' || CAST(user_id % 10 AS VARCHAR)
+             |  END AS label
+             |FROM a
+             |WHERE NOT (user_id % 2 = 0 AND user_id % 5 = 0)
+             |ORDER BY user_id""".stripMargin)),
+
     // Q131 ORDERED MULTI-CLAUSE MERGE (r16): the full SQL:2023 clause
     // algebra — N conditional clauses per family, first match wins —
     // through the bucketed store. The oracle replays the ordered CASE

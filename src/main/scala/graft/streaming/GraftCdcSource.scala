@@ -418,11 +418,40 @@ class GraftCdcSourceProvider extends StreamSourceProvider
     val (name, t) = resolve(parameters)
     val declared = sourceSchema(sqlContext, schema, providerName,
       parameters)._2
-    val sv = parameters.get("startingVersion").map { s =>
+    val svOpt = parameters.get("startingVersion").map { s =>
       s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft-cdc '$name': startingVersion must be an integer " +
           s"version (DESCRIBE HISTORY lists them); got '$s'"))
     }
+    // startingTimestamp (r20, Delta's other start spelling): resolves
+    // through versionAt — the ONE travel rule, so the source, SQL
+    // TIMESTAMP AS OF, and the table_changes TVF's timestamp bounds
+    // can never disagree. "Changes since the snapshot you'd have read
+    // at ts": the first batch is versionAt(ts)+1's own changes. An
+    // instant predating every retained commit fails loudly with
+    // versionAt's named retention error (the TVF's contract).
+    val st = parameters.get("startingTimestamp").map { s =>
+      require(svOpt.isEmpty,
+        s"graft-cdc '$name': startingVersion and startingTimestamp " +
+          "are mutually exclusive — pick one start spelling")
+      val spark = sqlContext.sparkSession
+      val ms = s.trim.toLongOption.getOrElse {
+        // string forms fold through a session-timezone CAST, the same
+        // resolution TIMESTAMP AS OF uses
+        val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(s),
+          org.apache.spark.sql.types.TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+        require(micros != null, s"graft-cdc '$name': " +
+          s"startingTimestamp '$s' is neither epoch millis nor a " +
+          "timestamp string")
+        Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+      }
+      val fs = new Path(t.stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      IngestIndex.versionAt(fs, t.stateDir, ms) + 1
+    }
+    val sv = svOpt.orElse(st)
     val ev = parameters.get("endingVersion").map { s =>
       val v = s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft-cdc '$name': endingVersion must be an integer " +

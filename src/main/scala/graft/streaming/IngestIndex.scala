@@ -1428,8 +1428,9 @@ object IngestIndex {
   }
 
   /** Live bytes of bucket `b`'s current copy (0 when the referenced dir
-    * was never materialized — a split child that received no rows). */
-  private def liveBytes(fs: FileSystem, stateDir: String, table: String,
+    * was never materialized — a split child that received no rows).
+    * `private[graft]` (r20): DESCRIBE DETAIL sums it per live bucket. */
+  private[graft] def liveBytes(fs: FileSystem, stateDir: String, table: String,
       b: Int, ver: Long): Long = {
     val p = new Path(s"$stateDir/v$ver/$table/bkt=$b")
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
@@ -2025,7 +2026,8 @@ object IngestIndex {
     * count-based floor stays as the crash-replay minimum either way.
     * Returns the deleted versions (spec observability). */
   def gc(fs: FileSystem, stateDir: String, prev: Long,
-      next: Long, retain: Int = 2, retainMillis: Long = 0L): Seq[Long] = {
+      next: Long, retain: Int = 2, retainMillis: Long = 0L,
+      dryRun: Boolean = false): Seq[Long] = {
     val root = new Path(stateDir)
     if (!fs.exists(root)) return Nil
     val countProtect =
@@ -2063,7 +2065,9 @@ object IngestIndex {
       .filter(_.matches("v-?\\d+")).map(_.drop(1).toLong)
       .filter(v => !referenced.contains(v))
       .sorted.toSeq
-    dead.foreach { v =>
+    // DRY RUN (r20, Delta's audit spelling): report the reclaimable
+    // set from the identical reference computation, delete nothing
+    if (!dryRun) dead.foreach { v =>
       fs.delete(new Path(s"$stateDir/v$v"), true)
       manifestMemo.remove(memoKey(stateDir, v))
     }

@@ -662,6 +662,19 @@ object DumpPlans {
         |over the union of the statements' touched buckets with
         |net-deleted keys dropped copy-on-write via drop-tagged rows
         |(shuffle-joinable — no driver key list, no broadcast).""".stripMargin,
+    "q149_alter_drop_rename" ->
+      """Read-back after RENAME COLUMN then DROP COLUMN (r20): the same
+        |bkt-pruned manifest union, whose read schema carries ONLY the
+        |post-rewrite column set — each verb was ONE copy-on-write
+        |commit (op=rename-column / drop-column via the shared
+        |copyOnWriteRewrite skeleton, the rig's live deletion vector
+        |materialized first) that physically rewrote every live bucket,
+        |so no old-name or dropped-column bytes exist in any file this
+        |plan reads (no column mapping, nothing to remap at read time).
+        |Old versions' files are untouched — VERSION AS OF reads each
+        |snapshot's own shape (spec-pinned), and the CDF seam is exact:
+        |the rename step is a full-table update, the drop step emits
+        |zero change rows.""".stripMargin,
     "q128_schema_evolution" ->
       """The read-back after the 4-batch evolving fold: versions union
         |with allowMissingColumns, so buckets last written pre-evolution

@@ -365,8 +365,10 @@ class GraftCatalogSpec extends AnyFunSuite {
         spark.sql("ALTER TABLE gcat.ns3.widen ADD COLUMNS (a BIGINT)") }
       assert(e1.getCondition == "FIELD_ALREADY_EXISTS", e1.getMessage)
       assert(e1.getMessage.contains("already exists"), e1.getMessage)
+      // repositioning stays unsupported (DROP/RENAME COLUMN became
+      // copy-on-write rewrites in r20 — their own test below)
       val e2 = intercept[org.apache.spark.sql.AnalysisException] {
-        spark.sql("ALTER TABLE gcat.ns3.widen DROP COLUMN a") }
+        spark.sql("ALTER TABLE gcat.ns3.widen ALTER COLUMN a FIRST") }
       assert(e2.getCondition == "UNSUPPORTED_FEATURE.TABLE_OPERATION",
         e2.getMessage)
       assert(e2.getMessage.contains("column ADDITION"),
@@ -401,6 +403,89 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS gcat.ns3.widen")
       graft.streaming.IngestIndex.unregisterKeyCols("ns3.widen")
+    }
+  }
+
+  test("DROP COLUMN / RENAME COLUMN through the CATALOG path (r20): " +
+    "the same shared helpers as the flat verbs — one copy-on-write " +
+    "commit each, values survive, key guards are named") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns3")
+    spark.sql(
+      """CREATE TABLE gcat.ns3.colalter (
+        |  user_id BIGINT, n BIGINT, tag STRING, extra DOUBLE,
+        |  PRIMARY KEY (user_id)
+        |)""".stripMargin)
+    try {
+      Seq((1L, 10L, "a", 0.1), (2L, 20L, "b", 0.2),
+        (3L, 30L, "c", 0.3)).toDF("u", "n", "t", "x")
+        .createOrReplaceTempView("colalter_src")
+      spark.sql("INSERT INTO gcat.ns3.colalter " +
+        "SELECT * FROM colalter_src")
+      spark.sql("ALTER TABLE gcat.ns3.colalter RENAME COLUMN tag " +
+        "TO label")
+      assert(spark.sql("SELECT * FROM gcat.ns3.colalter")
+        .columns.toSeq == Seq("user_id", "n", "label", "extra"))
+      spark.sql("ALTER TABLE gcat.ns3.colalter DROP COLUMN extra")
+      assert(spark.sql("SELECT * FROM gcat.ns3.colalter")
+        .columns.toSeq == Seq("user_id", "n", "label"))
+      // one copy-on-write commit each: insert(1) + rename(2) + drop(3)
+      val hist = spark.sql("DESCRIBE HISTORY gcat.ns3.colalter")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist == Map(1L -> "insert", 2L -> "rename-column",
+        3L -> "drop-column"), hist)
+      val rows = spark.sql("SELECT user_id, n, label " +
+        "FROM gcat.ns3.colalter ORDER BY 1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(rows == Seq((1L, 10L, "a"), (2L, 20L, "b"),
+        (3L, 30L, "c")), rows.toString)
+      // key guards are named on the catalog path too
+      val e1 = intercept[Throwable] {
+        spark.sql("ALTER TABLE gcat.ns3.colalter DROP COLUMN user_id") }
+      assert(e1.getMessage.contains("PRIMARY KEY"), e1.getMessage)
+      val e2 = intercept[Throwable] {
+        spark.sql("ALTER TABLE gcat.ns3.colalter RENAME COLUMN " +
+          "user_id TO uid") }
+      assert(e2.getMessage.contains("PRIMARY KEY"), e2.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.ns3.colalter")
+      graft.streaming.IngestIndex.unregisterKeyCols("ns3.colalter")
+    }
+  }
+
+  test("TRUNCATE TABLE through the CATALOG path (r20): Spark's native " +
+    "DSv2 TruncateTableExec drives the shared truncateStore commit — " +
+    "one truncate-sql version, old snapshots stay readable") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns3")
+    spark.sql(
+      """CREATE TABLE gcat.ns3.trunc (
+        |  user_id BIGINT, n BIGINT, PRIMARY KEY (user_id)
+        |)""".stripMargin)
+    try {
+      Seq((1L, 10L), (2L, 20L)).toDF("u", "n")
+        .createOrReplaceTempView("trunc_src")
+      spark.sql("INSERT INTO gcat.ns3.trunc SELECT * FROM trunc_src")
+      spark.sql("TRUNCATE TABLE gcat.ns3.trunc")
+      assert(spark.sql("SELECT * FROM gcat.ns3.trunc").count() == 0L)
+      val hist = spark.sql("DESCRIBE HISTORY gcat.ns3.trunc").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist == Map(1L -> "insert", 2L -> "truncate-sql"), hist)
+      assert(spark.sql(
+        "SELECT * FROM gcat.ns3.trunc VERSION AS OF 1").count() == 2L)
+      // the emptied table accepts fresh inserts
+      spark.sql("INSERT INTO gcat.ns3.trunc VALUES (9, 90)")
+      assert(spark.sql("SELECT user_id FROM gcat.ns3.trunc").collect()
+        .map(_.getLong(0)).toSeq == Seq(9L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcat.ns3.trunc")
+      graft.streaming.IngestIndex.unregisterKeyCols("ns3.trunc")
     }
   }
 

@@ -859,6 +859,186 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP COLUMN / RENAME COLUMN (r20): copy-on-write rewrites — " +
+    "current snapshot carries the new shape in EVERY file, time travel " +
+    "reads each snapshot's own shape, a live DV materializes first; " +
+    "CDF seam: rename = full-table update, drop = zero rows; key " +
+    "drop/rename and rename collision are named errors") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val state = java.nio.file.Files
+      .createTempDirectory("graft-colalter").toString + "/t"
+    Seq((1L, 10L, "a", 0.1), (2L, 20L, "b", 0.2), (3L, 30L, "c", 0.3),
+      (5L, 50L, "e", 0.5)).toDF("a", "b", "c", "d")
+      .createOrReplaceTempView("cr_src")
+    try {
+      spark.sql(s"CREATE TABLE cr_t (user_id BIGINT, n BIGINT, " +
+        s"tag STRING, note DOUBLE, PRIMARY KEY (user_id)) " +
+        s"USING graft LOCATION '$state'")
+      spark.sql("INSERT INTO cr_t SELECT a, b, c, d FROM cr_src")
+      // a LIVE deletion vector crosses BOTH rewrites
+      spark.sql("DELETE FROM cr_t WHERE user_id = 3")
+      spark.sql("ALTER TABLE cr_t RENAME COLUMN tag TO label")
+      // current snapshot: renamed column, same values, tombstone honored
+      val afterRename = spark.sql("SELECT * FROM cr_t")
+      assert(afterRename.columns.toSeq ==
+        Seq("user_id", "n", "label", "note"), afterRename.columns.toSeq)
+      assert(spark.sql("SELECT user_id, label FROM cr_t ORDER BY 1")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (5L, "e")))
+      spark.sql("ALTER TABLE cr_t DROP COLUMN note")
+      assert(spark.sql("SELECT * FROM cr_t").columns.toSeq ==
+        Seq("user_id", "n", "label"))
+      // provenance: delete-dv, materialize, rename-column, drop-column
+      val hist = spark.sql("DESCRIBE HISTORY cr_t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist(3L) == "materialize" && hist(4L) == "rename-column" &&
+        hist(5L) == "drop-column", hist)
+      // TIME TRAVEL reads each snapshot's OWN shape (v1's files were
+      // never rewritten: old names, old columns, pre-delete contents)
+      val v1 = spark.sql("SELECT * FROM cr_t VERSION AS OF 1")
+      assert(v1.columns.toSeq == Seq("user_id", "n", "tag", "note"),
+        v1.columns.toSeq)
+      assert(v1.count() == 4)
+      // v4 (post-rename, pre-drop) still carries note
+      assert(spark.sql("SELECT * FROM cr_t VERSION AS OF 4")
+        .columns.toSeq == Seq("user_id", "n", "label", "note"))
+      // CDF seam laws: the RENAME step surfaces as a FULL-TABLE update
+      // (postimages carry the renamed column's values; preimages NULL
+      // it — the old name is gone from the post shape); the DROP step
+      // emits ZERO rows (projected to the post shape, the rewritten
+      // rows equal their preimages — "schema change, no row change")
+      val renameStep = spark.sql(
+        "SELECT * FROM table_changes('cr_t', 3, 4)")
+      val kinds = renameStep.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(kinds == Map("update_preimage" -> 3L,
+        "update_postimage" -> 3L), kinds)
+      assert(renameStep
+        .filter("_change_type = 'update_postimage' AND user_id = 2")
+        .select("label").collect().head.getString(0) == "b")
+      assert(spark.sql("SELECT * FROM table_changes('cr_t', 4, 5)")
+        .count() == 0L, "drop step must emit zero change rows")
+      // post-rewrite INSERT aligns positionally against the NEW shape
+      spark.sql("INSERT INTO cr_t VALUES (9, 90, 'z')")
+      assert(spark.sql("SELECT label FROM cr_t WHERE user_id = 9")
+        .collect().head.getString(0) == "z")
+      // a later same-name ADD COLUMNS reads NULL, never stale bytes
+      // (the honest-drop law: the rewrite physically removed them)
+      spark.sql("ALTER TABLE cr_t ADD COLUMNS (note DOUBLE)")
+      assert(spark.sql("SELECT note FROM cr_t WHERE user_id = 1")
+        .collect().head.isNullAt(0), "dropped bytes resurrected")
+      // no-op rename: same name, no new version
+      val top = spark.sql("DESCRIBE HISTORY cr_t").collect()
+        .map(_.getLong(0)).max
+      spark.sql("ALTER TABLE cr_t RENAME COLUMN label TO label")
+      assert(spark.sql("DESCRIBE HISTORY cr_t").collect()
+        .map(_.getLong(0)).max == top, "no-op rename committed")
+      // guard rails, all named
+      val e1 = intercept[Throwable] {
+        spark.sql("ALTER TABLE cr_t DROP COLUMN user_id") }
+      assert(e1.getMessage.contains("PRIMARY KEY"), e1.getMessage)
+      val e2 = intercept[Throwable] {
+        spark.sql("ALTER TABLE cr_t RENAME COLUMN user_id TO uid") }
+      assert(e2.getMessage.contains("PRIMARY KEY"), e2.getMessage)
+      val e3 = intercept[Throwable] {
+        spark.sql("ALTER TABLE cr_t RENAME COLUMN label TO n") }
+      assert(e3.getMessage.contains("FIELD_ALREADY_EXISTS") ||
+        e3.getMessage.contains("already exists"), e3.getMessage)
+      val e4 = intercept[Throwable] {
+        spark.sql("ALTER TABLE cr_t DROP COLUMN nope") }
+      assert(e4.getMessage.contains("no column"), e4.getMessage)
+      val e5 = intercept[Throwable] {
+        spark.sql("ALTER TABLE cr_t RENAME COLUMN nope TO x") }
+      assert(e5.getMessage.contains("no column"), e5.getMessage)
+      // extension-free twin: GraftSql.sql parses the same verbs
+      graft.operators.GraftSql.sql(spark,
+        "ALTER TABLE cr_t RENAME COLUMN label TO tag2").collect()
+      assert(spark.sql("SELECT * FROM cr_t").columns.contains("tag2"))
+    } finally {
+      graft.operators.GraftSql.unregisterTable("cr_t")
+      graft.streaming.IngestIndex.unregisterKeyCols("cr_t")
+    }
+  }
+
+  test("TRUNCATE TABLE + SHOW CREATE TABLE (r20): truncate is ONE " +
+    "commit (history keeps old snapshots; RESTORE rolls it back); " +
+    "SHOW CREATE output ROUND-TRIPS through the engine's own CREATE " +
+    "verb; unregistered names delegate to Spark") {
+    val spark = TestSpark.spark
+    val sp = spark
+    import sp.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-trunc").toString
+    Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("a", "b", "c").createOrReplaceTempView("tr_src")
+    try {
+      spark.sql(s"CREATE TABLE tr_t (user_id BIGINT, n BIGINT, " +
+        s"tag STRING, PRIMARY KEY (user_id)) USING graft " +
+        s"LOCATION '$root/t'")
+      spark.sql("INSERT INTO tr_t SELECT a, b, c FROM tr_src")
+      // SHOW CREATE TABLE: one string row that re-executes verbatim
+      // (modulo name + location) and reproduces schema AND key
+      val stmt = spark.sql("SHOW CREATE TABLE tr_t")
+        .collect().head.getString(0)
+      assert(stmt.contains("USING graft") &&
+        stmt.contains("PRIMARY KEY (user_id)"), stmt)
+      val twinStmt = stmt
+        .replace("CREATE TABLE tr_t", "CREATE TABLE tr_twin")
+        .replace(s"LOCATION '$root/t'", s"LOCATION '$root/twin'")
+      spark.sql(twinStmt)
+      assert(spark.sql("SELECT * FROM tr_twin").schema ==
+        spark.sql("SELECT * FROM tr_t").schema,
+        "SHOW CREATE TABLE output did not round-trip the schema")
+      assert(graft.streaming.IngestIndex.keyColsFor("tr_twin") ==
+        Seq("user_id"))
+      // TRUNCATE: one commit, empty read under the declared schema
+      val v = spark.sql("TRUNCATE TABLE tr_t")
+        .collect().head.getLong(0)
+      assert(v == 2L, s"truncate committed v$v")
+      assert(spark.sql("SELECT * FROM tr_t").count() == 0L)
+      assert(spark.sql("SELECT * FROM tr_t").columns.toSeq ==
+        Seq("user_id", "n", "tag"))
+      val hist = spark.sql("DESCRIBE HISTORY tr_t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(hist(2L) == "truncate-sql", hist)
+      // history keeps the old snapshot; RESTORE rolls the truncate back
+      assert(spark.sql("SELECT * FROM tr_t VERSION AS OF 1")
+        .count() == 3L)
+      spark.sql("RESTORE TABLE tr_t VERSION AS OF 1")
+      assert(spark.sql("SELECT user_id FROM tr_t ORDER BY 1").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      // a truncated-then-reloaded table accepts fresh inserts
+      spark.sql("TRUNCATE TABLE tr_t")
+      spark.sql("INSERT INTO tr_t VALUES (9, 90, 'z')")
+      assert(spark.sql("SELECT user_id FROM tr_t").collect()
+        .map(_.getLong(0)).toSeq == Seq(9L))
+      // already-empty truncate: no new version
+      spark.sql("TRUNCATE TABLE tr_t")
+      val top = spark.sql("DESCRIBE HISTORY tr_t").collect()
+        .map(_.getLong(0)).max
+      spark.sql("TRUNCATE TABLE tr_t")
+      assert(spark.sql("DESCRIBE HISTORY tr_t").collect()
+        .map(_.getLong(0)).max == top, "empty truncate committed")
+      // unregistered names delegate to Spark untouched (Spark's own
+      // TABLE_OR_VIEW_NOT_FOUND, not an engine error)
+      val e1 = intercept[Throwable] {
+        spark.sql("TRUNCATE TABLE no_such_graft_table") }
+      assert(e1.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+        e1.getMessage)
+      val e2 = intercept[Throwable] {
+        spark.sql("SHOW CREATE TABLE no_such_graft_table") }
+      assert(e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+        e2.getMessage)
+    } finally {
+      graft.operators.GraftSql.unregisterTable("tr_t")
+      graft.operators.GraftSql.unregisterTable("tr_twin")
+      graft.streaming.IngestIndex.unregisterKeyCols("tr_t")
+      graft.streaming.IngestIndex.unregisterKeyCols("tr_twin")
+    }
+  }
+
   test("BEGIN...COMMIT transactions (r20): N statements, ONE version " +
     "(op = txn); read-your-writes (delete-then-reinsert works, the PK " +
     "guard sees the running state); batched == sequential; a failing " +
@@ -1184,6 +1364,65 @@ class SqlSurfaceSpec extends AnyFunSuite {
           .tableAt(spark, state, "state", 1L).count()
       }
     } finally graft.operators.GraftSql.unregisterTable("vac_t")
+  }
+
+  test("VACUUM ... DRY RUN + DESCRIBE DETAIL (r20): the dry run " +
+    "reports the reclaimable set from the identical reference " +
+    "computation and deletes NOTHING; the real vacuum then reclaims " +
+    "exactly that set; DESCRIBE DETAIL is Delta's one-row summary") {
+    val spark = TestSpark.spark
+    val (target, _) = graft.queries.MergeOps.q127Inputs(spark, dir)
+    val state = stageStore(target)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (2L to 4L).foreach { v =>
+      val m = graft.streaming.IngestIndex.readManifest(fs, state, v - 1)
+      val nm = graft.streaming.IngestIndex.mergeCommit(spark, state, m,
+        "state", v, target, (_, d) => d)
+      graft.streaming.IngestIndex.writeManifest(fs, state, v,
+        Map("state" -> nm))
+    }
+    graft.operators.GraftSql.registerTable("vacdry_t", state, "state")
+    try {
+      // DESCRIBE DETAIL: the one-row summary, before any reclamation
+      val d0 = spark.sql("DESCRIBE DETAIL vacdry_t")
+      assert(d0.columns.toSeq == Seq("format", "name", "location",
+        "primary_key", "current_version", "retained_versions",
+        "live_buckets", "size_bytes", "last_modified"))
+      val r0 = d0.collect().head
+      assert(r0.getString(0) == "graft" &&
+        r0.getString(1) == "vacdry_t" && r0.getString(2) == state)
+      assert(r0.getString(3) ==
+        graft.streaming.IngestIndex.keyColsFor("state").mkString(", "))
+      assert(r0.getLong(4) == 4L && r0.getInt(5) == 4, r0.toString)
+      assert(r0.getInt(6) > 0 && r0.getLong(7) > 0L &&
+        r0.getLong(8) > 0L, r0.toString)
+      // DRY RUN: the audit column name, a non-empty reclaimable set,
+      // and NOTHING deleted (v1 stays fully travelable)
+      val dryDf = spark.sql("VACUUM vacdry_t RETAIN 2 VERSIONS DRY RUN")
+      assert(dryDf.columns.toSeq == Seq("reclaimable_version"))
+      val dry = dryDf.collect().map(_.getLong(0)).toSet
+      assert(dry.contains(1L), s"dry run saw no reclaimable v1: $dry")
+      assert(graft.streaming.IngestIndex
+        .tableAt(spark, state, "state", 1L).count() > 0,
+        "DRY RUN deleted data")
+      // the real vacuum reclaims EXACTLY the dry-run set
+      val del = spark.sql("VACUUM vacdry_t RETAIN 2 VERSIONS").collect()
+        .map(_.getLong(0)).toSet
+      assert(del == dry, s"real vacuum ($del) != dry-run audit ($dry)")
+      intercept[Throwable] {
+        graft.streaming.IngestIndex
+          .tableAt(spark, state, "state", 1L).count()
+      }
+      // the summary reflects the reclamation
+      assert(spark.sql("DESCRIBE DETAIL vacdry_t").collect().head
+        .getInt(5) == 4 - dry.size)
+      // unregistered names delegate to Spark untouched
+      val e = intercept[Throwable] {
+        spark.sql("DESCRIBE DETAIL no_such_detail_t") }
+      assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+        e.getMessage)
+    } finally graft.operators.GraftSql.unregisterTable("vacdry_t")
   }
 
   test("TIMESTAMP AS OF (r18): epoch-millis and string-literal forms " +

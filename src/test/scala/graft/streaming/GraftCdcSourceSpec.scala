@@ -392,4 +392,81 @@ class GraftCdcSourceSpec extends AnyFunSuite {
         fresh.head._2.mkString("; "))
     } finally graft.operators.GraftSql.unregisterTable("cdcsrc_widen")
   }
+
+  test("startingTimestamp (r20): resolves through versionAt — the ONE " +
+    "travel rule, so source == startingVersion(versionAt(ts)+1) == " +
+    "the TVF's timestamp bound; mutual exclusion and pre-history " +
+    "instants are named errors") {
+    val s = TestSpark.spark
+    val state = stage("ts")
+    val m1 = commit(state, Map.empty, 1L, seedRows(4), (_, d) => d)
+    val m2 = commit(state, m1, 2L,
+      seedRows(4).filter(col("user_id") === 2)
+        .withColumn("n_events", lit(77L)),
+      (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+        "left_anti").unionByName(d))
+    commit(state, m2, 3L,
+      seedRows(4).filter(col("user_id") === 4)
+        .withColumn("n_events", lit(88L)),
+      (cur, d) => cur.join(d.select("user_id"), Seq("user_id"),
+        "left_anti").unionByName(d))
+    // pin DISTINCT manifest mtimes so versionAt's resolution is
+    // deterministic (real stores commit ms apart; this test must not
+    // depend on the build box's commit pacing)
+    val fs = new Path(state)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val t0 = 1700000000000L
+    (1L to 3L).foreach(v => fs.setTimes(
+      new Path(s"$state/v$v/manifest"), t0 + v * 10000L, -1L))
+    graft.operators.GraftSql.registerTable("cdcsrc_ts", state, "state")
+    try {
+      // an instant between v2 and v3: the snapshot you'd read is v2,
+      // so the stream starts at v3's own changes
+      val betw = (t0 + 25000L).toString
+      val got = drain("cdcsrc_ts", java.nio.file.Files
+        .createTempDirectory("cdcsrc-ts1").toString,
+        Map("startingTimestamp" -> betw))
+      assert(got.size == 1, got.map(_._1))
+      assert(got.head._2 == canon(
+        IngestIndex.changesBetween(s, state, "state", 2L, 3L)),
+        "startingTimestamp batch != changes(2, 3)")
+      // == the equivalent startingVersion spelling
+      val viaVersion = drain("cdcsrc_ts", java.nio.file.Files
+        .createTempDirectory("cdcsrc-ts2").toString,
+        Map("startingVersion" -> "3"))
+      assert(viaVersion.map(_._2) == got.map(_._2))
+      // string-literal form (session tz is UTC) resolves identically
+      val iso = java.time.Instant.ofEpochMilli(t0 + 25000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val viaString = drain("cdcsrc_ts", java.nio.file.Files
+        .createTempDirectory("cdcsrc-ts3").toString,
+        Map("startingTimestamp" -> iso))
+      assert(viaString.map(_._2) == got.map(_._2))
+      // an instant at/after the latest commit: a tail with no batches
+      // until the NEXT commit arrives
+      val tail = drain("cdcsrc_ts", java.nio.file.Files
+        .createTempDirectory("cdcsrc-ts4").toString,
+        Map("startingTimestamp" -> (t0 + 35000L).toString))
+      assert(tail.isEmpty, tail.map(_._1))
+      // guard rails: both spellings at once, and a pre-history instant
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Throwable] {
+        drain("cdcsrc_ts", java.nio.file.Files
+          .createTempDirectory("cdcsrc-ts5").toString,
+          Map("startingVersion" -> "1", "startingTimestamp" -> betw))
+      }
+      assert(chain(e1).contains("mutually exclusive"), chain(e1))
+      val e2 = intercept[Throwable] {
+        drain("cdcsrc_ts", java.nio.file.Files
+          .createTempDirectory("cdcsrc-ts6").toString,
+          Map("startingTimestamp" -> "1000"))
+      }
+      assert(chain(e2).contains("precedes every retained commit"),
+        chain(e2))
+    } finally graft.operators.GraftSql.unregisterTable("cdcsrc_ts")
+  }
 }
