@@ -815,6 +815,30 @@ object GraftSql {
   private val RestoreRe =
     ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?VERSION\s+AS""" +
       """\s+OF\s+(\d+)\s*;?\s*""").r
+  // RESTORE ... TIMESTAMP AS OF (r20): Delta's other restore spelling —
+  // resolves through versionAt (the ONE travel rule), then commits the
+  // same restore manifest the version form does
+  private val RestoreTsRe =
+    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.`]+)\s+(?:TO\s+)?TIMESTAMP\s+""" +
+      """AS\s+OF\s+(?:'([^']+)'|(\d+))\s*;?\s*""").r
+
+  /** A user-supplied timestamp as epoch millis: integral strings are
+    * millis verbatim; anything else folds through a session-timezone
+    * CAST to TIMESTAMP (string forms — the same resolution SQL
+    * `TIMESTAMP AS OF` uses). Shared by RESTORE's timestamp form and
+    * the graft-cdc source's startingTimestamp/endingTimestamp. */
+  private[graft] def tsStringToMillis(
+      spark: org.apache.spark.sql.SparkSession, label: String,
+      s: String): Long =
+    s.trim.toLongOption.getOrElse {
+      val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(s),
+        org.apache.spark.sql.types.TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+      require(micros != null,
+        s"$label: '$s' is neither epoch millis nor a timestamp string")
+      Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+    }
   private val VacuumRe =
     ("""(?is)\s*VACUUM\s+([\w.`]+)\s+RETAIN\s+(\d+)\s+""" +
       """(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*;?\s*""").r
@@ -953,6 +977,17 @@ object GraftSql {
     case RestoreRe(name, v) =>
       Some(GraftRestoreCommand(name.replace("`", ""), registered(name),
         v.toLong))
+    case RestoreTsRe(name, str, num) =>
+      val clean = name.replace("`", "")
+      val t = registered(name)
+      val spark = org.apache.spark.sql.SparkSession.active
+      val ms = tsStringToMillis(spark,
+        s"RESTORE TABLE $clean TIMESTAMP AS OF",
+        Option(str).getOrElse(num))
+      val fs = new Path(t.stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Some(GraftRestoreCommand(clean, t,
+        graft.streaming.IngestIndex.versionAt(fs, t.stateDir, ms)))
     case VacuumRe(name, k, unit, dry) =>
       Some(GraftVacuumCommand(name.replace("`", ""), registered(name),
         k.toInt, hours = unit.equalsIgnoreCase("HOURS"),

@@ -435,30 +435,38 @@ class GraftCdcSourceProvider extends StreamSourceProvider
         s"graft-cdc '$name': startingVersion and startingTimestamp " +
           "are mutually exclusive — pick one start spelling")
       val spark = sqlContext.sparkSession
-      val ms = s.trim.toLongOption.getOrElse {
-        // string forms fold through a session-timezone CAST, the same
-        // resolution TIMESTAMP AS OF uses
-        val micros = org.apache.spark.sql.catalyst.expressions.Cast(
-          org.apache.spark.sql.catalyst.expressions.Literal(s),
-          org.apache.spark.sql.types.TimestampType,
-          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
-        require(micros != null, s"graft-cdc '$name': " +
-          s"startingTimestamp '$s' is neither epoch millis nor a " +
-          "timestamp string")
-        Math.floorDiv(micros.asInstanceOf[Long], 1000L)
-      }
+      val ms = graft.operators.GraftSql.tsStringToMillis(spark,
+        s"graft-cdc '$name': startingTimestamp", s)
       val fs = new Path(t.stateDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       IngestIndex.versionAt(fs, t.stateDir, ms) + 1
     }
     val sv = svOpt.orElse(st)
-    val ev = parameters.get("endingVersion").map { s =>
-      val v = s.toLongOption.getOrElse(throw new IllegalArgumentException(
+    val evOpt = parameters.get("endingVersion").map { s =>
+      s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft-cdc '$name': endingVersion must be an integer " +
           s"version (DESCRIBE HISTORY lists them); got '$s'"))
+    }
+    // endingTimestamp (r20, the bounded-backfill symmetry with
+    // startingTimestamp): the INCLUSIVE bound is versionAt(ts) — the
+    // TVF's ts2 semantics, "changes up to the snapshot you'd have read
+    // at ts"
+    val et = parameters.get("endingTimestamp").map { s =>
+      require(evOpt.isEmpty,
+        s"graft-cdc '$name': endingVersion and endingTimestamp are " +
+          "mutually exclusive — pick one bound spelling")
+      val spark = sqlContext.sparkSession
+      val ms = graft.operators.GraftSql.tsStringToMillis(spark,
+        s"graft-cdc '$name': endingTimestamp", s)
+      val fs = new Path(t.stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      IngestIndex.versionAt(fs, t.stateDir, ms)
+    }
+    val ev = evOpt.orElse(et).map { v =>
       require(v >= 1 && sv.forall(v >= _),
-        s"graft-cdc '$name': endingVersion ($v) must be >= 1 and >= " +
-          s"startingVersion (${sv.getOrElse(1L)})")
+        s"graft-cdc '$name': the endingVersion/endingTimestamp bound " +
+          s"($v) must be >= 1 and >= the starting version " +
+          s"(${sv.getOrElse(1L)})")
       v
     }
     val mvpt = parameters.get("maxVersionsPerTrigger").map { s =>

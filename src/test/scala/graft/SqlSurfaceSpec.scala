@@ -1489,6 +1489,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
         spark.sql("SELECT * FROM tt_t TIMESTAMP AS OF rand()").collect()
       }
       assert(e3.getMessage.contains("literal"), e3.getMessage)
+      // RESTORE ... TIMESTAMP AS OF (r20): resolves through versionAt
+      // — the SAME instant that travels to v1 restores to v1 (one new
+      // version whose manifest is v1's; contents == the v1 read).
+      // Runs LAST: the restore changes the current snapshot.
+      val rv = spark.sql(
+        s"RESTORE TABLE tt_t TIMESTAMP AS OF ${hist(2L) - 1}")
+        .collect().head.getLong(0)
+      assert(rv == 3L, s"restore committed v$rv")
+      assert(spark.sql("SELECT * FROM tt_t ORDER BY user_id")
+        .collect().map(_.toSeq).toSeq == v1,
+        "timestamp restore != the v1 contents")
+      // pre-history instant: versionAt's named retention error
+      val eR = intercept[Throwable] {
+        spark.sql("RESTORE TABLE tt_t TIMESTAMP AS OF 1000") }
+      assert(eR.getMessage.contains("precedes every retained commit"),
+        eR.getMessage)
     } finally graft.operators.GraftSql.unregisterTable("tt_t")
   }
 

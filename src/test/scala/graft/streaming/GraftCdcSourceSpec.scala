@@ -450,10 +450,28 @@ class GraftCdcSourceSpec extends AnyFunSuite {
         .createTempDirectory("cdcsrc-ts4").toString,
         Map("startingTimestamp" -> (t0 + 35000L).toString))
       assert(tail.isEmpty, tail.map(_._1))
-      // guard rails: both spellings at once, and a pre-history instant
       def chain(t: Throwable): String =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
           .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      // endingTimestamp (the bounded-backfill symmetry): an instant
+      // between v2 and v3 bounds the tail INCLUSIVELY at v2 — the
+      // TVF's ts2 semantics; the backfill COMPLETES at the bound
+      val bounded = drain("cdcsrc_ts", java.nio.file.Files
+        .createTempDirectory("cdcsrc-ts7").toString,
+        Map("startingVersion" -> "1", "maxVersionsPerTrigger" -> "1",
+          "endingTimestamp" -> betw))
+      assert(bounded.size == 2, bounded.map(_._1))
+      assert(bounded.map(_._2).toSeq == Seq(
+        canon(IngestIndex.changesBetween(s, state, "state", 0L, 1L)),
+        canon(IngestIndex.changesBetween(s, state, "state", 1L, 2L))),
+        "endingTimestamp bound != (0,1],(1,2]")
+      val e3 = intercept[Throwable] {
+        drain("cdcsrc_ts", java.nio.file.Files
+          .createTempDirectory("cdcsrc-ts8").toString,
+          Map("endingVersion" -> "2", "endingTimestamp" -> betw))
+      }
+      assert(chain(e3).contains("mutually exclusive"), chain(e3))
+      // guard rails: both spellings at once, and a pre-history instant
       val e1 = intercept[Throwable] {
         drain("cdcsrc_ts", java.nio.file.Files
           .createTempDirectory("cdcsrc-ts5").toString,

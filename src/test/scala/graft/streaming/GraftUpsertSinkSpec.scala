@@ -231,6 +231,34 @@ class GraftUpsertSinkSpec extends AnyFunSuite {
         Seq((1L, 10L), (2L, 77L), (3L, 30L), (5L, 50L)))
       // version mirroring: 3 source versions -> 3 replica commits
       assert(IngestIndex.latestVersion(fs, dst).contains(3L))
+      // the PRODUCTION spelling (r20): the same replication under
+      // Trigger.AvailableNow — the query TERMINATES on its own at the
+      // pinned end (no processAllAvailable), per-version batching and
+      // the rate limit survive (SupportsTriggerAvailableNow), and the
+      // replica is identical with the same mirrored version chain
+      val dst2 = freshStore("e2e-dst2")
+      graft.operators.GraftSql.registerTable("sink_e2e_dst2", dst2,
+        "state")
+      try {
+        val q2 = s.readStream.format("graft-cdc")
+          .option("name", "sink_e2e_src")
+          .option("startingVersion", "1")
+          .option("maxVersionsPerTrigger", "1")
+          .load()
+          .writeStream.format("graft-upsert")
+          .option("name", "sink_e2e_dst2")
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft-sink-e2e-ckpt2").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q2.awaitTermination(120000),
+          "AvailableNow replication did not terminate")
+        assert(rows(dst2) == rows(dst),
+          "AvailableNow replica != processAllAvailable replica")
+        assert(IngestIndex.latestVersion(fs, dst2).contains(3L),
+          "AvailableNow collapsed the per-version batching")
+      } finally graft.operators.GraftSql
+        .unregisterTable("sink_e2e_dst2")
     } finally {
       graft.operators.GraftSql.unregisterTable("sink_e2e_src")
       graft.operators.GraftSql.unregisterTable("sink_e2e_dst")
