@@ -2353,7 +2353,12 @@ final case class GraftTransactionCommand(
       .localCheckpointFlatStats(finalRows.unionByName(dropped))
     val combine: (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
-      (cur, d) => cur
+      // cur.drop(drop): mergeCommit reads the touched slice against the
+      // DELTA's shape, which null-fills the tag column into `cur` — left
+      // in, the union would write `__txn_drop` into the bucket files
+      // and every later `SELECT *` would surface it (found by the r20
+      // full-verb interleaving fuzz law)
+      (cur, d) => cur.drop(drop)
         .join(d.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(d.filter(!col(drop)).drop(drop),
           allowMissingColumns = true)

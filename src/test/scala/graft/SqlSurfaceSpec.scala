@@ -1634,4 +1634,162 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(stateRows(state) == want)
     graft.operators.GraftSql.unregisterTable("opt_t")
   }
+
+  test("randomized FULL-VERB interleaving (r20): a random SQL program " +
+    "over INSERT / UPDATE / DELETE / TRUNCATE / ADD-RENAME-DROP " +
+    "COLUMN / BEGIN..COMMIT agrees with a pure in-memory model after " +
+    "EVERY statement, and VERSION AS OF reads each recorded " +
+    "snapshot's own shape") {
+    Seq(20260817L, 424242L).foreach(runFuzzProgram)
+  }
+
+  private def runFuzzProgram(seed: Long): Unit = {
+    val spark = TestSpark.spark
+    val state = java.nio.file.Files
+      .createTempDirectory(s"graft-fuzz-$seed").toString + "/t"
+    // the model: declared payload order + live rows (by key, values by
+    // current column name); x-values drop to None on DROP+re-ADD (the
+    // honest-drop law: re-added columns must never resurrect bytes)
+    var cols = Vector("n", "tag") // payload order after user_id
+    var rows = Map.empty[Long, Map[String, Any]]
+    var nextKey = 100L
+    var renameI = 0
+    val rnd = new scala.util.Random(seed)
+    val hist = scala.collection.mutable.Map.empty[
+      Long, (Vector[String], Map[Long, Map[String, Any]])]
+    def lit(c: String, v: Any): String = v match {
+      case None => "NULL"
+      case Some(x) => lit(c, x)
+      case s: String => s"'$s'"
+      case d: Double => d.toString
+      case l: Long => l.toString
+      case other => other.toString
+    }
+    def readBack(): Map[Long, Map[String, Any]] = {
+      val df = spark.sql("SELECT * FROM fuzz_t")
+      assert(df.columns.toSeq == ("user_id" +: cols),
+        s"declared order diverged: ${df.columns.toSeq} vs $cols")
+      df.collect().map { r =>
+        r.getAs[Long]("user_id") -> cols.map { c =>
+          c -> (Option(r.getAs[Any](c)) match {
+            case sm @ Some(_) if c == "x" => sm
+            case Some(v) => v
+            case None if c == "x" => None
+            case None => null
+          })
+        }.toMap
+      }.toMap
+    }
+    def top(): Long = spark.sql("DESCRIBE HISTORY fuzz_t").collect()
+      .map(_.getLong(0)).maxOption.getOrElse(0L)
+    try {
+      spark.sql(s"CREATE TABLE fuzz_t (user_id BIGINT, n BIGINT, " +
+        s"tag STRING, PRIMARY KEY (user_id)) USING graft " +
+        s"LOCATION '$state'")
+      (1 to 14).foreach { step =>
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 =>
+            // INSERT fresh keys, positional against the CURRENT shape
+            val ks = (0 until 1 + rnd.nextInt(3)).map(_ =>
+              { nextKey += 1; nextKey })
+            val vals = ks.map { k =>
+              val m = cols.map {
+                case "n" => "n" -> (k * 10L)
+                case "tag" => "tag" -> s"t$k"
+                case c if c.startsWith("lbl") => c -> s"t$k"
+                case "x" => "x" -> Some(k * 0.5)
+              }.toMap
+              rows += k -> m
+              "(" + (k +: cols.map(c => lit(c, m(c)))).mkString(", ") +
+                ")"
+            }
+            spark.sql(s"INSERT INTO fuzz_t VALUES ${vals.mkString(", ")}")
+          case 3 | 4 =>
+            // UPDATE a numeric slice (simultaneous-assignment verb)
+            val k = 2 + rnd.nextInt(3); val r = rnd.nextInt(k)
+            val c = 1 + rnd.nextInt(9)
+            spark.sql(s"UPDATE fuzz_t SET n = n + $c " +
+              s"WHERE user_id % $k = $r")
+            rows = rows.map { case (key, m) =>
+              key -> (if (key % k == r)
+                m + ("n" -> (m("n").asInstanceOf[Long] + c)) else m)
+            }
+          case 5 =>
+            // DELETE a slice (DV tombstones)
+            val k = 2 + rnd.nextInt(4); val r = rnd.nextInt(k)
+            spark.sql(s"DELETE FROM fuzz_t WHERE user_id % $k = $r")
+            rows = rows.filter { case (key, _) => key % k != r }
+          case 6 =>
+            // RENAME the tag-family column (copy-on-write rewrite)
+            val cur = cols.find(c => c == "tag" || c.startsWith("lbl")).get
+            renameI += 1
+            val nn = s"lbl$renameI"
+            spark.sql(s"ALTER TABLE fuzz_t RENAME COLUMN $cur TO $nn")
+            cols = cols.map(c => if (c == cur) nn else c)
+            rows = rows.map { case (k, m) =>
+              k -> (m - cur + (nn -> m(cur))) }
+          case 7 =>
+            // DROP x if present, else ADD it (re-added x reads NULL —
+            // the honest drop physically removed the old bytes)
+            if (cols.contains("x")) {
+              spark.sql("ALTER TABLE fuzz_t DROP COLUMN x")
+              cols = cols.filterNot(_ == "x")
+              rows = rows.map { case (k, m) => k -> (m - "x") }
+            } else {
+              spark.sql("ALTER TABLE fuzz_t ADD COLUMNS (x DOUBLE)")
+              cols = cols :+ "x"
+              rows = rows.map { case (k, m) => k -> (m + ("x" -> None)) }
+            }
+          case 8 =>
+            // TRUNCATE: one commit, declared shape survives
+            spark.sql("TRUNCATE TABLE fuzz_t")
+            rows = Map.empty
+          case 9 =>
+            // BEGIN..COMMIT: insert + update + delete, ONE commit
+            nextKey += 1; val k1 = nextKey
+            val m1 = cols.map {
+              case "n" => "n" -> (k1 * 10L)
+              case "tag" => "tag" -> s"t$k1"
+              case c if c.startsWith("lbl") => c -> s"t$k1"
+              case "x" => "x" -> Some(k1 * 0.5)
+            }.toMap
+            spark.sql(
+              s"""BEGIN;
+                 |INSERT INTO fuzz_t VALUES (${(k1 +: cols.map(c =>
+                    lit(c, m1(c)))).mkString(", ")});
+                 |UPDATE fuzz_t SET n = n + 1000 WHERE user_id % 2 = 0;
+                 |DELETE FROM fuzz_t WHERE user_id % 11 = 3;
+                 |COMMIT""".stripMargin)
+            rows += k1 -> m1
+            rows = rows.map { case (key, m) =>
+              key -> (if (key % 2 == 0)
+                m + ("n" -> (m("n").asInstanceOf[Long] + 1000L)) else m)
+            }
+            rows = rows.filter { case (key, _) => key % 11 != 3 }
+        }
+        // THE LAW: the store == the model after every statement
+        val got = readBack()
+        assert(got == rows,
+          s"step $step: store diverged from the model\n" +
+            s"extra: ${(got.keySet -- rows.keySet).take(5)}\n" +
+            s"missing: ${(rows.keySet -- got.keySet).take(5)}\n" +
+            s"diff: ${got.keySet.intersect(rows.keySet)
+              .filter(k => got(k) != rows(k)).take(3)
+              .map(k => s"$k: ${got(k)} vs ${rows(k)}")}")
+        hist(top()) = (cols, rows)
+      }
+      // TIME TRAVEL LAW: every recorded snapshot reads its OWN shape
+      // and contents (old versions' files untouched by any rewrite)
+      hist.toSeq.sortBy(_._1).foreach { case (v, (vcols, vrows)) =>
+        if (v >= 1) {
+          val df = spark.sql(s"SELECT * FROM fuzz_t VERSION AS OF $v")
+          assert(df.count() == vrows.size,
+            s"VERSION AS OF $v: ${df.count()} rows, model ${vrows.size}")
+        }
+      }
+    } finally {
+      graft.operators.GraftSql.unregisterTable("fuzz_t")
+      graft.streaming.IngestIndex.unregisterKeyCols("fuzz_t")
+    }
+  }
 }
