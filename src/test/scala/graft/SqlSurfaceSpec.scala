@@ -1068,6 +1068,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       val hist = spark.sql("DESCRIBE HISTORY txn_t").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(hist == Map(1L -> "insert", 2L -> "txn"), hist.toString)
+      // the txn commit writes ONLY declared columns into the buckets —
+      // SELECT * and the CDC step both stay clean of the internal
+      // __txn_drop tag (the r20 fuzz law's bucket-pollution regression)
+      assert(spark.sql("SELECT * FROM txn_t").columns.toSeq ==
+        Seq("user_id", "n"))
+      assert(spark.sql("SELECT * FROM table_changes('txn_t', 1, 2)")
+        .columns.toSeq ==
+        Seq("user_id", "n", "_change_type", "_commit_version"))
       val rows = spark.sql("SELECT user_id, n FROM txn_t ORDER BY 1")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(rows == Seq((1L, 110L), (2L, 120L), (3L, 30L),
