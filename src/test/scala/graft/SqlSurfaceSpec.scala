@@ -1787,12 +1787,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
         hist(top()) = (cols, rows)
       }
       // TIME TRAVEL LAW: every recorded snapshot reads its OWN shape
-      // and contents (old versions' files untouched by any rewrite)
+      // and contents (old versions' files untouched by any rewrite) —
+      // full canonical-row comparison against the model's snapshot
       hist.toSeq.sortBy(_._1).foreach { case (v, (vcols, vrows)) =>
         if (v >= 1) {
           val df = spark.sql(s"SELECT * FROM fuzz_t VERSION AS OF $v")
           assert(df.count() == vrows.size,
             s"VERSION AS OF $v: ${df.count()} rows, model ${vrows.size}")
+          if (vrows.nonEmpty) {
+            // a recorded column the PHYSICAL snapshot lacks is legal
+            // ONLY when it was declared after this version's commit
+            // (ADD COLUMNS is metadata-only — time travel reads the
+            // committed width, current reads widen) — in that state
+            // every model value for it is None by construction
+            val physical = df.columns.toSet
+            val (present, declaredOnly) =
+              vcols.partition(physical.contains)
+            declaredOnly.foreach { c =>
+              assert(vrows.values.forall(m => m(c) == None),
+                s"VERSION AS OF $v lacks column '$c' that the model " +
+                  s"holds NON-NULL values for")
+            }
+            val got = df.collect().map { r =>
+              r.getAs[Long]("user_id") -> present.map { c =>
+                c -> (Option(r.getAs[Any](c)) match {
+                  case sm @ Some(_) if c == "x" => sm
+                  case Some(value) => value
+                  case None if c == "x" => None
+                  case None => null
+                })
+              }.toMap
+            }.toMap
+            val want = vrows.map { case (k, m) =>
+              k -> m.filter { case (c, _) => present.contains(c) } }
+            assert(got == want,
+              s"VERSION AS OF $v contents diverged from the model " +
+                s"snapshot (cols $present): sample diff " +
+                s"${got.keySet.intersect(want.keySet)
+                  .filter(k => got(k) != want(k)).take(3)
+                  .map(k => s"$k: ${got(k)} vs ${want(k)}")}")
+          }
         }
       }
     } finally {
