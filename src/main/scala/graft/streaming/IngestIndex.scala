@@ -1369,34 +1369,53 @@ object IngestIndex {
       if (pre0.columns.contains(c)) col(c)
       else lit(null).cast(postShape.schema(c).dataType).as(c)
     }.toSeq: _*)
-    // unchanged rows in rewritten buckets cancel here — only genuinely
-    // changed rows survive to the classification join
-    val changedPre = pre.except(post)
-    val changedPost = post.except(pre)
+    // ONE-PASS classification (r20 optimization round). The r19 shape was
+    // EXCEPT-then-join-then-4-branch-union: two whole-row EXCEPTs (each a
+    // full-width shuffle + anti-join of both slices) feeding a full-outer
+    // join that the 4 union branches then RE-EXECUTED — only the exchanges
+    // were reused across branches, the join itself ran four times per
+    // step. With key-unique snapshots (the store's PRIMARY KEY invariant,
+    // enforced at every commit entry point and fuzz-pinned), whole-row set
+    // difference is equivalent to a key-level comparison: a key in both
+    // sides with a null-safe-equal payload is unchanged, anything else is
+    // insert / delete / update. So: ONE null-safe full-outer join on the
+    // keys, then ONE pass that emits 0, 1 or 2 change rows per key via a
+    // generator — per step this removes both EXCEPT shuffles and three of
+    // the four join executions. Join keys compare with <=> so an
+    // all-null-key row (unique under the PK window guard) still pairs up
+    // instead of surfacing as a phantom delete+insert.
     val payload = post.columns.toSeq
       .filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
-    val preR = changedPre.select((keyCols.map(col) ++
+    val preR = pre.select((keyCols.map(c => col(c).as(s"__pk_$c")) ++
       payload.map(c => col(c).as(s"__pre_$c")) :+
       lit(true).as("__pre")).toSeq: _*)
-    val postR = changedPost.withColumn("__post", lit(true))
-    val j = postR.join(preR, keyCols, "full_outer")
-    def emit(kind: String, fromPre: Boolean): DataFrame = {
-      val cols = keyCols.map(col) ++ payload.map { c =>
+    val postR = post.withColumn("__post", lit(true))
+    val joinCond = keyCols.map(c => col(c) <=> col(s"__pk_$c"))
+      .reduce(_ && _)
+    val j = postR.join(preR, joinCond, "full_outer")
+    val differs =
+      if (payload.isEmpty) lit(false)
+      else payload.map(c => !(col(c) <=> col(s"__pre_$c"))).reduce(_ || _)
+    def img(kind: String, fromPre: Boolean) =
+      struct((payload.map { c =>
         (if (fromPre) col(s"__pre_$c") else col(c)).as(c) } :+
-        lit(kind).as("_change_type") :+ lit(v).as("_commit_version")
-      val base = kind match {
-        case "delete" =>
-          j.filter(col("__pre") && col("__post").isNull)
-        case "insert" =>
-          j.filter(col("__post") && col("__pre").isNull)
-        case _ => j.filter(col("__pre") && col("__post"))
-      }
-      base.select(cols.toSeq: _*)
-    }
-    emit("delete", fromPre = true)
-      .unionByName(emit("insert", fromPre = false))
-      .unionByName(emit("update_preimage", fromPre = true))
-      .unionByName(emit("update_postimage", fromPre = false))
+        lit(kind).as("_change_type")).toSeq: _*)
+    // explode(null) emits no row — unchanged keys vanish here, exactly
+    // where the old EXCEPT pair cancelled them
+    val changeRows =
+      when(col("__post").isNotNull && col("__pre").isNull,
+        array(img("insert", fromPre = false)))
+      .when(col("__pre").isNotNull && col("__post").isNull,
+        array(img("delete", fromPre = true)))
+      .when(differs,
+        array(img("update_preimage", fromPre = true),
+          img("update_postimage", fromPre = false)))
+    val keyOut = keyCols.map(c => coalesce(col(c), col(s"__pk_$c")).as(c))
+    j.select((keyOut :+ explode(changeRows).as("__chg")).toSeq: _*)
+      .select((keyCols.map(col) ++
+        payload.map(c => col("__chg").getField(c).as(c)) :+
+        col("__chg").getField("_change_type").as("_change_type") :+
+        lit(v).as("_commit_version")).toSeq: _*)
   }
 
   /** One DESCRIBE HISTORY row: a committed version, its OPERATION tag
