@@ -19,13 +19,20 @@ object Stats {
     // Q44 exact interpolated percentiles (oracle: DuckDB quantile_cont) ----
     QueryDef("q44_percentiles",
       (s, d) =>
+        // the three l_quantity ranks ride ONE percentile(..., array(...))
+        // aggregate (r20): one value->count map + one eval sort instead of
+        // three per group — same algorithm, same exact values
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            r4(expr("percentile(l_quantity, 0.1)")).as("p10_qty"),
-            r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
-            r4(expr("percentile(l_quantity, 0.95)")).as("p95_qty"),
+            expr("percentile(l_quantity, array(0.1D, 0.5D, 0.95D))")
+              .as("qty_pcts"),
             r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"))
+          .select(col("l_returnflag"),
+            r4(element_at(col("qty_pcts"), 1)).as("p10_qty"),
+            r4(element_at(col("qty_pcts"), 2)).as("p50_qty"),
+            r4(element_at(col("qty_pcts"), 3)).as("p95_qty"),
+            col("p50_price"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              | CAST(ROUND(quantile_cont(l_quantity, 0.1), 4) AS DOUBLE) AS p10_qty,
@@ -174,11 +181,19 @@ object Stats {
         // DISCARDED — the global estimate must come from merging the
         // STORED slice sketches, because that merge is the operator's
         // whole claim
-        val agg = org.apache.spark.sql.execution.GraftCheckpoint
+        // both exact percentiles from ONE percentile(..., array(...))
+        // aggregate (r20 optimization): two scalar percentile() calls
+        // each build their own value->count map per group and sort it at
+        // eval — the array form pays the map and the sort once for both
+        // ranks. Same algorithm, same exact values. element_at runs after
+        // the localCheckpoint, so the array is read materialized.
+        val agg0 = org.apache.spark.sql.execution.GraftCheckpoint
           .localCheckpointFlatStats(li.rollup("slice").agg(
             expr("kll_sketch_agg_double(v, 200)").as("sk"),
-            r4(expr("percentile(v, 0.5)")).as("exact_p50"),
-            r4(expr("percentile(v, 0.95)")).as("exact_p95")))
+            expr("percentile(v, array(0.5D, 0.95D))").as("pcts")))
+        val agg = agg0.select(col("slice"), col("sk"),
+          r4(element_at(col("pcts"), 1)).as("exact_p50"),
+          r4(element_at(col("pcts"), 2)).as("exact_p95"))
         val slices = agg.filter(col("slice").isNotNull)
         val per = slices.select(col("slice"), col("exact_p50"),
           col("exact_p95"),
