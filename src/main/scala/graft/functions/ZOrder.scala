@@ -71,33 +71,80 @@ object ZOrder {
     * (equality on random points), the bijection (inverse roundtrip) and
     * the adjacency law (consecutive indices are grid neighbors — the
     * property Morton lacks). */
-  def hilbert16(x: Column, y: Column): Column = {
-    // the fold's when().otherwise() arms swallow NULL (a NULL bit test
-    // takes the otherwise branch), so propagation is explicit
-    when(x.isNull || y.isNull, lit(null).cast(LongType))
-      .otherwise(hilbertFold(x, y))
-  }
+  def hilbert16(x: Column, y: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(Hilbert16(
+      org.apache.spark.sql.GraftSqlBridge.expr(x),
+      org.apache.spark.sql.GraftSqlBridge.expr(y)))
 
-  private def hilbertFold(x: Column, y: Column): Column = {
-    val init = struct(x.cast(LongType).as("hx"), y.cast(LongType).as("hy"),
-      lit(0L).as("hd"))
-    val levels = sequence(lit(15), lit(0), lit(-1))
-    aggregate(levels, init, (acc, lvl) => {
-      val hx = acc.getField("hx")
-      val hy = acc.getField("hy")
-      val s = call_function("shiftleft", lit(1L), lvl.cast("int"))
-      val rx = when(hx.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-      val ry = when(hy.bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L))
-      val d2 = acc.getField("hd") +
-        (s * s * (lit(3L) * rx).bitwiseXOR(ry))
-      // frame rotation for the next level: reflect inside the FULL grid
-      // (n-1 = 65535) when rx==1, then transpose — only when ry==0
-      val fx = when(rx === 1, lit(65535L) - hx).otherwise(hx)
-      val fy = when(rx === 1, lit(65535L) - hy).otherwise(hy)
-      struct(
-        when(ry === 0, fy).otherwise(hx).as("hx"),
-        when(ry === 0, fx).otherwise(hy).as("hy"),
-        d2.as("hd"))
-    }).getField("hd")
+  /** The shared per-row kernel: the classic xy2d per-level fold (mask
+    * out the level bit of each coordinate, accumulate the quadrant's
+    * step count, reflect inside the FULL grid (n-1 = 65535) when rx==1
+    * then transpose — only when ry==0). Bit-for-bit the r17 Column-fold
+    * semantics (ZOrderSpec pins the plain-Scala reference, the
+    * bijection and the adjacency law). */
+  def hilbert16Kernel(x: Long, y: Long): Long = {
+    var hx = x; var hy = y; var hd = 0L
+    var lvl = 15
+    while (lvl >= 0) {
+      val s = 1L << lvl
+      val rx = if ((hx & s) > 0) 1L else 0L
+      val ry = if ((hy & s) > 0) 1L else 0L
+      hd += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        val fx = if (rx == 1L) 65535L - hx else hx
+        val fy = if (rx == 1L) 65535L - hy else hy
+        hx = fy; hy = fx
+      }
+      lvl -= 1
+    }
+    hd
   }
+}
+
+/** HILBERT index (r17, q107b) of two 16-bit coordinates — the
+  * locality-cliff-free alternative to the Morton interleave: a Morton
+  * curve jumps across the whole space at quadrant boundaries (the
+  * z-shape's diagonal stroke), so a file of consecutive z-values can
+  * straddle two far-apart regions; the Hilbert curve's consecutive
+  * indices are always GRID-ADJACENT cells, so every file covers one
+  * connected blob and its per-column min/max stats are as tight as a
+  * space-filling curve can make them.
+  *
+  * r20 (optimization round): previously a `functions.aggregate` fold
+  * over the 16 level numbers with a (x, y, d) struct accumulator —
+  * higher-order functions are CodegenFallback, so every row paid 16
+  * interpreted lambda evaluations with struct boxing (measured: 37 s
+  * of task CPU inside q118b's 3 s rewrite). Now a binary expression
+  * whose codegen is one static-call loop ([[ZOrder.hilbert16Kernel]]),
+  * whole-stage-codegen-friendly like the sketch kernels. Same
+  * contract: layout-only, NULL in -> NULL out. */
+case class Hilbert16(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, LongType}
+
+  override def prettyName: String = "hilbert16"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BIGINT, BIGINT) coordinates, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(ZOrder.hilbert16Kernel(
+      a.asInstanceOf[Long], b.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrder.hilbert16Kernel($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+    : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -105,20 +105,34 @@ object IngestStream {
         val m = IngestIndex.readManifest(fs, stateDir, batchId)
         // probe/merge pruning under the manifest's CURRENT topology —
         // split buckets resolve to their live generation's ids
-        def wantedOf(df: DataFrame, table: String): Set[Int] =
+        def bucketsOf(df: DataFrame, table: String): DataFrame =
           IngestIndex.assignBucket(df, table, n,
               IngestIndex.gensOf(m, table))
+            .select(lit(table).as("t"), col("bkt"))
+        def wantedOf(df: DataFrame, table: String): Set[Int] =
+          bucketsOf(df, table)
             .select("bkt").distinct().collect().map(_.getInt(0)).toSet
         val fpDelta = LlmOps.fpIndexOf(sig)
         val bandDelta = LlmOps.bandIndexOf(sig)
         val sigDelta = sig.select(col("doc_id"), col("sigl"))
         // the batch's key buckets, computed ONCE and shared by the probe
-        // pruning and the merge (the sets are identical by construction)
-        val fpTouched = wantedOf(sig, "fp")
-        val bandTouched = wantedOf(
-          LlmOps.minhashBands(sig.select(col("doc_id"), col("sigl"))),
-          "band")
-        val sigTouched = wantedOf(sig.select(col("doc_id")), "sig")
+        // pruning and the merge (the sets are identical by construction).
+        // All three tables' sets come back from ONE tagged distinct job
+        // (r20: three separate distinct().collect() actions were three
+        // jobs per trigger over the same checkpointed signature batch —
+        // per-job fixed cost dominated at batch sizes)
+        val touchedByTable: Map[String, Set[Int]] =
+          bucketsOf(sig, "fp")
+            .unionByName(bucketsOf(
+              LlmOps.minhashBands(sig.select(col("doc_id"), col("sigl"))),
+              "band"))
+            .unionByName(bucketsOf(sig.select(col("doc_id")), "sig"))
+            .distinct().collect()
+            .groupBy(_.getString(0))
+            .map { case (t, rs) => t -> rs.map(_.getInt(1)).toSet }
+        val fpTouched = touchedByTable.getOrElse("fp", Set.empty)
+        val bandTouched = touchedByTable.getOrElse("band", Set.empty)
+        val sigTouched = touchedByTable.getOrElse("sig", Set.empty)
         var anchoredRef: Option[DataFrame] = None
         val out =
           if (batchId == 0L)

@@ -15,6 +15,10 @@ object GraftSqlBridge {
     * of the old `new Column(expr)`). */
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** The inverse: the raw Catalyst expression under a [[Column]] (the
+    * Spark-4 spelling of the old `col.expr`). */
+  def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
   /** A DataFrame over a logical plan — analysis (and for commands,
     * execution) happens at construction, exactly like `spark.sql`. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
